@@ -1,0 +1,535 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.dedup.Dedup
+import graft.functions.Cols
+import graft.multimodal.Multimodal
+import graft.operators.Upsert
+import graft.pipeline.FlatView
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** The driver-facing query catalog: one entry per operator family from
+  * SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+  * similarity, text analysis, multimodal), each phrased over the
+  * /root/testdata tables so the DuckDB oracle can replay it.
+  *
+  * Conventions that keep the oracle hash-stable:
+  *  - every computed column is aliased identically here and in the SQL;
+  *  - money sums go through decimal (exact, order-independent) and are cast
+  *    back to double;
+  *  - surrogate keys in oracle-checked queries use sha2-256 (portable);
+  *    xxhash64 stays in the pipeline paths (unit-tested, not oracle-able);
+  *  - double-valued derivations mirror the exact expression tree so IEEE
+  *    arithmetic agrees bit-for-bit.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * only surfaces as nanos-since-epoch longs
+    * (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench); convert
+    * back to a micros timestamp with integer division — a double round-trip
+    * would lose precision above 2^53 ns. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  // ---- relational core -------------------------------------------------
+
+  /** A1/P1: TPC-H Q1-style pricing summary (partial agg + single shuffle). */
+  def q01PricingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,10)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** P1/P2: filter + projection, pushdown-friendly. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("total"),
+        upper(col("o_orderpriority")).as("priority"))
+
+  /** P3: blank→NULL hygiene projection. */
+  def q03BlankToNull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), Cols.blankToNull(col("source")).as("src_clean"))
+
+  /** P4: NULL/blank natural key → sentinel, else portable surrogate. */
+  def q04SentinelKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      when(col("o_orderpriority").isNull || col("o_orderpriority") === "", lit("-1"))
+        .otherwise(sha2(col("o_orderpriority"), 256)).as("priority_key"))
+
+  /** J2/A1: aggregate-then-join enrichment (pre-agg before the join, so the
+    * join input is one row per key — never join-then-aggregate). */
+  def q05JoinEnrich(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "lineitem").groupBy("l_orderkey")
+      .agg(count(lit(1)).as("line_cnt"), sum(col("l_quantity")).as("qty"))
+    t(s, dir, "orders").join(cnt, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("line_cnt"), lit(0L)).as("line_cnt"),
+        coalesce(col("qty"), lit(0.0)).as("total_qty"))
+  }
+
+  /** J7 flagship: fact ⟕ 3 dims flat denormalization; dims broadcast. */
+  def q06FlatView(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").as("o")
+      .join(broadcast(t(s, dir, "customer").as("c")),
+        col("o.o_custkey") === col("c.c_custkey"), "left")
+      .join(broadcast(t(s, dir, "nation").as("n")),
+        col("c.c_nationkey") === col("n.n_nationkey"), "left")
+      .join(broadcast(t(s, dir, "region").as("r")),
+        col("n.n_regionkey") === col("r.r_regionkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice").as("total"),
+        col("o.o_orderdate").cast("date").as("order_date"),
+        col("c.c_name").as("customer_name"), col("n.n_name").as("nation_name"),
+        col("r.r_name").as("region_name"))
+
+  /** §2.5: windowed top-k (top 3 orders per customer). */
+  def q07TopkWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("total").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice").as("total"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+  }
+
+  /** dim_date calendar derivations (date function family). */
+  def q08Calendar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderdate").cast("date").as("d")).distinct()
+      .select(
+        Cols.dateKey(col("d")).cast("int").as("date_key"),
+        col("d").as("full_date"),
+        date_format(col("d"), "EEEE").as("day_name"),
+        dayofmonth(col("d")).cast("int").as("day_of_month"),
+        dayofyear(col("d")).cast("int").as("day_of_year"),
+        date_format(col("d"), "MMMM").as("month_name"),
+        month(col("d")).cast("int").as("month_num"),
+        quarter(col("d")).cast("int").as("quarter"),
+        year(col("d")).cast("int").as("year"))
+
+  /** J9: unionByName of heterogeneous sources (column order differs). */
+  def q09Union(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_name").as("name"), lit("customer").as("src"))
+      .unionByName(
+        t(s, dir, "supplier").select(lit("supplier").as("src"), col("s_name").as("name")))
+
+  /** S5 algebra: anti join (customers with no high-value orders — the
+    * filtered right side keeps the result non-empty at every SF). */
+  def q10AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** S6 algebra: semi join (customers having at least one order). */
+  def q11SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** A2: distinct-by-key. */
+  def q12Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+  /** S5: keyed MERGE (update+insert) as pure DataFrame algebra. */
+  def q13MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = t(s, dir, "customer")
+    val source = target.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+    Upsert.merge(target, source, Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** S6: insert-only MERGE (append-if-absent). */
+  def q14MergeInsertOnly(s: SparkSession, dir: String): DataFrame = {
+    val target = t(s, dir, "customer").filter(col("c_custkey") <= 100)
+    val source = t(s, dir, "customer").withColumn("c_acctbal", lit(0.0))
+    Upsert.merge(target, source, Seq("c_custkey"), insertOnly = true)
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** Map/JSON family: from_json → map_entries → explode → agg. */
+  def q15EventsJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+      .select(col("event_type"), explode(map_entries(col("m"))).as("kv"))
+      .where(col("kv.key") === "k")
+      .select(col("event_type"), Cols.tryLong(col("kv.value")).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+
+  /** Event-time bucketing: per (day, hour, type) counts + exact revenue. */
+  def q16EventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("ts").cast("date").as("d"), hour(col("ts")).cast("int").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+
+  /** Array explode family: token frequencies over documents. */
+  def q17ExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  // ---- text analysis ---------------------------------------------------
+
+  def q18TextMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("int").as("token_count"),
+      TextAnalysis.bpeishTokenCount(col("text")).cast("int").as("bpeish_token_count"),
+      length(col("text")).cast("int").as("char_count"))
+
+  def q19TextRatios(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.meanWordLength(col("text")).as("mean_word_length"))
+
+  def q20LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_guess"))
+
+  def q21QualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+
+  // ---- dedup -----------------------------------------------------------
+
+  def q22ExactDedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents")).select("keep_id", "dup_count")
+
+  def q23ExactDedupRows(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents")).select("doc_id", "lang")
+
+  /** MinHash-LSH near-dup with exact Jaccard verification (no oracle SQL —
+    * the banded-signature join is not reasonably SQL-expressible). */
+  def q24MinHashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashDedup(t(s, dir, "documents"), threshold = 0.5)
+      .select(col("id1"), col("id2"))
+
+  def q25SimHashGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashGroups(t(s, dir, "documents"))
+
+  /** n-gram Jaccard similarity over a deterministic candidate pair set. */
+  def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = docs.select(col("doc_id").as("id1"))
+      .where(col("id1") < 50)
+      .join(docs.select(col("doc_id").as("id2")).where(col("id2") < 50),
+        col("id1") < col("id2"))
+    Dedup.jaccardVerify(docs, pairs).where(col("jaccard") > 0)
+  }
+
+  // ---- similarity search ----------------------------------------------
+
+  def q27KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+  }
+
+  def q28EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3, cap = 300)
+      .select(col("id1"), col("id2"), col("cos_sim"))
+
+  /** LSH-bucketed ANN (scale path; rows-only check — bucket fn not in SQL). */
+  def q29LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 5, planes = 4)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+  }
+
+  // ---- multimodal ------------------------------------------------------
+
+  def q30MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.documentsAsMedia(t(s, dir, "documents"))
+      .select(col("media_id"), col("media_type"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.sample_rate").as("sample_rate"), col("meta.n_frames").as("n_frames"))
+
+  def q31MultimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s,
+        Multimodal.documentsAsMedia(t(s, dir, "documents")))
+      .toDF().select(col("media_id"), col("byte_len"), col("checksum"))
+
+  def q32FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.documentsAsMedia(t(s, dir, "documents")))
+      .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
+
+  /** Document fingerprint (rolling hash; rows-only — sequential fold). */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  /** Shared DuckDB fragments mirroring the Column builders above. */
+  private val ToksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private def quantSql(src: String) =
+    s"list_transform($src, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS total,
+        | upper(o_orderpriority) AS priority
+        |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 150000""".stripMargin,
+    "q03_blank_to_null" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(source)) > 0 THEN trim(source) END AS src_clean
+        |FROM documents WHERE text IS NOT NULL AND text <> ''""".stripMargin,
+    "q04_sentinel_key" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderpriority IS NULL OR o_orderpriority = '' THEN '-1'
+        |      ELSE sha256(o_orderpriority) END AS priority_key
+        |FROM orders""".stripMargin,
+    "q05_join_enrich" ->
+      """SELECT o_orderkey, coalesce(c.cnt, 0) AS line_cnt,
+        | coalesce(c.qty, 0.0) AS total_qty
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS cnt, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1) c ON o_orderkey = c.l_orderkey""".stripMargin,
+    "q06_flat_view" ->
+      """SELECT o_orderkey, o_totalprice AS total, CAST(o_orderdate AS DATE) AS order_date,
+        | c_name AS customer_name, n_name AS nation_name, r_name AS region_name
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q07_topk_window" ->
+      """SELECT o_custkey, o_orderkey, total, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice AS total,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q08_calendar" ->
+      """SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_key,
+        | d AS full_date, dayname(d) AS day_name,
+        | CAST(day(d) AS INT) AS day_of_month, CAST(dayofyear(d) AS INT) AS day_of_year,
+        | monthname(d) AS month_name, CAST(month(d) AS INT) AS month_num,
+        | CAST(quarter(d) AS INT) AS quarter, CAST(year(d) AS INT) AS year
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)""".stripMargin,
+    "q09_union" ->
+      """SELECT c_name AS name, 'customer' AS src FROM customer
+        |UNION ALL SELECT s_name, 'supplier' FROM supplier""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q12_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q13_merge_upsert" ->
+      """WITH src AS (SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal
+        |             FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey, c_acctbal FROM src
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
+    "q14_merge_insert_only" ->
+      """SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 100
+        |UNION ALL
+        |SELECT c_custkey, 0.0 AS c_acctbal FROM customer WHERE c_custkey > 100""".stripMargin,
+    "q15_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(k) AS BIGINT) AS k_sum, CAST(min(k) AS BIGINT) AS k_min,
+        | CAST(max(k) AS BIGINT) AS k_max
+        |FROM (SELECT event_type,
+        |        TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+    "q16_events_hourly" ->
+      """SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INT) AS hr, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q17_explode_tokens" ->
+      s"""SELECT tok, count(*) AS cnt
+         |FROM (SELECT unnest($ToksSql) AS tok FROM documents)
+         |WHERE tok <> '' GROUP BY 1""".stripMargin,
+    "q18_text_metrics" ->
+      s"""SELECT doc_id,
+         | CAST(len($ToksSql) AS INT) AS token_count,
+         | CAST(len(regexp_extract_all(text,
+         |   '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS INT) AS bpeish_token_count,
+         | CAST(length(text) AS INT) AS char_count
+         |FROM documents""".stripMargin,
+    "q19_text_ratios" ->
+      s"""SELECT doc_id,
+         | CASE WHEN length(text) > 0 THEN
+         |   CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS DOUBLE) / length(text)
+         | ELSE 0.0 END AS punct_ratio,
+         | CASE WHEN len(lt) > 0 THEN
+         |   CAST(len(list_filter(lt, x -> x IN ('the','a','and','of','is','to','in'))) AS DOUBLE) / len(lt)
+         | ELSE 0.0 END AS stopword_ratio,
+         | CASE WHEN len(tk) > 0 THEN
+         |   CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+         | ELSE 0.0 END AS mean_word_length
+         |FROM (SELECT doc_id, text, $ToksSql AS tk,
+         |        regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
+         |      FROM documents)""".stripMargin,
+    "q20_lang_id" -> langIdOracle,
+    "q21_quality_score" ->
+      s"""SELECT doc_id,
+         | greatest(0.0,
+         |   least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |   + least(sw * 5.0, 1.0) * 0.3
+         |   + (1.0 - least(pr * 4.0, 1.0)) * 0.2) AS quality_score
+         |FROM (
+         |  SELECT doc_id, $ToksSql AS tk,
+         |    CASE WHEN length(text) > 0 THEN
+         |      CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS DOUBLE) / length(text)
+         |    ELSE 0.0 END AS pr,
+         |    CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0 THEN
+         |      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |        x -> x IN ('the','a','and','of','is','to','in'))) AS DOUBLE)
+         |        / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |    ELSE 0.0 END AS sw
+         |  FROM documents)""".stripMargin,
+    "q22_exact_dedup_groups" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
+    "q23_exact_dedup_rows" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents
+        |  GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))""".stripMargin,
+    "q26_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 1)),
+        |    i -> CASE WHEN len(tk) >= 3
+        |              THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |              ELSE array_to_string(tk, ' ') END)) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |        FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 50 AND b.doc_id < 50
+        |  AND len(list_intersect(a.sh, b.sh)) > 0""".stripMargin,
+    "q27_knn_brute_force" ->
+      s"""WITH c AS (SELECT vec_id AS corpus_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, ${quantSql("embedding")} AS v FROM embeddings
+         |      WHERE vec_id < 5),
+         |s AS (SELECT query_id, corpus_id,
+         |        list_dot_product(q.v, c.v)
+         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |      FROM q, c WHERE query_id <> corpus_id)
+         |SELECT query_id, corpus_id, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, corpus_id) AS rn FROM s)
+         |WHERE rn <= 10""".stripMargin,
+    "q28_embedding_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
+         |           WHERE vec_id < 300)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         | list_dot_product(a.v, b.v)
+         |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v)
+         |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""".stripMargin,
+    "q30_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        | CAST(n_chars % 640 + 16 AS INT) AS width,
+        | CAST(n_chars % 480 + 16 AS INT) AS height,
+        | 16000 AS sample_rate,
+        | CAST(n_chars % 300 + 1 AS INT) AS n_frames
+        |FROM documents""".stripMargin
+  )
+
+  /** Marker-count language ID mirrored into SQL: per-language score =
+    * Σ occurrences(marker); argmax with ties to the lexicographically
+    * greatest code (= array_max struct semantics in the Spark impl). */
+  private lazy val langIdOracle: String = {
+    def score(ms: Seq[String]): String = ms.map { m =>
+      val esc = m.replace("'", "''")
+      s"CAST((length(p) - length(replace(p, '$esc', ''))) / ${m.length} AS BIGINT)"
+    }.mkString(" + ")
+    val cases = TextAnalysis.langMarkers.sortBy(_._1).reverse.map { case (code, _) =>
+      s"WHEN s_$code = m THEN '$code'"
+    }.mkString(" ")
+    val scores = TextAnalysis.langMarkers
+      .map { case (code, ms) => s"${score(ms)} AS s_$code" }.mkString(", ")
+    val names = TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")
+    s"""SELECT doc_id, CASE WHEN m = 0 THEN 'und' $cases END AS lang_guess
+       |FROM (SELECT doc_id, greatest($names) AS m, *
+       |      FROM (SELECT doc_id, $scores
+       |            FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)))""".stripMargin
+  }
+
+  /** name → builder, names sorted = execution order in Verify/Bench. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> (q01PricingAgg _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_blank_to_null" -> (q03BlankToNull _),
+    "q04_sentinel_key" -> (q04SentinelKey _),
+    "q05_join_enrich" -> (q05JoinEnrich _),
+    "q06_flat_view" -> (q06FlatView _),
+    "q07_topk_window" -> (q07TopkWindow _),
+    "q08_calendar" -> (q08Calendar _),
+    "q09_union" -> (q09Union _),
+    "q10_anti_join" -> (q10AntiJoin _),
+    "q11_semi_join" -> (q11SemiJoin _),
+    "q12_distinct" -> (q12Distinct _),
+    "q13_merge_upsert" -> (q13MergeUpsert _),
+    "q14_merge_insert_only" -> (q14MergeInsertOnly _),
+    "q15_events_json" -> (q15EventsJson _),
+    "q16_events_hourly" -> (q16EventsHourly _),
+    "q17_explode_tokens" -> (q17ExplodeTokens _),
+    "q18_text_metrics" -> (q18TextMetrics _),
+    "q19_text_ratios" -> (q19TextRatios _),
+    "q20_lang_id" -> (q20LangId _),
+    "q21_quality_score" -> (q21QualityScore _),
+    "q22_exact_dedup_groups" -> (q22ExactDedupGroups _),
+    "q23_exact_dedup_rows" -> (q23ExactDedupRows _),
+    "q24_minhash_dedup" -> (q24MinHashDedup _),
+    "q25_simhash_groups" -> (q25SimHashGroups _),
+    "q26_ngram_jaccard" -> (q26NgramJaccard _),
+    "q27_knn_brute_force" -> (q27KnnBruteForce _),
+    "q28_embedding_near_dup" -> (q28EmbeddingNearDup _),
+    "q29_lsh_topk" -> (q29LshTopK _),
+    "q30_multimodal_meta" -> (q30MultimodalMeta _),
+    "q31_multimodal_features" -> (q31MultimodalFeatures _),
+    "q32_frame_sample" -> (q32FrameSample _),
+    "q33_fingerprint" -> (q33Fingerprint _)
+  )
+}

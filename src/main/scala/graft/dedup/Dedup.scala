@@ -1,0 +1,174 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis.{portableHash, tokens}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design notes (the point of each variant):
+  *  - exact: one hash-shuffle on a 64-bit digest of the normalized text —
+  *    never shuffles full document bodies, only (digest, id).
+  *  - MinHash+LSH: signatures are computed scan-side (per-row column
+  *    algebra, no shuffle); the only shuffle is the band-bucket groupBy,
+  *    whose cardinality is #docs×#bands regardless of corpus width. Pairs
+  *    are generated per-bucket — the classic way to keep near-dup detection
+  *    out of O(n²) at 100 TB.
+  *  - SimHash: one 32-bit sketch per doc; candidates = equal sketch (or
+  *    banded sketch bytes for hamming≤k) — a single groupBy.
+  *  - n-gram Jaccard: exact verification — only run on candidate pairs or
+  *    capped subsets, never the full cross product.
+  *  - embedding cosine: quantized int vectors → exact, reproducible
+  *    arithmetic (float sums are not associative; int sums are).
+  */
+object Dedup {
+
+  /** Normalized-text digest used by exact dedup: collapse whitespace,
+    * lowercase, then xxhash64 (Spark-native, 1 cheap pass). */
+  def textDigest(text: Column): Column =
+    xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Exact dedup: keep the lowest-id document per normalized text digest.
+    * Returns (keep_id, dup_count, digest) groups. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(textDigest(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup: the surviving rows. min-id-wins via a single aggregation
+    * + self-semi-join on (digest, id) — no window needed, and the join key
+    * is the digest, so AQE can broadcast the small winners side. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val winners = exactGroups(docs, idCol, textCol)
+      .select(col("digest"), col("keep_id").as(idCol))
+    docs.withColumn("digest", textDigest(col(textCol)))
+      .join(winners, Seq("digest", idCol), "left_semi")
+      .drop("digest")
+  }
+
+  /** w-token shingles of the text, distinct. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= w,
+        transform(sequence(lit(0), size(toks) - lit(w)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** Large prime modulus for the affine min-hash family. */
+  val MinHashPrime = 2147483647L
+
+  /** Deterministic affine coefficients for hash i (public LCG-style
+    * constants; any fixed odd multipliers work). */
+  private def coeffA(i: Int): Long = 2 * (1103515245L * (i + 1) % (MinHashPrime / 2)) + 1
+  private def coeffB(i: Int): Long = 12345L * (i + 7) % MinHashPrime
+
+  /** MinHash signature: for each of k hash functions, the min over shingle
+    * hashes of (a_i*h + b_i) mod p. `portable=true` uses the md5-digit hash
+    * (reproducible in any engine); false uses xxhash64 (faster). */
+  def minHashSignature(shingleArr: Column, k: Int = 16, portable: Boolean = false): Column = {
+    val baseHash: Column => Column =
+      if (portable) portableHash else (c: Column) => pmod(xxhash64(c), lit(MinHashPrime))
+    val hashed = transform(shingleArr, s => baseHash(s))
+    array((0 until k).map { i =>
+      array_min(transform(hashed, h => pmod(h * lit(coeffA(i)) + lit(coeffB(i)), lit(MinHashPrime))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
+    * bucket on (band index, band slice), emit intra-bucket pairs id1<id2.
+    * Distinct across bands. */
+  def minHashCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", w: Int = 3, k: Int = 16,
+                        bands: Int = 4, portable: Boolean = false): DataFrame = {
+    val rows = k / bands
+    val sig = docs
+      .select(col(idCol), minHashSignature(shingles(col(textCol), w), k, portable).as("sig"))
+    val banded = sig.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("slice")))))
+      .select(col(idCol), col("col.band").as("band"), col("col.slice").as("slice"))
+    val l = banded.select(col("band"), col("slice"), col(idCol).as("id1"))
+    val r = banded.select(col("band"), col("slice"), col(idCol).as("id2"))
+    l.join(r, Seq("band", "slice")).where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact Jaccard over w-shingle sets for given (id1,id2) pairs. */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", w: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), w).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+         size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact verify ≥ threshold. */
+  def minHashDedup(docs: DataFrame, threshold: Double = 0.8,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   w: Int = 3, k: Int = 16, bands: Int = 4,
+                   portable: Boolean = false): DataFrame =
+    jaccardVerify(docs, minHashCandidates(docs, idCol, textCol, w, k, bands, portable),
+      idCol, textCol, w)
+      .where(col("jaccard") >= threshold)
+
+  // ---- SimHash ----
+
+  /** 32-bit SimHash over distinct token hashes: bit j of the sketch is 1
+    * iff the sum over tokens of ±1 (sign of token-hash bit j) is positive. */
+  def simHash(text: Column): Column = {
+    val hashed = transform(array_distinct(tokens(text)), t => portableHash(t))
+    val counts = aggregate(hashed,
+      transform(sequence(lit(0), lit(31)), _ => lit(0L)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+        (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(zip_with(counts, sequence(lit(0), lit(31)),
+      (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+  }
+
+  /** SimHash dup groups: identical 32-bit sketch (hamming 0). For
+    * hamming≤k at scale, band the sketch bytes and bucket-join like LSH. */
+  def simHashGroups(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+      .groupBy("simhash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ---- embedding near-dup ----
+
+  /** Quantize a float vector to exact integers (×1000, floor). Float
+    * addition is not associative — quantizing first makes every downstream
+    * aggregate exact, deterministic, and engine-portable. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+
+  def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def cosineQ(a: Column, b: Column): Column =
+    dotL(a, b).cast("double") /
+      (sqrt(dotL(a, a).cast("double")) * sqrt(dotL(b, b).cast("double")))
+
+  /** Embedding-cosine near-dup pairs above `threshold` among ids < `cap`
+    * (exact pairwise is O(n²): cap it, or pre-bucket with signLsh below). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
+                       cap: Long = 1000, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val q = embeddings.where(col(idCol) < cap)
+      .select(col(idCol), quantize(col(vecCol)).as("q"))
+    val l = q.select(col(idCol).as("id1"), col("q").as("q1"))
+    val r = q.select(col(idCol).as("id2"), col("q").as("q2"))
+    l.join(r, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosineQ(col("q1"), col("q2")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

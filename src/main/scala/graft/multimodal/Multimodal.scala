@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed in partition-sized batches.
+  *
+  * The Spark-side machinery here is real — schema, partitioning,
+  * batch-iterator shape (`mapPartitions`, the JVM analogue of arrow-batch
+  * UDFs) — while the actual media decode is STUBBED as a deterministic
+  * fake (`fakeDecode`), since no image/audio codec ships in this
+  * environment. Swapping the stub for a real decoder changes one function
+  * and nothing about the distributed plan.
+  */
+object Multimodal {
+
+  /** media row: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),  // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** Wrap a documents table as a media table: the UTF-8 bytes of `text`
+    * stand in for an encoded payload; metadata is derived
+    * deterministically. Pure column ops — runs at scan speed. */
+  def documentsAsMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (pmod(col("n_chars"), lit(640)) + lit(16)).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(480)) + lit(16)).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("n_chars"), lit(300)) + lit(1)).cast("int").as("n_frames")).as("meta"))
+
+  case class MediaFeature(media_id: Long, media_type: String,
+                          byte_len: Int, checksum: Long, feature: Array[Double])
+
+  /** STUB decoder: a real implementation would parse `payload` with an
+    * image/audio codec. The fake is deterministic: byte-length, additive
+    * checksum, and an 8-bin byte histogram as the "feature vector". */
+  private def fakeDecode(id: Long, mtype: String, payload: Array[Byte]): MediaFeature = {
+    val hist = new Array[Double](8)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      hist(b % 8) += 1.0
+      sum = (sum + b) % 1000000007L
+      i += 1
+    }
+    MediaFeature(id, mtype, payload.length, sum, hist)
+  }
+
+  /** Batched feature extraction: one decoder invocation per partition
+    * iterator (the batch shape a vectorized/arrow UDF would see) — decoder
+    * state is amortized across the partition, not re-created per row. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        // per-partition decoder init would go here (model load, codec ctx)
+        rows.map(r => fakeDecode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      }
+  }
+
+  /** Frame sampling plumbing: every `stride`-th "frame" (byte-block) of the
+    * payload, as (media_id, frame_no, frame_bytes) rows — pure column ops,
+    * no driver round-trip. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 16, stride: Int = 4): DataFrame =
+    media
+      .withColumn("n_blocks",
+        greatest(floor(length(col("payload")) / lit(frameSize)).cast("int"), lit(1)))
+      .select(col("media_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((col("n_blocks") - 1) / lit(stride)).cast("int")),
+          i => substring(col("payload"), (i * stride * frameSize + 1).cast("int"), lit(frameSize)))))
+      .select(col("media_id"), col("pos").as("frame_no"), col("col").as("frame_bytes"))
+
+  /** "Resize" stub: truncate/pad payload to a target byte budget — stands
+    * in for image resize while keeping the binary-column pipeline real. */
+  def resizePayload(media: DataFrame, targetBytes: Int = 256): DataFrame =
+    media.withColumn("payload_resized", substring(col("payload"), 1, targetBytes))
+      .withColumn("resized_len", length(col("payload_resized")))
+}

@@ -1,0 +1,236 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Schemas
+import graft.functions.Cols._
+import graft.operators.Upsert
+
+/** Bronze JSON documents → 10 normalized silver tables.
+  *
+  * Capability parity with reference: spark_jobs/gcs_bronze_to_silver.py
+  * (streaming) and its batch twin. Each `make*` is a pure
+  * `DataFrame => DataFrame` so the same plan serves batch, streaming
+  * micro-batches, and unit tests.
+  */
+object BronzeToSilver {
+
+  /** Normalize raw bronze batch: topic from file path, blank→NULL hygiene,
+    * polymorphic publish_date → publish_ts/date/hour
+    * (reference: gcs_bronze_to_silver.py:511-564). */
+  def normalize(raw: DataFrame, topicFromPath: Boolean = true): DataFrame = {
+    val withTopic =
+      if (topicFromPath)
+        raw.withColumn("topic",
+          regexp_extract(input_file_name(), "/vnexpress/([^/]+)/", 1))
+      else raw
+    withTopic
+      .withColumn("topic", blankToNull(col("topic")))
+      .withColumn("sub_topic", blankToNull(col("sub_topic")))
+      .withColumn("publish_ts", parsePublishTs(col("publish_date")))
+      .withColumn("date", to_date(col("publish_ts")))
+      .withColumn("hour", hour(col("publish_ts")))
+  }
+
+  /** Hygiene gate: must have URL + parsed timestamp
+    * (reference: gcs_bronze_to_silver.py:396-403). */
+  def validArticles(df: DataFrame): DataFrame =
+    df.filter(col("url").isNotNull && (col("url") =!= "") && col("publish_ts").isNotNull)
+
+  // ---- entity transforms (reference: gcs_bronze_to_silver.py:242-387) ----
+
+  def makeAuthors(dfb: DataFrame): DataFrame =
+    dfb.select(trim(col("author")).as("AuthorName"))
+      .filter(col("AuthorName").isNotNull && (col("AuthorName") =!= ""))
+      .dropDuplicates("AuthorName")
+      .withColumn("AuthorID", stableId(col("AuthorName")))
+      .select("AuthorID", "AuthorName")
+
+  def makeTopics(dfb: DataFrame): DataFrame =
+    dfb.select(trim(col("topic")).as("TopicName"))
+      .filter(col("TopicName").isNotNull && (col("TopicName") =!= ""))
+      .dropDuplicates("TopicName")
+      .withColumn("TopicID", stableId(col("TopicName")))
+      .select("TopicID", "TopicName")
+
+  def makeSubtopics(dfb: DataFrame): DataFrame =
+    dfb.select(
+        blankToNull(col("sub_topic")).as("SubTopicName"),
+        blankToNull(col("topic")).as("topic_name"))
+      .filter(col("SubTopicName").isNotNull)
+      .dropDuplicates("SubTopicName", "topic_name")
+      .withColumn("TopicID", stableId(col("topic_name")))
+      .withColumn("SubTopicID",
+        stableId(concat_ws("||", col("SubTopicName"), col("TopicID"))))
+      .select("SubTopicID", "SubTopicName", "TopicID")
+
+  def makeKeywords(dfb: DataFrame): DataFrame =
+    dfb.select(explode_outer(col("keywords")).as("KeywordText"))
+      .filter(col("KeywordText").isNotNull && (col("KeywordText") =!= ""))
+      .withColumn("KeywordText", trim(col("KeywordText")))
+      .dropDuplicates("KeywordText")
+      .withColumn("KeywordID", stableId(col("KeywordText")))
+      .select("KeywordID", "KeywordText")
+
+  def makeReferences(dfb: DataFrame): DataFrame =
+    dfb.select(explode_outer(col("references")).as("ReferenceText"))
+      .filter(col("ReferenceText").isNotNull && (col("ReferenceText") =!= ""))
+      .withColumn("ReferenceText", trim(col("ReferenceText")))
+      .dropDuplicates("ReferenceText")
+      .withColumn("ReferenceID", stableId(col("ReferenceText")))
+      .select("ReferenceID", "ReferenceText")
+
+  def makeArticles(dfb: DataFrame): DataFrame = {
+    val d = dfb
+      .withColumn("trimmed_url", trim(col("url")))
+      .withColumn("ArticleID", stableId(col("trimmed_url")))
+      .withColumn("AuthorID", stableId(trim(col("author"))))
+      .withColumn("TopicID", stableId(trim(col("topic"))))
+      .withColumn("trimmed_subtopic", blankToNull(col("sub_topic")))
+      .withColumn("SubTopicID",
+        stableId(concat_ws("||", col("trimmed_subtopic"), col("TopicID"))))
+    d.select(
+      col("ArticleID"), col("title").as("Title"), col("trimmed_url").as("URL"),
+      col("description").as("Description"), col("publish_ts").as("PublicationDate"),
+      col("main_content").as("MainContent"),
+      col("comment_count").cast("int").as("OpinionCount"),
+      col("AuthorID"), col("TopicID"), col("SubTopicID"),
+      to_date(col("publish_ts")).as("date"), hour(col("publish_ts")).as("hour"))
+  }
+
+  def makeArticleKeywords(dfb: DataFrame): DataFrame =
+    dfb.withColumn("ArticleID", stableId(trim(col("url"))))
+      .select(col("ArticleID"), explode_outer(col("keywords")).as("kw"))
+      .filter(col("kw").isNotNull && (col("kw") =!= ""))
+      .withColumn("KeywordText", trim(col("kw")))
+      .dropDuplicates("ArticleID", "KeywordText")
+      .withColumn("KeywordID", stableId(col("KeywordText")))
+      .select("ArticleID", "KeywordID")
+
+  def makeArticleReferences(dfb: DataFrame): DataFrame =
+    dfb.withColumn("ArticleID", stableId(trim(col("url"))))
+      .select(col("ArticleID"), explode_outer(col("references")).as("ref"))
+      .filter(col("ref").isNotNull && (col("ref") =!= ""))
+      .withColumn("ReferenceText", trim(col("ref")))
+      .dropDuplicates("ArticleID", "ReferenceText")
+      .withColumn("ReferenceID", stableId(col("ReferenceText")))
+      .select("ArticleID", "ReferenceID")
+
+  def makeComments(dfb: DataFrame): DataFrame =
+    dfb.withColumn("ArticleID", stableId(trim(col("url"))))
+      .select(col("ArticleID"), explode_outer(col("top_comments")).as("c"))
+      .select(
+        stableId(concat_ws("||", col("ArticleID"),
+          trim(col("c.commenter_name")), trim(col("c.comment_content")))).as("CommentID"),
+        col("ArticleID"),
+        trim(col("c.commenter_name")).as("CommenterName"),
+        trim(col("c.comment_content")).as("CommentContent"),
+        col("c.total_likes").cast("int").as("TotalLikes"))
+      .filter(col("CommentID").isNotNull)
+
+  def makeCommentInteractions(dfb: DataFrame): DataFrame = {
+    val withIds = dfb.withColumn("ArticleID", stableId(trim(col("url"))))
+      .select(col("ArticleID"), explode_outer(col("top_comments")).as("c"))
+      .select(
+        stableId(concat_ws("||", col("ArticleID"),
+          trim(col("c.commenter_name")), trim(col("c.comment_content")))).as("CommentID"),
+        col("c.interaction_details").as("interaction_raw"))
+      .filter(col("interaction_raw").isNotNull && length(col("interaction_raw")) > 0)
+      .withColumn("interaction_map",
+        from_json(col("interaction_raw"), MapType(StringType, StringType)))
+      .filter(col("interaction_map").isNotNull)
+      // ANSI-safe value cast: non-numeric → 0 (Spark 3.5 non-ANSI cast gave
+      // NULL then coalesce 0; try_cast preserves that)
+      .withColumn("interaction_map",
+        transform_values(col("interaction_map"),
+          (_, v) => coalesce(try_cast_int(v), lit(0))))
+    withIds
+      .select(col("CommentID"),
+        explode_outer(map_entries(col("interaction_map"))).as("kv"))
+      .select(
+        stableId(concat_ws("||", col("CommentID"), col("kv.key"))).as("CommentInteractionID"),
+        col("CommentID"),
+        col("kv.key").as("InteractionType"),
+        col("kv.value").as("InteractionCount"))
+      .filter(col("InteractionCount").isNotNull)
+  }
+
+  private def try_cast_int(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.rlike("^\\s*-?\\d{1,9}\\s*$"), c.cast("int"))
+
+  /** All 10 silver tables from one normalized+filtered bronze batch. */
+  def silverTables(base: DataFrame): Map[String, DataFrame] = Map(
+    "authors" -> makeAuthors(base),
+    "topics" -> makeTopics(base),
+    "subtopics" -> makeSubtopics(base),
+    "keywords" -> makeKeywords(base),
+    "references_table" -> makeReferences(base),
+    "articles" -> makeArticles(base),
+    "article_keywords" -> makeArticleKeywords(base),
+    "article_references" -> makeArticleReferences(base),
+    "comments" -> makeComments(base),
+    "comment_interactions" -> makeCommentInteractions(base))
+
+  /** Upsert keys per silver table (reference MERGE ON clauses,
+    * gcs_bronze_to_silver.py:457-496). Link tables are insert-only. */
+  val upsertKeys: Map[String, (Seq[String], Boolean)] = Map(
+    "authors" -> (Seq("AuthorID"), false),
+    "topics" -> (Seq("TopicID"), false),
+    "subtopics" -> (Seq("SubTopicID"), false),
+    "keywords" -> (Seq("KeywordID"), false),
+    "references_table" -> (Seq("ReferenceID"), false),
+    "articles" -> (Seq("ArticleID"), false),
+    "article_keywords" -> (Seq("ArticleID", "KeywordID"), true),
+    "article_references" -> (Seq("ArticleID", "ReferenceID"), true),
+    "comments" -> (Seq("CommentID"), false),
+    "comment_interactions" -> (Seq("CommentInteractionID"), false))
+
+  /** One micro-batch (or the whole corpus in batch mode) → silver upserts.
+    * Articles table is date-partitioned so the rewrite is partition-scoped. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, warehouse: String): Unit = {
+    if (batch.isEmpty) return
+    val base = validArticles(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      silverTables(base).foreach { case (name, df) =>
+        val (keys, insertOnly) = upsertKeys(name)
+        val parts = if (name == "articles") Seq("date") else Nil
+        Upsert.upsert(spark, s"$warehouse/$name", df, keys, insertOnly, parts)
+      }
+    } finally base.unpersist()
+  }
+
+  /** Batch run (reference batch twin gcs_bronze_to_silver_batch.py). */
+  def runBatch(spark: SparkSession, bronzeDir: String, warehouse: String,
+               topicFromPath: Boolean = true): Unit = {
+    val raw = spark.read.schema(Schemas.bronzeArticle)
+      .option("recursiveFileLookup", "true").option("mode", "PERMISSIVE")
+      .json(bronzeDir)
+    upsertBatch(spark, normalize(raw, topicFromPath), warehouse)
+  }
+
+  /** Streaming run: file-arrival source, stateless, exactly-once via
+    * checkpoint + idempotent keyed upsert (reference:
+    * gcs_bronze_to_silver.py:501-573). `availableNow=true` drains the
+    * backlog and stops — deterministic for tests. */
+  def runStream(spark: SparkSession, bronzeDir: String, warehouse: String,
+                checkpoint: String, maxFilesPerTrigger: Int = 500,
+                availableNow: Boolean = false,
+                topicFromPath: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream.schema(Schemas.bronzeArticle)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("mode", "PERMISSIVE")
+      .json(bronzeDir)
+    val normalized = normalize(raw, topicFromPath)
+    val writer = normalized.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(spark, batch, warehouse)
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** The flagship analytical query + the generic export sink.
+  *
+  * vw_articles_flat = fact_article_publication ⟕ dim_author ⟕ dim_topic ⟕
+  * dim_sub_topic (reference: spark_jobs/gold_to_bigquery.py:185-209). The
+  * dims are small by construction → all three joins broadcast; the fact side
+  * streams through without a shuffle.
+  */
+object FlatView {
+
+  def vwArticlesFlat(fact: DataFrame, dimAuthor: DataFrame,
+                     dimTopic: DataFrame, dimSubTopic: DataFrame): DataFrame =
+    fact.as("f")
+      .join(broadcast(dimAuthor.as("a")), col("f.AuthorKey") === col("a.AuthorKey"), "left")
+      .join(broadcast(dimTopic.as("t")), col("f.TopicKey") === col("t.TopicKey"), "left")
+      .join(broadcast(dimSubTopic.as("st")), col("f.SubTopicKey") === col("st.SubTopicKey"), "left")
+      .select(
+        col("f.ArticleID_NK"),
+        col("f.ArticlePublicationTimestamp"),
+        to_date(col("f.ArticlePublicationTimestamp")).as("PublicationDate"),
+        col("f.ArticleTitle"), col("f.ArticleDescription"), col("f.OpinionCount"),
+        col("f.WordCountInMainContent"), col("f.CharacterCountInMainContent"),
+        col("f.EstimatedReadTimeMinutes"), col("f.TaggedKeywordCountInArticle"),
+        col("f.ReferenceSourceCountInArticle"),
+        col("a.AuthorName"), col("t.TopicName"), col("st.SubTopicName"))
+
+  /** Generic full-refresh export (replaces the reference's BigQuery
+    * WRITE_TRUNCATE sink, gold_to_bigquery.py:118-142): partitioned
+    * overwrite with an optional derived day-partition column. */
+  def export(df: DataFrame, path: String, partitionFromTs: Option[String] = None): Unit = {
+    val (out, parts) = partitionFromTs match {
+      case Some(ts) => (df.withColumn("_export_date", to_date(col(ts))), Seq("_export_date"))
+      case None => (df, Nil)
+    }
+    val w = out.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+  }
+}

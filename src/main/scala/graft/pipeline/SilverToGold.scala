@@ -1,0 +1,242 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols._
+import graft.operators.Upsert
+
+/** Silver tables → Kimball star schema (7 dims + 5 facts).
+  *
+  * Capability parity with reference: spark_jobs/gcs_silver_to_gold.py
+  * :329-829, using the "full-safe" semantics of gcs_silver_to_gold_1.py
+  * (NULL natural keys → -1 sentinel + seeded UNKNOWN dimension rows), which
+  * strictly subsumes the plain variant.
+  *
+  * All builders are pure `DataFrame => DataFrame`. Dim lookups are
+  * broadcast-sized by construction (distinct authors/topics), fact joins
+  * shuffle once on ArticleID; facts are written partitioned by their date
+  * key so a daily run commits only the touched partitions.
+  */
+object SilverToGold {
+
+  // ---- dimensions (reference: gcs_silver_to_gold.py:347-541) ----
+
+  def dimDate(articles: DataFrame): DataFrame =
+    articles.select(col("PublicationDate").cast("timestamp").as("ts"))
+      .where(col("ts").isNotNull)
+      .select(
+        col("ts").cast("date").as("FullDateAlternateKey"),
+        date_format(col("ts"), "EEEE").as("DayNameOfWeek"),
+        dayofmonth(col("ts")).as("DayNumberOfMonth"),
+        dayofyear(col("ts")).as("DayNumberOfYear"),
+        date_format(col("ts"), "MMMM").as("MonthName"),
+        month(col("ts")).as("MonthNumberOfYear"),
+        quarter(col("ts")).as("CalendarQuarter"),
+        year(col("ts")).as("CalendarYear"),
+        dateKey(col("ts")).as("DateKey"))
+      .dropDuplicates("DateKey")
+
+  def dimAuthor(authors: DataFrame): DataFrame =
+    authors.withColumn("AuthorKey", surrogateKey(col("AuthorID")))
+      .withColumnRenamed("AuthorID", "AuthorID_NK")
+      .dropDuplicates("AuthorID_NK")
+      .select("AuthorKey", "AuthorID_NK", "AuthorName")
+
+  def dimTopic(topics: DataFrame): DataFrame =
+    topics.withColumn("TopicKey", surrogateKey(col("TopicID")))
+      .withColumnRenamed("TopicID", "TopicID_NK")
+      .dropDuplicates("TopicID_NK")
+      .select("TopicKey", "TopicID_NK", "TopicName")
+
+  /** Subtopic dim enriched with parent topic via a broadcast left join
+    * (topics is a small dim — never shuffle the subtopic side for it). */
+  def dimSubTopic(subtopics: DataFrame, topics: DataFrame): DataFrame =
+    subtopics.as("st")
+      .join(broadcast(topics.as("tp")), col("st.TopicID") === col("tp.TopicID"), "left")
+      .select(
+        surrogateKey(col("st.SubTopicID")).as("SubTopicKey"),
+        col("st.SubTopicID").as("SubTopicID_NK"),
+        col("st.SubTopicName").as("SubTopicName"),
+        surrogateKey(col("st.TopicID")).as("ParentTopicKey"),
+        col("tp.TopicName").as("ParentTopicName"))
+      .dropDuplicates("SubTopicID_NK")
+
+  def dimKeyword(keywords: DataFrame): DataFrame =
+    keywords.withColumn("KeywordKey", surrogateKey(col("KeywordID")))
+      .withColumnRenamed("KeywordID", "KeywordID_NK")
+      .dropDuplicates("KeywordID_NK")
+      .select("KeywordKey", "KeywordID_NK", "KeywordText")
+
+  def dimReferenceSource(references: DataFrame): DataFrame =
+    references.withColumn("ReferenceSourceKey", surrogateKey(col("ReferenceID")))
+      .withColumnRenamed("ReferenceID", "ReferenceID_NK")
+      .dropDuplicates("ReferenceID_NK")
+      .select("ReferenceSourceKey", "ReferenceID_NK", "ReferenceText")
+
+  def dimInteractionType(commentInteractions: DataFrame): DataFrame =
+    commentInteractions
+      .select(lower(trim(col("InteractionType"))).as("InteractionType"))
+      .where(col("InteractionType").isNotNull && (col("InteractionType") =!= ""))
+      .dropDuplicates("InteractionType")
+      .withColumn("InteractionTypeKey", surrogateKey(col("InteractionType")))
+      .select("InteractionTypeKey", "InteractionType")
+
+  // ---- facts (reference: gcs_silver_to_gold.py:548-829) ----
+
+  /** fact_article_publication: agg-enrichment left joins + text metrics.
+    * kw/ref counts are pre-aggregated before the join (map-side partial agg
+    * first, then a key-colocated join — never join-then-aggregate). */
+  def factArticlePublication(articles: DataFrame, articleKeywords: DataFrame,
+                             articleReferences: DataFrame): DataFrame = {
+    val kwCnt = articleKeywords.groupBy("ArticleID").count().withColumnRenamed("count", "kw_cnt")
+    val rfCnt = articleReferences.groupBy("ArticleID").count().withColumnRenamed("count", "ref_cnt")
+    articles.as("a")
+      .join(kwCnt.as("k"), col("k.ArticleID") === col("a.ArticleID"), "left")
+      .join(rfCnt.as("r"), col("r.ArticleID") === col("a.ArticleID"), "left")
+      .withColumn("ts", col("a.PublicationDate").cast("timestamp"))
+      .where(col("ts").isNotNull)
+      .select(
+        dateKey(col("ts")).as("PublicationDateKey"),
+        col("ts").as("ArticlePublicationTimestamp"),
+        keyOrSentinel(col("a.AuthorID")).as("AuthorKey"),
+        keyOrSentinel(col("a.TopicID")).as("TopicKey"),
+        keyOrSentinel(col("a.SubTopicID")).as("SubTopicKey"),
+        col("a.ArticleID").as("ArticleID_NK"),
+        col("a.Title").as("ArticleTitle"),
+        col("a.Description").as("ArticleDescription"),
+        lit(1).as("PublishedArticleCount"),
+        coalesce(col("a.OpinionCount").cast("int"), lit(0)).as("OpinionCount"),
+        wordCount(col("a.MainContent")).as("WordCountInMainContent"),
+        charCount(col("a.MainContent")).as("CharacterCountInMainContent"),
+        estimatedReadTimeMinutes(col("a.MainContent")).as("EstimatedReadTimeMinutes"),
+        coalesce(col("kw_cnt"), lit(0L)).as("TaggedKeywordCountInArticle"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ReferenceSourceCountInArticle"))
+      .dropDuplicates("PublicationDateKey", "ArticleID_NK")
+  }
+
+  private def factLink(link: DataFrame, articles: DataFrame,
+                       idCol: String, keyName: String, flagName: String): DataFrame =
+    link.as("l").join(articles.as("a"), col("l.ArticleID") === col("a.ArticleID"), "inner")
+      .withColumn("ts", col("a.PublicationDate").cast("timestamp"))
+      .where(col("ts").isNotNull)
+      .select(
+        dateKey(col("ts")).as("ArticlePublicationDateKey"),
+        col("a.ArticleID").as("ArticleID_NK"),
+        surrogateKey(col(s"l.$idCol")).as(keyName),
+        keyOrSentinel(col("a.AuthorID")).as("AuthorKey"),
+        keyOrSentinel(col("a.TopicID")).as("TopicKey"),
+        keyOrSentinel(col("a.SubTopicID")).as("SubTopicKey"),
+        lit(1).as(flagName))
+      .dropDuplicates("ArticlePublicationDateKey", "ArticleID_NK", keyName)
+
+  def factArticleKeyword(articleKeywords: DataFrame, articles: DataFrame): DataFrame =
+    factLink(articleKeywords, articles, "KeywordID", "KeywordKey", "IsKeywordTaggedToArticle")
+
+  def factArticleReference(articleReferences: DataFrame, articles: DataFrame): DataFrame =
+    factLink(articleReferences, articles, "ReferenceID", "ReferenceSourceKey", "IsReferenceUsedInArticle")
+
+  def factTopCommentActivity(comments: DataFrame, articles: DataFrame): DataFrame =
+    comments.as("c").join(articles.as("a"), col("c.ArticleID") === col("a.ArticleID"), "inner")
+      .withColumn("ts", col("a.PublicationDate").cast("timestamp"))
+      .where(col("ts").isNotNull)
+      .select(
+        dateKey(col("ts")).as("ArticlePublicationDateKey"),
+        dateKey(col("ts")).as("CommentDateKey"),
+        col("a.ArticleID").as("ArticleID_NK"),
+        col("c.CommentID").as("CommentID_NK"),
+        keyOrSentinel(col("a.AuthorID")).as("AuthorKey"),
+        keyOrSentinel(col("a.TopicID")).as("TopicKey"),
+        keyOrSentinel(col("a.SubTopicID")).as("SubTopicKey"),
+        col("c.CommenterName").as("CommenterName"),
+        lit(1).as("IsTopComment"),
+        coalesce(col("c.TotalLikes").cast("int"), lit(0)).as("LikesOnTopComment"))
+      .dropDuplicates("ArticlePublicationDateKey", "ArticleID_NK", "CommentID_NK")
+
+  def factTopCommentInteractionDetail(commentInteractions: DataFrame,
+                                      comments: DataFrame, articles: DataFrame): DataFrame =
+    commentInteractions.as("ci")
+      .join(comments.as("c"), col("ci.CommentID") === col("c.CommentID"), "inner")
+      .join(articles.as("a"), col("c.ArticleID") === col("a.ArticleID"), "inner")
+      .withColumn("ts", col("a.PublicationDate").cast("timestamp"))
+      .where(col("ts").isNotNull)
+      .select(
+        dateKey(col("ts")).as("ArticlePublicationDateKey"),
+        dateKey(col("ts")).as("InteractionDateKey"),
+        col("a.ArticleID").as("ArticleID_NK"),
+        col("c.CommentID").as("CommentID_NK"),
+        surrogateKey(lower(trim(col("ci.InteractionType")))).as("InteractionTypeKey"),
+        keyOrSentinel(col("a.AuthorID")).as("AuthorKey"),
+        keyOrSentinel(col("a.TopicID")).as("TopicKey"),
+        keyOrSentinel(col("a.SubTopicID")).as("SubTopicKey"),
+        lit(1).as("InteractionInstanceCount"),
+        coalesce(col("ci.InteractionCount").cast("int"), lit(0)).as("InteractionValue"))
+      .dropDuplicates("ArticlePublicationDateKey", "ArticleID_NK", "CommentID_NK", "InteractionTypeKey")
+
+  // ---- UNKNOWN dimension seeding (reference: gcs_silver_to_gold_1.py:301-423) ----
+
+  /** Seed a -1/UNKNOWN member so sentinel FKs always resolve. */
+  def unknownRows(spark: SparkSession): Map[String, DataFrame] = {
+    import spark.implicits._
+    Map(
+      "dim_author" -> Seq((-1L, "UNKNOWN", "UNKNOWN"))
+        .toDF("AuthorKey", "AuthorID_NK", "AuthorName"),
+      "dim_topic" -> Seq((-1L, "UNKNOWN", "UNKNOWN"))
+        .toDF("TopicKey", "TopicID_NK", "TopicName"),
+      "dim_sub_topic" -> Seq((-1L, "UNKNOWN", "UNKNOWN", -1L, "UNKNOWN"))
+        .toDF("SubTopicKey", "SubTopicID_NK", "SubTopicName", "ParentTopicKey", "ParentTopicName"),
+      "dim_keyword" -> Seq((-1L, "UNKNOWN", "UNKNOWN"))
+        .toDF("KeywordKey", "KeywordID_NK", "KeywordText"),
+      "dim_reference_source" -> Seq((-1L, "UNKNOWN", "UNKNOWN"))
+        .toDF("ReferenceSourceKey", "ReferenceID_NK", "ReferenceText"),
+      "dim_interaction_type" -> Seq((-1L, "UNKNOWN"))
+        .toDF("InteractionTypeKey", "InteractionType"))
+  }
+
+  /** Full silver→gold run against Parquet warehouses. */
+  def run(spark: SparkSession, silverWarehouse: String, goldWarehouse: String): Unit = {
+    def silver(name: String): DataFrame = spark.read.parquet(s"$silverWarehouse/$name")
+    val articles = silver("articles").cache()
+    try {
+      val dims: Map[String, (DataFrame, Seq[String])] = Map(
+        "dim_date" -> (dimDate(articles), Seq("DateKey")),
+        "dim_author" -> (dimAuthor(silver("authors")), Seq("AuthorID_NK")),
+        "dim_topic" -> (dimTopic(silver("topics")), Seq("TopicID_NK")),
+        "dim_sub_topic" -> (dimSubTopic(silver("subtopics"), silver("topics")), Seq("SubTopicID_NK")),
+        "dim_keyword" -> (dimKeyword(silver("keywords")), Seq("KeywordID_NK")),
+        "dim_reference_source" -> (dimReferenceSource(silver("references_table")), Seq("ReferenceID_NK")),
+        "dim_interaction_type" -> (dimInteractionType(silver("comment_interactions")), Seq("InteractionTypeKey")))
+      dims.foreach { case (name, (df, keys)) =>
+        Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys)
+      }
+      unknownRows(spark).foreach { case (name, row) =>
+        val keys = dims.get(name).map(_._2).getOrElse(Seq(row.columns.head))
+        Upsert.upsert(spark, s"$goldWarehouse/$name", row, keys, insertOnly = true)
+      }
+      val ak = silver("article_keywords"); val ar = silver("article_references")
+      val facts: Map[String, (DataFrame, Seq[String], Seq[String])] = Map(
+        "fact_article_publication" -> (
+          factArticlePublication(articles, ak, ar),
+          Seq("PublicationDateKey", "ArticleID_NK"), Seq("PublicationDateKey")),
+        "fact_article_keyword" -> (
+          factArticleKeyword(ak, articles),
+          Seq("ArticlePublicationDateKey", "ArticleID_NK", "KeywordKey"),
+          Seq("ArticlePublicationDateKey")),
+        "fact_article_reference" -> (
+          factArticleReference(ar, articles),
+          Seq("ArticlePublicationDateKey", "ArticleID_NK", "ReferenceSourceKey"),
+          Seq("ArticlePublicationDateKey")),
+        "fact_top_comment_activity" -> (
+          factTopCommentActivity(silver("comments"), articles),
+          Seq("ArticlePublicationDateKey", "ArticleID_NK", "CommentID_NK"),
+          Seq("ArticlePublicationDateKey")),
+        "fact_top_comment_interaction_detail" -> (
+          factTopCommentInteractionDetail(silver("comment_interactions"), silver("comments"), articles),
+          Seq("ArticlePublicationDateKey", "ArticleID_NK", "CommentID_NK", "InteractionTypeKey"),
+          Seq("ArticlePublicationDateKey")))
+      facts.foreach { case (name, (df, keys, parts)) =>
+        Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys, insertOnly = false, parts)
+      }
+    } finally articles.unpersist()
+  }
+}

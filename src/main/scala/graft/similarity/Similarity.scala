@@ -1,0 +1,68 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup.{quantize, cosineQ}
+import graft.text.TextAnalysis.portableHash
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact; O(queries × corpus) — fine
+  * when the query side is small and broadcast). Scale path: sign-LSH
+  * bucketing — corpus is pre-partitioned into 2^planes buckets scan-side;
+  * each query probes only its own bucket, so the join key is the bucket id
+  * and the shuffle moves corpus rows once, not queries × corpus.
+  *
+  * All scoring runs on quantized integer vectors (see Dedup.quantize):
+  * float sums aren't associative across partitionings, int sums are — the
+  * ranking is bit-stable no matter how Spark splits the data.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k. `queries` is expected small —
+    * broadcast it so the corpus never shuffles. Ties break on corpus id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosineQ(col("cq"), col("qq")).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * uniform in [-1000, 1000], derived from the portable hash so the
+    * planes are identical across engines and runs. */
+  private def planeComponent(p: Int, d: Column): Column =
+    pmod(portableHash(concat_ws("_", lit("plane"), lit(p), d)), lit(2001L)) - lit(1000L)
+
+  /** Sign-LSH bucket id: bit p = sign of <vec, plane_p>. 2^planes buckets. */
+  def signLshBucket(qvec: Column, planes: Int = 8): Column = {
+    val dims = sequence(lit(0), size(qvec) - 1)
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(zip_with(qvec, dims, (x, d) => x * planeComponent(p, d)),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: probe only the query's sign-LSH bucket. Recall is
+    * traded for a bucket-local search; increase `planes` for smaller
+    * buckets, or union multiple probe tables for multi-probe. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, planes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("bucket", signLshBucket(col("cq"), planes))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+      .withColumn("bucket", signLshBucket(col("qq"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosineQ(col("cq"), col("qq")).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
