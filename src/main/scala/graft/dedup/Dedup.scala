@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.FastExprs
 import graft.text.TextAnalysis.{portableHash, tokens}
 
 /** Deduplication operators for training-data pipelines.
@@ -81,28 +82,42 @@ object Dedup {
   }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
-    * bucket on (band index, band slice), emit intra-bucket pairs id1<id2.
-    * Distinct across bands. */
+    * bucket on xxhash64(band, band slice) — a dense 64-bit join key, so the
+    * self-join shuffles longs instead of arrays — and emit intra-bucket
+    * pairs id1<id2, distinct across bands.
+    *
+    * `portable=false` (default) computes signatures with the codegen'd
+    * [[graft.functions.MinHashSignatureExpr]] — bit-identical to the
+    * Column-algebra path but one compiled pass per row instead of
+    * k interpreted lambda sweeps. */
   def minHashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", w: Int = 3, k: Int = 16,
                         bands: Int = 4, portable: Boolean = false): DataFrame = {
     val rows = k / bands
-    val sig = docs
-      .select(col(idCol), minHashSignature(shingles(col(textCol), w), k, portable).as("sig"))
+    val sigCol =
+      if (portable) minHashSignature(shingles(col(textCol), w), k, portable = true)
+      else FastExprs.minHashSignature(col(textCol), w, k)
+    val sig = docs.select(col(idCol), sigCol.as("sig"))
     val banded = sig.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("slice")))))
-      .select(col(idCol), col("col.band").as("band"), col("col.slice").as("slice"))
-    val l = banded.select(col("band"), col("slice"), col(idCol).as("id1"))
-    val r = banded.select(col("band"), col("slice"), col(idCol).as("id2"))
-    l.join(r, Seq("band", "slice")).where(col("id1") < col("id2"))
+      .select(col(idCol), xxhash64(col("col.band"), col("col.slice")).as("bucket"))
+    val l = banded.select(col("bucket"), col(idCol).as("id1"))
+    val r = banded.select(col("bucket"), col(idCol).as("id2"))
+    l.join(r, Seq("bucket")).where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
 
-  /** Exact Jaccard over w-shingle sets for given (id1,id2) pairs. */
+  /** Exact Jaccard over w-shingle sets for given (id1,id2) pairs. Only the
+    * documents that actually appear in a pair are shingled (semi-join
+    * first) — at corpus scale the candidate set is orders of magnitude
+    * smaller than the corpus. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", w: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), w).as("sh"))
+    val ids = pairs.select(col("id1").as(idCol))
+      .unionByName(pairs.select(col("id2").as(idCol))).distinct()
+    val sh = docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), w).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -122,10 +137,12 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 32-bit SimHash over distinct token hashes: bit j of the sketch is 1
-    * iff the sum over tokens of ±1 (sign of token-hash bit j) is positive. */
+  /** 32-bit SimHash over distinct lowercased token hashes: bit j of the
+    * sketch is 1 iff the sum over tokens of ±1 (sign of token-hash bit j)
+    * is positive. Case-normalized to agree with textDigest's notion of
+    * duplicate. */
   def simHash(text: Column): Column = {
-    val hashed = transform(array_distinct(tokens(text)), t => portableHash(t))
+    val hashed = transform(array_distinct(tokens(lower(text))), t => portableHash(t))
     val counts = aggregate(hashed,
       transform(sequence(lit(0), lit(31)), _ => lit(0L)),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
@@ -147,16 +164,17 @@ object Dedup {
 
   /** Quantize a float vector to exact integers (×1000, floor). Float
     * addition is not associative — quantizing first makes every downstream
-    * aggregate exact, deterministic, and engine-portable. */
-  def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    * aggregate exact, deterministic, and engine-portable. Codegen'd
+    * ([[graft.functions.QuantizeExpr]]). */
+  def quantize(vec: Column): Column = FastExprs.quantize(vec)
 
   def dotL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  def cosineQ(a: Column, b: Column): Column =
-    dotL(a, b).cast("double") /
-      (sqrt(dotL(a, a).cast("double")) * sqrt(dotL(b, b).cast("double")))
+  /** Cosine over quantized vectors — codegen'd single pass
+    * ([[graft.functions.CosineQExpr]]); long dot products then double
+    * division, so the score is bit-stable across engines and partitionings. */
+  def cosineQ(a: Column, b: Column): Column = FastExprs.cosineQ(a, b)
 
   /** Embedding-cosine near-dup pairs above `threshold` among ids < `cap`
     * (exact pairwise is O(n²): cap it, or pre-bucket with signLsh below). */

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftglue.{Glue => ExpressionUtils}
+import org.apache.spark.sql.graftglue.GlueTypes.AbstractDataType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-row kernels.
+  *
+  * The pure-Column formulations of MinHash / cosine (see Dedup) are built
+  * from higher-order functions, which Catalyst evaluates with one closure
+  * invocation per array element and no whole-stage codegen — measured at
+  * ~110 s for 5k docs × 16 hashes at sf0.1. These expressions compute the
+  * same values (bit-identical: same xxhash64 seed-42 base hash, same affine
+  * family, same long/double arithmetic) in a single compiled pass via a
+  * static call, the same codegen pattern Spark's own hash expressions use.
+  * They stay inside WholeStageCodegen, so the surrounding scan → project →
+  * shuffle pipeline is unbroken.
+  */
+object FastExprs {
+
+  /** MinHash signature of whitespace-tokenized `w`-shingles of `text`;
+    * bit-identical to Dedup.minHashSignature(Dedup.shingles(text, w), k). */
+  def minHashSignature(text: Column, w: Int, k: Int): Column =
+    ExpressionUtils.column(MinHashSignatureExpr(ExpressionUtils.expression(text), w, k))
+
+  /** Cosine similarity of two quantized (long) vectors; bit-identical to
+    * Dedup.cosineQ (long dot products, then double division). */
+  def cosineQ(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineQExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Quantize a float/double vector: floor(x*1000) as long per element;
+    * bit-identical to Dedup.quantize. */
+  def quantize(vec: Column): Column =
+    ExpressionUtils.column(QuantizeExpr(ExpressionUtils.expression(vec)))
+}
+
+case class MinHashSignatureExpr(child: Expression, w: Int, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignatureExpr.compute(input.asInstanceOf[UTF8String], w, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSignatureExpr.compute($c, $w, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignatureExpr {
+  val Prime: Long = 2147483647L
+  def coeffA(i: Int): Long = 2 * (1103515245L * (i + 1) % (Prime / 2)) + 1
+  def coeffB(i: Int): Long = 12345L * (i + 7) % Prime
+
+  /** Single-pass signature: tokenize, build distinct w-shingles, xxhash64
+    * (seed 42, Spark's), k affine minima. Called from generated code. */
+  def compute(text: UTF8String, w: Int, k: Int): ArrayData = {
+    val s = text.toString.trim
+    val toks: Array[String] = if (s.isEmpty) Array("") else s.split("\\s+")
+    val shingles = new java.util.HashSet[String]()
+    if (toks.length >= w) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + w <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        shingles.add(sb.toString)
+        i += 1
+      }
+    } else shingles.add(toks.mkString(" "))
+    val as = Array.tabulate(k)(coeffA)
+    val bs = Array.tabulate(k)(coeffB)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val raw = XxHash64Function.hash(UTF8String.fromString(it.next()), StringType, 42L)
+      val h = ((raw % Prime) + Prime) % Prime
+      var i = 0
+      while (i < k) {
+        val v = (h * as(i) + bs(i)) % Prime // no overflow: h,a < 2^31
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+case class CosineQExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_q"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineQExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.CosineQExpr.compute($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineQExpr {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L; var aa = 0L; var bb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      dot += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    dot.toDouble / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble))
+  }
+}
+
+case class QuantizeExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_q"
+  override def nullSafeEval(input: Any): Any =
+    QuantizeExpr.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantizeExpr.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeExpr {
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = math.floor(v.getDouble(i) * 1000.0).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+}

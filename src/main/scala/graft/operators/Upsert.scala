@@ -42,17 +42,29 @@ object Upsert {
   def tableExists(spark: SparkSession, path: String): Boolean =
     fs(spark, new Path(path)).exists(new Path(path))
 
-  /** Upsert `source` into the Parquet table at `path` on `keys`. */
+  /** Best-effort read of an existing Parquet table; None when the dir is
+    * absent or holds no readable footers (e.g. an aborted empty write left
+    * only _SUCCESS behind — schema inference would throw). */
+  private def readTable(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!tableExists(spark, path)) None
+    else try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Upsert `source` into the Parquet table at `path` on `keys`. An empty
+    * source is a no-op (a micro-batch of only-invalid rows must not clobber
+    * the table with an unreadable empty directory). */
   def upsert(spark: SparkSession, path: String, source: DataFrame,
              keys: Seq[String], insertOnly: Boolean = false,
              partitionCols: Seq[String] = Nil): Unit = {
     val src = source.dropDuplicates(keys)
-    if (!tableExists(spark, path)) {
+    if (src.isEmpty) return
+    val existing = readTable(spark, path)
+    if (existing.isEmpty) {
       val w = src.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       return
     }
-    val target = spark.read.parquet(path)
+    val target = existing.get
     if (partitionCols.nonEmpty) {
       // Partition-scoped rewrite: restrict the anti-join to partitions the
       // source actually touches, then dynamic-overwrite only those.

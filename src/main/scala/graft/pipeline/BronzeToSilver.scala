@@ -122,6 +122,10 @@ object BronzeToSilver {
   def makeComments(dfb: DataFrame): DataFrame =
     dfb.withColumn("ArticleID", stableId(trim(col("url"))))
       .select(col("ArticleID"), explode_outer(col("top_comments")).as("c"))
+      // explode_outer emits a NULL struct for empty arrays; without this
+      // guard concat_ws would skip the null fields and mint a phantom
+      // CommentID from the ArticleID alone.
+      .where(col("c").isNotNull)
       .select(
         stableId(concat_ws("||", col("ArticleID"),
           trim(col("c.commenter_name")), trim(col("c.comment_content")))).as("CommentID"),

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{BronzeToSilver, FlatView, SilverToGold}
+
+/** End-to-end medallion pipeline: bronze JSON fixtures → silver → gold →
+  * flat view, batch and streaming, with idempotent re-runs. */
+class PipelineSpec extends SparkSpec {
+
+  private def writeFixtures(root: String): Unit = {
+    def put(rel: String, json: String): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, json)
+    }
+    put("vnexpress/the-thao/2025/10/10/a1.json",
+      """{"title":"Bai 1","url":"https://e.vn/a1 ","author":" An ","topic":"ignored","sub_topic":"bong-da","publish_date":"Thứ sáu, 10/10/2025, 14:27 (GMT+7)","description":"d1","main_content":"một hai ba bốn năm","keywords":["k1","k2"],"references":["r1"],"comment_count":3,"top_comments":[{"commenter_name":"C1","comment_content":"hay","total_likes":5,"interaction_details":"{\"like\": \"5\", \"love\": \"2\"}"}],"ingested_at":"2025-10-10T15:00:00","year":2025,"month":10,"day":10}""")
+    put("vnexpress/kinh-doanh/2025/10/11/a2.json",
+      """{"title":"Bai 2","url":"https://e.vn/a2","author":"Binh","topic":"x","sub_topic":null,"publish_date":"1760197020000","description":"d2","main_content":"sáu bảy","keywords":["k2","k3"],"references":[],"comment_count":0,"top_comments":[],"ingested_at":"2025-10-11T15:00:00","year":2025,"month":10,"day":11}""")
+    put("vnexpress/the-thao/2025/10/10/bad1.json",
+      """{"title":"No url","url":null,"author":"X","topic":"x","sub_topic":null,"publish_date":"1760110620","description":null,"main_content":null,"keywords":[],"references":[],"comment_count":0,"top_comments":[],"ingested_at":null,"year":2025,"month":10,"day":10}""")
+    put("vnexpress/the-thao/2025/10/10/bad2.json",
+      """{"title":"No date","url":"https://e.vn/bad2","author":"X","topic":"x","sub_topic":null,"publish_date":"not a date","description":null,"main_content":null,"keywords":[],"references":[],"comment_count":0,"top_comments":[],"ingested_at":null,"year":2025,"month":10,"day":10}""")
+  }
+
+  private def silver(wh: String, name: String): DataFrame =
+    spark.read.parquet(s"$wh/$name")
+
+  test("batch bronze→silver→gold→flat view end to end") {
+    val root = tmpDir("bronze")
+    val wh = tmpDir("silver")
+    val gold = tmpDir("gold")
+    writeFixtures(root)
+
+    BronzeToSilver.runBatch(spark, root, wh)
+
+    val articles = silver(wh, "articles")
+    articles.count() shouldBe 2 // bad1 (no url) + bad2 (no ts) filtered
+    // topic derived from the file path, not the JSON body
+    val a1 = articles.where(col("URL") === "https://e.vn/a1").collect()(0)
+    a1.getAs[java.sql.Date]("date").toString shouldBe "2025-10-10"
+    a1.getAs[Int]("hour") shouldBe 7 // 14:27 GMT+7 → 07:27 UTC
+    silver(wh, "topics").select("TopicName").collect().map(_.getString(0)).toSet shouldBe
+      Set("the-thao", "kinh-doanh")
+    silver(wh, "keywords").count() shouldBe 3
+    silver(wh, "article_keywords").count() shouldBe 4
+    silver(wh, "comments").count() shouldBe 1
+    val ci = silver(wh, "comment_interactions")
+    ci.count() shouldBe 2
+    ci.select(sum(col("InteractionCount"))).collect()(0).getLong(0) shouldBe 7
+
+    // re-run: byte-stable row sets (idempotence — the reference's invariant)
+    val before = silver(wh, "articles").collect().map(_.toSeq).toSet
+    BronzeToSilver.runBatch(spark, root, wh)
+    silver(wh, "articles").collect().map(_.toSeq).toSet shouldBe before
+
+    SilverToGold.run(spark, wh, gold)
+    val fact = spark.read.parquet(s"$gold/fact_article_publication")
+    fact.count() shouldBe 2
+    val f1 = fact.where(col("PublicationDateKey") === 20251010).collect()(0)
+    f1.getAs[Int]("WordCountInMainContent") shouldBe 5
+    spark.read.parquet(s"$gold/dim_date").count() shouldBe 2
+    // UNKNOWN members seeded for sentinel FKs
+    spark.read.parquet(s"$gold/dim_author")
+      .where(col("AuthorKey") === -1L).count() shouldBe 1
+
+    val flat = FlatView.vwArticlesFlat(
+      fact,
+      spark.read.parquet(s"$gold/dim_author"),
+      spark.read.parquet(s"$gold/dim_topic"),
+      spark.read.parquet(s"$gold/dim_sub_topic"))
+    flat.count() shouldBe 2
+    flat.where(col("ArticleTitle") === "Bai 1")
+      .select("AuthorName").collect()(0).getString(0) shouldBe "An"
+
+    // gold re-run idempotent too
+    SilverToGold.run(spark, wh, gold)
+    spark.read.parquet(s"$gold/fact_article_publication").count() shouldBe 2
+  }
+
+  test("streaming availableNow reaches the same silver state as batch") {
+    val root = tmpDir("bronzeS")
+    val whStream = tmpDir("silverS")
+    val whBatch = tmpDir("silverB")
+    val ckpt = tmpDir("ckpt")
+    writeFixtures(root)
+
+    BronzeToSilver.runBatch(spark, root, whBatch)
+    val q = BronzeToSilver.runStream(spark, root, whStream, ckpt,
+      maxFilesPerTrigger = 2, availableNow = true)
+    q.awaitTermination(120000) shouldBe true
+
+    for (name <- graft.core.Schemas.silverTables) {
+      val b = silver(whBatch, name).collect().map(_.toSeq).toSet
+      val s = silver(whStream, name).collect().map(_.toSeq).toSet
+      withClue(name) { s shouldBe b }
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+class TextSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts and bpe-ish segmentation") {
+    val r = Seq("Hello, world! 42 times").toDF("text").select(
+      TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.bpeishTokenCount($"text").as("b")).collect()(0)
+    r.getInt(0) shouldBe 4
+    // Hello , world ! 42 times → 6
+    r.getInt(1) shouldBe 6
+  }
+
+  test("langId picks marker-heavy language, und when none") {
+    val df = Seq(
+      "the cat is on the mat and the dog is here",
+      "el perro de la casa es que grande",
+      "xyz qqq zzz").toDF("text")
+      .select(TextAnalysis.langId($"text").as("l")).as[String].collect()
+    df(0) shouldBe "en"
+    df(1) shouldBe "es"
+    df(2) shouldBe "und"
+  }
+
+  test("quality score bounds and ordering") {
+    val scores = Seq(
+      "the spark engine is a fast engine and it is good to use in the cluster",
+      "!!! ??? ### $$$ %%%").toDF("text")
+      .select(TextAnalysis.qualityScore($"text").as("q")).as[Double].collect()
+    all(scores) should (be >= 0.0 and be <= 1.0)
+    scores(0) should be > scores(1)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fp = Seq("a b c", "a b c", "c b a").toDF("text")
+      .select(TextAnalysis.fingerprint($"text").as("f")).as[Long].collect()
+    fp(0) shouldBe fp(1)
+    fp(0) should not be fp(2)
+  }
+
+  test("brute-force topk ranks by exact cosine") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),   // closest to 0
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal
+      (3L, Seq(0.5f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 0), k = 2)
+      .orderBy("rank").select("corpus_id").as[Long].collect()
+    top shouldBe Array(1L, 3L)
+  }
+
+  test("lsh topk only probes matching buckets and stays a subset of brute force") {
+    val emb = (0L until 50L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.lshTopK(emb, q, k = 50, planes = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    lsh.length should be > 0
+    // every LSH hit is a genuine (query, corpus, score) from the exact scan
+    lsh.map(x => (x._1, x._2, x._3)).toSet.subsetOf(brute) shouldBe true
+  }
+}
