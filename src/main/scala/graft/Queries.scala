@@ -286,6 +286,30 @@ object Queries {
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
 
+  /** IVF ANN scale path (rows-only — centroid probing not SQL-expressible). */
+  def q34IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+        k = 10, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+  }
+
+  /** Gap-based sessionization, batch replay (window-function family).
+    * Emitted timestamps truncate to seconds: Spark reads the ns parquet at
+    * micros precision, the oracle at nanos — sub-second digits would
+    * spuriously mismatch. */
+  def q35Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.sessionizeBatch(
+        events(s, dir).select("user_id", "ts", "value"), gapMs = 10 * 60 * 1000L)
+      .select(col("user_id"),
+        date_trunc("second", col("session_start")).as("session_start"),
+        date_trunc("second", col("session_end")).as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Event-time tumbling windows (batch run of the streaming transform). */
+  def q36WindowedCounts(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.windowedEventCounts(events(s, dir), "1 hour", "30 minutes")
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB fragments mirroring the Column builders above. */
@@ -465,6 +489,30 @@ object Queries {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.v, b.v)
          |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""".stripMargin,
+    "q35_sessionize" ->
+      """SELECT user_id,
+        | date_trunc('second', min(ts)) AS session_start,
+        | date_trunc('second', max(ts)) AS session_end,
+        | CAST(count(*) AS INT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, value,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |                > 600000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_id""".stripMargin,
+    "q36_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        | date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -530,6 +578,9 @@ object Queries {
     "q30_multimodal_meta" -> (q30MultimodalMeta _),
     "q31_multimodal_features" -> (q31MultimodalFeatures _),
     "q32_frame_sample" -> (q32FrameSample _),
-    "q33_fingerprint" -> (q33Fingerprint _)
+    "q33_fingerprint" -> (q33Fingerprint _),
+    "q34_ivf_topk" -> (q34IvfTopK _),
+    "q35_sessionize" -> (q35Sessionize _),
+    "q36_windowed_counts" -> (q36WindowedCounts _)
   )
 }

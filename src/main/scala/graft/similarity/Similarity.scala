@@ -50,6 +50,46 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` cells by
+    * nearest coarse centroid; each query scores only the corpus rows in its
+    * `nprobe` nearest cells.
+    *
+    * Centroids are chosen deterministically (the first `nlist` corpus
+    * vectors — a seeded coarse quantizer; swap in k-means-trained centroids
+    * without touching the plan shape) and embedded as literals, so cell
+    * assignment is a scan-side projection: no shuffle, no join, 16 compiled
+    * cosine evals per row. The only shuffle is the final cell-id equi-join,
+    * whose build side is the (small) probed-query table — at 100 TB the
+    * corpus streams through once, partitioned by cell.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents: Array[(Int, Seq[Long])] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(quantize(col(vecCol)).as("q")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](0)) }
+
+    def cellRanks(q: Column): Column = {
+      // (similarity, cellId) structs sorted desc → probe order
+      val scored = array(cents.map { case (cid, v) =>
+        struct(cosineQ(q, typedLit(v)).as("sim"), lit(cid).as("cell"))
+      }: _*)
+      reverse(array_sort(scored))
+    }
+
+    val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cell", element_at(cellRanks(col("cq")), 1).getField("cell"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+      .withColumn("cell", explode(transform(
+        slice(cellRanks(col("qq")), 1, nprobe), s => s.getField("cell"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosineQ(col("cq"), col("qq")).as("cos_sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Approximate top-k: probe only the query's sign-LSH bucket. Recall is
     * traded for a bucket-local search; increase `planes` for smaller
     * buckets, or union multiple probe tables for multi-probe. */

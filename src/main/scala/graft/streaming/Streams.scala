@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators beyond the reference's stateless
+  * file-stream (SURVEY §2.9): event-time windowed aggregation with
+  * watermarks, and custom sessionization state via
+  * flatMapGroupsWithState — the state primitives a training-data ingest
+  * pipeline needs (late-data tolerance, per-key session cutting).
+  *
+  * All transforms are `DataFrame => DataFrame` so they run identically on
+  * a MemoryStream in tests, a file stream, or any other source.
+  */
+object Streams {
+
+  /** Tumbling event-time window counts + exact revenue per event_type,
+    * tolerating `lateness` of out-of-order data. State is bounded: the
+    * watermark lets Spark drop windows older than (max event time −
+    * lateness) — mandatory for an unbounded 100 TB/day stream. */
+  def windowedEventCounts(events: DataFrame, windowLen: String = "1 hour",
+                          lateness: String = "30 minutes"): DataFrame =
+    (if (events.isStreaming) events.withWatermark("ts", lateness) else events)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("revenue"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("revenue").cast("double").as("revenue"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization: a session closes after `gapMs` of user
+    * inactivity — proven either by a later event from the same user, or by
+    * a processing-time timeout (`withTimeout=true`, the production setting;
+    * note Spark then fires continuous empty micro-batches to evaluate
+    * timeouts, so tests that drain with processAllAvailable should pass
+    * `withTimeout=false`). One state object per active user — the
+    * KeyValueGroupedDataset partitioning shards state across executors, so
+    * state size scales with *active* users, not corpus size. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMs: Long = 30 * 60 * 1000L,
+                 withTimeout: Boolean = true): Dataset[Session] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.value))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (withTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch replay of the same sessionization semantics (gap-cut sessions)
+    * using window functions — for backfills and for oracle-checking the
+    * streaming path: session boundary = event gap > gapMs. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMs * 1000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        // decimal sum → double: exact and order-independent across partitionings
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .drop("session_id")
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.similarity.Similarity
+import graft.sources.{Catalog, FsUtils}
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+
+class CatalogStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("catalog: create-if-not-exists, list, exists, drop") {
+    val cat = new Catalog(spark, tmpDir("cat"))
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    cat.tableExists("t1") shouldBe false
+    cat.createIfNotExists("t1", df)
+    cat.createIfNotExists("t1", Seq((9, "z")).toDF("k", "v")) // no-op
+    cat.read("t1").count() shouldBe 2
+    cat.createIfNotExists("t2", df, partitionCols = Seq("v"))
+    cat.listTables() shouldBe Seq("t1", "t2")
+    cat.registerView("t1")
+    spark.sql("SELECT count(*) AS n FROM t1").collect()(0).getLong(0) shouldBe 2
+    cat.dropTable("t1")
+    cat.tableExists("t1") shouldBe false
+  }
+
+  test("fs listing finds partition subdirectories") {
+    val cat = new Catalog(spark, tmpDir("cat2"))
+    cat.createIfNotExists("t", Seq((1, "x"), (2, "y")).toDF("k", "part"),
+      partitionCols = Seq("part"))
+    FsUtils.listSubdirs(spark, cat.tablePath("t")) shouldBe Seq("part=x", "part=y")
+  }
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val out = Streams.windowedEventCounts(events, "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wincounts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(11), "view", 5.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the first windows
+      mem.addData((ts(59), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wincounts")
+        .select("window_start", "event_type", "n", "revenue")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      rows should contain("2024-01-01 10:00:00.0", "click", 2L, 3.0)
+      rows should contain("2024-01-01 10:10:00.0", "view", 1L, 5.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches the batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gap = 10 * 60 * 1000L
+    val out = Streams.sessionize(spark, mem.toDS(), gap, withTimeout = false)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two bursts 30 min apart → 2 sessions; user 2: one session
+      mem.addData(
+        Event(1L, ts(0), "click", 1.0), Event(1L, ts(5), "click", 2.0),
+        Event(2L, ts(2), "view", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(1L, ts(40), "click", 8.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions").as[Session].collect()
+      // first session of user 1 closed by the 40-minute event arriving
+      streamed.map(s => (s.user_id, s.n_events, s.total_value)) should
+        contain((1L, 2, 3.0))
+
+      val batch = Streams.sessionizeBatch(
+        Seq((1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(40), 8.0), (2L, ts(2), 4.0))
+          .toDF("user_id", "ts", "value"), gap)
+      batch.count() shouldBe 3 // u1 ×2 sessions + u2 ×1
+      batch.where($"user_id" === 1 && $"n_events" === 2)
+        .select("total_value").collect()(0).getDouble(0) shouldBe 3.0
+    } finally q.stop()
+  }
+
+  test("ivf topk probes nearest cells and is a subset of brute force") {
+    val emb = (0L until 60L).map { i =>
+      (i, Seq.tabulate(8)(d => math.cos(i * 17 + d * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    ivf.length should be > 0
+    ivf.toSet.subsetOf(brute) shouldBe true
+    // with nprobe = nlist (exhaustive probing) IVF == brute force exactly
+    val exhaustive = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val bruteTop5 = Similarity.bruteForceTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    exhaustive.toSet shouldBe bruteTop5.toSet
+  }
+}
