@@ -29,6 +29,18 @@ class CatalogStreamsSpec extends SparkSpec {
     cat.tableExists("t1") shouldBe false
   }
 
+  test("export: partitioned full refresh with derived day column") {
+    val out = tmpDir("exp") + "/t"
+    val df = Seq(("2024-01-01 10:00:00", 1), ("2024-01-02 11:00:00", 2))
+      .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    graft.pipeline.FlatView.export(df, out, partitionFromTs = Some("ts"))
+    FsUtils.listSubdirs(spark, out) shouldBe
+      Seq("_export_date=2024-01-01", "_export_date=2024-01-02")
+    spark.read.parquet(out).count() shouldBe 2
+    graft.pipeline.FlatView.export(df.limit(1), out, Some("ts")) // WRITE_TRUNCATE
+    spark.read.parquet(out).count() shouldBe 1
+  }
+
   test("fs listing finds partition subdirectories") {
     val cat = new Catalog(spark, tmpDir("cat2"))
     cat.createIfNotExists("t", Seq((1, "x"), (2, "y")).toDF("k", "part"),
