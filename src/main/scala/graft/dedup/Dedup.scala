@@ -92,7 +92,8 @@ object Dedup {
     * k interpreted lambda sweeps. */
   def minHashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", w: Int = 3, k: Int = 16,
-                        bands: Int = 4, portable: Boolean = false): DataFrame = {
+                        bands: Int = 4, portable: Boolean = false,
+                        maxBucketSize: Int = 10000): DataFrame = {
     val rows = k / bands
     val sigCol =
       if (portable) minHashSignature(shingles(col(textCol), w), k, portable = true)
@@ -102,8 +103,18 @@ object Dedup {
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("slice")))))
       .select(col(idCol), xxhash64(col("col.band"), col("col.slice")).as("bucket"))
-    val l = banded.select(col("bucket"), col(idCol).as("id1"))
-    val r = banded.select(col("bucket"), col(idCol).as("id2"))
+    // Bucket-size guard: singleton buckets can't pair (dropped), and
+    // template-collision buckets above maxBucketSize would explode the
+    // intra-bucket self-join quadratically — drop them (documented recall
+    // trade; a >maxBucketSize bucket means near-identical boilerplate that
+    // exact dedup or a tighter band width should handle instead). The
+    // count window shares the bucket hash-partitioning with the join, so
+    // no extra shuffle materializes.
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val guarded = banded.withColumn("__n", count(lit(1)).over(w2))
+      .where(col("__n") >= 2 && col("__n") <= maxBucketSize).drop("__n")
+    val l = guarded.select(col("bucket"), col(idCol).as("id1"))
+    val r = guarded.select(col("bucket"), col(idCol).as("id2"))
     l.join(r, Seq("bucket")).where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }

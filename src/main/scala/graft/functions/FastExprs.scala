@@ -37,6 +37,20 @@ object FastExprs {
     * bit-identical to Dedup.quantize. */
   def quantize(vec: Column): Column =
     ExpressionUtils.column(QuantizeExpr(ExpressionUtils.expression(vec)))
+
+  /** Sign-LSH bucket of a quantized vector against a constant hyperplane
+    * matrix; bit-identical to Similarity.signLshBucket's Column algebra but
+    * the planes are evaluated once driver-side, not md5'd per row. */
+  def signLshBucket(vec: Column, planes: Seq[Seq[Long]]): Column =
+    ExpressionUtils.column(SignLshBucketExpr(ExpressionUtils.expression(vec), planes))
+
+  /** JVM replica of TextAnalysis.portableHash (md5 hex → keep decimal
+    * digits → first 8 of zero-padded → long). */
+  def portableHashJvm(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (hex.filter(c => c >= '0' && c <= '9') + "00000000").take(8).toLong
+  }
 }
 
 case class MinHashSignatureExpr(child: Expression, w: Int, k: Int)
@@ -141,5 +155,39 @@ object QuantizeExpr {
     var i = 0
     while (i < n) { out(i) = math.floor(v.getDouble(i) * 1000.0).toLong; i += 1 }
     new GenericArrayData(out)
+  }
+}
+
+case class SignLshBucketExpr(child: Expression, planes: Seq[Seq[Long]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_bucket"
+  private lazy val matrix: Array[Array[Long]] = planes.map(_.toArray).toArray
+  override def nullSafeEval(input: Any): Any =
+    SignLshBucketExpr.compute(input.asInstanceOf[ArrayData], matrix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", matrix, "long[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SignLshBucketExpr.compute($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignLshBucketExpr {
+  def compute(v: ArrayData, planes: Array[Array[Long]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val row = planes(p)
+      val n = math.min(v.numElements(), row.length)
+      var dot = 0L
+      var d = 0
+      while (d < n) { dot += v.getLong(d) * row(d); d += 1 }
+      if (dot > 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
   }
 }

@@ -39,7 +39,10 @@ object Similarity {
   private def planeComponent(p: Int, d: Column): Column =
     pmod(portableHash(concat_ws("_", lit("plane"), lit(p), d)), lit(2001L)) - lit(1000L)
 
-  /** Sign-LSH bucket id: bit p = sign of <vec, plane_p>. 2^planes buckets. */
+  /** Sign-LSH bucket id: bit p = sign of <vec, plane_p>. 2^planes buckets.
+    * Column-algebra reference implementation — recomputes the md5-derived
+    * plane components per row; use [[planeMatrix]] +
+    * FastExprs.signLshBucket on hot paths (bit-identical, tested). */
   def signLshBucket(qvec: Column, planes: Int = 8): Column = {
     val dims = sequence(lit(0), size(qvec) - 1)
     val bits = (0 until planes).map { p =>
@@ -49,6 +52,13 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** The constant hyperplane matrix behind signLshBucket, evaluated once
+    * driver-side (planeComponent(p,d) = pmod(portableHash("plane_p_d"),
+    * 2001) − 1000). */
+  def planeMatrix(planes: Int, dims: Int): Seq[Seq[Long]] =
+    (0 until planes).map(p => (0 until dims).map(d =>
+      graft.functions.FastExprs.portableHashJvm(s"plane_${p}_${d}") % 2001L - 1000L))
 
   /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` cells by
     * nearest coarse centroid; each query scores only the corpus rows in its
@@ -95,10 +105,13 @@ object Similarity {
     * buckets, or union multiple probe tables for multi-probe. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, planes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
+    val m = planeMatrix(planes, dims)
+    val fastBucket = graft.functions.FastExprs.signLshBucket(_: Column, m)
     val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
-      .withColumn("bucket", signLshBucket(col("cq"), planes))
+      .withColumn("bucket", fastBucket(col("cq")))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
-      .withColumn("bucket", signLshBucket(col("qq"), planes))
+      .withColumn("bucket", fastBucket(col("qq")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosineQ(col("cq"), col("qq")).as("cos_sim"))

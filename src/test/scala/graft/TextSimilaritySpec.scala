@@ -55,6 +55,18 @@ class TextSimilaritySpec extends SparkSpec {
     top shouldBe Array(1L, 3L)
   }
 
+  test("fast sign-LSH bucket is bit-identical to the Column-algebra bucket") {
+    val emb = (0L until 40L).map { i =>
+      (i, Seq.tabulate(16)(d => math.sin(i * 13 + d * 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val m = Similarity.planeMatrix(5, 16)
+    val q = graft.dedup.Dedup.quantize($"embedding")
+    emb.select(
+        Similarity.signLshBucket(q, 5).as("legacy"),
+        graft.functions.FastExprs.signLshBucket(q, m).as("fast"))
+      .where($"legacy" =!= $"fast").count() shouldBe 0
+  }
+
   test("lsh topk only probes matching buckets and stays a subset of brute force") {
     val emb = (0L until 50L).map { i =>
       (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
