@@ -225,10 +225,10 @@ object Queries {
   def q23ExactDedupRows(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(t(s, dir, "documents")).select("doc_id", "lang")
 
-  /** MinHash-LSH near-dup with exact Jaccard verification (no oracle SQL —
-    * the banded-signature join is not reasonably SQL-expressible). */
+  /** MinHash-LSH near-dup with exact Jaccard verification. Portable hash
+    * family so the DuckDB oracle replays the banded-bucket join exactly. */
   def q24MinHashDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashDedup(t(s, dir, "documents"), threshold = 0.5)
+    Dedup.minHashDedup(t(s, dir, "documents"), threshold = 0.5, portable = true)
       .select(col("id1"), col("id2"))
 
   def q25SimHashGroups(s: SparkSession, dir: String): DataFrame =
@@ -316,6 +316,61 @@ object Queries {
   private val ToksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private def quantSql(src: String) =
     s"list_transform($src, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  /** TextAnalysis.portableHash of lambda variable `t`: md5 hex → decimal
+    * digits → first 8 of zero-padded → BIGINT. */
+  private val PortableHashSqlT =
+    "CAST(substr(regexp_replace(md5(t), '[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
+
+  /** Dedup.minHashDedup(portable=true) mirrored into SQL: distinct
+    * 3-shingles → 16 portable min-hashes → 4 bands of 4 → intra-bucket
+    * pairs (any band fully equal) → exact Jaccard ≥ 0.5. */
+  private lazy val minHashOracle: String = {
+    import graft.functions.MinHashSignatureExpr.{coeffA, coeffB, Prime}
+    val shingleSql =
+      """list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 1)),
+        |    i -> CASE WHEN len(tk) >= 3
+        |              THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |              ELSE array_to_string(tk, ' ') END))""".stripMargin
+    val sigCols = (0 until 16).map { i =>
+      s"list_min(list_transform(hs, h -> (h * ${coeffA(i)} + ${coeffB(i)}) % $Prime)) AS s$i"
+    }.mkString(",\n    ")
+    val bandEq = (0 until 4).map { b =>
+      (0 until 4).map(r => s"a.s${b * 4 + r} = b.s${b * 4 + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+       |sh AS (SELECT doc_id, $shingleSql AS sh FROM toks),
+       |hs AS (SELECT doc_id, sh,
+       |         list_transform(sh, t -> $PortableHashSqlT) AS hs FROM sh),
+       |sig AS (SELECT doc_id, sh,
+       |    $sigCols
+       |  FROM hs),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
+       |SELECT id1, id2 FROM pairs
+       |WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+       |        / len(list_distinct(sh1 || sh2)) >= 0.5""".stripMargin
+  }
+
+  /** Dedup.simHash mirrored into SQL: 32 per-bit majority votes over the
+    * portable hashes of distinct lowercased tokens (bit j set iff more
+    * than half the token hashes have bit j set). */
+  private lazy val simHashOracle: String = {
+    val bits = (0 until 32).map { j =>
+      s"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $j) & 1) = 1)) > len(hs) " +
+        s"THEN (1::BIGINT << $j) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT min(doc_id) AS keep_id, count(*) AS dup_count, simhash FROM (
+       |  SELECT doc_id, $bits AS simhash FROM (
+       |    SELECT doc_id, list_transform(
+       |      list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+       |      t -> $PortableHashSqlT) AS hs
+       |    FROM documents))
+       |GROUP BY simhash""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -427,6 +482,14 @@ object Queries {
          |        regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
          |      FROM documents)""".stripMargin,
     "q20_lang_id" -> langIdOracle,
+    "q24_minhash_dedup" -> minHashOracle,
+    "q25_simhash_groups" -> simHashOracle,
+    "q33_fingerprint" ->
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(0::BIGINT, list_transform($ToksSql,
+         |   t -> $PortableHashSqlT)), (acc, x) -> (acc * 131 + x) % 1000000007)
+         |   AS fingerprint
+         |FROM documents""".stripMargin,
     "q21_quality_score" ->
       s"""SELECT doc_id,
          | greatest(0.0,
@@ -468,6 +531,56 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE a.doc_id < 50 AND b.doc_id < 50
         |  AND len(list_intersect(a.sh, b.sh)) > 0""".stripMargin,
+    // IVF replayed in SQL: centroids = first 16 corpus vectors; corpus rows
+    // assign to their max-cosine cell (ties to larger cell id, matching the
+    // struct-max semantics), queries probe their 4 nearest cells
+    "q34_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+         |          FROM e ORDER BY vec_id LIMIT 16),
+         |sims AS (SELECT e.vec_id, cents.cell,
+         |           list_dot_product(e.v, cents.v)
+         |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.v, cents.v))) AS cs
+         |         FROM e, cents),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cell DESC) AS rn FROM sims) WHERE rn = 1),
+         |probe AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cell DESC) AS rn FROM sims WHERE vec_id < 5) WHERE rn <= 4),
+         |s AS (SELECT p.vec_id AS query_id, a.vec_id AS corpus_id,
+         |        list_dot_product(q.v, c.v)
+         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |      FROM probe p JOIN assign a ON p.cell = a.cell
+         |      JOIN e q ON q.vec_id = p.vec_id JOIN e c ON c.vec_id = a.vec_id
+         |      WHERE p.vec_id <> a.vec_id)
+         |SELECT query_id, corpus_id, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, corpus_id) AS rn FROM s)
+         |WHERE rn <= 10""".stripMargin,
+    // sign-LSH bucketing replayed in SQL: same md5-digit plane derivation,
+    // integer dot products, 4 planes over the 64-dim embeddings
+    "q29_lsh_topk" ->
+      s"""WITH planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63), d ->
+         |    CAST(substr(regexp_replace(md5('plane_' || p || '_' || d),
+         |      '[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT) % 2001 - 1000) AS pv
+         |  FROM generate_series(0, 3) t(p)),
+         |e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |        (SELECT sum(CASE WHEN list_dot_product(e.v, planes.pv) > 0
+         |                         THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)
+         |         FROM planes) AS bucket
+         |      FROM e),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |        list_dot_product(q.v, c.v)
+         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |      FROM b q JOIN b c ON q.bucket = c.bucket
+         |      WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, corpus_id, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, corpus_id) AS rn FROM s)
+         |WHERE rn <= 5""".stripMargin,
     "q27_knn_brute_force" ->
       s"""WITH c AS (SELECT vec_id AS corpus_id, ${quantSql("embedding")} AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, ${quantSql("embedding")} AS v FROM embeddings
@@ -513,6 +626,21 @@ object Queries {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // documents are pure ASCII (verified), so per-char unicode == per-byte
+    // value and the checksum folds identically to the JVM byte loop
+    "q31_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   list_transform(generate_series(1, length(text)),
+        |     i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |   (acc, x) -> (acc + x) % 1000000007) AS checksum
+        |FROM documents""".stripMargin,
+    "q32_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        | CAST(floor((greatest(floor(octet_length(encode(text)) / 16), 1) - 1) / 4)
+        |   + 1 AS BIGINT) AS n_frames_sampled
+        |FROM documents""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -95,10 +95,8 @@ object Dedup {
                         bands: Int = 4, portable: Boolean = false,
                         maxBucketSize: Int = 10000): DataFrame = {
     val rows = k / bands
-    val sigCol =
-      if (portable) minHashSignature(shingles(col(textCol), w), k, portable = true)
-      else FastExprs.minHashSignature(col(textCol), w, k)
-    val sig = docs.select(col(idCol), sigCol.as("sig"))
+    val sig = docs.select(col(idCol),
+      FastExprs.minHashSignature(col(textCol), w, k, portable).as("sig"))
     val banded = sig.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("slice")))))

@@ -24,9 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object FastExprs {
 
   /** MinHash signature of whitespace-tokenized `w`-shingles of `text`;
-    * bit-identical to Dedup.minHashSignature(Dedup.shingles(text, w), k). */
-  def minHashSignature(text: Column, w: Int, k: Int): Column =
-    ExpressionUtils.column(MinHashSignatureExpr(ExpressionUtils.expression(text), w, k))
+    * bit-identical to Dedup.minHashSignature(Dedup.shingles(text, w), k,
+    * portable). `portable=true` bases on the md5-digit hash (reproducible
+    * in any engine, incl. the DuckDB oracle); false on xxhash64 seed 42. */
+  def minHashSignature(text: Column, w: Int, k: Int, portable: Boolean = false): Column =
+    ExpressionUtils.column(MinHashSignatureExpr(ExpressionUtils.expression(text), w, k, portable))
 
   /** Cosine similarity of two quantized (long) vectors; bit-identical to
     * Dedup.cosineQ (long dot products, then double division). */
@@ -44,25 +46,44 @@ object FastExprs {
   def signLshBucket(vec: Column, planes: Seq[Seq[Long]]): Column =
     ExpressionUtils.column(SignLshBucketExpr(ExpressionUtils.expression(vec), planes))
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** JVM replica of TextAnalysis.portableHash (md5 hex → keep decimal
-    * digits → first 8 of zero-padded → long). */
+    * digits → first 8 of zero-padded → long), computed digit-by-digit from
+    * the raw digest nibbles — no hex-string allocation on the hot path. */
   def portableHashJvm(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (hex.filter(c => c >= '0' && c <= '9') + "00000000").take(8).toLong
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var cnt = 0
+    var i = 0
+    while (i < d.length && cnt < 8) {
+      val hi = (d(i) >> 4) & 0xf
+      val lo = d(i) & 0xf
+      if (hi < 10 && cnt < 8) { acc = acc * 10 + hi; cnt += 1 }
+      if (lo < 10 && cnt < 8) { acc = acc * 10 + lo; cnt += 1 }
+      i += 1
+    }
+    while (cnt < 8) { acc *= 10; cnt += 1 } // right-pad with zeros
+    acc
   }
 }
 
-case class MinHashSignatureExpr(child: Expression, w: Int, k: Int)
+case class MinHashSignatureExpr(child: Expression, w: Int, k: Int,
+                                portable: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
   override def nullSafeEval(input: Any): Any =
-    MinHashSignatureExpr.compute(input.asInstanceOf[UTF8String], w, k)
+    MinHashSignatureExpr.compute(input.asInstanceOf[UTF8String], w, k, portable)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHashSignatureExpr.compute($c, $w, $k)")
+      c => s"graft.functions.MinHashSignatureExpr.compute($c, $w, $k, $portable)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -72,9 +93,10 @@ object MinHashSignatureExpr {
   def coeffA(i: Int): Long = 2 * (1103515245L * (i + 1) % (Prime / 2)) + 1
   def coeffB(i: Int): Long = 12345L * (i + 7) % Prime
 
-  /** Single-pass signature: tokenize, build distinct w-shingles, xxhash64
-    * (seed 42, Spark's), k affine minima. Called from generated code. */
-  def compute(text: UTF8String, w: Int, k: Int): ArrayData = {
+  /** Single-pass signature: tokenize, build distinct w-shingles, base-hash
+    * (xxhash64 seed 42, or the portable md5-digit hash), k affine minima.
+    * Called from generated code. */
+  def compute(text: UTF8String, w: Int, k: Int, portable: Boolean): ArrayData = {
     val s = text.toString.trim
     val toks: Array[String] = if (s.isEmpty) Array("") else s.split("\\s+")
     val shingles = new java.util.HashSet[String]()
@@ -94,8 +116,13 @@ object MinHashSignatureExpr {
     val sig = Array.fill(k)(Long.MaxValue)
     val it = shingles.iterator()
     while (it.hasNext) {
-      val raw = XxHash64Function.hash(UTF8String.fromString(it.next()), StringType, 42L)
-      val h = ((raw % Prime) + Prime) % Prime
+      val sh = it.next()
+      val h =
+        if (portable) FastExprs.portableHashJvm(sh)
+        else {
+          val raw = XxHash64Function.hash(UTF8String.fromString(sh), StringType, 42L)
+          ((raw % Prime) + Prime) % Prime
+        }
       var i = 0
       while (i < k) {
         val v = (h * as(i) + bs(i)) % Prime // no overflow: h,a < 2^31

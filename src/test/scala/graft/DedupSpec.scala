@@ -39,6 +39,13 @@ class DedupSpec extends SparkSpec {
     j shouldBe (6.0 / 8.0) +- 1e-12
   }
 
+  test("fast portable minhash signature matches the Column-algebra portable path") {
+    val cmp = docs.select(
+      graft.functions.FastExprs.minHashSignature($"text", 3, 16, portable = true).as("fast"),
+      Dedup.minHashSignature(Dedup.shingles($"text", 3), 16, portable = true).as("hof"))
+    cmp.where($"fast" =!= $"hof").count() shouldBe 0
+  }
+
   test("simhash groups exact dups together") {
     val g = Dedup.simHashGroups(docs)
     g.where($"dup_count" === 2).select("keep_id").as[Long].collect() shouldBe Array(1L)
