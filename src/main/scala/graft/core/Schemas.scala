@@ -38,7 +38,32 @@ object Schemas {
     StructField("day", IntegerType)
   ))
 
-  // ---- silver (10 tables) ----
+  // ---- silver (10 tables; reference: gcs_bronze_to_silver.py:77-157) ----
+  private def st(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t) })
+
+  val silverSchemas: Map[String, StructType] = Map(
+    "authors" -> st("AuthorID" -> StringType, "AuthorName" -> StringType),
+    "topics" -> st("TopicID" -> StringType, "TopicName" -> StringType),
+    "subtopics" -> st("SubTopicID" -> StringType, "SubTopicName" -> StringType,
+      "TopicID" -> StringType),
+    "keywords" -> st("KeywordID" -> StringType, "KeywordText" -> StringType),
+    "references_table" -> st("ReferenceID" -> StringType, "ReferenceText" -> StringType),
+    "articles" -> st("ArticleID" -> StringType, "Title" -> StringType,
+      "URL" -> StringType, "Description" -> StringType,
+      "PublicationDate" -> TimestampType, "MainContent" -> StringType,
+      "OpinionCount" -> IntegerType, "AuthorID" -> StringType,
+      "TopicID" -> StringType, "SubTopicID" -> StringType,
+      "date" -> DateType, "hour" -> IntegerType),
+    "article_keywords" -> st("ArticleID" -> StringType, "KeywordID" -> StringType),
+    "article_references" -> st("ArticleID" -> StringType, "ReferenceID" -> StringType),
+    "comments" -> st("CommentID" -> StringType, "ArticleID" -> StringType,
+      "CommenterName" -> StringType, "CommentContent" -> StringType,
+      "TotalLikes" -> IntegerType),
+    "comment_interactions" -> st("CommentInteractionID" -> StringType,
+      "CommentID" -> StringType, "InteractionType" -> StringType,
+      "InteractionCount" -> IntegerType))
+
   val silverTables: Seq[String] = Seq(
     "authors", "topics", "subtopics", "keywords", "references_table",
     "articles", "article_keywords", "article_references",

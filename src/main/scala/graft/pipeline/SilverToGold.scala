@@ -193,9 +193,17 @@ object SilverToGold {
         .toDF("InteractionTypeKey", "InteractionType"))
   }
 
-  /** Full silver→gold run against Parquet warehouses. */
+  /** Full silver→gold run against Parquet warehouses. A silver table that
+    * was never materialized (e.g. a corpus with zero comments) reads as a
+    * schema-typed empty DataFrame — the reference's CREATE TABLE IF NOT
+    * EXISTS guarantees the same. */
   def run(spark: SparkSession, silverWarehouse: String, goldWarehouse: String): Unit = {
-    def silver(name: String): DataFrame = spark.read.parquet(s"$silverWarehouse/$name")
+    def silver(name: String): DataFrame =
+      if (graft.operators.Upsert.tableExists(spark, s"$silverWarehouse/$name"))
+        spark.read.parquet(s"$silverWarehouse/$name")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.core.Schemas.silverSchemas(name))
     val articles = silver("articles").cache()
     try {
       val dims: Map[String, (DataFrame, Seq[String])] = Map(

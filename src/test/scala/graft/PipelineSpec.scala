@@ -25,6 +25,9 @@ class PipelineSpec extends SparkSpec {
       """{"title":"No url","url":null,"author":"X","topic":"x","sub_topic":null,"publish_date":"1760110620","description":null,"main_content":null,"keywords":[],"references":[],"comment_count":0,"top_comments":[],"ingested_at":null,"year":2025,"month":10,"day":10}""")
     put("vnexpress/the-thao/2025/10/10/bad2.json",
       """{"title":"No date","url":"https://e.vn/bad2","author":"X","topic":"x","sub_topic":null,"publish_date":"not a date","description":null,"main_content":null,"keywords":[],"references":[],"comment_count":0,"top_comments":[],"ingested_at":null,"year":2025,"month":10,"day":10}""")
+    // malformed JSON: PERMISSIVE mode must null it out, not kill the read
+    put("vnexpress/the-thao/2025/10/10/corrupt.json",
+      """{"title": "broken", "url": "https://e.vn/corrupt", INVALID!!}""")
   }
 
   private def silver(wh: String, name: String): DataFrame =
