@@ -310,6 +310,27 @@ object Queries {
   def q36WindowedCounts(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.windowedEventCounts(events(s, dir), "1 hour", "30 minutes")
 
+  /** Deterministic stratified hash-sampling by language (reproducible
+    * across engines/partitionings — rand() sampling is neither). */
+  def q37StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedHashSample(
+        t(s, dir, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "zh" -> 0.2), default = 0.1)
+      .select("doc_id", "lang")
+
+  /** Training-set curation compose: quality gate ∧ exact-dedup survivor ∧
+    * 50% hash sample, joined to embeddings. */
+  def q38Curation(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val gated = docs
+      .withColumn("qs", TextAnalysis.qualityScore(col("text")))
+      .where(col("qs") >= 0.5)
+    graft.operators.Sampling.hashSample(gated, col("doc_id"), 0.5)
+      .join(Dedup.exactDedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"), "inner")
+      .select(col("doc_id"), col("lang"), col("label"))
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB fragments mirroring the Column builders above. */
@@ -641,6 +662,19 @@ object Queries {
         | CAST(floor((greatest(floor(octet_length(encode(text)) / 16), 1) - 1) / 4)
         |   + 1 AS BIGINT) AS n_frames_sampled
         |FROM documents""".stripMargin,
+    "q37_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $IdBucketSql <
+         |  CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000 ELSE 1000 END""".stripMargin,
+    "q38_curation" ->
+      s"""SELECT d.doc_id, d.lang, e.label
+         |FROM documents d
+         |JOIN embeddings e ON e.vec_id = d.doc_id
+         |WHERE $QualitySql >= 0.5
+         |  AND $IdBucketSql < 5000
+         |  AND d.doc_id IN (
+         |    SELECT min(doc_id) FROM documents
+         |    GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -651,6 +685,25 @@ object Queries {
         | CAST(n_chars % 300 + 1 AS INT) AS n_frames
         |FROM documents""".stripMargin
   )
+
+  /** Sampling.sampleBucket of a BIGINT id, as SQL. */
+  private lazy val IdBucketSql =
+    "(CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR)), '[a-f]', '', 'g')" +
+      " || '00000000', 1, 8) AS BIGINT) % 10000)"
+
+  /** TextAnalysis.qualityScore over `documents`, as a SQL scalar (mirrors
+    * the q21 oracle formula). */
+  private lazy val QualitySql =
+    s"""greatest(0.0,
+       |   least(CAST(len($ToksSql) AS DOUBLE) / 100.0, 1.0) * 0.5
+       |   + least((CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0 THEN
+       |       CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |         x -> x IN ('the','a','and','of','is','to','in'))) AS DOUBLE)
+       |         / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+       |     ELSE 0.0 END) * 5.0, 1.0) * 0.3
+       |   + (1.0 - least((CASE WHEN length(text) > 0 THEN
+       |       CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS DOUBLE) / length(text)
+       |     ELSE 0.0 END) * 4.0, 1.0)) * 0.2)""".stripMargin
 
   /** Marker-count language ID mirrored into SQL: per-language score =
     * Σ occurrences(marker); argmax with ties to the lexicographically
@@ -709,6 +762,8 @@ object Queries {
     "q33_fingerprint" -> (q33Fingerprint _),
     "q34_ivf_topk" -> (q34IvfTopK _),
     "q35_sessionize" -> (q35Sessionize _),
-    "q36_windowed_counts" -> (q36WindowedCounts _)
+    "q36_windowed_counts" -> (q36WindowedCounts _),
+    "q37_stratified_sample" -> (q37StratifiedSample _),
+    "q38_curation" -> (q38Curation _)
   )
 }

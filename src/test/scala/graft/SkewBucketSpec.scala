@@ -29,6 +29,20 @@ class SkewBucketSpec extends SparkSpec {
     salted shouldBe plain
   }
 
+  test("hash samples are deterministic and nest by fraction") {
+    val df = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val s20a = graft.operators.Sampling.hashSample(df, $"id", 0.2)
+      .select("id").as[Long].collect().toSet
+    val s20b = graft.operators.Sampling.hashSample(df, $"id", 0.2)
+      .select("id").as[Long].collect().toSet
+    val s50 = graft.operators.Sampling.hashSample(df, $"id", 0.5)
+      .select("id").as[Long].collect().toSet
+    s20a shouldBe s20b                      // deterministic
+    s20a.subsetOf(s50) shouldBe true        // nesting
+    s20a.size.toDouble should be(400.0 +- 120.0) // ~20%
+    s50.size.toDouble should be(1000.0 +- 180.0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
     val right = (1L to 500L).map(i => (i % 100, s"r$i")).toDF("k", "name")
