@@ -135,14 +135,20 @@ object Dedup {
          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates → exact verify ≥ threshold. */
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact verify ≥ threshold.
+    * The candidate set (tiny: near-dup pairs, not the corpus) is
+    * materialized once via localCheckpoint — the verify stage references it
+    * three times (ids union + both pair joins) and would otherwise re-run
+    * the whole signature+bucket subtree per reference. */
   def minHashDedup(docs: DataFrame, threshold: Double = 0.8,
                    idCol: String = "doc_id", textCol: String = "text",
                    w: Int = 3, k: Int = 16, bands: Int = 4,
-                   portable: Boolean = false): DataFrame =
-    jaccardVerify(docs, minHashCandidates(docs, idCol, textCol, w, k, bands, portable),
-      idCol, textCol, w)
+                   portable: Boolean = false): DataFrame = {
+    val cand = minHashCandidates(docs, idCol, textCol, w, k, bands, portable)
+      .localCheckpoint()
+    jaccardVerify(docs, cand, idCol, textCol, w)
       .where(col("jaccard") >= threshold)
+  }
 
   // ---- SimHash ----
 
