@@ -169,13 +169,14 @@ object Queries {
       .select(col("c_custkey"), col("c_acctbal"))
   }
 
-  /** Map/JSON family: from_json → map_entries → explode → agg. */
+  /** Map/JSON family: from_json → element_at → agg. Every event row counts
+    * toward `n` (a row whose props lacks "k" or fails to parse contributes
+    * a NULL k) — the same row universe as the oracle's regexp extraction. */
   def q15EventsJson(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
-      .select(col("event_type"), explode(map_entries(col("m"))).as("kv"))
-      .where(col("kv.key") === "k")
-      .select(col("event_type"), Cols.tryLong(col("kv.value")).as("k"))
+      .select(col("event_type"),
+        Cols.tryLong(element_at(col("m"), "k")).as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
         min(col("k")).as("k_min"), max(col("k")).as("k_max"))
@@ -226,9 +227,12 @@ object Queries {
     Dedup.exactDedup(t(s, dir, "documents")).select("doc_id", "lang")
 
   /** MinHash-LSH near-dup with exact Jaccard verification. Portable hash
-    * family so the DuckDB oracle replays the banded-bucket join exactly. */
+    * family so the DuckDB oracle replays the banded-bucket join exactly;
+    * the at-scale bucket cap is disabled here because the oracle enumerates
+    * every band-equal pair (a capped bucket would silently diverge). */
   def q24MinHashDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashDedup(t(s, dir, "documents"), threshold = 0.5, portable = true)
+    Dedup.minHashDedup(t(s, dir, "documents"), threshold = 0.5, portable = true,
+        maxBucketSize = Int.MaxValue)
       .select(col("id1"), col("id2"))
 
   def q25SimHashGroups(s: SparkSession, dir: String): DataFrame =
@@ -719,7 +723,7 @@ object Queries {
     val scores = TextAnalysis.langMarkers
       .map { case (code, ms) => s"${score(ms)} AS s_$code" }.mkString(", ")
     val names = TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")
-    s"""SELECT doc_id, CASE WHEN m = 0 THEN 'und' $cases END AS lang_guess
+    s"""SELECT doc_id, CASE WHEN m = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
        |FROM (SELECT doc_id, greatest($names) AS m, *
        |      FROM (SELECT doc_id, $scores
        |            FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)))""".stripMargin

@@ -61,13 +61,12 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** Large prime modulus for the affine min-hash family. */
-  val MinHashPrime = 2147483647L
-
-  /** Deterministic affine coefficients for hash i (public LCG-style
-    * constants; any fixed odd multipliers work). */
-  private def coeffA(i: Int): Long = 2 * (1103515245L * (i + 1) % (MinHashPrime / 2)) + 1
-  private def coeffB(i: Int): Long = 12345L * (i + 7) % MinHashPrime
+  /** Hash-family constants — single source of truth in
+    * [[graft.functions.MinHashSignatureExpr]]; the Column path, the codegen
+    * path, and the generated oracle SQL all read the same values. */
+  val MinHashPrime: Long = graft.functions.MinHashSignatureExpr.Prime
+  private def coeffA(i: Int): Long = graft.functions.MinHashSignatureExpr.coeffA(i)
+  private def coeffB(i: Int): Long = graft.functions.MinHashSignatureExpr.coeffB(i)
 
   /** MinHash signature: for each of k hash functions, the min over shingle
     * hashes of (a_i*h + b_i) mod p. `portable=true` uses the md5-digit hash
@@ -143,8 +142,9 @@ object Dedup {
   def minHashDedup(docs: DataFrame, threshold: Double = 0.8,
                    idCol: String = "doc_id", textCol: String = "text",
                    w: Int = 3, k: Int = 16, bands: Int = 4,
-                   portable: Boolean = false): DataFrame = {
-    val cand = minHashCandidates(docs, idCol, textCol, w, k, bands, portable)
+                   portable: Boolean = false,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    val cand = minHashCandidates(docs, idCol, textCol, w, k, bands, portable, maxBucketSize)
       .localCheckpoint()
     jaccardVerify(docs, cand, idCol, textCol, w)
       .where(col("jaccard") >= threshold)

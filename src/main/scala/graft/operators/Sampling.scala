@@ -22,17 +22,22 @@ object Sampling {
   def sampleBucket(key: Column): Column =
     pmod(portableHash(key.cast("string")), lit(Buckets))
 
+  /** Bucket threshold for a fraction — rounded, not truncated: 0.29*10000
+    * is 2899.9999999999995 in IEEE double and .toLong would under-sample
+    * by a bucket. */
+  private def thresholdOf(fraction: Double): Long = math.round(fraction * Buckets)
+
   /** Keep ~`fraction` of rows, decided by the key hash. */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.where(sampleBucket(key) < lit((fraction * Buckets).toLong))
+    df.where(sampleBucket(key) < lit(thresholdOf(fraction)))
 
   /** Per-stratum fractions (e.g. by language), `default` elsewhere. */
   def stratifiedHashSample(df: DataFrame, key: Column, strata: Column,
                            fractions: Map[String, Double],
                            default: Double = 0.0): DataFrame = {
-    val threshold = fractions.foldLeft(lit((default * Buckets).toLong)) {
+    val threshold = fractions.foldLeft(lit(thresholdOf(default))) {
       case (acc, (value, f)) =>
-        when(strata === value, lit((f * Buckets).toLong)).otherwise(acc)
+        when(strata === value, lit(thresholdOf(f))).otherwise(acc)
     }
     df.where(sampleBucket(key) < threshold)
   }

@@ -24,6 +24,11 @@ object Skew {
     * threshold. Result is identical to the plain join. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit saltFactor copies of each unmatched
+    // right-side row (the replicated side); only these types are sound
+    require(Set("inner", "left", "left_outer", "leftouter", "cross")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins, not $joinType: the replicated " +
+        "right side would duplicate unmatched rows under right/full outer")
     val l = skewed.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val r = other.withColumn("__salt",

@@ -26,12 +26,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Upsert {
 
+  /** Deterministic per-key winner among duplicate source rows: the row
+    * with the greatest xxhash64 of its non-key columns. dropDuplicates
+    * keeps an arbitrary partition-order-dependent row, which would make
+    * replayed merges (and the driver's hash checks) nondeterministic. */
+  private def dedupSource(source: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number, xxhash64}
+    val nonKey = source.columns.filterNot(keys.contains)
+    if (nonKey.isEmpty) source.dropDuplicates(keys)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(xxhash64(nonKey.map(col): _*).desc)
+      source.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
+  }
+
   /** In-memory merge (pure plan; no IO) — the algebra of MERGE as DataFrames.
     * `insertOnly=true` is the reference's WHEN NOT MATCHED INSERT-only
     * variant for link tables (gcs_bronze_to_silver.py:485-490). */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
             insertOnly: Boolean = false): DataFrame = {
-    val src = source.dropDuplicates(keys)
+    val src = dedupSource(source, keys)
     if (insertOnly) target.unionByName(src.join(target, keys, "left_anti"))
     else src.unionByName(target.join(src, keys, "left_anti"))
   }
@@ -56,7 +73,7 @@ object Upsert {
   def upsert(spark: SparkSession, path: String, source: DataFrame,
              keys: Seq[String], insertOnly: Boolean = false,
              partitionCols: Seq[String] = Nil): Unit = {
-    val src = source.dropDuplicates(keys)
+    val src = dedupSource(source, keys)
     if (src.isEmpty) return
     val existing = readTable(spark, path)
     if (existing.isEmpty) {
@@ -66,20 +83,42 @@ object Upsert {
     }
     val target = existing.get
     if (partitionCols.nonEmpty) {
-      // Partition-scoped rewrite: restrict the anti-join to partitions the
-      // source actually touches, then dynamic-overwrite only those.
-      val touched = src.select(partitionCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-      val affected = target.join(
-        org.apache.spark.sql.functions.broadcast(touched), partitionCols, "left_semi")
+      // Partition-scoped rewrite. Touched partitions = partitions the
+      // source writes into ∪ partitions where a matched key currently
+      // lives — without the second leg a key whose partition value changes
+      // (e.g. an article's corrected publish date) would survive in its
+      // old partition as a duplicate. Finding matched keys scans only the
+      // key+partition columns of the target (columnar projection), the
+      // same key lookup an Iceberg MERGE performs.
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val touched = src.select(partitionCols.map(col): _*).distinct()
+        .unionByName(target.join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select(partitionCols.map(col): _*).distinct())
+        .distinct()
+      // materialize the touched-partition list BEFORE the overwrite — its
+      // plan reads target files the overwrite is about to delete
+      def partDirs(rows: Array[org.apache.spark.sql.Row]): Set[String] =
+        rows.map(r => partitionCols.zip(r.toSeq)
+          .map { case (c, v) => s"$c=$v" }.mkString("/")).toSet
+      val touchedDirs = partDirs(touched.collect())
+      val affected = target.join(broadcast(touched), partitionCols, "left_semi")
       val merged =
         if (insertOnly) affected.unionByName(src.join(affected, keys, "left_anti"))
         else src.unionByName(affected.join(src, keys, "left_anti"))
       val staged = stage(spark, path, merged)
-      try spark.read.parquet(staged)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCols: _*).parquet(path)
-      finally fs(spark, new Path(staged)).delete(new Path(staged), true)
+      try {
+        val stagedDirs = partDirs(spark.read.parquet(staged)
+          .select(partitionCols.map(col): _*).distinct().collect())
+        spark.read.parquet(staged)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCols: _*).parquet(path)
+        // Dynamic overwrite only rewrites partitions present in the output;
+        // a touched partition that lost ALL its rows must be dropped
+        // explicitly or its stale files survive.
+        (touchedDirs -- stagedDirs)
+          .foreach(p => fs(spark, new Path(path)).delete(new Path(s"$path/$p"), true))
+      } finally fs(spark, new Path(staged)).delete(new Path(staged), true)
     } else {
       val merged = merge(target, src, keys, insertOnly)
       val staged = stage(spark, path, merged)

@@ -162,8 +162,13 @@ object BronzeToSilver {
       .filter(col("InteractionCount").isNotNull)
   }
 
-  private def try_cast_int(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(c.rlike("^\\s*-?\\d{1,9}\\s*$"), c.cast("int"))
+  /** Non-ANSI int-cast semantics: numeric strings in int range parse,
+    * everything else (including int overflow, matching Spark 3.5's
+    * non-ANSI cast) is NULL. Up to 10 digits so 1e9..2^31-1 survive. */
+  private def try_cast_int(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val l = when(c.rlike("^\\s*-?\\d{1,10}\\s*$"), c.cast("long"))
+    when(l.between(Int.MinValue.toLong, Int.MaxValue.toLong), l.cast("int"))
+  }
 
   /** All 10 silver tables from one normalized+filtered bronze batch. */
   def silverTables(base: DataFrame): Map[String, DataFrame] = Map(

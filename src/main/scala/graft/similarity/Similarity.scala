@@ -29,6 +29,12 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosineQ(col("cq"), col("qq")).as("cos_sim"))
+    topK(scored, k)
+  }
+
+  /** Shared ranking tail: per-query rank by cosine desc, ties on corpus id
+    * — one definition so exact and ANN paths can never drift. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -96,8 +102,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosineQ(col("cq"), col("qq")).as("cos_sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topK(scored, k)
   }
 
   /** Approximate top-k: probe only the query's sign-LSH bucket. Recall is
@@ -115,7 +120,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosineQ(col("cq"), col("qq")).as("cos_sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topK(scored, k)
   }
 }

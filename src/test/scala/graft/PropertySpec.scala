@@ -55,7 +55,9 @@ class PropertySpec extends SparkSpec {
     val target = rows.take(60).toDF("k", "v").dropDuplicates("k")
     val source = rows.drop(60).toDF("k", "v")
     val once = Upsert.merge(target, source, Seq("k"))
-    val twice = Upsert.merge(once, source.dropDuplicates("k"), Seq("k"))
+    // replaying the SAME raw batch must be a no-op: the deterministic
+    // source dedup picks the same winner both times
+    val twice = Upsert.merge(once, source, Seq("k"))
     once.groupBy("k").count().where(col("count") > 1).count() shouldBe 0
     twice.collect().map(_.toSeq).toSet shouldBe once.collect().map(_.toSeq).toSet
     // every target key survives, every source key present

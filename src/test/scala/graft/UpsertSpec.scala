@@ -36,6 +36,40 @@ class UpsertSpec extends SparkSpec {
     once.map(s => (s(0), s(2))) shouldBe Set((1, 10), (2, 99), (3, 30))
   }
 
+  test("partitioned upsert moves a key whose partition value changed") {
+    val path = tmpDir("upsertm") + "/t"
+    val t0 = Seq((1, "2025-10-09", 10), (2, "2025-10-09", 20)).toDF("k", "date", "v")
+    Upsert.upsert(spark, path, t0, Seq("k"), partitionCols = Seq("date"))
+    // key 1 re-arrives with a corrected date: must not survive in the old partition
+    val src = Seq((1, "2025-10-10", 99)).toDF("k", "date", "v")
+    Upsert.upsert(spark, path, src, Seq("k"), partitionCols = Seq("date"))
+    val out = spark.read.parquet(path)
+    out.where($"k" === 1).collect().map(r =>
+      (r.getAs[Any]("date").toString, r.getAs[Int]("v"))).toSeq shouldBe
+      Seq(("2025-10-10", 99))
+    out.count() shouldBe 2
+  }
+
+  test("partitioned upsert drops a partition that lost all its rows") {
+    val path = tmpDir("upserte") + "/t"
+    val t0 = Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v")
+    Upsert.upsert(spark, path, t0, Seq("k"), partitionCols = Seq("part"))
+    // the only p1 row migrates to p2 → partition p1 must disappear
+    Upsert.upsert(spark, path, Seq((1, "p2", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    spark.read.parquet(path).count() shouldBe 2
+    new java.io.File(s"$path/part=p1").exists() shouldBe false
+  }
+
+  test("merge picks a deterministic winner among duplicate source keys") {
+    val dup = Seq((3, "a", 1), (3, "b", 2), (3, "c", 3)).toDF("k", "name", "v")
+    val r1 = Upsert.merge(target, dup, Seq("k")).where($"k" === 3).collect()
+    val r2 = Upsert.merge(target, dup.repartition(7), Seq("k"))
+      .where($"k" === 3).collect()
+    r1.length shouldBe 1
+    r1.map(_.toSeq).toSeq shouldBe r2.map(_.toSeq).toSeq // partitioning-independent
+  }
+
   test("partitioned upsert rewrites only touched partitions") {
     val path = tmpDir("upsertp") + "/t"
     val t0 = Seq((1, "p1", 10), (2, "p1", 20), (3, "p2", 30)).toDF("k", "part", "v")
