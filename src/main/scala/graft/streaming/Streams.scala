@@ -31,6 +31,24 @@ object Streams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("revenue").cast("double").as("revenue"))
 
+  /** Stateful cross-batch dedup for an ingest stream: exactly one event
+    * per key survives; re-deliveries and duplicates arriving within the
+    * watermark horizon are dropped. Which duplicate's payload survives is
+    * the first PROCESSED row — arbitrary under out-of-order arrival — so
+    * this guarantees idempotency (one row per key), not event-time
+    * ordering; payload-canonical selection belongs to the keyed upsert.
+    * State is bounded by the watermark — Spark evicts keys older than
+    * (max event time − `lateness`), so an unbounded stream holds only the
+    * recent-key set, not history. Exact dedup over all history belongs to
+    * the batch path (Dedup.exactDedup) or to idempotent keyed upserts. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     eventTimeCol: String = "ts",
+                     lateness: String = "30 minutes"): DataFrame = {
+    require(keys.nonEmpty, "streamingDedup requires at least one key column")
+    events.withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, value: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
