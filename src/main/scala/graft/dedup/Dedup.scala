@@ -8,6 +8,13 @@ import graft.text.TextAnalysis.{portableHash, tokens}
 
 /** Deduplication operators for training-data pipelines.
   *
+  * Techniques are the published standards: MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997) with
+  * banded LSH bucketing (Indyk & Motwani 1998; the banding analysis as in
+  * Mining of Massive Datasets ch. 3), SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002), and exact
+  * digest dedup.
+  *
   * Scale design notes (the point of each variant):
   *  - exact: one hash-shuffle on a 64-bit digest of the normalized text —
   *    never shuffles full document bodies, only (digest, id).

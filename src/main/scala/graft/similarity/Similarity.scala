@@ -9,6 +9,11 @@ import graft.text.TextAnalysis.portableHash
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
+  * ANN variants follow the published designs: random-hyperplane sign-LSH
+  * (Charikar, STOC 2002) and inverted-file coarse quantization (IVF, as in
+  * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011 — here with the identity fine quantizer).
+  *
   * Baseline: brute-force cosine top-k (exact; O(queries × corpus) — fine
   * when the query side is small and broadcast). Scale path: sign-LSH
   * bucketing — corpus is pre-partitioned into 2^planes buckets scan-side;

@@ -8,9 +8,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Structured-Streaming operators beyond the reference's stateless
   * file-stream (SURVEY §2.9): event-time windowed aggregation with
-  * watermarks, and custom sessionization state via
-  * flatMapGroupsWithState — the state primitives a training-data ingest
-  * pipeline needs (late-data tolerance, per-key session cutting).
+  * watermarks, watermark-bounded key dedup, and custom sessionization
+  * state via flatMapGroupsWithState — the state primitives a
+  * training-data ingest pipeline needs (late-data tolerance, re-delivery
+  * dedup, per-key session cutting). Model follows Armbrust et al.,
+  * "Structured Streaming: A Declarative API for Real-Time Applications
+  * in Apache Spark", SIGMOD 2018.
   *
   * All transforms are `DataFrame => DataFrame` so they run identically on
   * a MemoryStream in tests, a file stream, or any other source.
