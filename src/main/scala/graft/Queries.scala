@@ -335,6 +335,36 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("label"))
   }
 
+  /** Rollup with grouping id — hierarchical subtotals in one pass
+    * (a capability superset of the reference, which has no grouping sets). */
+  def q39Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("int").as("gid"),
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Pivot: per-day event counts spread across event-type columns. */
+  def q40Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val p = events(s, dir)
+      .groupBy(col("ts").cast("date").as("d"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    // pivot yields NULL for absent combinations; the oracle's FILTER
+    // counts yield 0 — align on 0
+    p.select(col("d") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear interpolation). */
+  def q41Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB fragments mirroring the Column builders above. */
@@ -666,6 +696,25 @@ object Queries {
         | CAST(floor((greatest(floor(octet_length(encode(text)) / 16), 1) - 1) / 4)
         |   + 1 AS BIGINT) AS n_frames_sampled
         |FROM documents""".stripMargin,
+    "q39_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q40_pivot" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'view') AS view,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q41_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | quantile_cont(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q37_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $IdBucketSql <
@@ -768,6 +817,9 @@ object Queries {
     "q35_sessionize" -> (q35Sessionize _),
     "q36_windowed_counts" -> (q36WindowedCounts _),
     "q37_stratified_sample" -> (q37StratifiedSample _),
-    "q38_curation" -> (q38Curation _)
+    "q38_curation" -> (q38Curation _),
+    "q39_rollup" -> (q39Rollup _),
+    "q40_pivot" -> (q40Pivot _),
+    "q41_percentile" -> (q41Percentile _)
   )
 }
