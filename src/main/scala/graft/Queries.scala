@@ -367,8 +367,15 @@ object Queries {
 
   // ---- oracle SQL ------------------------------------------------------
 
-  /** Shared DuckDB fragments mirroring the Column builders above. */
-  private val ToksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  /** Shared DuckDB fragments mirroring the Column builders above.
+    * Tokenization mirrors TextAnalysis.tokens exactly: collapse \s+ to a
+    * single space FIRST, then trim, then split on ' ' — DuckDB's trim
+    * strips only spaces, so trimming before collapsing would leave an
+    * empty token for text edged with tabs/newlines. */
+  private val ToksSql =
+    "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+  private val ToksLowerSql =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
   private def quantSql(src: String) =
     s"list_transform($src, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
 
@@ -395,7 +402,7 @@ object Queries {
       (0 until 4).map(r => s"a.s${b * 4 + r} = b.s${b * 4 + r}").mkString("(", " AND ", ")")
     }.mkString(" OR ")
     s"""WITH toks AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+       |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk FROM documents),
        |sh AS (SELECT doc_id, $shingleSql AS sh FROM toks),
        |hs AS (SELECT doc_id, sh,
        |         list_transform(sh, t -> $PortableHashSqlT) AS hs FROM sh),
@@ -421,7 +428,7 @@ object Queries {
     s"""SELECT min(doc_id) AS keep_id, count(*) AS dup_count, simhash FROM (
        |  SELECT doc_id, $bits AS simhash FROM (
        |    SELECT doc_id, list_transform(
-       |      list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+       |      list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')),
        |      t -> $PortableHashSqlT) AS hs
        |    FROM documents))
        |GROUP BY simhash""".stripMargin
@@ -498,13 +505,20 @@ object Queries {
       """SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 100
         |UNION ALL
         |SELECT c_custkey, 0.0 AS c_acctbal FROM customer WHERE c_custkey > 100""".stripMargin,
+    // json_extract_string(TRY_CAST(... AS JSON)) mirrors from_json exactly:
+    // malformed JSON → NULL, nested keys invisible; the CASE mirrors
+    // Cols.tryLong (sign + optional truncating fraction)
     "q15_events_json" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(k) AS BIGINT) AS k_sum, CAST(min(k) AS BIGINT) AS k_min,
         | CAST(max(k) AS BIGINT) AS k_max
         |FROM (SELECT event_type,
-        |        TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
-        |      FROM events)
+        |        CASE WHEN trim(v) SIMILAR TO '[+-]?[0-9]{1,18}(\.[0-9]*)?'
+        |             THEN CAST(regexp_extract(trim(v), '^[+-]?[0-9]{1,18}') AS BIGINT)
+        |        END AS k
+        |      FROM (SELECT event_type,
+        |              json_extract_string(TRY_CAST(props AS JSON), '$.k') AS v
+        |            FROM events))
         |GROUP BY 1""".stripMargin,
     "q16_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INT) AS hr, event_type,
@@ -534,7 +548,7 @@ object Queries {
          |   CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
          | ELSE 0.0 END AS mean_word_length
          |FROM (SELECT doc_id, text, $ToksSql AS tk,
-         |        regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
+         |        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS lt
          |      FROM documents)""".stripMargin,
     "q20_lang_id" -> langIdOracle,
     "q24_minhash_dedup" -> minHashOracle,
@@ -556,10 +570,10 @@ object Queries {
          |    CASE WHEN length(text) > 0 THEN
          |      CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS DOUBLE) / length(text)
          |    ELSE 0.0 END AS pr,
-         |    CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0 THEN
-         |      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |    CASE WHEN len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) > 0 THEN
+         |      CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
          |        x -> x IN ('the','a','and','of','is','to','in'))) AS DOUBLE)
-         |        / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |        / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
          |    ELSE 0.0 END AS sw
          |  FROM documents)""".stripMargin,
     "q22_exact_dedup_groups" ->
@@ -578,7 +592,7 @@ object Queries {
         |    i -> CASE WHEN len(tk) >= 3
         |              THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
         |              ELSE array_to_string(tk, ' ') END)) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
         |        FROM documents))
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -749,10 +763,10 @@ object Queries {
   private lazy val QualitySql =
     s"""greatest(0.0,
        |   least(CAST(len($ToksSql) AS DOUBLE) / 100.0, 1.0) * 0.5
-       |   + least((CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0 THEN
-       |       CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |   + least((CASE WHEN len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) > 0 THEN
+       |       CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
        |         x -> x IN ('the','a','and','of','is','to','in'))) AS DOUBLE)
-       |         / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+       |         / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
        |     ELSE 0.0 END) * 5.0, 1.0) * 0.3
        |   + (1.0 - least((CASE WHEN length(text) > 0 THEN
        |       CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS DOUBLE) / length(text)

@@ -70,11 +70,13 @@ object Cols {
         lit(" "), lpad(hh, 2, "0"), lit(":"), mi, lit(" "), tz))
   }
 
-  /** ANSI-safe "is this string an integer" guard + cast (Spark 4 ANSI mode
-    * would throw on `cast('abc' as long)`; the reference ran Spark 3.5
-    * non-ANSI where it returned NULL). */
+  /** Non-ANSI string→long cast semantics under ANSI mode (Spark 4 would
+    * throw; the reference's Spark 3.5 returned NULL on garbage). Mirrors
+    * UTF8String.toLong: optional sign, digits, optional fraction which
+    * truncates ('1696156800.5' → 1696156800, '+5' → 5). */
   def tryLong(c: Column): Column =
-    when(c.rlike("^\\s*-?\\d{1,18}\\s*$"), c.cast("long"))
+    when(trim(c).rlike("^[+-]?\\d{1,18}(\\.\\d*)?$"),
+      regexp_extract(trim(c), "^[+-]?\\d{1,18}", 0).cast("long"))
       .otherwise(lit(null).cast("long"))
 
   /** Polymorphic publish_date → timestamp.

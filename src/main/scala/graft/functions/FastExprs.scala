@@ -95,10 +95,16 @@ object MinHashSignatureExpr {
 
   /** Single-pass signature: tokenize, build distinct w-shingles, base-hash
     * (xxhash64 seed 42, or the portable md5-digit hash), k affine minima.
-    * Called from generated code. */
+    * Called from generated code.
+    *
+    * Tokenization replicates TextAnalysis.tokens EXACTLY: collapse regex
+    * \s+ to one space, strip edge SPACES only, split on ' '. Java's
+    * String.trim would also strip control chars (≤ U+0020) that the
+    * Column path and the oracle keep attached to their tokens. */
   def compute(text: UTF8String, w: Int, k: Int, portable: Boolean): ArrayData = {
-    val s = text.toString.trim
-    val toks: Array[String] = if (s.isEmpty) Array("") else s.split("\\s+")
+    val collapsed = text.toString.replaceAll("\\s+", " ")
+    val s = collapsed.stripPrefix(" ").stripSuffix(" ")
+    val toks: Array[String] = if (s.isEmpty) Array("") else s.split(" ")
     val shingles = new java.util.HashSet[String]()
     if (toks.length >= w) {
       val sb = new java.lang.StringBuilder()
@@ -139,48 +145,66 @@ case class CosineQExpr(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // NULL vector elements → NULL score
   override def prettyName: String = "cosine_q"
   override def nullSafeEval(a: Any, b: Any): Any =
     CosineQExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.CosineQExpr.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.functions.CosineQExpr.compute($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 object CosineQExpr {
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  /** Returns null (boxed) when any element is NULL — mirrors the oracle's
+    * NULL-propagating list arithmetic instead of silently reading 0. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0L; var aa = 0L; var bb = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getLong(i); val y = b.getLong(i)
       dot += x * y; aa += x * x; bb += y * y
       i += 1
     }
-    dot.toDouble / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble))
+    java.lang.Double.valueOf(
+      dot.toDouble / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble)))
   }
 }
 
 case class QuantizeExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // NULL vector elements → NULL vector
   override def prettyName: String = "quantize_q"
   override def nullSafeEval(input: Any): Any =
     QuantizeExpr.compute(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.QuantizeExpr.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r =
+        graft.functions.QuantizeExpr.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object QuantizeExpr {
+  /** NULL vector elements make the whole quantized vector null (the oracle
+    * would propagate the NULL through every downstream dot product anyway). */
   def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val out = new Array[Long](n)
     var i = 0
-    while (i < n) { out(i) = math.floor(v.getDouble(i) * 1000.0).toLong; i += 1 }
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      out(i) = math.floor(v.getDouble(i) * 1000.0).toLong
+      i += 1
+    }
     new GenericArrayData(out)
   }
 }

@@ -75,6 +75,7 @@ object Upsert {
              partitionCols: Seq[String] = Nil): Unit = {
     val src = dedupSource(source, keys)
     if (src.isEmpty) return
+    recoverSwap(spark, path)
     val existing = readTable(spark, path)
     if (existing.isEmpty) {
       val w = src.write.mode(SaveMode.Overwrite)
@@ -125,10 +126,25 @@ object Upsert {
       val p = new Path(path); val f = fs(spark, p)
       val old = new Path(path + "__old")
       f.delete(old, true)
-      f.rename(p, old)
-      f.rename(new Path(staged), p)
+      // HDFS-style rename returns false instead of throwing — an ignored
+      // failure here would drop the table; check both hops.
+      if (!f.rename(p, old))
+        throw new IllegalStateException(s"upsert swap: rename $p -> $old failed")
+      if (!f.rename(new Path(staged), p))
+        throw new IllegalStateException(
+          s"upsert swap: rename $staged -> $p failed; previous data is at $old")
       f.delete(old, true)
     }
+  }
+
+  /** Recover from a crash between the two swap renames: if the table dir
+    * is gone but `path__old` survives, restore it. Called before every
+    * upsert; a fully-committed table is untouched. */
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path); val f = fs(spark, p)
+    val old = new Path(path + "__old")
+    if (!f.exists(p) && f.exists(old) && !f.rename(old, p))
+      throw new IllegalStateException(s"upsert recovery: rename $old -> $p failed")
   }
 
   /** Materialize a plan that reads `path` somewhere that isn't `path`. */

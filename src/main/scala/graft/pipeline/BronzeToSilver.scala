@@ -35,10 +35,12 @@ object BronzeToSilver {
       .withColumn("hour", hour(col("publish_ts")))
   }
 
-  /** Hygiene gate: must have URL + parsed timestamp
-    * (reference: gcs_bronze_to_silver.py:396-403). */
+  /** Hygiene gate: must have non-blank URL + parsed timestamp
+    * (reference: gcs_bronze_to_silver.py:396-403 — which trims before the
+    * emptiness check, so whitespace-only URLs are dropped too). */
   def validArticles(df: DataFrame): DataFrame =
-    df.filter(col("url").isNotNull && (col("url") =!= "") && col("publish_ts").isNotNull)
+    df.filter(col("url").isNotNull && (trim(col("url")) =!= "") &&
+      col("publish_ts").isNotNull)
 
   // ---- entity transforms (reference: gcs_bronze_to_silver.py:242-387) ----
 
@@ -162,11 +164,12 @@ object BronzeToSilver {
       .filter(col("InteractionCount").isNotNull)
   }
 
-  /** Non-ANSI int-cast semantics: numeric strings in int range parse,
-    * everything else (including int overflow, matching Spark 3.5's
-    * non-ANSI cast) is NULL. Up to 10 digits so 1e9..2^31-1 survive. */
+  /** Non-ANSI int-cast semantics: signed/decimal numeric strings truncate
+    * into int range ('12.9' → 12, '+5' → 5, like UTF8String.toInt);
+    * everything else — including int overflow — is NULL, matching Spark
+    * 3.5's non-ANSI cast. */
   private def try_cast_int(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val l = when(c.rlike("^\\s*-?\\d{1,10}\\s*$"), c.cast("long"))
+    val l = graft.functions.Cols.tryLong(c)
     when(l.between(Int.MinValue.toLong, Int.MaxValue.toLong), l.cast("int"))
   }
 

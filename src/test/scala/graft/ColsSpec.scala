@@ -41,8 +41,11 @@ class ColsSpec extends SparkSpec {
     df.collect()(0).getInt(1) shouldBe -1
   }
 
-  test("tryLong guards ANSI cast") {
+  test("tryLong matches non-ANSI cast semantics") {
     one(Cols.tryLong(col("v")), "12345") shouldBe 12345L
+    one(Cols.tryLong(col("v")), "+5") shouldBe 5L                  // plus sign
+    one(Cols.tryLong(col("v")), "1696156800.5") shouldBe 1696156800L // fraction truncates
+    one(Cols.tryLong(col("v")), " -7 ") shouldBe -7L
     assert(one(Cols.tryLong(col("v")), "12a") == null)
     assert(one(Cols.tryLong(col("v")), "999999999999999999999") == null) // >18 digits
   }

@@ -61,6 +61,17 @@ class UpsertSpec extends SparkSpec {
     new java.io.File(s"$path/part=p1").exists() shouldBe false
   }
 
+  test("upsert recovers a table stranded mid-swap") {
+    val path = tmpDir("upsertr") + "/t"
+    Upsert.upsert(spark, path, target, Seq("k"))
+    // simulate a crash between the two swap renames: table dir moved aside
+    new java.io.File(path).renameTo(new java.io.File(path + "__old")) shouldBe true
+    Upsert.upsert(spark, path, source, Seq("k"))
+    val out = spark.read.parquet(path)
+    out.count() shouldBe 3 // recovery restored the 2 old rows, merge applied source
+    out.where($"k" === 1).count() shouldBe 1
+  }
+
   test("merge picks a deterministic winner among duplicate source keys") {
     val dup = Seq((3, "a", 1), (3, "b", 2), (3, "c", 3)).toDF("k", "name", "v")
     val r1 = Upsert.merge(target, dup, Seq("k")).where($"k" === 3).collect()
