@@ -365,6 +365,42 @@ object Queries {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"),
         expr("percentile(l_extendedprice, 0.5)").as("median_price"))
 
+  /** §2.6 superset: INTERSECT / EXCEPT (distinct set semantics). */
+  def q42SetOps(s: SparkSession, dir: String): DataFrame = {
+    val building = t(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bigSpenders = t(s, dir, "orders")
+      .where(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(bigSpenders).withColumn("set_op", lit("intersect"))
+      .unionByName(building.except(bigSpenders).withColumn("set_op", lit("except")))
+  }
+
+  /** §2.7 string-function family over `part`. */
+  def q43StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+      split(col("p_name"), " ").getItem(0).as("first_word"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+      replace(col("p_type"), lit(" "), lit("_")).as("type_underscored"),
+      length(col("p_name")).cast("int").as("name_len"))
+
+  /** §2.7 array-function family (scalar outputs — sorted-join, slicing,
+    * membership, distinct count). */
+  def q44ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      size(words).cast("int").as("n_words"),
+      concat_ws(",", array_sort(words)).as("sorted_words"),
+      concat_ws(",", slice(words, 1, 2)).as("first_two"),
+      array_contains(words, "green").as("has_green"),
+      size(array_distinct(words)).cast("int").as("n_distinct_words"))
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB fragments mirroring the Column builders above.
@@ -710,6 +746,34 @@ object Queries {
         | CAST(floor((greatest(floor(octet_length(encode(text)) / 16), 1) - 1) / 4)
         |   + 1 AS BIGINT) AS n_frames_sampled
         |FROM documents""".stripMargin,
+    "q42_set_ops" ->
+      """SELECT c_custkey, 'intersect' AS set_op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS set_op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)""".stripMargin,
+    "q43_string_funcs" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        | string_split(p_name, ' ')[1] AS first_word,
+        | p_brand || '|' || p_type AS brand_type,
+        | substring(p_name, 1, 5) AS name5,
+        | lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        | replace(p_type, ' ', '_') AS type_underscored,
+        | CAST(length(p_name) AS INT) AS name_len
+        |FROM part""".stripMargin,
+    "q44_array_funcs" ->
+      """SELECT p_partkey,
+        | CAST(len(w) AS INT) AS n_words,
+        | array_to_string(list_sort(w), ',') AS sorted_words,
+        | array_to_string(w[1:2], ',') AS first_two,
+        | list_contains(w, 'green') AS has_green,
+        | CAST(len(list_distinct(w)) AS INT) AS n_distinct_words
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)""".stripMargin,
     "q39_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
@@ -834,6 +898,9 @@ object Queries {
     "q38_curation" -> (q38Curation _),
     "q39_rollup" -> (q39Rollup _),
     "q40_pivot" -> (q40Pivot _),
-    "q41_percentile" -> (q41Percentile _)
+    "q41_percentile" -> (q41Percentile _),
+    "q42_set_ops" -> (q42SetOps _),
+    "q43_string_funcs" -> (q43StringFuncs _),
+    "q44_array_funcs" -> (q44ArrayFuncs _)
   )
 }
