@@ -401,6 +401,18 @@ object Queries {
       size(array_distinct(words)).cast("int").as("n_distinct_words"))
   }
 
+  /** PII-style scrub pass (email/URL/long-number redaction). */
+  def q45Redact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.redact(col("text")).as("redacted"))
+
+  /** Gopher/RefinedWeb-style repetition signal: fraction of repeated
+    * 2-grams per document. */
+  def q46Repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.repetitionRatio(col("text"), 2).as("rep_2gram"),
+      TextAnalysis.repetitionRatio(col("text"), 3).as("rep_3gram"))
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB fragments mirroring the Column builders above.
@@ -746,6 +758,26 @@ object Queries {
         | CAST(floor((greatest(floor(octet_length(encode(text)) / 16), 1) - 1) / 4)
         |   + 1 AS BIGINT) AS n_frames_sampled
         |FROM documents""".stripMargin,
+    "q45_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '\d{9,}', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+    "q46_repetition" ->
+      s"""SELECT doc_id,
+         | CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS rep_2gram,
+         | CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) AS rep_3gram
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(
+         |      generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])
+         |    ELSE [array_to_string(tk, ' ')] END AS g2,
+         |    CASE WHEN len(tk) >= 3 THEN list_transform(
+         |      generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [array_to_string(tk, ' ')] END AS g3
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents))""".stripMargin,
     "q42_set_ops" ->
       """SELECT c_custkey, 'intersect' AS set_op FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -901,6 +933,8 @@ object Queries {
     "q41_percentile" -> (q41Percentile _),
     "q42_set_ops" -> (q42SetOps _),
     "q43_string_funcs" -> (q43StringFuncs _),
-    "q44_array_funcs" -> (q44ArrayFuncs _)
+    "q44_array_funcs" -> (q44ArrayFuncs _),
+    "q45_redact" -> (q45Redact _),
+    "q46_repetition" -> (q46Repetition _)
   )
 }

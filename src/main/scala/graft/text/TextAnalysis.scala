@@ -105,6 +105,33 @@ object TextAnalysis {
       lenScore * lit(0.5) + stopScore * lit(0.3) + (lit(1.0) - punctPenalty) * lit(0.2))
   }
 
+  /** PII-style redaction: emails, URLs, and long digit runs replaced with
+    * type tokens — the standard scrub pass before a corpus ships to
+    * training. Pure sequential regexp_replace, codegen-visible. */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "\\d{9,}", "<NUM>")
+  }
+
+  /** Non-distinct w-gram list (unlike Dedup.shingles, repeats preserved). */
+  def ngrams(text: Column, w: Int = 2): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - lit(w)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Repetition ratio à la the Gopher/RefinedWeb quality rules: the
+    * fraction of w-grams that are repeats of an earlier w-gram.
+    * 0 = no repetition, → 1 for boilerplate loops. */
+  def repetitionRatio(text: Column, w: Int = 2): Column = {
+    val g = ngrams(text, w)
+    (size(g) - size(array_distinct(g))).cast("double") / size(g)
+  }
+
   /** All metrics as one projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

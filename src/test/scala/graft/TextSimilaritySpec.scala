@@ -36,6 +36,28 @@ class TextSimilaritySpec extends SparkSpec {
     scores(0) should be > scores(1)
   }
 
+  test("redact scrubs emails, urls, and long numbers") {
+    val out = Seq("mail a.b+c@ex-ample.org or visit https://x.io/p?q=1 id 1234567890 ok")
+      .toDF("text").select(TextAnalysis.redact($"text")).as[String].collect()(0)
+    out shouldBe "mail <EMAIL> or visit <URL> id <NUM> ok"
+    // multi-occurrence: all matches replaced, not just the first (the
+    // corpus has no PII, so the oracle can't exercise this — the DuckDB
+    // fragment needs the 'g' flag to agree)
+    Seq("a@b.co c@d.io and 123456789 987654321").toDF("text")
+      .select(TextAnalysis.redact($"text")).as[String].collect()(0) shouldBe
+      "<EMAIL> <EMAIL> and <NUM> <NUM>"
+    // short numbers and bare words untouched
+    Seq("call 12345 now").toDF("text")
+      .select(TextAnalysis.redact($"text")).as[String].collect()(0) shouldBe "call 12345 now"
+  }
+
+  test("repetition ratio is 0 for unique text and high for loops") {
+    val r = Seq("a b c d e f", "spam ham spam ham spam ham spam ham").toDF("text")
+      .select(TextAnalysis.repetitionRatio($"text", 2).as("r")).as[Double].collect()
+    r(0) shouldBe 0.0
+    r(1) should be > 0.6 // "spam ham"/"ham spam" repeat throughout
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val fp = Seq("a b c", "a b c", "c b a").toDF("text")
       .select(TextAnalysis.fingerprint($"text").as("f")).as[Long].collect()
