@@ -413,6 +413,20 @@ object Queries {
       TextAnalysis.repetitionRatio(col("text"), 2).as("rep_2gram"),
       TextAnalysis.repetitionRatio(col("text"), 3).as("rep_3gram"))
 
+  /** Date-arithmetic family: ship lag, due dates, month distance. */
+  def q47DateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").as("l")
+      .join(t(s, dir, "orders").as("o"), col("l.l_orderkey") === col("o.o_orderkey"))
+      .select(
+        col("l.l_orderkey"), col("l.l_linenumber"),
+        datediff(col("l.l_shipdate").cast("date"), col("o.o_orderdate").cast("date"))
+          .cast("int").as("ship_lag_days"),
+        date_add(col("o.o_orderdate").cast("date"), 30).as("due_date"),
+        last_day(col("o.o_orderdate").cast("date")).as("month_end"),
+        (year(col("l.l_shipdate")) * 12 + month(col("l.l_shipdate"))
+          - year(col("o.o_orderdate")) * 12 - month(col("o.o_orderdate")))
+          .cast("int").as("month_distance"))
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB fragments mirroring the Column builders above.
@@ -758,6 +772,15 @@ object Queries {
         | CAST(floor((greatest(floor(octet_length(encode(text)) / 16), 1) - 1) / 4)
         |   + 1 AS BIGINT) AS n_frames_sampled
         |FROM documents""".stripMargin,
+    "q47_date_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INT)
+        |   AS ship_lag_days,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(year(l_shipdate)*12 + month(l_shipdate)
+        |   - year(o_orderdate)*12 - month(o_orderdate) AS INT) AS month_distance
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     "q45_redact" ->
       """SELECT doc_id,
         | regexp_replace(regexp_replace(regexp_replace(text,
@@ -935,6 +958,7 @@ object Queries {
     "q43_string_funcs" -> (q43StringFuncs _),
     "q44_array_funcs" -> (q44ArrayFuncs _),
     "q45_redact" -> (q45Redact _),
-    "q46_repetition" -> (q46Repetition _)
+    "q46_repetition" -> (q46Repetition _),
+    "q47_date_arith" -> (q47DateArith _)
   )
 }
