@@ -1,45 +1,34 @@
 package graft
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
 
-import graft.streaming.Streams
+import graft.similarity.Similarity
 
 /** Throwaway drive harness (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
 
-    def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
-    val mem = MemoryStream[(Long, Timestamp, String)]
-    val q = Streams.streamingDedup(
-        mem.toDF().toDF("event_id", "ts", "payload"), Seq("event_id"), "ts", "10 minutes")
-      .writeStream.format("memory").queryName("dd")
-      .outputMode(OutputMode.Append()).start()
-    mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "dup-in-batch"))
-    q.processAllAvailable()
-    mem.addData((1L, ts(3), "redelivery"), (3L, ts(4), "c"))
-    q.processAllAvailable()
-    println("[drive] survivors: " + spark.table("dd")
-      .select("event_id").as[Long].collect().sorted.mkString(","))
-    println("[drive] row count: " + spark.table("dd").count())
-    q.stop()
+    val single = Similarity.lshTopK(emb, q, k = 10, planes = 6).count()
+    val multi = Similarity.lshTopK(emb, q, k = 10, planes = 6, multiProbe = true).count()
+    println(s"[drive] lsh results: single-probe=$single multi-probe=$multi")
 
-    try {
-      Streams.streamingDedup(mem.toDF().toDF("event_id", "ts", "payload"), Seq())
-      println("[drive] GUARD MISSED")
-    } catch {
-      case e: IllegalArgumentException => println(s"[drive] empty-keys guard: ${e.getMessage}")
-    }
+    val cents = Similarity.trainCentroids(emb, nlist = 16, iters = 5)
+    println(s"[drive] trained ${cents.length} centroids, dim=${cents.head.length}")
+    val brute = Similarity.bruteForceTopK(emb, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfTrained = Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4,
+        centroids = cents).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSeeded = Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[drive] recall@10 trained=${ivfTrained.intersect(brute).size / 50.0}" +
+      s" seeded=${ivfSeeded.intersect(brute).size / 50.0}")
     spark.stop()
   }
 }

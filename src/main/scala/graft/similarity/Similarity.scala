@@ -83,13 +83,54 @@ object Similarity {
     * whose build side is the (small) probed-query table — at 100 TB the
     * corpus streams through once, partitioned by cell.
     */
+  /** Deterministic spherical k-means for IVF coarse centroids: Lloyd's
+    * iterations over a bounded, id-ordered sample, run driver-side on
+    * unit-normalized vectors (cosine-compatible), init = first `nlist`
+    * sample vectors. No randomness — same corpus → same centroids. */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
+                     maxSample: Int = 10000,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Long]] = {
+    val sample: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(maxSample)
+      .select(quantize(col(vecCol)).as("q")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+    require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
+    val pts = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val dim = pts.head.length
+    var cents = pts.take(nlist).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val cnts = new Array[Int](nlist)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var cI = 0
+        while (cI < nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val df = p(i) - cents(cI)(i); d += df * df; i += 1 }
+          if (d < bestD) { bestD = d; best = cI }
+          cI += 1
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(nlist)(cI =>
+        if (cnts(cI) == 0) cents(cI) else sums(cI).map(_ / cnts(cI)))
+    }
+    cents.map(c => c.map(x => math.floor(x * 1000.0).toLong).toSeq).toSeq
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents: Array[(Int, Seq[Long])] = corpus
-      .orderBy(col(idCol)).limit(nlist)
-      .select(quantize(col(vecCol)).as("q")).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](0)) }
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Seq[Seq[Long]] = Nil): DataFrame = {
+    val cents: Array[(Int, Seq[Long])] =
+      if (centroids.nonEmpty) centroids.toArray.zipWithIndex.map(_.swap)
+      else corpus.orderBy(col(idCol)).limit(nlist)
+        .select(quantize(col(vecCol)).as("q")).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](0)) }
 
     def cellRanks(q: Column): Column = {
       // (similarity, cellId) structs sorted desc → probe order
@@ -110,18 +151,28 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Approximate top-k: probe only the query's sign-LSH bucket. Recall is
-    * traded for a bucket-local search; increase `planes` for smaller
-    * buckets, or union multiple probe tables for multi-probe. */
+  /** Approximate top-k: probe the query's sign-LSH bucket, and with
+    * `multiProbe=true` also every bucket at Hamming distance 1 (one plane's
+    * sign flipped) — the standard recall boost that probes planes+1 buckets
+    * per query instead of re-hashing the corpus with more tables. The
+    * corpus is still bucketed exactly once; only the (small) query side
+    * fans out. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, planes: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              multiProbe: Boolean = false): DataFrame = {
     val dims = corpus.select(size(col(vecCol))).head.getInt(0)
     val m = planeMatrix(planes, dims)
     val fastBucket = graft.functions.FastExprs.signLshBucket(_: Column, m)
     val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("bucket", fastBucket(col("cq")))
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+    val baseQ = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
       .withColumn("bucket", fastBucket(col("qq")))
+    val q =
+      if (!multiProbe) baseQ
+      else baseQ.withColumn("bucket", explode(array(
+          col("bucket") +: (0 until planes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+        .dropDuplicates("query_id", "bucket")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosineQ(col("cq"), col("qq")).as("cos_sim"))

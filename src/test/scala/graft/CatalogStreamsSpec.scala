@@ -121,6 +121,39 @@ class CatalogStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-probe LSH finds at least the single-probe results, still exact-subset") {
+    val emb = (0L until 80L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" < 4)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 80).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = Similarity.lshTopK(emb, q, k = 80, planes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val multi = Similarity.lshTopK(emb, q, k = 80, planes = 4, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    single.subsetOf(multi) shouldBe true  // recall only grows
+    multi.size should be > single.size    // Hamming-1 probes add candidates
+    multi.subsetOf(brute) shouldBe true   // every hit is a genuine exact score
+  }
+
+  test("trained IVF centroids: exhaustive probing still equals brute force") {
+    val emb = (0L until 90L).map { i =>
+      (i, Seq.tabulate(8)(d => math.cos(i * 7 + d * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" < 3)
+    val cents = Similarity.trainCentroids(emb, nlist = 6, iters = 4)
+    cents.length shouldBe 6
+    // same corpus → same centroids (deterministic training)
+    Similarity.trainCentroids(emb, nlist = 6, iters = 4) shouldBe cents
+    val exhaustive = Similarity.ivfTopK(emb, q, k = 5, nlist = 6, nprobe = 6,
+        centroids = cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    exhaustive shouldBe brute
+  }
+
   test("ivf topk probes nearest cells and is a subset of brute force") {
     val emb = (0L until 60L).map { i =>
       (i, Seq.tabulate(8)(d => math.cos(i * 17 + d * 3).toFloat))
