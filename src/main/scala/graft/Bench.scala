@@ -1,6 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
 object Bench {
+
+  /** Fully materialize every output row (all columns). A `count()` action
+    * lets Catalyst's ColumnPruning delete deterministic project expressions
+    * — projection-only queries would be timed as row-count scans, skipping
+    * the very regexp/HOF/codegen work under measurement. Iterating the
+    * physical plan's InternalRows forces each UnsafeRow (hence every output
+    * expression) to be produced, with no driver-side collection. */
+  private def materialize(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,18 +31,38 @@ object Bench {
     // 100 TB corpus — first-run codegen/JIT cost amortizes to zero there
     // and would dominate these sub-second toy-SF timings.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          materialize(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            failures.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            None
+        }
       }
-      name -> times.min
+      // a failed query reports -1, never a (fast) failure time
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fj = failures.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}"""
+    // the driver parses the last stdout line; also drop a file so the
+    // number survives even if a build tool prefixes/logs stdout
+    Files.writeString(Paths.get("bench.json"), json + "\n")
     spark.stop()
+    println(json)
   }
 }

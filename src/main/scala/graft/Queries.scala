@@ -41,7 +41,11 @@ object Queries {
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // floor division, not `div` (which truncates toward zero): for
+        // pre-1970 timestamps truncation rounds opposite to the oracle's
+        // epoch_us; pmod makes the remainder nonnegative so the quotient
+        // floors for any sign
+        df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case _ => df
     }
   }
@@ -427,6 +431,60 @@ object Queries {
           - year(col("o.o_orderdate")) * 12 - month(col("o.o_orderdate")))
           .cast("int").as("month_distance"))
 
+  /** Constant text for q48's synthetic oversized bucket — 30 clone rows
+    * share it, so every one of their LSH buckets exceeds the cap. */
+  private val CloneText =
+    "graft synthetic clone row shared text for capped bucket verification"
+
+  /** The 100 TB MinHash configuration: bucket-size cap ACTIVE. The corpus
+    * is salted with 30 identical clone docs, forcing a bucket of ≥30 that
+    * the cap (10) must drop — so this query value-verifies the exact
+    * guard q24 disables (its naive pair-enumerating oracle can't see
+    * caps; this one banding-explodes and mirrors the cap with QUALIFY). */
+  def q48MinHashCapped(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val clones = t(s, dir, "documents").where(col("doc_id") < 30)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), lit(CloneText).as("text"))
+    Dedup.minHashDedup(base.unionByName(clones), threshold = 0.5, portable = true,
+        maxBucketSize = 10)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** SimHash near-dup at Hamming ≤ 3 via pigeonhole banding (4 bands of
+    * 8 bits; any equal band → candidate → exact bit_count verify). */
+  def q49SimHashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDup(t(s, dir, "documents"), maxHamming = 3)
+      .select(col("id1"), col("id2"), col("hamming"))
+
+  /** The SQL-string entry point under the oracle gate: the identical text
+    * runs as Spark SQL here and as the DuckDB oracle — both engines parse
+    * the same ANSI statement over the same tables (the reference drives its
+    * lifecycle through spark.sql strings; gcs_bronze_to_silver.py:73-158,
+    * gold_to_bigquery.py:185-209). */
+  val SqlSurfaceText: String =
+    """SELECT o.o_orderpriority,
+      |       count(*) AS order_count,
+      |       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+      |                     AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderstatus <> 'F'
+      |GROUP BY o.o_orderpriority""".stripMargin
+
+  def q50SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(SqlSurfaceText)
+  }
+
+  /** Embedding near-dup via sign-LSH buckets (the scale path q28's capped
+    * brute force documents): candidates = bucket Hamming ≤ 1, verify =
+    * exact quantized cosine. Unlike q28 this runs over the WHOLE corpus —
+    * no id cap — because the candidate count is bounded by bucket geometry,
+    * not corpus². */
+  def q51CosineNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.cosineNearDupLsh(t(s, dir, "embeddings"), threshold = 0.3, planes = 8)
+      .select(col("id1"), col("id2"), col("cos_sim"))
+
   // ---- oracle SQL ------------------------------------------------------
 
   /** Shared DuckDB fragments mirroring the Column builders above.
@@ -477,6 +535,82 @@ object Queries {
        |SELECT id1, id2 FROM pairs
        |WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
        |        / len(list_distinct(sh1 || sh2)) >= 0.5""".stripMargin
+  }
+
+  /** q48's oracle: same signature pipeline as [[minHashOracle]] but over
+    * the clone-salted corpus and banding-exploded, so the bucket-size cap
+    * is expressible as QUALIFY count(*) OVER (PARTITION BY band, slice)
+    * BETWEEN 2 AND cap — the exact guard minHashCandidates applies. */
+  private lazy val minHashCappedOracle: String = {
+    import graft.functions.MinHashSignatureExpr.{coeffA, coeffB, Prime}
+    val shingleSql =
+      """list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 1)),
+        |    i -> CASE WHEN len(tk) >= 3
+        |              THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |              ELSE array_to_string(tk, ' ') END))""".stripMargin
+    val sigCols = (0 until 16).map { i =>
+      s"list_min(list_transform(hs, h -> (h * ${coeffA(i)} + ${coeffB(i)}) % $Prime)) AS s$i"
+    }.mkString(",\n    ")
+    val bandLegs = (0 until 4).map { b =>
+      val vs = (0 until 4).map(r => s"s${b * 4 + r} AS v$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $vs FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, '$CloneText' FROM documents WHERE doc_id < 30),
+       |toks AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk FROM docs),
+       |sh AS (SELECT doc_id, $shingleSql AS sh FROM toks),
+       |hs AS (SELECT doc_id, sh,
+       |         list_transform(sh, t -> $PortableHashSqlT) AS hs FROM sh),
+       |sig AS (SELECT doc_id, sh,
+       |    $sigCols
+       |  FROM hs),
+       |banded AS (
+       |  $bandLegs),
+       |guarded AS (
+       |  SELECT * FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, v0, v1, v2, v3) BETWEEN 2 AND 10),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM guarded a JOIN guarded b USING (band, v0, v1, v2, v3)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id1, id2 FROM pairs p
+       |JOIN sig a ON a.doc_id = p.id1 JOIN sig b ON b.doc_id = p.id2
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin
+  }
+
+  /** q49's oracle: SimHash sketch (as [[simHashOracle]]) → 4 bands of
+    * 8 bits → bucket-join on any equal band → exact Hamming ≤ 3 via
+    * bit_count(xor). */
+  private lazy val simHashNearDupOracle: String = {
+    val bits = (0 until 32).map { j =>
+      s"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $j) & 1) = 1)) > len(hs) " +
+        s"THEN (1::BIGINT << $j) ELSE 0 END)"
+    }.mkString(" + ")
+    val bandLegs = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS key FROM sk"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sk AS (
+       |  SELECT doc_id, $bits AS simhash FROM (
+       |    SELECT doc_id, list_transform(
+       |      list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')),
+       |      t -> $PortableHashSqlT) AS hs
+       |    FROM documents)),
+       |banded AS (
+       |  $bandLegs),
+       |guarded AS (
+       |  SELECT * FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) BETWEEN 2 AND 10000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM guarded a JOIN guarded b USING (band, key)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3""".stripMargin
   }
 
   /** Dedup.simHash mirrored into SQL: 32 per-bit majority votes over the
@@ -615,6 +749,28 @@ object Queries {
     "q20_lang_id" -> langIdOracle,
     "q24_minhash_dedup" -> minHashOracle,
     "q25_simhash_groups" -> simHashOracle,
+    "q48_minhash_capped" -> minHashCappedOracle,
+    "q49_simhash_neardup" -> simHashNearDupOracle,
+    "q50_sql_surface" -> SqlSurfaceText,
+    "q51_cosine_neardup_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT p, list_transform(generate_series(0, 63), d ->
+         |    CAST(substr(regexp_replace(md5('plane_' || p || '_' || d),
+         |      '[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT) % 2001 - 1000) AS pv
+         |  FROM generate_series(0, 7) t(p)),
+         |e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |        (SELECT sum(CASE WHEN list_dot_product(e.v, planes.pv) > 0
+         |                         THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)
+         |         FROM planes) AS bucket
+         |      FROM e)
+         |SELECT a.vec_id AS id1, b2.vec_id AS id2,
+         |  list_dot_product(a.v, b2.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos_sim
+         |FROM b a JOIN b b2
+         |  ON a.vec_id < b2.vec_id AND bit_count(xor(a.bucket, b2.bucket)) <= 1
+         |WHERE list_dot_product(a.v, b2.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) >= 0.3""".stripMargin,
     "q33_fingerprint" ->
       s"""SELECT doc_id,
          | list_reduce(list_prepend(0::BIGINT, list_transform($ToksSql,
@@ -959,6 +1115,10 @@ object Queries {
     "q44_array_funcs" -> (q44ArrayFuncs _),
     "q45_redact" -> (q45Redact _),
     "q46_repetition" -> (q46Repetition _),
-    "q47_date_arith" -> (q47DateArith _)
+    "q47_date_arith" -> (q47DateArith _),
+    "q48_minhash_capped" -> (q48MinHashCapped _),
+    "q49_simhash_neardup" -> (q49SimHashNearDup _),
+    "q50_sql_surface" -> (q50SqlSurface _),
+    "q51_cosine_neardup_lsh" -> (q51CosineNearDupLsh _)
   )
 }

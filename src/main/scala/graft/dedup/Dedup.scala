@@ -162,8 +162,13 @@ object Dedup {
   /** 32-bit SimHash over distinct lowercased token hashes: bit j of the
     * sketch is 1 iff the sum over tokens of ±1 (sign of token-hash bit j)
     * is positive. Case-normalized to agree with textDigest's notion of
-    * duplicate. */
-  def simHash(text: Column): Column = {
+    * duplicate. Codegen'd single pass ([[graft.functions.SimHashExpr]]). */
+  def simHash(text: Column): Column = FastExprs.simHash(text)
+
+  /** Column-algebra reference implementation of [[simHash]] — one closure
+    * call per token × 32 bits, no whole-stage codegen. Kept only as the
+    * bit-identity witness for the spec; never use on a hot path. */
+  def simHashColumn(text: Column): Column = {
     val hashed = transform(array_distinct(tokens(lower(text))), t => portableHash(t))
     val counts = aggregate(hashed,
       transform(sequence(lit(0), lit(31)), _ => lit(0L)),
@@ -175,12 +180,53 @@ object Dedup {
   }
 
   /** SimHash dup groups: identical 32-bit sketch (hamming 0). For
-    * hamming≤k at scale, band the sketch bytes and bucket-join like LSH. */
+    * hamming≤k use [[simHashNearDup]]. */
   def simHashGroups(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =
     docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
       .groupBy("simhash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming`, banded:
+    * split the 32-bit sketch into maxHamming+1 contiguous bit bands — by
+    * pigeonhole any pair within distance k agrees exactly on at least one
+    * band — bucket-join per (band, bandBits), then verify
+    * bit_count(sk1 XOR sk2) ≤ k on the candidates.
+    *
+    * Scale shape mirrors minHashCandidates: the sketch is computed
+    * scan-side in one compiled pass, the only shuffles are the band-bucket
+    * exchange (cardinality #docs × (k+1), never corpus width) and the
+    * final pair distinct; oversized template buckets are capped the same
+    * way. */
+  def simHashNearDup(docs: DataFrame, maxHamming: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
+    val bands = maxHamming + 1
+    val cut = (0 to bands).map(b => b * 32 / bands) // band b = bits [cut(b), cut(b+1))
+    val sk = docs.select(col(idCol), simHash(col(textCol)).as("sk"))
+    val banded = sk.select(col(idCol), col("sk"),
+      posexplode(array((0 until bands).map { b =>
+        val width = cut(b + 1) - cut(b)
+        shiftright(col("sk"), cut(b)).bitwiseAND(lit((1L << width) - 1))
+      }: _*)))
+      .select(col(idCol), col("sk"), col("pos").as("band"), col("col").as("key"))
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val guarded = banded.withColumn("__n", count(lit(1)).over(w2))
+      .where(col("__n") >= 2 && col("__n") <= maxBucketSize).drop("__n")
+    val l = guarded.select(col("band"), col("key"), col(idCol).as("id1"), col("sk").as("sk1"))
+    val r = guarded.select(col("band"), col("key"), col(idCol).as("id2"), col("sk").as("sk2"))
+    l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sk1").bitwiseXOR(col("sk2"))).cast("int").as("hamming"))
+      // verify BEFORE the pair-dedup shuffle: hamming is a pure function of
+      // the two sketches, so filter-then-distinct ≡ distinct-then-filter,
+      // but only surviving pairs pay the exchange (candidates that fail the
+      // bound — the vast majority — die map-side)
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   // ---- embedding near-dup ----
 
@@ -199,7 +245,7 @@ object Dedup {
   def cosineQ(a: Column, b: Column): Column = FastExprs.cosineQ(a, b)
 
   /** Embedding-cosine near-dup pairs above `threshold` among ids < `cap`
-    * (exact pairwise is O(n²): cap it, or pre-bucket with signLsh below). */
+    * (exact pairwise is O(n²): cap it, or use [[cosineNearDupLsh]]). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
                        cap: Long = 1000, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
@@ -209,6 +255,47 @@ object Dedup {
     val r = q.select(col(idCol).as("id2"), col("q").as("q2"))
     l.join(r, col("id1") < col("id2"))
       .select(col("id1"), col("id2"), cosineQ(col("q1"), col("q2")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup, sign-LSH-bucketed — the 100 TB path for
+    * [[embeddingNearDup]]: candidate pairs are those whose sign-LSH buckets
+    * differ in at most one plane (the standard multi-probe recall boost),
+    * verified with exact quantized cosine ≥ `threshold`.
+    *
+    * Scale shape: the corpus is bucketed exactly once, scan-side, with the
+    * compiled constant-plane kernel; the probe fan-out (planes+1 keys per
+    * row) happens on join KEYS, never on vector payloads twice — one leg
+    * carries the true bucket only, the other the probe set, so every
+    * qualifying pair materializes exactly once and the join moves each
+    * vector planes+2 times total. Oversized template buckets are capped on
+    * the un-fanned leg like minHashCandidates. Approximate by design:
+    * recall at cosine θ is P[≤1 of `planes` hyperplanes split the pair] —
+    * raise `planes` to shrink buckets on bigger corpora (candidate work per
+    * row scales with planes·n/2^planes). */
+  def cosineNearDupLsh(embeddings: DataFrame, threshold: Double = 0.5,
+                       planes: Int = 8, idCol: String = "vec_id",
+                       vecCol: String = "embedding", dims: Int = -1,
+                       maxBucketSize: Int = 10000): DataFrame = {
+    val d =
+      if (dims > 0) dims
+      else embeddings.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          "cosineNearDupLsh: empty corpus — pass dims explicitly"))
+    val m = graft.similarity.Similarity.planeMatrix(planes, d)
+    val base = embeddings.select(col(idCol).as("id"),
+        quantize(col(vecCol)).as("v"))
+      .withColumn("bucket", graft.functions.FastExprs.signLshBucket(col("v"), m))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val l = base.withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+      .select(col("id").as("id1"), col("v").as("v1"), col("bucket").as("key"))
+    val r = base.withColumn("key", explode(array(
+        col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+      .select(col("id").as("id2"), col("v").as("v2"), col("key"))
+    l.join(r, Seq("key")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosineQ(col("v1"), col("v2")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

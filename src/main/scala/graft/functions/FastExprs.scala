@@ -46,6 +46,30 @@ object FastExprs {
   def signLshBucket(vec: Column, planes: Seq[Seq[Long]]): Column =
     ExpressionUtils.column(SignLshBucketExpr(ExpressionUtils.expression(vec), planes))
 
+  /** Gopher-style repetition ratio over non-distinct w-grams; value-
+    * identical to the Column-algebra TextAnalysis path in one compiled
+    * pass (see [[RepetitionRatioExpr.compute]]). */
+  def repetitionRatio(text: Column, w: Int): Column =
+    ExpressionUtils.column(RepetitionRatioExpr(ExpressionUtils.expression(text), w))
+
+  /** 32-bit SimHash sketch of the distinct lowercased tokens of `text`;
+    * bit-identical to Dedup.simHashColumn (same tokenization, same portable
+    * md5-digit token hash, same per-bit majority vote) in one compiled pass
+    * instead of 32 interpreted lambda sweeps per token. */
+  def simHash(text: Column): Column =
+    ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(text)))
+
+  /** Tokenization shared by every JVM kernel, replicating
+    * TextAnalysis.tokens EXACTLY: collapse regex \s+ to one space, strip
+    * edge SPACES only, split on ' '. Java's String.trim would also strip
+    * control chars (≤ U+0020) that the Column path and the oracle keep
+    * attached to their tokens. */
+  def normTokens(raw: String): Array[String] = {
+    val collapsed = raw.replaceAll("\\s+", " ")
+    val s = collapsed.stripPrefix(" ").stripSuffix(" ")
+    if (s.isEmpty) Array("") else s.split(" ")
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -73,6 +97,48 @@ object FastExprs {
   }
 }
 
+case class RepetitionRatioExpr(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "repetition_ratio"
+  override def nullSafeEval(input: Any): Any =
+    RepetitionRatioExpr.compute(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionRatioExpr.compute($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionRatioExpr {
+  /** Value-identical to TextAnalysis.repetitionRatio's Column algebra
+    * ((len(grams) − len(distinct)) / len(grams) over non-distinct w-grams;
+    * < w tokens → the single joined-token gram → ratio 0) in one pass over
+    * one token array — the HOF path re-slices and re-concats per gram,
+    * interpreted, which made q46 the most expensive bench query. */
+  def compute(text: UTF8String, w: Int): Double = {
+    val toks = FastExprs.normTokens(text.toString)
+    if (toks.length < w) return 0.0 // one gram, one distinct
+    val n = toks.length - w + 1
+    val seen = new java.util.HashSet[String](n * 2)
+    var dup = 0
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      if (!seen.add(sb.toString)) dup += 1
+      i += 1
+    }
+    dup.toDouble / n
+  }
+}
+
 case class MinHashSignatureExpr(child: Expression, w: Int, k: Int,
                                 portable: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -93,18 +159,12 @@ object MinHashSignatureExpr {
   def coeffA(i: Int): Long = 2 * (1103515245L * (i + 1) % (Prime / 2)) + 1
   def coeffB(i: Int): Long = 12345L * (i + 7) % Prime
 
-  /** Single-pass signature: tokenize, build distinct w-shingles, base-hash
+  /** Single-pass signature: tokenize (FastExprs.normTokens — replicates
+    * TextAnalysis.tokens exactly), build distinct w-shingles, base-hash
     * (xxhash64 seed 42, or the portable md5-digit hash), k affine minima.
-    * Called from generated code.
-    *
-    * Tokenization replicates TextAnalysis.tokens EXACTLY: collapse regex
-    * \s+ to one space, strip edge SPACES only, split on ' '. Java's
-    * String.trim would also strip control chars (≤ U+0020) that the
-    * Column path and the oracle keep attached to their tokens. */
+    * Called from generated code. */
   def compute(text: UTF8String, w: Int, k: Int, portable: Boolean): ArrayData = {
-    val collapsed = text.toString.replaceAll("\\s+", " ")
-    val s = collapsed.stripPrefix(" ").stripSuffix(" ")
-    val toks: Array[String] = if (s.isEmpty) Array("") else s.split(" ")
+    val toks: Array[String] = FastExprs.normTokens(text.toString)
     val shingles = new java.util.HashSet[String]()
     if (toks.length >= w) {
       val sb = new java.lang.StringBuilder()
@@ -140,6 +200,48 @@ object MinHashSignatureExpr {
   }
 }
 
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override def nullSafeEval(input: Any): Any =
+    SimHashExpr.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashExpr.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashExpr {
+  /** Charikar sketch over distinct lowercased tokens: bit j of the result
+    * is 1 iff more token hashes have bit j set than clear. Lowercasing goes
+    * through UTF8String.toLowerCase — the exact code Spark's `lower`
+    * expression runs, so this stays bit-identical to the Column path. */
+  def compute(text: UTF8String): Long = {
+    val toks = FastExprs.normTokens(text.toLowerCase.toString)
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val h = FastExprs.portableHashJvm(t)
+        var j = 0
+        while (j < 32) {
+          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sketch = 0L
+    var j = 0
+    while (j < 32) { if (counts(j) > 0) sketch |= 1L << j; j += 1 }
+    sketch
+  }
+}
+
 case class CosineQExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
@@ -160,9 +262,14 @@ case class CosineQExpr(left: Expression, right: Expression)
 
 object CosineQExpr {
   /** Returns null (boxed) when any element is NULL — mirrors the oracle's
-    * NULL-propagating list arithmetic instead of silently reading 0. */
+    * NULL-propagating list arithmetic instead of silently reading 0.
+    * Mismatched dimensions throw (like DuckDB's list_dot_product): a
+    * corrupt/ragged embedding must fail loudly, not score over a prefix. */
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_q: dimension mismatch $n vs ${b.numElements()}")
     var dot = 0L; var aa = 0L; var bb = 0L
     var i = 0
     while (i < n) {
@@ -227,12 +334,18 @@ case class SignLshBucketExpr(child: Expression, planes: Seq[Seq[Long]])
 }
 
 object SignLshBucketExpr {
+  /** Throws on a vector whose dimension differs from the plane matrix —
+    * silently bucketing a ragged embedding over a prefix would diverge
+    * from the oracle (whose list_dot_product errors) without a trace. */
   def compute(v: ArrayData, planes: Array[Array[Long]]): Long = {
     var bucket = 0L
     var p = 0
     while (p < planes.length) {
       val row = planes(p)
-      val n = math.min(v.numElements(), row.length)
+      val n = row.length
+      if (v.numElements() != n)
+        throw new IllegalArgumentException(
+          s"sign_lsh_bucket: vector dimension ${v.numElements()} != plane dimension $n")
       var dot = 0L
       var d = 0
       while (d < n) { dot += v.getLong(d) * row(d); d += 1 }

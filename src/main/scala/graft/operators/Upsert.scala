@@ -84,6 +84,15 @@ object Upsert {
     }
     val target = existing.get
     if (partitionCols.nonEmpty) {
+      // Timestamp partition values are formatted by the writer with a
+      // pattern Row.toString doesn't reproduce — reject them loudly
+      // instead of silently missing the emptied-partition delete below.
+      // (Partition by the derived DATE instead, as the pipeline does.)
+      target.schema.fields.filter(f => partitionCols.contains(f.name)).foreach { f =>
+        require(f.dataType != org.apache.spark.sql.types.TimestampType &&
+          f.dataType != org.apache.spark.sql.types.TimestampNTZType,
+          s"upsert: timestamp-typed partition column '${f.name}' is not supported")
+      }
       // Partition-scoped rewrite. Touched partitions = partitions the
       // source writes into ∪ partitions where a matched key currently
       // lives — without the second leg a key whose partition value changes
@@ -97,10 +106,20 @@ object Upsert {
           .select(partitionCols.map(col): _*).distinct())
         .distinct()
       // materialize the touched-partition list BEFORE the overwrite — its
-      // plan reads target files the overwrite is about to delete
+      // plan reads target files the overwrite is about to delete.
+      // Directory names go through the same escaping Spark's writer uses
+      // (ExternalCatalogUtils): NULL → __HIVE_DEFAULT_PARTITION__, and
+      // URL-escaped specials (space, ':', '%') match the on-disk name —
+      // a raw "$c=$v" would silently miss them and leave stale rows.
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       def partDirs(rows: Array[org.apache.spark.sql.Row]): Set[String] =
         rows.map(r => partitionCols.zip(r.toSeq)
-          .map { case (c, v) => s"$c=$v" }.mkString("/")).toSet
+          .map { case (c, v) =>
+            val dirVal =
+              if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else ExternalCatalogUtils.escapePathName(v.toString)
+            s"${ExternalCatalogUtils.escapePathName(c)}=$dirVal"
+          }.mkString("/")).toSet
       val touchedDirs = partDirs(touched.collect())
       val affected = target.join(broadcast(touched), partitionCols, "left_semi")
       val merged =

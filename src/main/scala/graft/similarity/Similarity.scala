@@ -159,9 +159,16 @@ object Similarity {
     * fans out. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10, planes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              multiProbe: Boolean = false): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head.getInt(0)
-    val m = planeMatrix(planes, dims)
+              multiProbe: Boolean = false, dims: Int = -1): DataFrame = {
+    // Callers that know the dimensionality pass `dims` and skip the probe
+    // job; the fallback reads one row (and assumes — like the scoring
+    // kernel, which throws on ragged vectors — that all dims are uniform).
+    val d =
+      if (dims > 0) dims
+      else corpus.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          "lshTopK: empty corpus — pass dims explicitly"))
+    val m = planeMatrix(planes, d)
     val fastBucket = graft.functions.FastExprs.signLshBucket(_: Column, m)
     val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("bucket", fastBucket(col("cq")))

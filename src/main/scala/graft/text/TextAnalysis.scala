@@ -44,8 +44,10 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(131L) + portableHash(t), lit(1000000007L)))
 
   // ---- language ID: marker-token n-gram heuristic ----
-  // Each language scores by occurrences of its marker tokens; argmax wins
-  // (ties break lexicographically smaller language code first).
+  // Each language scores by occurrences of its marker tokens; argmax wins.
+  // Ties break to the lexicographically GREATER language code (array_max
+  // over (score, lang) structs compares lang when scores tie) — the oracle
+  // mirrors the same rule.
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and ", " of ", " is "),
     "es" -> Seq(" el ", " la ", " de ", " que "),
@@ -67,8 +69,7 @@ object TextAnalysis {
       struct(markerScore(padded, ms).as("score"), lit(code).as("lang"))
     }
     // array_max on struct = lexicographic (score, lang): highest score, and
-    // on ties the lexicographically LAST lang — invert lang for
-    // first-wins determinism? Keep natural order: document the tie rule.
+    // on score ties the lexicographically greater lang code.
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
@@ -126,8 +127,15 @@ object TextAnalysis {
 
   /** Repetition ratio à la the Gopher/RefinedWeb quality rules: the
     * fraction of w-grams that are repeats of an earlier w-gram.
-    * 0 = no repetition, → 1 for boilerplate loops. */
-  def repetitionRatio(text: Column, w: Int = 2): Column = {
+    * 0 = no repetition, → 1 for boilerplate loops. Codegen'd single pass
+    * ([[graft.functions.RepetitionRatioExpr]]). */
+  def repetitionRatio(text: Column, w: Int = 2): Column =
+    graft.functions.FastExprs.repetitionRatio(text, w)
+
+  /** Column-algebra reference implementation of [[repetitionRatio]] — kept
+    * only as the value-identity witness for the spec; the HOF re-slices and
+    * re-concats per gram, interpreted, so never use it on a hot path. */
+  def repetitionRatioColumn(text: Column, w: Int = 2): Column = {
     val g = ngrams(text, w)
     (size(g) - size(array_distinct(g))).cast("double") / size(g)
   }

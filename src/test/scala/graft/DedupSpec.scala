@@ -51,6 +51,49 @@ class DedupSpec extends SparkSpec {
     g.where($"dup_count" === 2).select("keep_id").as[Long].collect() shouldBe Array(1L)
   }
 
+  test("fast simhash matches the Column-algebra path bit for bit") {
+    // exercise edge shapes too: empty, whitespace-only, single token, mixed case
+    val edgy = docs.select($"text")
+      .unionByName(Seq("", "   ", "one", "MiXeD Case TOKENS here",
+        "tab\tand\nnewline  spaced").toDF("text"))
+    val cmp = edgy.select(
+      graft.functions.FastExprs.simHash($"text").as("fast"),
+      Dedup.simHashColumn($"text").as("hof"))
+    cmp.where($"fast" =!= $"hof").count() shouldBe 0
+  }
+
+  test("banded simhash near-dup finds low-hamming pairs and verifies exactly") {
+    val out = Dedup.simHashNearDup(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // docs 1 and 2 are exact dups after normalization → hamming 0
+    out should contain((1L, 2L, 0))
+    // every emitted pair respects the bound
+    all(out.map(_._3)) should be <= 8
+    // candidates come only from equal bands: recompute hamming directly and
+    // check the pigeonhole guarantee (hamming<=8 with 9 bands would always
+    // pair; with our bands = maxHamming+1 any returned pair must share one)
+    val sk = docs.select($"doc_id", Dedup.simHash($"text").as("sk"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (a, b, h) =>
+      java.lang.Long.bitCount(sk(a) ^ sk(b)) shouldBe h
+    }
+  }
+
+  test("minhash bucket cap drops oversized template buckets but keeps real pairs") {
+    val clones = (100L until 130L).map(i => (i, "identical template boilerplate text row"))
+    val salted = docs.unionByName(clones.toDF("doc_id", "text"))
+    val capped = Dedup.minHashDedup(salted, threshold = 0.5, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 30-clone bucket exceeds the cap → none of its 435 pairs survive
+    capped.count { case (a, b) => a >= 100L && b >= 100L } shouldBe 0
+    // genuine near-dups from small buckets are untouched
+    capped should contain((1L, 3L))
+    // sanity: uncapped DOES emit the clone pairs — the cap is what dropped them
+    val uncapped = Dedup.minHashDedup(salted, threshold = 0.5, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped.count { case (a, b) => a >= 100L && b >= 100L } shouldBe 435
+  }
+
   test("embedding near-dup finds parallel vectors") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f)),
@@ -60,5 +103,28 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.embeddingNearDup(emb, threshold = 0.95, cap = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs shouldBe Set((1L, 2L))
+  }
+
+  test("lsh cosine near-dup: subset of brute force, parallel vectors found") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f)),
+      (2L, Seq(0.9f, 0.01f, 0.45f)), // nearly parallel to 1 → same bucket
+      (3L, Seq(-1.0f, 0.2f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, -0.3f)),
+      (5L, Seq(0.02f, 0.98f, -0.29f)) // nearly parallel to 4
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDup(emb, threshold = 0.95, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.cosineNearDupLsh(emb, threshold = 0.95, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate: never a false positive vs brute force at the same θ
+    lsh.subsetOf(brute) shouldBe true
+    // parallel vectors collide in every sign bucket → always recalled
+    lsh should contain((1L, 2L))
+    lsh should contain((4L, 5L))
+    // each emitted pair appears exactly once (probe legs don't double-emit)
+    val rows = Dedup.cosineNearDupLsh(emb, threshold = 0.95, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.length shouldBe rows.toSet.size
   }
 }

@@ -58,6 +58,17 @@ class TextSimilaritySpec extends SparkSpec {
     r(1) should be > 0.6 // "spam ham"/"ham spam" repeat throughout
   }
 
+  test("fast repetition ratio matches the Column-algebra path exactly") {
+    val edgy = Seq("", "   ", "one", "one two", "a b a b a b",
+      "tab\tand\nnewline  spaced words tab\tand", "x " * 500).toDF("text")
+    for (w <- Seq(2, 3, 4)) {
+      val cmp = edgy.select(
+        TextAnalysis.repetitionRatio($"text", w).as("fast"),
+        TextAnalysis.repetitionRatioColumn($"text", w).as("hof"))
+      withClue(s"w=$w") { cmp.where($"fast" =!= $"hof").count() shouldBe 0 }
+    }
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val fp = Seq("a b c", "a b c", "c b a").toDF("text")
       .select(TextAnalysis.fingerprint($"text").as("f")).as[Long].collect()
