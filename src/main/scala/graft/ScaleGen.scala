@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize a k×-scaled bench corpus from an existing SF dir (sf0.1 × 10
+  * ≈ "sf1") so the round's perf gate can be checked one decade above the
+  * driver's largest testdata — the VERDICT's "would this curve survive a
+  * scale-up" probe. Never used for correctness (oracles run on the
+  * driver-generated data only).
+  *
+  * Replication strategy: k id-shifted copies with join-key offsets applied
+  * consistently (fact and dim sides shift together, so join cardinalities
+  * scale linearly and key skew is preserved). Text columns get a per-replica
+  * token suffix — every shingle differs across replicas, so near-dup
+  * structure scales linearly (k× the pairs), not quadratically (every doc
+  * suddenly a k-clone); embeddings get a tiny per-replica additive shift for
+  * the same reason. region/nation stay single-copy (true dims).
+  *
+  * Usage: ScaleGen <srcSfDir> <outDir> <k>
+  */
+object ScaleGen {
+
+  private val Off = 10_000_000_000L // beyond any driver-generated id
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, kStr) = args
+    val k = kStr.toInt
+    require(k >= 1, "k must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def src(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+
+    /** k replicas: long id columns in `ids` shifted by i·Off; `salt` maps
+      * (df, i) to replica-specific perturbations for i > 0. */
+    def replicate(df: DataFrame, ids: Seq[String],
+                  salt: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until k).map { i =>
+        val shifted = ids.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(i * Off)))
+        if (i == 0) shifted else salt(shifted, i)
+      }.reduce(_ unionByName _)
+
+    def saltText(cols: Seq[String])(d: DataFrame, i: Int): DataFrame =
+      cols.foldLeft(d)((acc, c) => acc.withColumn(c,
+        array_join(transform(split(col(c), " "), t => concat(t, lit(s"r$i"))), " ")))
+
+    def saltVec(c: String)(d: DataFrame, i: Int): DataFrame =
+      d.withColumn(c, transform(col(c), x => x + lit(i * 1e-3f)))
+
+    val out: Seq[(String, DataFrame)] = Seq(
+      "region" -> src("region"),
+      "nation" -> src("nation"),
+      "customer" -> replicate(src("customer"), Seq("c_custkey")),
+      "supplier" -> replicate(src("supplier"), Seq("s_suppkey")),
+      "part" -> replicate(src("part"), Seq("p_partkey")),
+      "orders" -> replicate(src("orders"), Seq("o_orderkey", "o_custkey")),
+      "lineitem" -> replicate(src("lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      "events" -> replicate(src("events"), Seq("event_id", "user_id")),
+      "documents" -> replicate(src("documents"), Seq("doc_id"),
+        saltText(Seq("text"))),
+      "embeddings" -> replicate(src("embeddings"), Seq("vec_id"),
+        saltVec("embedding")))
+
+    out.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scalegen] $name done")
+    }
+    spark.stop()
+  }
+}

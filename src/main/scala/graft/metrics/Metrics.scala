@@ -1,0 +1,120 @@
+package graft.metrics
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** One finished pipeline stage — the engine's analogue of the reference's
+  * per-task Prometheus gauges `etl_job_duration_seconds` and
+  * `etl_job_records_processed_total` labeled (job_name, task_id, status)
+  * (reference: airflow/config/metrics_utils.py:58-106). */
+final case class JobMetric(jobName: String, taskId: String, durationSec: Double,
+                           success: Boolean, recordsWritten: Long,
+                           recordsRead: Long) {
+  def toJson: String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    s"""{"job_name":"${esc(jobName)}","task_id":"${esc(taskId)}",""" +
+      s""""duration_seconds":$durationSec,"status":"${if (success) "success" else "failure"}",""" +
+      s""""records_written":$recordsWritten,"records_read":$recordsRead}"""
+  }
+}
+
+/** Per-stage metrics emission, Spark-native.
+  *
+  * The reference wraps every Airflow-launched Spark job in a timing
+  * decorator and pushes duration/record gauges to a Prometheus gateway
+  * (airflow/config/metrics_utils.py:23-106, monitoring/prometheus.yml:22-27).
+  * This registry is the in-engine counterpart: `timed(job, task) { body }`
+  * scopes the enclosed Spark actions under a job group, and a
+  * [[SparkListener]] attributes executor task output/input metrics back to
+  * that scope. Record counts therefore come from the scheduler for free —
+  * no extra `count()` jobs on the data path — and the mechanism is
+  * identical on a 1000-executor cluster, where per-task
+  * `TaskMetrics.outputMetrics` are already shipped to the driver with every
+  * task completion event.
+  *
+  * Thread safety: scopes are keyed by a unique job-group id, so concurrent
+  * `timed` blocks on different threads attribute correctly as long as each
+  * runs its Spark actions on the thread that opened the scope (job groups
+  * are thread-local, same rule as `SparkContext.setJobGroup`).
+  */
+final class MetricsRegistry(spark: SparkSession) extends SparkListener {
+  import MetricsRegistry._
+
+  private val seq = new AtomicLong(0)
+  private val stageToScope = new ConcurrentHashMap[Int, String]()
+  private val writtenByScope = new ConcurrentHashMap[String, LongAdder]()
+  private val readByScope = new ConcurrentHashMap[String, LongAdder]()
+  private val done = new ConcurrentLinkedQueue[JobMetric]()
+
+  spark.sparkContext.addSparkListener(this)
+
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+    val group = Option(jobStart.properties)
+      .map(_.getProperty("spark.jobGroup.id")).orNull
+    if (group != null && group.startsWith(Prefix))
+      jobStart.stageIds.foreach(sid => stageToScope.put(sid, group))
+  }
+
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val scope = stageToScope.get(taskEnd.stageId)
+    if (scope != null && taskEnd.taskMetrics != null) {
+      writtenByScope.computeIfAbsent(scope, _ => new LongAdder)
+        .add(taskEnd.taskMetrics.outputMetrics.recordsWritten)
+      readByScope.computeIfAbsent(scope, _ => new LongAdder)
+        .add(taskEnd.taskMetrics.inputMetrics.recordsRead)
+    }
+  }
+
+  /** Run `body` as a metered stage: wall-clock duration, success flag, and
+    * the records written/read by every Spark action it triggers. */
+  def timed[T](jobName: String, taskId: String)(body: => T): T = {
+    val scope = s"$Prefix${seq.incrementAndGet()}:$jobName/$taskId"
+    val sc = spark.sparkContext
+    sc.setJobGroup(scope, s"graft metered stage $jobName/$taskId")
+    val t0 = System.nanoTime()
+    var ok = false
+    try { val r = body; ok = true; r }
+    finally {
+      sc.clearJobGroup()
+      val duration = (System.nanoTime() - t0) / 1e9
+      // listener events are delivered async — drain before reading counters
+      org.apache.spark.graft.SparkInternals.flushListenerBus(sc)
+      def sum(m: ConcurrentHashMap[String, LongAdder]) =
+        Option(m.remove(scope)).map(_.sum()).getOrElse(0L)
+      done.add(JobMetric(jobName, taskId, duration, ok, sum(writtenByScope),
+        sum(readByScope)))
+    }
+  }
+
+  /** Finished stages, in completion order. */
+  def report(): Seq[JobMetric] = {
+    import scala.jdk.CollectionConverters._
+    done.iterator().asScala.toSeq
+  }
+
+  /** The push-to-gateway analogue: one JSON object per line, appendable and
+    * greppable (the container has no Prometheus; a real deployment would
+    * POST the same payload). */
+  def dump(path: String): Unit = {
+    val lines = report().map(_.toJson).mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), lines)
+  }
+
+  def close(): Unit = spark.sparkContext.removeSparkListener(this)
+}
+
+object MetricsRegistry {
+  private val Prefix = "graft.metrics:"
+
+  /** Meter `body` iff a registry is present — pipelines accept
+    * `Option[MetricsRegistry]` so metering is zero-cost when off. */
+  def timed[T](m: Option[MetricsRegistry], jobName: String, taskId: String)
+              (body: => T): T =
+    m.fold(body)(_.timed(jobName, taskId)(body))
+}

@@ -201,8 +201,13 @@ object BronzeToSilver {
     "comment_interactions" -> (Seq("CommentInteractionID"), false))
 
   /** One micro-batch (or the whole corpus in batch mode) → silver upserts.
-    * Articles table is date-partitioned so the rewrite is partition-scoped. */
-  def upsertBatch(spark: SparkSession, batch: DataFrame, warehouse: String): Unit = {
+    * Articles table is date-partitioned so the rewrite is partition-scoped.
+    * With `metrics`, each table's upsert is metered (duration + records
+    * written/read) under job_name "bronze_to_silver" — the analogue of the
+    * reference's per-task pushgateway gauges
+    * (airflow/config/metrics_utils.py:58-106). */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, warehouse: String,
+                  metrics: Option[graft.metrics.MetricsRegistry] = None): Unit = {
     if (batch.isEmpty) return
     val base = validArticles(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -210,7 +215,9 @@ object BronzeToSilver {
       silverTables(base).foreach { case (name, df) =>
         val (keys, insertOnly) = upsertKeys(name)
         val parts = if (name == "articles") Seq("date") else Nil
-        Upsert.upsert(spark, s"$warehouse/$name", df, keys, insertOnly, parts)
+        graft.metrics.MetricsRegistry.timed(metrics, "bronze_to_silver", name) {
+          Upsert.upsert(spark, s"$warehouse/$name", df, keys, insertOnly, parts)
+        }
       }
     } finally base.unpersist()
   }

@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object FlatView {
 
+  /** The reference's convenience view as SQL text
+    * (gold_to_bigquery.py:185-209 FLAT_VIEW_SQL), table names adapted from
+    * BigQuery FQNs to warehouse names. `Catalog.createView("vw_articles_flat",
+    * FlatViewSql)` over a gold warehouse produces rows identical to
+    * [[vwArticlesFlat]] (spec: SqlSurfaceSpec). */
+  val FlatViewSql: String =
+    """SELECT
+      |  f.ArticleID_NK,
+      |  f.ArticlePublicationTimestamp,
+      |  DATE(f.ArticlePublicationTimestamp) AS PublicationDate,
+      |  f.ArticleTitle,
+      |  f.ArticleDescription,
+      |  f.OpinionCount,
+      |  f.WordCountInMainContent,
+      |  f.CharacterCountInMainContent,
+      |  f.EstimatedReadTimeMinutes,
+      |  f.TaggedKeywordCountInArticle,
+      |  f.ReferenceSourceCountInArticle,
+      |  a.AuthorName,
+      |  t.TopicName,
+      |  st.SubTopicName
+      |FROM fact_article_publication f
+      |LEFT JOIN dim_author a
+      |  ON f.AuthorKey = a.AuthorKey
+      |LEFT JOIN dim_topic t
+      |  ON f.TopicKey = t.TopicKey
+      |LEFT JOIN dim_sub_topic st
+      |  ON f.SubTopicKey = st.SubTopicKey""".stripMargin
+
   def vwArticlesFlat(fact: DataFrame, dimAuthor: DataFrame,
                      dimTopic: DataFrame, dimSubTopic: DataFrame): DataFrame =
     fact.as("f")

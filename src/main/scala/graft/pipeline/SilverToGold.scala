@@ -37,11 +37,23 @@ object SilverToGold {
         dateKey(col("ts")).as("DateKey"))
       .dropDuplicates("DateKey")
 
-  def dimAuthor(authors: DataFrame): DataFrame =
-    authors.withColumn("AuthorKey", surrogateKey(col("AuthorID")))
-      .withColumnRenamed("AuthorID", "AuthorID_NK")
-      .dropDuplicates("AuthorID_NK")
+  /** Full-safe dim_author: authors ∪ articles' AuthorIDs
+    * (reference: gcs_silver_to_gold_1.py:498-516) — an article whose author
+    * never appeared in the authors table still gets a dim row (name NULL
+    * until the authors table catches up). `max(AuthorName)` ignores NULLs,
+    * so the named row wins deterministically when both legs carry the key —
+    * unlike the reference's partition-order-dependent dropDuplicates. */
+  def dimAuthor(authors: DataFrame, articles: DataFrame = null): DataFrame = {
+    val src =
+      if (articles == null) authors.select(col("AuthorID"), col("AuthorName"))
+      else authors.select(col("AuthorID"), col("AuthorName"))
+        .unionByName(articles.select(col("AuthorID")), allowMissingColumns = true)
+    src.where(col("AuthorID").isNotNull && (col("AuthorID") =!= ""))
+      .groupBy(col("AuthorID").as("AuthorID_NK"))
+      .agg(max(col("AuthorName")).as("AuthorName"))
+      .withColumn("AuthorKey", surrogateKey(col("AuthorID_NK")))
       .select("AuthorKey", "AuthorID_NK", "AuthorName")
+  }
 
   def dimTopic(topics: DataFrame): DataFrame =
     topics.withColumn("TopicKey", surrogateKey(col("TopicID")))
@@ -197,7 +209,10 @@ object SilverToGold {
     * was never materialized (e.g. a corpus with zero comments) reads as a
     * schema-typed empty DataFrame — the reference's CREATE TABLE IF NOT
     * EXISTS guarantees the same. */
-  def run(spark: SparkSession, silverWarehouse: String, goldWarehouse: String): Unit = {
+  def run(spark: SparkSession, silverWarehouse: String, goldWarehouse: String,
+          metrics: Option[graft.metrics.MetricsRegistry] = None): Unit = {
+    def metered[T](table: String)(body: => T): T =
+      graft.metrics.MetricsRegistry.timed(metrics, "silver_to_gold", table)(body)
     def silver(name: String): DataFrame =
       if (graft.operators.Upsert.tableExists(spark, s"$silverWarehouse/$name"))
         spark.read.parquet(s"$silverWarehouse/$name")
@@ -208,14 +223,14 @@ object SilverToGold {
     try {
       val dims: Map[String, (DataFrame, Seq[String])] = Map(
         "dim_date" -> (dimDate(articles), Seq("DateKey")),
-        "dim_author" -> (dimAuthor(silver("authors")), Seq("AuthorID_NK")),
+        "dim_author" -> (dimAuthor(silver("authors"), articles), Seq("AuthorID_NK")),
         "dim_topic" -> (dimTopic(silver("topics")), Seq("TopicID_NK")),
         "dim_sub_topic" -> (dimSubTopic(silver("subtopics"), silver("topics")), Seq("SubTopicID_NK")),
         "dim_keyword" -> (dimKeyword(silver("keywords")), Seq("KeywordID_NK")),
         "dim_reference_source" -> (dimReferenceSource(silver("references_table")), Seq("ReferenceID_NK")),
         "dim_interaction_type" -> (dimInteractionType(silver("comment_interactions")), Seq("InteractionTypeKey")))
       dims.foreach { case (name, (df, keys)) =>
-        Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys)
+        metered(name) { Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys) }
       }
       unknownRows(spark).foreach { case (name, row) =>
         val keys = dims.get(name).map(_._2).getOrElse(Seq(row.columns.head))
@@ -243,7 +258,9 @@ object SilverToGold {
           Seq("ArticlePublicationDateKey", "ArticleID_NK", "CommentID_NK", "InteractionTypeKey"),
           Seq("ArticlePublicationDateKey")))
       facts.foreach { case (name, (df, keys, parts)) =>
-        Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys, insertOnly = false, parts)
+        metered(name) {
+          Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys, insertOnly = false, parts)
+        }
       }
     } finally articles.unpersist()
   }

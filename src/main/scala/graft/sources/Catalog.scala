@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Thin catalog façade over a Parquet warehouse directory — the engine's
   * stand-in for the reference's Iceberg namespaces/DDL
@@ -19,12 +20,33 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   def tablePath(name: String): String = s"$warehouse/$name"
 
+  /** Schema sidecar — the parquet-warehouse stand-in for Iceberg's table
+    * metadata: a DDL-created table is readable (as empty, schema-typed)
+    * before its first data file, which parquet footer inference alone
+    * cannot provide (an empty write emits no footer). */
+  private def sidecarPath(name: String) =
+    new Path(tablePath(name), "_graft_schema.json")
+
+  private def readSidecar(name: String): Option[StructType] = {
+    val p = sidecarPath(name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(DataType.fromJson(new String(
+        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType])
+      finally in.close()
+    }
+  }
+
   /** S12: existence probe (reference: gcs_silver_to_gold.py:100-109 DESCRIBE
-    * try/except) — a readable parquet footer, not just a directory. */
+    * try/except) — a readable parquet footer or a DDL schema sidecar, not
+    * just a directory. */
   def tableExists(name: String): Boolean = {
     val p = new Path(tablePath(name))
-    fs.exists(p) && (try { spark.read.parquet(tablePath(name)); true }
-      catch { case _: org.apache.spark.sql.AnalysisException => false })
+    fs.exists(p) && (fs.exists(sidecarPath(name)) ||
+      (try { spark.read.parquet(tablePath(name)); true }
+       catch { case _: org.apache.spark.sql.AnalysisException => false }))
   }
 
   /** S4: idempotent table creation from a first batch (CREATE IF NOT EXISTS). */
@@ -36,13 +58,68 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         .parquet(tablePath(name))
     }
 
-  def read(name: String): DataFrame = spark.read.parquet(tablePath(name))
+  def read(name: String): DataFrame =
+    try spark.read.parquet(tablePath(name))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        // no data files yet: a DDL-created table reads as schema-typed empty
+        readSidecar(name).map(schema => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+          .getOrElse(throw e)
+    }
 
   /** S3-as-table-name: also register as a temp view so spark.sql sees it. */
   def registerView(name: String): DataFrame = {
     val df = read(name)
     df.createOrReplaceTempView(name)
     df
+  }
+
+  // ---- SQL-string surface --------------------------------------------
+  // The reference drives its whole lifecycle through spark.sql text: DDL
+  // (gcs_bronze_to_silver.py:73-158), MERGE (:469-490), and the flat view
+  // as SQL (gold_to_bigquery.py:185-209). These entry points let a
+  // SQL-first user run the same statements against the parquet warehouse.
+
+  /** Register every warehouse table as a temp view; returns the names. */
+  def registerAll(): Seq[String] = {
+    val names = listTables()
+    names.foreach(registerView)
+    names
+  }
+
+  /** Run a SQL query with all warehouse tables visible by name. Re-reads
+    * the warehouse listing each call so tables created since the last call
+    * resolve too (snapshot semantics per query, like the reference's
+    * per-run spark.table reads). */
+  def sql(query: String): DataFrame = {
+    registerAll()
+    spark.sql(query)
+  }
+
+  /** S4 as SQL text: CREATE TABLE IF NOT EXISTS from a DDL column list
+    * (mirrors the reference's Iceberg DDL, gcs_bronze_to_silver.py:73-158;
+    * `schemaDdl` is the same "col TYPE, ..." body). The schema lands in the
+    * sidecar so the table reads as schema-typed empty before first data —
+    * an empty parquet write carries no footer to infer from. */
+  def createTableDdl(name: String, schemaDdl: String,
+                     partitionCols: Seq[String] = Nil): Unit =
+    if (!tableExists(name)) {
+      val schema = StructType.fromDDL(schemaDdl)
+      val missing = partitionCols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"partition columns not in schema: $missing")
+      fs.mkdirs(new Path(tablePath(name)))
+      val out = fs.create(sidecarPath(name), true)
+      try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** CREATE OR REPLACE VIEW `name` AS `selectSql` over warehouse tables
+    * (reference: gold_to_bigquery.py:185-209 FLAT_VIEW_SQL). */
+  def createView(name: String, selectSql: String): DataFrame = {
+    registerAll()
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $selectSql")
+    spark.table(name)
   }
 
   /** SHOW TABLES (reference: gold_to_bigquery.py:100-115). */
