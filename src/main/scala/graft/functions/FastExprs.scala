@@ -46,6 +46,11 @@ object FastExprs {
   def signLshBucket(vec: Column, planes: Seq[Seq[Long]]): Column =
     ExpressionUtils.column(SignLshBucketExpr(ExpressionUtils.expression(vec), planes))
 
+  /** Rolling-polynomial document fingerprint; value-identical to the
+    * Column-algebra TextAnalysis path ([[FingerprintExpr.compute]]). */
+  def fingerprint(text: Column): Column =
+    ExpressionUtils.column(FingerprintExpr(ExpressionUtils.expression(text)))
+
   /** Gopher-style repetition ratio over non-distinct w-grams; value-
     * identical to the Column-algebra TextAnalysis path in one compiled
     * pass (see [[RepetitionRatioExpr.compute]]). */
@@ -93,6 +98,37 @@ object FastExprs {
       i += 1
     }
     while (cnt < 8) { acc *= 10; cnt += 1 } // right-pad with zeros
+    acc
+  }
+}
+
+case class FingerprintExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+  override def nullSafeEval(input: Any): Any =
+    FingerprintExpr.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FingerprintExpr.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FingerprintExpr {
+  /** Value-identical to TextAnalysis.fingerprint's Column algebra: rolling
+    * polynomial hash acc←(acc·131 + portableHash(tok)) mod 1e9+7 over the
+    * in-order (non-distinct) whitespace tokens. The HOF path evaluates
+    * Spark's md5 + regexp_replace + substring chain per token,
+    * interpreted; this runs the digit-extracting JVM hash in one pass. */
+  def compute(text: UTF8String): Long = {
+    val toks = FastExprs.normTokens(text.toString)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc = Math.floorMod(acc * 131L + FastExprs.portableHashJvm(toks(i)), 1000000007L)
+      i += 1
+    }
     acc
   }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Scan-pruning helpers for the fact⋈dim path at 100 TB: make the engine's
+  * parquet layout and join plans skip data instead of reading it.
+  *
+  * Three complementary mechanisms (all Catalyst/Parquet-native — the
+  * operator's job is to lay data out and configure so they fire):
+  *
+  *  1. **Dynamic partition pruning (DPP)**: a partitioned fact joined to a
+  *     filtered dim on the partition column scans only partitions the dim
+  *     survives — the partition filter is injected at runtime from the
+  *     dim-side result. Needs: hive-layout partition dirs (the warehouse's
+  *     format) + equi-join on the partition column.
+  *  2. **Runtime bloom-filter join pruning**: for shuffle joins on
+  *     NON-partition keys, Catalyst builds a bloom filter from the
+  *     selective (filtered) build side and semi-filters the big side's scan
+  *     before the exchange — rows that cannot match never shuffle.
+  *  3. **Parquet row-group skipping**: column bloom filters written into
+  *     the footers serve point-lookup (`key = x`) row-group skips;
+  *     sorting-within-partitions clusters values so min/max stats prune
+  *     range predicates.
+  *
+  * 1 and 2 are optimizer rules — [[runtimeFilters]] exposes what actually
+  * fired so specs (and operators at 100 TB) assert the plan, not hope.
+  */
+object Pruning {
+
+  /** Write `df` as parquet with footer bloom filters on `bloomCols` (for
+    * point-lookup row-group skipping) and optional value clustering via
+    * `sortCols` (tight min/max stats per row group for range predicates).
+    * The sort is within partitions only — no extra shuffle is introduced. */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+                            bloomCols: Seq[String],
+                            sortCols: Seq[String] = Nil,
+                            partitionCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.sortWithinPartitions(sortCols.map(df.col): _*)
+      else df
+    var w = sorted.write.mode(SaveMode.Overwrite)
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** The runtime filters present in `df`'s compiled physical plan:
+    * "dpp" for each dynamic-partition-pruning subquery on a scan, and
+    * "bloom" for each bloom-filter semi-filter Catalyst injected. Empty
+    * means every scanned row pays the full join — at 100 TB that is a plan
+    * bug worth failing a test over. */
+  def runtimeFilters(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.executedPlan.toString()
+    val dpp = "dynamicpruning".r.findAllIn(plan.toLowerCase).size
+    val bloom = "bloomfilter".r.findAllIn(plan.toLowerCase).size
+    Seq.fill(dpp)("dpp") ++ Seq.fill(bloom)("bloom")
+  }
+}

@@ -38,8 +38,15 @@ object TextAnalysis {
       .cast("long")
 
   /** Document fingerprint: polynomial rolling hash over token hashes,
-    * mod 1e9+7 (keeps the accumulator overflow-free under ANSI mode). */
+    * mod 1e9+7 (keeps the accumulator overflow-free under ANSI mode).
+    * Codegen'd single pass ([[graft.functions.FingerprintExpr]]). */
   def fingerprint(text: Column): Column =
+    graft.functions.FastExprs.fingerprint(text)
+
+  /** Column-algebra reference implementation of [[fingerprint]] — kept as
+    * the value-identity witness for the spec (per-token md5 + regex chain,
+    * interpreted; never use on a hot path). */
+  def fingerprintColumn(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(131L) + portableHash(t), lit(1000000007L)))
 

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pruning
+
+/** Scan-pruning at the plan level: DPP on the partitioned fact⋈dim path,
+  * runtime bloom-filter injection on shuffle joins, and parquet bloom
+  * footers on point-lookup keys. These assert the PLAN, because at 100 TB
+  * "the optimizer probably pruned" is not evidence. */
+class PruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("partitioned fact joined to a filtered dim gets dynamic partition pruning") {
+    val dir = tmpDir("dpp")
+    val fact = (1 to 5000).map(i => (i.toLong, i % 20, i * 1.5))
+      .toDF("id", "k", "v")
+    fact.write.partitionBy("k").parquet(s"$dir/fact")
+    val dim = (0 until 20).map(k => (k, s"name$k")).toDF("k", "name")
+    dim.write.parquet(s"$dir/dim")
+
+    val joined = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim").where($"name" === "name3"), "k")
+    val filters = Pruning.runtimeFilters(joined)
+    withClue(joined.queryExecution.executedPlan.toString()) {
+      filters should contain("dpp")
+    }
+    // and the pruned plan still computes the right answer
+    joined.count() shouldBe 250
+  }
+
+  test("selective shuffle join injects a runtime bloom filter on the big side") {
+    val dir = tmpDir("bloom")
+    (1 to 50000).map(i => (i.toLong, s"u${i % 1000}", i * 2.0))
+      .toDF("id", "user", "v").write.parquet(s"$dir/big")
+    (0 until 1000).map(k => (s"u$k", k % 7)).toDF("user", "seg")
+      .write.parquet(s"$dir/small")
+
+    withConf(
+      // force the shuffle-join shape (bloom injection targets it) and
+      // zero the size thresholds that gate the rule at toy scale
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val joined = spark.read.parquet(s"$dir/big")
+        .join(spark.read.parquet(s"$dir/small").where($"seg" === 3), "user")
+      val filters = Pruning.runtimeFilters(joined)
+      withClue(joined.queryExecution.executedPlan.toString()) {
+        filters should contain("bloom")
+      }
+      joined.count() shouldBe (1 to 50000).count(i => (i % 1000) % 7 == 3)
+    }
+  }
+
+  test("bloom-filter parquet writes skip row groups on point lookups") {
+    val dir = tmpDir("pqbloom")
+    val df = (1 to 20000).map(i => (i.toLong, s"key${i}", i * 1.0))
+      .toDF("id", "nk", "v")
+    Pruning.writeWithBloomFilters(df.repartition(4), s"$dir/t",
+      bloomCols = Seq("nk"), sortCols = Seq("id"))
+    val back = spark.read.parquet(s"$dir/t")
+    back.where($"nk" === "key777").count() shouldBe 1
+    back.count() shouldBe 20000
+    // footers really carry the bloom filter for nk
+    val file = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toURI), conf))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val nkCol = rg.getColumns.asScala.find(_.getPath.toDotString == "nk").get
+      // offset > 0 <=> a bloom filter was written for this column chunk
+      assert(nkCol.getBloomFilterOffset > 0,
+        s"no bloom filter offset for nk in ${file.getName}")
+    } finally reader.close()
+  }
+
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScala: scala.collection.mutable.Buffer[A] =
+      scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+  }
+}

@@ -76,6 +76,15 @@ class TextSimilaritySpec extends SparkSpec {
     fp(0) should not be fp(2)
   }
 
+  test("fast fingerprint matches the Column-algebra path exactly") {
+    val edgy = Seq("", "   ", "one", "repeat repeat repeat",
+      "tab\tand\nnewline  spaced", "unicode tiếng việt ăn ở").toDF("text")
+    val cmp = edgy.select(
+      TextAnalysis.fingerprint($"text").as("fast"),
+      TextAnalysis.fingerprintColumn($"text").as("hof"))
+    cmp.where($"fast" =!= $"hof").count() shouldBe 0
+  }
+
   test("brute-force topk ranks by exact cosine") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)),
