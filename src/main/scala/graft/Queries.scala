@@ -476,6 +476,22 @@ object Queries {
     s.sql(SqlSurfaceText)
   }
 
+  /** Batch twin of the stream-stream interval join (funnel attribution):
+    * per user, every view followed by a purchase within 10 minutes. Same
+    * `Streams.intervalJoin` plan runs on two watermarked streams — the
+    * streaming spec proves stream==batch on a shared fixture. */
+  def q52IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts"))
+    graft.streaming.Streams.intervalJoin(views, buys, "user_id",
+        before = "0 minutes", after = "4 hours")
+      .select(col("l.user_id").as("user_id"), col("view_id"), col("buy_id"),
+        (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
+  }
+
   /** Embedding near-dup via sign-LSH buckets (the scale path q28's capped
     * brute force documents): candidates = bucket Hamming ≤ 1, verify =
     * exact quantized cosine. Unlike q28 this runs over the WHOLE corpus —
@@ -716,6 +732,17 @@ object Queries {
         |              json_extract_string(TRY_CAST(props AS JSON), '$.k') AS v
         |            FROM events))
         |GROUP BY 1""".stripMargin,
+    "q52_interval_join" ->
+      // comparisons on epoch_us mirror Spark's micros-precision timestamps
+      // (events.parquet is TIMESTAMP_NS; DuckDB would otherwise compare at
+      // nanos and diverge on sub-microsecond edges)
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'view'),
+        |     b AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, view_id, buy_id, b.t - v.t AS lag_us
+        |FROM v JOIN b ON v.user_id = b.user_id
+        | AND b.t >= v.t AND b.t <= v.t + 14400000000""".stripMargin,
     "q16_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INT) AS hr, event_type,
         | count(*) AS n,
@@ -1119,6 +1146,7 @@ object Queries {
     "q48_minhash_capped" -> (q48MinHashCapped _),
     "q49_simhash_neardup" -> (q49SimHashNearDup _),
     "q50_sql_surface" -> (q50SqlSurface _),
-    "q51_cosine_neardup_lsh" -> (q51CosineNearDupLsh _)
+    "q51_cosine_neardup_lsh" -> (q51CosineNearDupLsh _),
+    "q52_interval_join" -> (q52IntervalJoin _)
   )
 }

@@ -67,22 +67,50 @@ object Upsert {
     else try Some(spark.read.parquet(path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
+  /** Additive schema evolution (the Iceberg mergeSchema analogue): align
+    * target and source to the union of their columns, NULL-filling the
+    * side that lacks one. Column TYPE changes are rejected loudly — a
+    * silent cast would corrupt 100 TB before anyone noticed. Because the
+    * merge replaces whole rows, a matched key whose source row lacks a
+    * target-only column reads NULL afterwards (document-replace semantics,
+    * not per-column UPDATE SET). */
+  private def align(target: DataFrame, src: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tf = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val sf = src.schema.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = tf.keySet.intersect(sf.keySet).filter(c => tf(c) != sf(c))
+    require(conflicts.isEmpty,
+      s"upsert schema evolution: type change not supported for ${conflicts.toSeq.sorted}")
+    val outCols = target.schema.fieldNames ++
+      src.schema.fieldNames.filterNot(tf.contains)
+    def conform(df: DataFrame, have: Map[String, org.apache.spark.sql.types.DataType],
+                other: Map[String, org.apache.spark.sql.types.DataType]) =
+      df.select(outCols.map(c =>
+        if (have.contains(c)) col(c) else lit(null).cast(other(c)).as(c)): _*)
+    (conform(target, tf, sf), conform(src, sf, tf))
+  }
+
   /** Upsert `source` into the Parquet table at `path` on `keys`. An empty
     * source is a no-op (a micro-batch of only-invalid rows must not clobber
-    * the table with an unreadable empty directory). */
+    * the table with an unreadable empty directory). With `evolveSchema`,
+    * new source columns are added to the table (see [[align]]); without it
+    * a schema drift fails the merge loudly (the reference's fixed-DDL
+    * behavior). */
   def upsert(spark: SparkSession, path: String, source: DataFrame,
              keys: Seq[String], insertOnly: Boolean = false,
-             partitionCols: Seq[String] = Nil): Unit = {
-    val src = dedupSource(source, keys)
-    if (src.isEmpty) return
+             partitionCols: Seq[String] = Nil,
+             evolveSchema: Boolean = false): Unit = {
+    val src0 = dedupSource(source, keys)
+    if (src0.isEmpty) return
     recoverSwap(spark, path)
     val existing = readTable(spark, path)
     if (existing.isEmpty) {
-      val w = src.write.mode(SaveMode.Overwrite)
+      val w = src0.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       return
     }
-    val target = existing.get
+    val (target, src) =
+      if (evolveSchema) align(existing.get, src0) else (existing.get, src0)
     if (partitionCols.nonEmpty) {
       // Timestamp partition values are formatted by the writer with a
       // pattern Row.toString doesn't reproduce — reject them loudly

@@ -52,6 +52,29 @@ object Streams {
       .dropDuplicatesWithinWatermark(keys)
   }
 
+  /** Stream-stream event-time interval join: each left row pairs with
+    * right rows of the same `key` whose event time lies in
+    * [leftTs − before, leftTs + after]. Both sides are watermarked, which
+    * is what BOUNDS the join state — Spark retains each side only until
+    * the other side's watermark passes the interval edge, so an unbounded
+    * stream holds a sliding window of rows, not history (the condition
+    * must time-bound both directions or state grows forever; this is the
+    * canonical funnel/attribution join). Same plan works in batch — the
+    * oracle twin q52 replays it on the events table. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String = "ts", rightTs: String = "ts",
+                   before: String = "0 minutes", after: String = "10 minutes",
+                   lateness: String = "30 minutes"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, lateness) else left)
+      .alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, lateness) else right)
+      .alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, value: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

@@ -121,6 +121,44 @@ class CatalogStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val out = Streams.intervalJoin(
+      views.toDF().toDF("user_id", "view_id", "ts"),
+      buys.toDF().toDF("user_id", "buy_id", "ts"),
+      "user_id", after = "10 minutes", lateness = "5 minutes")
+      .select(col("l.user_id"), col("view_id"), col("buy_id"))
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1 views at :00 and :20; buys at :05 (within both? only :00+10)
+      // and :25 (within :20+10). u2 buys with no view. Cross-batch arrival.
+      views.addData((1L, 100L, ts(0)), (1L, 101L, ts(20)))
+      buys.addData((1L, 200L, ts(5)), (2L, 201L, ts(6)))
+      q.processAllAvailable()
+      buys.addData((1L, 202L, ts(25)))
+      // advance both watermarks so all joinable state resolves
+      views.addData((9L, 999L, ts(59)))
+      buys.addData((9L, 998L, ts(59)))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = Streams.intervalJoin(
+        Seq((1L, 100L, ts(0)), (1L, 101L, ts(20)), (9L, 999L, ts(59)))
+          .toDF("user_id", "view_id", "ts"),
+        Seq((1L, 200L, ts(5)), (2L, 201L, ts(6)), (1L, 202L, ts(25)),
+          (9L, 998L, ts(59)))
+          .toDF("user_id", "buy_id", "ts"),
+        "user_id", after = "10 minutes")
+        .select(col("l.user_id"), col("view_id"), col("buy_id"))
+        .as[(Long, Long, Long)].collect().toSet
+      streamed shouldBe batch
+      batch shouldBe Set((1L, 100L, 200L), (1L, 101L, 202L), (9L, 999L, 998L))
+    } finally q.stop()
+  }
+
   test("multi-probe LSH finds at least the single-probe results, still exact-subset") {
     val emb = (0L until 80L).map { i =>
       (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))

@@ -95,4 +95,34 @@ class UpsertSpec extends SparkSpec {
     // untouched partition directory was not rewritten
     new java.io.File(s"$path/part=p2").lastModified() shouldBe before
   }
+
+  test("upsert evolves the schema additively when asked, fails loudly when not") {
+    val path = tmpDir("upserte") + "/t"
+    Upsert.upsert(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+
+    // drifted source without opt-in → loud failure, table untouched
+    val drifted = Seq((2L, "B", 7)).toDF("k", "v", "extra")
+    an[Exception] should be thrownBy
+      Upsert.upsert(spark, path, drifted, Seq("k"))
+    spark.read.parquet(path).columns.sorted shouldBe Array("k", "v")
+
+    // with evolveSchema: new column appears, pre-evolution rows read NULL
+    Upsert.upsert(spark, path, drifted, Seq("k"), evolveSchema = true)
+    val t = spark.read.parquet(path)
+    t.columns.sorted shouldBe Array("extra", "k", "v")
+    t.where($"k" === 2L).select("extra").collect()(0).getInt(0) shouldBe 7
+    t.where($"k" === 1L).select("extra").collect()(0).isNullAt(0) shouldBe true
+
+    // a source missing a known column NULL-fills it for replaced rows
+    Upsert.upsert(spark, path,
+      Seq((1L, 11)).toDF("k", "extra"), Seq("k"), evolveSchema = true)
+    val t2 = spark.read.parquet(path)
+    t2.where($"k" === 1L).select("v").collect()(0).isNullAt(0) shouldBe true
+    t2.where($"k" === 2L).select("v").collect()(0).getString(0) shouldBe "B"
+
+    // type change is never silently cast
+    an[IllegalArgumentException] should be thrownBy
+      Upsert.upsert(spark, path, Seq((1L, 1.5)).toDF("k", "v"), Seq("k"),
+        evolveSchema = true)
+  }
 }
