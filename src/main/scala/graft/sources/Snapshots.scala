@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Snapshot versioning + time travel for Parquet warehouse tables — the
+  * engine's analogue of the Iceberg snapshot features the reference's
+  * README claims (reference: README.md:100-106) but never exercises in
+  * code.
+  *
+  * Layout:
+  * {{{
+  *   <table>/_versions/v00000001/  ← immutable full snapshot (parquet)
+  *   <table>/_versions/v00000002/
+  *   <table>/_current              ← tiny pointer file, atomically swapped
+  * }}}
+  *
+  * Each commit writes a NEW immutable version directory and then swaps the
+  * pointer (write sibling tmp → delete → rename; a reader that races the
+  * swap falls back to the newest complete snapshot, so there is no window
+  * where the table is unreadable). Unlike Iceberg's manifest reuse, every
+  * snapshot here is a full copy — simple and crash-safe, at O(table) write
+  * cost per commit. That trade is right for dimension-sized tables and
+  * per-partition-committed facts; for a 100 TB fact table, snapshot the
+  * PARTITION directories (compose with Upsert's partition-scoped rewrite),
+  * not the table root.
+  *
+  * Readers never list-and-guess: concurrent writers are out of scope
+  * (single-writer, the reference's one-Airflow-run-at-a-time schedule),
+  * but a crashed writer leaves only an orphan version dir that `vacuum`
+  * collects — the pointer still names the last complete snapshot.
+  */
+object Snapshots {
+
+  private val VersionsDir = "_versions"
+  private val Pointer = "_current"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def vName(v: Long) = f"v$v%08d"
+
+  private def versionPath(table: String, v: Long) =
+    s"$table/$VersionsDir/${vName(v)}"
+
+  /** Committed versions, ascending: version dirs with a _SUCCESS marker
+    * (a crashed write has none and is invisible). */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = new Path(s"$table/$VersionsDir")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => f.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("v").toLong).toSeq.sorted
+  }
+
+  /** The pointer's version, or (pointer missing/corrupt — e.g. a reader
+    * racing the swap) the newest complete snapshot. */
+  def currentVersion(spark: SparkSession, table: String): Option[Long] = {
+    val p = new Path(table, Pointer)
+    val f = fs(spark, p)
+    val pointed =
+      if (!f.exists(p)) None
+      else try {
+        val in = f.open(p)
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+        val v = s.stripPrefix("v").toLong
+        if (f.exists(new Path(versionPath(table, v)))) Some(v) else None
+      } catch { case _: Exception => None }
+    pointed.orElse(versions(spark, table).lastOption)
+  }
+
+  /** Commit `df` as the next snapshot; returns the new version number. */
+  def commit(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val next = versions(spark, table).lastOption.getOrElse(0L) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(versionPath(table, next))
+    swapPointer(spark, table, next)
+    next
+  }
+
+  /** Read the current snapshot (time travel: pass `asOf`). */
+  def read(spark: SparkSession, table: String, asOf: Long = -1L): DataFrame = {
+    val v =
+      if (asOf > 0) asOf
+      else currentVersion(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    require(versions(spark, table).contains(v),
+      s"snapshot v$v does not exist at $table (have ${versions(spark, table)})")
+    spark.read.parquet(versionPath(table, v))
+  }
+
+  /** Keyed MERGE against the current snapshot, committed as a new version
+    * (read-modify-commit; single-writer). */
+  def upsert(spark: SparkSession, table: String, source: DataFrame,
+             keys: Seq[String], insertOnly: Boolean = false): Long = {
+    val merged = currentVersion(spark, table) match {
+      case None => source
+      case Some(v) => graft.operators.Upsert.merge(
+        read(spark, table, v), source, keys, insertOnly)
+    }
+    commit(spark, table, merged)
+  }
+
+  /** Repoint the table at an older snapshot (instant, nothing rewritten —
+    * later versions remain until `vacuum`). */
+  def rollback(spark: SparkSession, table: String, v: Long): Unit = {
+    require(versions(spark, table).contains(v),
+      s"cannot roll back to missing snapshot v$v at $table")
+    swapPointer(spark, table, v)
+  }
+
+  /** Delete all snapshots except the current one and the newest
+    * `keep`−1 others (plus any orphan dirs from crashed writes). */
+  def vacuum(spark: SparkSession, table: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "vacuum must keep at least the current snapshot")
+    val cur = currentVersion(spark, table).getOrElse(return)
+    val all = versions(spark, table)
+    val keepSet = (all.filter(_ != cur).takeRight(keep - 1) :+ cur).toSet
+    val dir = new Path(s"$table/$VersionsDir")
+    val f = fs(spark, dir)
+    f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => !keepSet.map(vName).contains(p.getName))
+      .foreach(p => f.delete(p, true))
+  }
+
+  private def swapPointer(spark: SparkSession, table: String, v: Long): Unit = {
+    val tmp = new Path(table, s"$Pointer.tmp")
+    val cur = new Path(table, Pointer)
+    val f = fs(spark, cur)
+    val out = f.create(tmp, true)
+    try out.write(vName(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(cur, false)
+    if (!f.rename(tmp, cur))
+      throw new IllegalStateException(s"snapshot pointer swap failed at $table")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.Snapshots
+
+/** Snapshot versioning: commit, time travel, rollback, vacuum, crash
+  * fallback — the Iceberg-claimed features the reference never exercises
+  * (reference README.md:100-106), native on the parquet warehouse. */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commit, read, time travel, rollback, vacuum") {
+    val t = tmpDir("snap") + "/t"
+    val v1 = Snapshots.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    v1 shouldBe 1L
+    val v2 = Snapshots.upsert(spark, t,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    v2 shouldBe 2L
+
+    // current = merged
+    Snapshots.read(spark, t).orderBy("k").as[(Long, String)].collect() shouldBe
+      Array((1L, "a"), (2L, "B"), (3L, "c"))
+    // time travel = the pre-merge world, untouched
+    Snapshots.read(spark, t, asOf = 1L).orderBy("k").as[(Long, String)].collect() shouldBe
+      Array((1L, "a"), (2L, "b"))
+    Snapshots.versions(spark, t) shouldBe Seq(1L, 2L)
+
+    // rollback repoints without rewriting; a later commit continues the log
+    Snapshots.rollback(spark, t, 1L)
+    Snapshots.read(spark, t).count() shouldBe 2
+    val v3 = Snapshots.commit(spark, t, Seq((9L, "z")).toDF("k", "v"))
+    v3 shouldBe 3L
+    Snapshots.read(spark, t).count() shouldBe 1
+
+    // vacuum keeps current + newest others; time travel to evicted fails loudly
+    Snapshots.vacuum(spark, t, keep = 2)
+    Snapshots.versions(spark, t) shouldBe Seq(2L, 3L)
+    an[IllegalArgumentException] should be thrownBy
+      Snapshots.read(spark, t, asOf = 1L)
+  }
+
+  test("reader survives a missing pointer and a crashed write") {
+    val t = tmpDir("snapc") + "/t"
+    Snapshots.commit(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.commit(spark, t, Seq((1L, "a2")).toDF("k", "v"))
+
+    // crashed writer: version dir without _SUCCESS is invisible
+    val orphan = new java.io.File(s"$t/_versions/v00000007")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("part-junk.parquet"), "x")
+    Snapshots.versions(spark, t) shouldBe Seq(1L, 2L)
+    Snapshots.read(spark, t).as[(Long, String)].collect() shouldBe Array((1L, "a2"))
+
+    // lost pointer (crash between delete and rename): newest snapshot wins
+    new java.io.File(s"$t/_current").delete() shouldBe true
+    Snapshots.currentVersion(spark, t) shouldBe Some(2L)
+    Snapshots.read(spark, t).as[(Long, String)].collect() shouldBe Array((1L, "a2"))
+
+    // vacuum collects the orphan too
+    Snapshots.vacuum(spark, t, keep = 1)
+    new java.io.File(s"$t/_versions").listFiles().map(_.getName).sorted shouldBe
+      Array("v00000002")
+  }
+}
