@@ -492,6 +492,33 @@ object Queries {
         (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
   }
 
+  /** TF-IDF-style salient terms: top-3 tokens per document by
+    * tf · (N+1)/(df+1). Log-free inverse-frequency weighting on purpose:
+    * tf·(N+1) is exact integer arithmetic and the single double division
+    * rounds once, so the score is bit-identical across engines (ln() is
+    * libm-dependent and would break hash-compare); the ranking is the same
+    * monotone order as the ln form for fixed doc. Plan shape: explode →
+    * two-level partial agg (tf, then df over tf — never re-reads text) →
+    * 1-row corpus count broadcast — the canonical corpus-statistics join. */
+  def q53TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        ((col("tf") * (col("n") + lit(1L))).cast("double") / (col("df") + lit(1L)))
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+  }
+
   /** Embedding near-dup via sign-LSH buckets (the scale path q28's capped
     * brute force documents): candidates = bucket Hamming ≤ 1, verify =
     * exact quantized cosine. Unlike q28 this runs over the WHOLE corpus —
@@ -732,6 +759,23 @@ object Queries {
         |              json_extract_string(TRY_CAST(props AS JSON), '$.k') AS v
         |            FROM events))
         |GROUP BY 1""".stripMargin,
+    "q53_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, tok, tf, df,
+        |  CAST(tf * (n + 1) AS DOUBLE) / (df + 1) AS score,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY doc_id
+        |    ORDER BY CAST(tf * (n + 1) AS DOUBLE) / (df + 1) DESC, tok) AS INT)
+        |    AS rank
+        |FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        |QUALIFY rank <= 3""".stripMargin,
     "q52_interval_join" ->
       // comparisons on epoch_us mirror Spark's micros-precision timestamps
       // (events.parquet is TIMESTAMP_NS; DuckDB would otherwise compare at
@@ -1147,6 +1191,7 @@ object Queries {
     "q49_simhash_neardup" -> (q49SimHashNearDup _),
     "q50_sql_surface" -> (q50SqlSurface _),
     "q51_cosine_neardup_lsh" -> (q51CosineNearDupLsh _),
-    "q52_interval_join" -> (q52IntervalJoin _)
+    "q52_interval_join" -> (q52IntervalJoin _),
+    "q53_tfidf" -> (q53TfIdf _)
   )
 }
