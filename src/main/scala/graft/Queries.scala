@@ -492,6 +492,30 @@ object Queries {
         (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
   }
 
+  private val ChecksumCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** Cross-engine table checksum (migration validation): DuckDB computes
+    * the same Σ portableHash(row) on its side of the compare. */
+  def q54Checksum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Reconcile.checksum(t(s, dir, "orders"), ChecksumCols)
+
+  /** Keyed table diff against a deterministically perturbed replica:
+    * drop keys ≡0 (mod 97) [removed], flip status for ≡0 (mod 101)
+    * [changed], append key+10⁹ clones for ≡0 (mod 103) [added]. */
+  def q55TableDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val replica = orders
+      .where(pmod(col("o_orderkey"), lit(97L)) =!= 0)
+      .withColumn("o_orderstatus",
+        when(pmod(col("o_orderkey"), lit(101L)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .unionByName(orders.where(pmod(col("o_orderkey"), lit(103L)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+    graft.operators.Reconcile.diff(orders, replica, Seq("o_orderkey"))
+  }
+
   /** TF-IDF-style salient terms: top-3 tokens per document by
     * tf · (N+1)/(df+1). Log-free inverse-frequency weighting on purpose:
     * tf·(N+1) is exact integer arithmetic and the single double division
@@ -546,6 +570,16 @@ object Queries {
     * digits → first 8 of zero-padded → BIGINT. */
   private val PortableHashSqlT =
     "CAST(substr(regexp_replace(md5(t), '[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
+
+  /** DuckDB mirror of Reconcile.rowDigest: portable hash of values joined
+    * by chr(1) with chr(2)-marked NULLs — byte-identical input to md5 on
+    * both engines. */
+  private def digestSql(cols: Seq[String]): String = {
+    val parts = cols
+      .map(c => s"coalesce(CAST($c AS VARCHAR), chr(2) || 'NULL')").mkString(", ")
+    s"CAST(substr(regexp_replace(md5(concat_ws(chr(1), $parts)), " +
+      "'[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
+  }
 
   /** Dedup.minHashDedup(portable=true) mirrored into SQL: distinct
     * 3-shingles → 16 portable min-hashes → 4 bands of 4 → intra-bucket
@@ -759,6 +793,34 @@ object Queries {
         |              json_extract_string(TRY_CAST(props AS JSON), '$.k') AS v
         |            FROM events))
         |GROUP BY 1""".stripMargin,
+    "q54_checksum" ->
+      s"""SELECT count(*) AS n_rows,
+         |  sum(${digestSql(ChecksumCols)}) AS checksum
+         |FROM orders""".stripMargin,
+    "q55_table_diff" -> {
+      val nonKey = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders),
+         |replica AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END
+         |      AS o_orderstatus,
+         |    o_orderpriority
+         |  FROM base WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_orderpriority
+         |  FROM base WHERE o_orderkey % 103 = 0),
+         |l AS (SELECT o_orderkey, ${digestSql(nonKey)} AS lh FROM base),
+         |r AS (SELECT o_orderkey, ${digestSql(nonKey)} AS rh FROM replica)
+         |SELECT * FROM (
+         |  SELECT o_orderkey,
+         |    CASE WHEN rh IS NULL THEN 'removed'
+         |         WHEN lh IS NULL THEN 'added'
+         |         WHEN lh <> rh THEN 'changed'
+         |         ELSE 'same' END AS status
+         |  FROM l FULL OUTER JOIN r USING (o_orderkey))
+         |WHERE status <> 'same'""".stripMargin
+    },
     "q53_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(
@@ -1192,6 +1254,8 @@ object Queries {
     "q50_sql_surface" -> (q50SqlSurface _),
     "q51_cosine_neardup_lsh" -> (q51CosineNearDupLsh _),
     "q52_interval_join" -> (q52IntervalJoin _),
-    "q53_tfidf" -> (q53TfIdf _)
+    "q53_tfidf" -> (q53TfIdf _),
+    "q54_checksum" -> (q54Checksum _),
+    "q55_table_diff" -> (q55TableDiff _)
   )
 }
