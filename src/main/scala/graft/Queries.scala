@@ -521,9 +521,10 @@ object Queries {
     * tf·(N+1) is exact integer arithmetic and the single double division
     * rounds once, so the score is bit-identical across engines (ln() is
     * libm-dependent and would break hash-compare); the ranking is the same
-    * monotone order as the ln form for fixed doc. Plan shape: explode →
-    * two-level partial agg (tf, then df over tf — never re-reads text) →
-    * 1-row corpus count broadcast — the canonical corpus-statistics join. */
+    * monotone order as the ln form for fixed doc. Plan shape: ONE corpus
+    * scan → explode → tf agg → df as a count-window over tf keyed on tok
+    * (an agg+self-join would re-scan and re-tokenize the corpus for the
+    * df leg — the window reuses tf rows) → 1-row corpus count broadcast. */
   def q53TfIdf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val tf = docs
@@ -531,9 +532,10 @@ object Queries {
         explode(graft.text.TextAnalysis.tokens(lower(col("text")))).as("tok"))
       .where(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
     val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+    val scored = tf.withColumn("df", count(lit(1)).over(wTok))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         ((col("tf") * (col("n") + lit(1L))).cast("double") / (col("df") + lit(1L)))
           .as("score"))
