@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 
 /** Scan-pruning helpers for the fact⋈dim path at 100 TB: make the engine's
   * parquet layout and join plans skip data instead of reading it.
@@ -45,6 +45,53 @@ object Pruning {
     }
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
+  }
+
+  /** Bit-interleave `cols` (each already normalized to `bits`-bit longs)
+    * into a Z-value: output bit i·k+j takes bit i of column j. Pure Column
+    * algebra — 16·k shift/mask terms, folded into one codegen'd projection. */
+  private def interleaveBits(cols: Seq[Column], bits: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * cols.length + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order (Morton-curve) clustered write: rows are range-partitioned
+    * and sorted by the interleaved Z-value of `zCols`, so EVERY z-column's
+    * min/max range per row group is a small fraction of its global range —
+    * parquet stats then prune scans with predicates on ANY of the columns,
+    * where a plain sort prunes only its leading column. The standard
+    * multi-dimensional file-skipping layout (as in Iceberg/Delta
+    * rewrite-with-zorder).
+    *
+    * Two passes over the data (min/max stats, then write) — the stats scan
+    * reads only the z-columns (columnar projection). Numeric columns only;
+    * each is normalized to a 16-bit rank by linear scaling, NULLs sort
+    * first (rank 0). */
+  def zOrderWrite(df: DataFrame, path: String, zCols: Seq[String],
+                  numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.nonEmpty && zCols.size <= 4,
+      "zOrderWrite supports 1-4 z-columns (16 bits each)")
+    val statsRow = df.select(zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"),
+          max(col(c).cast("double")).as(s"mx_$c"))): _*).head()
+    val normalized = zCols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (statsRow.getDouble(2 * i), statsRow.getDouble(2 * i + 1))
+      val span = if (mx > mn) mx - mn else 1.0
+      when(col(c).isNull, lit(0L)).otherwise(
+        least(lit(65535L), greatest(lit(0L),
+          ((col(c).cast("double") - lit(mn)) / lit(span) * lit(65535.0))
+            .cast("long"))))
+    }
+    df.withColumn("__z", interleaveBits(normalized, 16))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(df.columns.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   /** The runtime filters present in `df`'s compiled physical plan:

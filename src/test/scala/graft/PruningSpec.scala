@@ -89,6 +89,44 @@ class PruningSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("z-order clustering bounds every z-column's range per file") {
+    val dir = tmpDir("zorder")
+    val n = 40000
+    // deterministic 200x200 grid walk, shuffled by a hash so input order
+    // carries no accidental locality
+    val grid = (0 until n).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffff
+      ((h % 200).toInt, ((h / 200) % 200).toInt, i.toLong)
+    }.toDF("x", "y", "id")
+
+    Pruning.zOrderWrite(grid, s"$dir/z", Seq("x", "y"), numFiles = 16)
+    // baseline: linear sort by x only
+    grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+
+    def perFileExtents(path: String): Seq[(Double, Double)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val s = spark.read.parquet(f.getPath)
+            .agg(min("x"), max("x"), min("y"), max("y")).head()
+          ((s.getInt(1) - s.getInt(0)) / 200.0, (s.getInt(3) - s.getInt(2)) / 200.0)
+        }
+
+    val zExt = perFileExtents(s"$dir/z")
+    val linExt = perFileExtents(s"$dir/linear")
+    val (zx, zy) = (zExt.map(_._1).sum / zExt.size, zExt.map(_._2).sum / zExt.size)
+    val (lx, ly) = (linExt.map(_._1).sum / linExt.size, linExt.map(_._2).sum / linExt.size)
+    // linear sort: x tightly bounded, y spans everything
+    lx should be < 0.2
+    ly should be > 0.8
+    // z-order: BOTH dims bounded well below global range
+    zx should be < 0.5
+    zy should be < 0.5
+    // and rows survive the rewrite exactly
+    spark.read.parquet(s"$dir/z").collect().map(_.toSeq).toSet shouldBe
+      grid.collect().map(_.toSeq).toSet
+  }
+
   private implicit class JListOps[A](l: java.util.List[A]) {
     def asScala: scala.collection.mutable.Buffer[A] =
       scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
