@@ -42,6 +42,57 @@ object Multimodal {
         lit(16000).as("sample_rate"),
         (pmod(col("n_chars"), lit(300)) + lit(1)).cast("int").as("n_frames")).as("meta"))
 
+  case class ImageHeader(format: String, width: Int, height: Int)
+
+  /** REAL metadata extraction — image dimensions parsed straight from
+    * header bytes, no codec required (the container formats are public
+    * specs; only pixel DECODE needs a codec and stays stubbed):
+    *  - PNG: 8-byte signature, then IHDR width/height as big-endian u32 at
+    *    offsets 16/20.
+    *  - GIF: "GIF87a"/"GIF89a", logical-screen w/h little-endian u16 at 6/8.
+    *  - JPEG: FFD8, then marker segments; any SOF frame header (C0–CF
+    *    minus C4/C8/CC) carries height/width as big-endian u16 at +5/+7.
+    * Unknown or truncated payloads return None — the honest answer, not a
+    * fake. */
+  def parseImageHeader(p: Array[Byte]): Option[ImageHeader] = {
+    def u8(i: Int) = p(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (p.length >= 24 && u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some(ImageHeader("png", be32(16), be32(20)))
+    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+      Some(ImageHeader("gif", le16(6), le16(8)))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 8 < p.length) {
+        if (u8(i) != 0xff) return None // lost marker sync
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1 // fill byte
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some(ImageHeader("jpeg", be16(i + 7), be16(i + 5)))
+        else i += 2 + be16(i + 2) // skip segment (len includes itself)
+      }
+      None
+    } else None
+  }
+
+  /** Batched header parse over a media table: (media_id, format, width,
+    * height), NULLs where the payload is not a recognizable image. Same
+    * mapPartitions batch shape as [[extractFeatures]]. */
+  def imageHeaders(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val h = parseImageHeader(r.getAs[Array[Byte]](1))
+          (r.getLong(0), h.map(_.format).orNull,
+            h.map(_.width).map(Integer.valueOf).orNull,
+            h.map(_.height).map(Integer.valueOf).orNull)
+        }
+      }.toDF("media_id", "format", "width", "height")
+  }
+
   case class MediaFeature(media_id: Long, media_type: String,
                           byte_len: Int, checksum: Long, feature: Array[Double])
 

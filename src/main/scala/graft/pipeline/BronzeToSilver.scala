@@ -42,6 +42,15 @@ object BronzeToSilver {
     df.filter(col("url").isNotNull && (trim(col("url")) =!= "") &&
       col("publish_ts").isNotNull)
 
+  /** The complement of [[validArticles]], each row tagged with the first
+    * reason it failed — the dead-letter side of the gate. */
+  def rejectedArticles(df: DataFrame): DataFrame =
+    df.filter(col("url").isNull || (trim(col("url")) === "") ||
+        col("publish_ts").isNull)
+      .withColumn("_reject_reason",
+        when(col("url").isNull || (trim(col("url")) === ""), lit("blank_url"))
+          .otherwise(lit("unparseable_publish_date")))
+
   // ---- entity transforms (reference: gcs_bronze_to_silver.py:242-387) ----
 
   def makeAuthors(dfb: DataFrame): DataFrame =
@@ -207,11 +216,26 @@ object BronzeToSilver {
     * reference's per-task pushgateway gauges
     * (airflow/config/metrics_utils.py:58-106). */
   def upsertBatch(spark: SparkSession, batch: DataFrame, warehouse: String,
-                  metrics: Option[graft.metrics.MetricsRegistry] = None): Unit = {
+                  metrics: Option[graft.metrics.MetricsRegistry] = None,
+                  quarantineDir: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val base = validArticles(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Dead-letter path: rows failing the hygiene gate land in an
+      // append-only quarantine with their reject reason — dropped data a
+      // 100 TB ingest can audit/replay instead of losing silently. Append
+      // mode (not upsert): quarantine rows have no reliable key by
+      // definition, and redelivered duplicates are harmless in an audit
+      // trail. Written before the silver upserts so a mid-run crash never
+      // loses the batch's rejects.
+      quarantineDir.foreach { qd =>
+        graft.metrics.MetricsRegistry.timed(metrics, "bronze_to_silver", "quarantine") {
+          val rejected = rejectedArticles(batch)
+          if (!rejected.isEmpty)
+            rejected.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(qd)
+        }
+      }
       silverTables(base).foreach { case (name, df) =>
         val (keys, insertOnly) = upsertKeys(name)
         val parts = if (name == "articles") Seq("date") else Nil
@@ -224,11 +248,13 @@ object BronzeToSilver {
 
   /** Batch run (reference batch twin gcs_bronze_to_silver_batch.py). */
   def runBatch(spark: SparkSession, bronzeDir: String, warehouse: String,
-               topicFromPath: Boolean = true): Unit = {
+               topicFromPath: Boolean = true,
+               quarantineDir: Option[String] = None): Unit = {
     val raw = spark.read.schema(Schemas.bronzeArticle)
       .option("recursiveFileLookup", "true").option("mode", "PERMISSIVE")
       .json(bronzeDir)
-    upsertBatch(spark, normalize(raw, topicFromPath), warehouse)
+    upsertBatch(spark, normalize(raw, topicFromPath), warehouse,
+      quarantineDir = quarantineDir)
   }
 
   /** Streaming run: file-arrival source, stateless, exactly-once via

@@ -39,4 +39,33 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.resizePayload(Multimodal.documentsAsMedia(docs), 2)
     out.select(max($"resized_len")).collect()(0).getInt(0) shouldBe 2
   }
+
+  test("image headers parse real PNG/GIF/JPEG bytes, None for junk") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR length + "IHDR" + w=640 h=480 (BE u32)
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++ b(0, 0, 2, 0x80, 0, 0, 1, 0xe0) ++ b(8, 6, 0, 0, 0)
+    Multimodal.parseImageHeader(png) shouldBe
+      Some(Multimodal.ImageHeader("png", 640, 480))
+    // GIF89a: w=3 h=2 (LE u16)
+    val gif = "GIF89a".getBytes ++ b(3, 0, 2, 0, 0, 0)
+    Multimodal.parseImageHeader(gif) shouldBe
+      Some(Multimodal.ImageHeader("gif", 3, 2))
+    // JPEG: SOI, APP0 (16 bytes), SOF0 with h=2 w=3
+    val jpeg = b(0xff, 0xd8, 0xff, 0xe0, 0, 16) ++ Array.fill[Byte](14)(0) ++
+      b(0xff, 0xc0, 0, 17, 8, 0, 2, 0, 3) ++ Array.fill[Byte](10)(0)
+    Multimodal.parseImageHeader(jpeg) shouldBe
+      Some(Multimodal.ImageHeader("jpeg", 3, 2))
+    // junk/truncated → None, never a guess
+    Multimodal.parseImageHeader("not an image".getBytes) shouldBe None
+    Multimodal.parseImageHeader(b(0xff, 0xd8, 0x00)) shouldBe None
+
+    // distributed path: mixed payloads → typed rows with NULLs for junk
+    val media = Seq((1L, png), (2L, gif), (3L, "junk".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.imageHeaders(spark, media).orderBy("media_id").collect()
+    out(0).getString(1) shouldBe "png"
+    out(0).getInt(2) shouldBe 640
+    out(1).getString(1) shouldBe "gif"
+    out(2).isNullAt(1) shouldBe true
+  }
 }

@@ -85,6 +85,27 @@ class PipelineSpec extends SparkSpec {
     spark.read.parquet(s"$gold/fact_article_publication").count() shouldBe 2
   }
 
+  test("rejected rows land in quarantine with their reason") {
+    val root = tmpDir("bronzeQ")
+    val wh = tmpDir("silverQ")
+    val q = tmpDir("quarantine") + "/rejects"
+    writeFixtures(root)
+
+    BronzeToSilver.runBatch(spark, root, wh, quarantineDir = Some(q))
+    silver(wh, "articles").count() shouldBe 2
+
+    val rejects = spark.read.parquet(q)
+    // bad1 (null url), bad2 (unparseable date), corrupt.json (PERMISSIVE
+    // nulls every field incl. url)
+    rejects.count() shouldBe 3
+    rejects.where(col("_reject_reason") === "unparseable_publish_date")
+      .select("title").collect().map(_.getString(0)) shouldBe Array("No date")
+    rejects.where(col("_reject_reason") === "blank_url").count() shouldBe 2
+    // quarantine is an append-only audit trail: a re-run appends
+    BronzeToSilver.runBatch(spark, root, wh, quarantineDir = Some(q))
+    spark.read.parquet(q).count() shouldBe 6
+  }
+
   test("streaming availableNow reaches the same silver state as batch") {
     val root = tmpDir("bronzeS")
     val whStream = tmpDir("silverS")
