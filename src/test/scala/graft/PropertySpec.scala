@@ -76,6 +76,38 @@ class PropertySpec extends SparkSpec {
     bad shouldBe 0
   }
 
+  test("parseImageHeader never throws on arbitrary bytes, including marker prefixes") {
+    val rnd = new scala.util.Random(42)
+    val arb = (0 until 500).map(_ => {
+      val n = rnd.nextInt(64)
+      val a = new Array[Byte](n); rnd.nextBytes(a); a
+    })
+    // adversarial prefixes: valid magics followed by garbage/truncation
+    val magics = Seq(
+      Array(0x89, 'P', 'N', 'G').map(_.toByte),
+      "GIF89a".getBytes,
+      Array(0xff, 0xd8).map(_.toByte),
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte), // fill-byte run
+      Array(0xff, 0xd8, 0xff, 0xc0, 0, 0).map(_.toByte)) // lying zero length
+    val prefixed = for { m <- magics; a <- arb.take(50) } yield m ++ a
+    (arb ++ prefixed).foreach { bytes =>
+      noException should be thrownBy
+        graft.multimodal.Multimodal.parseImageHeader(bytes)
+    }
+  }
+
+  test("reconcile diff of a table against itself is empty; checksum permutation-stable") {
+    val rows = Gen.listOfN(80,
+      for { k <- Gen.choose(0L, 200L); v <- Gen.alphaNumStr.map(_.take(8)) }
+        yield (k, v)).sample.get
+    val a = rows.toDF("k", "v").dropDuplicates("k")
+    graft.operators.Reconcile.diff(a, a, Seq("k")).count() shouldBe 0
+    val c1 = graft.operators.Reconcile.checksum(a, Seq("k", "v")).collect()(0)
+    val c2 = graft.operators.Reconcile
+      .checksum(a.orderBy(col("v")).repartition(5), Seq("k", "v")).collect()(0)
+    c1 shouldBe c2
+  }
+
   test("fingerprint and portableHash are stable under recomputation") {
     val texts = Gen.listOfN(100,
       Gen.listOfN(12, Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(6)))
