@@ -106,6 +106,40 @@ class PipelineSpec extends SparkSpec {
     spark.read.parquet(q).count() shouldBe 6
   }
 
+  test("incremental gold run for one date equals the full run and leaves other partitions untouched") {
+    val root = tmpDir("bronzeI")
+    val wh = tmpDir("silverI")
+    val goldFull = tmpDir("goldF")
+    val goldInc = tmpDir("goldI")
+    writeFixtures(root)
+    BronzeToSilver.runBatch(spark, root, wh)
+
+    // reference result: one full run over both days
+    SilverToGold.run(spark, wh, goldFull)
+
+    // incremental: day 1 first, then ONLY day 2
+    val d1 = java.sql.Date.valueOf("2025-10-10")
+    val d2 = java.sql.Date.valueOf("2025-10-11")
+    SilverToGold.runIncremental(spark, wh, goldInc, Seq(d1))
+    val factDir = s"$goldInc/fact_article_publication"
+    val day1Part = new java.io.File(factDir).listFiles()
+      .filter(_.getName.startsWith("PublicationDateKey=20251010")).head
+    val mtime = day1Part.lastModified()
+    Thread.sleep(1100)
+    SilverToGold.runIncremental(spark, wh, goldInc, Seq(d2))
+
+    // same gold state as the full run, for every dim and fact
+    for (t <- Seq("dim_date", "dim_author", "dim_topic", "dim_sub_topic",
+        "fact_article_publication", "fact_article_keyword",
+        "fact_top_comment_activity", "fact_top_comment_interaction_detail")) {
+      val full = spark.read.parquet(s"$goldFull/$t").collect().map(_.toSeq).toSet
+      val inc = spark.read.parquet(s"$goldInc/$t").collect().map(_.toSeq).toSet
+      withClue(t) { inc shouldBe full }
+    }
+    // the day-2 run never rewrote day 1's fact partition
+    day1Part.lastModified() shouldBe mtime
+  }
+
   test("streaming availableNow reaches the same silver state as batch") {
     val root = tmpDir("bronzeS")
     val whStream = tmpDir("silverS")
