@@ -269,7 +269,7 @@ object Dedup {
     * carries the true bucket only, the other the probe set, so every
     * qualifying pair materializes exactly once and the join moves each
     * vector planes+2 times total. Oversized template buckets are capped on
-    * the un-fanned leg like minHashCandidates. Approximate by design:
+    * both legs like minHashCandidates. Approximate by design:
     * recall at cosine θ is P[≤1 of `planes` hyperplanes split the pair] —
     * raise `planes` to shrink buckets on bigger corpora (candidate work per
     * row scales with planes·n/2^planes). */
@@ -283,13 +283,16 @@ object Dedup {
         .getOrElse(throw new IllegalArgumentException(
           "cosineNearDupLsh: empty corpus — pass dims explicitly"))
     val m = graft.similarity.Similarity.planeMatrix(planes, d)
+    // cap template buckets on BOTH legs (rows of an oversized bucket leave
+    // the candidate set entirely) — a one-leg guard would make survival of
+    // a cross-bucket pair depend on which doc has the smaller id
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
     val base = embeddings.select(col(idCol).as("id"),
         quantize(col(vecCol)).as("v"))
       .withColumn("bucket", graft.functions.FastExprs.signLshBucket(col("v"), m))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    val l = base.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
       .where(col("__n") <= maxBucketSize).drop("__n")
-      .select(col("id").as("id1"), col("v").as("v1"), col("bucket").as("key"))
+    val l = base.select(col("id").as("id1"), col("v").as("v1"), col("bucket").as("key"))
     val r = base.withColumn("key", explode(array(
         col("bucket") +: (0 until planes).map(p =>
           col("bucket").bitwiseXOR(lit(1L << p))): _*)))

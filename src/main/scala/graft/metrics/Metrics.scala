@@ -72,21 +72,31 @@ final class MetricsRegistry(spark: SparkSession) extends SparkListener {
   }
 
   /** Run `body` as a metered stage: wall-clock duration, success flag, and
-    * the records written/read by every Spark action it triggers. */
+    * the records written/read by every Spark action it triggers. The
+    * caller's own job group (if any) is restored afterwards — clearing it
+    * would strip the application's cancellation/UI scoping; a nested
+    * timed() therefore attributes its span to itself, then hands the
+    * thread back to the outer scope. */
   def timed[T](jobName: String, taskId: String)(body: => T): T = {
     val scope = s"$Prefix${seq.incrementAndGet()}:$jobName/$taskId"
     val sc = spark.sparkContext
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
     sc.setJobGroup(scope, s"graft metered stage $jobName/$taskId")
     val t0 = System.nanoTime()
     var ok = false
     try { val r = body; ok = true; r }
     finally {
-      sc.clearJobGroup()
+      if (prevGroup != null) sc.setJobGroup(prevGroup, prevDesc)
+      else sc.clearJobGroup()
       val duration = (System.nanoTime() - t0) / 1e9
       // listener events are delivered async — drain before reading counters
       org.apache.spark.graft.SparkInternals.flushListenerBus(sc)
       def sum(m: ConcurrentHashMap[String, LongAdder]) =
         Option(m.remove(scope)).map(_.sum()).getOrElse(0L)
+      // drop this scope's stage mappings too — in a 24/7 streaming driver
+      // the map would otherwise grow by one entry per stage forever
+      stageToScope.entrySet().removeIf(e => e.getValue == scope)
       done.add(JobMetric(jobName, taskId, duration, ok, sum(writtenByScope),
         sum(readByScope)))
     }

@@ -59,9 +59,13 @@ object Multimodal {
     def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
-    if (p.length >= 24 && u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+    def ascii(off: Int, s: String) =
+      p.length >= off + s.length && s.indices.forall(i => p(off + i) == s(i).toByte)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        ascii(12, "IHDR"))
       Some(ImageHeader("png", be32(16), be32(20)))
-    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+    else if (p.length >= 10 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
       Some(ImageHeader("gif", le16(6), le16(8)))
     else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2

@@ -26,6 +26,19 @@ object Compaction {
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
   }
 
+  /** Recover from a crash between compactDir's two swap renames: the
+    * directory is gone but its `.name__precompact` sibling survives —
+    * restore it. Called before every compaction (same pattern as
+    * Upsert.recoverSwap). */
+  private def recoverSwap(spark: SparkSession, p: Path): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(p.getParent, s".${p.getName}__precompact")
+    if (!fs.exists(p) && fs.exists(old)) {
+      if (!fs.rename(old, p))
+        throw new IllegalStateException(s"compact recovery: rename $old -> $p failed")
+    } else if (fs.exists(p)) fs.delete(old, true) // stale leftover
+  }
+
   /** Compact one table or partition directory in place: if it holds more
     * than `minFiles` data files, rewrite to ceil(bytes/targetFileBytes)
     * files via a staged write + atomic swap. Returns (filesBefore,
@@ -36,6 +49,7 @@ object Compaction {
                  minFiles: Int = 4): (Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, p)
     val before = dataFiles(spark, p)
     if (before.length <= minFiles) return (before.length, before.length)
     val totalBytes = before.map(_.getLen).sum
@@ -55,21 +69,32 @@ object Compaction {
     (before.length, dataFiles(spark, p).length)
   }
 
-  /** Compact every hive-style partition directory of a partitioned table
-    * (or the root itself when unpartitioned). Returns per-directory
-    * (before, after) counts keyed by relative path. */
+  /** Compact every LEAF hive-style partition directory of a partitioned
+    * table (recursing through multi-level `a=1/b=2` layouts; the root
+    * itself when unpartitioned). Returns per-directory (before, after)
+    * counts keyed by table-relative path. */
   def compactTable(spark: SparkSession, table: String,
                    targetFileBytes: Long = 128L * 1024 * 1024,
                    minFiles: Int = 4): Map[String, (Int, Int)] = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partDirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(_.getPath)
-    if (partDirs.isEmpty)
+    def leafDirs(p: Path): Seq[Path] = {
+      val parts = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath).toSeq
+      if (parts.isEmpty) Seq(p) else parts.flatMap(leafDirs)
+    }
+    val leaves = leafDirs(root)
+    if (leaves == Seq(root))
       Map("." -> compactDir(spark, table, targetFileBytes, minFiles))
-    else partDirs.map { d =>
-      d.getName -> compactDir(spark, d.toString, targetFileBytes, minFiles)
-    }.toMap
+    else {
+      // listed paths come back fs-qualified (file:/...); qualify the root
+      // the same way or the relative-path strip silently no-ops
+      val rootQ = fs.makeQualified(root).toString
+      leaves.map { d =>
+        val rel = d.toString.stripPrefix(rootQ).stripPrefix("/")
+        rel -> compactDir(spark, d.toString, targetFileBytes, minFiles)
+      }.toMap
+    }
   }
 }

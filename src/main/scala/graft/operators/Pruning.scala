@@ -80,7 +80,10 @@ object Pruning {
       Seq(min(col(c).cast("double")).as(s"mn_$c"),
           max(col(c).cast("double")).as(s"mx_$c"))): _*).head()
     val normalized = zCols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (statsRow.getDouble(2 * i), statsRow.getDouble(2 * i + 1))
+      // empty input or an all-NULL column yields NULL stats — rank
+      // everything 0 rather than NPE on the unboxing
+      val mn = if (statsRow.isNullAt(2 * i)) 0.0 else statsRow.getDouble(2 * i)
+      val mx = if (statsRow.isNullAt(2 * i + 1)) 0.0 else statsRow.getDouble(2 * i + 1)
       val span = if (mx > mn) mx - mn else 1.0
       when(col(c).isNull, lit(0L)).otherwise(
         least(lit(65535L), greatest(lit(0L),

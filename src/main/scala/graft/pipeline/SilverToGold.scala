@@ -245,14 +245,18 @@ object SilverToGold {
       if (dates.isEmpty) articlesAll
       else articlesAll.where(col("date").isin(dates: _*)) // partition-pruned
     // Article-scoped tables shrink through the day's ArticleIDs; the semi
-    // join's build side is one day of keys — broadcast-sized.
-    def articleScoped(name: String): DataFrame = {
-      val full = silverFull(name)
-      if (dates.isEmpty) full
-      else full.join(
-        broadcast(articlesScoped.select("ArticleID").distinct()),
-        Seq("ArticleID"), "left_semi")
-    }
+    // join's build side is one day of keys — broadcast-sized. Memoized so
+    // the scoped comments plan is built once — comment_interactions reuses
+    // it as its CommentID build side instead of re-running the scoped scan.
+    val scopedCache = scala.collection.mutable.Map[String, DataFrame]()
+    def articleScoped(name: String): DataFrame =
+      scopedCache.getOrElseUpdate(name, {
+        val full = silverFull(name)
+        if (dates.isEmpty) full
+        else full.join(
+          broadcast(articlesScoped.select("ArticleID").distinct()),
+          Seq("ArticleID"), "left_semi")
+      })
     def silver(name: String): DataFrame = name match {
       case "articles" => articlesScoped
       case "article_keywords" | "article_references" | "comments" =>
@@ -266,6 +270,10 @@ object SilverToGold {
       case other => silverFull(other)
     }
     val articles = silver("articles").cache()
+    // the scoped comments feed three consumers (comment facts + the
+    // comment_interactions semi-join build side) — cache so the scoped
+    // scan runs once per incremental day, not per consumer
+    if (dates.nonEmpty) articleScoped("comments").cache()
     try {
       val dims: Map[String, (DataFrame, Seq[String])] = Map(
         "dim_date" -> (dimDate(articles), Seq("DateKey")),
@@ -308,6 +316,9 @@ object SilverToGold {
           Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys, insertOnly = false, parts)
         }
       }
-    } finally articles.unpersist()
+    } finally {
+      articles.unpersist()
+      if (dates.nonEmpty) articleScoped("comments").unpersist()
+    }
   }
 }

@@ -72,9 +72,20 @@ object Snapshots {
     pointed.orElse(versions(spark, table).lastOption)
   }
 
+  /** Every version directory, committed or not — crashed writes (no
+    * _SUCCESS) still occupy their number, so the next commit must skip
+    * them rather than collide with ErrorIfExists and wedge the table. */
+  private def allVersionDirs(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = new Path(s"$table/$VersionsDir")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName.stripPrefix("v").toLong).toSeq.sorted
+  }
+
   /** Commit `df` as the next snapshot; returns the new version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val next = versions(spark, table).lastOption.getOrElse(0L) + 1
+    val next = allVersionDirs(spark, table).lastOption.getOrElse(0L) + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(versionPath(table, next))
     swapPointer(spark, table, next)
     next

@@ -30,6 +30,32 @@ class CompactionSpec extends SparkSpec {
     Compaction.compactDir(spark, t) shouldBe ((1, 1))
   }
 
+  test("compaction recovers a directory stranded mid-swap") {
+    val base = tmpDir("compactr")
+    val t = s"$base/t"
+    (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(t)
+    val rows = spark.read.parquet(t).collect().map(_.toSeq).toSet
+    // simulate a crash between the two renames: table dir moved aside
+    new java.io.File(t).renameTo(new java.io.File(s"$base/.t__precompact")) shouldBe true
+    val (nb, na) = Compaction.compactDir(spark, t, minFiles = 0)
+    nb should be >= 1
+    spark.read.parquet(t).collect().map(_.toSeq).toSet shouldBe rows
+  }
+
+  test("multi-level partitioned tables compact their leaf directories") {
+    val t = tmpDir("compactml") + "/t"
+    for (b <- 0 until 5)
+      Seq((b.toLong, "p1", 10, b * 1.0), (b.toLong, "p2", 20, b * 2.0))
+        .toDF("k", "a", "b", "v")
+        .coalesce(1).write.mode("append").partitionBy("a", "b").parquet(t)
+    val before = spark.read.parquet(t).collect().map(_.toSeq).toSet
+    val report = Compaction.compactTable(spark, t, minFiles = 2)
+    report.keySet shouldBe Set("a=p1/b=10", "a=p2/b=20")
+    report.values.foreach { case (nb, na) => nb shouldBe 5; na shouldBe 1 }
+    spark.read.parquet(t).collect().map(_.toSeq).toSet shouldBe before
+  }
+
   test("partitioned compaction rewrites each partition independently") {
     val t = tmpDir("compactp") + "/t"
     for (b <- 0 until 6)

@@ -59,6 +59,11 @@ class MultimodalSpec extends SparkSpec {
     // junk/truncated → None, never a guess
     Multimodal.parseImageHeader("not an image".getBytes) shouldBe None
     Multimodal.parseImageHeader(b(0xff, 0xd8, 0x00)) shouldBe None
+    // adversarial prefixes that loose magic checks would misparse
+    Multimodal.parseImageHeader("GIFs are fun to share".getBytes) shouldBe None
+    Multimodal.parseImageHeader(
+      b(0x89, 'P', 'N', 'G', 0, 0, 0, 0) ++ "NOPE".getBytes ++
+        Array.fill[Byte](20)(7)) shouldBe None
 
     // distributed path: mixed payloads → typed rows with NULLs for junk
     val media = Seq((1L, png), (2L, gif), (3L, "junk".getBytes)).toDF("media_id", "payload")

@@ -10,6 +10,11 @@ class PlanShapeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // the one suite that reads the driver-provided testdata (plan shapes
+  // need realistic parquet scans); skip cleanly where it doesn't exist
+  // instead of failing `sbt test` portability
+  assume(new java.io.File(dir).isDirectory, s"$dir not present")
+
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString()
 

@@ -60,4 +60,17 @@ class SnapshotsSpec extends SparkSpec {
     new java.io.File(s"$t/_versions").listFiles().map(_.getName).sorted shouldBe
       Array("v00000002")
   }
+
+  test("a crashed write's orphan dir never wedges the next commit") {
+    val t = tmpDir("snapw") + "/t"
+    Snapshots.commit(spark, t, Seq((1L, "a")).toDF("k", "v")) shouldBe 1L
+    // crashed v2: directory exists, no _SUCCESS → invisible to readers,
+    // but its number is occupied and must be skipped, not collided with
+    val orphan = new java.io.File(s"$t/_versions/v00000002")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("part-junk.parquet"), "x")
+    Snapshots.commit(spark, t, Seq((1L, "b")).toDF("k", "v")) shouldBe 3L
+    Snapshots.read(spark, t).as[(Long, String)].collect() shouldBe Array((1L, "b"))
+    Snapshots.versions(spark, t) shouldBe Seq(1L, 3L)
+  }
 }
