@@ -228,6 +228,28 @@ object SilverToGold {
     runCore(spark, silverWarehouse, goldWarehouse, metrics, dates)
   }
 
+  /** Dates present in silver articles but missing from the gold fact —
+    * the backfill work-list. Both sides are partition-column-only scans
+    * (file listings + partition values, no data read), so this is cheap
+    * even on a 100 TB warehouse; `runIncremental(missingDates(...))` is
+    * the idempotent catch-up loop after downtime. */
+  def missingDates(spark: SparkSession, silverWarehouse: String,
+                   goldWarehouse: String): Seq[java.sql.Date] = {
+    if (!graft.operators.Upsert.tableExists(spark, s"$silverWarehouse/articles"))
+      return Nil
+    val silverDates = spark.read.parquet(s"$silverWarehouse/articles")
+      .select("date").distinct().collect().map(_.getDate(0)).toSet
+    val factPath = s"$goldWarehouse/fact_article_publication"
+    val goldKeys =
+      if (!graft.operators.Upsert.tableExists(spark, factPath)) Set.empty[Int]
+      else spark.read.parquet(factPath)
+        .select("PublicationDateKey").distinct().collect().map(_.getInt(0)).toSet
+    silverDates.filter { d =>
+      val ld = d.toLocalDate
+      !goldKeys.contains(ld.getYear * 10000 + ld.getMonthValue * 100 + ld.getDayOfMonth)
+    }.toSeq.sortBy(_.getTime)
+  }
+
   private def runCore(spark: SparkSession, silverWarehouse: String,
                       goldWarehouse: String,
                       metrics: Option[graft.metrics.MetricsRegistry],

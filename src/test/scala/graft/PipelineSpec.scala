@@ -140,6 +140,24 @@ class PipelineSpec extends SparkSpec {
     day1Part.lastModified() shouldBe mtime
   }
 
+  test("missingDates lists exactly the silver dates absent from gold") {
+    val root = tmpDir("bronzeM")
+    val wh = tmpDir("silverM")
+    val gold = tmpDir("goldM")
+    writeFixtures(root)
+    BronzeToSilver.runBatch(spark, root, wh)
+
+    val d1 = java.sql.Date.valueOf("2025-10-10")
+    val d2 = java.sql.Date.valueOf("2025-10-11")
+    // empty gold → both days pending
+    SilverToGold.missingDates(spark, wh, gold) shouldBe Seq(d1, d2)
+    // catch-up loop: run what's missing, then nothing is
+    SilverToGold.runIncremental(spark, wh, gold,
+      SilverToGold.missingDates(spark, wh, gold))
+    SilverToGold.missingDates(spark, wh, gold) shouldBe Nil
+    spark.read.parquet(s"$gold/fact_article_publication").count() shouldBe 2
+  }
+
   test("streaming availableNow reaches the same silver state as batch") {
     val root = tmpDir("bronzeS")
     val whStream = tmpDir("silverS")
