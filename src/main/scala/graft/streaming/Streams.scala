@@ -133,6 +133,57 @@ object Streams {
   /** Batch replay of the same sessionization semantics (gap-cut sessions)
     * using window functions — for backfills and for oracle-checking the
     * streaming path: session boundary = event gap > gapMs. */
+  /** Event-time-timeout sessionization — the production-correct variant:
+    * a session closes when the WATERMARK passes (last event + gap), so
+    * closure is a deterministic function of the data, not of wall-clock
+    * processing speed (ProcessingTimeTimeout closes sessions earlier or
+    * later depending on executor lag, and fires empty micro-batches to
+    * poll). Requires a watermark: late events beyond `lateness` are
+    * dropped by the engine before they can resurrect a closed session —
+    * that bound is what lets state stay finite. */
+  def sessionizeEventTime(spark: SparkSession, events: Dataset[Event],
+                          gapMs: Long = 30 * 60 * 1000L,
+                          lateness: String = "30 minutes"): Dataset[Session] = {
+    import spark.implicits._
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.value))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the event-time clock, not the wall clock,
+              // proves the gap elapsed
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")

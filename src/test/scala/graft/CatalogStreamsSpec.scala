@@ -121,6 +121,33 @@ class CatalogStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionization closes on watermark, not wall clock") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = Streams.sessionizeEventTime(spark, mem.toDS(),
+      gapMs = 10 * 60 * 1000L, lateness = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("et_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1L, ts(0), "click", 1.0), Event(1L, ts(5), "click", 2.0))
+      q.processAllAvailable()
+      // nothing closes yet: the watermark hasn't passed :05 + 10 min
+      spark.table("et_sessions").count() shouldBe 0
+      // a later event advances the watermark to :59 − 5 min = :54 > :15 …
+      mem.addData(Event(2L, ts(59), "view", 4.0))
+      q.processAllAvailable()
+      // … and the timeout fires on the following trigger
+      mem.addData(Event(2L, ts(59), "view", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("et_sessions").as[Session].collect()
+      sessions.map(_.user_id) should contain(1L)
+      val s1 = sessions.find(_.user_id == 1L).get
+      s1.n_events shouldBe 2
+      s1.total_value shouldBe 3.0
+      s1.session_end.toString shouldBe ts(5).toString
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch replay") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Long, Long, Timestamp)]
