@@ -285,13 +285,15 @@ object Dedup {
     val m = graft.similarity.Similarity.planeMatrix(planes, d)
     // cap template buckets on BOTH legs (rows of an oversized bucket leave
     // the candidate set entirely) — a one-leg guard would make survival of
-    // a cross-bucket pair depend on which doc has the smaller id
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    val base = embeddings.select(col(idCol).as("id"),
+    // a cross-bucket pair depend on which doc has the smaller id. The cap
+    // is a tiny aggregate (≤ 2^planes rows) broadcast-semi-joined back, so
+    // neither leg pays a corpus-wide window shuffle for it.
+    val raw = embeddings.select(col(idCol).as("id"),
         quantize(col(vecCol)).as("v"))
       .withColumn("bucket", graft.functions.FastExprs.signLshBucket(col("v"), m))
-      .withColumn("__n", count(lit(1)).over(w))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    val okBuckets = raw.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucketSize).select("bucket")
+    val base = raw.join(broadcast(okBuckets), Seq("bucket"), "left_semi")
     val l = base.select(col("id").as("id1"), col("v").as("v1"), col("bucket").as("key"))
     val r = base.withColumn("key", explode(array(
         col("bucket") +: (0 until planes).map(p =>

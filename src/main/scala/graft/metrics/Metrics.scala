@@ -80,15 +80,17 @@ final class MetricsRegistry(spark: SparkSession) extends SparkListener {
   def timed[T](jobName: String, taskId: String)(body: => T): T = {
     val scope = s"$Prefix${seq.incrementAndGet()}:$jobName/$taskId"
     val sc = spark.sparkContext
-    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
-    val prevDesc = sc.getLocalProperty("spark.job.description")
+    // restore ALL the thread-locals setJobGroup touches — going back
+    // through setJobGroup would silently reset the caller's
+    // interruptOnCancel flag to its default
+    val saved = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel").map(k => k -> sc.getLocalProperty(k))
     sc.setJobGroup(scope, s"graft metered stage $jobName/$taskId")
     val t0 = System.nanoTime()
     var ok = false
     try { val r = body; ok = true; r }
     finally {
-      if (prevGroup != null) sc.setJobGroup(prevGroup, prevDesc)
-      else sc.clearJobGroup()
+      saved.foreach { case (k, v) => sc.setLocalProperty(k, v) }
       val duration = (System.nanoTime() - t0) / 1e9
       // listener events are delivered async — drain before reading counters
       org.apache.spark.graft.SparkInternals.flushListenerBus(sc)

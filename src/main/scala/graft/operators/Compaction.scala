@@ -79,8 +79,18 @@ object Compaction {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leafDirs(p: Path): Seq[Path] = {
+      // a partition dir stranded mid-swap is invisible here (it was
+      // renamed to its hidden `.name__precompact` sibling) — restore it
+      // BEFORE listing, or the partition's rows stay hidden from every
+      // reader and the hidden dir could be mistaken for a leaf
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith(".") && n.endsWith("__precompact"))
+        .foreach { n =>
+          recoverSwap(spark, new Path(p, n.stripPrefix(".").stripSuffix("__precompact")))
+        }
       val parts = fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
         .map(_.getPath).toSeq
       if (parts.isEmpty) Seq(p) else parts.flatMap(leafDirs)
     }

@@ -229,25 +229,29 @@ object SilverToGold {
   }
 
   /** Dates present in silver articles but missing from the gold fact —
-    * the backfill work-list. Both sides are partition-column-only scans
-    * (file listings + partition values, no data read), so this is cheap
-    * even on a 100 TB warehouse; `runIncremental(missingDates(...))` is
-    * the idempotent catch-up loop after downtime. */
+    * the backfill work-list. Both sides are PURE DIRECTORY LISTINGS: the
+    * partition values live in the hive-style dir names (`date=...`,
+    * `PublicationDateKey=...`), so no data file — not even a footer — is
+    * opened. Cheap on a 100 TB warehouse, and immune to a crashed write
+    * that left a footerless directory behind.
+    * `runIncremental(missingDates(...))` is the idempotent catch-up loop
+    * after downtime. */
   def missingDates(spark: SparkSession, silverWarehouse: String,
                    goldWarehouse: String): Seq[java.sql.Date] = {
-    if (!graft.operators.Upsert.tableExists(spark, s"$silverWarehouse/articles"))
-      return Nil
-    val silverDates = spark.read.parquet(s"$silverWarehouse/articles")
-      .select("date").distinct().collect().map(_.getDate(0)).toSet
-    val factPath = s"$goldWarehouse/fact_article_publication"
-    val goldKeys =
-      if (!graft.operators.Upsert.tableExists(spark, factPath)) Set.empty[Int]
-      else spark.read.parquet(factPath)
-        .select("PublicationDateKey").distinct().collect().map(_.getInt(0)).toSet
+    def partValues(table: String, colName: String): Seq[String] =
+      graft.sources.FsUtils.listSubdirs(spark, table)
+        .filter(_.startsWith(s"$colName="))
+        .map(_.stripPrefix(s"$colName="))
+        .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+    val silverDates = partValues(s"$silverWarehouse/articles", "date")
+      .map(java.sql.Date.valueOf)
+    val goldKeys = partValues(
+      s"$goldWarehouse/fact_article_publication", "PublicationDateKey")
+      .map(_.toInt).toSet
     silverDates.filter { d =>
       val ld = d.toLocalDate
       !goldKeys.contains(ld.getYear * 10000 + ld.getMonthValue * 100 + ld.getDayOfMonth)
-    }.toSeq.sortBy(_.getTime)
+    }.sortBy(_.getTime)
   }
 
   private def runCore(spark: SparkSession, silverWarehouse: String,

@@ -97,42 +97,48 @@ object Streams {
       else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), timeoutConf) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.value))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
-                case Some(s) =>
-                  closed += Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.value)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              if (withTimeout) state.setTimeoutDuration(gapMs)
-            }
-            closed.result().iterator
-          }
-      }
+        OutputMode.Append(), timeoutConf)(
+        sessionStateFn(gapMs,
+          (state, _) => if (withTimeout) state.setTimeoutDuration(gapMs)))
   }
 
-  /** Batch replay of the same sessionization semantics (gap-cut sessions)
-    * using window functions — for backfills and for oracle-checking the
-    * streaming path: session boundary = event gap > gapMs. */
+  /** The per-group gap-session state machine shared by both streaming
+    * variants: fold the batch's events into the open session, emit gap-
+    * closed sessions, arm the variant's timeout on whatever stays open. */
+  private def sessionStateFn(gapMs: Long,
+      arm: (GroupState[SessionState], SessionState) => Unit):
+      (Long, Iterator[Event], GroupState[SessionState]) => Iterator[Session] =
+    (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, new Timestamp(s.start),
+          new Timestamp(s.last), s.n, s.value))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        val closed = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+            case Some(s) =>
+              closed += Session(userId, new Timestamp(s.start),
+                new Timestamp(s.last), s.n, s.value)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          arm(state, s)
+        }
+        closed.result().iterator
+      }
+
+
   /** Event-time-timeout sessionization — the production-correct variant:
     * a session closes when the WATERMARK passes (last event + gap), so
     * closure is a deterministic function of the data, not of wall-clock
@@ -140,50 +146,32 @@ object Streams {
     * later depending on executor lag, and fires empty micro-batches to
     * poll). Requires a watermark: late events beyond `lateness` are
     * dropped by the engine before they can resurrect a closed session —
-    * that bound is what lets state stay finite. */
+    * that bound is what lets state stay finite.
+    *
+    * Streaming input only: in batch execution EventTimeTimeout never
+    * fires, so every user's final open session would be silently dropped
+    * — batch callers must use [[sessionizeBatch]]. */
   def sessionizeEventTime(spark: SparkSession, events: Dataset[Event],
                           gapMs: Long = 30 * 60 * 1000L,
                           lateness: String = "30 minutes"): Dataset[Session] = {
     import spark.implicits._
-    val src =
-      if (events.isStreaming) events.withWatermark("ts", lateness) else events
-    src.groupByKey(_.user_id)
+    require(events.isStreaming,
+      "sessionizeEventTime requires a streaming Dataset (batch timeouts " +
+        "never fire and would drop each user's final session) — use " +
+        "sessionizeBatch for batch input")
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.value))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
-                case Some(s) =>
-                  closed += Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.value)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // close when the event-time clock, not the wall clock,
-              // proves the gap elapsed
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.result().iterator
-          }
-      }
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionStateFn(gapMs,
+          // close when the event-time clock, not the wall clock, proves
+          // the gap elapsed
+          (state, s) => state.setTimeoutTimestamp(s.last + gapMs)))
   }
 
+  /** Batch replay of the same sessionization semantics (gap-cut sessions)
+    * using window functions — for backfills and for oracle-checking the
+    * streaming path: session boundary = event gap > gapMs. */
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")

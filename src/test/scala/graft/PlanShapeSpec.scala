@@ -10,13 +10,18 @@ class PlanShapeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // the one suite that reads the driver-provided testdata (plan shapes
-  // need realistic parquet scans); skip cleanly where it doesn't exist
-  // instead of failing `sbt test` portability
-  assume(new java.io.File(dir).isDirectory, s"$dir not present")
+  /** The one suite that reads the driver-provided testdata (plan shapes
+    * need realistic parquet scans). Called at the top of every test so
+    * its absence CANCELS tests cleanly — an `assume` in the constructor
+    * would abort the whole suite during instantiation, which sbt reports
+    * as a run failure, not a skip. */
+  private def requireData(): Unit =
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
 
-  private def plan(q: String): String =
+  private def plan(q: String): String = {
+    requireData()
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString()
+  }
 
   private def count(hay: String, needle: String): Int =
     needle.r.findAllIn(hay).size
@@ -58,6 +63,7 @@ class PlanShapeSpec extends SparkSpec {
   test("custom kernels stay inside whole-stage codegen in q33/q25") {
     for ((q, kernel) <- Seq("q33_fingerprint" -> "doc_fingerprint",
         "q25_simhash_groups" -> "simhash32")) {
+      requireData()
       // AQE plans only materialize their codegen stages on execution —
       // inspect the FINAL plan, not the pre-execution skeleton
       val df = SparkEntry.queries(q)(spark, dir)
