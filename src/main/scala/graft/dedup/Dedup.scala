@@ -212,9 +212,25 @@ object Dedup {
         shiftright(col("sk"), cut(b)).bitwiseAND(lit((1L << width) - 1))
       }: _*)))
       .select(col(idCol), col("sk"), col("pos").as("band"), col("col").as("key"))
-    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-    val guarded = banded.withColumn("__n", count(lit(1)).over(w2))
-      .where(col("__n") >= 2 && col("__n") <= maxBucketSize).drop("__n")
+    // Bucket-size guard. When the (band, key) keyspace is small
+    // (Σ 2^bandWidth — e.g. 4×256 at maxHamming=3), the guard is a tiny
+    // aggregate broadcast-semi-joined back: a count-window would
+    // shuffle+SORT the full banded set once PER JOIN LEG (both legs
+    // re-execute the guard subtree). Wide single-band configs
+    // (maxHamming≤1 → up to 2^32 keys) fall back to the window, whose
+    // exchange the subsequent self-join reuses.
+    val keyspace = (0 until bands).map(b => 1L << (cut(b + 1) - cut(b))).sum
+    val guarded =
+      if (keyspace <= (1L << 20)) {
+        val okKeys = banded.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+          .where(col("__n") >= 2 && col("__n") <= maxBucketSize)
+          .select("band", "key")
+        banded.join(broadcast(okKeys), Seq("band", "key"), "left_semi")
+      } else {
+        val w2 = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+        banded.withColumn("__n", count(lit(1)).over(w2))
+          .where(col("__n") >= 2 && col("__n") <= maxBucketSize).drop("__n")
+      }
     val l = guarded.select(col("band"), col("key"), col(idCol).as("id1"), col("sk").as("sk1"))
     val r = guarded.select(col("band"), col("key"), col(idCol).as("id2"), col("sk").as("sk2"))
     l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
