@@ -492,6 +492,22 @@ object Queries {
         (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
   }
 
+  /** Segment-level exact dedup (10-token windows): every repeated window
+    * keeps only its first corpus occurrence; docs reassemble from
+    * surviving segments. The oracle groups by segment TEXT where the
+    * engine groups by its 64-bit digest — identical semantics, but only
+    * hashes shuffle engine-side. */
+  def q56SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(t(s, dir, "documents"), segTokens = 10)
+
+  /** Decontamination: corpus docs sharing a 3-shingle with the "benchmark"
+    * probe (docs 0-4), probe docs themselves excluded from the report. */
+  def q57Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(docs.where(col("doc_id") >= 5),
+      docs.where(col("doc_id") < 5))
+  }
+
   private val ChecksumCols =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
@@ -795,6 +811,38 @@ object Queries {
         |              json_extract_string(TRY_CAST(props AS JSON), '$.k') AS v
         |            FROM events))
         |GROUP BY 1""".stripMargin,
+    "q56_segment_dedup" ->
+      s"""WITH base AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+         |seg0 AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, CAST(ceil(len(tk)/10.0) AS INT)),
+         |    i -> struct_pack(seg_no := i - 1,
+         |           seg := array_to_string(tk[(i-1)*10+1 : least(len(tk), i*10)], ' ')))) AS s
+         |  FROM base),
+         |seg AS (SELECT doc_id, s.seg_no AS seg_no, s.seg AS seg FROM seg0),
+         |keep AS (SELECT doc_id, seg_no, seg FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+         |  FROM seg) WHERE rn = 1)
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS kept_text,
+         |       CAST(count(*) AS INT) AS n_kept
+         |FROM keep GROUP BY doc_id""".stripMargin,
+    "q57_contamination" -> {
+      val shingleSql =
+        """list_distinct(list_transform(
+          |    generate_series(1, greatest(len(tk) - 2, 1)),
+          |    i -> CASE WHEN len(tk) >= 3
+          |              THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+          |              ELSE array_to_string(tk, ' ') END))""".stripMargin
+      s"""WITH probe AS (
+         |  SELECT DISTINCT unnest($shingleSql) AS s
+         |  FROM (SELECT $ToksSql AS tk FROM documents WHERE doc_id < 5)),
+         |hits AS (
+         |  SELECT doc_id, unnest($shingleSql) AS s
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents WHERE doc_id >= 5))
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_hits
+         |FROM hits JOIN probe USING (s)
+         |GROUP BY doc_id""".stripMargin
+    },
     "q54_checksum" ->
       s"""SELECT count(*) AS n_rows,
          |  sum(${digestSql(ChecksumCols)}) AS checksum
@@ -1258,6 +1306,8 @@ object Queries {
     "q52_interval_join" -> (q52IntervalJoin _),
     "q53_tfidf" -> (q53TfIdf _),
     "q54_checksum" -> (q54Checksum _),
-    "q55_table_diff" -> (q55TableDiff _)
+    "q55_table_diff" -> (q55TableDiff _),
+    "q56_segment_dedup" -> (q56SegmentDedup _),
+    "q57_contamination" -> (q57Contamination _)
   )
 }

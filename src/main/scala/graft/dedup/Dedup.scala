@@ -244,6 +244,66 @@ object Dedup {
       .distinct()
   }
 
+  // ---- segment-level exact dedup + decontamination ----
+
+  /** Consecutive `segTokens`-token segments of `text` (last one partial),
+    * each rejoined with single spaces — the fixed-window unit of
+    * segment-level exact dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022, uses 50-token windows). */
+  def segments(text: Column, segTokens: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), ceil(size(toks).cast("double") / segTokens).cast("int") - 1),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+  }
+
+  /** Segment-level exact dedup: drop every repetition of a token window
+    * that already occurred earlier in the corpus (earlier = smaller
+    * (doc_id, segment_no)), and reassemble each document from its
+    * surviving segments. Documents whose every segment is a repeat
+    * disappear entirely.
+    *
+    * Scale shape: one explode (docs × segments/doc), one groupBy on the
+    * segment's 64-bit digest to pick the global first occurrence (only
+    * (digest, doc, seg_no) triples shuffle — never segment text), a
+    * self-equi-join on the digest to keep winners, one final groupBy(doc)
+    * to reassemble. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 10,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val seg = docs.select(col(idCol),
+        posexplode(segments(col(textCol), segTokens)).as(Seq("seg_no", "seg")))
+      .withColumn("digest", xxhash64(col("seg")))
+    val winners = seg.groupBy("digest")
+      .agg(min(struct(col(idCol), col("seg_no"))).as("w"))
+      .select(col("digest"), col("w").getField(idCol).as("w_id"),
+        col("w").getField("seg_no").as("w_seg"))
+    seg.join(winners, Seq("digest"))
+      .where(col(idCol) === col("w_id") && col("seg_no") === col("w_seg"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(array_sort(collect_list(struct(col("seg_no"), col("seg"))))
+          .getField("seg"), " ").as("kept_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+  }
+
+  /** Decontamination probe: documents sharing at least one w-shingle with
+    * the `probe` set (e.g. an eval benchmark) — the standard n-gram
+    * contamination check run before training. Output: (id, n_hits).
+    *
+    * Scale shape: the probe's distinct shingles are exploded and
+    * broadcast; the corpus explodes scan-side and semi-aggregates per
+    * (id, shingle) — corpus text never shuffles, only matched shingle
+    * hits do. */
+  def contamination(docs: DataFrame, probe: DataFrame, w: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val probeShingles = probe
+      .select(explode(shingles(col(textCol), w)).as("sh")).distinct()
+    docs.select(col(idCol), explode(shingles(col(textCol), w)).as("sh"))
+      .join(broadcast(probeShingles), Seq("sh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"))
+  }
+
   // ---- embedding near-dup ----
 
   /** Quantize a float vector to exact integers (×1000, floor). Float

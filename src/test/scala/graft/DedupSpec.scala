@@ -94,6 +94,32 @@ class DedupSpec extends SparkSpec {
     uncapped.count { case (a, b) => a >= 100L && b >= 100L } shouldBe 435
   }
 
+  test("segment dedup keeps first occurrences and reassembles documents") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),        // segments (w=3): "a b c", "d e f"
+      (2L, "a b c x y z"),        // "a b c" repeats doc 1 → only "x y z" kept
+      (3L, "d e f"),              // fully duplicated → disappears
+      (4L, "fresh words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, segTokens = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    out(1L) shouldBe ("a b c d e f", 2)
+    out(2L) shouldBe ("x y z", 1)
+    out.contains(3L) shouldBe false
+    out(4L) shouldBe ("fresh words here", 1)
+  }
+
+  test("contamination flags docs sharing shingles with the probe") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "completely unrelated text body")
+    ).toDF("doc_id", "text")
+    val probe = Seq((1L, "quick brown fox runs fast")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, probe)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hits shouldBe Map(10L -> 1) // shared 3-shingle: "quick brown fox"
+  }
+
   test("embedding near-dup finds parallel vectors") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f)),
