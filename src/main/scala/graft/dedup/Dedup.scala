@@ -56,8 +56,14 @@ object Dedup {
       .drop("digest")
   }
 
-  /** w-token shingles of the text, distinct. */
-  def shingles(text: Column, w: Int = 3): Column = {
+  /** w-token shingles of the text, distinct (first-occurrence order).
+    * Codegen'd single pass ([[graft.functions.ShinglesExpr]]). */
+  def shingles(text: Column, w: Int = 3): Column = FastExprs.shingles(text, w)
+
+  /** Column-algebra reference implementation of [[shingles]] — kept as the
+    * element-identity witness for the spec; interpreted slice+concat per
+    * gram, never use on a hot path. */
+  def shinglesColumn(text: Column, w: Int = 3): Column = {
     val toks = tokens(text)
     array_distinct(
       when(size(toks) >= w,

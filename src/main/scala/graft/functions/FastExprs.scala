@@ -46,6 +46,11 @@ object FastExprs {
   def signLshBucket(vec: Column, planes: Seq[Seq[Long]]): Column =
     ExpressionUtils.column(SignLshBucketExpr(ExpressionUtils.expression(vec), planes))
 
+  /** Distinct w-shingles of `text`, first-occurrence order; element-
+    * identical to the Column-algebra path ([[ShinglesExpr.compute]]). */
+  def shingles(text: Column, w: Int): Column =
+    ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(text), w))
+
   /** Rolling-polynomial document fingerprint; value-identical to the
     * Column-algebra TextAnalysis path ([[FingerprintExpr.compute]]). */
   def fingerprint(text: Column): Column =
@@ -172,6 +177,56 @@ object RepetitionRatioExpr {
       i += 1
     }
     dup.toDouble / n
+  }
+}
+
+case class ShinglesExpr(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override def nullSafeEval(input: Any): Any =
+    ShinglesExpr.compute(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShinglesExpr.compute($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShinglesExpr {
+  /** Distinct w-shingles in first-occurrence order — element-identical to
+    * the Column algebra (transform over token windows + array_distinct,
+    * which also keeps first occurrences) in one pass: one StringBuilder
+    * per row instead of an interpreted slice+concat closure per gram.
+    * Fewer than w tokens → the single whole-text gram, like the
+    * `otherwise` branch of the Column path. */
+  def compute(text: UTF8String, w: Int): ArrayData = {
+    val toks = FastExprs.normTokens(text.toString)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    if (toks.length >= w) {
+      var i = 0
+      while (i + w <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    } else {
+      var j = 0
+      while (j < toks.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out.add(UTF8String.fromString(sb.toString))
+    }
+    new GenericArrayData(out.toArray)
   }
 }
 

@@ -94,6 +94,16 @@ class DedupSpec extends SparkSpec {
     uncapped.count { case (a, b) => a >= 100L && b >= 100L } shouldBe 435
   }
 
+  test("fast shingles match the Column-algebra path element for element") {
+    val edgy = docs.select($"text")
+      .unionByName(Seq("", "   ", "one", "one two", "a b a b a b c",
+        "tab\tand\nnewline  spaced words").toDF("text"))
+    val cmp = edgy.select(
+      Dedup.shingles($"text", 3).as("fast"),
+      Dedup.shinglesColumn($"text", 3).as("hof"))
+    cmp.where(!($"fast" <=> $"hof")).count() shouldBe 0
+  }
+
   test("segment dedup keeps first occurrences and reassembles documents") {
     val corpus = Seq(
       (1L, "a b c d e f"),        // segments (w=3): "a b c", "d e f"
