@@ -367,15 +367,23 @@ object Dedup {
     val m = graft.similarity.Similarity.planeMatrix(planes, d)
     // cap template buckets on BOTH legs (rows of an oversized bucket leave
     // the candidate set entirely) — a one-leg guard would make survival of
-    // a cross-bucket pair depend on which doc has the smaller id. The cap
-    // is a tiny aggregate (≤ 2^planes rows) broadcast-semi-joined back, so
-    // neither leg pays a corpus-wide window shuffle for it.
+    // a cross-bucket pair depend on which doc has the smaller id. Small
+    // keyspaces get a tiny broadcast-semi-joined aggregate (no corpus-wide
+    // window shuffle per leg); many-plane configs (2^planes buckets could
+    // approach corpus size — too big to collect) fall back to the window.
     val raw = embeddings.select(col(idCol).as("id"),
         quantize(col(vecCol)).as("v"))
       .withColumn("bucket", graft.functions.FastExprs.signLshBucket(col("v"), m))
-    val okBuckets = raw.groupBy("bucket").agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxBucketSize).select("bucket")
-    val base = raw.join(broadcast(okBuckets), Seq("bucket"), "left_semi")
+    val base =
+      if (planes <= 20) {
+        val okBuckets = raw.groupBy("bucket").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBucketSize).select("bucket")
+        raw.join(broadcast(okBuckets), Seq("bucket"), "left_semi")
+      } else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+        raw.withColumn("__n", count(lit(1)).over(w))
+          .where(col("__n") <= maxBucketSize).drop("__n")
+      }
     val l = base.select(col("id").as("id1"), col("v").as("v1"), col("bucket").as("key"))
     val r = base.withColumn("key", explode(array(
         col("bucket") +: (0 until planes).map(p =>

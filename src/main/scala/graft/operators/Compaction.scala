@@ -78,6 +78,9 @@ object Compaction {
                    minFiles: Int = 4): Map[String, (Int, Int)] = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the table ROOT itself can be the directory stranded mid-swap (an
+    // unpartitioned compaction crash) — restore it before listing anything
+    recoverSwap(spark, root)
     def leafDirs(p: Path): Seq[Path] = {
       // a partition dir stranded mid-swap is invisible here (it was
       // renamed to its hidden `.name__precompact` sibling) — restore it

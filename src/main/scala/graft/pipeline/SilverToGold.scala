@@ -238,15 +238,29 @@ object SilverToGold {
     * after downtime. */
   def missingDates(spark: SparkSession, silverWarehouse: String,
                    goldWarehouse: String): Seq[java.sql.Date] = {
-    def partValues(table: String, colName: String): Seq[String] =
+    // `requireData`: a partition only counts when it holds at least one
+    // committed data file — a crashed write can leave an EMPTY partition
+    // dir behind, and marking its date "done" would silently drop it from
+    // the catch-up work-list forever. Still metadata-only: one extra
+    // listStatus per candidate partition, no footer opened.
+    def partValues(table: String, colName: String,
+                   requireData: Boolean): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(table)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.sources.FsUtils.listSubdirs(spark, table)
         .filter(_.startsWith(s"$colName="))
+        .filter(d => !requireData || fs.listStatus(
+          new org.apache.hadoop.fs.Path(root, d)).exists(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")))
         .map(_.stripPrefix(s"$colName="))
         .filter(_ != "__HIVE_DEFAULT_PARTITION__")
-    val silverDates = partValues(s"$silverWarehouse/articles", "date")
+    }
+    val silverDates = partValues(s"$silverWarehouse/articles", "date",
+        requireData = false)
       .map(java.sql.Date.valueOf)
     val goldKeys = partValues(
-      s"$goldWarehouse/fact_article_publication", "PublicationDateKey")
+      s"$goldWarehouse/fact_article_publication", "PublicationDateKey",
+      requireData = true)
       .map(_.toInt).toSet
     silverDates.filter { d =>
       val ld = d.toLocalDate

@@ -43,6 +43,17 @@ class CompactionSpec extends SparkSpec {
     spark.read.parquet(t).collect().map(_.toSeq).toSet shouldBe rows
   }
 
+  test("compactTable recovers a table root stranded mid-swap") {
+    val base = tmpDir("compactrt")
+    val t = s"$base/t"
+    (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1).write.parquet(t)
+    val rows = spark.read.parquet(t).collect().map(_.toSeq).toSet
+    new java.io.File(t).renameTo(new java.io.File(s"$base/.t__precompact")) shouldBe true
+    // table-level entry point must self-heal before listing
+    Compaction.compactTable(spark, t, minFiles = 0)
+    spark.read.parquet(t).collect().map(_.toSeq).toSet shouldBe rows
+  }
+
   test("multi-level partitioned tables compact their leaf directories") {
     val t = tmpDir("compactml") + "/t"
     for (b <- 0 until 5)

@@ -162,5 +162,10 @@ class DedupSpec extends SparkSpec {
     val rows = Dedup.cosineNearDupLsh(emb, threshold = 0.95, planes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     rows.length shouldBe rows.toSet.size
+    // many-plane configs take the window-guard fallback (the ok-bucket
+    // set could approach corpus size — unbroadcastable); same contract
+    val wide = Dedup.cosineNearDupLsh(emb, threshold = 0.95, planes = 22)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    wide.subsetOf(brute) shouldBe true
   }
 }

@@ -156,6 +156,17 @@ class PipelineSpec extends SparkSpec {
       SilverToGold.missingDates(spark, wh, gold))
     SilverToGold.missingDates(spark, wh, gold) shouldBe Nil
     spark.read.parquet(s"$gold/fact_article_publication").count() shouldBe 2
+
+    // a crashed write's EMPTY partition dir must NOT mark its date done
+    val ghost = new java.io.File(
+      s"$gold/fact_article_publication/PublicationDateKey=20251012")
+    ghost.mkdirs() shouldBe true
+    SilverToGold.missingDates(spark, wh, gold) shouldBe Nil // not a silver date
+    val ghost2 = new java.io.File(
+      s"$gold/fact_article_publication/PublicationDateKey=20251011")
+    // empty out day 2's partition to simulate the crash
+    ghost2.listFiles().foreach(_.delete())
+    SilverToGold.missingDates(spark, wh, gold) shouldBe Seq(d2)
   }
 
   test("streaming availableNow reaches the same silver state as batch") {
