@@ -589,6 +589,28 @@ object Queries {
   private val PortableHashSqlT =
     "CAST(substr(regexp_replace(md5(t), '[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
 
+  /** TextAnalysis.portableHash64 of lambda variable `t`: first 16 hex chars
+    * of md5 as an unsigned 64-bit value. Kept unsigned (UBIGINT) through
+    * the sketch algebra; [[signed64Sql]] reinterprets for output. */
+  private val PortableHash64SqlT =
+    "('0x' || substr(md5(t), 1, 16))::UBIGINT"
+
+  /** 64-bit SimHash majority vote over `hs` (list of UBIGINT token
+    * hashes): Σ over bits j of 2^j when more hashes have bit j set than
+    * clear. Power-of-two literals, not `1 << j` — DuckDB range-checks
+    * `1::UBIGINT << 63` as an overflow. */
+  private lazy val SimHash64Sql: String =
+    (0 until 64).map { j =>
+      s"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $j) & 1) = 1)) > len(hs) " +
+        s"THEN ${(BigInt(1) << j).toString}::UBIGINT ELSE 0::UBIGINT END)"
+    }.mkString(" + ")
+
+  /** Two's-complement reinterpretation UBIGINT → BIGINT (Spark longs are
+    * signed; the driver hashes rendered values, so widths must agree). */
+  private def signed64Sql(u: String): String =
+    s"CAST(CAST($u AS HUGEINT) - (CASE WHEN $u >= 9223372036854775808::UBIGINT " +
+      s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS BIGINT)"
+
   /** DuckDB mirror of Reconcile.rowDigest: portable hash of values joined
     * by chr(1) with chr(2)-marked NULLs — byte-identical input to md5 on
     * both engines. */
@@ -678,22 +700,19 @@ object Queries {
        |        / len(list_distinct(a.sh || b.sh)) >= 0.5""".stripMargin
   }
 
-  /** q49's oracle: SimHash sketch (as [[simHashOracle]]) → 4 bands of
-    * 8 bits → bucket-join on any equal band → exact Hamming ≤ 3 via
-    * bit_count(xor). */
+  /** q49's oracle: 64-bit SimHash sketch (as [[simHashOracle]]) → 4 bands
+    * of 16 bits → bucket-join on any equal band → exact Hamming ≤ 3 via
+    * bit_count(xor). All sketch algebra stays UBIGINT (logical shifts);
+    * only value-compared outputs are reinterpreted signed. */
   private lazy val simHashNearDupOracle: String = {
-    val bits = (0 until 32).map { j =>
-      s"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $j) & 1) = 1)) > len(hs) " +
-        s"THEN (1::BIGINT << $j) ELSE 0 END)"
-    }.mkString(" + ")
     val bandLegs = (0 until 4).map { b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS key FROM sk"
+      s"SELECT doc_id, simhash, $b AS band, ((simhash >> ${b * 16}) & 65535) AS key FROM sk"
     }.mkString("\n  UNION ALL ")
     s"""WITH sk AS (
-       |  SELECT doc_id, $bits AS simhash FROM (
+       |  SELECT doc_id, $SimHash64Sql AS simhash FROM (
        |    SELECT doc_id, list_transform(
        |      list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')),
-       |      t -> $PortableHashSqlT) AS hs
+       |      t -> $PortableHash64SqlT) AS hs
        |    FROM documents)),
        |banded AS (
        |  $bandLegs),
@@ -708,22 +727,18 @@ object Queries {
        |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3""".stripMargin
   }
 
-  /** Dedup.simHash mirrored into SQL: 32 per-bit majority votes over the
-    * portable hashes of distinct lowercased tokens (bit j set iff more
-    * than half the token hashes have bit j set). */
-  private lazy val simHashOracle: String = {
-    val bits = (0 until 32).map { j =>
-      s"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $j) & 1) = 1)) > len(hs) " +
-        s"THEN (1::BIGINT << $j) ELSE 0 END)"
-    }.mkString(" + ")
-    s"""SELECT min(doc_id) AS keep_id, count(*) AS dup_count, simhash FROM (
-       |  SELECT doc_id, $bits AS simhash FROM (
+  /** Dedup.simHash mirrored into SQL: 64 per-bit majority votes over the
+    * portable 64-bit hashes of distinct lowercased tokens (bit j set iff
+    * more than half the token hashes have bit j set). */
+  private lazy val simHashOracle: String =
+    s"""SELECT min(doc_id) AS keep_id, count(*) AS dup_count,
+       |  ${signed64Sql("sku")} AS simhash FROM (
+       |  SELECT doc_id, $SimHash64Sql AS sku FROM (
        |    SELECT doc_id, list_transform(
        |      list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')),
-       |      t -> $PortableHashSqlT) AS hs
+       |      t -> $PortableHash64SqlT) AS hs
        |    FROM documents))
-       |GROUP BY simhash""".stripMargin
-  }
+       |GROUP BY sku""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -845,7 +860,7 @@ object Queries {
     },
     "q54_checksum" ->
       s"""SELECT count(*) AS n_rows,
-         |  sum(${digestSql(ChecksumCols)}) AS checksum
+         |  CAST(sum(${digestSql(ChecksumCols)}) AS BIGINT) AS checksum
          |FROM orders""".stripMargin,
     "q55_table_diff" -> {
       val nonKey = Seq("o_custkey", "o_orderstatus", "o_orderpriority")

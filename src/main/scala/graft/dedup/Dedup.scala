@@ -165,27 +165,31 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 32-bit SimHash over distinct lowercased token hashes: bit j of the
+  /** 64-bit SimHash over distinct lowercased token hashes: bit j of the
     * sketch is 1 iff the sum over tokens of ±1 (sign of token-hash bit j)
-    * is positive. Case-normalized to agree with textDigest's notion of
-    * duplicate. Codegen'd single pass ([[graft.functions.SimHashExpr]]). */
+    * is positive. 64-bit per Manku et al. (WWW 2007) so pigeonhole bands
+    * at maxHamming=3 carry 16-bit keys — a 32-bit sketch's 8-bit bands
+    * (256 buckets) flood past any cap at 10⁹⁺ docs and recall collapses.
+    * Case-normalized to agree with textDigest's notion of duplicate.
+    * Codegen'd single pass ([[graft.functions.SimHashExpr]]). */
   def simHash(text: Column): Column = FastExprs.simHash(text)
 
   /** Column-algebra reference implementation of [[simHash]] — one closure
-    * call per token × 32 bits, no whole-stage codegen. Kept only as the
+    * call per token × 64 bits, no whole-stage codegen. Kept only as the
     * bit-identity witness for the spec; never use on a hot path. */
   def simHashColumn(text: Column): Column = {
-    val hashed = transform(array_distinct(tokens(lower(text))), t => portableHash(t))
+    val hashed = transform(array_distinct(tokens(lower(text))),
+      t => graft.text.TextAnalysis.portableHash64(t))
     val counts = aggregate(hashed,
-      transform(sequence(lit(0), lit(31)), _ => lit(0L)),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
-        (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))))
-    aggregate(zip_with(counts, sequence(lit(0), lit(31)),
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, j) => a + when(call_function("shiftrightunsigned", h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(zip_with(counts, sequence(lit(0), lit(63)),
       (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc + b)
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
-  /** SimHash dup groups: identical 32-bit sketch (hamming 0). For
+  /** SimHash dup groups: identical 64-bit sketch (hamming 0). For
     * hamming≤k use [[simHashNearDup]]. */
   def simHashGroups(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =
@@ -194,10 +198,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming`, banded:
-    * split the 32-bit sketch into maxHamming+1 contiguous bit bands — by
+    * split the 64-bit sketch into maxHamming+1 contiguous bit bands — by
     * pigeonhole any pair within distance k agrees exactly on at least one
     * band — bucket-join per (band, bandBits), then verify
-    * bit_count(sk1 XOR sk2) ≤ k on the candidates.
+    * bit_count(sk1 XOR sk2) ≤ k on the candidates. At the default
+    * maxHamming=3 the band keys are 16 bits (Manku et al., WWW 2007
+    * geometry): 65 536 buckets per band, so per-bucket population stays
+    * cap-friendly at web-corpus cardinalities.
     *
     * Scale shape mirrors minHashCandidates: the sketch is computed
     * scan-side in one compiled pass, the only shuffles are the band-bucket
@@ -207,25 +214,29 @@ object Dedup {
   def simHashNearDup(docs: DataFrame, maxHamming: Int = 3,
                      idCol: String = "doc_id", textCol: String = "text",
                      maxBucketSize: Int = 10000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32,
-      s"maxHamming must be in [0, 32), got $maxHamming")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val bands = maxHamming + 1
-    val cut = (0 to bands).map(b => b * 32 / bands) // band b = bits [cut(b), cut(b+1))
+    val cut = (0 to bands).map(b => b * 64 / bands) // band b = bits [cut(b), cut(b+1))
+    def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1
     val sk = docs.select(col(idCol), simHash(col(textCol)).as("sk"))
     val banded = sk.select(col(idCol), col("sk"),
       posexplode(array((0 until bands).map { b =>
         val width = cut(b + 1) - cut(b)
-        shiftright(col("sk"), cut(b)).bitwiseAND(lit((1L << width) - 1))
+        // arithmetic shift + mask ≡ logical shift: the mask kills the
+        // sign-extension bits, so negative 64-bit sketches band correctly
+        shiftright(col("sk"), cut(b)).bitwiseAND(lit(mask(width)))
       }: _*)))
       .select(col(idCol), col("sk"), col("pos").as("band"), col("col").as("key"))
     // Bucket-size guard. When the (band, key) keyspace is small
-    // (Σ 2^bandWidth — e.g. 4×256 at maxHamming=3), the guard is a tiny
+    // (Σ 2^bandWidth — e.g. 4×65536 at maxHamming=3), the guard is a tiny
     // aggregate broadcast-semi-joined back: a count-window would
     // shuffle+SORT the full banded set once PER JOIN LEG (both legs
-    // re-execute the guard subtree). Wide single-band configs
-    // (maxHamming≤1 → up to 2^32 keys) fall back to the window, whose
-    // exchange the subsequent self-join reuses.
-    val keyspace = (0 until bands).map(b => 1L << (cut(b + 1) - cut(b))).sum
+    // re-execute the guard subtree). Wide-band configs (maxHamming≤2 →
+    // ≥2^21-key bands) fall back to the window, whose exchange the
+    // subsequent self-join reuses.
+    // BigInt: a single 64-bit band would overflow a Long's 1L << 64
+    val keyspace = (0 until bands).map(b => BigInt(1) << (cut(b + 1) - cut(b))).sum
     val guarded =
       if (keyspace <= (1L << 20)) {
         val okKeys = banded.groupBy("band", "key").agg(count(lit(1)).as("__n"))

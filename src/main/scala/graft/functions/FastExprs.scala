@@ -62,10 +62,12 @@ object FastExprs {
   def repetitionRatio(text: Column, w: Int): Column =
     ExpressionUtils.column(RepetitionRatioExpr(ExpressionUtils.expression(text), w))
 
-  /** 32-bit SimHash sketch of the distinct lowercased tokens of `text`;
+  /** 64-bit SimHash sketch of the distinct lowercased tokens of `text`;
     * bit-identical to Dedup.simHashColumn (same tokenization, same portable
-    * md5-digit token hash, same per-bit majority vote) in one compiled pass
-    * instead of 32 interpreted lambda sweeps per token. */
+    * 64-bit md5-prefix token hash, same per-bit majority vote) in one
+    * compiled pass instead of 64 interpreted lambda sweeps per token.
+    * 64-bit width follows Manku et al. (WWW 2007): banding a narrower
+    * sketch floods every bucket at web scale. */
   def simHash(text: Column): Column =
     ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(text)))
 
@@ -104,6 +106,20 @@ object FastExprs {
     }
     while (cnt < 8) { acc *= 10; cnt += 1 } // right-pad with zeros
     acc
+  }
+
+  /** JVM replica of TextAnalysis.portableHash64: first 8 bytes of the md5
+    * digest, big-endian, as a signed long — identical to parsing the first
+    * 16 hex chars as an unsigned 64-bit value (two's complement). All 64
+    * bits uniform, unlike the decimal-digit [[portableHashJvm]]. */
+  def portableHash64Jvm(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
   }
 }
 
@@ -295,7 +311,7 @@ case class SimHashExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = "simhash64"
   override def nullSafeEval(input: Any): Any =
     SimHashExpr.compute(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -306,21 +322,24 @@ case class SimHashExpr(child: Expression)
 
 object SimHashExpr {
   /** Charikar sketch over distinct lowercased tokens: bit j of the result
-    * is 1 iff more token hashes have bit j set than clear. Lowercasing goes
+    * is 1 iff more token hashes have bit j set than clear. 64-bit wide
+    * (Manku et al., WWW 2007) over the full-width portableHash64 token
+    * hash, so band keys at maxHamming=3 are 16 bits — the geometry that
+    * keeps bucket sizes workable at 10⁹⁺ documents. Lowercasing goes
     * through UTF8String.toLowerCase — the exact code Spark's `lower`
     * expression runs, so this stays bit-identical to the Column path. */
   def compute(text: UTF8String): Long = {
     val toks = FastExprs.normTokens(text.toLowerCase.toString)
     val seen = new java.util.HashSet[String]()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       if (seen.add(t)) {
-        val h = FastExprs.portableHashJvm(t)
+        val h = FastExprs.portableHash64Jvm(t)
         var j = 0
-        while (j < 32) {
-          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
           j += 1
         }
       }
@@ -328,7 +347,7 @@ object SimHashExpr {
     }
     var sketch = 0L
     var j = 0
-    while (j < 32) { if (counts(j) > 0) sketch |= 1L << j; j += 1 }
+    while (j < 64) { if (counts(j) > 0) sketch |= 1L << j; j += 1 }
     sketch
   }
 }

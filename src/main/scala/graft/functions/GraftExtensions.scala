@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.IntegerType
   *
   * {{{
   *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
-  *   spark.sql("SELECT simhash32(text), doc_fingerprint(text) FROM docs")
+  *   spark.sql("SELECT simhash64(text), doc_fingerprint(text) FROM docs")
   * }}}
   *
   * or, on an already-built session (tests, notebooks):
@@ -39,11 +39,11 @@ object GraftExtensions {
     * SparkSessionExtensions.injectFunction takes. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("simhash32"),
-      info("simhash32", "simhash32(text) - 32-bit Charikar sketch of distinct lowercased tokens"),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit Charikar sketch of distinct lowercased tokens"),
       { case Seq(t) => SimHashExpr(t)
         case args => throw new IllegalArgumentException(
-          s"simhash32 expects 1 argument, got ${args.size}") }),
+          s"simhash64 expects 1 argument, got ${args.size}") }),
     (FunctionIdentifier("doc_fingerprint"),
       info("doc_fingerprint", "doc_fingerprint(text) - rolling polynomial token-hash fingerprint"),
       { case Seq(t) => FingerprintExpr(t)

@@ -59,13 +59,40 @@ object FlatView {
 
   /** Generic full-refresh export (replaces the reference's BigQuery
     * WRITE_TRUNCATE sink, gold_to_bigquery.py:118-142): partitioned
-    * overwrite with an optional derived day-partition column. */
-  def export(df: DataFrame, path: String, partitionFromTs: Option[String] = None): Unit = {
+    * overwrite with an optional derived day-partition column.
+    *
+    * `clusterBy` is the analogue of the BigQuery sink's `clusteredFields`
+    * (day partition + topic/author clustering, gold_to_bigquery.py:118-142):
+    * rows are range-repartitioned on (partition, cluster) keys and sorted
+    * within tasks, so each exported file covers a narrow disjoint slice of
+    * the cluster keyspace — parquet min/max stats then let a downstream
+    * scan filtered on a cluster column skip whole files/row groups instead
+    * of reading the export. Cluster keys additionally get footer bloom
+    * filters for point lookups. Costs exactly one range shuffle — the same
+    * work a warehouse's own reclustering performs; a bare
+    * sortWithinPartitions would leave every file spanning the full key
+    * range (tasks hold arbitrary key mixes after upstream transforms). */
+  def export(df: DataFrame, path: String, partitionFromTs: Option[String] = None,
+             clusterBy: Seq[String] = Nil, clusterFiles: Int = 0): Unit = {
     val (out, parts) = partitionFromTs match {
       case Some(ts) => (df.withColumn("_export_date", to_date(col(ts))), Seq("_export_date"))
       case None => (df, Nil)
     }
-    val w = out.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+    if (clusterBy.nonEmpty) {
+      // explicit clusterFiles pins the range-partition count (AQE never
+      // coalesces a user-specified number — coalesced ranges would re-merge
+      // adjacent key slices and undo the clustering); 0 = let the session's
+      // shuffle parallelism + AQE size the ranges, the right default when
+      // partitions are row-group-sized anyway
+      val keys = (parts ++ clusterBy).map(out.col)
+      val clustered =
+        if (clusterFiles > 0) out.repartitionByRange(clusterFiles, keys: _*)
+        else out.repartitionByRange(keys: _*)
+      graft.operators.Pruning.writeWithBloomFilters(clustered, path,
+        bloomCols = clusterBy, sortCols = clusterBy, partitionCols = parts)
+    } else {
+      val w = out.write.mode(SaveMode.Overwrite)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+    }
   }
 }

@@ -37,6 +37,15 @@ object TextAnalysis {
     substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("00000000")), 1, 8)
       .cast("long")
 
+  /** Portable full-width 64-bit hash: first 16 hex chars of md5 read as an
+    * unsigned 64-bit value, reinterpreted as a signed long (two's
+    * complement — `conv` with negative radix). Unlike [[portableHash]]
+    * (8 decimal digits ≈ 27 usable bits) every one of the 64 bits is
+    * uniform, which sketches that band on bit ranges (SimHash) require.
+    * DuckDB mirror: `('0x' || substr(md5(x), 1, 16))::UBIGINT`. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 16), 16, -10).cast("long")
+
   /** Document fingerprint: polynomial rolling hash over token hashes,
     * mod 1e9+7 (keeps the accumulator overflow-free under ANSI mode).
     * Codegen'd single pass ([[graft.functions.FingerprintExpr]]). */

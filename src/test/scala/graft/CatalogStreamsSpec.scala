@@ -186,6 +186,48 @@ class CatalogStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join as a real AvailableNow file stream over sf0.01 events == oracle-checked batch twin") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    // the batch twin is the exact plan the driver value-checks against
+    // DuckDB (q52) — matching it transitively oracle-verifies the stream
+    val batch = Queries.q52IntervalJoin(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    batch.length should be > 0
+
+    // the file stream source lists a DIRECTORY — stage the (read-only)
+    // testdata file into one; the bytes streamed are the real sf0.01 table
+    val streamDir = tmpDir("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val sch = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def eventStream() = {
+      val raw = spark.readStream.schema(sch).parquet(streamDir)
+      // same nanos→micros conversion the batch reader applies (events.ts
+      // is TIMESTAMP(NANOS), surfaced as long under nanosAsLong)
+      if (sch("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      else raw
+    }
+    val views = eventStream().where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts")
+    val buys = eventStream().where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("buy_id"), $"ts")
+    val out = Streams.intervalJoin(views, buys, "user_id",
+        before = "0 minutes", after = "4 hours")
+      .select(col("l.user_id").as("user_id"), col("view_id"), col("buy_id"),
+        (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
+    val q = out.writeStream.format("memory").queryName("funnel_sf")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("funnel_sf")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    streamed shouldBe batch
+  }
+
   test("multi-probe LSH finds at least the single-probe results, still exact-subset") {
     val emb = (0L until 80L).map { i =>
       (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))

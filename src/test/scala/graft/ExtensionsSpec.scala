@@ -16,7 +16,7 @@ class ExtensionsSpec extends SparkSpec {
     docs.createOrReplaceTempView("ext_docs")
 
     val viaSql = spark.sql(
-      """SELECT simhash32(text) AS sh, doc_fingerprint(text) AS fp,
+      """SELECT simhash64(text) AS sh, doc_fingerprint(text) AS fp,
         |       repetition_ratio(text, 2) AS rep,
         |       minhash_signature(text, 3, 16) AS sig
         |FROM ext_docs""".stripMargin).collect()

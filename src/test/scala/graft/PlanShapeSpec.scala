@@ -62,7 +62,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("custom kernels stay inside whole-stage codegen in q33/q25") {
     for ((q, kernel) <- Seq("q33_fingerprint" -> "doc_fingerprint",
-        "q25_simhash_groups" -> "simhash32")) {
+        "q25_simhash_groups" -> "simhash64")) {
       requireData()
       // AQE plans only materialize their codegen stages on execution —
       // inspect the FINAL plan, not the pre-execution skeleton

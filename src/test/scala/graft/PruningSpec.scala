@@ -127,6 +127,62 @@ class PruningSpec extends SparkSpec {
       grid.collect().map(_.toSeq).toSet
   }
 
+  test("clustered export bounds cluster-column extents per file and writes blooms") {
+    val dir = tmpDir("export")
+    // hash-shuffled (topic, id, ts): input order carries no topic locality,
+    // so any per-file tightness must come from the export's clustering
+    val rows = (0 until 20000).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffff
+      ((h % 50).toInt, i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${(i % 5) + 1}%02d 12:00:00"))
+    }.toDF("topic", "id", "ts").repartition(8)
+
+    graft.pipeline.FlatView.export(rows, s"$dir/plain", Some("ts"))
+    // explicit clusterFiles: range clustering must subdivide within each
+    // date (5 dates × 50 topics over 64 ranges ≈ 4-topic slices); an
+    // AQE-sized shuffle would coalesce these toy-sized ranges right back
+    graft.pipeline.FlatView.export(rows, s"$dir/clustered", Some("ts"),
+      clusterBy = Seq("topic", "id"), clusterFiles = 64)
+
+    // per-file topic extent, averaged across all date partitions
+    def avgExtent(path: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("_export_date="))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet"))).toSeq
+      val exts = files.map { f =>
+        val s = spark.read.parquet(f.getPath).agg(min("topic"), max("topic")).head()
+        (s.getInt(1) - s.getInt(0)) / 50.0
+      }
+      exts.sum / exts.size
+    }
+    // unclustered: every task holds a hash-mix of all topics → full span
+    avgExtent(s"$dir/plain") should be > 0.8
+    // clustered: each file covers a narrow disjoint topic slice
+    avgExtent(s"$dir/clustered") should be < 0.3
+    // rows survive the clustered rewrite exactly
+    spark.read.parquet(s"$dir/clustered").select("topic", "id")
+      .collect().map(_.toSeq).toSet shouldBe
+      rows.select("topic", "id").collect().map(_.toSeq).toSet
+    // and the high-cardinality cluster key's footer carries a bloom filter
+    // (the ~4-distinct-value topic column is fully dictionary-encoded per
+    // file, so parquet-mr intentionally omits its bloom — the dictionary
+    // itself already gives exact row-group skipping)
+    val file = new java.io.File(s"$dir/clustered").listFiles()
+      .filter(_.getName.startsWith("_export_date=")).head
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toURI),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val idCol = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      assert(idCol.getBloomFilterOffset > 0,
+        s"no bloom filter offset for id in ${file.getName}")
+    } finally reader.close()
+  }
+
   private implicit class JListOps[A](l: java.util.List[A]) {
     def asScala: scala.collection.mutable.Buffer[A] =
       scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
