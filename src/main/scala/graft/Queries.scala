@@ -242,6 +242,16 @@ object Queries {
   def q25SimHashGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashGroups(t(s, dir, "documents"))
 
+  /** Near-dup pairs resolved to dedup clusters by distributed connected
+    * components (min-label propagation over the pair graph) — turns q24's
+    * pair list into one canonical keeper per transitive template family. */
+  def q58DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minHashDedup(docs, threshold = 0.5, portable = true,
+      maxBucketSize = Int.MaxValue)
+    Dedup.dedupClusters(docs, pairs)
+  }
+
   /** n-gram Jaccard similarity over a deterministic candidate pair set. */
   def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -621,10 +631,10 @@ object Queries {
       "'[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
   }
 
-  /** Dedup.minHashDedup(portable=true) mirrored into SQL: distinct
-    * 3-shingles → 16 portable min-hashes → 4 bands of 4 → intra-bucket
-    * pairs (any band fully equal) → exact Jaccard ≥ 0.5. */
-  private lazy val minHashOracle: String = {
+  /** Shared WITH-body of the MinHash oracles: documents → whitespace
+    * tokens → distinct 3-shingles → portable hashes → 16 affine min-hash
+    * signature columns (CTEs toks, sh, hs, sig). */
+  private lazy val minHashSigCtes: String = {
     import graft.functions.MinHashSignatureExpr.{coeffA, coeffB, Prime}
     val shingleSql =
       """list_distinct(list_transform(
@@ -635,24 +645,59 @@ object Queries {
     val sigCols = (0 until 16).map { i =>
       s"list_min(list_transform(hs, h -> (h * ${coeffA(i)} + ${coeffB(i)}) % $Prime)) AS s$i"
     }.mkString(",\n    ")
-    val bandEq = (0 until 4).map { b =>
-      (0 until 4).map(r => s"a.s${b * 4 + r} = b.s${b * 4 + r}").mkString("(", " AND ", ")")
-    }.mkString(" OR ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk FROM documents),
        |sh AS (SELECT doc_id, $shingleSql AS sh FROM toks),
        |hs AS (SELECT doc_id, sh,
        |         list_transform(sh, t -> $PortableHashSqlT) AS hs FROM sh),
        |sig AS (SELECT doc_id, sh,
        |    $sigCols
-       |  FROM hs),
+       |  FROM hs)""".stripMargin
+  }
+
+  /** "any band (4 rows of the signature) fully equal" LSH candidate
+    * condition between sig aliases a and b. */
+  private lazy val minHashBandEq: String =
+    (0 until 4).map { b =>
+      (0 until 4).map(r => s"a.s${b * 4 + r} = b.s${b * 4 + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+
+  /** Dedup.minHashDedup(portable=true) mirrored into SQL: distinct
+    * 3-shingles → 16 portable min-hashes → 4 bands of 4 → intra-bucket
+    * pairs (any band fully equal) → exact Jaccard ≥ 0.5. */
+  private lazy val minHashOracle: String =
+    s"""WITH $minHashSigCtes,
        |pairs AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($minHashBandEq))
        |SELECT id1, id2 FROM pairs
        |WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
        |        / len(list_distinct(sh1 || sh2)) >= 0.5""".stripMargin
-  }
+
+  /** q58's oracle: the verified MinHash pairs (as [[minHashOracle]]) →
+    * symmetric edge set → transitive closure by recursive CTE → per-node
+    * min reachable id = the cluster representative; unpaired docs keep
+    * themselves. Mirrors Graph.connectedComponents exactly (min label over
+    * the component, fixed point ≡ closure). */
+  private lazy val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $minHashSigCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($minHashBandEq)),
+       |pairs AS (
+       |  SELECT id1, id2 FROM cand
+       |  WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+       |          / len(list_distinct(sh1 || sh2)) >= 0.5),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach AS (
+       |  SELECT a AS node, a AS lab FROM edges
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+       |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+       |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN cc c ON c.node = d.doc_id""".stripMargin
 
   /** q48's oracle: same signature pipeline as [[minHashOracle]] but over
     * the clone-salted corpus and banding-exploded, so the bucket-size cap
@@ -946,6 +991,7 @@ object Queries {
          |      FROM documents)""".stripMargin,
     "q20_lang_id" -> langIdOracle,
     "q24_minhash_dedup" -> minHashOracle,
+    "q58_dedup_clusters" -> dedupClustersOracle,
     "q25_simhash_groups" -> simHashOracle,
     "q48_minhash_capped" -> minHashCappedOracle,
     "q49_simhash_neardup" -> simHashNearDupOracle,
@@ -1291,6 +1337,7 @@ object Queries {
     "q22_exact_dedup_groups" -> (q22ExactDedupGroups _),
     "q23_exact_dedup_rows" -> (q23ExactDedupRows _),
     "q24_minhash_dedup" -> (q24MinHashDedup _),
+    "q58_dedup_clusters" -> (q58DedupClusters _),
     "q25_simhash_groups" -> (q25SimHashGroups _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q27_knn_brute_force" -> (q27KnnBruteForce _),

@@ -163,6 +163,22 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Resolve near-dup PAIRS into dedup CLUSTERS: every doc labeled with
+    * its cluster's canonical representative — the min doc id in its
+    * connected component of the pair graph ([[graft.operators.Graph
+    * .connectedComponents]]); docs with no pair keep themselves. Pairs
+    * alone under-dedup transitive chains (A~B, B~C: LSH may never emit
+    * A~C, yet all three are one template family — keep exactly one). */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val cc = graft.operators.Graph.connectedComponents(pairs, "id1", "id2")
+      .withColumnRenamed("node", idCol)
+    docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over distinct lowercased token hashes: bit j of the

@@ -111,11 +111,61 @@ final class MetricsRegistry(spark: SparkSession) extends SparkListener {
   }
 
   /** The push-to-gateway analogue: one JSON object per line, appendable and
-    * greppable (the container has no Prometheus; a real deployment would
-    * POST the same payload). */
+    * greppable (a deployment without a gateway can ship this file). */
   def dump(path: String): Unit = {
     val lines = report().map(_.toJson).mkString("", "\n", "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), lines)
+  }
+
+  /** Prometheus text-exposition (v0.0.4) rendering of the finished stages —
+    * the reference's gauges `etl_job_duration_seconds` and
+    * `etl_job_records_processed_total` (metrics_utils.py:66-80), labeled
+    * (job_name, task_id, status, host), plus a records-read gauge the
+    * listener gets for free. Gauge semantics: the LAST metric per label set
+    * wins (re-runs overwrite, as with the reference's per-push registry). */
+  def exposition(): String = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"; case '"' => "\\\""; case '\n' => "\\n"
+      case c => c.toString
+    }
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    def labels(m: JobMetric) =
+      s"""{job_name="${esc(m.jobName)}",task_id="${esc(m.taskId)}",""" +
+        s"""status="${if (m.success) "success" else "failure"}",host="${esc(host)}"}"""
+    // last-wins dedup per label set, insertion-ordered for readability
+    val byLabels = scala.collection.mutable.LinkedHashMap[String, JobMetric]()
+    report().foreach(m => byLabels.put(labels(m), m))
+    val sb = new StringBuilder
+    def gauge(name: String, help: String)(value: JobMetric => String): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name gauge\n")
+      byLabels.foreach { case (ls, m) => sb.append(s"$name$ls ${value(m)}\n") }
+    }
+    gauge("etl_job_duration_seconds", "Duration of ETL job in seconds")(
+      _.durationSec.toString)
+    gauge("etl_job_records_processed_total", "Total records processed by ETL job")(
+      _.recordsWritten.toString)
+    gauge("etl_job_records_read_total", "Total records read by ETL job")(
+      _.recordsRead.toString)
+    sb.toString
+  }
+
+  /** Push the finished stages to a Prometheus Pushgateway: the standard
+    * `PUT {gateway}/metrics/job/{job}` carrying [[exposition]] — the same
+    * wire call `prometheus_client.push_to_gateway` makes for the reference
+    * (metrics_utils.py:103-107). Throws on any non-2xx so a broken
+    * monitoring path is loud, not silent. */
+  def push(gatewayUrl: String, job: String): Unit = {
+    val url = gatewayUrl.stripSuffix("/") + "/metrics/job/" +
+      java.net.URLEncoder.encode(job, "UTF-8")
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "text/plain; version=0.0.4")
+      .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(exposition()))
+      .build()
+    val resp = java.net.http.HttpClient.newHttpClient()
+      .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"pushgateway PUT $url returned ${resp.statusCode()}: ${resp.body().take(200)}")
   }
 
   def close(): Unit = spark.sparkContext.removeSparkListener(this)

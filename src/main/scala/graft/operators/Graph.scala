@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair/edge DataFrame — the step
+  * that turns near-dup PAIRS (MinHash/SimHash/cosine candidates, e.g.
+  * `Dedup.minHashDedup` output) into dedup CLUSTERS with one canonical
+  * representative each: pairs alone under-dedup chains (A~B, B~C but A≁C
+  * never pairs; all three are one template family).
+  *
+  * Algorithm: iterative min-label propagation — every node repeatedly
+  * adopts the minimum label among itself and its neighbors until a fixed
+  * point; converges in O(component diameter) rounds (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014 — their
+  * star-contraction variants cut rounds to O(log n) for pathological
+  * diameters; dedup clusters are near-cliques with diameter ≤ ~3, where
+  * plain propagation is already optimal and does one shuffle per round).
+  *
+  * Scale shape: only (node, label) longs ever shuffle — never documents;
+  * the symmetrized edge set is computed once and reused each round; each
+  * round's result is `localCheckpoint`ed so the iterative lineage (and
+  * with it the replay cost of a lost partition) stays O(1) rather than
+  * O(rounds); convergence is detected with a count aggregate on the
+  * changed-label set (one tiny job per round).
+  */
+object Graph {
+
+  /** Components of the undirected graph given by `edges(src, dst)`:
+    * returns (node, component) with component = min node id reachable.
+    * Nodes appear iff they appear in an edge. */
+  def connectedComponents(edges: DataFrame, src: String = "id1",
+                          dst: String = "id2", maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .localCheckpoint() // computed once; every round re-reads it
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate labels: own ∪ every neighbor's current label
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
+      changed = next.join(
+          labels.withColumnRenamed("component", "prev"), "node")
+        .where(col("component") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it or contract stars first")
+    labels
+  }
+}

@@ -104,6 +104,28 @@ class DedupSpec extends SparkSpec {
     cmp.where(!($"fast" <=> $"hof")).count() shouldBe 0
   }
 
+  test("connected components resolve pair chains into transitive clusters") {
+    import graft.operators.Graph
+    // chain 1-2-3 (1~3 never paired), clique 10-11-12, isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id1", "id2")
+    val cc = Graph.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc(1L) shouldBe 1L; cc(2L) shouldBe 1L; cc(3L) shouldBe 1L // chain merges
+    cc(10L) shouldBe 10L; cc(11L) shouldBe 10L; cc(12L) shouldBe 10L
+    cc(20L) shouldBe 20L; cc(21L) shouldBe 20L
+    // docs without a pair keep themselves in the cluster assignment
+    val docs = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val assigned = Dedup.dedupClusters(docs, Seq((1L, 2L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assigned shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L)
+    // a long path needs diameter rounds — still converges deterministically
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val pathCc = Graph.connectedComponents(path)
+      .collect().map(r => r.getLong(1)).distinct
+    pathCc shouldBe Array(0L)
+  }
+
   test("segment dedup keeps first occurrences and reassembles documents") {
     val corpus = Seq(
       (1L, "a b c d e f"),        // segments (w=3): "a b c", "d e f"

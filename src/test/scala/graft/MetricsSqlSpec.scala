@@ -89,6 +89,53 @@ class MetricsSqlSpec extends SparkSpec {
     } finally reg.close()
   }
 
+  test("pushgateway push PUTs the prometheus exposition of every metered stage") {
+    val reg = new MetricsRegistry(spark)
+    // in-JVM HTTP server standing in for the Pushgateway — captures the
+    // exact wire call (method, path, content type, body)
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var got: (String, String, String, String) = null
+    server.createContext("/", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      got = (exchange.getRequestMethod, exchange.getRequestURI.toString,
+        exchange.getRequestHeaders.getFirst("Content-Type"), body)
+      exchange.sendResponseHeaders(200, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val dir = tmpDir("mPush")
+      reg.timed("push_job", "write_x") {
+        (1 to 7).toDF("n").write.parquet(s"$dir/x")
+      }
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      reg.push(url, "graft etl")
+      val (method, path, ctype, body) = got
+      method shouldBe "PUT"
+      path shouldBe "/metrics/job/graft+etl" // url-encoded grouping key
+      ctype should startWith("text/plain")
+      body should include("# TYPE etl_job_duration_seconds gauge")
+      body should include("# TYPE etl_job_records_processed_total gauge")
+      val recLine = body.linesIterator.find(l =>
+        l.startsWith("etl_job_records_processed_total") &&
+          l.contains("""task_id="write_x"""")).get
+      recLine should include("""job_name="push_job"""")
+      recLine should include("""status="success"""")
+      recLine.split(' ').last shouldBe "7"
+      // a failing gateway is loud
+      server.removeContext("/")
+      server.createContext("/", { exchange =>
+        exchange.sendResponseHeaders(500, -1); exchange.close()
+      })
+      an[java.io.IOException] should be thrownBy reg.push(url, "graft etl")
+    } finally {
+      server.stop(0)
+      reg.close()
+    }
+  }
+
   test("reference flat-view SQL over the warehouse matches the DataFrame API") {
     val root = tmpDir("sBronze"); val wh = tmpDir("sSilver"); val gold = tmpDir("sGold")
     writeFixture(root)
