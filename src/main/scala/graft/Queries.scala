@@ -502,6 +502,26 @@ object Queries {
         (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
   }
 
+  /** Deterministic sharded corpus shuffle (epoch salt "ep1", 8 shards):
+    * the pretraining-order randomization — reproducible on any engine,
+    * no global sort (one hash exchange, independent per-shard ranks). */
+  def q59ShardedShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shardedShuffle(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"), "ep1", 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** Sequence packing: documents in shuffle order packed into 512-token
+    * context bins per shard (concat-then-chunk; bin = window the doc's
+    * first token lands in). */
+  def q60TokenPacking(s: SparkSession, dir: String): DataFrame = {
+    val shuffled = graft.operators.Sampling.shardedShuffle(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      col("doc_id"), "ep1", 8)
+    graft.operators.Sampling.packByTokenBudget(shuffled,
+        graft.text.TextAnalysis.tokenCount(col("text")), budget = 512)
+      .select(col("doc_id"), col("shard"), col("pos"), col("bin"))
+  }
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -992,6 +1012,29 @@ object Queries {
     "q20_lang_id" -> langIdOracle,
     "q24_minhash_dedup" -> minHashOracle,
     "q58_dedup_clusters" -> dedupClustersOracle,
+    "q59_sharded_shuffle" -> {
+      val hashSql = "CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || 'ep1'), " +
+        "'[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
+      s"""WITH h AS (SELECT doc_id, $hashSql AS h FROM documents)
+         |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+         |FROM h""".stripMargin
+    },
+    "q60_token_packing" -> {
+      val hashSql = "CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || 'ep1'), " +
+        "'[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
+      s"""WITH h AS (
+         |  SELECT doc_id, len($ToksSql) AS toks, $hashSql AS h FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+         |    CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos,
+         |    toks
+         |  FROM h)
+         |SELECT doc_id, shard, pos,
+         |  CAST(floor(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
+         |FROM s""".stripMargin
+    },
     "q25_simhash_groups" -> simHashOracle,
     "q48_minhash_capped" -> minHashCappedOracle,
     "q49_simhash_neardup" -> simHashNearDupOracle,
@@ -1338,6 +1381,8 @@ object Queries {
     "q23_exact_dedup_rows" -> (q23ExactDedupRows _),
     "q24_minhash_dedup" -> (q24MinHashDedup _),
     "q58_dedup_clusters" -> (q58DedupClusters _),
+    "q59_sharded_shuffle" -> (q59ShardedShuffle _),
+    "q60_token_packing" -> (q60TokenPacking _),
     "q25_simhash_groups" -> (q25SimHashGroups _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q27_knn_brute_force" -> (q27KnnBruteForce _),

@@ -41,4 +41,43 @@ object Sampling {
     }
     df.where(sampleBucket(key) < threshold)
   }
+
+  /** Deterministic sharded corpus shuffle — the global randomization every
+    * pretraining run needs, without a global sort: shard = key-hash mod
+    * `numShards` (one hash partition each), position = rank of the salted
+    * hash *within* the shard. Changing `salt` reshuffles epochs
+    * reproducibly; the same (corpus, salt) gives the same order on any
+    * engine, run, or partitioning. Scale shape: the only exchange is the
+    * hash partition on `shard`, and each shard sorts independently — no
+    * single-partition bottleneck, unlike orderBy(hash) over the corpus. */
+  def shardedShuffle(df: DataFrame, key: Column, salt: String,
+                     numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = portableHash(concat(key.cast("string"), lit(salt)))
+    val withShard = df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+    withShard
+      .withColumn("pos", row_number().over(
+        // hash then key: the key tiebreak keeps the order total when two
+        // keys collide on the 8-digit hash
+        Window.partitionBy(col("shard")).orderBy(col("__h"), key)))
+      .drop("__h")
+  }
+
+  /** Sequence packing by token budget — concat-then-chunk document packing
+    * for pretraining batches: in deterministic shuffle order within each
+    * shard, a document's bin is the context window its FIRST token falls
+    * into (`floor(tokensBefore / budget)`), so bins are filled greedily in
+    * order and the assignment is a pure running-sum window — fully
+    * parallel per shard, reproducible everywhere. `tokens` must be a
+    * per-row token count column. */
+  def packByTokenBudget(shuffled: DataFrame, tokens: Column,
+                        budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shuffled
+      .withColumn("bin",
+        floor(coalesce(sum(tokens).over(order), lit(0L)) / lit(budget)))
+  }
 }

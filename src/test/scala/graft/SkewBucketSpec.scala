@@ -43,6 +43,54 @@ class SkewBucketSpec extends SparkSpec {
     s50.size.toDouble should be(1000.0 +- 180.0)
   }
 
+  test("sharded shuffle: total deterministic order, salt reshuffles, no global sort") {
+    val df = (1L to 2000L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val a = graft.operators.Sampling.shardedShuffle(df, $"doc_id", "ep1", 8)
+    val b = graft.operators.Sampling.shardedShuffle(df, $"doc_id", "ep1", 8)
+    val rowsA = a.select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    rowsA.toSet shouldBe b.select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // every row lands exactly once; positions are 1..n contiguous per shard
+    rowsA.length shouldBe 2000
+    rowsA.groupBy(_._2).foreach { case (_, rs) =>
+      rs.map(_._3).sorted shouldBe (1 to rs.length).toArray
+    }
+    // a different epoch salt produces a genuinely different order
+    val ep2 = graft.operators.Sampling.shardedShuffle(df, $"doc_id", "ep2", 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    ep2 should not be rowsA.toSet
+    // scale shape: one hash exchange on shard, never a single global sort
+    a.collect()
+    val plan = a.queryExecution.executedPlan.toString()
+    "Exchange hashpartitioning".r.findAllIn(
+      plan.split("== Initial Plan ==").head).size shouldBe 1
+    plan should not include "Exchange rangepartitioning"
+  }
+
+  test("token packing fills per-shard bins in order and respects the running budget") {
+    val df = (1L to 300L).map(i => (i, Seq.fill(40)("tok").mkString(" ")))
+      .toDF("doc_id", "text") // 40 tokens per doc
+    val shuffled = graft.operators.Sampling.shardedShuffle(df, $"doc_id", "ep1", 4)
+    val packed = graft.operators.Sampling.packByTokenBudget(
+        shuffled, graft.text.TextAnalysis.tokenCount($"text"), budget = 100)
+      .select("shard", "pos", "bin")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // 40-token docs into 100-token windows: doc k (0-based, per shard)
+    // starts at 40k tokens → bin = floor(40k/100) = 0,0,0,1,1,2,2,2,3...
+    packed.foreach { case (_, pos, bin) =>
+      bin shouldBe (40L * (pos - 1)) / 100
+    }
+    // bins are monotone in order within a shard
+    packed.groupBy(_._1).foreach { case (_, rs) =>
+      rs.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Array(x, y) => y should be >= x
+        case _ =>
+      }
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
     val right = (1L to 500L).map(i => (i % 100, s"r$i")).toDF("k", "name")
