@@ -522,6 +522,24 @@ object Queries {
       .select(col("doc_id"), col("shard"), col("pos"), col("bin"))
   }
 
+  /** As-of join (point-in-time attribution): each purchase picks the
+    * latest view by the same user at or before it — the merge-encoded
+    * single-shuffle plan ([[graft.operators.AsOfJoin]]); DuckDB replays it
+    * with its native ASOF JOIN. Comparisons and outputs in epoch micros
+    * (events.parquet is nanos; both engines compare at micros). */
+  def q61AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(buys, views, "user_id", "ts",
+        rightCols = Seq("view_id"), tieBreak = "view_id")
+      .select(col("user_id"), col("buy_id"),
+        unix_micros(col("ts")).as("buy_us"), col("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("as_of_ts"))).as("gap_us"))
+  }
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -968,6 +986,18 @@ object Queries {
         |    AS rank
         |FROM tf JOIN dfreq USING (tok) CROSS JOIN n
         |QUALIFY rank <= 3""".stripMargin,
+    "q61_asof_join" ->
+      // right side deduped per (user, micros-ts) exactly as the engine does,
+      // then DuckDB's native ASOF JOIN picks the latest view ≤ purchase
+      """WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'view'
+        |           QUALIFY row_number()
+        |             OVER (PARTITION BY user_id, epoch_us(ts)
+        |                   ORDER BY event_id DESC) = 1),
+        |     b AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT b.user_id, buy_id, b.t AS buy_us, view_id, b.t - v.t AS gap_us
+        |FROM b ASOF JOIN v ON b.user_id = v.user_id AND v.t <= b.t""".stripMargin,
     "q52_interval_join" ->
       // comparisons on epoch_us mirror Spark's micros-precision timestamps
       // (events.parquet is TIMESTAMP_NS; DuckDB would otherwise compare at
@@ -1382,6 +1412,7 @@ object Queries {
     "q24_minhash_dedup" -> (q24MinHashDedup _),
     "q58_dedup_clusters" -> (q58DedupClusters _),
     "q59_sharded_shuffle" -> (q59ShardedShuffle _),
+    "q61_asof_join" -> (q61AsOfJoin _),
     "q60_token_packing" -> (q60TokenPacking _),
     "q25_simhash_groups" -> (q25SimHashGroups _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),

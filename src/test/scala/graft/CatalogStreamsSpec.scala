@@ -228,6 +228,26 @@ class CatalogStreamsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("as-of join picks the latest right row at-or-before each left row") {
+    import graft.operators.AsOfJoin
+    def ts(min: Int) = new Timestamp(3600L * 1000 + min * 60000L)
+    val buys = Seq((1L, 100L, ts(10)), (1L, 101L, ts(30)), (1L, 102L, ts(5)),
+      (2L, 103L, ts(10)), (3L, 104L, ts(0)))
+      .toDF("user_id", "buy_id", "ts")
+    val views = Seq((1L, 200L, ts(8)), (1L, 201L, ts(10)), (1L, 202L, ts(25)),
+      (2L, 203L, ts(9)), (2L, 204L, ts(9)), // tie on (user, ts) → max id wins
+      (3L, 205L, ts(1))) // after user 3's only buy → no match
+      .toDF("user_id", "view_id", "ts")
+    val out = AsOfJoin.asOf(buys, views, "user_id", "ts",
+        rightCols = Seq("view_id"), tieBreak = "view_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    out shouldBe Map(
+      100L -> 201L, // equal-ts view is visible (ts <= ts)
+      101L -> 202L, // latest prior, not first
+      103L -> 204L) // (user,ts) tie resolved to greatest view_id
+    // 102 (buy before any view) and 104 (user 3) drop — inner semantics
+  }
+
   test("multi-probe LSH finds at least the single-probe results, still exact-subset") {
     val emb = (0L until 80L).map { i =>
       (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
