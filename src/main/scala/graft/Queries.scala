@@ -540,6 +540,21 @@ object Queries {
         (unix_micros(col("ts")) - unix_micros(col("as_of_ts"))).as("gap_us"))
   }
 
+  /** Binned range join: orders tagged with every overlapping price band
+    * (10 bands, 50k stride, 75k width → most orders match two). The
+    * inequality join becomes a bin equi-join + exact containment filter —
+    * no BroadcastNestedLoopJoin ([[graft.operators.RangeJoin]]). */
+  def q62RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(10).select(
+      col("id").cast("int").as("band_id"),
+      (col("id") * 50000.0).as("lo"),
+      (col("id") * 50000.0 + 75000.0).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", bands, "lo", "hi", binWidth = 25000.0)
+      .select(col("o_orderkey"), col("band_id"))
+  }
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -986,6 +1001,12 @@ object Queries {
         |    AS rank
         |FROM tf JOIN dfreq USING (tok) CROSS JOIN n
         |QUALIFY rank <= 3""".stripMargin,
+    "q62_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS INT) AS band_id, i*50000.0 AS lo, i*50000.0+75000.0 AS hi
+        |  FROM generate_series(0, 9) t(i))
+        |SELECT o_orderkey, band_id
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi""".stripMargin,
     "q61_asof_join" ->
       // right side deduped per (user, micros-ts) exactly as the engine does,
       // then DuckDB's native ASOF JOIN picks the latest view ≤ purchase
@@ -1413,6 +1434,7 @@ object Queries {
     "q58_dedup_clusters" -> (q58DedupClusters _),
     "q59_sharded_shuffle" -> (q59ShardedShuffle _),
     "q61_asof_join" -> (q61AsOfJoin _),
+    "q62_range_join" -> (q62RangeJoin _),
     "q60_token_packing" -> (q60TokenPacking _),
     "q25_simhash_groups" -> (q25SimHashGroups _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),

@@ -248,6 +248,30 @@ class CatalogStreamsSpec extends SparkSpec {
     // 102 (buy before any view) and 104 (user 3) drop — inner semantics
   }
 
+  test("binned range join: exact containment, loud fan-out guard, no nested loop") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 10.5), (4L, 99.0))
+      .toDF("pid", "x")
+    val intervals = Seq((100, 0.0, 10.0), (200, 10.0, 20.0), (300, 50.0, 60.0))
+      .toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi",
+        binWidth = 5.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // inclusive both edges: x=10 matches [0,10] AND [10,20]
+    out shouldBe Set((1L, 100), (2L, 100), (2L, 200), (3L, 200))
+    // plan is a hash/broadcast equi-join on the bin, never a nested loop
+    val df = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi", 5.0)
+    df.collect()
+    df.queryExecution.executedPlan.toString() should not include "NestedLoop"
+    // an interval wider than the fan-out cap fails loudly at runtime
+    val wide = Seq((1, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "x", wide, "lo", "hi", 5.0,
+        maxBinsPerInterval = 100).collect()
+    }
+    e.getMessage should include("range join")
+  }
+
   test("multi-probe LSH finds at least the single-probe results, still exact-subset") {
     val emb = (0L until 80L).map { i =>
       (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
