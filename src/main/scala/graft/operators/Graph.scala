@@ -38,9 +38,18 @@ object Graph {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
-    var changed = 1L
+    // convergence check: labels only ever DECREASE under min-propagation,
+    // so the fixed point is reached exactly when Σ labels stops falling —
+    // one decimal aggregate per round instead of a join + count (decimal:
+    // 1e11 nodes × 64-bit ids overflows a long sum)
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    if (labels.isEmpty) return labels // no edges → no components
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       // candidate labels: own ∪ every neighbor's current label
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
@@ -48,13 +57,13 @@ object Graph {
       val next = labels.unionByName(viaNeighbor)
         .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint()
-      changed = next.join(
-          labels.withColumnRenamed("component", "prev"), "node")
-        .where(col("component") =!= col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds maxIter; raise it or contract stars first")
     labels
