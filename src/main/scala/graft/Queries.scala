@@ -555,6 +555,12 @@ object Queries {
       .select(col("o_orderkey"), col("band_id"))
   }
 
+  /** BPE-training pair statistics: the 100 most frequent adjacent token
+    * pairs corpus-wide (one merge round's candidate table). Global top-k
+    * plans as TakeOrderedAndProject — per-partition k, no full sort. */
+  def q63BpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.topPairs(t(s, dir, "documents"), "text", 100)
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -1001,6 +1007,13 @@ object Queries {
         |    AS rank
         |FROM tf JOIN dfreq USING (tok) CROSS JOIN n
         |QUALIFY rank <= 3""".stripMargin,
+    "q63_bpe_pairs" ->
+      s"""WITH p AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS pair
+         |  FROM (SELECT $ToksSql AS tk FROM documents))
+         |SELECT pair, count(*) AS n FROM p
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 100""".stripMargin,
     "q62_range_join" ->
       """WITH bands AS (
         |  SELECT CAST(i AS INT) AS band_id, i*50000.0 AS lo, i*50000.0+75000.0 AS hi
@@ -1435,6 +1448,7 @@ object Queries {
     "q59_sharded_shuffle" -> (q59ShardedShuffle _),
     "q61_asof_join" -> (q61AsOfJoin _),
     "q62_range_join" -> (q62RangeJoin _),
+    "q63_bpe_pairs" -> (q63BpePairs _),
     "q60_token_packing" -> (q60TokenPacking _),
     "q25_simhash_groups" -> (q25SimHashGroups _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),

@@ -29,6 +29,28 @@ object TextAnalysis {
 
   def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
 
+  /** Adjacent-token pairs of `text`, every occurrence (non-distinct) — the
+    * unit counted by one BPE vocabulary-training merge round (Sennrich et
+    * al., "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016: each round merges the most frequent adjacent pair). Pure
+    * Column algebra: zip the token array against itself shifted by one. */
+  def adjacentPairs(text: Column): Column = {
+    val tk = tokens(text)
+    zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Corpus-wide pair statistics for BPE training: the `k` most frequent
+    * adjacent token pairs (ties broken lexicographically — deterministic
+    * across engines and partitionings). The global top-k plans as
+    * TakeOrderedAndProject: each partition keeps its own k, only k·parts
+    * rows reach the driver-side merge — never a full corpus sort. */
+  def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(adjacentPairs(col(textCol))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   /** Portable 8-digit integer hash: md5 hex → keep decimal digits → first 8.
     * Deterministic and reproducible in any SQL engine (md5 + regexp +
     * substr + cast); used for fingerprints/sketches that must verify

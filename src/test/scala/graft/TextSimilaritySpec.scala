@@ -16,6 +16,18 @@ class TextSimilaritySpec extends SparkSpec {
     r.getInt(1) shouldBe 6
   }
 
+  test("adjacent pairs count every occurrence; top-k is deterministic under ties") {
+    import graft.text.TextAnalysis
+    val docs = Seq("a b a b c", "a b", "x", "").toDF("text")
+    val pairs = docs.select(explode(TextAnalysis.adjacentPairs($"text")).as("p"))
+      .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a b a b c" → a b, b a, a b, b c; "a b" → a b; single/empty → none
+    pairs shouldBe Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L)
+    val top = TextAnalysis.topPairs(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top shouldBe Array(("a b", 3L), ("b a", 1L)) // tie b a/b c → lexicographic
+  }
+
   test("langId picks marker-heavy language, und when none") {
     val df = Seq(
       "the cat is on the mat and the dog is here",
