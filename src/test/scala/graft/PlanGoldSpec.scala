@@ -27,7 +27,9 @@ class PlanGoldSpec extends SparkSpec {
     * hash-partitioning ones that move data across the cluster. */
   private val markers: Seq[(String, String)] = Seq(
     "shuffles" -> "Exchange hashpartitioning",
-    "exchanges" -> "Exchange",
+    // negative lookbehind: ReusedExchange is plan REUSE (good), not a new
+    // materialization — counting it would flag reuse as a regression
+    "exchanges" -> "(?<!Reused)Exchange",
     "smj" -> "SortMergeJoin",
     "bhj" -> "BroadcastHashJoin")
 
