@@ -561,6 +561,18 @@ object Queries {
   def q63BpePairs(s: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.topPairs(t(s, dir, "documents"), "text", 100)
 
+  /** Materialized packed sequences: the (shard, bin) training rows a
+    * pretraining loader reads — q60's assignment turned into actual
+    * concatenated text, order pinned by the in-sequence sort. */
+  def q64PackedSequences(s: SparkSession, dir: String): DataFrame = {
+    val shuffled = graft.operators.Sampling.shardedShuffle(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      col("doc_id"), "ep1", 8)
+    val packed = graft.operators.Sampling.packByTokenBudget(shuffled,
+      graft.text.TextAnalysis.tokenCount(col("text")), budget = 512)
+    graft.operators.Sampling.packedSequences(packed, "text")
+  }
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -1007,6 +1019,25 @@ object Queries {
         |    AS rank
         |FROM tf JOIN dfreq USING (tok) CROSS JOIN n
         |QUALIFY rank <= 3""".stripMargin,
+    "q64_packed_sequences" -> {
+      val hashSql = "CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || 'ep1'), " +
+        "'[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
+      s"""WITH h AS (
+         |  SELECT doc_id, text, len($ToksSql) AS toks, $hashSql AS h FROM documents),
+         |s AS (
+         |  SELECT doc_id, text, CAST(h % 8 AS INT) AS shard,
+         |    CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos,
+         |    toks
+         |  FROM h),
+         |p AS (
+         |  SELECT text, shard, pos,
+         |    CAST(floor(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
+         |  FROM s)
+         |SELECT shard, bin, string_agg(text, ' ' ORDER BY pos) AS packed_text,
+         |  count(*) AS n_docs
+         |FROM p GROUP BY shard, bin""".stripMargin
+    },
     "q63_bpe_pairs" ->
       s"""WITH p AS (
          |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
@@ -1449,6 +1480,7 @@ object Queries {
     "q61_asof_join" -> (q61AsOfJoin _),
     "q62_range_join" -> (q62RangeJoin _),
     "q63_bpe_pairs" -> (q63BpePairs _),
+    "q64_packed_sequences" -> (q64PackedSequences _),
     "q60_token_packing" -> (q60TokenPacking _),
     "q25_simhash_groups" -> (q25SimHashGroups _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),

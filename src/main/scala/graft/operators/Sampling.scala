@@ -80,4 +80,19 @@ object Sampling {
       .withColumn("bin",
         floor(coalesce(sum(tokens).over(order), lit(0L)) / lit(budget)))
   }
+
+  /** Materialize the packed training sequences: per (shard, bin), the
+    * documents' text concatenated in shuffle order with a separator —
+    * the rows a pretraining loader actually reads. One aggregation on
+    * (shard, bin); order inside each sequence is made deterministic by
+    * sorting the collected (pos, text) structs, not by relying on task
+    * arrival order (collect_list is order-unstable across retries). */
+  def packedSequences(packed: DataFrame, textCol: String,
+                      sep: String = " "): DataFrame =
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col(textCol)))),
+          s => s.getField(textCol))).as("packed_text"),
+        count(lit(1)).as("n_docs"))
 }

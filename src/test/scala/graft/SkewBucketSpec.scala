@@ -91,6 +91,26 @@ class SkewBucketSpec extends SparkSpec {
     }
   }
 
+  test("packed sequences concatenate each bin's docs in shuffle order") {
+    val df = (1L to 120L).map(i => (i, s"d$i w$i")).toDF("doc_id", "text")
+    val shuffled = graft.operators.Sampling.shardedShuffle(df, $"doc_id", "ep1", 4)
+    val packed = graft.operators.Sampling.packByTokenBudget(
+      shuffled, graft.text.TextAnalysis.tokenCount($"text"), budget = 10)
+    val seqs = graft.operators.Sampling.packedSequences(packed, "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // reference: group the assignment rows ourselves, concat by pos order
+    val rows = packed.select("shard", "bin", "pos", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    rows.groupBy(r => (r._1, r._2)).foreach { case (key, rs) =>
+      val expect = rs.sortBy(_._3).map(_._4).mkString(" ")
+      seqs(key)._1 shouldBe expect
+      seqs(key)._2 shouldBe rs.length.toLong
+    }
+    // every doc's text appears in exactly one sequence
+    seqs.values.map(_._2).sum shouldBe 120L
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
     val right = (1L to 500L).map(i => (i % 100, s"r$i")).toDF("k", "name")
