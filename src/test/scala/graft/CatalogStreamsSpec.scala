@@ -228,6 +228,33 @@ class CatalogStreamsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("windowed counts as a real AvailableNow file stream == oracle-checked batch twin") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val batch = Queries.q36WindowedCounts(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val streamDir = tmpDir("events_stream_win")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val sch = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(sch).parquet(streamDir)
+    val ev =
+      if (sch("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      else raw
+    val out = Streams.windowedEventCounts(ev, "1 hour", "30 minutes")
+    // Complete mode: append would withhold windows the final watermark
+    // hasn't closed — the full-table result is the batch-equivalent view
+    val q = out.writeStream.format("memory").queryName("win_sf")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table("win_sf").collect().map(_.toSeq).toSet shouldBe batch
+    batch.size should be > 0
+  }
+
   test("as-of join picks the latest right row at-or-before each left row") {
     import graft.operators.AsOfJoin
     def ts(min: Int) = new Timestamp(3600L * 1000 + min * 60000L)
