@@ -33,6 +33,11 @@ object AsOfJoin {
            rightCols: Seq[String], tieBreak: String,
            rightTsAs: String = "as_of_ts"): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(!leftCols.exists(c => c.startsWith("__") || c == rightTsAs),
+      s"asOf: left columns may not start with __ or equal '$rightTsAs'")
+    require(rightCols.forall(c => !leftCols.contains(c)),
+      s"asOf: rightCols ${rightCols.filter(leftCols.contains)} collide with " +
+        "left columns — alias them before the join")
     // carried payload: requested right columns + the right row's own ts —
     // never null on a real right row, so it doubles as the match sentinel
     // (a null payload column must not drop a matched left row)

@@ -29,6 +29,9 @@ object RangeJoin {
                       binWidth: Double,
                       maxBinsPerInterval: Int = 1024): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"pointInInterval: shared column names $overlap — alias one side first")
     val p = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
     val binLo = floor(col(loCol) / binWidth).cast("long")
