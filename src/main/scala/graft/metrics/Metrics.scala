@@ -155,8 +155,18 @@ final class MetricsRegistry(spark: SparkSession) extends SparkListener {
     * (metrics_utils.py:103-107). Throws on any non-2xx so a broken
     * monitoring path is loud, not silent. */
   def push(gatewayUrl: String, job: String): Unit = {
-    val url = gatewayUrl.stripSuffix("/") + "/metrics/job/" +
-      java.net.URLEncoder.encode(job, "UTF-8")
+    // Pushgateway grouping-key syntax: a plain label value is a
+    // percent-encoded path segment (URLEncoder alone is FORM encoding —
+    // its '+' for space would register job "graft etl" as "graft+etl");
+    // a value containing '/' cannot be a path segment at all and uses the
+    // gateway's base64 form `job@base64/<URL-safe unpadded base64>`.
+    val segment =
+      if (job.contains("/"))
+        "job@base64/" + java.util.Base64.getUrlEncoder.withoutPadding()
+          .encodeToString(job.getBytes("UTF-8"))
+      else
+        "job/" + java.net.URLEncoder.encode(job, "UTF-8").replace("+", "%20")
+    val url = gatewayUrl.stripSuffix("/") + "/metrics/" + segment
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .header("Content-Type", "text/plain; version=0.0.4")
       .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(exposition()))

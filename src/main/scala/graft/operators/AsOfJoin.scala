@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join: each left row picks the single latest right
   * row of the same key with `rightTs <= leftTs` — trade attribution,
@@ -38,42 +39,42 @@ object AsOfJoin {
     require(rightCols.forall(c => !leftCols.contains(c)),
       s"asOf: rightCols ${rightCols.filter(leftCols.contains)} collide with " +
         "left columns — alias them before the join")
-    // carried payload: requested right columns + the right row's own ts —
-    // never null on a real right row, so it doubles as the match sentinel
-    // (a null payload column must not drop a matched left row)
-    val carried = rightCols.map(c => c -> right.schema(c).dataType) :+
-      (tsCol -> right.schema(tsCol).dataType)
-    def carryName(i: Int) = s"__r$i"
+    // carried payload: ONE struct holding the requested right columns plus
+    // the right row's own ts. A struct built from a real right row is never
+    // null even when its fields are, so (a) it doubles as the match
+    // sentinel and (b) the running last() below forwards all fields from
+    // the SAME right row — per-column forward-fill would silently splice a
+    // non-null value from an OLDER right row into a newer row's nulls
+    // (DuckDB/Pandas ASOF return the null)
+    val carried = rightCols :+ tsCol
+    val payloadType = StructType(carried.zipWithIndex.map { case (c, i) =>
+      StructField(s"_$i", right.schema(c).dataType)
+    })
     // tagged union: right rows sort BEFORE left rows at equal ts (side 0 <
     // 1), so an exactly-simultaneous right row is visible to the left row
     // (ts ≤ ts); among equal-(key, ts) right rows the ascending tieBreak
     // puts the greatest LAST, which is the one the running last() retains
     val lTagged = left.withColumn("__side", lit(1))
       .withColumn("__tb", lit(null).cast(right.schema(tieBreak).dataType))
-      .select(leftCols.map(col) ++ Seq(col("__side"), col("__tb")) ++
-        carried.zipWithIndex.map { case ((_, dt), i) =>
-          lit(null).cast(dt).as(carryName(i))
-        }: _*)
+      .withColumn("__r", lit(null).cast(payloadType))
     val rTagged = right.select(
       Seq(col(key), col(tsCol)) ++
         leftCols.filterNot(Seq(key, tsCol).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(0).as("__side"), col(tieBreak).as("__tb")) ++
-        carried.zipWithIndex.map { case ((c, _), i) =>
-          col(c).as(carryName(i))
-        }: _*)
+        Seq(lit(0).as("__side"), col(tieBreak).as("__tb"),
+          struct(carried.zipWithIndex.map { case (c, i) =>
+            col(c).as(s"_$i")
+          }: _*).as("__r")): _*)
 
     val merge = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val outNames = rightCols :+ rightTsAs
     lTagged.unionByName(rTagged)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        carried.zipWithIndex.map { case (_, i) =>
-          last(col(carryName(i)), ignoreNulls = true).over(merge)
-            .as(outNames(i))
-        }: _*)
-      .where(col("__side") === 1 && col(rightTsAs).isNotNull)
-      .drop("__side")
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(merge))
+      .where(col("__side") === 1 && col("__m").isNotNull)
+      .select(leftCols.map(col) ++ outNames.zipWithIndex.map { case (n, i) =>
+        col("__m").getField(s"_$i").as(n)
+      }: _*)
   }
 }

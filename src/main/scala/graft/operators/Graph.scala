@@ -22,9 +22,26 @@ import org.apache.spark.sql.functions._
   * round's result is `localCheckpoint`ed so the iterative lineage (and
   * with it the replay cost of a lost partition) stays O(1) rather than
   * O(rounds); convergence is detected with a count aggregate on the
-  * changed-label set (one tiny job per round).
+  * changed-label set (one tiny job per round). Each round's checkpoint is
+  * unpersisted once the next one is materialized (and the edge set after
+  * convergence), so executor storage holds at most two label snapshots at
+  * any moment instead of O(rounds) — at 10⁹ nodes × 25 rounds the
+  * difference between steady state and an executor-memory leak. The
+  * RETURNED DataFrame is itself a checkpoint; call [[unpersist]] on it
+  * when the session is done with the labels.
   */
 object Graph {
+
+  /** Release the storage behind a `localCheckpoint`ed DataFrame (such as
+    * the labels returned by [[connectedComponents]]). `Dataset.unpersist`
+    * can't reach it: a local checkpoint lives as a persisted RDD behind a
+    * `LogicalRDD` leaf, not in the SQL cache manager. No-op on anything
+    * that isn't a checkpoint leaf. */
+  def unpersist(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
 
   /** Components of the undirected graph given by `edges(src, dst)`:
     * returns (node, component) with component = min node id reachable.
@@ -45,24 +62,27 @@ object Graph {
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head()
         .getDecimal(0)
-    if (labels.isEmpty) return labels // no edges → no components
+    if (labels.isEmpty) { unpersist(sym); return labels } // no edges
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // candidate labels: own ∪ every neighbor's current label
-      val viaNeighbor = sym
-        .join(labels.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
-      iter += 1
-    }
+    try {
+      while (!converged && iter < maxIter) {
+        // candidate labels: own ∪ every neighbor's current label
+        val viaNeighbor = sym
+          .join(labels.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("component"))
+        val next = labels.unionByName(viaNeighbor)
+          .groupBy("node").agg(min("component").as("component"))
+          .localCheckpoint()
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        unpersist(labels) // next is materialized; the old snapshot is dead
+        labels = next
+        iter += 1
+      }
+    } finally unpersist(sym)
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds maxIter; raise it or contract stars first")

@@ -37,8 +37,14 @@ object RangeJoin {
     val binLo = floor(col(loCol) / binWidth).cast("long")
     val binHi = floor(col(hiCol) / binWidth).cast("long")
     val fanOut = binHi - binLo + lit(1L)
+    // inverted (lo > hi) or null-bounded intervals contain no point by
+    // definition — they produce zero candidate bins here, matching the SQL
+    // inequality-join result. The explicit branch matters: a negative
+    // fanOut would otherwise slip under the cap guard and hand sequence()
+    // a descending range (|fanOut| silent fan-out)
     val expanded = intervals.withColumn("__bin", explode(
-      when(fanOut <= maxBinsPerInterval, sequence(binLo, binHi))
+      when(fanOut.isNull || fanOut < 1, array().cast("array<bigint>"))
+        .when(fanOut <= maxBinsPerInterval, sequence(binLo, binHi))
         .otherwise(raise_error(concat(
           lit(s"range join: interval spans more than $maxBinsPerInterval " +
             s"bins at binWidth=$binWidth (fan-out "), fanOut,

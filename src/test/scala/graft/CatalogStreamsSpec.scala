@@ -275,6 +275,24 @@ class CatalogStreamsSpec extends SparkSpec {
     // 102 (buy before any view) and 104 (user 3) drop — inner semantics
   }
 
+  test("as-of join carries every right field from the SAME right row, nulls included") {
+    import graft.operators.AsOfJoin
+    def ts(min: Int) = new Timestamp(3600L * 1000 + min * 60000L)
+    // the LATEST matching view has a NULL referrer while an OLDER view has
+    // a value: the buy must see (view_id=301, referrer=NULL) — per-column
+    // forward-fill would splice 300's "search" into 301's row
+    val buys = Seq((1L, 100L, ts(20))).toDF("user_id", "buy_id", "ts")
+    val views = Seq(
+      (1L, 300L, ts(5), "search"),
+      (1L, 301L, ts(10), null.asInstanceOf[String]))
+      .toDF("user_id", "view_id", "ts", "referrer")
+    val out = AsOfJoin.asOf(buys, views, "user_id", "ts",
+      rightCols = Seq("view_id", "referrer"), tieBreak = "view_id").collect()
+    out.length shouldBe 1 // a null payload field must not drop the match
+    out(0).getLong(3) shouldBe 301L
+    out(0).isNullAt(4) shouldBe true // the matched row's own NULL survives
+  }
+
   test("binned range join: exact containment, loud fan-out guard, no nested loop") {
     import graft.operators.RangeJoin
     val points = Seq((1L, 5.0), (2L, 10.0), (3L, 10.5), (4L, 99.0))
@@ -297,6 +315,16 @@ class CatalogStreamsSpec extends SparkSpec {
         maxBinsPerInterval = 100).collect()
     }
     e.getMessage should include("range join")
+    // an inverted interval (lo > hi) contains nothing: zero rows, no
+    // error, and no |fanOut| explosion even when it would dwarf the cap
+    val inverted = Seq((9, 1e9, 0.0)).toDF("iid", "lo", "hi")
+    RangeJoin.pointInInterval(points, "x", inverted, "lo", "hi", 5.0,
+      maxBinsPerInterval = 100).count() shouldBe 0
+    // null-bounded intervals likewise match nothing instead of erroring
+    val nullLo = Seq((9, Option.empty[Double], Option(10.0)))
+      .toDF("iid", "lo", "hi")
+    RangeJoin.pointInInterval(points, "x", nullLo, "lo", "hi", 5.0)
+      .count() shouldBe 0
   }
 
   test("multi-probe LSH finds at least the single-probe results, still exact-subset") {

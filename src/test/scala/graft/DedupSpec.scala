@@ -124,6 +124,15 @@ class DedupSpec extends SparkSpec {
     val pathCc = Graph.connectedComponents(path)
       .collect().map(r => r.getLong(1)).distinct
     pathCc shouldBe Array(0L)
+    // executor storage is bounded: superseded per-round checkpoints and the
+    // edge set are unpersisted as the rounds advance, so a full run leaves
+    // only the returned labels snapshot behind — not O(rounds) snapshots
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cc3 = Graph.connectedComponents(path) // 12 rounds of checkpoints
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    added.size should be <= 1
+    Graph.unpersist(cc3) // releasing the result restores the baseline
+    (spark.sparkContext.getPersistentRDDs.keySet.intersect(added)) shouldBe empty
   }
 
   test("segment dedup keeps first occurrences and reassembles documents") {

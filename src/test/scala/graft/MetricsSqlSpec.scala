@@ -114,7 +114,9 @@ class MetricsSqlSpec extends SparkSpec {
       reg.push(url, "graft etl")
       val (method, path, ctype, body) = got
       method shouldBe "PUT"
-      path shouldBe "/metrics/job/graft+etl" // url-encoded grouping key
+      // path-segment encoding, not form encoding: space is %20, never '+'
+      // (a '+' path segment registers a literal-plus job name)
+      path shouldBe "/metrics/job/graft%20etl"
       ctype should startWith("text/plain")
       body should include("# TYPE etl_job_duration_seconds gauge")
       body should include("# TYPE etl_job_records_processed_total gauge")
@@ -124,6 +126,10 @@ class MetricsSqlSpec extends SparkSpec {
       recLine should include("""job_name="push_job"""")
       recLine should include("""status="success"""")
       recLine.split(' ').last shouldBe "7"
+      // '/' cannot live in a path segment — the gateway's base64 grouping
+      // form carries it ("etl/daily" → URL-safe unpadded base64)
+      reg.push(url, "etl/daily")
+      got._2 shouldBe "/metrics/job@base64/ZXRsL2RhaWx5"
       // a failing gateway is loud
       server.removeContext("/")
       server.createContext("/", { exchange =>
