@@ -573,6 +573,67 @@ object Queries {
     graft.operators.Sampling.packedSequences(packed, "text")
   }
 
+  /** KMV (bottom-k) approximate distinct: per-language distinct-text
+    * estimate via the custom sketch aggregate
+    * ([[graft.functions.KMinValues]]). Exact COUNT DISTINCT shuffles every
+    * distinct value between partial and final aggregates; the sketch's
+    * partial state is ≤ k longs per group per partition. Deterministic (k
+    * smallest distinct hashes are partitioning-invariant), so DuckDB
+    * replays it with a row_number window over the distinct hashes. */
+  def q65KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val k = 64
+    t(s, dir, "documents").where(col("text").isNotNull)
+      .groupBy(col("lang"))
+      .agg(Sketches.kmvSketch(Sketches.hash63(col("text")), k).as("sk"))
+      .select(col("lang"), size(col("sk")).as("sketch_n"),
+        Sketches.kmvEstimate(col("sk"), k).as("est_distinct"))
+  }
+
+  /** Fuzzy key self-join (edit distance ≤ 1) over one market segment's
+    * customer names: deletion-neighborhood equi-join + exact levenshtein
+    * verify ([[graft.operators.FuzzyJoin]]) — the DuckDB oracle pays the
+    * quadratic cross product the encoding exists to avoid. */
+  def q66FuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.selfJoinEdit1(
+        t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING"),
+        "c_custkey", "c_name")
+      .select(col("id1"), col("id2"))
+
+  /** Deterministic Vietnamese sample phrases (public news-section names —
+    * the reference's corpus domain) cycled over doc_id for q67. */
+  val VnPhrases: Seq[String] = Seq("Thời sự trong nước", "Đường phố Hà Nội",
+    "Giáo dục – Đào tạo", "Thể thao bóng đá", "Kinh doanh quốc tế",
+    "Sức khỏe đời sống", "Du lịch Đà Nẵng")
+
+  /** Diacritic folding + URL slugs over Vietnamese text — the reference
+    * crawler's topic-slug derivation as a scan-side codegen'd translate()
+    * (zero UDF); the identical fold map drives DuckDB's translate(). */
+  def q67VnSlug(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val phrase = element_at(array(VnPhrases.map(lit): _*),
+      (col("doc_id") % 7 + 1).cast("int"))
+    t(s, dir, "documents").select(col("doc_id"), phrase.as("phrase"))
+      .select(col("doc_id"), col("phrase"),
+        TextAnalysis.foldDiacritics(col("phrase")).as("folded"),
+        TextAnalysis.slug(col("phrase")).as("slug"))
+  }
+
+  /** One-scan length histogram: 20 equal-width bins of documents.n_chars
+    * over [0, 600), edges clamped — the distribution profile behind any
+    * length-filter decision ([[graft.operators.Profile.histogram]]). */
+  def q68Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(t(s, dir, "documents"), "n_chars",
+      lo = 0.0, hi = 600.0, bins = 20)
+
+  /** One-scan numeric profile (count/nulls/min/max/sum/mean per column)
+    * over three orders columns: a single wide partial→final aggregate,
+    * sums routed through DECIMAL so the values are addition-order-
+    * independent ([[graft.operators.Profile.summarize]]). */
+  def q69Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.summarize(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -1045,6 +1106,64 @@ object Queries {
          |  FROM (SELECT $ToksSql AS tk FROM documents))
          |SELECT pair, count(*) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+    "q65_kmv_distinct" ->
+      // the sketch is deterministic, so SQL replays it: distinct 63-bit
+      // hashes, rank per group, kth value feeds the same estimator algebra
+      """WITH h AS (SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1 AS BIGINT) AS h63
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT lang, h63,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h63) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |a AS (SELECT lang, max(n) AS n, max(CASE WHEN rn = 64 THEN h63 END) AS kth
+        |  FROM r GROUP BY lang)
+        |SELECT lang,
+        |  CAST(CASE WHEN n < 64 THEN n ELSE 64 END AS INT) AS sketch_n,
+        |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |       ELSE 63.0 * 9223372036854775808.0 / CAST(kth AS DOUBLE) END
+        |    AS est_distinct
+        |FROM a""".stripMargin,
+    "q66_fuzzy_join" ->
+      // the oracle pays the quadratic levenshtein cross product the
+      // deletion-neighborhood encoding avoids
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+        |WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'""".stripMargin,
+    "q67_vn_slug" -> {
+      val from = TextAnalysis.VnFrom
+      val to = TextAnalysis.VnTo
+      val list = VnPhrases.map(p => s"'$p'").mkString(", ")
+      s"""WITH p AS (SELECT doc_id,
+         |    ([$list])[CAST(doc_id % 7 + 1 AS INT)] AS phrase
+         |  FROM documents),
+         |f AS (SELECT doc_id, phrase,
+         |    translate(lower(phrase), '$from', '$to') AS folded FROM p)
+         |SELECT doc_id, phrase, folded,
+         |  regexp_replace(regexp_replace(folded, '[^a-z0-9]+', '-', 'g'),
+         |    '^-+|-+$$', '', 'g') AS slug
+         |FROM f""".stripMargin
+    },
+    "q68_histogram" ->
+      """WITH b AS (SELECT CAST(least(greatest(floor((n_chars - 0.0) / 30.0), 0), 19) AS INT) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT bin, 0.0 + bin * 30.0 AS bin_lo, 0.0 + (bin + 1) * 30.0 AS bin_hi,
+        |  count(*) AS cnt
+        |FROM b GROUP BY bin""".stripMargin,
+    "q69_profile" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  count(*) - count($c) AS nulls,
+           |  CAST(min($c) AS DOUBLE) AS col_min,
+           |  CAST(max($c) AS DOUBLE) AS col_max,
+           |  CAST(sum(CAST($c AS DECIMAL(28,10))) AS DOUBLE) AS col_sum,
+           |  CAST(sum(CAST($c AS DECIMAL(28,10))) AS DOUBLE)
+           |    / CAST(count($c) AS DOUBLE) AS col_mean
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_totalprice").map(leg)
+        .mkString("\nUNION ALL\n")
+    },
     "q62_range_join" ->
       """WITH bands AS (
         |  SELECT CAST(i AS INT) AS band_id, i*50000.0 AS lo, i*50000.0+75000.0 AS hi
@@ -1514,6 +1633,11 @@ object Queries {
     "q54_checksum" -> (q54Checksum _),
     "q55_table_diff" -> (q55TableDiff _),
     "q56_segment_dedup" -> (q56SegmentDedup _),
-    "q57_contamination" -> (q57Contamination _)
+    "q57_contamination" -> (q57Contamination _),
+    "q65_kmv_distinct" -> (q65KmvDistinct _),
+    "q66_fuzzy_join" -> (q66FuzzyJoin _),
+    "q67_vn_slug" -> (q67VnSlug _),
+    "q68_histogram" -> (q68Histogram _),
+    "q69_profile" -> (q69Profile _)
   )
 }

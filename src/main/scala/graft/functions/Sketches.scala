@@ -1,0 +1,131 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.{Glue => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Bounded KMV state: the `k` smallest DISTINCT 63-bit hash values seen so
+  * far. TreeSet keeps it sorted and deduplicated; inserts past capacity
+  * evict the current maximum, so the buffer never exceeds k longs. */
+final class KmvBuffer(val k: Int) {
+  val set = new java.util.TreeSet[java.lang.Long]()
+  def insert(v: Long): Unit =
+    if (set.size < k) { set.add(v); () }
+    else if (v < set.last) { if (set.add(v)) { set.pollLast(); () } }
+}
+
+/** KMV ("k minimum values" / bottom-k) distinct-count sketch as a native
+  * Catalyst [[TypedImperativeAggregate]] — the scale path for COUNT
+  * DISTINCT (Bar-Yossef et al., RANDOM 2002; Beyer et al., SIGMOD 2007).
+  *
+  * Exact distinct shuffles EVERY distinct value between the partial and
+  * final aggregates; this sketch's partial state is at most `k` longs per
+  * partition per group, merged by set-union-and-trim — the same partial →
+  * exchange → final plan shape as any hash aggregate, with a fixed-size
+  * payload. The estimator (see [[Sketches.kmvEstimate]]) is deterministic:
+  * the k smallest distinct values of a set are partitioning- and
+  * merge-order-invariant, so results are bit-stable across cluster sizes
+  * and reproducible in any engine that can sort hashes (the DuckDB oracle
+  * replays it with a row_number window).
+  *
+  * Input must be a 63-bit non-negative uniform hash
+  * ([[Sketches.hash63]]) so signed (Spark) and unsigned (other engines)
+  * comparisons order identically. Nulls are skipped, matching COUNT
+  * DISTINCT semantics. Returns the sketch itself (ascending long array) —
+  * estimate derivation stays in Column algebra where the oracle can
+  * mirror it.
+  */
+case class KMinValues(child: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+  require(k >= 2, s"kmv: k must be >= 2, got $k")
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(b: KmvBuffer, row: InternalRow): KmvBuffer = {
+    val v = child.eval(row)
+    if (v != null) b.insert(v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) b.insert(it.next())
+    b
+  }
+
+  override def eval(b: KmvBuffer): Any = {
+    val out = new Array[Long](b.set.size)
+    var i = 0
+    val it = b.set.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * b.set.size)
+    val it = b.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val b = new KmvBuffer(k)
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) b.insert(bb.getLong())
+    b
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KMinValues =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_sketch"
+}
+
+object Sketches {
+
+  /** 2⁶³ as an exact double — the normalization constant of the KMV
+    * estimator. One literal shared by the Scala path and the generated
+    * oracle SQL so both engines run the identical IEEE operations. */
+  val TwoPow63: Double = 9.223372036854775808e18
+
+  /** Portable 63-bit uniform hash: the full-width 64-bit md5-prefix hash
+    * logically shifted right once, so every value is non-negative and a
+    * signed (Spark long) sort equals an unsigned (DuckDB UBIGINT) sort.
+    * DuckDB mirror: `(('0x' || substr(md5(x), 1, 16))::UBIGINT >> 1)::BIGINT`. */
+  def hash63(c: Column): Column =
+    shiftrightunsigned(graft.text.TextAnalysis.portableHash64(c), 1)
+
+  /** The KMV sketch of `hash63Col` as an aggregate Column: ascending array
+    * of the k smallest distinct hashes (shorter than k when the group has
+    * fewer distinct values). */
+  def kmvSketch(hash63Col: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KMinValues(ExpressionUtils.expression(hash63Col), k).toAggregateExpression())
+
+  /** Distinct-count estimate from a [[kmvSketch]] array: exact size when
+    * the group never filled the sketch (|distinct| < k — the sketch IS the
+    * distinct set), else the KMV estimator (k−1) / R where R = kth smallest
+    * hash normalized to [0,1). Integer arithmetic until one double multiply
+    * and one divide — bit-portable across engines. */
+  def kmvEstimate(sketch: Column, k: Int): Column = {
+    val n = size(sketch)
+    when(n < k, n.cast("double"))
+      .otherwise(
+        lit((k - 1).toDouble) * lit(TwoPow63) / element_at(sketch, k).cast("double"))
+  }
+}

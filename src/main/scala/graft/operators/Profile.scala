@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling in one scan — the routine data-quality pass a
+  * training-data pipeline runs before (and after) every transform: value
+  * distributions and per-column summary stats over terabytes must cost
+  * exactly one read with map-side partial aggregation, never a pass per
+  * statistic.
+  */
+object Profile {
+
+  /** Fixed-range histogram of `valueCol`: `bins` equal-width buckets over
+    * [lo, hi), out-of-range values clamped into the edge buckets (so the
+    * histogram doubles as an outlier count), nulls dropped. One scan, one
+    * partial→final count aggregate on a dense int key; the result is
+    * `bins` rows regardless of input size. Bucket arithmetic is plain
+    * IEEE floor/divide so any engine reproduces it bit-for-bit. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(bins > 0, "histogram: bins must be positive")
+    require(hi > lo, "histogram: hi must exceed lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(w)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast("int")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
+        col("cnt"))
+  }
+
+  /** Per-column summary of numeric columns — row count, null count, min,
+    * max, sum, mean — computed in ONE scan: a single wide aggregate (all
+    * stats for all columns as one partial→final hash agg), then an explode
+    * to one output row per column. Sums route through DECIMAL(28,10) so
+    * the result is addition-order-independent (IEEE double sums differ by
+    * partitioning); the mean is that exact sum with one double divide. */
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "summarize: need at least one column")
+    val aggExprs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__${c}_rows"),
+        count(col(c)).as(s"__${c}_n"),
+        min(col(c)).cast("double").as(s"__${c}_min"),
+        max(col(c)).cast("double").as(s"__${c}_max"),
+        sum(col(c).cast("decimal(28,10)")).cast("double").as(s"__${c}_sum"))
+    }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"__${c}_n").as("n"),
+        (col(s"__${c}_rows") - col(s"__${c}_n")).as("nulls"),
+        col(s"__${c}_min").as("col_min"),
+        col(s"__${c}_max").as("col_max"),
+        col(s"__${c}_sum").as("col_sum"),
+        (col(s"__${c}_sum") / col(s"__${c}_n").cast("double")).as("col_mean"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+}

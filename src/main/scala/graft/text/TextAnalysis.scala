@@ -112,6 +112,32 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  // ---- Vietnamese diacritic folding + URL slugs ----
+  // The reference's corpus domain: its crawler derives ASCII topic slugs
+  // from accented Vietnamese section names (vnexpress paths like
+  // "thoi-su"; reference collector/test_moi_nhat.py:114-119). Precomposed
+  // Vietnamese vowels are single BMP codepoints, so a translate() map —
+  // codegen'd, scan-side, zero UDF — folds them exactly; the identical
+  // from/to strings drive the DuckDB oracle's translate().
+
+  private val vnFolds: Seq[(String, Char)] = Seq(
+    "àáạảãâầấậẩẫăằắặẳẵ" -> 'a', "èéẹẻẽêềếệểễ" -> 'e', "ìíịỉĩ" -> 'i',
+    "òóọỏõôồốộổỗơờớợởỡ" -> 'o', "ùúụủũưừứựửữ" -> 'u', "ỳýỵỷỹ" -> 'y',
+    "đ" -> 'd')
+  /** All accented Vietnamese lowercase letters, paired 1:1 with [[VnTo]]. */
+  val VnFrom: String = vnFolds.map(_._1).mkString
+  val VnTo: String = vnFolds.map { case (s, t) => t.toString * s.length }.mkString
+
+  /** Lowercase + strip Vietnamese diacritics ("Đường Phố" → "duong pho"). */
+  def foldDiacritics(c: Column): Column = translate(lower(c), VnFrom, VnTo)
+
+  /** URL slug: fold diacritics, collapse every non-alphanumeric run to one
+    * hyphen, trim edge hyphens ("Thời sự trong nước" → "thoi-su-trong-nuoc"). */
+  def slug(c: Column): Column =
+    regexp_replace(
+      regexp_replace(foldDiacritics(c), "[^a-z0-9]+", "-"),
+      "^-+|-+$", "")
+
   // ---- quality scoring (length / punctuation / stopword ratios) ----
 
   def punctRatio(text: Column): Column =
