@@ -634,6 +634,124 @@ object Queries {
     graft.operators.Profile.summarize(t(s, dir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_totalprice"))
 
+  /** SCD type-2 build: each customer's order-status change log collapsed
+    * into versioned dimension rows with effective ranges — one hash
+    * exchange on the key; lag, run numbering, per-run agg, and the
+    * effective_to lead all reuse it ([[graft.operators.Scd]]). Range
+    * bounds exported as epoch micros. */
+  def q70Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd.scd2(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_orderstatus")),
+        key = "o_custkey", tsCol = "o_orderdate", tieBreak = "o_orderkey",
+        attrCols = Seq("o_orderstatus"))
+      .select(col("o_custkey"), col("o_orderstatus"), col("version"),
+        // o_orderdate surfaces as TIMESTAMP_NTZ; session tz is UTC, so the
+        // cast is a pure reinterpretation and matches DuckDB's epoch_us
+        unix_micros(col("effective_from").cast("timestamp"))
+          .as("effective_from_us"),
+        unix_micros(col("effective_to").cast("timestamp"))
+          .as("effective_to_us"),
+        col("is_current"))
+
+  /** Unpivot/melt (wide→long): the four lineitem measures as
+    * (metric, value) rows — Spark's native `unpivot`, a pure per-row
+    * Generate: no shuffle, 4× row fan-out scan-side. */
+  def q71Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax")),
+      "metric", "value")
+
+  /** Ordered funnel (signup→view→click→purchase): per-user first
+    * completion time of each stage in order — cascaded running-window
+    * projections sharing ONE exchange on user_id
+    * ([[graft.operators.Funnel]]). */
+  def q72Funnel(s: SparkSession, dir: String): DataFrame = {
+    val stages = Seq("signup", "view", "click", "purchase")
+    graft.operators.Funnel.funnel(events(s, dir), "user_id", "ts",
+        "event_type", "event_id", stages)
+      .select(col("user_id") +: stages.map(st =>
+        unix_micros(col(s"${st}_ts")).as(s"${st}_us")) :+
+        col("stages_completed"): _*)
+  }
+
+  /** PageRank (damping 0.85, 5 fixed iterations, fixed-point integer
+    * ranks) over the co-purchase item graph: within each order, an edge
+    * links consecutive lineitems' parts. Integer floor-division arithmetic
+    * makes every iteration bit-identical across engines and partition
+    * orders ([[graft.operators.Graph.pageRank]]); the oracle unrolls the
+    * same five iterations in SQL. */
+  def q73PageRank(s: SparkSession, dir: String): DataFrame = {
+    // l_linenumber is NOT unique per order in the testdata; adding
+    // l_partkey makes ties carry the same part, so the part SEQUENCE the
+    // lead() walks is deterministic even though row order among ties isn't
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .where(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("dst"))
+    val ranks = graft.operators.Graph.pageRank(edges, "src", "dst",
+      iterations = 5)
+    // pin the result before releasing the checkpoint the plan reads from
+    val out = ranks.select(col("node"), col("rank")).localCheckpoint()
+    graft.operators.Graph.unpersist(ranks)
+    out
+  }
+
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** Count-Min heavy hitters: tokens whose sketch estimate ≥ 500 under a
+    * deliberately tight 4×64 sketch (collisions visible, estimates ≥
+    * truth). Counter build shuffles ≤ depth·width rows regardless of
+    * corpus size; probes broadcast-join the counter table
+    * ([[graft.operators.CountMin]]). */
+  def q74CmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val toks = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+    val counters = CountMin.build(toks, col("tok"), CmsDepth, CmsWidth)
+    CountMin.heavyHitters(counters, toks, col("tok"), CmsDepth, CmsWidth,
+      threshold = 500L)
+  }
+
+  private val MixtureWeights =
+    Seq("en" -> 5L, "de" -> 2L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L)
+  private val MixtureN = 300L
+
+  /** Data-mixture resampling: a deterministic 300-doc sample whose
+    * language composition follows 5:2:1:1:1 target weights —
+    * largest-remainder quotas + salted-hash rank per language
+    * ([[graft.operators.Sampling.mixtureSample]]). */
+  def q75Mixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureSample(t(s, dir, "documents"),
+        col("lang"), col("doc_id"), MixtureWeights, MixtureN, salt = "mix1")
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+
+  /** Inverted-index build: token → document frequency + sorted posting
+    * list (comma-joined), capped at 1000 ids per token with a truncation
+    * flag ([[graft.text.TextAnalysis.invertedIndex]]). */
+  def q76InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+      minDf = 20L, maxPostings = 1000)
+
+  /** Bigram-LM fluency scoring (CCNet-style quality filter): train bigram
+    * conditional frequencies on the corpus in one scan, score every
+    * document as the integer mean of its bigrams' scaled conditionals —
+    * fixed-point arithmetic, bit-identical across engines
+    * ([[graft.text.TextAnalysis.bigramLmScore]]). */
+  def q77BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = TextAnalysis.bigramModel(docs, "text")
+    TextAnalysis.bigramLmScore(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"))
+  }
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -1164,6 +1282,143 @@ object Queries {
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(leg)
         .mkString("\nUNION ALL\n")
     },
+    "q70_scd2" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+        |    row_number() OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |v AS (
+        |  SELECT *, sum(CASE WHEN rn = 1
+        |        OR o_orderstatus IS DISTINCT FROM prev THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM w),
+        |g AS (
+        |  SELECT o_custkey, version, max(o_orderstatus) AS o_orderstatus,
+        |    min(o_orderdate) AS eff_from
+        |  FROM v GROUP BY 1, 2)
+        |SELECT o_custkey, o_orderstatus, CAST(version AS INT) AS version,
+        |  epoch_us(eff_from) AS effective_from_us,
+        |  epoch_us(lead(eff_from) OVER
+        |    (PARTITION BY o_custkey ORDER BY version)) AS effective_to_us,
+        |  lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY version)
+        |    IS NULL AS is_current
+        |FROM g""".stripMargin,
+    "q71_unpivot" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(m =>
+        s"""SELECT l_orderkey, l_linenumber, '$m' AS metric, $m AS value
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
+    "q73_pagerank" -> {
+      // the same five fixed-point iterations, unrolled: rᵢ₊₁(v) =
+      // 150000 + Σ incoming ((rᵢ(u)·17)//20)//deg(u); sums cast back to
+      // BIGINT (DuckDB sum(BIGINT) widens to HUGEINT)
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS node,
+           |    CAST(sum(((r.rank * 17) // 20) // deg.d) AS BIGINT) AS s
+           |  FROM e JOIN r${i - 1} r ON r.node = e.src
+           |         JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (SELECT n.node, 150000 + coalesce(c$i.s, 0) AS rank
+           |  FROM n LEFT JOIN c$i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH adj AS (
+         |  SELECT l_partkey AS src, lead(l_partkey) OVER
+         |      (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |e AS (SELECT DISTINCT src, dst FROM adj
+         |      WHERE dst IS NOT NULL AND dst <> src),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+         |$iters
+         |SELECT node, rank FROM r5""".stripMargin
+    },
+    "q74_cms_heavy" -> {
+      // identical sketch geometry: bucket = (md5-prefix-64(depth:tok) >> 1)
+      // mod width, counters grouped, estimate = min over depths
+      val bucket = "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), " +
+        s"1, 16))::UBIGINT >> 1 AS BIGINT) % $CmsWidth"
+      s"""WITH t AS (SELECT unnest($ToksLowerSql) AS tok FROM documents),
+         |f AS (SELECT tok, d, $bucket AS bucket
+         |      FROM t CROSS JOIN (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d)
+         |      WHERE tok <> ''),
+         |counters AS (SELECT d, bucket, count(*) AS cnt FROM f GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT tok, d, bucket FROM f),
+         |est AS (SELECT cand.tok AS item, min(cnt) AS est
+         |  FROM cand JOIN counters USING (d, bucket) GROUP BY 1)
+         |SELECT item, est FROM est WHERE est >= 500""".stripMargin
+    },
+    "q75_mixture" -> {
+      val hashSql = "CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) " +
+        "|| 'mix1'), '[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
+      val quotas = graft.operators.Sampling.apportion(MixtureWeights, MixtureN)
+      val langs = MixtureWeights.map { case (g, _) => s"'$g'" }.mkString(", ")
+      val keep = quotas.map { case (g, q) => s"(lang = '$g' AND r <= $q)" }
+        .mkString("\n  OR ")
+      s"""WITH ranked AS (
+         |  SELECT doc_id, lang, row_number() OVER
+         |      (PARTITION BY lang ORDER BY $hashSql, doc_id) AS r
+         |  FROM documents WHERE lang IN ($langs))
+         |SELECT doc_id, lang, CAST(r AS INT) AS sample_rank
+         |FROM ranked WHERE $keep""".stripMargin
+    },
+    "q76_inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS tok FROM documents),
+         |t AS (SELECT doc_id, unnest(tok) AS token FROM toks),
+         |g AS (SELECT token, count(DISTINCT doc_id) AS df,
+         |    array_to_string(list_sort(list(DISTINCT doc_id))[1:1000], ',')
+         |      AS postings
+         |  FROM t WHERE token <> '' GROUP BY token)
+         |SELECT token, df, postings, df > 1000 AS truncated
+         |FROM g WHERE df >= 20""".stripMargin,
+    "q77_bigram_lm" -> {
+      val scale = TextAnalysis.LmScale
+      s"""WITH p AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS pair
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |m AS (SELECT pair, count(*) AS c2 FROM p GROUP BY 1),
+         |m2 AS (SELECT pair, c2, string_split(pair, ' ')[1] AS w1 FROM m),
+         |m3 AS (SELECT pair,
+         |    (c2 * $scale) // CAST(sum(c2) OVER (PARTITION BY w1) AS BIGINT)
+         |      AS pts
+         |  FROM m2),
+         |d AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(pts) AS BIGINT) AS s
+         |  FROM p JOIN m3 USING (pair) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, s // n_bigrams AS lm_score FROM d""".stripMargin
+    },
+    "q72_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |c1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN t END)
+        |    OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS s0 FROM e),
+        |c2 AS (SELECT *, min(CASE WHEN event_type = 'view'
+        |      AND s0 IS NOT NULL THEN t END)
+        |    OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS s1 FROM c1),
+        |c3 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |      AND s1 IS NOT NULL THEN t END)
+        |    OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS s2 FROM c2),
+        |g AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN t END) AS signup_us,
+        |    min(CASE WHEN event_type = 'view' AND s0 IS NOT NULL THEN t END)
+        |      AS view_us,
+        |    min(CASE WHEN event_type = 'click' AND s1 IS NOT NULL THEN t END)
+        |      AS click_us,
+        |    min(CASE WHEN event_type = 'purchase' AND s2 IS NOT NULL THEN t END)
+        |      AS purchase_us
+        |  FROM c3 GROUP BY user_id)
+        |SELECT user_id, signup_us, view_us, click_us, purchase_us,
+        |  CAST((signup_us IS NOT NULL)::INT + (view_us IS NOT NULL)::INT
+        |    + (click_us IS NOT NULL)::INT + (purchase_us IS NOT NULL)::INT
+        |    AS INT) AS stages_completed
+        |FROM g WHERE signup_us IS NOT NULL""".stripMargin,
     "q62_range_join" ->
       """WITH bands AS (
         |  SELECT CAST(i AS INT) AS band_id, i*50000.0 AS lo, i*50000.0+75000.0 AS hi
@@ -1638,6 +1893,14 @@ object Queries {
     "q66_fuzzy_join" -> (q66FuzzyJoin _),
     "q67_vn_slug" -> (q67VnSlug _),
     "q68_histogram" -> (q68Histogram _),
-    "q69_profile" -> (q69Profile _)
+    "q69_profile" -> (q69Profile _),
+    "q70_scd2" -> (q70Scd2 _),
+    "q71_unpivot" -> (q71Unpivot _),
+    "q72_funnel" -> (q72Funnel _),
+    "q73_pagerank" -> (q73PageRank _),
+    "q74_cms_heavy" -> (q74CmsHeavy _),
+    "q75_mixture" -> (q75Mixture _),
+    "q76_inverted_index" -> (q76InvertedIndex _),
+    "q77_bigram_lm" -> (q77BigramLm _)
   )
 }

@@ -88,4 +88,55 @@ object Graph {
         "component diameter exceeds maxIter; raise it or contract stars first")
     labels
   }
+
+  /** PageRank over `edges(src, dst)` with damping 0.85, a FIXED number of
+    * power iterations, and fixed-point integer arithmetic (ranks scaled by
+    * `scale`): rankₜ₊₁(v) = 0.15·scale + Σ_{u→v} (rankₜ(u)·17 div 20) div
+    * outdeg(u). All-integer floor division makes every iteration
+    * bit-identical on any engine, partitioning, or summation order — the
+    * float formulation is NOT (double addition is order-sensitive), which
+    * is why the fixed-point variant is the reproducible-pipeline choice.
+    * Dangling nodes (no out-edges) absorb rank but redistribute none — the
+    * standard simplified treatment; total mass decays slightly, rankings
+    * are unaffected for connected link graphs.
+    *
+    * Scale shape: out-degrees are joined to the edge list ONCE
+    * (localCheckpoint'd); each iteration is one hash join of the current
+    * (node, rank) longs against that edge list plus one groupBy(dst) sum —
+    * only 16-byte pairs shuffle, never payloads; per-round checkpoints
+    * keep lineage O(1) and the previous round's storage is freed as soon
+    * as the next is materialized (same discipline as
+    * [[connectedComponents]]). The returned DataFrame is a checkpoint —
+    * [[unpersist]] it when done. */
+  def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
+               iterations: Int = 5, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val linked = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint() // per-iteration reuse: joined once, read each round
+    val nodes = linked.select(col("src").as("node"))
+      .unionByName(linked.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val base = lit(3L * scale / 20L) // 0.15 · scale, exactly
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    try {
+      for (_ <- 1 to iterations) {
+        val contrib = linked
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("((rank * 17) div 20) div deg").as("c"))
+        val next = nodes
+          .join(contrib.groupBy("node").agg(sum(col("c")).as("in_sum")),
+            Seq("node"), "left")
+          .select(col("node"), (base + coalesce(col("in_sum"), lit(0L))).as("rank"))
+          .localCheckpoint()
+        unpersist(ranks)
+        ranks = next
+      }
+      ranks
+    } finally { unpersist(linked); unpersist(nodes) }
+  }
 }

@@ -81,6 +81,50 @@ object Sampling {
         floor(coalesce(sum(tokens).over(order), lit(0L)) / lit(budget)))
   }
 
+  /** Largest-remainder apportionment of `totalN` slots across integer
+    * `weights` — exact integer arithmetic, so every engine and run derives
+    * the identical quotas. Σ quotas = totalN. Pure config math (no data). */
+  def apportion(weights: Seq[(String, Long)], totalN: Long): Seq[(String, Long)] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "apportion: weights must be positive")
+    val w = weights.map(_._2).sum
+    val base = weights.map { case (g, wg) => (g, totalN * wg / w, totalN * wg % w) }
+    val leftover = (totalN - base.map(_._2).sum).toInt
+    val bonus = base.sortBy { case (g, _, rem) => (-rem, g) }
+      .take(leftover).map(_._1).toSet
+    base.map { case (g, q, _) => (g, q + (if (bonus(g)) 1L else 0L)) }
+  }
+
+  /** Data-mixture resampling: draw a deterministic sample of ~`totalN`
+    * rows whose GROUP composition follows `weights` (the
+    * Pile/DoReMi-style domain-mixture step a pretraining corpus is built
+    * with): per-group quotas by largest-remainder apportionment
+    * ([[apportion]]), then each group keeps its `quota` first rows in
+    * salted-hash order. Groups smaller than their quota contribute
+    * everything they have (the sample comes up short rather than
+    * over-weighting a small domain).
+    *
+    * One exchange on the group column; the per-group rank sorts (hash,
+    * key) pairs only. Rows outside `weights` drop scan-side, BEFORE the
+    * exchange. Reproducible on any engine: quotas are integer config
+    * math and the order is the portable salted hash. */
+  def mixtureSample(df: DataFrame, group: Column, key: Column,
+                    weights: Seq[(String, Long)], totalN: Long,
+                    salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = apportion(weights, totalN)
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (g, q)) =>
+      when(group === g, lit(q)).otherwise(acc)
+    }
+    val h = portableHash(concat(key.cast("string"), lit(salt)))
+    df.where(group.isin(weights.map(_._1): _*))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(group).orderBy(h, key)))
+      .where(col("__rank") <= quotaCol)
+      .withColumn("sample_rank", col("__rank").cast("int"))
+      .drop("__rank")
+  }
+
   /** Materialize the packed training sequences: per (shard, bin), the
     * documents' text concatenated in shuffle order with a separator —
     * the rows a pretraining loader actually reads. One aggregation on

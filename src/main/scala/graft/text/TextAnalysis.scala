@@ -204,6 +204,72 @@ object TextAnalysis {
     (size(g) - size(array_distinct(g))).cast("double") / size(g)
   }
 
+  /** Inverted index build (token → sorted posting list): the search-index
+    * materialization step over a document corpus. One exchange on the
+    * token; postings collect as a SET (duplicate occurrences in one doc
+    * collapse), sort numerically, and emit as a comma-joined string —
+    * engine-portable and loader-friendly. `maxPostings` bounds the row
+    * size a stop-word-grade token can produce (a 10⁹-doc posting list in
+    * one row is an executor OOM, not an index): lists cap at the FIRST
+    * `maxPostings` doc ids and `truncated` says so; `df` stays the true
+    * document frequency either way. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L, maxPostings: Int = 1000): DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token")
+      .agg(collect_set(col("id")).as("__ids"))
+      .select(col("token"),
+        size(col("__ids")).cast("long").as("df"),
+        concat_ws(",", transform(
+          slice(array_sort(col("__ids")), 1, maxPostings),
+          _.cast("string"))).as("postings"),
+        (size(col("__ids")) > maxPostings).as("truncated"))
+      .where(col("df") >= minDf)
+
+  /** Scale of the fixed-point bigram LM scores: per-bigram points are
+    * (c2 · Scale) div c1 ∈ [0, Scale]. */
+  val LmScale = 1000000L
+
+  /** Train a bigram language model on the corpus: one row per distinct
+    * adjacent-token pair with its count `c2` and its prefix total `c1`
+    * (= Σ c2 over pairs sharing the first token, i.e. the conditional
+    * denominator of P(w₂|w₁)). The prefix total is a sum-window over the
+    * pair aggregate — it reuses the pair rows, not a second corpus scan,
+    * the same one-scan shape as the TF-IDF df-window. */
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(adjacentPairs(col(textCol))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+  }
+
+  /** Fluency score per document under a [[bigramModel]] — the CCNet-style
+    * "LM likelihood" quality filter, in fixed-point integer arithmetic so
+    * the score is bit-identical on every engine and partitioning (a
+    * log-prob sum is order-sensitive IEEE addition; an integer sum is
+    * not). Each bigram occurrence scores (c2 · [[LmScale]]) div c1 — the
+    * scaled conditional frequency; a document's `lm_score` is the integer
+    * MEAN over its bigrams (documents under 2 tokens have no bigrams and
+    * are absent from the output). Scoring
+    * joins the exploded corpus to the model on the pair key: the model
+    * side is (pair, counts) longs — at web scale a shuffle join keyed on
+    * the pair, never on document text. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    model: DataFrame): DataFrame = {
+    val pairs = docs.select(col(idCol).as("id"),
+        explode(adjacentPairs(col(textCol))).as("pair"))
+    pairs
+      .join(model.select(col("pair"),
+        expr(s"(c2 * $LmScale) div c1").as("pts")), Seq("pair"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("pts"), lit(0L))).as("__sum"))
+      .select(col("id"), col("n_bigrams"),
+        expr("__sum div n_bigrams").as("lm_score"))
+  }
+
   /** All metrics as one projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

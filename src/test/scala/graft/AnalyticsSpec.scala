@@ -1,0 +1,159 @@
+package graft
+
+import graft.operators.{CountMin, Funnel, Graph, Sampling}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Round-4 analytics operators: ordered funnel, fixed-point PageRank,
+  * Count-Min sketch, mixture resampling, inverted index, bigram LM. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- funnel ---
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toSeq.toDF("user_id", "ts_n", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_n") * 1000000L))
+      .withColumn("event_id", col("ts_n"))
+
+  test("funnel counts stages only when completed IN ORDER") {
+    // user 1: full path; user 2: click before view — click must not count
+    // until a view follows it (here none does); user 3: never signs up
+    val out = Funnel.funnel(
+      ev((1L, 1L, "signup"), (1L, 2L, "view"), (1L, 3L, "click"),
+        (2L, 1L, "signup"), (2L, 2L, "click"), (2L, 3L, "view"),
+        (3L, 1L, "view"), (3L, 2L, "click")),
+      "user_id", "ts", "event_type", "event_id",
+      Seq("signup", "view", "click"))
+      .select("user_id", "stages_completed").as[(Long, Int)].collect().toMap
+    out shouldBe Map(1L -> 3, 2L -> 2) // user 3 absent (no stage 1)
+  }
+
+  test("funnel picks FIRST qualified ts per stage and is one exchange") {
+    val df = Funnel.funnel(
+      ev((1L, 1L, "signup"), (1L, 5L, "view"), (1L, 7L, "view")),
+      "user_id", "ts", "event_type", "event_id", Seq("signup", "view"))
+    df.select(unix_micros(col("view_ts"))).as[Long].head() shouldBe 5000000L
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString()).size shouldBe 1
+  }
+
+  test("a same-timestamp earlier-tiebreak prior stage is visible") {
+    val out = Funnel.funnel(
+      ev((1L, 1L, "signup"), (1L, 1L, "view")) // same ts, signup id < view id
+        .withColumn("event_id",
+          when(col("event_type") === "signup", 0L).otherwise(1L)),
+      "user_id", "ts", "event_type", "event_id", Seq("signup", "view"))
+      .select("stages_completed").as[Int].head()
+    out shouldBe 2
+  }
+
+  // --- PageRank ---
+
+  test("pageRank matches the hand-computed fixed point on a 3-cycle") {
+    // cycle a->b->c->a, outdeg 1 everywhere: every node keeps scale rank
+    // (0.15·1e6 + (1e6·17 div 20) = 150000 + 850000 = 1000000) each round
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iterations = 3)
+    r.select("rank").as[Long].collect().toSet shouldBe Set(1000000L)
+    Graph.unpersist(r)
+  }
+
+  test("pageRank concentrates rank on the sink of a star, deterministically") {
+    // 1..4 all point at 5; 5 points at 1
+    val e = (1L to 4L).map(i => (i, 5L)).toDF("src", "dst")
+      .unionByName(Seq((5L, 1L)).toDF("src", "dst"))
+    val once = Graph.pageRank(e, "src", "dst", iterations = 5)
+    val ranks = once.as[(Long, Long)].collect().toMap
+    Graph.unpersist(once)
+    ranks(5L) should be > ranks(2L)
+    // identical on a different input partitioning
+    val again = Graph.pageRank(e.repartition(7), "src", "dst", iterations = 5)
+    again.as[(Long, Long)].collect().toMap shouldBe ranks
+    Graph.unpersist(again)
+  }
+
+  // --- Count-Min ---
+
+  test("count-min estimates are exact without collisions, >= truth always") {
+    val items = Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ Seq.fill(3)("c")
+    val df = items.toDF("tok")
+    val wide = CountMin.build(df, col("tok"), 4, 1024)
+    CountMin.estimate(wide, df, col("tok"), 4, 1024)
+      .as[(String, Long)].collect().toMap shouldBe
+      Map("a" -> 30L, "b" -> 10L, "c" -> 3L)
+    // adversarially narrow sketch: 2 buckets force collisions — estimates
+    // may only ever OVERcount
+    val narrow = CountMin.build(df, col("tok"), 2, 2)
+    val est = CountMin.estimate(narrow, df, col("tok"), 2, 2)
+      .as[(String, Long)].collect().toMap
+    est("a") should be >= 30L
+    est("b") should be >= 10L
+    est("c") should be >= 3L
+  }
+
+  test("count-min counters are partitioning-invariant and bounded by d*w") {
+    val df = (1 to 500).map(i => s"t${i % 37}").toDF("tok")
+    val a = CountMin.build(df, col("tok"), 3, 16)
+      .as[(Int, Long, Long)].collect().toSet
+    val b = CountMin.build(df.repartition(13), col("tok"), 3, 16)
+      .as[(Int, Long, Long)].collect().toSet
+    a shouldBe b
+    a.size should be <= 3 * 16
+  }
+
+  // --- mixture resampling ---
+
+  test("apportion: quotas sum to N, follow weights, deterministic ties") {
+    val q = Sampling.apportion(Seq("a" -> 1L, "b" -> 1L, "c" -> 1L), 100L).toMap
+    q.values.sum shouldBe 100L
+    // 100/3: two groups get 33, the lexicographically-first tied gets 34
+    q shouldBe Map("a" -> 34L, "b" -> 33L, "c" -> 33L)
+    Sampling.apportion(Seq("x" -> 5L, "y" -> 2L, "z" -> 3L), 10L).toMap shouldBe
+      Map("x" -> 5L, "y" -> 2L, "z" -> 3L)
+  }
+
+  test("mixtureSample hits quotas, caps at group size, drops other groups") {
+    val docs = ((1 to 60).map(i => (i.toLong, "en")) ++
+      (61 to 70).map(i => (i.toLong, "de")) ++
+      (71 to 75).map(i => (i.toLong, "xx"))).toDF("id", "g")
+    val out = Sampling.mixtureSample(docs, col("g"), col("id"),
+      Seq("en" -> 3L, "de" -> 1L), totalN = 40L)
+    val byLang = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    byLang("en") shouldBe 30L // quota 30 <= 60 available
+    byLang("de") shouldBe 10L // quota 10 == available
+    byLang.contains("xx") shouldBe false
+    // deterministic: same rows regardless of partitioning
+    val again = Sampling.mixtureSample(docs.repartition(9), col("g"), col("id"),
+      Seq("en" -> 3L, "de" -> 1L), totalN = 40L)
+    again.select("id").as[Long].collect().toSet shouldBe
+      out.select("id").as[Long].collect().toSet
+  }
+
+  // --- inverted index + bigram LM ---
+
+  test("invertedIndex: sorted postings, duplicate hits collapse, cap flags") {
+    val docs = Seq((10L, "x y x"), (2L, "x z")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    idx("x") shouldBe ("x", 2L, "2,10", false) // numeric sort, dup collapsed
+    idx("y") shouldBe ("y", 1L, "10", false)
+    val capped = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+      maxPostings = 1)
+      .as[(String, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    capped("x") shouldBe ("x", 2L, "2", true) // df stays true, list capped
+  }
+
+  test("bigramLmScore: hand-checked fixed-point means") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(docs, "text")
+    // c("a b")=2, c("a c")=1, prefix c1("a")=3
+    model.where(col("pair") === "a b").select("c1").as[Long].head() shouldBe 3L
+    val scores = TextAnalysis.bigramLmScore(docs, "doc_id", "text", model)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    scores(1L) shouldBe 666666L // (2*1e6) div 3
+    scores(3L) shouldBe 333333L // (1*1e6) div 3
+  }
+}
