@@ -752,6 +752,51 @@ object Queries {
       .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"))
   }
 
+  /** CDC apply-changes: an I/U/D changelog (inserts for all orders,
+    * updates for keys %7, deletes for keys %13, a seq-4 re-insert for
+    * keys %26 proving deletes don't shadow later inserts) collapsed to
+    * final state — one exchange, latest-wins then tombstone filter
+    * ([[graft.operators.Cdc]]). */
+  def q78CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val ins = o.select(col("o_orderkey"), col("o_totalprice"),
+      lit(1L).as("seq"), lit("I").as("op"))
+    val upd = o.where(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+        lit(2L).as("seq"), lit("U").as("op"))
+    val del = o.where(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit(null).cast("double").as("o_totalprice"),
+        lit(3L).as("seq"), lit("D").as("op"))
+    val res = o.where(col("o_orderkey") % 26 === 0)
+      .select(col("o_orderkey"), lit(0.0).as("o_totalprice"),
+        lit(4L).as("seq"), lit("I").as("op"))
+    graft.operators.Cdc.applyChanges(
+      ins.unionByName(upd).unionByName(del).unionByName(res),
+      Seq("o_orderkey"), "seq", "op")
+  }
+
+  /** KMV sketch set algebra: per-status distinct-customer sketches for
+    * 'O' and 'F' orders, merged WITHOUT revisiting the data — union
+    * distinct estimate and Jaccard similarity straight from the two
+    * 64-long arrays ([[graft.functions.Sketches.kmvUnion]]/`kmvJaccard`).
+    * The oracle rebuilds the same bottom-k sets with windows. */
+  def q79KmvSetops(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val k = 64
+    val sk = t(s, dir, "orders").where(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_orderstatus"))
+      .agg(Sketches.kmvSketch(
+        Sketches.hash63(col("o_custkey").cast("string")), k).as("sk"))
+    val a = sk.where(col("o_orderstatus") === "O").select(col("sk").as("ska"))
+    val b = sk.where(col("o_orderstatus") === "F").select(col("sk").as("skb"))
+    a.crossJoin(b).select(
+      Sketches.kmvEstimate(col("ska"), k).as("est_o"),
+      Sketches.kmvEstimate(col("skb"), k).as("est_f"),
+      Sketches.kmvEstimate(Sketches.kmvUnion(col("ska"), col("skb"), k), k)
+        .as("est_union"),
+      Sketches.kmvJaccard(col("ska"), col("skb"), k).as("jaccard"))
+  }
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -1337,14 +1382,20 @@ object Queries {
          |SELECT node, rank FROM r5""".stripMargin
     },
     "q74_cms_heavy" -> {
-      // identical sketch geometry: bucket = (md5-prefix-64(depth:tok) >> 1)
-      // mod width, counters grouped, estimate = min over depths
-      val bucket = "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), " +
-        s"1, 16))::UBIGINT >> 1 AS BIGINT) % $CmsWidth"
+      // identical sketch geometry: ONE md5 per token occurrence, the two
+      // 64-bit halves (>>1) give Kirsch-Mitzenmacher double hashing
+      // bucket_d = (h1 mod w + d*(h2 mod (w-1) + 1)) mod w
+      val w = CmsWidth
       s"""WITH t AS (SELECT unnest($ToksLowerSql) AS tok FROM documents),
-         |f AS (SELECT tok, d, $bucket AS bucket
-         |      FROM t CROSS JOIN (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d)
-         |      WHERE tok <> ''),
+         |h AS (SELECT tok,
+         |    CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT >> 1 AS BIGINT)
+         |      % $w AS h1m,
+         |    CAST(('0x' || substr(md5(tok), 17, 16))::UBIGINT >> 1 AS BIGINT)
+         |      % ${w - 1} + 1 AS step
+         |  FROM t WHERE tok <> ''),
+         |f AS (SELECT tok, d, (h1m + d * step) % $w AS bucket
+         |      FROM h CROSS JOIN
+         |        (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d)),
          |counters AS (SELECT d, bucket, count(*) AS cnt FROM f GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT tok, d, bucket FROM f),
          |est AS (SELECT cand.tok AS item, min(cnt) AS est
@@ -1364,6 +1415,42 @@ object Queries {
          |  FROM documents WHERE lang IN ($langs))
          |SELECT doc_id, lang, CAST(r AS INT) AS sample_rank
          |FROM ranked WHERE $keep""".stripMargin
+    },
+    "q78_cdc_apply" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_totalprice, 1 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 1.1, 2, 'U' FROM orders
+        |  WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, 3, 'D' FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 0.0, 4, 'I' FROM orders WHERE o_orderkey % 26 = 0),
+        |l AS (SELECT *, row_number() OVER
+        |    (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM c)
+        |SELECT o_orderkey, o_totalprice FROM l WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "q79_kmv_setops" -> {
+      val h63 = "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16))" +
+        "::UBIGINT >> 1 AS BIGINT)"
+      def est(t: String) =
+        s"""(SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+           |  ELSE 63.0 * 9223372036854775808.0 / CAST(max(h63) AS DOUBLE) END
+           |  FROM $t)""".stripMargin
+      s"""WITH h AS (SELECT DISTINCT o_orderstatus AS s, $h63 AS h63
+         |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+         |a AS (SELECT h63 FROM h WHERE s = 'O' ORDER BY h63 LIMIT 64),
+         |b AS (SELECT h63 FROM h WHERE s = 'F' ORDER BY h63 LIMIT 64),
+         |u AS (SELECT DISTINCT h63 FROM
+         |    (SELECT h63 FROM a UNION ALL SELECT h63 FROM b)
+         |  ORDER BY h63 LIMIT 64)
+         |SELECT
+         |  ${est("a")} AS est_o,
+         |  ${est("b")} AS est_f,
+         |  ${est("u")} AS est_union,
+         |  CAST((SELECT count(*) FROM u
+         |      WHERE h63 IN (SELECT h63 FROM a) AND h63 IN (SELECT h63 FROM b))
+         |    AS DOUBLE)
+         |    / CAST((SELECT least(count(*), 64) FROM u) AS DOUBLE) AS jaccard""".stripMargin
     },
     "q76_inverted_index" ->
       s"""WITH toks AS (SELECT doc_id, $ToksSql AS tok FROM documents),
@@ -1901,6 +1988,8 @@ object Queries {
     "q74_cms_heavy" -> (q74CmsHeavy _),
     "q75_mixture" -> (q75Mixture _),
     "q76_inverted_index" -> (q76InvertedIndex _),
-    "q77_bigram_lm" -> (q77BigramLm _)
+    "q77_bigram_lm" -> (q77BigramLm _),
+    "q78_cdc_apply" -> (q78CdcApply _),
+    "q79_kmv_setops" -> (q79KmvSetops _)
   )
 }

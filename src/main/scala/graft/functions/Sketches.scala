@@ -117,6 +117,25 @@ object Sketches {
     ExpressionUtils.column(
       KMinValues(ExpressionUtils.expression(hash63Col), k).toAggregateExpression())
 
+  /** Union of two KMV sketches — the k smallest distinct hashes of the
+    * merged streams, i.e. EXACTLY the sketch that would have been built
+    * over the union of the underlying sets. KMV is fully mergeable
+    * (Beyer et al., SIGMOD 2007): sketch unions compose across
+    * partitions, tables, or engines without revisiting the data. */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Jaccard similarity estimate between the sets behind two sketches
+    * (Beyer et al.): among the union sketch's k smallest hashes, the
+    * fraction present in BOTH input sketches. Deterministic — the same
+    * integer membership tests on any engine. */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnion(a, b, k)
+    val common = size(filter(u,
+      x => array_contains(a, x) && array_contains(b, x)))
+    common.cast("double") / least(size(u), lit(k)).cast("double")
+  }
+
   /** Distinct-count estimate from a [[kmvSketch]] array: exact size when
     * the group never filled the sketch (|distinct| < k — the sketch IS the
     * distinct set), else the KMV estimator (k−1) / R where R = kth smallest

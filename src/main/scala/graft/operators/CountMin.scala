@@ -17,31 +17,44 @@ import graft.text.TextAnalysis
   * (every distinct token travels); the sketch build shuffles at most
   * `depth × width` counter rows out of the partial aggregates regardless
   * of corpus size, and the counter table then BROADCASTS to answer any
-  * number of point queries join-free. Hashes are the engine-portable
-  * md5-derived family, so a DuckDB/any-SQL replica computes bit-identical
-  * counters and estimates — sketches you can ship between engines.
+  * number of point queries join-free.
+  *
+  * The `depth` rows use Kirsch–Mitzenmacher double hashing (ESA 2006):
+  * bucket_d = (h1 + d·h2') mod width with h1, h2 the two 64-bit halves of
+  * ONE md5 digest (h2' forced nonzero so rows stay distinct). One digest
+  * per item occurrence — computed BEFORE the depth fan-out, so the
+  * exploded rows carry two longs, not re-hashed strings — and the whole
+  * family is engine-portable: a DuckDB/any-SQL replica computes
+  * bit-identical counters and estimates.
   */
 object CountMin {
 
-  /** Bucket of `item` in row `depth` (depth-salted portable 63-bit hash
-    * mod `width`) — nonnegative in both signed and unsigned engines. */
-  def bucketOf(item: Column, depth: Column, width: Int): Column =
-    pmod(shiftrightunsigned(
-      TextAnalysis.portableHash64(concat(depth.cast("string"), lit(":"), item)),
-      1), lit(width.toLong))
+  /** (h1 mod w, step) pair of an item: bucket_d = (h1m + d·step) mod w.
+    * Both components nonnegative; `step` in [1, w-1] so the d rows are
+    * distinct buckets whenever w is prime (and near-distinct otherwise). */
+  private def hashCols(item: Column, width: Int): (Column, Column) = {
+    val h1 = shiftrightunsigned(TextAnalysis.portableHash64(item), 1)
+    val h2 = shiftrightunsigned(TextAnalysis.portableHash64b(item), 1)
+    (pmod(h1, lit(width.toLong)), pmod(h2, lit(width.toLong - 1)) + lit(1L))
+  }
+
+  private def bucketAt(depth: Column, width: Int): Column =
+    pmod(col("__h1m") + depth.cast("long") * col("__step"), lit(width.toLong))
 
   /** Build the counter table: one row per (depth, bucket) that received at
-    * least one item (absent = 0). The `depth`-way fan-out happens
-    * scan-side (a Generate over a literal array); the only shuffle is the
-    * partial→final aggregate on (depth, bucket), whose world size is
-    * depth·width rows. */
+    * least one item (absent = 0). The item is digested once scan-side;
+    * the `depth`-way fan-out (a Generate over a literal array) carries
+    * only the two hash longs; the only shuffle is the partial→final
+    * aggregate on (depth, bucket), whose world size is depth·width rows. */
   def build(items: DataFrame, item: Column, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, "countmin: need depth >= 1, width >= 2")
     val depths = array((0 until depth).map(d => lit(d)): _*)
+    val (h1m, step) = hashCols(col("__item"), width)
     items.select(item.as("__item"))
       .where(col("__item").isNotNull)
-      .select(explode(depths).as("depth"), col("__item"))
-      .groupBy(col("depth"), bucketOf(col("__item"), col("depth"), width).as("bucket"))
+      .select(h1m.as("__h1m"), step.as("__step"))
+      .select(explode(depths).as("depth"), col("__h1m"), col("__step"))
+      .groupBy(col("depth"), bucketAt(col("depth"), width).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -51,9 +64,11 @@ object CountMin {
   def estimate(counters: DataFrame, candidates: DataFrame, item: Column,
                depth: Int, width: Int): DataFrame = {
     val depths = array((0 until depth).map(d => lit(d)): _*)
+    val (h1m, step) = hashCols(col("item"), width)
     candidates.select(item.as("item")).where(col("item").isNotNull).distinct()
-      .select(col("item"), explode(depths).as("depth"))
-      .withColumn("bucket", bucketOf(col("item"), col("depth"), width))
+      .select(col("item"), h1m.as("__h1m"), step.as("__step"))
+      .select(col("item"), explode(depths).as("depth"), col("__h1m"), col("__step"))
+      .withColumn("bucket", bucketAt(col("depth"), width))
       .join(broadcast(counters), Seq("depth", "bucket"))
       .groupBy("item").agg(min(col("cnt")).as("est"))
   }

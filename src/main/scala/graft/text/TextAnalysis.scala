@@ -68,6 +68,14 @@ object TextAnalysis {
   def portableHash64(c: Column): Column =
     conv(substring(md5(c), 1, 16), 16, -10).cast("long")
 
+  /** The OTHER 64 bits of the same md5 (hex chars 17–32) — an independent
+    * second hash from one digest evaluation, for double-hashing schemes
+    * (Kirsch & Mitzenmacher, ESA 2006: gᵢ = h1 + i·h2 simulates i
+    * independent hash functions). DuckDB mirror:
+    * `('0x' || substr(md5(x), 17, 16))::UBIGINT`. */
+  def portableHash64b(c: Column): Column =
+    conv(substring(md5(c), 17, 16), 16, -10).cast("long")
+
   /** Document fingerprint: polynomial rolling hash over token hashes,
     * mod 1e9+7 (keeps the accumulator overflow-free under ANSI mode).
     * Codegen'd single pass ([[graft.functions.FingerprintExpr]]). */

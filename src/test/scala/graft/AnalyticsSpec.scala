@@ -146,6 +146,53 @@ class AnalyticsSpec extends SparkSpec {
     capped("x") shouldBe ("x", 2L, "2", true) // df stays true, list capped
   }
 
+  // --- CDC apply ---
+
+  test("cdc applyChanges: latest wins, deletes tombstone, re-inserts revive") {
+    import graft.operators.Cdc
+    val log = Seq(
+      (1L, "a", 1L, "I"), (1L, "b", 2L, "U"),           // key 1 → b
+      (2L, "x", 1L, "I"), (2L, null, 2L, "D"),           // key 2 → gone
+      (3L, "y", 1L, "I"), (3L, null, 2L, "D"), (3L, "z", 3L, "I") // revived
+    ).toDF("k", "v", "seq", "op")
+    val out = Cdc.applyChanges(log, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    out shouldBe Map(1L -> "b", 3L -> "z")
+    // single exchange on the key
+    "Exchange hashpartitioning".r.findAllIn(
+      Cdc.applyChanges(log, Seq("k"), "seq", "op")
+        .queryExecution.executedPlan.toString()).size shouldBe 1
+  }
+
+  test("cdc applyChangesTo: target rows are the baseline under every change") {
+    import graft.operators.Cdc
+    val target = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+    val log = Seq((1L, "new", 1L, "U"), (3L, "add", 1L, "I")).toDF("k", "v", "seq", "op")
+    Cdc.applyChangesTo(target, log, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap shouldBe
+      Map(1L -> "new", 2L -> "keep", 3L -> "add")
+  }
+
+  // --- KMV set algebra ---
+
+  test("kmvUnion equals the sketch of the unioned data; jaccard is exact " +
+    "when sketches hold the full sets") {
+    import graft.functions.Sketches
+    val k = 64
+    def sketchOf(xs: Seq[String]) = xs.toDF("v")
+      .agg(Sketches.kmvSketch(Sketches.hash63(col("v")), k).as("sk"))
+    val a = (1 to 30).map(i => s"x$i")
+    val b = (21 to 50).map(i => s"x$i") // overlap 21..30 → J = 10/50
+    val merged = sketchOf(a).select(col("sk").as("ska"))
+      .crossJoin(sketchOf(b).select(col("sk").as("skb")))
+    val direct = sketchOf(a ++ b).select(col("sk")).as[Seq[Long]].head()
+    val viaUnion = merged
+      .select(Sketches.kmvUnion(col("ska"), col("skb"), k)).as[Seq[Long]].head()
+    viaUnion shouldBe direct
+    merged.select(Sketches.kmvJaccard(col("ska"), col("skb"), k))
+      .as[Double].head() shouldBe (10.0 / 50.0)
+  }
+
   test("bigramLmScore: hand-checked fixed-point means") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     val model = TextAnalysis.bigramModel(docs, "text")
