@@ -797,6 +797,55 @@ object Queries {
       Sketches.kmvJaccard(col("ska"), col("skb"), k).as("jaccard"))
   }
 
+  /** Per-label embedding centroids via the element-wise vector-sum
+    * aggregate ([[graft.functions.VectorSumLong]]): partial state is one
+    * 64-long array per label per partition — never the n·d exploded rows.
+    * Output long-form (label, dim, sum_q, mean) so the oracle can replay
+    * it with unnest + groupBy. */
+  def q80Centroids(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Similarity.groupCentroids(
+        t(s, dir, "embeddings"), "label", "embedding", dim = 64)
+      .select(col("label"), col("n"), posexplode(col("sum_q")))
+      .select(col("label"), col("n"), col("pos").as("dim"),
+        col("col").as("sum_q"),
+        (col("col").cast("double") / (col("n") * 1000L).cast("double"))
+          .as("mean"))
+
+  /** Trailing 1-hour sliding aggregate per user (RANGE frame over epoch
+    * seconds): moving event count and value sum — the continuous-metrics
+    * view of the events stream. Sum routed through DECIMAL (exact,
+    * order-independent) then cast back, the repo's money-sum discipline. */
+  def q81MovingWindow(s: SparkSession, dir: String): DataFrame = {
+    val byUserTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"))
+      .rangeBetween(-3600L, Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("ts_s"),
+        col("value"))
+      .withColumn("mov_cnt", count(lit(1)).over(byUserTime))
+      .withColumn("mov_sum",
+        sum(col("value").cast("decimal(20,6)")).over(byUserTime)
+          .cast("double"))
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("mov_cnt"),
+        col("mov_sum"))
+  }
+
+  /** Ranking-function family (rank, dense_rank, percent_rank, cume_dist,
+    * ntile) over each customer's orders by price — the §2.5 window surface
+    * beyond plain row_number, tie-broken deterministically. */
+  def q82RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+  }
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -1416,6 +1465,36 @@ object Queries {
          |SELECT doc_id, lang, CAST(r AS INT) AS sample_rank
          |FROM ranked WHERE $keep""".stripMargin
     },
+    "q80_centroids" ->
+      """WITH q AS (SELECT label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |x AS (SELECT label, unnest(qv) AS v,
+        |    unnest(generate_series(1, len(qv))) AS i FROM q),
+        |g AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |    CAST(sum(v) AS BIGINT) AS sum_q FROM x GROUP BY 1, 2),
+        |n AS (SELECT label, count(*) AS n FROM embeddings
+        |  WHERE embedding IS NOT NULL GROUP BY 1)
+        |SELECT label, n, dim, sum_q,
+        |  CAST(sum_q AS DOUBLE) / CAST(n * 1000 AS DOUBLE) AS mean
+        |FROM g JOIN n USING (label)""".stripMargin,
+    "q81_moving_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s,
+        |  count(*) OVER w AS mov_cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS mov_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q82_rank_family" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
     "q78_cdc_apply" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_totalprice, 1 AS seq, 'I' AS op FROM orders
@@ -1990,6 +2069,9 @@ object Queries {
     "q76_inverted_index" -> (q76InvertedIndex _),
     "q77_bigram_lm" -> (q77BigramLm _),
     "q78_cdc_apply" -> (q78CdcApply _),
-    "q79_kmv_setops" -> (q79KmvSetops _)
+    "q79_kmv_setops" -> (q79KmvSetops _),
+    "q80_centroids" -> (q80Centroids _),
+    "q81_moving_window" -> (q81MovingWindow _),
+    "q82_rank_family" -> (q82RankFamily _)
   )
 }

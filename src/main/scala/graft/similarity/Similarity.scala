@@ -185,4 +185,23 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), cosineQ(col("cq"), col("qq")).as("cos_sim"))
     topK(scored, k)
   }
+
+  /** Per-group mean embedding (centroid) — the distributed aggregation
+    * behind k-means/IVF training and per-class prototype vectors. Returns
+    * one row per group: element-wise quantized sum `sum_q`
+    * (array<long>, via [[graft.functions.VectorSumLong]]) and member
+    * count `n`; centroid dimension d = `sum_q[d] / (1000·n)`.
+    *
+    * Scale shape: the naive posexplode → groupBy(group, dim) shuffles
+    * n·d rows; this aggregate's partial state is one d-long array per
+    * group per partition — d·partitions longs cross the wire, the same
+    * plan as a groupBy count. Integer sums keep the result bit-identical
+    * on any partitioning (float sums are order-sensitive). */
+  def groupCentroids(emb: DataFrame, groupCol: String, vecCol: String,
+                     dim: Int): DataFrame =
+    emb.where(col(vecCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.VectorAgg.vectorSum(quantize(col(vecCol)), dim)
+          .as("sum_q"),
+        count(lit(1)).as("n"))
 }

@@ -193,6 +193,25 @@ class AnalyticsSpec extends SparkSpec {
       .as[Double].head() shouldBe (10.0 / 50.0)
   }
 
+  // --- vector sum aggregate ---
+
+  test("vectorSum: element-wise, partitioning-invariant, loud on bad dim") {
+    import graft.functions.VectorAgg
+    val rows = Seq((1, Seq(1L, 2L, 3L)), (1, Seq(10L, 20L, 30L)),
+      (2, Seq(5L, 5L, 5L))).toDF("g", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(VectorAgg.vectorSum(col("v"), 3).as("s"))
+        .as[(Int, Seq[Long])].collect().toMap
+    val expected = Map(1 -> Seq(11L, 22L, 33L), 2 -> Seq(5L, 5L, 5L))
+    run(rows) shouldBe expected
+    run(rows.repartition(7)) shouldBe expected
+    val bad = intercept[Exception] {
+      Seq((1, Seq(1L, 2L))).toDF("g", "v")
+        .groupBy("g").agg(VectorAgg.vectorSum(col("v"), 3)).collect()
+    }
+    bad.getMessage should include("dim")
+  }
+
   test("bigramLmScore: hand-checked fixed-point means") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     val model = TextAnalysis.bigramModel(docs, "text")
