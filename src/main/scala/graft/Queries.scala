@@ -846,6 +846,16 @@ object Queries {
       .withColumn("quartile", ntile(4).over(w))
   }
 
+  private val HistQs = Seq(0.5, 0.9, 0.99)
+
+  /** Bounded-memory approximate quantiles (P50/P90/P99 of document
+    * length) interpolated from the q68 histogram — 20 bins of state vs
+    * q41's holistic sort aggregate; error ≤ bin width
+    * ([[graft.operators.Profile.histogramQuantiles]]). */
+  def q83HistQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogramQuantiles(t(s, dir, "documents"),
+      "n_chars", lo = 0.0, hi = 600.0, bins = 20, qs = HistQs)
+
   /** Segment-level exact dedup (10-token windows): every repeated window
     * keeps only its first corpus occurrence; docs reassemble from
     * surviving segments. The oracle groups by segment TEXT where the
@@ -1465,6 +1475,23 @@ object Queries {
          |SELECT doc_id, lang, CAST(r AS INT) AS sample_rank
          |FROM ranked WHERE $keep""".stripMargin
     },
+    "q83_hist_quantiles" -> {
+      val qList = HistQs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+      s"""WITH b AS (SELECT CAST(least(greatest(floor((n_chars - 0.0) / 30.0),
+         |      0), 19) AS INT) AS bin
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+         |c AS (SELECT bin, 0.0 + bin * 30.0 AS bin_lo, cnt,
+         |    sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(cnt) OVER () AS total FROM h),
+         |x AS (SELECT c.*, q FROM c CROSS JOIN (SELECT unnest([$qList]) AS q)),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+         |  FROM x WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE))
+         |SELECT q, bin_lo + 30.0 *
+         |    ((q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+         |      / CAST(cnt AS DOUBLE)) AS value
+         |FROM f WHERE rn = 1""".stripMargin
+    },
     "q80_centroids" ->
       """WITH q AS (SELECT label, list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
@@ -2072,6 +2099,7 @@ object Queries {
     "q79_kmv_setops" -> (q79KmvSetops _),
     "q80_centroids" -> (q80Centroids _),
     "q81_moving_window" -> (q81MovingWindow _),
-    "q82_rank_family" -> (q82RankFamily _)
+    "q82_rank_family" -> (q82RankFamily _),
+    "q83_hist_quantiles" -> (q83HistQuantiles _)
   )
 }

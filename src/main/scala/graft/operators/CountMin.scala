@@ -58,6 +58,15 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge two counter tables of the same (depth, width) geometry:
+    * element-wise sum. CMS is a LINEAR sketch — counters maintained per
+    * micro-batch, per shard, or per engine add up to exactly the counters
+    * of the concatenated stream, so incremental maintenance (e.g. inside
+    * a streaming `foreachBatch`) never revisits history. */
+  def mergeCounters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point-query the sketch for each distinct candidate item: estimate =
     * min over the item's `depth` counters. `counters` is depth·width rows
     * → broadcast; the probe never shuffles the sketch. */

@@ -32,6 +32,43 @@ object Profile {
         col("cnt"))
   }
 
+  /** Bounded-memory approximate quantiles from a [[histogram]]: for each
+    * requested fraction q, the first bin where the cumulative count
+    * reaches q·N, linearly interpolated inside the bin — the two-scan,
+    * `bins`-rows-of-state alternative to an exact percentile (q41), which
+    * is a holistic sort aggregate. Error is bounded by the bin width.
+    * The cumulative window runs over the `bins`-row histogram (metadata
+    * scale, single partition by construction — NOT a data-sized sort).
+    * All arithmetic is plain IEEE divide/multiply on exact integer
+    * counts, reproducible in any engine. Clamped-edge caveat inherited
+    * from [[histogram]]: mass outside [lo, hi) sits in the edge bins. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, lo: Double,
+                         hi: Double, bins: Int,
+                         qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "histogramQuantiles: fractions must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / bins
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = histogram(df, valueCol, lo, hi, bins)
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // one histogram evaluation for ALL fractions: fan each bin row out to
+    // every q, keep the first bin whose cumulative count reaches q·N
+    val target = col("q") * col("total").cast("double")
+    h.select(col("*"), explode(array(qs.map(lit): _*)).as("q"))
+      .where(col("cum").cast("double") >= target)
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("q")).orderBy(col("bin"))))
+      .where(col("__rn") === 1)
+      .select(col("q"),
+        (col("bin_lo") + lit(w) *
+          ((target - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double"))).as("value"))
+  }
+
   /** Per-column summary of numeric columns — row count, null count, min,
     * max, sum, mean — computed in ONE scan: a single wide aggregate (all
     * stats for all columns as one partial→final hash agg), then an explode

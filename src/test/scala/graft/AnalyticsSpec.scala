@@ -193,6 +193,54 @@ class AnalyticsSpec extends SparkSpec {
       .as[Double].head() shouldBe (10.0 / 50.0)
   }
 
+  test("count-min counters maintained per micro-batch == the batch build " +
+    "(linear-sketch mergeability over a real file stream)") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val srcDir = tmpDir("cms_stream")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .where(col("tok") =!= "")
+    val sch = spark.read.parquet(srcDir).schema
+    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = CountMin.build(toks(df), col("tok"), 4, 64)
+        acc = Some(acc.map(CountMin.mergeCounters(_, c)).getOrElse(c)
+          .localCheckpoint())
+        batches += 1
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    batches should be >= 2 // actually incremental, not one big batch
+    val streamed = acc.get.as[(Int, Long, Long)].collect().toSet
+    val direct = CountMin.build(toks(spark.read.parquet(srcDir)),
+      col("tok"), 4, 64).as[(Int, Long, Long)].collect().toSet
+    streamed shouldBe direct
+  }
+
+  // --- histogram quantiles ---
+
+  test("histogramQuantiles: interpolated values, error bounded by bin width") {
+    import graft.operators.Profile
+    // 1..100 uniform, 10 bins over [0, 100): exact P50=50.5, P90=90.1
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Profile.histogramQuantiles(df, "v", 0.0, 100.0, 10,
+        Seq(0.5, 0.9)).as[(Double, Double)].collect().toMap
+    out(0.5) shouldBe 50.0 +- 10.0
+    out(0.9) shouldBe 90.0 +- 10.0
+    // degenerate single bin still answers
+    Profile.histogramQuantiles(df, "v", 0.0, 100.0, 1, Seq(0.5))
+      .count() shouldBe 1
+  }
+
   // --- vector sum aggregate ---
 
   test("vectorSum: element-wise, partitioning-invariant, loud on bad dim") {
