@@ -117,4 +117,75 @@ class PropertySpec extends SparkSpec {
       graft.text.TextAnalysis.fingerprint(col("t")).as("f2"))
     df.where(col("f1") =!= col("f2")).count() shouldBe 0
   }
+
+  test("scd2: generated logs — version counts match change points, ranges " +
+    "chain gaplessly, and every log row falls in the version holding its value") {
+    import java.sql.Timestamp
+    val gen = Gen.listOfN(300, for {
+      k <- Gen.choose(1L, 12L)
+      t <- Gen.choose(1L, 1000L)
+      v <- Gen.oneOf("A", "B", "C")
+    } yield (k, t, v)).map(_.distinctBy(r => (r._1, r._2)))
+    val rows = gen.sample.get
+    val log = rows.map { case (k, t, v) => (k, t, new Timestamp(t * 1000), v) }
+      .toDF("k", "seq", "ts", "v")
+    val dim = graft.operators.Scd.scd2(log, "k", "ts", "seq", Seq("v"))
+      .select(col("k"), col("v"), col("version"),
+        col("effective_from"), col("effective_to"))
+      .as[(Long, String, Int, Timestamp, Option[Timestamp])]
+      .collect().groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._1)).map(_._3)
+      val changePoints = 1 + sorted.sliding(2).count {
+        case Seq(a, b) => a != b; case _ => false
+      }
+      val versions = dim(k).sortBy(_._3)
+      versions.length shouldBe changePoints
+      // ranges chain: to(i) == from(i+1); exactly one current
+      versions.init.zip(versions.tail).foreach { case (a, b) =>
+        a._5 shouldBe Some(b._4)
+      }
+      versions.last._5 shouldBe None
+      // point-in-time: each log row's ts resolves to the version holding
+      // its value (the as-of lookup Scd2 exists to serve)
+      rs.foreach { case (_, t, v) =>
+        val ts = t * 1000
+        val hit = versions.filter(ver => ver._4.getTime <= ts &&
+          ver._5.forall(_.getTime > ts))
+        hit.length shouldBe 1
+        hit.head._2 shouldBe v
+      }
+    }
+  }
+
+  test("funnel: generated event streams satisfy the prefix property and " +
+    "stage timestamps are non-decreasing") {
+    val stages = Seq("s1", "s2", "s3")
+    val gen = Gen.listOfN(400, for {
+      u <- Gen.choose(1L, 25L)
+      t <- Gen.choose(1L, 500L)
+      e <- Gen.oneOf("s1", "s2", "s3", "noise")
+    } yield (u, t, e))
+    val rows = gen.sample.get.distinctBy(r => (r._1, r._2))
+    val ev = rows.map { case (u, t, e) =>
+      (u, new java.sql.Timestamp(t * 1000), t, e)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.Funnel.funnel(ev, "user_id", "ts",
+        "event_type", "event_id", stages)
+      .select(col("user_id"), unix_micros(col("s1_ts")),
+        unix_micros(col("s2_ts")), unix_micros(col("s3_ts")),
+        col("stages_completed"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)].collect()
+    out.foreach { case (_, a, b, c, n) =>
+      // prefix property: a later stage present ⇒ all earlier present
+      if (c.isDefined) b.isDefined shouldBe true
+      if (b.isDefined) a.isDefined shouldBe true
+      a.isDefined shouldBe true // funnel only emits stage-1 completers
+      n shouldBe Seq(a, b, c).count(_.isDefined)
+      // in-order: first-completion times never decrease along the funnel
+      Seq(a, b, c).flatten.sliding(2).foreach {
+        case Seq(x, y) => x should be <= y; case _ => ()
+      }
+    }
+  }
 }
