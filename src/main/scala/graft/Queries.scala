@@ -846,6 +846,14 @@ object Queries {
       .withColumn("quartile", ntile(4).over(w))
   }
 
+  /** Grouped correlation + OLS fit (quantity vs extended price per return
+    * flag) from exact quantized sufficient statistics — one scan,
+    * order-independent DECIMAL sums, bit-portable final doubles
+    * ([[graft.operators.Profile.corrRegression]]). */
+  def q84CorrRegression(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.corrRegression(t(s, dir, "lineitem"),
+      "l_returnflag", "l_quantity", "l_extendedprice", scale = 100)
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -1475,6 +1483,31 @@ object Queries {
          |SELECT doc_id, lang, CAST(r AS INT) AS sample_rank
          |FROM ranked WHERE $keep""".stripMargin
     },
+    "q84_corr_regression" ->
+      // identical sufficient-statistics algebra: ×100 quantized longs,
+      // DECIMAL(38,0) sums cast to double, same final expression tree
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS xq,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yq
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |g AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(yq AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(xq * xq AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(yq * yq AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(xq * yq AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+        |  ((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+        |    / CAST(n AS DOUBLE)) / 100 AS intercept
+        |FROM g""".stripMargin,
     "q83_hist_quantiles" -> {
       val qList = HistQs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
       s"""WITH b AS (SELECT CAST(least(greatest(floor((n_chars - 0.0) / 30.0),
@@ -2100,6 +2133,7 @@ object Queries {
     "q80_centroids" -> (q80Centroids _),
     "q81_moving_window" -> (q81MovingWindow _),
     "q82_rank_family" -> (q82RankFamily _),
-    "q83_hist_quantiles" -> (q83HistQuantiles _)
+    "q83_hist_quantiles" -> (q83HistQuantiles _),
+    "q84_corr_regression" -> (q84CorrRegression _)
   )
 }

@@ -69,6 +69,39 @@ object Profile {
             col("cnt").cast("double"))).as("value"))
   }
 
+  /** Grouped Pearson correlation + least-squares fit of y on x in ONE
+    * scan via exact sufficient statistics: inputs are quantized to
+    * integers (×`scale`, rounded — e.g. 100 for 2-decimal money), the
+    * five sums (Σx, Σy, Σx², Σy², Σxy) accumulate as DECIMAL(38,0) —
+    * exact, order-independent, mergeable partials, the distributed-ML
+    * pattern for fitting millions of per-group models in one pass — and
+    * only the final formula runs in (deterministic) double arithmetic.
+    * Spark's built-in `corr` accumulates IEEE doubles, so its result
+    * depends on partition order; this one is bit-identical everywhere.
+    * Requires |x·scale|, |y·scale| < ~3·10⁹ so per-row products fit a
+    * long (the DECIMAL sums then never overflow). */
+  def corrRegression(df: DataFrame, groupCol: String, xCol: String,
+                     yCol: String, scale: Int = 100): DataFrame = {
+    val xq = round(col(xCol) * scale).cast("long")
+    val yq = round(col(yCol) * scale).cast("long")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).cast("double")
+    val g = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), dsum(xq).as("sx"), dsum(yq).as("sy"),
+        dsum(xq * xq).as("sxx"), dsum(yq * yq).as("syy"),
+        dsum(xq * yq).as("sxy"))
+    val nd = col("n").cast("double")
+    val covN = nd * col("sxy") - col("sx") * col("sy")
+    val varXN = nd * col("sxx") - col("sx") * col("sx")
+    val varYN = nd * col("syy") - col("sy") * col("sy")
+    val slopeQ = covN / varXN // in quantized units; scale cancels in corr
+    g.select(col(groupCol), col("n"),
+      (covN / (sqrt(varXN) * sqrt(varYN))).as("corr"),
+      slopeQ.as("slope"), // y/x units: scale cancels (both quantized alike)
+      (((col("sy") - slopeQ * col("sx")) / nd) / scale).as("intercept"))
+  }
+
   /** Per-column summary of numeric columns — row count, null count, min,
     * max, sum, mean — computed in ONE scan: a single wide aggregate (all
     * stats for all columns as one partial→final hash agg), then an explode

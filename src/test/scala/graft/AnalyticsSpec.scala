@@ -241,6 +241,27 @@ class AnalyticsSpec extends SparkSpec {
       .count() shouldBe 1
   }
 
+  test("corrRegression: recovers an exact linear fit, bit-stable across " +
+    "partitionings") {
+    import graft.operators.Profile
+    // y = 2x + 3 exactly → corr 1, slope 2, intercept 3
+    val exact = (1 to 50).map(i => ("g", i.toDouble, 2.0 * i + 3))
+      .toDF("g", "x", "y")
+    val fit = Profile.corrRegression(exact, "g", "x", "y")
+      .select("corr", "slope", "intercept").as[(Double, Double, Double)].head()
+    fit._1 shouldBe 1.0 +- 1e-9
+    fit._2 shouldBe 2.0 +- 1e-9
+    fit._3 shouldBe 3.0 +- 1e-9
+    // anti-correlated leg + partitioning invariance (exact decimal sums)
+    val noisy = (1 to 200).map(i => ("h", i.toDouble, -0.5 * i + 7.25))
+      .toDF("g", "x", "y")
+    val a = Profile.corrRegression(noisy, "g", "x", "y").collect()(0)
+    val b = Profile.corrRegression(noisy.repartition(17), "g", "x", "y")
+      .collect()(0)
+    a shouldBe b
+    a.getDouble(2) shouldBe -1.0 +- 1e-9
+  }
+
   // --- vector sum aggregate ---
 
   test("vectorSum: element-wise, partitioning-invariant, loud on bad dim") {
