@@ -854,6 +854,47 @@ object Queries {
     graft.operators.Profile.corrRegression(t(s, dir, "lineitem"),
       "l_returnflag", "l_quantity", "l_extendedprice", scale = 100)
 
+  /** Point-in-time dimension enrichment — the lookup SCD2 exists FOR:
+    * each order picks the customer-status version effective at its date,
+    * via [[graft.operators.Scd]] history + the single-shuffle
+    * [[graft.operators.AsOfJoin]] (ties at one effective_from resolve to
+    * the highest version, matching the oracle's pre-ASOF dedup). */
+  def q85Scd2PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val dim = graft.operators.Scd.scd2(
+        o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus")),
+        key = "o_custkey", tsCol = "o_orderdate", tieBreak = "o_orderkey",
+        attrCols = Seq("o_orderstatus"))
+      .select(col("o_custkey"),
+        col("effective_from").as("o_orderdate"),
+        col("o_orderstatus").as("status_at_order"), col("version"))
+    graft.operators.AsOfJoin.asOf(
+        o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+        dim, key = "o_custkey", tsCol = "o_orderdate",
+        rightCols = Seq("status_at_order", "version"), tieBreak = "version")
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        col("status_at_order"), col("version"))
+  }
+
+  /** Calendar-spine generation (the dim_date seed): one row per day of
+    * 1995 from a pure `sequence` generator — no source table, the
+    * date-dimension bootstrap every warehouse needs
+    * (reference: spark_jobs/gcs_silver_to_gold.py:355-371 builds the same
+    * fields from observed dates; a spine covers gaps too). */
+  def q86DateSpine(s: SparkSession, dir: String): DataFrame =
+    s.range(1)
+      .select(explode(expr(
+        "sequence(to_date('1995-01-01'), to_date('1995-12-31'), interval 1 day)"))
+        .as("d"))
+      .select(
+        (year(col("d")) * 10000 + month(col("d")) * 100 + dayofmonth(col("d")))
+          .as("date_key"),
+        col("d"), dayofweek(col("d")).as("dow"),
+        dayofyear(col("d")).as("doy"), quarter(col("d")).as("qtr"),
+        weekofyear(col("d")).as("iso_week"))
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -1483,6 +1524,44 @@ object Queries {
          |SELECT doc_id, lang, CAST(r AS INT) AS sample_rank
          |FROM ranked WHERE $keep""".stripMargin
     },
+    "q85_scd2_point_in_time" ->
+      // same dim derivation as q70, deduped to the highest version per
+      // (custkey, effective_from) — the engine's tieBreak=version — then
+      // DuckDB's native ASOF JOIN resolves each order's effective version
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+        |    row_number() OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |v AS (
+        |  SELECT *, sum(CASE WHEN rn = 1
+        |        OR o_orderstatus IS DISTINCT FROM prev THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM w),
+        |g AS (
+        |  SELECT o_custkey, version, max(o_orderstatus) AS status,
+        |    min(o_orderdate) AS eff_from
+        |  FROM v GROUP BY 1, 2),
+        |d AS (
+        |  SELECT o_custkey AS ck, eff_from, status, version FROM g
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY o_custkey, eff_from ORDER BY version DESC) = 1)
+        |SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS order_us,
+        |  d.status AS status_at_order, CAST(d.version AS INT) AS version
+        |FROM orders o ASOF JOIN d
+        |  ON o.o_custkey = d.ck AND d.eff_from <= o.o_orderdate""".stripMargin,
+    "q86_date_spine" ->
+      """SELECT
+        |  CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INT) AS date_key,
+        |  d, CAST(dayofweek(d) + 1 AS INT) AS dow,
+        |  CAST(dayofyear(d) AS INT) AS doy,
+        |  CAST(quarter(d) AS INT) AS qtr,
+        |  CAST(weekofyear(d) AS INT) AS iso_week
+        |FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+        |    DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d)""".stripMargin,
     "q84_corr_regression" ->
       // identical sufficient-statistics algebra: ×100 quantized longs,
       // DECIMAL(38,0) sums cast to double, same final expression tree
@@ -2134,6 +2213,8 @@ object Queries {
     "q81_moving_window" -> (q81MovingWindow _),
     "q82_rank_family" -> (q82RankFamily _),
     "q83_hist_quantiles" -> (q83HistQuantiles _),
-    "q84_corr_regression" -> (q84CorrRegression _)
+    "q84_corr_regression" -> (q84CorrRegression _),
+    "q85_scd2_point_in_time" -> (q85Scd2PointInTime _),
+    "q86_date_spine" -> (q86DateSpine _)
   )
 }
