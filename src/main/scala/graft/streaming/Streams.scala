@@ -52,6 +52,18 @@ object Streams {
       .dropDuplicatesWithinWatermark(keys)
   }
 
+  /** Stream-static dimension enrichment: the canonical streaming lookup —
+    * each micro-batch left-joins a BATCH dimension table, broadcast so
+    * stream rows never shuffle (the stream side at 100 TB/day must stay a
+    * pure per-row pipeline; an exchange per micro-batch is the difference
+    * between keeping up and falling behind). The static side re-reads per
+    * trigger under file sources, which is what makes slowly-refreshed dims
+    * pick up changes without restarting the query; identical plan in
+    * batch, so a batch twin verifies results row-for-row. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream event-time interval join: each left row pairs with
     * right rows of the same `key` whose event time lies in
     * [leftTs − before, leftTs + after]. Both sides are watermarked, which

@@ -226,6 +226,36 @@ class AnalyticsSpec extends SparkSpec {
     streamed shouldBe direct
   }
 
+  test("stream-static dim enrichment over a real file stream == batch twin, " +
+    "stream side never exchanges") {
+    import graft.streaming.Streams
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val dim = Seq(("view", 1), ("click", 2), ("purchase", 3), ("signup", 0),
+      ("error", -1)).toDF("event_type", "stage_rank")
+    val batchEvents = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type")
+    val expected = Streams.enrichWithDim(batchEvents, dim, "event_type")
+      .collect().map(_.toSeq).toSet
+    // plan: broadcast join only — no hash exchange on the stream side
+    "Exchange hashpartitioning".r.findAllIn(
+      Streams.enrichWithDim(batchEvents, dim, "event_type")
+        .queryExecution.executedPlan.toString()).size shouldBe 0
+    val srcDir = tmpDir("enrich_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val sch = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamed = Streams.enrichWithDim(
+      spark.readStream.schema(sch).parquet(srcDir)
+        .select("event_id", "event_type"),
+      dim, "event_type")
+    val q = streamed.writeStream.format("memory").queryName("enrich_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table("enrich_out").collect().map(_.toSeq).toSet shouldBe expected
+  }
+
   // --- histogram quantiles ---
 
   test("histogramQuantiles: interpolated values, error bounded by bin width") {
