@@ -895,6 +895,17 @@ object Queries {
         dayofyear(col("d")).as("doy"), quarter(col("d")).as("qtr"),
         weekofyear(col("d")).as("iso_week"))
 
+  private val Bm25Terms = Seq("join", "filter", "scan")
+
+  /** BM25 relevance scores (log-free rational idf — rankings identical,
+    * arithmetic engine-portable) for a 3-term query over the corpus;
+    * scan-side term filter, broadcast stats, fixed-order term combine
+    * ([[graft.text.TextAnalysis.bm25Scores]]). */
+  def q87Bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms)
+      .select(col("id").as("doc_id"), col("score"), col("n_matched"))
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -1562,6 +1573,46 @@ object Queries {
         |  CAST(weekofyear(d) AS INT) AS iso_week
         |FROM (SELECT unnest(generate_series(DATE '1995-01-01',
         |    DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d)""".stripMargin,
+    "q87_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val perTerm = Bm25Terms.zipWithIndex.flatMap { case (t, i) => Seq(
+        s"max(CASE WHEN tok = '$t' THEN tf END) AS tf_$i",
+        s"max(CASE WHEN tok = '$t' THEN df END) AS df_$i")
+      }.mkString(",\n    ")
+      val scores = Bm25Terms.indices.map { i =>
+        s"""CASE WHEN tf_$i IS NULL THEN 0.0 ELSE
+           |    ((CAST(nn AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+           |      / (CAST(df_$i AS DOUBLE) + 0.5))
+           |    * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0})
+           |    / (CAST(tf_$i AS DOUBLE) + $k1 * (${1.0 - b}
+           |       + $b * (CAST(len AS DOUBLE)
+           |               / (CAST(sumlen AS DOUBLE) / CAST(nn AS DOUBLE)))))
+           |  END""".stripMargin
+      }.mkString("\n  + ")
+      val matched = Bm25Terms.indices
+        .map(i => s"CASE WHEN tf_$i IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, tok FROM
+         |    (SELECT doc_id, unnest($ToksLowerSql) AS tok FROM documents)
+         |  WHERE tok IN ($termList)),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |lens AS (SELECT doc_id, len($ToksSql) AS len FROM documents),
+         |stats AS (SELECT count(*) AS nn, CAST(sum(len) AS BIGINT) AS sumlen
+         |          FROM lens),
+         |p AS (SELECT doc_id,
+         |    $perTerm,
+         |    max(len) AS len, max(nn) AS nn, max(sumlen) AS sumlen
+         |  FROM tf JOIN dft USING (tok) JOIN lens USING (doc_id)
+         |       CROSS JOIN stats
+         |  GROUP BY 1)
+         |SELECT doc_id,
+         |  $scores AS score,
+         |  CAST($matched AS INT) AS n_matched
+         |FROM p""".stripMargin
+    },
     "q84_corr_regression" ->
       // identical sufficient-statistics algebra: ×100 quantized longs,
       // DECIMAL(38,0) sums cast to double, same final expression tree
@@ -2215,6 +2266,7 @@ object Queries {
     "q83_hist_quantiles" -> (q83HistQuantiles _),
     "q84_corr_regression" -> (q84CorrRegression _),
     "q85_scd2_point_in_time" -> (q85Scd2PointInTime _),
-    "q86_date_spine" -> (q86DateSpine _)
+    "q86_date_spine" -> (q86DateSpine _),
+    "q87_bm25" -> (q87Bm25 _)
   )
 }

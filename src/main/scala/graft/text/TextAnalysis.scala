@@ -235,6 +235,59 @@ object TextAnalysis {
         (size(col("__ids")) > maxPostings).as("truncated"))
       .where(col("df") >= minDf)
 
+  /** BM25-family relevance scores of every document matching at least one
+    * `terms` entry — the ranking function behind the inverted index
+    * (Robertson & Zaragoza, Found. Trends IR 2009), with the log dropped
+    * from the idf: rid = (N − df + ½)/(df + ½) is a strictly monotone
+    * transform of the BM25 idf, so RANKINGS are identical and every
+    * arithmetic op stays division/multiply — engine-portable without
+    * trusting two libm `ln`s to agree bit-for-bit.
+    *
+    * Scale shape: the token explode filters to the query terms SCAN-SIDE
+    * (the corpus never materializes its full token stream), per-term df
+    * and corpus stats are one-row/terms-rows broadcasts, and the per-doc
+    * combine is a conditional aggregate with the terms summed in FIXED
+    * written order (a groupBy float sum would be partition-order-
+    * dependent). */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one term")
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lens = docs.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).cast("long").as("len"))
+    val stats = docs.agg(count(lit(1)).as("nn"),
+      sum(tokenCount(col(textCol)).cast("long")).as("sumlen"))
+    val perTerm = terms.flatMap(t => Seq(
+      max(when(col("tok") === t, col("tf"))).as(s"__tf_$t"),
+      max(when(col("tok") === t, col("df"))).as(s"__df_$t")))
+    val consts = Seq(max(col("len")).as("__len"), max(col("nn")).as("__nn"),
+      max(col("sumlen")).as("__sumlen"))
+    val p = tf.join(broadcast(dft), "tok").join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"))
+      .agg((perTerm ++ consts).head, (perTerm ++ consts).tail: _*)
+    val avgLen = col("__sumlen").cast("double") / col("__nn").cast("double")
+    def termScore(t: String) = {
+      val tfd = col(s"__tf_$t").cast("double")
+      val dfd = col(s"__df_$t").cast("double")
+      val rid = (col("__nn").cast("double") - dfd + lit(0.5)) / (dfd + lit(0.5))
+      val norm = tfd + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("__len").cast("double") / avgLen))
+      when(col(s"__tf_$t").isNull, lit(0.0))
+        .otherwise(rid * (tfd * lit(k1 + 1.0)) / norm)
+    }
+    p.select(col("id"),
+      terms.map(termScore).reduce(_ + _).as("score"), // fixed written order
+      terms.map(t => when(col(s"__tf_$t").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).as("n_matched"))
+  }
+
   /** Scale of the fixed-point bigram LM scores: per-bigram points are
     * (c2 · Scale) div c1 ∈ [0, Scale]. */
   val LmScale = 1000000L

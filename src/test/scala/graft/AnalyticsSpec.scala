@@ -256,6 +256,26 @@ class AnalyticsSpec extends SparkSpec {
     spark.table("enrich_out").collect().map(_.toSeq).toSet shouldBe expected
   }
 
+  test("bm25: term-frequency monotone, rare terms dominate, non-matchers absent") {
+    val docs = Seq(
+      (1L, "join join join pad pad pad pad pad"),
+      (2L, "join pad pad pad pad pad pad pad"),
+      (3L, "rare pad pad pad pad pad pad pad"),
+      (4L, "pad pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(docs, "doc_id", "text",
+      Seq("join", "rare")).as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    out.contains(4L) shouldBe false // no query term → no row
+    out(1L)._2 should be > out(2L)._2 // higher tf, same term → higher score
+    out(3L)._2 should be > out(2L)._2 // df=1 'rare' outweighs df=2 'join'
+    out(1L)._3 shouldBe 1
+    // deterministic across partitionings (fixed-order term combine)
+    TextAnalysis.bm25Scores(docs.repartition(5), "doc_id", "text",
+      Seq("join", "rare")).as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap shouldBe out
+  }
+
   // --- histogram quantiles ---
 
   test("histogramQuantiles: interpolated values, error bounded by bin width") {
