@@ -23,9 +23,9 @@ object Scratch {
     println(s"[dbg] edges=${e.count()} nodes=${e.select(col("src").as("n"))
       .unionByName(e.select(col("dst").as("n"))).distinct().count()}")
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    println(s"[dbg] degsum=${deg.agg(sum("deg")).head.getLong(0)}")
+    println(s"[dbg] degsum=${deg.agg(sum("deg")).head().getLong(0)}")
     val r1 = graft.operators.Graph.pageRank(e, "src", "dst", iterations = 1)
     println(s"[dbg] r1 node=1: ${r1.where(col("node") === 1).head()}")
-    println(s"[dbg] r1 sum=${r1.agg(sum("rank")).head.getLong(0)}")
+    println(s"[dbg] r1 sum=${r1.agg(sum("rank")).head().getLong(0)}")
   }
 }

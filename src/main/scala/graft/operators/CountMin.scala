@@ -69,7 +69,10 @@ object CountMin {
 
   /** Point-query the sketch for each distinct candidate item: estimate =
     * min over the item's `depth` counters. `counters` is depth·width rows
-    * → broadcast; the probe never shuffles the sketch. */
+    * → broadcast; the probe never shuffles the sketch. An absent
+    * (depth, bucket) row means that counter is 0, so a candidate the
+    * stream never touched estimates 0 (left join + coalesce), not a
+    * missing row. */
   def estimate(counters: DataFrame, candidates: DataFrame, item: Column,
                depth: Int, width: Int): DataFrame = {
     val depths = array((0 until depth).map(d => lit(d)): _*)
@@ -78,8 +81,8 @@ object CountMin {
       .select(col("item"), h1m.as("__h1m"), step.as("__step"))
       .select(col("item"), explode(depths).as("depth"), col("__h1m"), col("__step"))
       .withColumn("bucket", bucketAt(col("depth"), width))
-      .join(broadcast(counters), Seq("depth", "bucket"))
-      .groupBy("item").agg(min(col("cnt")).as("est"))
+      .join(broadcast(counters), Seq("depth", "bucket"), "left")
+      .groupBy("item").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
   /** Heavy hitters: candidate items whose sketch estimate reaches

@@ -93,7 +93,7 @@ object Pruning {
     df.withColumn("__z", interleaveBits(normalized, 16))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

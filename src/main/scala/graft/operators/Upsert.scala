@@ -37,7 +37,7 @@ object Upsert {
     if (nonKey.isEmpty) source.dropDuplicates(keys)
     else {
       val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(xxhash64(nonKey.map(col): _*).desc)
+        .orderBy(xxhash64(nonKey.toIndexedSeq.map(col): _*).desc)
       source.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
     }
@@ -85,7 +85,7 @@ object Upsert {
       src.schema.fieldNames.filterNot(tf.contains)
     def conform(df: DataFrame, have: Map[String, org.apache.spark.sql.types.DataType],
                 other: Map[String, org.apache.spark.sql.types.DataType]) =
-      df.select(outCols.map(c =>
+      df.select(outCols.toIndexedSeq.map(c =>
         if (have.contains(c)) col(c) else lit(null).cast(other(c)).as(c)): _*)
     (conform(target, tf, sf), conform(src, sf, tf))
   }

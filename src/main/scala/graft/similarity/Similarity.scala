@@ -134,7 +134,7 @@ object Similarity {
 
     def cellRanks(q: Column): Column = {
       // (similarity, cellId) structs sorted desc → probe order
-      val scored = array(cents.map { case (cid, v) =>
+      val scored = array(cents.toIndexedSeq.map { case (cid, v) =>
         struct(cosineQ(q, typedLit(v)).as("sim"), lit(cid).as("cell"))
       }: _*)
       reverse(array_sort(scored))

@@ -90,6 +90,11 @@ class AnalyticsSpec extends SparkSpec {
     est("a") should be >= 30L
     est("b") should be >= 10L
     est("c") should be >= 3L
+    // a candidate the stream never saw estimates 0 when its buckets are
+    // untouched (absent counter row == 0, not a dropped row)
+    val unseen = CountMin.estimate(wide, Seq("zzz-never").toDF("tok"),
+      col("tok"), 4, 1024).as[(String, Long)].collect().toMap
+    unseen("zzz-never") shouldBe 0L
   }
 
   test("count-min counters are partitioning-invariant and bounded by d*w") {
