@@ -82,10 +82,14 @@ object Graph {
         labels = next
         iter += 1
       }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it or contract stars first")
+    } catch {
+      // error path (incl. non-convergence): the caller never receives
+      // `labels`, so release the current snapshot here or it leaks
+      case t: Throwable => unpersist(labels); throw t
     } finally unpersist(sym)
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds maxIter; raise it or contract stars first")
     labels
   }
 
@@ -137,6 +141,10 @@ object Graph {
         ranks = next
       }
       ranks
+    } catch {
+      // a failed iteration means the caller never sees `ranks` — release
+      // the current snapshot instead of leaking it
+      case t: Throwable => unpersist(ranks); throw t
     } finally { unpersist(linked); unpersist(nodes) }
   }
 }

@@ -110,9 +110,8 @@ object Profile {
     * partitioning); the mean is that exact sum with one double divide. */
   def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "summarize: need at least one column")
-    val aggExprs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"__${c}_rows"),
-        count(col(c)).as(s"__${c}_n"),
+    val aggExprs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__${c}_n"),
         min(col(c)).cast("double").as(s"__${c}_min"),
         max(col(c)).cast("double").as(s"__${c}_max"),
         sum(col(c).cast("decimal(28,10)")).cast("double").as(s"__${c}_sum"))
@@ -121,7 +120,7 @@ object Profile {
     val rows = cols.map { c =>
       struct(lit(c).as("col_name"),
         col(s"__${c}_n").as("n"),
-        (col(s"__${c}_rows") - col(s"__${c}_n")).as("nulls"),
+        (col("__rows") - col(s"__${c}_n")).as("nulls"),
         col(s"__${c}_min").as("col_min"),
         col(s"__${c}_max").as("col_max"),
         col(s"__${c}_sum").as("col_sum"),

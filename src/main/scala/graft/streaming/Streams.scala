@@ -56,10 +56,16 @@ object Streams {
     * each micro-batch left-joins a BATCH dimension table, broadcast so
     * stream rows never shuffle (the stream side at 100 TB/day must stay a
     * pure per-row pipeline; an exchange per micro-batch is the difference
-    * between keeping up and falling behind). The static side re-reads per
-    * trigger under file sources, which is what makes slowly-refreshed dims
-    * pick up changes without restarting the query; identical plan in
-    * batch, so a batch twin verifies results row-for-row. */
+    * between keeping up and falling behind). Identical plan in batch, so
+    * a batch twin verifies results row-for-row.
+    *
+    * Dim refresh caveat: a plain file-backed `dim` pins its file listing
+    * when the DataFrame is created — overwriting the directory mid-query
+    * yields stale rows or FileNotFoundException, NOT a refresh. To follow
+    * a slowly-changing dim, rebuild the join inside `foreachBatch` (a new
+    * `spark.read` per batch) or back the dim with a snapshot/table layer
+    * ([[graft.sources.Snapshots]]) whose atomic pointer gives each read a
+    * consistent version. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
                     key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
