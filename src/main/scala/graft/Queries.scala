@@ -906,6 +906,39 @@ object Queries {
         Bm25Terms)
       .select(col("id").as("doc_id"), col("score"), col("n_matched"))
 
+  /** Event-path mining: the 25 most-travelled length-3 event-type
+    * sequences — the discovery complement to q72's fixed funnel (what
+    * paths exist vs does THIS path convert). One exchange on user for the
+    * lead windows; the global top-k plans as TakeOrderedAndProject. */
+  def q88EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(25)
+  }
+
+  /** Cohort retention: users bucketed by first-activity week, counted
+    * distinct per (cohort_week, weeks-since) — the standard retention
+    * triangle. First-seen is a running window over the same user
+    * partitioning the activity dedup then reuses; all week arithmetic is
+    * integer floor division (engine-portable). */
+  def q89CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .select(col("user_id"), (col("day") / 7L).cast("long").as("week"))
+      .withColumn("cohort_week", min(col("week")).over(perUser))
+      .dropDuplicates("user_id", "week")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -1573,6 +1606,26 @@ object Queries {
         |  CAST(weekofyear(d) AS INT) AS iso_week
         |FROM (SELECT unnest(generate_series(DATE '1995-01-01',
         |    DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d)""".stripMargin,
+    "q88_event_paths" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+        |  FROM events),
+        |l AS (SELECT event_type AS e1, lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path FROM l
+        |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        |SELECT path, count(*) AS n FROM p
+        |GROUP BY path ORDER BY n DESC, path LIMIT 25""".stripMargin,
+    "q89_cohort_retention" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |w AS (SELECT user_id, day // 7 AS week FROM d),
+        |c AS (SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS cohort_week FROM w),
+        |u AS (SELECT DISTINCT user_id, week, cohort_week FROM c)
+        |SELECT cohort_week, week - cohort_week AS age_weeks,
+        |  count(*) AS active_users
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "q87_bm25" -> {
       val (k1, b) = (1.2, 0.75)
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
@@ -2267,6 +2320,8 @@ object Queries {
     "q84_corr_regression" -> (q84CorrRegression _),
     "q85_scd2_point_in_time" -> (q85Scd2PointInTime _),
     "q86_date_spine" -> (q86DateSpine _),
-    "q87_bm25" -> (q87Bm25 _)
+    "q87_bm25" -> (q87Bm25 _),
+    "q88_event_paths" -> (q88EventPaths _),
+    "q89_cohort_retention" -> (q89CohortRetention _)
   )
 }
