@@ -922,17 +922,26 @@ object Queries {
       .orderBy(col("n").desc, col("path")).limit(25)
   }
 
+  /** Exact integer floor division (matches DuckDB `//` / Java
+    * `Math.floorDiv` for negative operands, unlike `/`+cast which
+    * truncates toward zero). Subtracting `pmod` first keeps the quotient
+    * exactly divisible, so the intermediate double division is exact —
+    * no rounding risk at bucket boundaries. */
+  private[graft] def floorDiv(x: Column, y: Long): Column =
+    ((x - pmod(x, lit(y))) / lit(y)).cast("long")
+
   /** Cohort retention: users bucketed by first-activity week, counted
     * distinct per (cohort_week, weeks-since) — the standard retention
     * triangle. First-seen is a running window over the same user
     * partitioning the activity dedup then reuses; all week arithmetic is
-    * integer floor division (engine-portable). */
+    * integer FLOOR division ([[floorDiv]] — pre-1970 timestamps bucket
+    * correctly, identical to the oracle's DuckDB `//`). */
   def q89CohortRetention(s: SparkSession, dir: String): DataFrame = {
     val perUser = Window.partitionBy(col("user_id"))
     events(s, dir)
       .select(col("user_id"),
-        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
-      .select(col("user_id"), (col("day") / 7L).cast("long").as("week"))
+        floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+      .select(col("user_id"), floorDiv(col("day"), 7L).as("week"))
       .withColumn("cohort_week", min(col("week")).over(perUser))
       .dropDuplicates("user_id", "week")
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
@@ -1796,8 +1805,8 @@ object Queries {
          |      AS pts
          |  FROM m2),
          |d AS (SELECT doc_id, count(*) AS n_bigrams,
-         |    CAST(sum(pts) AS BIGINT) AS s
-         |  FROM p JOIN m3 USING (pair) GROUP BY 1)
+         |    CAST(sum(coalesce(pts, 0)) AS BIGINT) AS s
+         |  FROM p LEFT JOIN m3 USING (pair) GROUP BY 1)
          |SELECT doc_id, n_bigrams, s // n_bigrams AS lm_score FROM d""".stripMargin
     },
     "q72_funnel" ->

@@ -20,13 +20,25 @@ import org.apache.spark.sql.functions._
 object Cdc {
 
   /** Final state of `changes`: one row per key whose LATEST operation (by
-    * `seqCol`, strictly — callers must make sequence numbers unique per
-    * key, as any CDC log position is) is not a delete. Output drops the
-    * bookkeeping columns, keeping key + payload. */
+    * `seqCol`) is not a delete. Output drops the bookkeeping columns,
+    * keeping key + payload.
+    *
+    * Tie handling: a real CDC log position is unique per key, but the
+    * window no longer *relies* on that comment-level contract — ordering
+    * is (seq desc, tieBreak…, op desc), so equal-seq rows resolve
+    * deterministically: caller-supplied `tieBreak` columns first, then the
+    * op code descending (for the default I/U/D codes a delete at the same
+    * seq loses to the concurrent upsert — the conservative, data-keeping
+    * choice). Rows identical in seq + tieBreak + op are interchangeable
+    * only if their payloads are too; pass a payload column in `tieBreak`
+    * when they are not. */
   def applyChanges(changes: DataFrame, keys: Seq[String], seqCol: String,
-                   opCol: String, deleteOp: String = "D"): DataFrame = {
+                   opCol: String, deleteOp: String = "D",
+                   tieBreak: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "applyChanges: keys must be non-empty")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val ordering = (col(seqCol).desc +: tieBreak.map(col(_).desc)) :+
+      col(opCol).desc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     changes
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col(opCol) =!= deleteOp)
@@ -39,11 +51,13 @@ object Cdc {
     * semantics decide each key. Same single-exchange shape. */
   def applyChangesTo(target: DataFrame, changes: DataFrame, keys: Seq[String],
                      seqCol: String, opCol: String,
-                     deleteOp: String = "D"): DataFrame = {
+                     deleteOp: String = "D",
+                     tieBreak: Seq[String] = Nil): DataFrame = {
     val seqType = changes.schema(seqCol).dataType
     val baseline = target
       .withColumn(seqCol, lit(null).cast(seqType)) // nulls sort LAST on desc
       .withColumn(opCol, lit("I"))
-    applyChanges(baseline.unionByName(changes), keys, seqCol, opCol, deleteOp)
+    applyChanges(baseline.unionByName(changes), keys, seqCol, opCol, deleteOp,
+      tieBreak)
   }
 }

@@ -87,6 +87,7 @@ object Sampling {
   def apportion(weights: Seq[(String, Long)], totalN: Long): Seq[(String, Long)] = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "apportion: weights must be positive")
+    require(totalN > 0, s"apportion: totalN must be positive, got $totalN")
     val w = weights.map(_._2).sum
     val base = weights.map { case (g, wg) => (g, totalN * wg / w, totalN * wg % w) }
     val leftover = (totalN - base.map(_._2).sum).toInt

@@ -26,6 +26,63 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Upsert {
 
+  /** A second writer hit a live single-writer lease (see [[upsert]]'s
+    * `lockTtlMs`): the table is mid-merge by someone else. Retry after the
+    * holder commits, or raise the TTL if the holder is just slow. */
+  final class ConcurrentWriteException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Default single-writer lease TTL: generous enough for any one merge,
+    * short enough that a crashed writer doesn't wedge the table for long. */
+  val DefaultLockTtlMs: Long = 15 * 60 * 1000L
+
+  private def lockPath(path: String) = new Path(path + "__lock")
+
+  /** Acquire the single-writer lease for the table at `path`, or throw
+    * [[ConcurrentWriteException]]. The reference runs one Airflow task per
+    * table per day — a contract that lived only in documentation; this
+    * turns it into a checked invariant so an overlapping second writer
+    * fails LOUDLY instead of corrupting the staged swap.
+    *
+    * Mechanics: atomic create-if-absent of a sibling `path__lock` file
+    * (sibling, not child — the table dir itself is renamed during the
+    * swap). A lock older than `ttlMs` is presumed crashed and taken over.
+    * On HDFS/object-store committers create(overwrite=false) is atomic;
+    * on the local FS it is the same check-and-create Hadoop's own commit
+    * protocol relies on — adequate for the one-job-at-a-time deployments
+    * this guards. */
+  private[graft] def acquireLock(spark: SparkSession, path: String,
+                                 ttlMs: Long): Unit = {
+    val lp = lockPath(path)
+    val f = fs(spark, lp)
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(lp, false)
+        out.writeBytes(
+          s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n")
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val ageMs =
+        try System.currentTimeMillis() - f.getFileStatus(lp).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (ageMs < ttlMs)
+        throw new ConcurrentWriteException(
+          s"upsert: table $path is locked by another writer " +
+            s"(lease $lp is ${ageMs / 1000}s old, TTL ${ttlMs / 1000}s)")
+      f.delete(lp, false) // stale: holder crashed past TTL; take over
+      if (!tryCreate())
+        throw new ConcurrentWriteException(
+          s"upsert: lost takeover race for stale lease $lp")
+    }
+  }
+
+  private[graft] def releaseLock(spark: SparkSession, path: String): Unit = {
+    val lp = lockPath(path)
+    fs(spark, lp).delete(lp, false)
+  }
+
   /** Deterministic per-key winner among duplicate source rows: the row
     * with the greatest xxhash64 of its non-key columns. dropDuplicates
     * keeps an arbitrary partition-order-dependent row, which would make
@@ -99,9 +156,20 @@ object Upsert {
   def upsert(spark: SparkSession, path: String, source: DataFrame,
              keys: Seq[String], insertOnly: Boolean = false,
              partitionCols: Seq[String] = Nil,
-             evolveSchema: Boolean = false): Unit = {
+             evolveSchema: Boolean = false,
+             lockTtlMs: Long = DefaultLockTtlMs): Unit = {
     val src0 = dedupSource(source, keys)
     if (src0.isEmpty) return
+    acquireLock(spark, path, lockTtlMs)
+    try upsertLocked(spark, path, src0, keys, insertOnly, partitionCols,
+      evolveSchema)
+    finally releaseLock(spark, path)
+  }
+
+  private def upsertLocked(spark: SparkSession, path: String, src0: DataFrame,
+                           keys: Seq[String], insertOnly: Boolean,
+                           partitionCols: Seq[String],
+                           evolveSchema: Boolean): Unit = {
     recoverSwap(spark, path)
     val existing = readTable(spark, path)
     if (existing.isEmpty) {

@@ -94,7 +94,11 @@ object BronzeToSilver {
       .withColumn("ReferenceID", stableId(col("ReferenceText")))
       .select("ReferenceID", "ReferenceText")
 
-  def makeArticles(dfb: DataFrame): DataFrame = {
+  /** `extraCols`: additional bronze columns carried through verbatim — the
+    * schema-evolution path (an upstream crawler added a field; list it here
+    * plus in the reader schema and it flows into silver, where
+    * `evolveSchema` NULL-backfills pre-existing rows). */
+  def makeArticles(dfb: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
     val d = dfb
       .withColumn("trimmed_url", trim(col("url")))
       .withColumn("ArticleID", stableId(col("trimmed_url")))
@@ -103,13 +107,14 @@ object BronzeToSilver {
       .withColumn("trimmed_subtopic", blankToNull(col("sub_topic")))
       .withColumn("SubTopicID",
         stableId(concat_ws("||", col("trimmed_subtopic"), col("TopicID"))))
-    d.select(
+    d.select(Seq(
       col("ArticleID"), col("title").as("Title"), col("trimmed_url").as("URL"),
       col("description").as("Description"), col("publish_ts").as("PublicationDate"),
       col("main_content").as("MainContent"),
       col("comment_count").cast("int").as("OpinionCount"),
       col("AuthorID"), col("TopicID"), col("SubTopicID"),
-      to_date(col("publish_ts")).as("date"), hour(col("publish_ts")).as("hour"))
+      to_date(col("publish_ts")).as("date"), hour(col("publish_ts")).as("hour")) ++
+      extraCols.map(col): _*)
   }
 
   def makeArticleKeywords(dfb: DataFrame): DataFrame =
@@ -183,13 +188,14 @@ object BronzeToSilver {
   }
 
   /** All 10 silver tables from one normalized+filtered bronze batch. */
-  def silverTables(base: DataFrame): Map[String, DataFrame] = Map(
+  def silverTables(base: DataFrame,
+                   extraArticleCols: Seq[String] = Nil): Map[String, DataFrame] = Map(
     "authors" -> makeAuthors(base),
     "topics" -> makeTopics(base),
     "subtopics" -> makeSubtopics(base),
     "keywords" -> makeKeywords(base),
     "references_table" -> makeReferences(base),
-    "articles" -> makeArticles(base),
+    "articles" -> makeArticles(base, extraArticleCols),
     "article_keywords" -> makeArticleKeywords(base),
     "article_references" -> makeArticleReferences(base),
     "comments" -> makeComments(base),
@@ -217,7 +223,8 @@ object BronzeToSilver {
     * (airflow/config/metrics_utils.py:58-106). */
   def upsertBatch(spark: SparkSession, batch: DataFrame, warehouse: String,
                   metrics: Option[graft.metrics.MetricsRegistry] = None,
-                  quarantineDir: Option[String] = None): Unit = {
+                  quarantineDir: Option[String] = None,
+                  extraArticleCols: Seq[String] = Nil): Unit = {
     if (batch.isEmpty) return
     val base = validArticles(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -236,25 +243,36 @@ object BronzeToSilver {
             rejected.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(qd)
         }
       }
-      silverTables(base).foreach { case (name, df) =>
+      silverTables(base, extraArticleCols).foreach { case (name, df) =>
         val (keys, insertOnly) = upsertKeys(name)
         val parts = if (name == "articles") Seq("date") else Nil
+        // evolution is opt-in per run: an extra-column config turns the
+        // articles upsert into an align-merge (NULL backfill for rows
+        // written before the column existed)
+        val evolve = name == "articles" && extraArticleCols.nonEmpty
         graft.metrics.MetricsRegistry.timed(metrics, "bronze_to_silver", name) {
-          Upsert.upsert(spark, s"$warehouse/$name", df, keys, insertOnly, parts)
+          Upsert.upsert(spark, s"$warehouse/$name", df, keys, insertOnly, parts,
+            evolveSchema = evolve)
         }
       }
     } finally base.unpersist()
   }
 
-  /** Batch run (reference batch twin gcs_bronze_to_silver_batch.py). */
+  /** Batch run (reference batch twin gcs_bronze_to_silver_batch.py).
+    * `bronzeSchema`/`extraArticleCols` together are the schema-evolution
+    * knob: extend the reader schema with the new field(s) and name them in
+    * `extraArticleCols`, and the articles table evolves additively (old
+    * rows read NULL). */
   def runBatch(spark: SparkSession, bronzeDir: String, warehouse: String,
                topicFromPath: Boolean = true,
-               quarantineDir: Option[String] = None): Unit = {
-    val raw = spark.read.schema(Schemas.bronzeArticle)
+               quarantineDir: Option[String] = None,
+               bronzeSchema: org.apache.spark.sql.types.StructType = Schemas.bronzeArticle,
+               extraArticleCols: Seq[String] = Nil): Unit = {
+    val raw = spark.read.schema(bronzeSchema)
       .option("recursiveFileLookup", "true").option("mode", "PERMISSIVE")
       .json(bronzeDir)
     upsertBatch(spark, normalize(raw, topicFromPath), warehouse,
-      quarantineDir = quarantineDir)
+      quarantineDir = quarantineDir, extraArticleCols = extraArticleCols)
   }
 
   /** Streaming run: file-arrival source, stateless, exactly-once via

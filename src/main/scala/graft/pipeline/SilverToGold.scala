@@ -100,7 +100,8 @@ object SilverToGold {
     * kw/ref counts are pre-aggregated before the join (map-side partial agg
     * first, then a key-colocated join — never join-then-aggregate). */
   def factArticlePublication(articles: DataFrame, articleKeywords: DataFrame,
-                             articleReferences: DataFrame): DataFrame = {
+                             articleReferences: DataFrame,
+                             extraCols: Seq[String] = Nil): DataFrame = {
     val kwCnt = articleKeywords.groupBy("ArticleID").count().withColumnRenamed("count", "kw_cnt")
     val rfCnt = articleReferences.groupBy("ArticleID").count().withColumnRenamed("count", "ref_cnt")
     articles.as("a")
@@ -108,7 +109,7 @@ object SilverToGold {
       .join(rfCnt.as("r"), col("r.ArticleID") === col("a.ArticleID"), "left")
       .withColumn("ts", col("a.PublicationDate").cast("timestamp"))
       .where(col("ts").isNotNull)
-      .select(
+      .select(Seq(
         dateKey(col("ts")).as("PublicationDateKey"),
         col("ts").as("ArticlePublicationTimestamp"),
         keyOrSentinel(col("a.AuthorID")).as("AuthorKey"),
@@ -123,7 +124,8 @@ object SilverToGold {
         charCount(col("a.MainContent")).as("CharacterCountInMainContent"),
         estimatedReadTimeMinutes(col("a.MainContent")).as("EstimatedReadTimeMinutes"),
         coalesce(col("kw_cnt"), lit(0L)).as("TaggedKeywordCountInArticle"),
-        coalesce(col("ref_cnt"), lit(0L)).as("ReferenceSourceCountInArticle"))
+        coalesce(col("ref_cnt"), lit(0L)).as("ReferenceSourceCountInArticle")) ++
+        extraCols.map(c => col(s"a.$c").as(c)): _*)
       .dropDuplicates("PublicationDateKey", "ArticleID_NK")
   }
 
@@ -210,8 +212,10 @@ object SilverToGold {
     * schema-typed empty DataFrame — the reference's CREATE TABLE IF NOT
     * EXISTS guarantees the same. */
   def run(spark: SparkSession, silverWarehouse: String, goldWarehouse: String,
-          metrics: Option[graft.metrics.MetricsRegistry] = None): Unit =
-    runCore(spark, silverWarehouse, goldWarehouse, metrics, dates = Nil)
+          metrics: Option[graft.metrics.MetricsRegistry] = None,
+          extraArticleCols: Seq[String] = Nil): Unit =
+    runCore(spark, silverWarehouse, goldWarehouse, metrics, dates = Nil,
+      extraArticleCols)
 
   /** Incremental silver→gold: process ONLY the given article dates. The
     * articles scan partition-prunes on `date` (silver articles are
@@ -271,7 +275,8 @@ object SilverToGold {
   private def runCore(spark: SparkSession, silverWarehouse: String,
                       goldWarehouse: String,
                       metrics: Option[graft.metrics.MetricsRegistry],
-                      dates: Seq[java.sql.Date]): Unit = {
+                      dates: Seq[java.sql.Date],
+                      extraArticleCols: Seq[String] = Nil): Unit = {
     def metered[T](table: String)(body: => T): T =
       graft.metrics.MetricsRegistry.timed(metrics, "silver_to_gold", table)(body)
     def silverFull(name: String): DataFrame =
@@ -333,7 +338,7 @@ object SilverToGold {
       val ak = silver("article_keywords"); val ar = silver("article_references")
       val facts: Map[String, (DataFrame, Seq[String], Seq[String])] = Map(
         "fact_article_publication" -> (
-          factArticlePublication(articles, ak, ar),
+          factArticlePublication(articles, ak, ar, extraArticleCols),
           Seq("PublicationDateKey", "ArticleID_NK"), Seq("PublicationDateKey")),
         "fact_article_keyword" -> (
           factArticleKeyword(ak, articles),
@@ -352,8 +357,12 @@ object SilverToGold {
           Seq("ArticlePublicationDateKey", "ArticleID_NK", "CommentID_NK", "InteractionTypeKey"),
           Seq("ArticlePublicationDateKey")))
       facts.foreach { case (name, (df, keys, parts)) =>
+        // extra-column runs evolve the publication fact additively, same
+        // opt-in contract as the silver articles table
+        val evolve = name == "fact_article_publication" && extraArticleCols.nonEmpty
         metered(name) {
-          Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys, insertOnly = false, parts)
+          Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys,
+            insertOnly = false, parts, evolveSchema = evolve)
         }
       }
     } finally {

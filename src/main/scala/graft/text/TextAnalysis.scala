@@ -252,20 +252,29 @@ object TextAnalysis {
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25: need at least one term")
+    // Terms are lowercased on entry (tokens are lowercased, so an
+    // uppercase query term would silently match nothing), and internal
+    // pivot columns are INDEX-named (__tf_0, __df_0, …) so a term
+    // containing '.', backticks, or quotes can never break col()
+    // resolution — the term string only ever appears as a comparison
+    // VALUE, never as an identifier.
+    val qs = terms.map(_.toLowerCase)
+    require(qs.nonEmpty, "bm25: need at least one term")
+    require(qs.distinct.size == qs.size,
+      s"bm25: duplicate query terms after lowercasing: $qs")
     val tf = docs
       .select(col(idCol).as("id"),
         explode(tokens(lower(col(textCol)))).as("tok"))
-      .where(col("tok").isin(terms: _*))
+      .where(col("tok").isin(qs: _*))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val lens = docs.select(col(idCol).as("id"),
       tokenCount(col(textCol)).cast("long").as("len"))
     val stats = docs.agg(count(lit(1)).as("nn"),
       sum(tokenCount(col(textCol)).cast("long")).as("sumlen"))
-    val perTerm = terms.flatMap(t => Seq(
-      max(when(col("tok") === t, col("tf"))).as(s"__tf_$t"),
-      max(when(col("tok") === t, col("df"))).as(s"__df_$t")))
+    val perTerm = qs.zipWithIndex.flatMap { case (t, i) => Seq(
+      max(when(col("tok") === lit(t), col("tf"))).as(s"__tf_$i"),
+      max(when(col("tok") === lit(t), col("df"))).as(s"__df_$i")) }
     val consts = Seq(max(col("len")).as("__len"), max(col("nn")).as("__nn"),
       max(col("sumlen")).as("__sumlen"))
     val p = tf.join(broadcast(dft), "tok").join(lens, "id")
@@ -273,18 +282,18 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg((perTerm ++ consts).head, (perTerm ++ consts).tail: _*)
     val avgLen = col("__sumlen").cast("double") / col("__nn").cast("double")
-    def termScore(t: String) = {
-      val tfd = col(s"__tf_$t").cast("double")
-      val dfd = col(s"__df_$t").cast("double")
+    def termScore(i: Int) = {
+      val tfd = col(s"__tf_$i").cast("double")
+      val dfd = col(s"__df_$i").cast("double")
       val rid = (col("__nn").cast("double") - dfd + lit(0.5)) / (dfd + lit(0.5))
       val norm = tfd + lit(k1) * (lit(1.0 - b) +
         lit(b) * (col("__len").cast("double") / avgLen))
-      when(col(s"__tf_$t").isNull, lit(0.0))
+      when(col(s"__tf_$i").isNull, lit(0.0))
         .otherwise(rid * (tfd * lit(k1 + 1.0)) / norm)
     }
     p.select(col("id"),
-      terms.map(termScore).reduce(_ + _).as("score"), // fixed written order
-      terms.map(t => when(col(s"__tf_$t").isNotNull, 1).otherwise(0))
+      qs.indices.map(termScore).reduce(_ + _).as("score"), // fixed written order
+      qs.indices.map(i => when(col(s"__tf_$i").isNotNull, 1).otherwise(0))
         .reduce(_ + _).as("n_matched"))
   }
 
@@ -313,7 +322,11 @@ object TextAnalysis {
     * not). Each bigram occurrence scores (c2 · [[LmScale]]) div c1 — the
     * scaled conditional frequency; a document's `lm_score` is the integer
     * MEAN over its bigrams (documents under 2 tokens have no bigrams and
-    * are absent from the output). Scoring
+    * are absent from the output). CANONICAL out-of-vocabulary semantics:
+    * the model join is a LEFT join and a bigram unseen in training scores
+    * 0 (maximally non-fluent) while still counting in `n_bigrams` — so
+    * out-of-corpus documents are scored, not dropped, and the q77 oracle
+    * mirrors this with LEFT JOIN + coalesce(pts, 0). Scoring
     * joins the exploded corpus to the model on the pair key: the model
     * side is (pair, counts) longs — at web scale a shuffle join keyed on
     * the pair, never on document text. */

@@ -346,4 +346,38 @@ class AnalyticsSpec extends SparkSpec {
     scores(1L) shouldBe 666666L // (2*1e6) div 3
     scores(3L) shouldBe 333333L // (1*1e6) div 3
   }
+
+  test("floorDiv floors negative epochs (pre-1970 cohort bucketing)") {
+    // truncating division would put -1µs in day 0; floor puts it in day -1,
+    // matching DuckDB's `//` and java.lang.Math.floorDiv
+    val us = Seq(-1L, -86400000000L, -86400000001L, 0L, 86399999999L)
+    val out = us.toDF("us")
+      .select(col("us"), Queries.floorDiv(col("us"), 86400000000L).as("day"))
+      .as[(Long, Long)].collect().toMap
+    us.foreach { u =>
+      out(u) shouldBe Math.floorDiv(u, 86400000000L)
+    }
+    out(-1L) shouldBe -1L
+    out(-86400000001L) shouldBe -2L
+  }
+
+  test("bigramLmScore: out-of-corpus bigrams score 0 but count (canonical LEFT-join semantics)") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(train, "text")
+    // "a b" seen (pts=1e6), "b z" unseen (pts=0) → mean = 5e5 over 2 bigrams
+    val out = TextAnalysis.bigramLmScore(
+      Seq((9L, "a b z")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, Long, Long)].collect().head
+    out shouldBe ((9L, 2L, 500000L))
+  }
+
+  test("cdc applyChanges: equal-seq tie resolves deterministically (delete loses to upsert)") {
+    import graft.operators.Cdc
+    val changes = Seq(
+      (1L, 5L, "D", "gone"), (1L, 5L, "U", "kept"), // same seq, D vs U
+      (2L, 1L, "I", "x"), (2L, 2L, "D", "y")).toDF("k", "seq", "op", "v")
+    val out = Cdc.applyChanges(changes, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    out shouldBe Map(1L -> "kept") // U wins the tie; key 2 deleted
+  }
 }

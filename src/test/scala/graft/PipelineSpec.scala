@@ -85,6 +85,53 @@ class PipelineSpec extends SparkSpec {
     spark.read.parquet(s"$gold/fact_article_publication").count() shouldBe 2
   }
 
+  test("schema evolution end to end: new bronze column flows to silver and gold with NULL backfill") {
+    val root = tmpDir("bronzeE")
+    val wh = tmpDir("silverE")
+    val gold = tmpDir("goldE")
+    writeFixtures(root)
+
+    // day 0: pipeline runs before the column exists
+    BronzeToSilver.runBatch(spark, root, wh)
+    SilverToGold.run(spark, wh, gold)
+    silver(wh, "articles").columns should not contain "read_time_secs"
+
+    // the crawler starts emitting read_time_secs; a new bronze doc carries it
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "vnexpress/so-hoa/2025/10/12"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "vnexpress/so-hoa/2025/10/12/a3.json"),
+      """{"title":"Bai 3","url":"https://e.vn/a3","author":"Chi","topic":"x","sub_topic":null,"publish_date":"1760283420000","description":"d3","main_content":"tám chín mười","keywords":["k9"],"references":[],"comment_count":1,"top_comments":[],"ingested_at":"2025-10-12T15:00:00","year":2025,"month":10,"day":12,"read_time_secs":42}""")
+
+    // re-run with the extended reader schema + passthrough config
+    val evolved = graft.core.Schemas.bronzeArticle
+      .add("read_time_secs", org.apache.spark.sql.types.IntegerType)
+    BronzeToSilver.runBatch(spark, root, wh,
+      bronzeSchema = evolved, extraArticleCols = Seq("read_time_secs"))
+
+    // silver: column exists, old rows NULL-backfilled, new row carries 42
+    val arts = silver(wh, "articles")
+    arts.columns should contain("read_time_secs")
+    arts.count() shouldBe 3
+    arts.where(col("URL") === "https://e.vn/a3")
+      .select("read_time_secs").collect()(0).getInt(0) shouldBe 42
+    arts.where(col("URL") === "https://e.vn/a1")
+      .select("read_time_secs").collect()(0).isNullAt(0) shouldBe true
+
+    // gold: the publication fact evolves through the same align path
+    SilverToGold.run(spark, wh, gold, extraArticleCols = Seq("read_time_secs"))
+    val fact = spark.read.parquet(s"$gold/fact_article_publication")
+    fact.columns should contain("read_time_secs")
+    fact.count() shouldBe 3
+    fact.where(col("PublicationDateKey") === 20251012)
+      .select("read_time_secs").collect()(0).getInt(0) shouldBe 42
+    fact.where(col("PublicationDateKey") === 20251010)
+      .select("read_time_secs").collect()(0).isNullAt(0) shouldBe true
+
+    // a plain re-run without the config fails LOUDLY (no silent schema loss)
+    an[Exception] should be thrownBy BronzeToSilver.runBatch(spark, root, wh)
+  }
+
   test("rejected rows land in quarantine with their reason") {
     val root = tmpDir("bronzeQ")
     val wh = tmpDir("silverQ")

@@ -125,4 +125,46 @@ class UpsertSpec extends SparkSpec {
       Upsert.upsert(spark, path, Seq((1L, 1.5)).toDF("k", "v"), Seq("k"),
         evolveSchema = true)
   }
+
+  test("second concurrent writer fails loudly; table unchanged") {
+    val path = tmpDir("upsertlk") + "/t"
+    Upsert.upsert(spark, path, target, Seq("k"))
+    // writer A holds the lease mid-merge…
+    Upsert.acquireLock(spark, path, Upsert.DefaultLockTtlMs)
+    try {
+      // …so writer B must raise, not interleave with A's staged swap
+      val ex = the[Upsert.ConcurrentWriteException] thrownBy
+        Upsert.upsert(spark, path, source, Seq("k"))
+      ex.getMessage should include("locked by another writer")
+      spark.read.parquet(path).count() shouldBe 2 // B wrote nothing
+    } finally Upsert.releaseLock(spark, path)
+    // A released → B's retry wins
+    Upsert.upsert(spark, path, source, Seq("k"))
+    spark.read.parquet(path).count() shouldBe 3
+  }
+
+  test("stale lease past TTL is taken over") {
+    val path = tmpDir("upsertstale") + "/t"
+    Upsert.upsert(spark, path, target, Seq("k"))
+    Upsert.acquireLock(spark, path, Upsert.DefaultLockTtlMs)
+    val lock = new java.io.File(path + "__lock")
+    lock.exists() shouldBe true
+    // age the lease past the 1s TTL we pass below → crashed-writer takeover
+    lock.setLastModified(System.currentTimeMillis() - 10000) shouldBe true
+    Upsert.upsert(spark, path, source, Seq("k"), lockTtlMs = 1000)
+    spark.read.parquet(path).count() shouldBe 3
+    lock.exists() shouldBe false // takeover released its own lease
+  }
+
+  test("lock is released after a failed merge") {
+    val path = tmpDir("upsertfail") + "/t"
+    Upsert.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    // schema drift without evolveSchema → merge throws mid-flight
+    an[Exception] should be thrownBy
+      Upsert.upsert(spark, path, Seq((2L, "b", 7)).toDF("k", "v", "extra"), Seq("k"))
+    new java.io.File(path + "__lock").exists() shouldBe false
+    // and the table is immediately writable again
+    Upsert.upsert(spark, path, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    spark.read.parquet(path).count() shouldBe 2
+  }
 }
