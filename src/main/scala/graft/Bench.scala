@@ -31,12 +31,16 @@ object Bench {
     // 100 TB corpus — first-run codegen/JIT cost amortizes to zero there
     // and would dominate these sub-second toy-SF timings.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // every run is a metered scope: per-query duration + records read/
+    // written land in bench_metrics.jsonl, so a plan regression shows up
+    // in DATA volumes round-over-round, not just in plan shape
+    val metrics = new graft.metrics.MetricsRegistry(spark)
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      val times = (1 to runs).flatMap { r =>
         val t0 = System.nanoTime()
         try {
-          materialize(fn(spark, sfDir))
+          metrics.timed("bench", s"$name/run$r") { materialize(fn(spark, sfDir)) }
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
@@ -62,6 +66,8 @@ object Bench {
     // the driver parses the last stdout line; also drop a file so the
     // number survives even if a build tool prefixes/logs stdout
     Files.writeString(Paths.get("bench.json"), json + "\n")
+    metrics.dump("bench_metrics.jsonl")
+    metrics.close()
     spark.stop()
     println(json)
   }
