@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
 
 /** Distributed connected components over a pair/edge DataFrame — the step
   * that turns near-dup PAIRS (MinHash/SimHash/cosine candidates, e.g.
@@ -128,15 +130,7 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
     try {
       for (_ <- 1 to iterations) {
-        val contrib = linked
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"),
-            expr("((rank * 17) div 20) div deg").as("c"))
-        val next = nodes
-          .join(contrib.groupBy("node").agg(sum(col("c")).as("in_sum")),
-            Seq("node"), "left")
-          .select(col("node"), (base + coalesce(col("in_sum"), lit(0L))).as("rank"))
-          .localCheckpoint()
+        val next = pageRankStep(linked, nodes, ranks, base).localCheckpoint()
         unpersist(ranks)
         ranks = next
       }
@@ -146,5 +140,147 @@ object Graph {
       // the current snapshot instead of leaking it
       case t: Throwable => unpersist(ranks); throw t
     } finally { unpersist(linked); unpersist(nodes) }
+  }
+
+  /** One power iteration: rankₜ₊₁ = base + Σ incoming contributions.
+    * Pure integer arithmetic → the result SET is identical under any
+    * partitioning or execution order, which is what makes crash-resume
+    * ([[pageRankResumable]]) bit-identical to a straight-through run. */
+  private def pageRankStep(linked: DataFrame, nodes: DataFrame,
+                           ranks: DataFrame,
+                           base: org.apache.spark.sql.Column): DataFrame = {
+    val contrib = linked
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"),
+        expr("((rank * 17) div 20) div deg").as("c"))
+    nodes
+      .join(contrib.groupBy("node").agg(sum(col("c")).as("in_sum")),
+        Seq("node"), "left")
+      .select(col("node"), (base + coalesce(col("in_sum"), lit(0L))).as("rank"))
+  }
+
+  /** [[pageRank]] with durable per-round state: after every
+    * `checkpointEvery` completed rounds (and after the last), the
+    * (node, rank) snapshot is committed — with a `__round` marker — to the
+    * [[graft.sources.Snapshots]] table at `stateTable`. A restarted job
+    * resumes from the latest committed round instead of round 0, so a
+    * 100-round run over a real link graph survives a driver loss at the
+    * cost of re-running at most `checkpointEvery − 1` rounds.
+    *
+    * Bit-identical resume: each Snapshots commit is an atomic
+    * version-directory write (Parquet round-trips longs exactly), and the
+    * iteration is all-integer, so resume(k)+run(k..n) produces exactly the
+    * same rank set as a straight run(0..n) — pinned by spec. Local
+    * checkpoints (lineage control, session-lifetime) and Snapshots commits
+    * (durability, restart-lifetime) serve different failure domains; this
+    * uses both. */
+  def pageRankResumable(spark: SparkSession, edges: DataFrame,
+                        stateTable: String,
+                        src: String = "src", dst: String = "dst",
+                        iterations: Int = 5, scale: Long = 1000000L,
+                        checkpointEvery: Int = 1): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val linked = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    val nodes = linked.select(col("src").as("node"))
+      .unionByName(linked.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val base = lit(3L * scale / 20L)
+    val resumed: Option[(Int, DataFrame)] =
+      Snapshots.currentVersion(spark, stateTable).map { _ =>
+        val st = Snapshots.read(spark, stateTable)
+        val round = st.select(max(col("__round"))).head().getInt(0)
+        (round, st.select("node", "rank"))
+      }
+    var done = resumed.map(_._1).getOrElse(0)
+    var ranks = resumed.map(_._2.localCheckpoint())
+      .getOrElse(nodes.withColumn("rank", lit(scale)).localCheckpoint())
+    try {
+      while (done < iterations) {
+        val next = pageRankStep(linked, nodes, ranks, base).localCheckpoint()
+        unpersist(ranks)
+        ranks = next
+        done += 1
+        if (done % checkpointEvery == 0 || done == iterations)
+          Snapshots.commit(spark, stateTable,
+            ranks.withColumn("__round", lit(done)))
+      }
+      ranks
+    } catch {
+      case t: Throwable => unpersist(ranks); throw t
+    } finally { unpersist(linked); unpersist(nodes) }
+  }
+
+  /** [[connectedComponents]] with durable per-round state, same contract
+    * as [[pageRankResumable]]: labels committed to `stateTable` every
+    * `checkpointEvery` rounds, resume picks up from the latest commit.
+    * Min-label propagation is monotone (labels only decrease) and
+    * set-deterministic, so a resumed run converges to the identical
+    * labeling. The committed round count keeps the `maxIter` budget
+    * honest across restarts. */
+  def connectedComponentsResumable(spark: SparkSession, edges: DataFrame,
+                                   stateTable: String,
+                                   src: String = "id1", dst: String = "id2",
+                                   maxIter: Int = 25,
+                                   checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "cc: checkpointEvery must be >= 1")
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .localCheckpoint()
+    val resumed: Option[(Int, Boolean, DataFrame)] =
+      Snapshots.currentVersion(spark, stateTable).map { _ =>
+        val st = Snapshots.read(spark, stateTable)
+        val head = st.select(max(col("__round")), max(col("__converged"))).head()
+        (head.getInt(0), head.getBoolean(1), st.select("node", "component"))
+      }
+    // a state committed at convergence is final — return it without
+    // burning a verification round (matters when it converged exactly at
+    // the maxIter budget)
+    resumed.filter(_._2).foreach { case (_, _, labels) =>
+      unpersist(sym)
+      return labels.localCheckpoint()
+    }
+    var iter = resumed.map(_._1).getOrElse(0)
+    var labels = resumed.map(_._3.localCheckpoint()).getOrElse(
+      sym.select(col("a").as("node")).distinct()
+        .withColumn("component", col("node"))
+        .localCheckpoint())
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    if (labels.isEmpty) { unpersist(sym); return labels }
+    var prevSum = labelSum(labels)
+    var converged = false
+    try {
+      while (!converged && iter < maxIter) {
+        val viaNeighbor = sym
+          .join(labels.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("component"))
+        val next = labels.unionByName(viaNeighbor)
+          .groupBy("node").agg(min("component").as("component"))
+          .localCheckpoint()
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        unpersist(labels)
+        labels = next
+        iter += 1
+        if (iter % checkpointEvery == 0 || converged)
+          Snapshots.commit(spark, stateTable,
+            labels.withColumn("__round", lit(iter))
+              .withColumn("__converged", lit(converged)))
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it or contract stars first")
+    } catch {
+      case t: Throwable => unpersist(labels); throw t
+    } finally unpersist(sym)
+    labels
   }
 }

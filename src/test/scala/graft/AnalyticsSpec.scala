@@ -347,6 +347,47 @@ class AnalyticsSpec extends SparkSpec {
     scores(3L) shouldBe 333333L // (1*1e6) div 3
   }
 
+  test("pageRankResumable: killed after round 2, resume is bit-identical to a straight run") {
+    import graft.sources.Snapshots
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (5L, 1L))
+      .toDF("src", "dst")
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "rank").as[(Long, Long)].collect().toSet
+    val straight = ranksOf(Graph.pageRank(e, "src", "dst", iterations = 5))
+
+    val table = tmpDir("prstate") + "/ranks"
+    // job dies at the round-2 boundary (state through round 2 is durable)…
+    Graph.pageRankResumable(spark, e, table, iterations = 2)
+    Snapshots.versions(spark, table).size shouldBe 2
+    // …and the restarted job finishes rounds 3..5 from the committed state
+    val resumed = ranksOf(
+      Graph.pageRankResumable(spark, e, table, iterations = 5))
+    resumed shouldBe straight // bit-identical longs, not approximately
+    Snapshots.versions(spark, table).size shouldBe 5
+  }
+
+  test("connectedComponentsResumable: crash via maxIter, resume converges identically") {
+    import graft.sources.Snapshots
+    // a 7-node path needs ~6 propagation rounds; maxIter=2 DIES mid-job
+    // (require throws) after durably committing rounds 1-2 — a real crash
+    // path, not a simulated one
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val straight = Graph.connectedComponents(path)
+      .as[(Long, Long)].collect().toSet
+    val table = tmpDir("ccstate") + "/labels"
+    an[IllegalArgumentException] should be thrownBy
+      Graph.connectedComponentsResumable(spark, path, table, maxIter = 2)
+    Snapshots.versions(spark, table).size shouldBe 2
+    val resumed = Graph.connectedComponentsResumable(spark, path, table)
+      .as[(Long, Long)].collect().toSet
+    resumed shouldBe straight
+    // resuming a converged state is a metadata read, no new commits
+    val v = Snapshots.versions(spark, table).size
+    Graph.connectedComponentsResumable(spark, path, table)
+      .as[(Long, Long)].collect().toSet shouldBe straight
+    Snapshots.versions(spark, table).size shouldBe v
+  }
+
   test("floorDiv floors negative epochs (pre-1970 cohort bucketing)") {
     // truncating division would put -1µs in day 0; floor puts it in day -1,
     // matching DuckDB's `//` and java.lang.Math.floorDiv
