@@ -948,6 +948,142 @@ object Queries {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  // ---- round-5 additions ----------------------------------------------
+
+  /** Per-part-node triangle counts over the q73 co-occurrence graph —
+    * local clustering via degree-oriented wedge join
+    * ([[graft.operators.Graph.triangleCounts]]); hubs never enumerate
+    * their own wedges, so the shape survives web-graph skew. */
+  def q90Triangles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .where(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("dst"))
+    graft.operators.Graph.triangleCounts(edges)
+  }
+
+  /** Robust per-segment outlier profile: median/MAD of account balances +
+    * count beyond 3·MAD ([[graft.operators.Profile.madOutlierCounts]]) —
+    * the mean-free outlier gate; q83's histogram quantiles are its
+    * bounded-memory scale path. */
+  def q91MadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.madOutlierCounts(
+      t(s, dir, "customer"), "c_mktsegment", "c_acctbal", k = 3.0)
+
+  /** Last-touch attribution: each purchase credits the user's most recent
+    * preceding non-purchase event type; revenue DECIMAL-routed so the
+    * report reconciles bit-for-bit across engines
+    * ([[graft.operators.Funnel.lastTouchAttribution]]). */
+  def q92Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.lastTouchAttribution(events(s, dir),
+      "user_id", "ts", "event_type", "event_id", "purchase", "value")
+
+  /** Declarative data-quality report over orders: row-local rules share
+    * ONE scan, uniqueness adds one groupBy, the FK check one anti-join
+    * ([[graft.operators.Expectations.check]]). */
+  def q93Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    check(t(s, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+      InRange("o_totalprice", 0.0, 600000.0),
+      Satisfies("date_not_future",
+        col("o_orderdate") <= lit("1998-12-31").cast("timestamp")),
+      UniqueKey(Seq("o_orderkey")),
+      RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+  }
+
+  /** Incremental aggregation: monthly revenue stats derived by MERGING
+    * stored daily partial states, never rescanning raw rows — and the
+    * oracle recomputes from raw, proving merge(partials) ≡ recompute
+    * exactly (DECIMAL states; [[graft.operators.PartialAgg]]). */
+  def q94IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PartialAgg
+    val daily = PartialAgg.partials(t(s, dir, "lineitem"),
+      Seq(to_date(col("l_shipdate")).as("d")), col("l_extendedprice"))
+    PartialAgg.merge(daily,
+        Seq((year(col("d")) * 100 + month(col("d"))).as("ym")))
+      .select(col("ym").cast("int").as("ym"), col("n"),
+        col("v_sum").cast("double").as("sum_price"),
+        col("v_min").as("min_price"), col("v_max").as("max_price"),
+        col("v_mean").as("mean_price"))
+  }
+
+  /** Quality-aware canonical selection: near-dup clusters (q58's pipeline)
+    * each keep their HIGHEST-quality member — the "which duplicate
+    * survives" policy of a curation pipeline, not just cluster ids. The
+    * member count reuses the pick window's partitioning. */
+  def q95CanonicalPick(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minHashDedup(docs, threshold = 0.5, portable = true,
+      maxBucketSize = Int.MaxValue)
+    val clusters = Dedup.dedupClusters(docs, pairs)
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    clusters
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("best_quality")), Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col("best_quality").desc, col("doc_id"))))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+        col("n_members"), col("best_quality"))
+  }
+
+  /** Deterministic leakage-free train/val/test split (80/10/10) by key
+    * hash: membership is a pure row-local function of doc_id, so the
+    * split is stable under corpus growth, reshuffling, and engine moves —
+    * a doc NEVER migrates between train and test. */
+  def q96Split(s: SparkSession, dir: String): DataFrame = {
+    val b = graft.operators.Sampling.sampleBucket(col("doc_id"))
+    t(s, dir, "documents").select(col("doc_id"), b.as("bucket"),
+      when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+        .as("split"))
+  }
+
+  /** RFM segmentation: per-customer recency/frequency/monetary + 1–4
+    * scores by comparison against broadcast quartile cutoffs — a
+    * row-local bucketing, NOT a global ntile sort (which would funnel
+    * every customer through one partition at scale). */
+  def q97Rfm(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(o.agg(max(to_date(col("o_orderdate"))).as("__maxd"))))
+      .withColumn("recency_days",
+        datediff(col("__maxd"), col("last_order")).cast("long"))
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    val cuts = per.agg(
+      percentile(col("recency_days").cast("double"), qs).as("rq"),
+      percentile(col("frequency").cast("double"), qs).as("fq"),
+      percentile(col("monetary"), qs).as("mq"))
+    def above(x: Column, arr: Column) = (0 to 2)
+      .map(i => when(x > arr.getItem(i), 1).otherwise(0)).reduce(_ + _)
+    per.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (lit(4) - above(col("recency_days").cast("double"), col("rq"))).as("r_score"),
+        (lit(1) + above(col("frequency").cast("double"), col("fq"))).as("f_score"),
+        (lit(1) + above(col("monetary"), col("mq"))).as("m_score"))
+  }
+
+  /** Systematic weighted resampling of orders by integer price weight —
+    * all-integer positions over an exact sharded prefix sum (no global
+    * sort, no float boundary): [[graft.operators.Sampling
+    * .systematicWeightedSample]]. */
+  def q98WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.systematicWeightedSample(
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("w")),
+      "o_orderkey", "w", k = 101)
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -1135,8 +1271,10 @@ object Queries {
     * min reachable id = the cluster representative; unpaired docs keep
     * themselves. Mirrors Graph.connectedComponents exactly (min label over
     * the component, fixed point ≡ closure). */
-  private lazy val dedupClustersOracle: String =
-    s"""WITH RECURSIVE $minHashSigCtes,
+  /** Shared CTE chain for q58/q95: MinHash candidates → Jaccard-verified
+    * pairs → recursive reachability → min-label components (`cc`). */
+  private lazy val dedupClusterCtes: String =
+    s"""$minHashSigCtes,
        |cand AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($minHashBandEq)),
@@ -1151,9 +1289,27 @@ object Queries {
        |  SELECT a AS node, a AS lab FROM edges
        |  UNION
        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
-       |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+       |cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  private lazy val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $dedupClusterCtes
        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
        |FROM documents d LEFT JOIN cc c ON c.node = d.doc_id""".stripMargin
+
+  /** q95: same cluster chain, then each cluster keeps its highest-quality
+    * member (ties to the lowest doc_id — the Spark window's order). */
+  private lazy val canonicalPickOracle: String =
+    s"""WITH RECURSIVE $dedupClusterCtes,
+       |qual AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |    $QualitySql AS q
+       |  FROM documents d LEFT JOIN cc c ON c.node = d.doc_id)
+       |SELECT cluster_id, doc_id AS canonical_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |  q AS best_quality
+       |FROM qual
+       |QUALIFY row_number() OVER
+       |  (PARTITION BY cluster_id ORDER BY q DESC, doc_id) = 1""".stripMargin
 
   /** q48's oracle: same signature pipeline as [[minHashOracle]] but over
     * the clone-salted corpus and banding-exploded, so the bucket-size cap
@@ -1635,6 +1791,144 @@ object Queries {
         |SELECT cohort_week, week - cohort_week AS age_weeks,
         |  count(*) AS active_users
         |FROM u GROUP BY 1, 2""".stripMargin,
+    "q90_triangles" ->
+      """WITH adj AS (
+        |  SELECT l_partkey AS src, lead(l_partkey) OVER
+        |      (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT src, dst FROM adj
+        |       WHERE dst IS NOT NULL AND dst <> src),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM e0),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS triangles FROM corners GROUP BY 1""".stripMargin,
+    "q91_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS median
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+        |s AS (
+        |  SELECT c.c_mktsegment, count(*) AS n, min(m.median) AS median,
+        |    quantile_cont(abs(c.c_acctbal - m.median), 0.5) AS mad
+        |  FROM customer c JOIN m USING (c_mktsegment)
+        |  WHERE c.c_acctbal IS NOT NULL GROUP BY 1)
+        |SELECT s.c_mktsegment, min(s.n) AS n, min(s.median) AS median,
+        |  min(s.mad) AS mad,
+        |  count(*) FILTER (WHERE abs(c.c_acctbal - s.median) > 3.0 * s.mad)
+        |    AS n_outliers
+        |FROM customer c JOIN s USING (c_mktsegment)
+        |WHERE c.c_acctbal IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q92_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS t,
+        |    event_id FROM events),
+        |a AS (SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+        |  FROM e)
+        |SELECT coalesce(ch, 'direct') AS channel, count(*) AS conversions,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q93_expectations" ->
+      """SELECT CAST(rule_no AS INT) AS rule_no, rule, violations,
+        |  violations = 0 AS passed FROM (
+        |  SELECT 0 AS rule_no, 'not_null(o_custkey)' AS rule,
+        |    CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+        |      AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 1, 'accepted_values(o_orderstatus)',
+        |    CAST(count(*) FILTER (WHERE o_orderstatus IS NULL
+        |      OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 2, 'in_range(o_totalprice)',
+        |    CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0.0 OR o_totalprice > 600000.0)) AS BIGINT)
+        |    FROM orders
+        |  UNION ALL
+        |  SELECT 3, 'satisfies(date_not_future)',
+        |    CAST(count(*) FILTER (WHERE NOT coalesce(
+        |      o_orderdate <= TIMESTAMP '1998-12-31 00:00:00', false)) AS BIGINT)
+        |    FROM orders
+        |  UNION ALL
+        |  SELECT 4, 'unique(o_orderkey)',
+        |    CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |    (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 5, 'ref_integrity(o_custkey)',
+        |    CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer))""".stripMargin,
+    "q94_incremental_agg" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+        |    AS sum_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q95_canonical_pick" -> canonicalPickOracle,
+    "q96_split" ->
+      s"""SELECT doc_id, $IdBucketSql AS bucket,
+         |  CASE WHEN $IdBucketSql < 8000 THEN 'train'
+         |       WHEN $IdBucketSql < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "q97_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT per.*, CAST(date_diff('day', last_order,
+        |    (SELECT max(last_order) FROM per)) AS BIGINT) AS recency_days
+        |  FROM per),
+        |c AS (SELECT
+        |    quantile_cont(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75]) AS rq,
+        |    quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS fq,
+        |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+        |  FROM r)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  4 - ((CASE WHEN CAST(recency_days AS DOUBLE) > rq[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(recency_days AS DOUBLE) > rq[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(recency_days AS DOUBLE) > rq[3] THEN 1 ELSE 0 END))
+        |    AS r_score,
+        |  1 + ((CASE WHEN CAST(frequency AS DOUBLE) > fq[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(frequency AS DOUBLE) > fq[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(frequency AS DOUBLE) > fq[3] THEN 1 ELSE 0 END))
+        |    AS f_score,
+        |  1 + ((CASE WHEN monetary > mq[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END)) AS m_score
+        |FROM r, c""".stripMargin,
+    "q98_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS weight,
+        |    CAST(substr(regexp_replace(md5(CAST(o_orderkey AS VARCHAR)),
+        |      '[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT) % 32 AS sh
+        |  FROM orders),
+        |w2 AS (SELECT * FROM w WHERE weight > 0),
+        |c AS (SELECT o_orderkey, weight,
+        |    sum(weight) OVER (ORDER BY sh, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS hi
+        |  FROM w2),
+        |c2 AS (SELECT *, hi - weight AS lo FROM c),
+        |p AS (SELECT (2 * j + 1) * (SELECT max(hi) FROM c2) // 202 AS pos
+        |  FROM generate_series(0, 100) AS g(j))
+        |SELECT c2.o_orderkey, c2.weight, count(*) AS n_picks
+        |FROM c2 JOIN p ON p.pos >= c2.lo AND p.pos < c2.hi
+        |GROUP BY 1, 2""".stripMargin,
     "q87_bm25" -> {
       val (k1, b) = (1.2, 0.75)
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
@@ -2331,6 +2625,15 @@ object Queries {
     "q86_date_spine" -> (q86DateSpine _),
     "q87_bm25" -> (q87Bm25 _),
     "q88_event_paths" -> (q88EventPaths _),
-    "q89_cohort_retention" -> (q89CohortRetention _)
+    "q89_cohort_retention" -> (q89CohortRetention _),
+    "q90_triangles" -> (q90Triangles _),
+    "q91_mad_outliers" -> (q91MadOutliers _),
+    "q92_attribution" -> (q92Attribution _),
+    "q93_expectations" -> (q93Expectations _),
+    "q94_incremental_agg" -> (q94IncrementalAgg _),
+    "q95_canonical_pick" -> (q95CanonicalPick _),
+    "q96_split" -> (q96Split _),
+    "q97_rfm" -> (q97Rfm _),
+    "q98_weighted_sample" -> (q98WeightedSample _)
   )
 }

@@ -62,4 +62,34 @@ object Funnel {
         stageTs.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _))
       .where(stageTs.head.isNotNull)
   }
+
+  /** Last-touch attribution: each conversion event (type = `convType`)
+    * credits its user's most recent PRECEDING non-conversion event type —
+    * the marketing channel that "closed" — or `directLabel` when nothing
+    * preceded. Returns one row per channel with conversions and summed
+    * `valueCol` revenue (DECIMAL-routed: the report is addition-order-
+    * independent, so it reconciles bit-for-bit against any other engine's
+    * run — an attribution number that drifts by partitioning is a
+    * finance-team incident).
+    *
+    * Scale shape: one exchange on the user for the carry-forward window
+    * (the same partitioning the sessionize/funnel family uses), then a
+    * tiny channel-count aggregate. No self-joins: "last preceding touch"
+    * is `last(..., ignoreNulls)` over rows (−∞, −1]. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, tieBreak: String,
+                           convType: String, valueCol: String,
+                           directLabel: String = "direct"): DataFrame = {
+    val before = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__touch",
+        last(when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true)
+          .over(before))
+      .where(col(typeCol) === convType)
+      .groupBy(coalesce(col("__touch"), lit(directLabel)).as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        sum(col(valueCol).cast("decimal(28,10)")).cast("double").as("revenue"))
+  }
 }

@@ -102,6 +102,46 @@ object Profile {
       (((col("sy") - slopeQ * col("sx")) / nd) / scale).as("intercept"))
   }
 
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation) and the count of points beyond `k`·MAD — the
+    * mean/stddev-free outlier gate (a single 10⁹ outlier drags a mean;
+    * the median shrugs). Exact medians are holistic sort aggregates by
+    * definition, so this is the EXACTNESS contract; the bounded-memory
+    * path at scale is [[histogramQuantiles]] on the deviations, exactly
+    * as q83 is to q41. Two grouped percentile passes (values, then
+    * deviations after a broadcast-back of the medians) + one conditional
+    * count — group keys and doubles shuffle, nothing wider. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.where(v.isNotNull).groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.5)).as("med"))
+    df.where(v.isNotNull)
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(v - col("med")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("median"),
+        percentile(col("__dev"), lit(0.5)).as("mad"))
+      .select(col(groupCol), col("n"), col("median"), col("mad"))
+  }
+
+  /** [[madOutliers]] plus the outlier count per group: points with
+    * |x − median| > k·MAD. Degenerate groups (MAD = 0, over half the mass
+    * on one value) count only points strictly off the median — the
+    * standard convention, shared by the oracle. */
+  def madOutlierCounts(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = madOutliers(df, groupCol, valueCol)
+    df.where(v.isNotNull)
+      .join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"), first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(v - col("median")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Per-column summary of numeric columns — row count, null count, min,
     * max, sum, mean — computed in ONE scan: a single wide aggregate (all
     * stats for all columns as one partial→final hash agg), then an explode

@@ -126,6 +126,74 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Exact global prefix sum of `valueCol` (long) in the deterministic
+    * total order (keyShard, key), WITHOUT a single-partition global
+    * window: one exchange on the hash shard, a per-shard running sum, and
+    * each shard's broadcast offset added back (the classic two-phase
+    * distributed scan). Hash shards rather than range partitions because
+    * RangePartitioner SAMPLES its boundaries per job — the offsets job
+    * and the output job could disagree — while the key hash is a pure
+    * row-local function, identical in every job and engine. The price is
+    * that the traversal order is the sharded order, not raw key order;
+    * for cumulative-weight uses (resampling, quota fills) any fixed total
+    * order is equally valid, and this one costs no global sort. The only
+    * driver-side materialization is one long per shard. Emits `lo` (sum
+    * of strictly-preceding weights) and `hi` (= lo + weight); `orderCol`
+    * must be unique for the order to be total. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0, "prefixSum: shards must be positive")
+    val sharded = df
+      .select(col(orderCol), col(valueCol).cast("long").as("__w"))
+      .withColumn("__shard",
+        pmod(portableHash(col(orderCol).cast("string")), lit(shards.toLong))
+          .cast("int"))
+    val totals = sharded.groupBy("__shard")
+      .agg(sum(col("__w")).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offCol = totals.map(_._1).zip(offsets)
+      .foldLeft(lit(0L)) { case (acc, (sh, off)) =>
+        when(col("__shard") === sh, lit(off)).otherwise(acc)
+      }
+    val run = Window.partitionBy(col("__shard")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("hi", offCol + sum(col("__w")).over(run))
+      .select(col(orderCol), col("__w").as("weight"),
+        (col("hi") - col("__w")).as("lo"), col("hi"))
+  }
+
+  /** Systematic (low-variance) weighted resampling — the particle-filter /
+    * data-mixing standard: k picks at equally spaced positions
+    * (2j+1)·W ∕ 2k in cumulative-weight space, so an item of weight w is
+    * drawn ⌊k·w/W⌋ or ⌈k·w/W⌉ times, never more variance than that.
+    * ALL-INTEGER arithmetic (positions by floor division over exact long
+    * cumsums) — every engine derives the identical sample, no float
+    * boundary can flip a pick. Returns (key, weight, n_picks > 0).
+    *
+    * Scale shape: cumulative intervals come from [[prefixSum]] (no global
+    * window); the k positions are a broadcast range probe against
+    * [lo, hi). Weights must be positive longs; zero-weight rows never
+    * match an interval and are dropped up front. */
+  def systematicWeightedSample(df: DataFrame, keyCol: String,
+                               weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "systematicWeightedSample: k must be positive")
+    val c = prefixSum(
+      df.select(col(keyCol), col(weightCol).cast("long").as("__w"))
+        .where(col("__w") > 0), keyCol, "__w")
+    val positions = c.agg(max(col("hi")).as("__W"))
+      .select(explode(sequence(lit(0L), lit(k - 1L))).as("__j"), col("__W"))
+      .select(expr(s"(2*__j + 1) * __W div ${2L * k}").as("__pos"))
+    c.join(broadcast(positions),
+        col("__pos") >= col("lo") && col("__pos") < col("hi"))
+      .groupBy(col(keyCol), col("weight"))
+      .agg(count(lit(1)).as("n_picks"))
+  }
+
   /** Materialize the packed training sequences: per (shard, bin), the
     * documents' text concatenated in shuffle order with a separator —
     * the rows a pretraining loader actually reads. One aggregation on

@@ -388,6 +388,40 @@ class AnalyticsSpec extends SparkSpec {
     Snapshots.versions(spark, table).size shouldBe v
   }
 
+  test("triangleCounts: hand-checked counts; hubs never enumerate wedges") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) plus a pendant 4-5 edge;
+    // duplicate + reversed edges must collapse, self-loops drop
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 5L)).toDF("src", "dst")
+    val out = Graph.triangleCounts(e).as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L) // node 5: none
+  }
+
+  test("triangleCounts: triangle set is orientation-independent (matches id-ordered count)") {
+    // star + rim (wheel graph): hub 0 has degree 6, rim nodes 3 — the
+    // degree orientation sends wedge work to the rim, counts stay exact
+    val rim = (1L to 6L).map(i => (i, if (i == 6L) 1L else i + 1))
+    val spokes = (1L to 6L).map(i => (0L, i))
+    val e = (rim ++ spokes).toDF("src", "dst")
+    val out = Graph.triangleCounts(e).as[(Long, Long)].collect().toMap
+    out(0L) shouldBe 6L // hub is in every rim triangle
+    (1L to 6L).foreach(i => out(i) shouldBe 2L)
+  }
+
+  test("lastTouchAttribution: credits the preceding touch, direct when none") {
+    import graft.operators.Funnel
+    val out = Funnel.lastTouchAttribution(
+      ev((1L, 1L, "view"), (1L, 2L, "purchase"), // view closes
+        (1L, 3L, "click"), (1L, 4L, "purchase"), // click closes
+        (2L, 1L, "purchase"), // nothing preceded → direct
+        (2L, 2L, "purchase")) // a prior PURCHASE is not a touch → direct
+        .withColumn("value", lit(10.0)),
+      "user_id", "ts", "event_type", "event_id", "purchase", "value")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out shouldBe Map("view" -> ((1L, 10.0)), "click" -> ((1L, 10.0)),
+      "direct" -> ((2L, 20.0)))
+  }
+
   test("floorDiv floors negative epochs (pre-1970 cohort bucketing)") {
     // truncating division would put -1µs in day 0; floor puts it in day -1,
     // matching DuckDB's `//` and java.lang.Math.floorDiv

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Expectations, PartialAgg, Profile, Sampling}
+
+/** Round-5 data operators: expectations engine, incremental partial
+  * aggregation, distributed prefix sums, systematic weighted resampling,
+  * MAD outliers. */
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t001(name: String) =
+    spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+
+  // --- expectations ---
+
+  private def ordersLike = Seq(
+    (1L, Option(10L), "O", 50.0),
+    (2L, Option(11L), "F", -1.0), // range violation
+    (3L, None, "O", 10.0), // null custkey
+    (3L, Option(10L), "X", 20.0), // dup key + bad status
+    (4L, Option(99L), "P", 30.0) // dangling FK
+  ).toDF("k", "ck", "status", "price")
+
+  test("expectations: each rule counts its own violations") {
+    import Expectations._
+    val ref = Seq(10L, 11L).toDF("ck")
+    val out = check(ordersLike, Seq(
+      NotNull("ck"),
+      AcceptedValues("status", Seq("O", "F", "P")),
+      InRange("price", 0.0, 100.0),
+      Satisfies("positive_key", col("k") > 0),
+      UniqueKey(Seq("k")),
+      RefIntegrity("ck", ref, "ck")))
+      .select("rule", "violations", "passed")
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out shouldBe Map(
+      "not_null(ck)" -> ((1L, false)),
+      "accepted_values(status)" -> ((1L, false)),
+      "in_range(price)" -> ((1L, false)),
+      "satisfies(positive_key)" -> ((0L, true)),
+      "unique(k)" -> ((1L, false)),
+      "ref_integrity(ck)" -> ((1L, false)))
+  }
+
+  test("expectations: row-local rules share ONE scan") {
+    import Expectations._
+    val plan = check(ordersLike, Seq(NotNull("ck"), InRange("price", 0, 100),
+      AcceptedValues("status", Seq("O")), Satisfies("pk", col("k") > 0)))
+      .queryExecution.optimizedPlan.toString()
+    // one LocalRelation/scan leaf, not one per rule
+    "LocalRelation".r.findAllIn(plan).size shouldBe 1
+  }
+
+  // --- incremental partial aggregation ---
+
+  test("partialAgg: merge(partials) equals direct recompute, bit-for-bit") {
+    val df = t001("lineitem")
+    val daily = PartialAgg.partials(df,
+      Seq(to_date(col("l_shipdate")).as("d")), col("l_extendedprice"))
+    val merged = PartialAgg.merge(daily,
+        Seq((year(col("d")) * 100 + month(col("d"))).as("ym")))
+      .select(col("ym"), col("n"), col("v_sum"), col("v_min"), col("v_max"),
+        col("v_mean"))
+      .collect().map(_.toSeq).toSet
+    val direct = df.groupBy((year(col("l_shipdate")) * 100 +
+        month(col("l_shipdate"))).as("ym"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(28,10)")).as("v_sum"),
+        min(col("l_extendedprice").cast("double")).as("v_min"),
+        max(col("l_extendedprice").cast("double")).as("v_max"))
+      .withColumn("v_mean",
+        col("v_sum").cast("double") / col("n").cast("double"))
+      .collect().map(_.toSeq).toSet
+    merged shouldBe direct
+  }
+
+  test("partialAgg: states merge associatively (two half-merges == one)") {
+    val df = t001("orders")
+    val parts = PartialAgg.partials(df,
+      Seq(col("o_orderstatus"), (col("o_orderkey") % 2).as("half")),
+      col("o_totalprice"))
+    val oneShot = PartialAgg.merge(parts, Seq(col("o_orderstatus")))
+    val staged = PartialAgg.merge(
+      PartialAgg.merge(parts, Seq(col("o_orderstatus"), col("half")))
+        .drop("v_mean"),
+      Seq(col("o_orderstatus")))
+    oneShot.collect().map(_.toSeq).toSet shouldBe
+      staged.collect().map(_.toSeq).toSet
+  }
+
+  // --- prefix sum + systematic resampling ---
+
+  test("prefixSum: intervals tile [0, W) exactly, matching a global sort cumsum") {
+    val df = (1L to 97L).map(i => (i, i % 7 + 1)).toDF("k", "w")
+    val out = Sampling.prefixSum(df, "k", "w", shards = 5)
+      .as[(Long, Long, Long, Long)].collect() // (k, weight, lo, hi)
+    out.length shouldBe 97
+    val total = (1L to 97L).map(_ % 7 + 1).sum
+    out.map(_._4).max shouldBe total
+    // intervals are disjoint and cover [0, W): sorted by lo, each hi
+    // equals the next lo
+    val sorted = out.sortBy(_._3)
+    sorted.head._3 shouldBe 0L
+    sorted.sliding(2).foreach {
+      case Array(a, b) => a._4 shouldBe b._3
+      case _ =>
+    }
+    // every width matches its weight
+    out.foreach { case (k, w, lo, hi) => (hi - lo) shouldBe w }
+  }
+
+  test("systematic resampling: pick counts are floor/ceil of k*w/W; k picks total") {
+    val df = Seq((1L, 1L), (2L, 10L), (3L, 100L), (4L, 889L)).toDF("k", "w")
+    val out = Sampling.systematicWeightedSample(df, "k", "w", k = 100)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    out.values.sum shouldBe 100 // exactly k picks, always
+    // W = 1000: expected picks = k*w/W = w/10
+    out.getOrElse(1L, 0L) should be <= 1L
+    out(3L) should (be >= 9L and be <= 11L)
+    out(4L) should (be >= 88L and be <= 90L)
+  }
+
+  test("systematic resampling is partitioning-invariant") {
+    val df = (1L to 200L).map(i => (i, i)).toDF("k", "w")
+    val a = Sampling.systematicWeightedSample(df, "k", "w", 37)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.systematicWeightedSample(df.repartition(13), "k", "w", 37)
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+
+  // --- MAD outliers ---
+
+  test("madOutlierCounts: hand-checked median/MAD and outlier count") {
+    val df = (Seq.fill(5)(10.0) ++ Seq(9.0, 11.0, 1000.0))
+      .map(("g", _)).toDF("g", "v")
+    // sorted: 9,10,10,10,10,10,11,1000 → median 10; |dev|: 0×5,1,1,990
+    // → MAD 0 is wrong (sorted devs: 0,0,0,0,0,1,1,990 → median 0)… with
+    // MAD 0 every off-median point is an outlier: 9, 11, 1000 → 3
+    val out = Profile.madOutlierCounts(df, "g", "v", k = 3.0)
+      .as[(String, Long, Double, Double, Long)].collect().head
+    out shouldBe (("g", 8L, 10.0, 0.0, 3L))
+  }
+}
