@@ -1084,6 +1084,44 @@ object Queries {
           floor(col("o_totalprice")).cast("long").as("w")),
       "o_orderkey", "w", k = 101)
 
+  /** Bloom prefilter as semi-join reduction: a position-set filter built
+    * from high-balance customers, broadcast and probed scan-side by
+    * orders — true members always pass, false positives are the (few,
+    * deterministic) hash collisions; the report quantifies both
+    * ([[graft.operators.BloomFilter]]). */
+  def q99BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomFilter
+    val cust = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+    val filter = BloomFilter.build(cust, col("c_custkey"))
+    val passed = BloomFilter.prefilter(t(s, dir, "orders"),
+      col("o_custkey"), filter)
+    val truth = t(s, dir, "orders")
+      .join(cust.select(col("c_custkey").as("o_custkey")).distinct(),
+        Seq("o_custkey"), "left_semi")
+    passed.agg(count(lit(1)).as("n_pass"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .select(col("n_pass"), col("n_true"),
+        (col("n_pass") - col("n_true")).as("n_false_pos"))
+  }
+
+  /** Event-sequence regex (MATCH_RECOGNIZE-lite): each user's ordered
+    * event-initial string, matched against signup→views→click. The path
+    * build is one user exchange; order inside the aggregate comes from
+    * sorting the collected (ts, id, char) structs — collect_list arrival
+    * order is retry-unstable, array_sort makes it deterministic. Paths
+    * are bounded by events/user (cap upstream for adversarial users). */
+  def q100EventRegex(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("st"))
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("st"))), x => x.getField("c")),
+        "").as("path"))
+      .select(col("user_id"), col("path"),
+        col("path").rlike("sv*c").as("matched"))
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -1912,6 +1950,33 @@ object Queries {
         |     + (CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END)
         |     + (CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END)) AS m_score
         |FROM r, c""".stripMargin,
+    "q99_bloom_prefilter" -> {
+      def h(x: String, i: Int) =
+        s"CAST(substr(regexp_replace(md5(CAST($x AS VARCHAR) || '#$i'), " +
+          s"'[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT) % 4096"
+      s"""WITH b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+         |pos AS (SELECT DISTINCT p FROM (
+         |  SELECT ${h("c_custkey", 0)} AS p FROM b
+         |  UNION ALL SELECT ${h("c_custkey", 1)} FROM b)),
+         |pl AS (SELECT list(p) AS ps FROM pos),
+         |passed AS (
+         |  SELECT count(*) AS n FROM orders, pl
+         |  WHERE o_custkey IS NOT NULL
+         |    AND list_contains(ps, ${h("o_custkey", 0)})
+         |    AND list_contains(ps, ${h("o_custkey", 1)})),
+         |truth AS (SELECT count(*) AS n FROM orders
+         |  WHERE o_custkey IN (SELECT c_custkey FROM b))
+         |SELECT passed.n AS n_pass, truth.n AS n_true,
+         |  passed.n - truth.n AS n_false_pos
+         |FROM passed, truth""".stripMargin
+    },
+    "q100_event_regex" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    substr(event_type, 1, 1) AS c FROM events),
+        |p AS (SELECT user_id, string_agg(c, '' ORDER BY t, event_id) AS path
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, path, regexp_matches(path, 'sv*c') AS matched
+        |FROM p""".stripMargin,
     "q98_weighted_sample" ->
       """WITH w AS (
         |  SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS weight,
@@ -2634,6 +2699,8 @@ object Queries {
     "q95_canonical_pick" -> (q95CanonicalPick _),
     "q96_split" -> (q96Split _),
     "q97_rfm" -> (q97Rfm _),
-    "q98_weighted_sample" -> (q98WeightedSample _)
+    "q98_weighted_sample" -> (q98WeightedSample _),
+    "q99_bloom_prefilter" -> (q99BloomPrefilter _),
+    "q100_event_regex" -> (q100EventRegex _)
   )
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Change-data-capture application: collapse an ordered changelog of
   * insert/update/delete operations into the table's final state — the
@@ -59,5 +60,35 @@ object Cdc {
       .withColumn(opCol, lit("I"))
     applyChanges(baseline.unionByName(changes), keys, seqCol, opCol, deleteOp,
       tieBreak)
+  }
+
+  /** Maintain a queryable snapshot table at `path` from a STREAMING
+    * changelog: every micro-batch folds its I/U/D rows into the current
+    * snapshot ([[applyChangesTo]]) and atomically replaces the table
+    * ([[graft.operators.Upsert.replace]] — staged swap, single-writer
+    * lease, crash recovery). Checkpoint + the keyed latest-wins fold make
+    * redelivered batches idempotent — the same exactly-once contract as
+    * the bronze→silver stream, extended with a delete lane. Per batch the
+    * cost is one key exchange over (snapshot ∪ batch); at 100 TB the
+    * batch is tiny and AQE broadcasts it. `availableNow` drains the
+    * backlog and stops (deterministic for tests and catch-up runs). */
+  def applyChangesStream(spark: SparkSession, changes: DataFrame, path: String,
+                         keys: Seq[String], seqCol: String, opCol: String,
+                         checkpoint: String, deleteOp: String = "D",
+                         availableNow: Boolean = false): StreamingQuery = {
+    val writer = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val next =
+            if (Upsert.tableExists(spark, path))
+              applyChangesTo(spark.read.parquet(path), batch, keys, seqCol,
+                opCol, deleteOp)
+            else applyChanges(batch, keys, seqCol, opCol, deleteOp)
+          Upsert.replace(spark, path, next)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
   }
 }

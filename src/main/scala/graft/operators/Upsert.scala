@@ -236,20 +236,42 @@ object Upsert {
           .foreach(p => fs(spark, new Path(path)).delete(new Path(s"$path/$p"), true))
       } finally fs(spark, new Path(staged)).delete(new Path(staged), true)
     } else {
-      val merged = merge(target, src, keys, insertOnly)
-      val staged = stage(spark, path, merged)
-      val p = new Path(path); val f = fs(spark, p)
-      val old = new Path(path + "__old")
-      f.delete(old, true)
-      // HDFS-style rename returns false instead of throwing — an ignored
-      // failure here would drop the table; check both hops.
-      if (!f.rename(p, old))
-        throw new IllegalStateException(s"upsert swap: rename $p -> $old failed")
-      if (!f.rename(new Path(staged), p))
-        throw new IllegalStateException(
-          s"upsert swap: rename $staged -> $p failed; previous data is at $old")
-      f.delete(old, true)
+      stageAndSwap(spark, path, merge(target, src, keys, insertOnly))
     }
+  }
+
+  /** Stage `df` (whose plan may read `path`) to a sibling dir, then
+    * atomically swap it in. */
+  private def stageAndSwap(spark: SparkSession, path: String,
+                           df: DataFrame): Unit = {
+    val staged = stage(spark, path, df)
+    val p = new Path(path); val f = fs(spark, p)
+    val old = new Path(path + "__old")
+    f.delete(old, true)
+    // HDFS-style rename returns false instead of throwing — an ignored
+    // failure here would drop the table; check both hops.
+    if (!f.rename(p, old))
+      throw new IllegalStateException(s"upsert swap: rename $p -> $old failed")
+    if (!f.rename(new Path(staged), p))
+      throw new IllegalStateException(
+        s"upsert swap: rename $staged -> $p failed; previous data is at $old")
+    f.delete(old, true)
+  }
+
+  /** Atomic full REPLACE of the table at `path` with `df` (whose plan may
+    * read the current table — it is staged before the swap), under the
+    * same single-writer lease and crash recovery as [[upsert]]. The
+    * primitive a CDC snapshot maintainer needs: merge semantics live in
+    * the caller's plan, durability semantics live here. */
+  def replace(spark: SparkSession, path: String, df: DataFrame,
+              lockTtlMs: Long = DefaultLockTtlMs): Unit = {
+    acquireLock(spark, path, lockTtlMs)
+    try {
+      recoverSwap(spark, path)
+      if (!tableExists(spark, path))
+        df.write.mode(SaveMode.Overwrite).parquet(path)
+      else stageAndSwap(spark, path, df)
+    } finally releaseLock(spark, path)
   }
 
   /** Recover from a crash between the two swap renames: if the table dir

@@ -132,6 +132,78 @@ class DataOpsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  // --- bloom prefilter ---
+
+  test("bloomPrefilter: no false negatives ever; passed set is deterministic") {
+    import graft.operators.BloomFilter
+    val build = (1L to 50L).map(i => i * 7).toDF("k")
+    val probe = (1L to 1000L).toDF("k")
+    val filter = BloomFilter.build(build, col("k"), m = 256, k = 2)
+    val passed = BloomFilter.prefilter(probe, col("k"), filter, m = 256, k = 2)
+      .as[Long].collect().toSet
+    // every true member passes
+    (1L to 50L).map(_ * 7).filter(_ <= 1000).foreach(m => passed should contain(m))
+    // deterministic: a second build+probe passes the identical set
+    val again = BloomFilter.prefilter(probe, col("k"),
+      BloomFilter.build(build, col("k"), m = 256, k = 2), m = 256, k = 2)
+      .as[Long].collect().toSet
+    again shouldBe passed
+    // and at m=256 with 50 keys the filter actually filters
+    passed.size should be < 1000
+  }
+
+  test("bloomPrefilter pushes to the probe scan: no shuffle, no real join") {
+    import graft.operators.BloomFilter
+    val dir = tmpDir("bloomp")
+    (1L to 100L).toDF("k").write.parquet(s"$dir/t")
+    val probe = spark.read.parquet(s"$dir/t")
+    val filter = BloomFilter.build((1L to 5L).toDF("k"), col("k"))
+    val plan = BloomFilter.prefilter(probe, col("k"), filter)
+      .queryExecution.executedPlan.toString()
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 0
+  }
+
+  // --- streaming CDC snapshot maintenance ---
+
+  test("applyChangesStream maintains the snapshot across micro-batches == batch fold") {
+    import graft.operators.Cdc
+    import org.apache.spark.sql.types._
+    val chDir = tmpDir("cdc_stream")
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("seq", LongType), StructField("op", StringType),
+      StructField("v", StringType)))
+    def put(name: String, rows: Seq[(Long, Long, String, String)]): Unit =
+      rows.toDF("k", "seq", "op", "v").repartition(1)
+        .write.mode("overwrite").parquet(s"$chDir/$name")
+    // batch 1: inserts; batch 2: update k=1, delete k=2, insert k=3
+    put("b1", Seq((1L, 1L, "I", "a"), (2L, 2L, "I", "b")))
+    val table = tmpDir("cdc_table") + "/t"
+    val ckpt = tmpDir("cdc_ckpt")
+    def drain(): Unit = {
+      val q = Cdc.applyChangesStream(spark,
+        spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+          .parquet(chDir),
+        table, Seq("k"), "seq", "op", ckpt, availableNow = true)
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    spark.read.parquet(table).as[(Long, String)].collect().toMap shouldBe
+      Map(1L -> "a", 2L -> "b")
+    put("b2", Seq((1L, 3L, "U", "a2"), (2L, 4L, "D", null),
+      (3L, 5L, "I", "c")))
+    drain() // checkpoint: only the NEW file is applied
+    val finalState = spark.read.parquet(table)
+      .as[(Long, String)].collect().toMap
+    finalState shouldBe Map(1L -> "a2", 3L -> "c")
+    // equals the one-shot batch fold of the full changelog
+    val batchFold = Cdc.applyChanges(
+      spark.read.option("recursiveFileLookup", "true").parquet(chDir),
+      Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    finalState shouldBe batchFold
+  }
+
   // --- MAD outliers ---
 
   test("madOutlierCounts: hand-checked median/MAD and outlier count") {
