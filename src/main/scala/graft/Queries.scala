@@ -1122,6 +1122,47 @@ object Queries {
       .select(col("user_id"), col("path"),
         col("path").rlike("sv*c").as("matched"))
 
+  /** CUBE over (returnflag, linestatus) with grouping_id — all four
+    * grouping-set combinations in one pass (Spark expands the cube into
+    * one Expand + one aggregate, not four scans). */
+  def q101Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+
+  /** Per-user daily revenue densified over each user's own day range:
+    * missing days linearly interpolated between surrounding observations,
+    * carried at the edges, flagged `is_observed`
+    * ([[graft.operators.GapFill.fill]]). */
+  def q102GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir).where(col("user_id") < 30)
+      .select(col("user_id"),
+        floorDiv(unix_micros(col("ts")), 86400000000L).as("day"),
+        col("value"))
+      .groupBy("user_id", "day")
+      .agg(sum(col("value").cast("decimal(28,10)")).cast("double").as("v"))
+    graft.operators.GapFill.fill(daily, "user_id", "day", "v")
+  }
+
+  /** Parametric outlier report: per-priority order totals beyond 3σ, with
+    * mean/σ from exact DECIMAL sufficient statistics
+    * ([[graft.operators.Profile.zscoreOutlierCounts]]; q91 is the robust
+    * MAD companion). */
+  def q103ZscoreOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.zscoreOutlierCounts(
+      t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+
+  /** Per-language bounded-memory quantiles — the grouped scale path for
+    * percentiles (groups × bins state; the exact grouped percentile is a
+    * holistic sort PER group)
+    * ([[graft.operators.Profile.histogramQuantilesBy]]). */
+  def q104GroupedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogramQuantilesBy(
+      t(s, dir, "documents"), "lang", "n_chars",
+      lo = 0.0, hi = 600.0, bins = 20, qs = HistQs)
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -1950,6 +1991,78 @@ object Queries {
         |     + (CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END)
         |     + (CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END)) AS m_score
         |FROM r, c""".stripMargin,
+    "q101_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q102_gap_fill" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+        |sp AS (SELECT user_id, unnest(generate_series(min(day), max(day)))
+        |    AS period
+        |  FROM d GROUP BY user_id),
+        |j AS (SELECT sp.user_id, sp.period, d.v FROM sp LEFT JOIN d
+        |  ON d.user_id = sp.user_id AND d.day = sp.period),
+        |w AS (SELECT *,
+        |  last_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY period
+        |     ROWS UNBOUNDED PRECEDING) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN period END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY period
+        |     ROWS UNBOUNDED PRECEDING) AS pd,
+        |  first_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY period
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN period END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY period
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, period,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         pv + (nv - pv) * CAST(period - pd AS DOUBLE)
+        |           / CAST(nd - pd AS DOUBLE)
+        |       WHEN pv IS NOT NULL THEN pv
+        |       ELSE nv END AS value_filled,
+        |  v IS NOT NULL AS is_observed
+        |FROM w""".stripMargin,
+    "q103_zscore_outliers" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS xq FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |s AS (SELECT g, count(*) AS n, CAST(sum(xq) AS DOUBLE) AS sx,
+        |    CAST(sum(xq * xq) AS DOUBLE) AS sxx FROM v GROUP BY 1),
+        |m AS (SELECT *, sx / CAST(n AS DOUBLE) AS meanq,
+        |    sqrt(sxx / CAST(n AS DOUBLE)
+        |      - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))) AS stdq
+        |  FROM s)
+        |SELECT g AS o_orderpriority, min(m.n) AS n,
+        |  min(m.meanq / 100) AS mean, min(m.stdq / 100) AS std,
+        |  CAST(count(*) FILTER (WHERE abs(CAST(v.xq AS DOUBLE) - m.meanq)
+        |    > 3.0 * m.stdq) AS BIGINT) AS n_outliers
+        |FROM v JOIN m USING (g) GROUP BY 1""".stripMargin,
+    "q104_grouped_quantiles" -> {
+      val qList = HistQs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+      s"""WITH b AS (SELECT lang,
+         |    CAST(least(greatest(floor((n_chars - 0.0) / 30.0), 0), 19)
+         |      AS INT) AS bin
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |h AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |c AS (SELECT lang, bin, 0.0 + bin * 30.0 AS bin_lo, cnt,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(cnt) OVER (PARTITION BY lang) AS total FROM h),
+         |x AS (SELECT c.*, q FROM c CROSS JOIN (SELECT unnest([$qList]) AS q)),
+         |f AS (SELECT *, row_number() OVER
+         |    (PARTITION BY lang, q ORDER BY bin) AS rn
+         |  FROM x WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE))
+         |SELECT lang, q, bin_lo + 30.0 *
+         |    ((q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+         |      / CAST(cnt AS DOUBLE)) AS value
+         |FROM f WHERE rn = 1""".stripMargin
+    },
     "q99_bloom_prefilter" -> {
       def h(x: String, i: Int) =
         s"CAST(substr(regexp_replace(md5(CAST($x AS VARCHAR) || '#$i'), " +
@@ -2701,6 +2814,10 @@ object Queries {
     "q97_rfm" -> (q97Rfm _),
     "q98_weighted_sample" -> (q98WeightedSample _),
     "q99_bloom_prefilter" -> (q99BloomPrefilter _),
-    "q100_event_regex" -> (q100EventRegex _)
+    "q100_event_regex" -> (q100EventRegex _),
+    "q101_cube" -> (q101Cube _),
+    "q102_gap_fill" -> (q102GapFill _),
+    "q103_zscore_outliers" -> (q103ZscoreOutliers _),
+    "q104_grouped_quantiles" -> (q104GroupedQuantiles _)
   )
 }

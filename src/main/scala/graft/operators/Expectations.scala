@@ -98,4 +98,26 @@ object Expectations {
     (locals.toSeq ++ others).reduce(_ unionByName _)
       .withColumn("passed", col("violations") === 0L)
   }
+
+  /** Streaming quality gate: every micro-batch's rule report appends to a
+    * parquet audit trail tagged with its batch id — the per-ingest
+    * contract check a production stream runs BEFORE publishing a batch
+    * (read the audit, alert on `passed = false`). Append-only like the
+    * quarantine path: redelivered batches re-report under the same batch
+    * id, harmless in an audit. No wall-clock columns — the report is
+    * deterministic and replayable. */
+  def checkStream(stream: DataFrame, rules: Seq[Rule], auditDir: String,
+                  checkpoint: String, availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          check(batch, rules).withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(auditDir)
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 }

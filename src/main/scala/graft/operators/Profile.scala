@@ -102,6 +102,69 @@ object Profile {
       (((col("sy") - slopeQ * col("sx")) / nd) / scale).as("intercept"))
   }
 
+  /** Per-GROUP [[histogramQuantiles]]: bounded-memory approximate
+    * quantiles for every group in one histogram pass — the scale path
+    * for grouped percentiles (the exact grouped percentile is a holistic
+    * sort agg PER GROUP). State is groups × bins rows; the cumulative
+    * window partitions by group so no global ordering exists anywhere. */
+  def histogramQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
+                           lo: Double, hi: Double, bins: Int,
+                           qs: Seq[Double]): DataFrame = {
+    require(bins > 0 && hi > lo, "histogramQuantilesBy: bad bin config")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "histogramQuantilesBy: fractions must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(w)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast("int")
+    val h = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), bin.as("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(w))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy(col(groupCol))))
+    val target = col("q") * col("total").cast("double")
+    h.select(col("*"), explode(array(qs.map(lit): _*)).as("q"))
+      .where(col("cum").cast("double") >= target)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol), col("q")).orderBy(col("bin"))))
+      .where(col("__rn") === 1)
+      .select(col(groupCol), col("q"),
+        (col("bin_lo") + lit(w) *
+          ((target - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double"))).as("value"))
+  }
+
+  /** Per-group z-score outlier report in TWO passes (one stats agg + one
+    * broadcast-back probe): mean and population σ from EXACT quantized
+    * sufficient statistics (×`scale`, DECIMAL sums — order-independent,
+    * the same discipline as [[corrRegression]]), outliers = points with
+    * |x − mean| > k·σ. The parametric companion to [[madOutlierCounts]]
+    * (σ is cheaper but a single extreme point inflates it; MAD resists).
+    * Requires |x·scale| < ~3·10⁹ so per-row squares fit a long. */
+  def zscoreOutlierCounts(df: DataFrame, groupCol: String, valueCol: String,
+                          k: Double = 3.0, scale: Int = 100): DataFrame = {
+    val xq = round(col(valueCol) * scale).cast("long")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).cast("double")
+    val stats = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), dsum(xq).as("sx"), dsum(xq * xq).as("sxx"))
+      .withColumn("__meanq", col("sx") / col("n").cast("double"))
+      .withColumn("__stdq",
+        sqrt(col("sxx") / col("n").cast("double") - col("__meanq") * col("__meanq")))
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"),
+        first(col("__meanq") / scale).as("mean"),
+        first(col("__stdq") / scale).as("std"),
+        sum(when(abs(xq.cast("double") - col("__meanq")) >
+          lit(k) * col("__stdq"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Robust per-group outlier profile: median, MAD (median absolute
     * deviation) and the count of points beyond `k`·MAD — the
     * mean/stddev-free outlier gate (a single 10⁹ outlier drags a mean;

@@ -204,6 +204,85 @@ class DataOpsSpec extends SparkSpec {
     finalState shouldBe batchFold
   }
 
+  // --- streaming expectations gate ---
+
+  test("checkStream appends a per-batch rule report to the audit trail") {
+    import graft.operators.Expectations._
+    import org.apache.spark.sql.types._
+    val srcDir = tmpDir("exp_stream")
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    def put(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("k", "v").repartition(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    put("b1", Seq((1L, "a"), (2L, null))) // one null violation
+    put("b2", Seq((3L, "c"), (4L, "d"), (4L, "e"))) // one dup violation
+    val audit = tmpDir("exp_audit") + "/report"
+    val q = checkStream(
+      spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+        .parquet(srcDir),
+      Seq(NotNull("v"), UniqueKey(Seq("k"))),
+      audit, tmpDir("exp_ckpt"), availableNow = true)
+    try q.awaitTermination() finally q.stop()
+    val report = spark.read.parquet(audit)
+      .select("batch_id", "rule", "violations")
+      .as[(Long, String, Long)].collect().toSet
+    report.size shouldBe 4 // 2 batches x 2 rules
+    report.map { case (_, r, v) => (r, v) } shouldBe Set(
+      ("not_null(v)", 1L), ("not_null(v)", 0L),
+      ("unique(k)", 0L), ("unique(k)", 1L))
+  }
+
+  // --- gap fill ---
+
+  test("gapFill: linear interpolation between observations, carry at edges") {
+    import graft.operators.GapFill
+    val df = Seq((1L, 1L, 10.0), (1L, 3L, 30.0), (1L, 6L, 0.0),
+      (2L, 5L, 7.0)).toDF("k", "day", "v")
+    val out = GapFill.fill(df, "k", "day", "v")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    out((1L, 1L)) shouldBe ((10.0, true))
+    out((1L, 2L)) shouldBe ((20.0, false)) // 10 + (30-10)·1/2
+    out((1L, 3L)) shouldBe ((30.0, true))
+    out((1L, 4L)) shouldBe ((20.0, false)) // 30 + (0-30)·1/3
+    out((1L, 5L)) shouldBe ((10.0, false)) // 30 + (0-30)·2/3
+    out((1L, 6L)) shouldBe ((0.0, true))
+    out((2L, 5L)) shouldBe ((7.0, true)) // single observation: spine of 1
+    out.size shouldBe 7
+  }
+
+  // --- z-score outliers ---
+
+  test("zscoreOutlierCounts: hand-checked mean/std and outlier flagging") {
+    import graft.operators.Profile
+    // 9 points at 10 and one at 110: mean 20, var = (9·100 + 8100)/10 =
+    // 900, std 30 → only 110 is beyond 3·30 = 90 from the mean? |110-20|
+    // = 90, not > 90 → 0 outliers at k=3; at k=2 (>60) → 1
+    val df = (Seq.fill(9)(10.0) :+ 110.0).map(("g", _)).toDF("g", "v")
+    val strict = Profile.zscoreOutlierCounts(df, "g", "v", k = 3.0)
+      .as[(String, Long, Double, Double, Long)].collect().head
+    strict shouldBe (("g", 10L, 20.0, 30.0, 0L))
+    val loose = Profile.zscoreOutlierCounts(df, "g", "v", k = 2.0)
+      .as[(String, Long, Double, Double, Long)].collect().head._5
+    loose shouldBe 1L
+  }
+
+  // --- grouped histogram quantiles ---
+
+  test("histogramQuantilesBy: per-group interpolated quantiles within bin error") {
+    import graft.operators.Profile
+    val df = ((0 until 100).map(i => ("a", i.toDouble)) ++
+      (0 until 50).map(i => ("b", (i * 2).toDouble))).toDF("g", "v")
+    val out = Profile.histogramQuantilesBy(df, "g", "v", 0.0, 100.0,
+        bins = 10, qs = Seq(0.5))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    out("a") shouldBe 50.0 +- 10.0
+    out("b") shouldBe 50.0 +- 10.0
+  }
+
   // --- MAD outliers ---
 
   test("madOutlierCounts: hand-checked median/MAD and outlier count") {
