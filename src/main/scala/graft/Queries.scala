@@ -1163,6 +1163,15 @@ object Queries {
       t(s, dir, "documents"), "lang", "n_chars",
       lo = 0.0, hi = 600.0, bins = 20, qs = HistQs)
 
+  /** Tokenize-to-ids under a frequency-ranked 1000-token vocabulary
+    * (deterministic tie-break; OOV → 0) — the reproducible text→ids step
+    * ([[TextAnalysis.vocabulary]] / [[TextAnalysis.encodeIds]]). */
+  def q105TokenizeIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.encodeIds(docs, "doc_id", "text",
+      TextAnalysis.vocabulary(docs, "text", size = 1000))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -1991,6 +2000,21 @@ object Queries {
         |     + (CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END)
         |     + (CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END)) AS m_score
         |FROM r, c""".stripMargin,
+    "q105_tokenize_ids" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(tks) AS tok,
+         |    unnest(generate_series(1, len(tks))) AS pos
+         |  FROM (SELECT doc_id, $ToksLowerSql AS tks FROM documents)),
+         |v AS (
+         |  SELECT tok, CAST(row_number() OVER
+         |      (ORDER BY count(*) DESC, tok) AS INT) AS id
+         |  FROM tk GROUP BY tok
+         |  QUALIFY id <= 1000),
+         |e AS (SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS tid
+         |  FROM tk t LEFT JOIN v USING (tok))
+         |SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+         |  CAST(count(*) FILTER (WHERE tid = 0) AS BIGINT) AS n_oov
+         |FROM e GROUP BY doc_id""".stripMargin,
     "q101_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2818,6 +2842,7 @@ object Queries {
     "q101_cube" -> (q101Cube _),
     "q102_gap_fill" -> (q102GapFill _),
     "q103_zscore_outliers" -> (q103ZscoreOutliers _),
-    "q104_grouped_quantiles" -> (q104GroupedQuantiles _)
+    "q104_grouped_quantiles" -> (q104GroupedQuantiles _),
+    "q105_tokenize_ids" -> (q105TokenizeIds _)
   )
 }

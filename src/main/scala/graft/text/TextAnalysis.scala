@@ -344,6 +344,47 @@ object TextAnalysis {
         expr("__sum div n_bigrams").as("lm_score"))
   }
 
+  /** Frequency-ranked vocabulary of the `size` most common lowercased
+    * tokens: (tok, id) with id 1..size by (count desc, token) — the
+    * deterministic tie-break makes the SAME corpus yield the SAME
+    * vocabulary on every engine and run (a requirement for reproducible
+    * tokenization; a count-only ordering is ambiguous under ties).
+    *
+    * Scale shape: the ranking runs over DISTINCT tokens (vocab-scale,
+    * bounded — ~10⁵–10⁶ for natural language regardless of corpus bytes),
+    * not over the token stream; with the ≤ size predicate Spark plans the
+    * global window as a group-limit, not a full sort of the corpus. */
+  def vocabulary(docs: DataFrame, textCol: String, size: Int): DataFrame = {
+    require(size > 0, "vocabulary: size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .where(col("id") <= size)
+      .select(col("tok"), col("id"))
+  }
+
+  /** Encode each document as its token-id sequence under `vocab`
+    * (out-of-vocabulary → 0, counted in `n_oov`) — the text→ids step
+    * every pretraining corpus runs last. Order inside the aggregate comes
+    * from sorting collected (pos, id) structs, not task arrival order.
+    * The vocab side broadcasts (it is ≤ size rows); the token stream
+    * never shuffles more than (doc_id, pos, id) triples. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("id"), lit(0)).as("tid")))),
+          s => s.getField("tid")).as("token_ids"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** All metrics as one projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

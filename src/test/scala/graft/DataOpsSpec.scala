@@ -283,6 +283,23 @@ class DataOpsSpec extends SparkSpec {
     out("b") shouldBe 50.0 +- 10.0
   }
 
+  // --- vocabulary + token ids ---
+
+  test("vocabulary ranks by frequency with deterministic ties; encode maps OOV to 0") {
+    import graft.text.TextAnalysis
+    val docs = Seq((1L, "b b b a a c"), (2L, "a b z")).toDF("doc_id", "text")
+    // counts: b=4, a=3, c=1, z=1 → ids: b=1, a=2, c=3 (c before z on tie)
+    val v = TextAnalysis.vocabulary(docs, "text", size = 3)
+      .as[(String, Int)].collect().toMap
+    v shouldBe Map("b" -> 1, "a" -> 2, "c" -> 3)
+    val enc = TextAnalysis.encodeIds(docs, "doc_id", "text",
+        TestSpark.spark.createDataFrame(
+          v.toSeq.map(kv => (kv._1, kv._2))).toDF("tok", "id"))
+      .as[(Long, Seq[Int], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    enc(1L) shouldBe ((Seq(1, 1, 1, 2, 2, 3), 0L))
+    enc(2L) shouldBe ((Seq(2, 1, 0), 1L)) // z is OOV → 0, counted
+  }
+
   // --- MAD outliers ---
 
   test("madOutlierCounts: hand-checked median/MAD and outlier count") {
