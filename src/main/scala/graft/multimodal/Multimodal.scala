@@ -81,6 +81,65 @@ object Multimodal {
     } else None
   }
 
+  case class AudioHeader(format: String, channels: Int, sampleRate: Int,
+                         bitsPerSample: Int, dataBytes: Long)
+
+  /** Parse a RIFF/WAVE header from raw bytes — real audio-metadata code
+    * (no codec needed: the fmt chunk is plain little-endian fields), the
+    * audio companion to [[parseImageHeader]]. Walks the chunk list so
+    * payloads with LIST/fact chunks before fmt still parse; returns None
+    * on anything that is not a WAV. `dataBytes` is the data chunk size
+    * (0 if the chunk list ends before one appears — a header-only clip). */
+  def parseWavHeader(p: Array[Byte]): Option[AudioHeader] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def ascii(off: Int, s: String) =
+      p.length >= off + s.length && s.indices.forall(i => p(off + i) == s(i).toByte)
+    if (p.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes = 0L
+    while (i + 8 <= p.length) {
+      val size = le32(i + 4)
+      if (ascii(i, "fmt ") && i + 24 <= p.length)
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+      else if (ascii(i, "data"))
+        dataBytes = size
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    fmt.map { case (ch, rate, bits) =>
+      AudioHeader("wav", ch, rate, bits, dataBytes)
+    }
+  }
+
+  /** Batched audio-header parse: (media_id, format, channels,
+    * sample_rate, bits_per_sample, duration_ms), NULLs where the payload
+    * is not a WAV. duration from dataBytes / byteRate — metadata-only,
+    * no sample decode. Same mapPartitions batch shape as
+    * [[extractFeatures]]. */
+  def audioHeaders(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val h = parseWavHeader(r.getAs[Array[Byte]](1))
+          val dur = h.flatMap { a =>
+            val byteRate = a.sampleRate.toLong * a.channels * (a.bitsPerSample / 8)
+            if (byteRate > 0) Some(a.dataBytes * 1000L / byteRate) else None
+          }
+          (r.getLong(0), h.map(_.format).orNull,
+            h.map(_.channels).map(Integer.valueOf).orNull,
+            h.map(_.sampleRate).map(Integer.valueOf).orNull,
+            h.map(_.bitsPerSample).map(Integer.valueOf).orNull,
+            dur.map(java.lang.Long.valueOf).orNull)
+        }
+      }.toDF("media_id", "format", "channels", "sample_rate",
+        "bits_per_sample", "duration_ms")
+  }
+
   /** Batched header parse over a media table: (media_id, format, width,
     * height), NULLs where the payload is not a recognizable image. Same
     * mapPartitions batch shape as [[extractFeatures]]. */

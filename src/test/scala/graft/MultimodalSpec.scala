@@ -73,4 +73,38 @@ class MultimodalSpec extends SparkSpec {
     out(1).getString(1) shouldBe "gif"
     out(2).isNullAt(1) shouldBe true
   }
+
+  test("WAV/RIFF header parsing: chunk walk, alignment, duration; junk rejected") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le16(v: Int) = b(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = b(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def fmtChunk(ch: Int, rate: Int, bits: Int): Array[Byte] =
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+    def wav(chunks: Array[Byte]*): Array[Byte] = {
+      val body = "WAVE".getBytes ++ chunks.flatten
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    // canonical: fmt then data (16000 Hz mono 16-bit, 32000 bytes = 1 s)
+    val mono = wav(fmtChunk(1, 16000, 16),
+      "data".getBytes ++ le32(32000) ++ Array.fill[Byte](4)(0)) // truncated data ok
+    Multimodal.parseWavHeader(mono) shouldBe
+      Some(Multimodal.AudioHeader("wav", 1, 16000, 16, 32000L))
+    // a LIST chunk with an ODD size (pad byte) before fmt still parses
+    val listFirst = wav("LIST".getBytes ++ le32(5) ++ Array.fill[Byte](6)(0), // 5 + pad
+      fmtChunk(2, 44100, 24), "data".getBytes ++ le32(1000))
+    Multimodal.parseWavHeader(listFirst) shouldBe
+      Some(Multimodal.AudioHeader("wav", 2, 44100, 24, 1000L))
+    // junk and non-WAV RIFF rejected
+    Multimodal.parseWavHeader("RIFFxxxxAVI ".getBytes) shouldBe None
+    Multimodal.parseWavHeader("not audio".getBytes) shouldBe None
+
+    // distributed path + duration arithmetic (32000 B / 32000 B/s = 1000 ms)
+    val media = Seq((1L, mono), (2L, "junk".getBytes)).toDF("media_id", "payload")
+    val rows = Multimodal.audioHeaders(spark, media).orderBy("media_id").collect()
+    rows(0).getString(1) shouldBe "wav"
+    rows(0).getInt(3) shouldBe 16000
+    rows(0).getLong(5) shouldBe 1000L
+    rows(1).isNullAt(1) shouldBe true
+  }
 }
