@@ -1172,6 +1172,24 @@ object Queries {
       TextAnalysis.vocabulary(docs, "text", size = 1000))
   }
 
+  /** Distribution drift gate: English documents' length histogram vs the
+    * full corpus — exact-integer total-variation distance, one double at
+    * the end ([[graft.operators.Profile.histogramDrift]]). */
+  def q106Drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Profile.histogramDrift(docs,
+      docs.where(col("lang") === "en"), "n_chars",
+      lo = 0.0, hi = 600.0, bins = 20)
+  }
+
+  /** ANALYZE TABLE surface: one-scan per-column stats over orders — row/
+    * null counts, numeric min/max, KMV distinct estimates (≤64 longs of
+    * state per column) ([[graft.operators.Profile.tableStats]]). */
+  def q107TableStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.tableStats(t(s, dir, "orders"),
+      numericCols = Seq("o_orderkey", "o_custkey"),
+      stringCols = Seq("o_orderstatus", "o_orderpriority"))
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2000,6 +2018,55 @@ object Queries {
         |     + (CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END)
         |     + (CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END)) AS m_score
         |FROM r, c""".stripMargin,
+    "q106_drift" ->
+      """WITH br AS (SELECT CAST(least(greatest(floor((n_chars - 0.0) / 30.0),
+        |      0), 19) AS INT) AS bin, count(*) AS cr
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |bc AS (SELECT CAST(least(greatest(floor((n_chars - 0.0) / 30.0),
+        |      0), 19) AS INT) AS bin, count(*) AS cc
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang = 'en'
+        |  GROUP BY 1),
+        |j AS (SELECT coalesce(br.bin, bc.bin) AS bin, coalesce(cr, 0) AS cr,
+        |    coalesce(cc, 0) AS cc
+        |  FROM br FULL OUTER JOIN bc ON br.bin = bc.bin),
+        |t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(cc) AS BIGINT) AS nc FROM j),
+        |g AS (SELECT bin, abs(CAST(cr AS HUGEINT) * nc
+        |      - CAST(cc AS HUGEINT) * nr) AS gap FROM j, t),
+        |w AS (SELECT *, row_number() OVER (ORDER BY gap DESC, bin) AS rn
+        |  FROM g)
+        |SELECT t.nr AS n_ref, t.nc AS n_cand,
+        |  CAST((SELECT sum(gap) FROM g) AS DOUBLE)
+        |    / (2.0 * CAST(t.nr AS DOUBLE) * CAST(t.nc AS DOUBLE))
+        |    AS tv_distance,
+        |  (SELECT bin FROM w WHERE rn = 1) AS worst_bin,
+        |  CAST((SELECT gap FROM w WHERE rn = 1) AS DOUBLE)
+        |    / (CAST(t.nr AS DOUBLE) * CAST(t.nc AS DOUBLE)) AS worst_bin_gap
+        |FROM t""".stripMargin,
+    "q107_table_stats" -> {
+      def colSql(c: String, numeric: Boolean) = {
+        val mn = if (numeric) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  count(*) - count($c) AS nulls, $mn AS col_min, $mx AS col_max,
+           |  (SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+           |          ELSE 63.0 * 9223372036854775808.0 / CAST(kth AS DOUBLE)
+           |          END
+           |   FROM (SELECT max(n) AS n,
+           |       max(CASE WHEN rn = 64 THEN h63 END) AS kth
+           |     FROM (SELECT h63, row_number() OVER (ORDER BY h63) AS rn,
+           |         count(*) OVER () AS n
+           |       FROM (SELECT DISTINCT CAST(('0x' ||
+           |           substr(md5(CAST($c AS VARCHAR)), 1, 16))::UBIGINT >> 1
+           |           AS BIGINT) AS h63
+           |         FROM orders WHERE $c IS NOT NULL)))) AS ndv_est
+           |FROM orders""".stripMargin
+      }
+      (Seq("o_orderkey" -> true, "o_custkey" -> true,
+        "o_orderstatus" -> false, "o_orderpriority" -> false)
+        .map { case (c, num) => colSql(c, num) })
+        .mkString("", "\nUNION ALL\n", "")
+    },
     "q105_tokenize_ids" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest(tks) AS tok,
@@ -2843,6 +2910,8 @@ object Queries {
     "q102_gap_fill" -> (q102GapFill _),
     "q103_zscore_outliers" -> (q103ZscoreOutliers _),
     "q104_grouped_quantiles" -> (q104GroupedQuantiles _),
-    "q105_tokenize_ids" -> (q105TokenizeIds _)
+    "q105_tokenize_ids" -> (q105TokenizeIds _),
+    "q106_drift" -> (q106Drift _),
+    "q107_table_stats" -> (q107TableStats _)
   )
 }

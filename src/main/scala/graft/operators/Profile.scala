@@ -165,6 +165,88 @@ object Profile {
           lit(k) * col("__stdq"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Distribution drift between a reference corpus and a candidate batch
+    * — the "did this week's crawl change shape" gate run before new data
+    * joins a training mix. Total-variation distance over a shared
+    * fixed-range histogram, computed in EXACT integer arithmetic:
+    * per-bin gap = |cnt_ref·n_cand − cnt_cand·n_ref| accumulates as
+    * DECIMAL (cross-multiplied so no ratio is ever taken per bin), and
+    * only the final TV = Σgap / (2·n_ref·n_cand) is one double division
+    * — the report is bit-identical under any partitioning or engine, the
+    * same discipline as every other gate here. Output is ONE row: sizes,
+    * tv_distance ∈ [0,1], the worst bin and its probability gap.
+    *
+    * Scale shape: two histogram scans (bins rows each), a bins-row
+    * full-outer join, and a bins-row aggregate — the corpora are read
+    * once each and never joined to each other. */
+  def histogramDrift(ref: DataFrame, cand: DataFrame, valueCol: String,
+                     lo: Double, hi: Double, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hr = histogram(ref, valueCol, lo, hi, bins)
+      .select(col("bin"), col("cnt").as("cr"))
+    val hc = histogram(cand, valueCol, lo, hi, bins)
+      .select(col("bin"), col("cnt").as("cc"))
+    val j = hr.join(hc, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val tot = j.agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    val gapped = j.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("cr").cast("decimal(19,0)") * col("nc").cast("decimal(19,0)")
+          - col("cc").cast("decimal(19,0)") * col("nr").cast("decimal(19,0)")))
+    gapped
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("gap").desc, col("bin"))))
+      .groupBy(col("nr"), col("nc"))
+      .agg(sum(col("gap")).as("__gapsum"),
+        max(when(col("__rn") === 1, col("bin"))).as("worst_bin"),
+        max(when(col("__rn") === 1, col("gap"))).as("__worstgap"))
+      .select(col("nr").as("n_ref"), col("nc").as("n_cand"),
+        (col("__gapsum").cast("double")
+          / (lit(2.0) * col("nr").cast("double") * col("nc").cast("double")))
+          .as("tv_distance"),
+        col("worst_bin"),
+        (col("__worstgap").cast("double")
+          / (col("nr").cast("double") * col("nc").cast("double")))
+          .as("worst_bin_gap"))
+  }
+
+  /** Per-column table statistics in ONE scan — the ANALYZE TABLE surface
+    * an optimizer (or a human) reads before planning: row count, null
+    * count, min/max for numeric columns, and a KMV distinct-count
+    * estimate for every column (≤ k longs of aggregate state per column,
+    * [[graft.functions.Sketches]] — counting exact distincts per column
+    * would be one full shuffle EACH). String values hash via their cast;
+    * restrict to string/integral columns (double→string formatting is
+    * not engine-portable). */
+  def tableStats(df: DataFrame, numericCols: Seq[String],
+                 stringCols: Seq[String], k: Int = 64): DataFrame = {
+    import graft.functions.Sketches
+    val cols = numericCols ++ stringCols
+    require(cols.nonEmpty, "tableStats: need at least one column")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      val base = Seq(count(col(c)).as(s"__n_$c"),
+        Sketches.kmvSketch(Sketches.hash63(col(c).cast("string")), k)
+          .as(s"__sk_$c"))
+      if (numericCols.contains(c))
+        base ++ Seq(min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"))
+      else base
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val (mn, mx) =
+        if (numericCols.contains(c)) (col(s"__min_$c"), col(s"__max_$c"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      struct(lit(c).as("col_name"),
+        col(s"__n_$c").as("n"),
+        (col("__rows") - col(s"__n_$c")).as("nulls"),
+        mn.as("col_min"), mx.as("col_max"),
+        Sketches.kmvEstimate(col(s"__sk_$c"), k).as("ndv_est"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
   /** Robust per-group outlier profile: median, MAD (median absolute
     * deviation) and the count of points beyond `k`·MAD — the
     * mean/stddev-free outlier gate (a single 10⁹ outlier drags a mean;

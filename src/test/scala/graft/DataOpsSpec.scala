@@ -283,6 +283,50 @@ class DataOpsSpec extends SparkSpec {
     out("b") shouldBe 50.0 +- 10.0
   }
 
+  // --- distribution drift ---
+
+  test("histogramDrift: identical corpora → 0; disjoint ranges → 1; asymmetric shift detected") {
+    import graft.operators.Profile
+    val a = (1 to 100).map(_.toDouble % 50).map(("x", _)).toDF("g", "v")
+    val same = Profile.histogramDrift(a, a, "v", 0.0, 100.0, 10)
+      .select("tv_distance").as[Double].head()
+    same shouldBe 0.0
+    val lo = (1 to 80).map(_ => 10.0).toDF("v")
+    val hi = (1 to 40).map(_ => 90.0).toDF("v")
+    val disjoint = Profile.histogramDrift(lo, hi, "v", 0.0, 100.0, 10)
+      .as[(Long, Long, Double, Int, Double)].collect().head
+    disjoint._1 shouldBe 80L
+    disjoint._2 shouldBe 40L
+    disjoint._3 shouldBe 1.0 // total variation of disjoint masses
+    // both occupied bins carry the full gap; ties break to the lower bin
+    disjoint._4 shouldBe 1
+    disjoint._5 shouldBe 1.0 // |p_ref − p_cand| in the worst bin
+  }
+
+  test("histogramDrift is partitioning-invariant (exact integer path)") {
+    import graft.operators.Profile
+    val a = (1 to 997).map(i => (i * 7 % 100).toDouble).toDF("v")
+    val b = (1 to 500).map(i => (i * 13 % 90).toDouble).toDF("v")
+    val one = Profile.histogramDrift(a, b, "v", 0.0, 100.0, 10).collect().head
+    val two = Profile.histogramDrift(a.repartition(17), b.repartition(3),
+      "v", 0.0, 100.0, 10).collect().head
+    one shouldBe two
+  }
+
+  // --- table stats ---
+
+  test("tableStats: exact counts/min/max; KMV ndv exact below k") {
+    import graft.operators.Profile
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null), (4L, "a"), (4L, "a"))
+      .toDF("id", "s")
+    val out = Profile.tableStats(df, numericCols = Seq("id"),
+        stringCols = Seq("s"))
+      .as[(String, Long, Long, Option[Double], Option[Double], Double)]
+      .collect().map(r => r._1 -> r).toMap
+    out("id") shouldBe (("id", 5L, 0L, Some(1.0), Some(4.0), 4.0))
+    out("s") shouldBe (("s", 4L, 1L, None, None, 2.0)) // a, b distinct; null skipped
+  }
+
   // --- vocabulary + token ids ---
 
   test("vocabulary ranks by frequency with deterministic ties; encode maps OOV to 0") {
