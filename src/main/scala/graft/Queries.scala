@@ -1093,13 +1093,18 @@ object Queries {
     import graft.operators.BloomFilter
     val cust = t(s, dir, "customer").where(col("c_acctbal") > 9000)
     val filter = BloomFilter.build(cust, col("c_custkey"))
-    val passed = BloomFilter.prefilter(t(s, dir, "orders"),
-      col("o_custkey"), filter)
-    val truth = t(s, dir, "orders")
-      .join(cust.select(col("c_custkey").as("o_custkey")).distinct(),
-        Seq("o_custkey"), "left_semi")
-    passed.agg(count(lit(1)).as("n_pass"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+    // ONE orders scan: the bloom probe is a row-local flag and the truth
+    // check a broadcast join, so pass/true/false-positive counts come
+    // from a single aggregate pass
+    t(s, dir, "orders")
+      .crossJoin(broadcast(filter))
+      .join(broadcast(cust.select(col("c_custkey").as("o_custkey"))
+          .distinct().withColumn("__member", lit(1))),
+        Seq("o_custkey"), "left")
+      .agg(
+        sum(when(BloomFilter.mightContain(col("o_custkey")), 1L)
+          .otherwise(0L)).as("n_pass"),
+        sum(when(col("__member") === 1, 1L).otherwise(0L)).as("n_true"))
       .select(col("n_pass"), col("n_true"),
         (col("n_pass") - col("n_true")).as("n_false_pos"))
   }

@@ -107,8 +107,13 @@ object Multimodal {
         fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
       else if (ascii(i, "data"))
         dataBytes = size
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. Advance in
+      // LONG arithmetic — a hostile size with the high bit set would
+      // overflow an int step and walk i backwards into negative indices
+      // (found by fuzzing); a chunk claiming more bytes than present
+      // (truncated clip, or garbage) ends the walk with what was parsed.
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next > p.length) i = p.length else i = next.toInt
     }
     fmt.map { case (ch, rate, bits) =>
       AudioHeader("wav", ch, rate, bits, dataBytes)

@@ -41,16 +41,21 @@ object BloomFilter {
       .agg(sort_array(collect_set(col("__pos"))).as("bloom_positions"))
   }
 
+  /** Row-local membership test against the broadcast `bloom_positions`
+    * column: true iff ALL k positions of `key` are set (and the key is
+    * non-NULL). Usable directly as a filter or as a flag column when the
+    * caller wants pass/fail counts without a second scan. */
+  def mightContain(key: Column, m: Int = 4096, k: Int = 2): Column =
+    key.isNotNull && positions(key, m, k)
+      .map(p => array_contains(col("bloom_positions"), p))
+      .reduce(_ && _)
+
   /** Keep the probe rows whose key MAY be in the filter (all k positions
     * set). NULL probe keys drop, matching semi-join semantics. Exact
     * members always pass; non-members pass at ≈ (fill ratio)^k. */
   def prefilter(probe: DataFrame, key: Column, filter: DataFrame,
-                m: Int = 4096, k: Int = 2): DataFrame = {
-    val cond = positions(key, m, k)
-      .map(p => array_contains(col("bloom_positions"), p))
-      .reduce(_ && _)
+                m: Int = 4096, k: Int = 2): DataFrame =
     probe.crossJoin(broadcast(filter))
-      .where(key.isNotNull && cond)
+      .where(mightContain(key, m, k))
       .drop("bloom_positions")
-  }
 }

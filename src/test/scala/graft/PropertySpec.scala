@@ -188,4 +188,88 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("parseWavHeader never throws on arbitrary bytes, including RIFF prefixes") {
+    val gen = Gen.oneOf(
+      Gen.listOfN(40, Gen.choose(0, 255)).map(_.map(_.toByte).toArray),
+      Gen.listOfN(30, Gen.choose(0, 255))
+        .map(bs => "RIFF".getBytes ++ bs.map(_.toByte).toArray),
+      Gen.listOfN(20, Gen.choose(0, 255))
+        .map(bs => "RIFF    WAVE".getBytes ++
+          bs.map(_.toByte).toArray))
+    Gen.listOfN(300, gen).sample.get.foreach { bytes =>
+      noException should be thrownBy
+        graft.multimodal.Multimodal.parseWavHeader(bytes)
+    }
+  }
+
+  test("floorDiv: agrees with Math.floorDiv on generated longs of any sign") {
+    val gen = for {
+      x <- Gen.choose(-4102444800000000L, 4102444800000000L)
+      y <- Gen.oneOf(7L, 86400000000L, 1000L, 2L)
+    } yield (x, y)
+    val cases = Gen.listOfN(500, gen).sample.get
+    val bad = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Queries.floorDiv(col("x"), 86400000000L).as("d1"))
+      .as[(Long, Long, Long)].collect()
+      .filter { case (x, _, d1) => d1 != Math.floorDiv(x, 86400000000L) }
+    withClue(bad.take(5).mkString("\n")) { bad.length shouldBe 0 }
+  }
+
+  test("prefixSum: generated weights tile [0, W) for any shard count") {
+    val gen = Gen.listOfN(200, Gen.choose(1L, 50L)).sample.get
+    val df = gen.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("k", "w")
+    for (shards <- Seq(1, 3, 16)) {
+      val out = graft.operators.Sampling.prefixSum(df, "k", "w", shards)
+        .as[(Long, Long, Long, Long)].collect()
+      out.map(_._2).sum shouldBe gen.sum
+      val sorted = out.sortBy(_._3)
+      sorted.head._3 shouldBe 0L
+      sorted.last._4 shouldBe gen.sum
+      sorted.sliding(2).foreach {
+        case Array(a, b) => a._4 shouldBe b._3
+        case _ =>
+      }
+    }
+  }
+
+  test("gapFill: observed rows pass through unchanged; fills stay within neighbor bounds") {
+    val gen = Gen.listOfN(120, for {
+      k <- Gen.choose(1L, 8L); d <- Gen.choose(0L, 40L)
+      v <- Gen.choose(-100, 100)
+    } yield (k, d, v.toDouble)).sample.get.distinctBy(r => (r._1, r._2))
+    val df = gen.toDF("k", "day", "v")
+    val out = graft.operators.GapFill.fill(df, "k", "day", "v")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val obs = gen.map(r => (r._1, r._2) -> r._3).toMap
+    out.filter(_._4).foreach { case (k, d, v, _) => v shouldBe obs((k, d)) }
+    out.length shouldBe out.map(r => (r._1, r._2)).distinct.length
+    // interpolated/carried values never exceed the key's observed range
+    val range = gen.groupBy(_._1).map { case (k, rs) =>
+      k -> ((rs.map(_._3).min, rs.map(_._3).max)) }
+    out.filterNot(_._4).foreach { case (k, _, v, _) =>
+      v should be >= range(k)._1
+      v should be <= range(k)._2
+    }
+  }
+
+  test("expectations: generated violations match brute-force counts") {
+    val gen = Gen.listOfN(300, for {
+      k <- Gen.choose(1L, 80L)
+      s <- Gen.option(Gen.oneOf("A", "B", "C", "X"))
+      p <- Gen.choose(-50.0, 150.0)
+    } yield (k, s.orNull, p)).sample.get
+    val df = gen.toDF("k", "s", "p")
+    import graft.operators.Expectations._
+    val out = check(df, Seq(NotNull("s"),
+        AcceptedValues("s", Seq("A", "B", "C")),
+        InRange("p", 0.0, 100.0), UniqueKey(Seq("k"))))
+      .select("rule", "violations").as[(String, Long)].collect().toMap
+    out("not_null(s)") shouldBe gen.count(_._2 == null).toLong
+    out("accepted_values(s)") shouldBe
+      gen.count(r => r._2 == null || !Seq("A", "B", "C").contains(r._2)).toLong
+    out("in_range(p)") shouldBe gen.count(r => r._3 < 0.0 || r._3 > 100.0).toLong
+    out("unique(k)") shouldBe (gen.size - gen.map(_._1).distinct.size).toLong
+  }
 }
