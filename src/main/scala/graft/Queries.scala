@@ -1195,6 +1195,14 @@ object Queries {
       numericCols = Seq("o_orderkey", "o_custkey"),
       stringCols = Seq("o_orderstatus", "o_orderpriority"))
 
+  /** EXACT shingle-set similarity self-join at Jaccard ≥ 1/2 via
+    * rare-first prefix filtering — the hard-contract companion to
+    * MinHash's recall target (q24 is the probabilistic path over the
+    * same sets); rational threshold keeps the verify pure integer
+    * ([[graft.dedup.Dedup.setSimJoin]]). */
+  def q108SetSimJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.setSimJoin(t(s, dir, "documents"))
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2023,6 +2031,25 @@ object Queries {
         |     + (CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END)
         |     + (CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END)) AS m_score
         |FROM r, c""".stripMargin,
+    "q108_setsim_join" ->
+      // the oracle pays the quadratic all-pairs cost prefix filtering
+      // avoids; the integer threshold (2·|∩| ≥ 1·|∪|) is shared
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ',
+        |    'g')), ' ') AS tk FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 1)),
+        |    i -> CASE WHEN len(tk) >= 3
+        |              THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |              ELSE array_to_string(tk, ' ') END)) AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    AS jaccard
+        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.s, b.s))
+        |  >= 1 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""".stripMargin,
     "q106_drift" ->
       """WITH br AS (SELECT CAST(least(greatest(floor((n_chars - 0.0) / 30.0),
         |      0), 19) AS INT) AS bin, count(*) AS cr
@@ -2917,6 +2944,7 @@ object Queries {
     "q104_grouped_quantiles" -> (q104GroupedQuantiles _),
     "q105_tokenize_ids" -> (q105TokenizeIds _),
     "q106_drift" -> (q106Drift _),
-    "q107_table_stats" -> (q107TableStats _)
+    "q107_table_stats" -> (q107TableStats _),
+    "q108_setsim_join" -> (q108SetSimJoin _)
   )
 }

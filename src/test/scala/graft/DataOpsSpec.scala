@@ -327,6 +327,23 @@ class DataOpsSpec extends SparkSpec {
     out("s") shouldBe (("s", 4L, 1L, None, None, 2.0)) // a, b distinct; null skipped
   }
 
+  // --- exact set-similarity join ---
+
+  test("setSimJoin: prefix filtering finds EXACTLY the brute-force pair set") {
+    import graft.dedup.Dedup
+    val docs = t001("documents").where(col("doc_id") < 200)
+    val viaPrefix = Dedup.setSimJoin(docs)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // brute force: every pair, exact verify at the same rational threshold
+    val all = docs.select(col("doc_id").as("id1"))
+      .join(docs.select(col("doc_id").as("id2")), col("id1") < col("id2"))
+    val brute = Dedup.jaccardVerify(docs, all)
+      .where(col("jaccard") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    viaPrefix shouldBe brute
+    viaPrefix should not be empty // the corpus has near-dups by construction
+  }
+
   // --- vocabulary + token ids ---
 
   test("vocabulary ranks by frequency with deterministic ties; encode maps OOV to 0") {
