@@ -1203,6 +1203,96 @@ object Queries {
   def q108SetSimJoin(s: SparkSession, dir: String): DataFrame =
     Dedup.setSimJoin(t(s, dir, "documents"))
 
+  /** Johnson–Lindenstrauss sign projection 64 → 16 dims over quantized
+    * embeddings — the scan-side compaction that turns TB-scale vectors
+    * into a cheap prefilter ([[graft.similarity.Projection.jlProject]];
+    * deterministic-LCG ±1 matrix, pure integer sums). */
+  def q109JlProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.similarity.Projection.jlProject(
+          Dedup.quantize(col("embedding")), inDim = 64, outDim = 16).as("proj"))
+
+  /** Product-quantization encode (4 subspaces × 16 centroids over 64
+    * dims): per-vector code bytes + total reconstruction error
+    * ([[graft.similarity.Projection.pqEncode]]; arithmetic codebooks, so
+    * the encode is shuffle-and-broadcast-free). */
+  def q110PqEncode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.similarity.Projection.pqEncode(
+          Dedup.quantize(col("embedding")), inDim = 64, nSub = 4, nCent = 16).as("enc"))
+      .select(col("vec_id"),
+        transform(col("enc"), e => e.getField("code")).as("codes"),
+        aggregate(col("enc"), lit(0L), (acc, e) => acc + e.getField("dist"))
+          .as("recon_err"))
+
+  /** TF-IDF keyword extraction: top-5 terms per document by rational-idf
+    * score, df ≥ 2 ([[graft.text.TextAnalysis.tfIdfTopK]]). */
+  def q111TfidfTopk(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.tfIdfTopK(t(s, dir, "documents"), topK = 5, minDf = 2)
+
+  /** Token co-occurrence lift (exp-PMI) with the double cap that keeps the
+    * pair join linear: df-pruned vocabulary (≥ 5 docs) and at most 20
+    * tokens per document ([[graft.text.TextAnalysis.cooccurLift]]). */
+  def q112CooccurLift(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.cooccurLift(t(s, dir, "documents"),
+      minDf = 5, maxTokensPerDoc = 20, minPairDocs = 3)
+
+  /** Boilerplate removal: 10-token windows shared by ≥ 2 distinct
+    * documents are dropped from EVERY document (the complement of q56's
+    * keep-first segment dedup) and documents reassemble from what
+    * survives ([[graft.dedup.Dedup.boilerplateRemove]]). */
+  def q113Boilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateRemove(t(s, dir, "documents"), segTokens = 10, minDocs = 2)
+
+  /** Incremental MinHash near-dup: documents with id ≥ 30 arrive as a NEW
+    * BATCH and dedup against the band index of the existing corpus (id <
+    * 30) plus earlier batch rows — the nightly-ingest shape where the
+    * corpus is never re-banded ([[graft.dedup.Dedup.incrementalNearDup]]).
+    * Portable hash family + uncapped buckets so the oracle can enumerate
+    * every band-equal pair, as in q24. */
+  def q114IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val index = Dedup.minHashBuckets(docs.where(col("doc_id") < 30), portable = true)
+    Dedup.incrementalNearDup(index, docs.where(col("doc_id") >= 30), docs,
+      minJaccard = 0.5, portable = true, maxBucketSize = Int.MaxValue)
+  }
+
+  /** Per-dimension min-max scaling of quantized embeddings to [0, 10000]:
+    * bounds from ONE corpus scan (native element-wise min/max aggregates,
+    * d longs of state — [[graft.functions.VectorAgg]]), then a scan-side
+    * integer rescale ([[graft.similarity.Projection.minMaxScale]]). */
+  def q115MinmaxScale(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), Dedup.quantize(col("embedding")).as("qv"))
+    val bounds = q.agg(
+      graft.functions.VectorAgg.vectorMin(col("qv"), 64).as("mn"),
+      graft.functions.VectorAgg.vectorMax(col("qv"), 64).as("mx"))
+    q.crossJoin(broadcast(bounds))
+      .select(col("vec_id"),
+        graft.similarity.Projection.minMaxScale(col("qv"), col("mn"), col("mx"))
+          .as("scaled"))
+  }
+
+  /** 3-core of the lineitem part-sequence graph (same edges as q73/q90):
+    * full-round iterative peeling, ≤ 6 rounds
+    * ([[graft.operators.Graph.kCore]]); surviving nodes with their
+    * in-core degree. */
+  def q116Kcore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .where(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("dst"))
+    graft.operators.Graph.kCore(edges, k = 3, maxRounds = 6)
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2050,6 +2140,154 @@ object Queries {
         |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
         |WHERE 2 * len(list_intersect(a.s, b.s))
         |  >= 1 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""".stripMargin,
+    "q109_jl_projection" ->
+      // same ±1 LCG matrix, unnest-with-ordinality replay; sums cast back
+      // to BIGINT (DuckDB sum(BIGINT) widens to HUGEINT)
+      s"""WITH q AS (SELECT vec_id, ${quantSql("embedding")} AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |x AS (SELECT vec_id, unnest(qv) AS v,
+         |    unnest(generate_series(1, len(qv))) AS j FROM q),
+         |s AS (SELECT vec_id, p.p AS p,
+         |    CAST(sum(v * (CASE WHEN ((CAST(1103515245 AS BIGINT)
+         |        * (p.p * 64 + (j - 1)) + 12345) % 2147483648) % 2 = 0
+         |      THEN 1 ELSE -1 END)) AS BIGINT) AS o
+         |  FROM x CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) p
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, list(o ORDER BY p) AS proj FROM s GROUP BY vec_id""".stripMargin,
+    "q110_pq_encode" ->
+      // identical arithmetic codebooks; argmin via row_number(dist, k)
+      s"""WITH q AS (SELECT vec_id, ${quantSql("embedding")} AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |d AS (SELECT vec_id, s.s AS s, k.k AS k,
+         |    CAST(list_sum(list_transform(
+         |      list_transform(generate_series(0, 15), dd ->
+         |        qv[s.s * 16 + dd + 1]
+         |          - (((CAST(69069 AS BIGINT) * ((CAST(s.s AS BIGINT) * 16
+         |               + k.k) * 16 + dd) + 362437) % 2147483648) % 401 - 200)),
+         |      z -> z * z)) AS BIGINT) AS dist
+         |  FROM q
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) k),
+         |pick AS (SELECT vec_id, s, k, dist,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+         |  FROM d)
+         |SELECT vec_id, list(CAST(k AS INT) ORDER BY s) AS codes,
+         |  CAST(sum(dist) AS BIGINT) AS recon_err
+         |FROM pick WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+    "q111_tfidf_topk" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($ToksLowerSql) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |  HAVING count(*) >= 2),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+         |FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE)
+         |      * ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |         / (CAST(df.df AS DOUBLE) + 0.5)) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+         |      CAST(tf.tf AS DOUBLE)
+         |        * ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |           / (CAST(df.df AS DOUBLE) + 0.5)) DESC, tf.term) AS rank
+         |  FROM tf JOIN df USING (term), n)
+         |WHERE rank <= 5""".stripMargin,
+    "q112_cooccur_lift" ->
+      s"""WITH tk0 AS (SELECT doc_id, unnest($ToksLowerSql) AS tok
+         |  FROM documents),
+         |tk AS (SELECT DISTINCT doc_id, tok FROM tk0),
+         |df AS (SELECT tok, count(*) AS n_t FROM tk GROUP BY 1
+         |  HAVING count(*) >= 5),
+         |cap AS (SELECT doc_id, tok FROM (
+         |    SELECT tk.doc_id, tk.tok,
+         |      row_number() OVER (PARTITION BY tk.doc_id ORDER BY tk.tok) AS rn
+         |    FROM tk JOIN df USING (tok)) WHERE rn <= 20),
+         |na AS (SELECT tok, count(*) AS n_tok FROM cap GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM cap),
+         |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+         |  FROM cap a JOIN cap b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT tok_a, tok_b, n_ab, na1.n_tok AS n_a, na2.n_tok AS n_b,
+         |  CAST(n_ab * n_docs AS DOUBLE)
+         |    / CAST(na1.n_tok * na2.n_tok AS DOUBLE) AS lift
+         |FROM p JOIN na na1 ON na1.tok = p.tok_a
+         |       JOIN na na2 ON na2.tok = p.tok_b, nd""".stripMargin,
+    "q113_boilerplate" ->
+      // q56's segmentation, but segments in >= 2 DISTINCT docs are removed
+      // from every copy (anti-join) instead of keeping the first
+      s"""WITH base AS (SELECT doc_id, $ToksSql AS tk FROM documents),
+         |seg0 AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, CAST(ceil(len(tk)/10.0) AS INT)),
+         |    i -> struct_pack(seg_no := i - 1,
+         |           seg := array_to_string(tk[(i-1)*10+1 : least(len(tk), i*10)], ' ')))) AS s
+         |  FROM base),
+         |seg AS (SELECT doc_id, s.seg_no AS seg_no, s.seg AS seg FROM seg0),
+         |boiler AS (SELECT seg FROM (
+         |    SELECT seg, count(DISTINCT doc_id) AS c FROM seg GROUP BY 1)
+         |  WHERE c >= 2),
+         |keep AS (SELECT * FROM seg ANTI JOIN boiler USING (seg)),
+         |tot AS (SELECT doc_id, CAST(ceil(len(tk)/10.0) AS INT) AS n_total
+         |  FROM base)
+         |SELECT k.doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS kept_text,
+         |  CAST(count(*) AS INT) AS n_kept,
+         |  CAST(any_value(n_total) - count(*) AS INT) AS n_dropped
+         |FROM keep k JOIN tot USING (doc_id) GROUP BY k.doc_id""".stripMargin,
+    "q114_incremental_neardup" ->
+      // q24's band-equal enumeration, restricted to batch-side (id >= 30)
+      // right legs — every pair has its newer doc as doc_id
+      s"""WITH $minHashSigCtes,
+         |pairs AS (
+         |  SELECT a.doc_id AS match_id, b.doc_id AS doc_id,
+         |    a.sh AS sh1, b.sh AS sh2
+         |  FROM sig a JOIN sig b
+         |    ON a.doc_id < b.doc_id AND b.doc_id >= 30 AND ($minHashBandEq))
+         |SELECT doc_id, match_id,
+         |  CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+         |    / len(list_distinct(sh1 || sh2)) AS jaccard
+         |FROM pairs
+         |WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+         |    / len(list_distinct(sh1 || sh2)) >= 0.5""".stripMargin,
+    "q115_minmax_scale" ->
+      // per-dimension bounds over the unnested corpus; `//` floors like
+      // the engine's pmod-then-divide (operands non-negative)
+      s"""WITH q AS (SELECT vec_id, ${quantSql("embedding")} AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |x AS (SELECT vec_id, unnest(qv) AS v,
+         |    unnest(generate_series(1, len(qv))) AS j FROM q),
+         |b AS (SELECT j, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+         |s AS (SELECT vec_id, j,
+         |    CASE WHEN mx > mn THEN ((v - mn) * 10000) // (mx - mn)
+         |         ELSE 0 END AS sv
+         |  FROM x JOIN b USING (j))
+         |SELECT vec_id, list(CAST(sv AS BIGINT) ORDER BY j) AS scaled
+         |FROM s GROUP BY vec_id""".stripMargin,
+    "q116_kcore" -> {
+      // six full peel rounds unrolled (the engine early-exits at the fixed
+      // point, which by construction equals the round-6 edge set)
+      // MATERIALIZED: each eᵢ is referenced three times by round i+1 —
+      // DuckDB's default CTE inlining would expand e0 3^6 times
+      val rounds = (1 to 6).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT node FROM (
+           |    SELECT node, count(*) AS c FROM (
+           |      SELECT u AS node FROM e${i - 1}
+           |      UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1) WHERE c >= 3),
+           |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN k$i a ON a.node = e.u JOIN k$i b ON b.node = e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH adj AS (
+         |  SELECT l_partkey AS src, lead(l_partkey) OVER
+         |      (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |      FROM adj WHERE dst IS NOT NULL AND dst <> src),
+         |$rounds,
+         |df AS (SELECT node, count(*) AS c FROM (
+         |    SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6) GROUP BY 1)
+         |SELECT node, CAST(c AS BIGINT) AS core_deg FROM df WHERE c >= 3""".stripMargin
+    },
     "q106_drift" ->
       """WITH br AS (SELECT CAST(least(greatest(floor((n_chars - 0.0) / 30.0),
         |      0), 19) AS INT) AS bin, count(*) AS cr
@@ -2945,6 +3183,14 @@ object Queries {
     "q105_tokenize_ids" -> (q105TokenizeIds _),
     "q106_drift" -> (q106Drift _),
     "q107_table_stats" -> (q107TableStats _),
-    "q108_setsim_join" -> (q108SetSimJoin _)
+    "q108_setsim_join" -> (q108SetSimJoin _),
+    "q109_jl_projection" -> (q109JlProjection _),
+    "q110_pq_encode" -> (q110PqEncode _),
+    "q111_tfidf_topk" -> (q111TfidfTopk _),
+    "q112_cooccur_lift" -> (q112CooccurLift _),
+    "q113_boilerplate" -> (q113Boilerplate _),
+    "q114_incremental_neardup" -> (q114IncrementalNeardup _),
+    "q115_minmax_scale" -> (q115MinmaxScale _),
+    "q116_kcore" -> (q116Kcore _)
   )
 }

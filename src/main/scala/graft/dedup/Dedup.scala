@@ -408,6 +408,95 @@ object Dedup {
         count(lit(1)).cast("int").as("n_kept"))
   }
 
+  /** Boilerplate removal (C4/RefinedWeb-style): drop every token window
+    * that occurs in at least `minDocs` DISTINCT documents — nav bars,
+    * cookie banners, license footers — from ALL documents, and reassemble.
+    * The complement of [[segmentDedup]]: that keeps the FIRST occurrence
+    * of a repeated window; this removes boilerplate from every copy
+    * including the first (a template shared by 10k pages is noise in all
+    * 10k, not content in one). Documents reduced to nothing disappear.
+    *
+    * Output: (id, kept_text, n_kept, n_dropped).
+    *
+    * Scale shape: one explode, one groupBy on the 64-bit window digest
+    * counting distinct docs (only (digest, id) longs shuffle — dedup
+    * within a doc is map-side via the distinct agg), an anti-join of
+    * segments against the boilerplate digests, one groupBy(doc) to
+    * reassemble. Text crosses the wire once, in the reassembly. */
+  def boilerplateRemove(docs: DataFrame, segTokens: Int = 10, minDocs: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"boilerplateRemove: minDocs must be >= 2, got $minDocs")
+    val seg = docs.select(col(idCol),
+        posexplode(segments(col(textCol), segTokens)).as(Seq("seg_no", "seg")))
+      .withColumn("digest", xxhash64(col("seg")))
+    val boiler = seg.groupBy("digest")
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("digest")
+    seg.join(boiler, Seq("digest"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(array_sort(collect_list(struct(col("seg_no"), col("seg"))))
+          .getField("seg"), " ").as("kept_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+      .join(docs.select(col(idCol),
+          size(segments(col(textCol), segTokens)).as("n_total")), Seq(idCol))
+      .select(col(idCol), col("kept_text"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"))
+  }
+
+  /** MinHash band buckets of each document: (id, bucket) with one row per
+    * band — the INDEX side of incremental near-dup. Persist this once for
+    * the corpus; each new batch probes it without re-shingling the corpus. */
+  def minHashBuckets(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", w: Int = 3, k: Int = 16,
+                     bands: Int = 4, portable: Boolean = false): DataFrame = {
+    val rows = k / bands
+    docs.select(col(idCol),
+        FastExprs.minHashSignature(col(textCol), w, k, portable).as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("slice")))))
+      .select(col(idCol), xxhash64(col("col.band"), col("col.slice")).as("bucket"))
+  }
+
+  /** Incremental near-dup: candidate (batch doc, earlier doc) pairs for a
+    * NEW BATCH against an existing corpus band index
+    * ([[minHashBuckets]] output, typically read back from storage) plus
+    * the batch itself — the nightly-ingest shape of MinHash dedup, where
+    * re-banding a 100 TB corpus per batch would dwarf the batch cost.
+    *
+    * Matches are any indexed or batch doc with a SMALLER id than the batch
+    * doc (smaller = earlier = already accepted), so each batch doc dedups
+    * against history and batch-internal pairs surface exactly once.
+    * Returns (id, match_id, jaccard) pairs verified to exact shingle
+    * Jaccard ≥ `minJaccard` — `allDocs` supplies the text for both legs of
+    * the verify (only candidate ids are re-shingled, via the semi-join
+    * inside [[jaccardVerify]]).
+    *
+    * Scale shape: the batch is banded scan-side (small); the join against
+    * the index shuffles (bucket, id) longs; the same bucket-size guard as
+    * [[minHashCandidates]] caps template-collision fan-out. */
+  def incrementalNearDup(index: DataFrame, batch: DataFrame, allDocs: DataFrame,
+                         minJaccard: Double, idCol: String = "doc_id",
+                         textCol: String = "text", w: Int = 3, k: Int = 16,
+                         bands: Int = 4, portable: Boolean = false,
+                         maxBucketSize: Int = 10000): DataFrame = {
+    val probe = minHashBuckets(batch, idCol, textCol, w, k, bands, portable)
+    val pool = index.select(col(idCol), col("bucket"))
+      .unionByName(probe)
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val guarded = pool.withColumn("__n", count(lit(1)).over(w2))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+    val cand = probe.withColumnRenamed(idCol, "id2")
+      .join(guarded.withColumnRenamed(idCol, "id1"), Seq("bucket"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    jaccardVerify(allDocs, cand, idCol, textCol, w)
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id2").as(idCol), col("id1").as("match_id"), col("jaccard"))
+  }
+
   /** Decontamination probe: documents sharing at least one w-shingle with
     * the `probe` set (e.g. an eval benchmark) — the standard n-gram
     * contamination check run before training. Output: (id, n_hits).

@@ -465,3 +465,107 @@ object SignLshBucketExpr {
     bucket
   }
 }
+
+/** Johnson–Lindenstrauss sign projection of a quantized long vector — the
+  * compiled single-pass twin of
+  * [[graft.similarity.Projection.jlProjectColumn]] (bit-identical: same
+  * LCG sign matrix, same integer sums). The Column-algebra path evaluates
+  * outDim × inDim lambda closures per row; this is one static call inside
+  * WholeStageCodegen. */
+case class JlProjectExpr(child: Expression, inDim: Int, outDim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(inDim >= 1 && outDim >= 1, s"jl_project: bad dims $inDim -> $outDim")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "jl_project"
+  override def nullSafeEval(input: Any): Any =
+    JlProjectExpr.compute(input.asInstanceOf[ArrayData], inDim, outDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.JlProjectExpr.compute($c, $inDim, $outDim)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JlProjectExpr {
+  import graft.similarity.Projection.{SignA, SignC, SignM}
+
+  def compute(v: ArrayData, inDim: Int, outDim: Int): ArrayData = {
+    if (v.numElements() != inDim)
+      throw new IllegalArgumentException(
+        s"jl_project: vector dimension ${v.numElements()} != $inDim")
+    val out = new Array[Long](outDim)
+    var p = 0
+    while (p < outDim) {
+      var acc = 0L
+      var j = 0
+      while (j < inDim) {
+        val idx = p.toLong * inDim + j
+        val sgn = if (((SignA * idx + SignC) % SignM) % 2 == 0) 1L else -1L
+        acc += v.getLong(j) * sgn
+        j += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Product-quantization encode — the compiled twin of
+  * [[graft.similarity.Projection.pqEncodeColumn]] (bit-identical
+  * arithmetic codebooks and squared-L2 argmin; strict `<` keeps the
+  * smallest centroid id on ties, matching array_min's struct order).
+  * The Column path evaluates nSub × nCent × subDim nested closures per
+  * row (~1 ms/row measured at 64 dims); this is one static call. */
+case class PqEncodeExpr(child: Expression, inDim: Int, nSub: Int, nCent: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(inDim % nSub == 0, s"pq_encode: $inDim not divisible by $nSub")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("code", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def nullSafeEval(input: Any): Any =
+    PqEncodeExpr.compute(input.asInstanceOf[ArrayData], inDim, nSub, nCent)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PqEncodeExpr.compute($c, $inDim, $nSub, $nCent)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncodeExpr {
+  import graft.similarity.Projection.{CentA, CentC, CentRange, SignM}
+
+  def compute(v: ArrayData, inDim: Int, nSub: Int, nCent: Int): ArrayData = {
+    if (v.numElements() != inDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dimension ${v.numElements()} != $inDim")
+    val subDim = inDim / nSub
+    val half = (CentRange - 1) / 2
+    val out = new Array[Any](nSub)
+    var s = 0
+    while (s < nSub) {
+      var bestDist = Long.MaxValue
+      var bestK = 0
+      var k = 0
+      while (k < nCent) {
+        var dist = 0L
+        var d = 0
+        while (d < subDim) {
+          val flat = (s.toLong * nCent + k) * subDim + d
+          val c = ((CentA * flat + CentC) % SignM) % CentRange - half
+          val diff = v.getLong(s * subDim + d) - c
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestDist) { bestDist = dist; bestK = k }
+        k += 1
+      }
+      out(s) = org.apache.spark.sql.catalyst.InternalRow(bestDist, bestK)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}

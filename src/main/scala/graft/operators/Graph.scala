@@ -207,6 +207,60 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** k-core decomposition membership: the maximal subgraph in which every
+    * node has degree ≥ k, found by iterative peeling (Matula & Beck, JACM
+    * 1983; Montresor et al., "Distributed k-Core Decomposition", TPDS 2013
+    * for the message-passing formulation) — the spam/bot-farm and
+    * link-graph quality filter: low-core nodes are leaves and chains,
+    * high-core nodes sit in dense communities.
+    *
+    * Runs FULL ROUNDS (remove every node with degree < k simultaneously,
+    * recompute), so the result after r rounds is a pure function of the
+    * graph — no peel-order nondeterminism — and equals the true k-core
+    * once a round removes nothing. `maxRounds` bounds the work; each round
+    * is a degree aggregate plus two semi-joins shuffling (node, degree)
+    * longs, with the same per-round localCheckpoint + unpersist discipline
+    * as [[connectedComponents]] (lineage O(1), storage ≤ 2 snapshots).
+    * Early-exits when converged, which by construction matches an oracle
+    * that unrolls exactly `maxRounds` rounds.
+    *
+    * Returns (node, core_deg): surviving nodes with their degree inside
+    * the surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, src: String = "src",
+            dst: String = "dst", maxRounds: Int = 6): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    var cur = edges
+      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    try {
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        val keep = degrees(cur).where(col("core_deg") >= k).select("node")
+        val next = cur
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint()
+        // one tiny count per round; equal edge counts ⇒ no node was
+        // removed ⇒ fixed point (degrees can only drop via edge loss)
+        converged = next.count() == cur.count()
+        unpersist(cur)
+        cur = next
+        round += 1
+      }
+      val out = degrees(cur).where(col("core_deg") >= k)
+      val materialized = out.localCheckpoint()
+      materialized
+    } finally unpersist(cur)
+  }
+
   /** [[pageRank]] with durable per-round state: after every
     * `checkpointEvery` completed rounds (and after the last), the
     * (node, rank) snapshot is committed — with a `__round` marker — to the

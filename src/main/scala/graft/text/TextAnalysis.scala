@@ -297,6 +297,89 @@ object TextAnalysis {
         .reduce(_ + _).as("n_matched"))
   }
 
+  /** TF-IDF keyword extraction: the `topK` highest-scoring terms per
+    * document, score = tf · (N − df + 0.5)/(df + 0.5) — the same log-free
+    * RATIONAL idf as [[bm25Scores]] (monotone in the classic log idf, and
+    * engine-portable: one subtraction, two additions, one division, one
+    * multiply, in a fixed order, so the IEEE result is bit-identical
+    * everywhere). Ties break on the term string.
+    *
+    * Scale shape: one corpus scan explodes tokens; df is a groupBy over
+    * the (id, term) pairs (term-keyed longs — text shuffles only as
+    * individual tokens); the per-document top-k is one window over the
+    * id-partitioned pairs. No N·vocab blowup anywhere — the frame stays at
+    * Σ distinct-terms-per-doc rows. `minDf` prunes hapax noise before the
+    * window. */
+  def tfIdfTopK(docs: DataFrame, topK: Int, minDf: Int = 1,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"tfIdfTopK: topK must be >= 1, got $topK")
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dft, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+         (col("df").cast("double") + lit(0.5))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("id").as(idCol), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
+
+  /** Token co-occurrence LIFT over documents: for token pairs (a < b)
+    * appearing together in ≥ `minPairDocs` documents, lift =
+    * n_ab·N / (n_a·n_b) — P(a,b)/(P(a)P(b)), the exponential of PMI
+    * (Church & Hanks, CL 1990). The log is deliberately NOT taken: lift is
+    * monotone in PMI and stays a single integer-product division (one
+    * IEEE op, bit-identical cross-engine) where log(x) is libm-dependent.
+    *
+    * The quadratic pair explosion is DOUBLY capped, which is what makes
+    * this runnable on a web corpus: (1) only tokens in ≥ `minDf` docs
+    * participate (df-pruned vocabulary); (2) each document contributes at
+    * most `maxTokensPerDoc` tokens (lexicographically first — a
+    * DETERMINISTIC cap, unlike sampling), so the self-join fans out at
+    * most cap²/2 pairs per doc regardless of document length. All counts
+    * (n_a, n_b, N) are computed over the SAME capped token set, so the
+    * probabilities are consistent by construction. */
+  def cooccurLift(docs: DataFrame, minDf: Int = 2, maxTokensPerDoc: Int = 30,
+                  minPairDocs: Int = 2, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokensPerDoc >= 2, "cooccurLift: need at least 2 tokens/doc")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(tokens(lower(col(textCol))))).as("tok"))
+    val dft = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
+      .where(col("n_t") >= minDf)
+    val wcap = Window.partitionBy(col("id")).orderBy(col("tok"))
+    val capped = toks.join(dft.select("tok"), "tok")
+      .withColumn("rn", row_number().over(wcap))
+      .where(col("rn") <= maxTokensPerDoc)
+      .select("id", "tok")
+    val na = capped.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val nDocs = capped.select("id").distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val pairs = capped.select(col("id"), col("tok").as("tok_a"))
+      .join(capped.select(col("id"), col("tok").as("tok_b")), "id")
+      .where(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairDocs)
+    pairs
+      .join(na.select(col("tok").as("tok_a"), col("n_tok").as("n_a")), "tok_a")
+      .join(na.select(col("tok").as("tok_b"), col("n_tok").as("n_b")), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_docs")).cast("double") /
+         (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Scale of the fixed-point bigram LM scores: per-bigram points are
     * (c2 · Scale) div c1 ∈ [0, Scale]. */
   val LmScale = 1000000L

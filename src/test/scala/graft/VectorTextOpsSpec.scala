@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.dedup.Dedup
+import graft.functions.VectorAgg
+import graft.operators.Graph
+import graft.similarity.Projection
+import graft.text.TextAnalysis
+
+/** Hand-checked cases for the round-5 vector/text additions: JL sign
+  * projection, PQ encoding, min-max scaling (+ the element-wise min/max
+  * aggregates), TF-IDF top-k, co-occurrence lift, boilerplate removal,
+  * incremental near-dup, and k-core peeling. */
+class VectorTextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The Projection LCG sign, reimplemented independently. */
+  private def sign(idx: Long): Long =
+    if (((Projection.SignA * idx + Projection.SignC) % Projection.SignM) % 2 == 0) 1L else -1L
+
+  test("jlProject matches a hand-computed sign projection and is linear") {
+    val q = Seq(3L, -1L, 4L, 2L)
+    val df = Seq((1L, q), (2L, q.map(_ * 2))).toDF("id", "qv")
+    val out = df.select($"id", Projection.jlProject($"qv", inDim = 4, outDim = 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expected = (0 until 2).map { p =>
+      (0 until 4).map(j => q(j) * sign(p.toLong * 4 + j)).sum
+    }
+    out(1L) shouldBe expected
+    out(2L) shouldBe expected.map(_ * 2) // integer linearity
+  }
+
+  /** The Projection PQ codebook, reimplemented independently. */
+  private def cent(s: Int, k: Int, d: Int, nCent: Int, subDim: Int): Long = {
+    val flat = (s.toLong * nCent + k) * subDim + d
+    ((Projection.CentA * flat + Projection.CentC) % Projection.SignM) % Projection.CentRange -
+      (Projection.CentRange - 1) / 2
+  }
+
+  test("pqEncode recovers exact-centroid vectors with zero error") {
+    val nSub = 2; val nCent = 4; val subDim = 2
+    // a vector equal to centroid 2 in subspace 0 and centroid 3 in subspace 1
+    val v = Array(
+      cent(0, 2, 0, nCent, subDim), cent(0, 2, 1, nCent, subDim),
+      cent(1, 3, 0, nCent, subDim), cent(1, 3, 1, nCent, subDim))
+    val df = Seq((1L, v.toSeq)).toDF("id", "qv")
+    val r = df.select(Projection.pqEncode($"qv", 4, nSub, nCent).as("enc"))
+      .select(
+        transform($"enc", e => e.getField("code")).as("codes"),
+        aggregate($"enc", lit(0L), (a, e) => a + e.getField("dist")).as("err"))
+      .collect()(0)
+    r.getSeq[Int](0) shouldBe Seq(2, 3)
+    r.getLong(1) shouldBe 0L
+  }
+
+  test("pqEncode distance is the true squared L2 to the chosen centroid") {
+    val nSub = 1; val nCent = 4; val subDim = 4
+    val v = Seq(10L, -20L, 30L, -40L)
+    val enc = Seq((1L, v)).toDF("id", "qv")
+      .select(Projection.pqEncode($"qv", 4, nSub, nCent).as("enc"))
+      .select(explode($"enc").as("e")).select($"e.code", $"e.dist")
+      .collect()(0)
+    val dists = (0 until nCent).map { k =>
+      (0 until subDim).map { d =>
+        val diff = v(d) - cent(0, k, d, nCent, subDim); diff * diff
+      }.sum
+    }
+    enc.getInt(0) shouldBe dists.indexOf(dists.min)
+    enc.getLong(1) shouldBe dists.min
+  }
+
+  test("codegen jlProject/pqEncode are bit-identical to the Column-algebra witnesses") {
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 31 + j * 17) % 997 - 498).toLong))
+    }
+    val df = vecs.toDF("id", "qv")
+    val fast = df.select($"id",
+      Projection.jlProject($"qv", 8, 4).as("p"),
+      Projection.pqEncode($"qv", 8, 2, 4).as("e")).collect()
+    val slow = df.select($"id",
+      Projection.jlProjectColumn($"qv", 8, 4).as("p"),
+      Projection.pqEncodeColumn($"qv", 8, 2, 4).as("e")).collect()
+    fast.map(_.toString) shouldBe slow.map(_.toString)
+  }
+
+  test("vectorMin/vectorMax bounds + minMaxScale hit 0 and the full scale") {
+    val df = Seq(
+      (1L, Seq(0L, 10L)), (2L, Seq(5L, 20L)), (3L, Seq(10L, 10L)))
+      .toDF("id", "qv")
+    val bounds = df.agg(
+      VectorAgg.vectorMin($"qv", 2).as("mn"), VectorAgg.vectorMax($"qv", 2).as("mx"))
+    bounds.collect()(0).getSeq[Long](0) shouldBe Seq(0L, 10L)
+    bounds.collect()(0).getSeq[Long](1) shouldBe Seq(10L, 20L)
+    val scaled = df.crossJoin(bounds)
+      .select($"id", Projection.minMaxScale($"qv", $"mn", $"mx").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    scaled(1L) shouldBe Seq(0L, 0L)
+    scaled(2L) shouldBe Seq(5000L, 10000L)
+    scaled(3L) shouldBe Seq(10000L, 0L)
+  }
+
+  test("vector min/max aggregates are partitioning-invariant and null-safe") {
+    val vecs = (1 to 40).map(i => (i.toLong, Seq(i.toLong, -i.toLong)))
+    val a = vecs.toDF("id", "qv").repartition(1)
+      .agg(VectorAgg.vectorMin($"qv", 2), VectorAgg.vectorMax($"qv", 2)).collect()(0)
+    val b = vecs.toDF("id", "qv").repartition(7)
+      .agg(VectorAgg.vectorMin($"qv", 2), VectorAgg.vectorMax($"qv", 2)).collect()(0)
+    a shouldBe b
+    // all-null input evaluates to NULL, not a sentinel array
+    val n = Seq((1L, null.asInstanceOf[Seq[Long]])).toDF("id", "qv")
+      .agg(VectorAgg.vectorMin($"qv", 2).as("mn")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("tfIdfTopK ranks rare terms above common ones") {
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"), (3L, "banana durian"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopK(docs, topK = 2, minDf = 1)
+      .where($"doc_id" === 1L).orderBy($"rank").collect()
+    top.map(_.getString(2)) shouldBe Array("apple", "banana")
+    // apple: tf=2, df=1, N=3 → 2·(3−1+0.5)/1.5 = 10/3
+    top(0).getDouble(5) shouldBe (2.0 * (2.5 / 1.5)) +- 1e-12
+  }
+
+  test("cooccurLift matches hand-computed lift") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurLift(docs, minDf = 1, maxTokensPerDoc = 10,
+        minPairDocs = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(5)))
+      .toMap
+    // n_a=3, n_b=2, n_c=1, N=3; (a,b): 2·3/(3·2)=1; (a,c): 1·3/(3·1)=1
+    out(("a", "b")) shouldBe ((2L, 1.0))
+    out(("a", "c")) shouldBe ((1L, 1.0))
+  }
+
+  test("cooccurLift caps tokens per doc deterministically") {
+    val docs = Seq((1L, "d c b a"), (2L, "d c b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurLift(docs, minDf = 1, maxTokensPerDoc = 2,
+      minPairDocs = 1)
+    // cap keeps the lexicographically FIRST two tokens: a, b
+    out.collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("a", "b"))
+  }
+
+  test("boilerplateRemove drops shared windows from every doc; all-boilerplate docs vanish") {
+    val docs = Seq(
+      (1L, "a b c x y z"), (2L, "a b c q r s"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemove(docs, segTokens = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    out shouldBe Map(
+      1L -> (("x y z", 1, 1)),
+      2L -> (("q r s", 1, 1))) // doc 3 was pure boilerplate
+  }
+
+  test("boilerplateRemove counts DISTINCT docs (intra-doc repeats are not boilerplate)") {
+    val docs = Seq((1L, "p q r p q r"), (2L, "u v w")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemove(docs, segTokens = 3, minDocs = 2)
+    // "p q r" twice in ONE doc → not boilerplate, both copies survive
+    out.where($"doc_id" === 1L).collect()(0).getString(1) shouldBe "p q r p q r"
+  }
+
+  test("incrementalNearDup finds batch-vs-index and batch-internal dups") {
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, text), (2L, "completely different words here entirely now"),
+      (10L, text), // dup of indexed doc 1
+      (11L, "another unique batch document with its own content"),
+      (12L, "another unique batch document with its own content")) // dup of 11
+      .toDF("doc_id", "text")
+    val index = Dedup.minHashBuckets(docs.where($"doc_id" < 10), portable = true)
+    val out = Dedup.incrementalNearDup(index, docs.where($"doc_id" >= 10), docs,
+        minJaccard = 0.5, portable = true, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.toSet shouldBe Set((10L, 1L, 1.0), (12L, 11L, 1.0))
+  }
+
+  test("kCore peels to the dense core with in-core degrees") {
+    // triangle 1-2-3 with a tail 3-4-5: 2-core = the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2, maxRounds = 6)
+    val rows = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.unpersist(core)
+    rows shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+  }
+
+  test("kCore of a graph below k is empty; duplicate/reversed edges canonicalize") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2, maxRounds = 4)
+    // path 1-2-3: endpoints peel first, then nothing has degree >= 2
+    core.count() shouldBe 0L
+    Graph.unpersist(core)
+  }
+}
