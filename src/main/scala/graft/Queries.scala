@@ -1293,6 +1293,41 @@ object Queries {
     graft.operators.Graph.kCore(edges, k = 3, maxRounds = 6)
   }
 
+  /** ADC top-20 over PQ codes: the query quantizes ONCE into a 4×16
+    * lookup table (driver-side, shipped as a literal); each stored vector
+    * costs 4 table lookups — never a decode
+    * ([[graft.similarity.Projection.adcDistance]]). One scan +
+    * TakeOrderedAndProject. */
+  def q117AdcTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Projection
+    val codes = t(s, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(Projection.pqEncode(Dedup.quantize(col("embedding")),
+          inDim = 64, nSub = 4, nCent = 16), e => e.getField("code")).as("codes"))
+    val lut = Projection.adcLut(Projection.demoQuery(64), nSub = 4, nCent = 16)
+    codes.select(col("vec_id"), Projection.adcDistance(col("codes"), lut).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(20)
+  }
+
+  /** Blocked entity resolution on customers: same-nation pairs whose name
+    * trigram sets reach Jaccard ≥ 4/5 — the blocking key lives inside the
+    * set elements, so [[graft.dedup.Dedup.blockedErJoin]] rides the exact
+    * prefix-filter engine (no per-block nested loop exists anywhere). */
+  def q118ErBlocking(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedErJoin(t(s, dir, "customer"), "c_custkey", "c_nationkey",
+      "c_name", tNum = 4, tDen = 5)
+
+  /** Unicode corpus normalization: lowercase + accent fold + NFC in one
+    * codegen pass ([[graft.functions.NormalizeTextExpr]]), plus a changed
+    * flag — the standard first stage of web-corpus cleaning. */
+  def q119Normalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.FastExprs.normalizeText(col("text")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        (col("norm_text") =!= col("text")).as("changed"))
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2263,6 +2298,57 @@ object Queries {
          |  FROM x JOIN b USING (j))
          |SELECT vec_id, list(CAST(sv AS BIGINT) ORDER BY j) AS scaled
          |FROM s GROUP BY vec_id""".stripMargin,
+    "q117_adc_topk" ->
+      // q110's codes chain + a LUT of query→centroid distances; the query
+      // vector is the same LCG the Scala side ships as a literal
+      s"""WITH q AS (SELECT vec_id, ${quantSql("embedding")} AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |d AS (SELECT vec_id, s.s AS s, k.k AS k,
+         |    CAST(list_sum(list_transform(
+         |      list_transform(generate_series(0, 15), dd ->
+         |        qv[s.s * 16 + dd + 1]
+         |          - (((CAST(69069 AS BIGINT) * ((CAST(s.s AS BIGINT) * 16
+         |               + k.k) * 16 + dd) + 362437) % 2147483648) % 401 - 200)),
+         |      z -> z * z)) AS BIGINT) AS dist
+         |  FROM q
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) k),
+         |codes AS (SELECT vec_id, s, k FROM (
+         |  SELECT vec_id, s, k,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+         |  FROM d) WHERE rn = 1),
+         |lut AS (SELECT s.s AS s, k.k AS k,
+         |    CAST(list_sum(list_transform(
+         |      list_transform(generate_series(0, 15), dd ->
+         |        (((CAST(7919 AS BIGINT) * (s.s * 16 + dd) + 104729)
+         |           % 2147483648) % 801 - 400)
+         |          - (((CAST(69069 AS BIGINT) * ((CAST(s.s AS BIGINT) * 16
+         |               + k.k) * 16 + dd) + 362437) % 2147483648) % 401 - 200)),
+         |      z -> z * z)) AS BIGINT) AS qdist
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS s) s
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) k)
+         |SELECT vec_id, CAST(sum(qdist) AS BIGINT) AS adc_dist
+         |FROM codes c JOIN lut l USING (s, k)
+         |GROUP BY vec_id
+         |ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin,
+    "q118_er_blocking" ->
+      // quadratic within-the-SQL oracle; the engine's prefix filter must
+      // return the identical pair set (chr(1) = the element separator)
+      """WITH g AS (SELECT c_custkey AS id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(c_name) - 2, 1)),
+        |    i -> CAST(c_nationkey AS VARCHAR) || chr(1) || substr(c_name, i, 3))) AS s
+        |  FROM customer)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |FROM g a JOIN g b ON a.id < b.id
+        |WHERE 5 * len(list_intersect(a.s, b.s))
+        |  >= 4 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""".stripMargin,
+    "q119_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(strip_accents(lower(text))) AS norm_text,
+        |  nfc_normalize(strip_accents(lower(text))) <> text AS changed
+        |FROM documents""".stripMargin,
     "q116_kcore" -> {
       // six full peel rounds unrolled (the engine early-exits at the fixed
       // point, which by construction equals the round-6 edge set)
@@ -3191,6 +3277,9 @@ object Queries {
     "q113_boilerplate" -> (q113Boilerplate _),
     "q114_incremental_neardup" -> (q114IncrementalNeardup _),
     "q115_minmax_scale" -> (q115MinmaxScale _),
-    "q116_kcore" -> (q116Kcore _)
+    "q116_kcore" -> (q116Kcore _),
+    "q117_adc_topk" -> (q117AdcTopk _),
+    "q118_er_blocking" -> (q118ErBlocking _),
+    "q119_normalize" -> (q119Normalize _)
   )
 }

@@ -185,6 +185,15 @@ object Dedup {
     // both the df count and the ordered-set build.
     val els = docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), w)).as("tok"))
+    setSimJoinOnElems(els, tNum, tDen)
+  }
+
+  /** [[setSimJoin]]'s engine over an arbitrary (id, tok) element frame —
+    * also the core of [[blockedErJoin]], whose elements carry the blocking
+    * key inside the string. Same prefix + positional filtering, same
+    * integer rational threshold. */
+  private def setSimJoinOnElems(elems: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val els = elems
       .withColumn("h", xxhash64(col("tok")))
       .localCheckpoint()
     val dfc = els.groupBy("h").agg(count(lit(1)).as("df"))
@@ -234,6 +243,30 @@ object Dedup {
       .where(inter * tDen >= uni * tNum) // exact rational threshold
       .select(col("id1"), col("id2"),
         (inter.cast("double") / uni.cast("double")).as("jaccard"))
+  }
+
+  /** Blocked entity-resolution similarity join: record pairs whose NAME
+    * character-trigram sets reach Jaccard ≥ tNum/tDen, restricted to the
+    * same blocking key — the classic dirty-ER shape (block, then compare
+    * within blocks; Christen, "Data Matching", 2012, ch. 4).
+    *
+    * Blocking is encoded IN the element strings (block ⊕ 0x01 ⊕ trigram):
+    * cross-block pairs share zero elements, so the prefix filter kills
+    * them before any join — no per-block nested loop exists, and a hot
+    * block degrades into extra candidates for the positional filter
+    * rather than a quadratic enumeration. Everything else (rare-first
+    * global order, hashed join keys, integer threshold, exact verify) is
+    * [[setSimJoin]]'s engine, unchanged. */
+  def blockedErJoin(records: DataFrame, idCol: String, blockCol: String,
+                    nameCol: String, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tDen >= tNum,
+      s"blockedErJoin: threshold $tNum/$tDen must be in (0, 1]")
+    val els = records.select(col(idCol).as("id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col(nameCol)) - 2, lit(1))),
+        i => concat(col(blockCol).cast("string"), lit("\u0001"),
+          col(nameCol).substr(i, lit(3)))))).as("tok"))
+    setSimJoinOnElems(els, tNum, tDen)
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates → exact verify ≥ threshold.

@@ -56,6 +56,11 @@ object FastExprs {
   def fingerprint(text: Column): Column =
     ExpressionUtils.column(FingerprintExpr(ExpressionUtils.expression(text)))
 
+  /** Unicode normalization for corpus cleaning (lowercase + accent fold +
+    * NFC); single compiled pass ([[NormalizeTextExpr]]). */
+  def normalizeText(text: Column): Column =
+    ExpressionUtils.column(NormalizeTextExpr(ExpressionUtils.expression(text)))
+
   /** Gopher-style repetition ratio over non-distinct w-grams; value-
     * identical to the Column-algebra TextAnalysis path in one compiled
     * pass (see [[RepetitionRatioExpr.compute]]). */
@@ -567,5 +572,42 @@ object PqEncodeExpr {
       s += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Unicode text normalization for corpus cleaning: lowercase → NFD →
+  * strip combining marks (accent fold) → NFC. One compiled pass; the
+  * DuckDB mirror is nfc_normalize(strip_accents(lower(text))). The two
+  * engines' accent folding agrees on Latin scripts (the decompose-and-
+  * drop-Mn definition); exotic scripts with non-decomposable accents may
+  * differ from ICU's unaccent tables — the spec pins the Latin cases. */
+case class NormalizeTextExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override def nullSafeEval(input: Any): Any =
+    NormalizeTextExpr.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeTextExpr.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeTextExpr {
+  import java.text.Normalizer
+
+  def compute(s: UTF8String): UTF8String = {
+    // UTF8String.toLowerCase is the exact code Spark's `lower` runs
+    val lowered = s.toLowerCase.toString
+    val nfd = Normalizer.normalize(lowered, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
   }
 }

@@ -101,6 +101,62 @@ object Projection {
       })))
   }
 
+  /** Deterministic demo query vector for the ADC path (and its oracle):
+    * q[d] = LCG(d) folded into [-400, 400] — the component range of a
+    * quantized unit-norm vector. Mirrored literally in the q117 SQL. */
+  val QryA = 7919L
+  val QryC = 104729L
+  val QryRange = 801L
+
+  def demoQuery(dim: Int): Seq[Long] =
+    (0 until dim).map { d =>
+      ((QryA * d + QryC) % SignM) % QryRange - (QryRange - 1) / 2
+    }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al. TPAMI
+    * 2011 §III): the query is quantized ONCE into an nSub × nCent lookup
+    * table of squared L2 distances to every centroid, and each stored
+    * vector's approximate distance is the sum of `nSub` table lookups over
+    * its code bytes — no stored vector is ever decoded.
+    *
+    * `lut(s)(k)` must be the query-to-centroid table (computed driver-side
+    * from the same arithmetic codebooks — tiny: nSub·nCent longs, shipped
+    * as a literal into the plan). Scale shape: ONE scan over the codes
+    * column + a TakeOrderedAndProject — at 100 TB the codes table is
+    * ~nSub bytes/vector and the scan is the entire cost; compose with the
+    * IVF cell filter (Similarity.ivfTopK) to touch only probed cells. */
+  def adcDistance(codes: Column, lut: Seq[Seq[Long]]): Column = {
+    val lutCol = typedLit(lut.map(_.toIndexedSeq).toIndexedSeq)
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(lut.size - 1)),
+        (c, s) => element_at(element_at(lutCol, s + 1), c + 1)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** The query-side ADC lookup table: squared L2 distance from each
+    * `subDim`-slice of the quantized query to every arithmetic codebook
+    * centroid. Driver-side (nSub · nCent · subDim multiplications, once
+    * per query — never per row). */
+  def adcLut(query: Seq[Long], nSub: Int, nCent: Int): Seq[Seq[Long]] = {
+    require(query.size % nSub == 0, s"adcLut: ${query.size} not divisible by $nSub")
+    val subDim = query.size / nSub
+    val half = (CentRange - 1) / 2
+    (0 until nSub).map { s =>
+      (0 until nCent).map { k =>
+        var dist = 0L
+        var d = 0
+        while (d < subDim) {
+          val flat = (s.toLong * nCent + k) * subDim + d
+          val c = ((CentA * flat + CentC) % SignM) % CentRange - half
+          val diff = query(s * subDim + d) - c
+          dist += diff * diff
+          d += 1
+        }
+        dist
+      }
+    }
+  }
+
   /** Min-max scale a quantized vector to [0, `scale`] per dimension given
     * per-dimension min/max arrays (from VectorAgg.vectorMin/vectorMax —
     * one aggregate over the corpus, d longs of state). Integer floor

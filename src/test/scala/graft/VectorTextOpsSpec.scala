@@ -181,6 +181,95 @@ class VectorTextOpsSpec extends SparkSpec {
     out.toSet shouldBe Set((10L, 1L, 1.0), (12L, 11L, 1.0))
   }
 
+  test("adcDistance equals the brute-force LUT sum; exact-centroid query ranks itself first") {
+    val nSub = 2; val nCent = 4; val subDim = 2
+    val q = Seq(7L, -3L, 11L, 5L)
+    val lut = Projection.adcLut(q, nSub, nCent)
+    // independent LUT recomputation
+    for (s <- 0 until nSub; k <- 0 until nCent) {
+      val expect = (0 until subDim).map { d =>
+        val diff = q(s * subDim + d) - cent(s, k, d, nCent, subDim); diff * diff
+      }.sum
+      lut(s)(k) shouldBe expect
+    }
+    // a stored vector whose codes are the query's nearest centroids gets
+    // the minimal possible ADC distance
+    val best = (0 until nSub).map(s => lut(s).indexOf(lut(s).min))
+    val rows = Seq(
+      (1L, best.toSeq),
+      (2L, Seq((best(0) + 1) % nCent, best(1))),
+      (3L, Seq(best(0), (best(1) + 2) % nCent)))
+    val out = rows.toDF("id", "codes")
+      .select($"id", Projection.adcDistance($"codes", lut).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe lut(0).min + lut(1).min
+    out(1L) should be <= out(2L)
+    out(1L) should be <= out(3L)
+    // per-row check: ADC distance is exactly the sum of the row's lookups
+    out(2L) shouldBe lut(0)((best(0) + 1) % nCent) + lut(1)(best(1))
+  }
+
+  test("blockedErJoin matches names within a block and never across blocks") {
+    val recs = Seq(
+      (1L, 0, "Customer#000000001"),
+      (2L, 0, "Customer#000000002"),  // same block, 1-char difference
+      (3L, 1, "Customer#000000001"),  // identical name, DIFFERENT block
+      (4L, 0, "Zxqwvu#999"))          // same block, dissimilar
+      .toDF("id", "block", "name")
+    val out = Dedup.blockedErJoin(recs, "id", "block", "name", tNum = 3, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((1L, 2L))
+  }
+
+  test("normalizeText lowercases, folds accents, and recomposes NFC") {
+    val df = Seq("Café NAÏVE", "ASCII only", "éclair").toDF("text")
+    val out = df.select(graft.functions.FastExprs.normalizeText($"text"))
+      .collect().map(_.getString(0))
+    out(0) shouldBe "cafe naive"
+    out(1) shouldBe "ascii only"
+    out(2) shouldBe "eclair" // decomposed é folds to plain e
+  }
+
+  test("incrementalNearDup over everything-as-batch equals the batch minHashDedup pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (5L, "nothing like the others at all here"))
+      .toDF("doc_id", "text")
+    val emptyIndex = Dedup.minHashBuckets(docs.where($"doc_id" < 0), portable = true)
+    val inc = Dedup.incrementalNearDup(emptyIndex, docs, docs,
+        minJaccard = 0.5, portable = true, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (match=older, newer)
+    val batch = Dedup.minHashDedup(docs, threshold = 0.5, portable = true,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    inc shouldBe batch
+  }
+
+  test("kCore result is its own fixed point: every member has in-core degree >= k") {
+    // lineitem-like random graph
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 3, maxRounds = 10)
+    val members = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.unpersist(core)
+    // recompute induced degrees independently
+    val canon = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val induced = canon.filter { case (a, b) =>
+      members.contains(a) && members.contains(b) }
+    val deg = induced.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    members.foreach { case (n, d) =>
+      deg.getOrElse(n, 0L) shouldBe d
+      assert(d >= 3L, s"node $n has in-core degree $d < 3")
+    }
+  }
+
   test("kCore peels to the dense core with in-core degrees") {
     // triangle 1-2-3 with a tail 3-4-5: 2-core = the triangle
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
