@@ -1328,6 +1328,50 @@ object Queries {
       .select(col("doc_id"), col("norm_text"),
         (col("norm_text") =!= col("text")).as("changed"))
 
+  /** Per-nation top-5 customers by balance via the native bounded top-k
+    * aggregate ([[graft.functions.TopKAgg]]): a k-element heap per group
+    * per partition, so the exchange carries groups × k rows — the window
+    * row_number() idiom this replaces shuffles and sorts EVERY row.
+    * Balances route through DECIMAL cents (exact on both engines). */
+  def q120GroupedTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_nationkey"),
+        struct((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("v"),
+          col("c_custkey").as("id")).as("p"))
+      .groupBy("c_nationkey")
+      .agg(graft.functions.TopKAgg.topK(col("p"), 5).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("c_custkey"), col("col.v").as("bal_cents"))
+
+  /** Community detection: 3 synchronous label-propagation rounds over the
+    * lineitem part-sequence graph (deterministic most-frequent-neighbor
+    * label, ties to the smallest — [[graft.operators.Graph
+    * .labelPropagation]]). */
+  def q121Communities(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .where(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("dst"))
+    graft.operators.Graph.labelPropagation(edges, rounds = 3)
+  }
+
+  /** Market-basket lift over orders × parts — the SAME engine as q112's
+    * token lift ([[graft.text.TextAnalysis.cooccurLiftOn]]): baskets are
+    * documents, items are tokens, co-purchase lift is co-occurrence lift. */
+  def q122BasketLift(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.cooccurLiftOn(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("id"),
+          col("l_partkey").cast("string").as("tok"))
+        .distinct(),
+      minDf = 2, maxPerGroup = 15, minPairCount = 2)
+      .select(col("tok_a").as("part_a"), col("tok_b").as("part_b"),
+        col("n_ab"), col("n_a"), col("n_b"), col("lift"))
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2349,6 +2393,60 @@ object Queries {
         |  nfc_normalize(strip_accents(lower(text))) AS norm_text,
         |  nfc_normalize(strip_accents(lower(text))) <> text AS changed
         |FROM documents""".stripMargin,
+    "q120_grouped_topk" ->
+      """SELECT c_nationkey, CAST(rn AS INT) AS rank, c_custkey, bal_cents
+        |FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY
+        |      CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+        |      c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 5""".stripMargin,
+    "q121_communities" -> {
+      // three synchronous LPA rounds unrolled; MATERIALIZED (each lᵢ/e is
+      // referenced twice per round — default inlining re-expands the chain)
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.a AS node, l.label AS label,
+           |    count(*) AS c
+           |  FROM e JOIN l${i - 1} l ON l.node = e.b GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH adj AS (
+         |  SELECT l_partkey AS src, lead(l_partkey) OVER
+         |      (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem),
+         |d AS (SELECT DISTINCT src, dst FROM adj
+         |      WHERE dst IS NOT NULL AND dst <> src),
+         |e AS MATERIALIZED (
+         |  SELECT src AS a, dst AS b FROM d UNION SELECT dst, src FROM d),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT a AS node, a AS label FROM e),
+         |$rounds
+         |SELECT node, label FROM l3""".stripMargin
+    },
+    "q122_basket_lift" ->
+      """WITH tk AS (SELECT DISTINCT l_orderkey AS id,
+        |    CAST(l_partkey AS VARCHAR) AS tok FROM lineitem),
+        |df AS (SELECT tok, count(*) AS n_t FROM tk GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |cap AS (SELECT id, tok FROM (
+        |    SELECT tk.id, tk.tok,
+        |      row_number() OVER (PARTITION BY tk.id ORDER BY tk.tok) AS rn
+        |    FROM tk JOIN df USING (tok)) WHERE rn <= 15),
+        |na AS (SELECT tok, count(*) AS n_tok FROM cap GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT id) AS n_docs FROM cap),
+        |p AS (SELECT a.tok AS part_a, b.tok AS part_b, count(*) AS n_ab
+        |  FROM cap a JOIN cap b ON a.id = b.id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_ab, na1.n_tok AS n_a, na2.n_tok AS n_b,
+        |  CAST(n_ab * n_docs AS DOUBLE)
+        |    / CAST(na1.n_tok * na2.n_tok AS DOUBLE) AS lift
+        |FROM p JOIN na na1 ON na1.tok = p.part_a
+        |       JOIN na na2 ON na2.tok = p.part_b, nd""".stripMargin,
     "q116_kcore" -> {
       // six full peel rounds unrolled (the engine early-exits at the fixed
       // point, which by construction equals the round-6 edge set)
@@ -3280,6 +3378,9 @@ object Queries {
     "q116_kcore" -> (q116Kcore _),
     "q117_adc_topk" -> (q117AdcTopk _),
     "q118_er_blocking" -> (q118ErBlocking _),
-    "q119_normalize" -> (q119Normalize _)
+    "q119_normalize" -> (q119Normalize _),
+    "q120_grouped_topk" -> (q120GroupedTopk _),
+    "q121_communities" -> (q121Communities _),
+    "q122_basket_lift" -> (q122BasketLift _)
   )
 }

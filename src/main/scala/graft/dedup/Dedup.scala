@@ -1,7 +1,8 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.FastExprs
 import graft.text.TextAnalysis.{portableHash, tokens}
@@ -528,6 +529,63 @@ object Dedup {
     jaccardVerify(allDocs, cand, idCol, textCol, w)
       .where(col("jaccard") >= minJaccard)
       .select(col("id2").as(idCol), col("id1").as("match_id"), col("jaccard"))
+  }
+
+  /** Streaming twin of [[incrementalNearDup]]: continuous-ingest near-dup
+    * maintenance. Each micro-batch probes the durable band index under
+    * `stateDir`, appends its verified matches, then commits its own bands
+    * and texts — the corpus is banded exactly once, ever, no matter how
+    * many batches arrive (the property that makes nightly dedup of a
+    * 100 TB corpus affordable).
+    *
+    * State layout (all parquet, one `batch=<id>` subdir per micro-batch,
+    * each written with overwrite so a crash-redelivered batch is
+    * IDEMPOTENT rather than duplicated):
+    *   stateDir/index — (id, bucket) band index of everything ingested
+    *   stateDir/docs  — (id, text) for candidate verification
+    *   stateDir/pairs — (id, match_id, jaccard) verified matches
+    *
+    * Requires ingest ids to be monotone across batches (earlier batch =
+    * smaller ids), the same "earlier = already accepted" contract as
+    * [[incrementalNearDup]]. Pairs are written before index/docs, so a
+    * crash between the writes re-runs the batch and overwrites — never
+    * drops — its output. */
+  def nearDupStream(spark: SparkSession, docs: DataFrame, stateDir: String,
+                    checkpoint: String, minJaccard: Double,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    w: Int = 3, k: Int = 16, bands: Int = 4,
+                    portable: Boolean = false, maxBucketSize: Int = 10000,
+                    availableNow: Boolean = false): StreamingQuery = {
+    val idxPath = s"$stateDir/index"
+    val docsPath = s"$stateDir/docs"
+    val pairsPath = s"$stateDir/pairs"
+    def exists(p: String): Boolean =
+      graft.operators.Upsert.tableExists(spark, p)
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
+          val index =
+            if (exists(idxPath))
+              spark.read.parquet(idxPath).select(col(idCol), col("bucket"))
+            else b.select(col(idCol)).limit(0).withColumn("bucket", lit(0L))
+          val known =
+            if (exists(docsPath))
+              spark.read.parquet(docsPath).select(col(idCol), col(textCol))
+            else b.limit(0)
+          val all = known.unionByName(b)
+          val pairs = incrementalNearDup(index, b, all, minJaccard,
+            idCol, textCol, w, k, bands, portable, maxBucketSize)
+          pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$bid")
+          minHashBuckets(b, idCol, textCol, w, k, bands, portable)
+            .write.mode("overwrite").parquet(s"$idxPath/batch=$bid")
+          b.write.mode("overwrite").parquet(s"$docsPath/batch=$bid")
+          graft.operators.Graph.unpersist(b)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
   }
 
   /** Decontamination probe: documents sharing at least one w-shingle with

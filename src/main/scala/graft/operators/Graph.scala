@@ -261,6 +261,58 @@ object Graph {
     } finally unpersist(cur)
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al., Phys. Rev. E 2007), `rounds` full rounds: every node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — a total order, so unlike the
+    * async/random formulation in the paper this is deterministic,
+    * partitioning-invariant, and replayable in SQL (the q121 oracle
+    * unrolls the same rounds). Labels seed as node ids.
+    *
+    * Fixed rounds rather than convergence: synchronous LPA can 2-cycle on
+    * bipartite-ish structures (known property), so "no change" is not
+    * guaranteed — a small fixed round count is the standard practical
+    * choice and what the oracle can mirror exactly.
+    *
+    * Scale shape: per round, one join of (node, label) longs onto the
+    * symmetrized edge list + one (node, label) count aggregate + one
+    * argmax window over the count rows (partitioned by node — shares the
+    * count's hash partitioning). Same per-round localCheckpoint +
+    * unpersist discipline as [[pageRank]]. */
+  def labelPropagation(edges: DataFrame, src: String = "src",
+                       dst: String = "dst", rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    try {
+      for (_ <- 1 to rounds) {
+        val counts = sym
+          .join(labels.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a").as("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("node")
+          .orderBy(col("c").desc, col("label"))
+        val next = counts
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("node", "label")
+          .localCheckpoint()
+        unpersist(labels)
+        labels = next
+      }
+      labels
+    } catch {
+      case t: Throwable => unpersist(labels); throw t
+    } finally unpersist(sym)
+  }
+
   /** [[pageRank]] with durable per-round state: after every
     * `checkpointEvery` completed rounds (and after the last), the
     * (node, rank) snapshot is committed — with a `__round` marker — to the

@@ -350,18 +350,27 @@ object TextAnalysis {
     * probabilities are consistent by construction. */
   def cooccurLift(docs: DataFrame, minDf: Int = 2, maxTokensPerDoc: Int = 30,
                   minPairDocs: Int = 2, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text"): DataFrame =
+    cooccurLiftOn(
+      docs.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(lower(col(textCol))))).as("tok")),
+      minDf, maxTokensPerDoc, minPairDocs)
+
+  /** [[cooccurLift]]'s engine over an arbitrary distinct (id, tok) element
+    * frame — also the market-basket shape (id = basket, tok = item): lift
+    * over co-purchases is the identical computation. Elements must be
+    * distinct per id (the text path guarantees it via array_distinct). */
+  def cooccurLiftOn(elems: DataFrame, minDf: Int, maxPerGroup: Int,
+                    minPairCount: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(maxTokensPerDoc >= 2, "cooccurLift: need at least 2 tokens/doc")
-    val toks = docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(tokens(lower(col(textCol))))).as("tok"))
+    require(maxPerGroup >= 2, "cooccurLift: need at least 2 tokens/doc")
+    val toks = elems
     val dft = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
       .where(col("n_t") >= minDf)
     val wcap = Window.partitionBy(col("id")).orderBy(col("tok"))
     val capped = toks.join(dft.select("tok"), "tok")
       .withColumn("rn", row_number().over(wcap))
-      .where(col("rn") <= maxTokensPerDoc)
+      .where(col("rn") <= maxPerGroup)
       .select("id", "tok")
     val na = capped.groupBy("tok").agg(count(lit(1)).as("n_tok"))
     val nDocs = capped.select("id").distinct()
@@ -370,7 +379,7 @@ object TextAnalysis {
       .join(capped.select(col("id"), col("tok").as("tok_b")), "id")
       .where(col("tok_a") < col("tok_b"))
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minPairDocs)
+      .where(col("n_ab") >= minPairCount)
     pairs
       .join(na.select(col("tok").as("tok_a"), col("n_tok").as("n_a")), "tok_a")
       .join(na.select(col("tok").as("tok_b"), col("n_tok").as("n_b")), "tok_b")

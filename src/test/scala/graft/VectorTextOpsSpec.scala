@@ -270,6 +270,111 @@ class VectorTextOpsSpec extends SparkSpec {
     }
   }
 
+  test("topK aggregate matches a window rank and is partitioning-invariant") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (i % 7, rnd.nextInt(50).toLong, i.toLong))
+    val df = rows.toDF("g", "v", "id")
+    def viaAgg(parts: Int) = df.repartition(parts)
+      .select($"g", struct($"v", $"id").as("p"))
+      .groupBy("g").agg(graft.functions.TopKAgg.topK($"p", 5).as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", ($"pos" + 1).cast("long").as("rank"), $"col.v", $"col.id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id")
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 5)
+      .select($"g", $"rank".cast("long"), $"v", $"id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    viaAgg(1) shouldBe viaWindow
+    viaAgg(13) shouldBe viaWindow
+  }
+
+  test("topK keeps groups smaller than k whole; ties order by id asc") {
+    val df = Seq((1, 9L, 3L), (1, 9L, 1L), (1, 9L, 2L), (2, 5L, 9L))
+      .toDF("g", "v", "id")
+    val out = df.select($"g", struct($"v", $"id").as("p"))
+      .groupBy("g").agg(graft.functions.TopKAgg.topK($"p", 2).as("top"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Row](1).map(s => (s.getLong(0), s.getLong(1)))).toMap
+    out(1) shouldBe Seq((9L, 1L), (9L, 2L)) // id breaks the tie
+    out(2) shouldBe Seq((5L, 9L))           // fewer than k survives intact
+  }
+
+  test("q120 plan uses the aggregate path: no window, one shuffle") {
+    val plan = Queries.q120GroupedTopk(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include ("ObjectHashAggregate")
+  }
+
+  test("labelPropagation finds the two cliques; bridge node joins one deterministically") {
+    // cliques {1,2,3} and {10,11,12}, bridged 3-10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, rounds = 3)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.unpersist(out)
+    labels(1L) shouldBe 1L
+    labels(2L) shouldBe 1L
+    Set(labels(10L), labels(11L), labels(12L)).size shouldBe 1
+    // synchronous + (count desc, label asc) tie-break: reruns are identical
+    val out2 = Graph.labelPropagation(edges, rounds = 3)
+    val again = out2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.unpersist(out2)
+    again shouldBe labels
+  }
+
+  test("nearDupStream micro-batches equal one-shot incremental dedup") {
+    val srcDir = tmpDir("neardup_src")
+    val stateDir = tmpDir("neardup_state")
+    val ckpt = tmpDir("neardup_ckpt")
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val b1 = Seq((1L, text),
+      (2L, "totally different early content over here")).toDF("doc_id", "text")
+    val b2 = Seq((10L, text), // dup of batch-1 doc 1
+      (11L, "another unique later document body entirely"),
+      (12L, "another unique later document body entirely")) // dup of 11
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(s"$srcDir/b1")
+    b2.coalesce(1).write.parquet(s"$srcDir/b2")
+    // force the file-source order to match id order (mod-time ordering)
+    def stamp(dir: String, t: Long): Unit =
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(t))
+    stamp(s"$srcDir/b1", 1000000000000L)
+    stamp(s"$srcDir/b2", 1000000100000L)
+    val sch = spark.read.parquet(s"$srcDir/b1").schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+    val q = Dedup.nearDupStream(spark, stream, stateDir, ckpt,
+      minJaccard = 0.5, portable = true, maxBucketSize = Int.MaxValue,
+      availableNow = true)
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.read.parquet(s"$stateDir/pairs")
+      .select("doc_id", "match_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    streamed shouldBe Set((10L, 1L), (12L, 11L))
+    // and the durable index now covers everything ingested once
+    val all = b1.unionByName(b2)
+    val emptyIndex = Dedup.minHashBuckets(all.where($"doc_id" < 0), portable = true)
+    val oneShot = Dedup.incrementalNearDup(emptyIndex, all, all,
+        minJaccard = 0.5, portable = true, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    streamed shouldBe oneShot
+    spark.read.parquet(s"$stateDir/index").select("doc_id").distinct().count() shouldBe 5L
+  }
+
+  test("cooccurLiftOn over baskets: co-purchase lift by hand") {
+    val elems = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"))
+      .toDF("id", "tok")
+    val out = TextAnalysis.cooccurLiftOn(elems, minDf = 1, maxPerGroup = 10,
+        minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    // x in 3 baskets, y in 2, together 2, N=3 → lift = 2·3/(3·2) = 1.0
+    out.toSeq shouldBe Seq(("x", "y", 2L, 1.0))
+  }
+
   test("kCore peels to the dense core with in-core degrees") {
     // triangle 1-2-3 with a tail 3-4-5: 2-core = the triangle
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
