@@ -1372,6 +1372,119 @@ object Queries {
       .select(col("tok_a").as("part_a"), col("tok_b").as("part_b"),
         col("n_ab"), col("n_a"), col("n_b"), col("lift"))
 
+  private val SlidingKmvK = 4096
+
+  /** Trailing-3-hour distinct users per hour bucket via MERGEABLE KMV
+    * sketches: one sketch per bucket (the only pass over events), then a
+    * sliding union over BUCKET rows — at 100 TB the window runs over
+    * hours-in-a-year rows, never events, and yesterday's sketches never
+    * recompute ([[graft.functions.Sketches]]; exact below k=4096, which
+    * covers the test scales — at higher cardinality the value degrades
+    * gracefully to the (k−1)/R estimate, which is the point of the
+    * sketch). */
+  def q123SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val k = SlidingKmvK
+    val perBucket = events(s, dir)
+      .select(floorDiv(unix_micros(col("ts")), 3600000000L).as("bucket"),
+        col("user_id"))
+      .groupBy("bucket")
+      .agg(Sketches.kmvSketch(Sketches.hash63(col("user_id").cast("string")), k)
+        .as("sk"))
+    val w = Window.orderBy("bucket").rangeBetween(-2, 0)
+    perBucket
+      .withColumn("sks", collect_list(col("sk")).over(w))
+      .select(col("bucket"),
+        Sketches.kmvEstimate(
+          aggregate(col("sks"), array().cast("array<bigint>"),
+            (acc, sk) => Sketches.kmvUnion(acc, sk, k)), k)
+          .as("distinct_users"))
+  }
+
+  /** RefinedWeb/C4-style source-level curation: one rollup scan computes
+    * per-source volume and mean length (mean expressed as the exact
+    * cross-multiplication `sum_chars vs n_docs·bound` — no division, so the
+    * gate is integer-exact on every engine), the tiny surviving-source list
+    * broadcasts back as a semi-join, and the corpus itself never shuffles —
+    * at 100 TB both passes are scan-shaped and the gate list is a handful
+    * of rows. */
+  def q124SourceCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val stats = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    val kept = stats.where(col("n_docs") >= 10 &&
+        col("sum_chars") >= col("n_docs") * 280 &&
+        col("sum_chars") <= col("n_docs") * 330)
+      .select("source")
+    docs.join(broadcast(kept), Seq("source"), "left_semi")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Per-language length floor (Gopher/CCNet-style quality gate): keep the
+    * top 90% of each language's length distribution. The cut is defined on
+    * `percent_rank` — (rank−1)/(n−1), pure long arithmetic divided once —
+    * so the survivor set is bit-identical across engines, unlike an
+    * interpolated-percentile threshold whose last-ulp rounding is
+    * implementation-defined. One window exchange partitioned by lang; the
+    * bounded-memory alternative for a 100 TB corpus is the histogram-
+    * quantile path (q83/q104) — this is the exactness contract. */
+  def q125LangFloor(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+    docs.withColumn("pr", percent_rank().over(w))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pr") >= 0.1, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("pr") >= 0.1, col("n_chars"))).as("floor_chars"))
+  }
+
+  /** Equi-depth quartile binning (feature discretization) per language:
+    * ntile over the fully deterministic (n_chars, doc_id) order — both
+    * engines implement SQL-standard NTILE (front-loaded remainder), so the
+    * binning is reproducible, not tie-arbitrary. Output is the per-bin
+    * profile (count + value range), the shape a feature-bucketizer stores.
+    * Single window exchange by lang. */
+  def q126EquidepthBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    docs.withColumn("bin", ntile(4).over(w))
+      .groupBy("lang", "bin").agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars"))
+  }
+
+  /** Contrastive hard-negative mining: for each query embedding, the top-5
+    * most-similar vectors with a DIFFERENT label
+    * ([[graft.similarity.Similarity.hardNegatives]] — broadcast queries,
+    * corpus never shuffles, integer-quantized cosine so ranking is
+    * partition-invariant). */
+  def q127HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.where(col("vec_id") < 5), k = 5)
+      .select(col("query_id"), col("corpus_id"),
+        col("c_label").as("neg_label"), col("rank"))
+  }
+
+  /** Corpus mixture diversity: Gini–Simpson index 1 − Σp² of the source
+    * and language distributions, computed as (total² − Σcnt²)/total² —
+    * exact long arithmetic until one final division, so the index is
+    * bit-identical across engines and partitionings (no logs, no
+    * order-dependent float sums). Two tiny rollups over one scan shape;
+    * at 100 TB each is a map-side-combined groupBy on a low-cardinality
+    * key. */
+  def q128Diversity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def giniOf(keyCol: String): DataFrame =
+      docs.groupBy(keyCol).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("c")).as("n_docs"),
+          sum(col("c") * col("c")).as("sum_sq"))
+        .select(lit(keyCol).as("dimension"), col("n_groups"), col("n_docs"),
+          ((col("n_docs") * col("n_docs") - col("sum_sq")).cast("double") /
+            (col("n_docs") * col("n_docs")).cast("double"))
+            .as("gini_simpson"))
+    giniOf("source").unionByName(giniOf("lang"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2393,6 +2506,77 @@ object Queries {
         |  nfc_normalize(strip_accents(lower(text))) AS norm_text,
         |  nfc_normalize(strip_accents(lower(text))) <> text AS changed
         |FROM documents""".stripMargin,
+    "q123_sliding_distinct" ->
+      // exact sliding count-distinct: valid because every 3-hour window's
+      // cardinality is far below k, where the sketch IS the distinct set
+      """WITH b AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS bucket,
+        |    user_id FROM events),
+        |bk AS (SELECT DISTINCT bucket FROM b)
+        |SELECT bk.bucket,
+        |  CAST(count(DISTINCT b.user_id) AS DOUBLE) AS distinct_users
+        |FROM bk JOIN b ON b.bucket BETWEEN bk.bucket - 2 AND bk.bucket
+        |GROUP BY 1""".stripMargin,
+    "q124_source_curation" ->
+      """WITH stats AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |  FROM documents GROUP BY 1),
+        |kept AS (
+        |  SELECT source FROM stats
+        |  WHERE n_docs >= 10 AND sum_chars >= n_docs * 280
+        |    AND sum_chars <= n_docs * 330)
+        |SELECT d.source, d.lang, count(*) AS n_kept
+        |FROM documents d JOIN kept USING (source)
+        |GROUP BY 1, 2""".stripMargin,
+    "q125_lang_floor" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pr >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(CASE WHEN pr >= 0.1 THEN n_chars END) AS floor_chars
+        |FROM r GROUP BY 1""".stripMargin,
+    "q126_equidepth_bins" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    CAST(ntile(4) OVER (PARTITION BY lang
+        |                        ORDER BY n_chars, doc_id) AS INT) AS bin
+        |  FROM documents)
+        |SELECT lang, bin, count(*) AS n_docs,
+        |  min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q127_hard_negatives" ->
+      s"""WITH c AS (SELECT vec_id AS corpus_id, label AS c_label,
+         |             ${quantSql("embedding")} AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS q_label,
+         |        ${quantSql("embedding")} AS v FROM embeddings
+         |      WHERE vec_id < 5),
+         |s AS (SELECT query_id, corpus_id, c_label,
+         |        list_dot_product(q.v, c.v)
+         |          / (sqrt(list_dot_product(q.v, q.v))
+         |             * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |      FROM q, c WHERE c_label <> q_label)
+         |SELECT query_id, corpus_id, c_label AS neg_label,
+         |  CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, corpus_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 5""".stripMargin,
+    "q128_diversity" ->
+      """WITH s AS (SELECT source AS k, count(*) AS c FROM documents GROUP BY 1),
+        |l AS (SELECT lang AS k, count(*) AS c FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT 'source' AS dimension, CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(c) AS BIGINT) AS n_docs, CAST(sum(c*c) AS BIGINT) AS sum_sq
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'lang', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+        |    CAST(sum(c*c) AS BIGINT)
+        |  FROM l)
+        |SELECT dimension, n_groups, n_docs,
+        |  CAST(n_docs*n_docs - sum_sq AS DOUBLE)
+        |    / CAST(n_docs*n_docs AS DOUBLE) AS gini_simpson
+        |FROM g""".stripMargin,
     "q120_grouped_topk" ->
       """SELECT c_nationkey, CAST(rn AS INT) AS rank, c_custkey, bal_cents
         |FROM (
@@ -3381,6 +3565,12 @@ object Queries {
     "q119_normalize" -> (q119Normalize _),
     "q120_grouped_topk" -> (q120GroupedTopk _),
     "q121_communities" -> (q121Communities _),
-    "q122_basket_lift" -> (q122BasketLift _)
+    "q122_basket_lift" -> (q122BasketLift _),
+    "q123_sliding_distinct" -> (q123SlidingDistinct _),
+    "q124_source_curation" -> (q124SourceCuration _),
+    "q125_lang_floor" -> (q125LangFloor _),
+    "q126_equidepth_bins" -> (q126EquidepthBins _),
+    "q127_hard_negatives" -> (q127HardNegatives _),
+    "q128_diversity" -> (q128Diversity _)
   )
 }

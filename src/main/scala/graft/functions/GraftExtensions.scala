@@ -71,7 +71,24 @@ object GraftExtensions {
       info("cosine_q", "cosine_q(a, b) - exact cosine over quantized long vectors"),
       { case Seq(a, b) => CosineQExpr(a, b)
         case args => throw new IllegalArgumentException(
-          s"cosine_q expects 2 arguments, got ${args.size}") }))
+          s"cosine_q expects 2 arguments, got ${args.size}") }),
+    (FunctionIdentifier("jl_project"),
+      info("jl_project", "jl_project(qvec, in_dim, out_dim) - integer-exact JL sign projection"),
+      { case Seq(v, i, o) => JlProjectExpr(v,
+          litInt(i, "jl_project", "in_dim"), litInt(o, "jl_project", "out_dim"))
+        case args => throw new IllegalArgumentException(
+          s"jl_project expects 3 arguments, got ${args.size}") }),
+    (FunctionIdentifier("pq_encode"),
+      info("pq_encode", "pq_encode(qvec, in_dim, n_sub, n_cent) - PQ codes + per-subspace error"),
+      { case Seq(v, i, s, c) => PqEncodeExpr(v, litInt(i, "pq_encode", "in_dim"),
+          litInt(s, "pq_encode", "n_sub"), litInt(c, "pq_encode", "n_cent"))
+        case args => throw new IllegalArgumentException(
+          s"pq_encode expects 4 arguments, got ${args.size}") }),
+    (FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(text) - lowercase + accent fold + NFC"),
+      { case Seq(t) => NormalizeTextExpr(t)
+        case args => throw new IllegalArgumentException(
+          s"normalize_text expects 1 argument, got ${args.size}") }))
 
   /** Register on a live session (the config-based path only applies at
     * session build time). Idempotent: re-registration replaces. */

@@ -37,6 +37,25 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors carrying a DIFFERENT label (the pairs a
+    * bi-encoder most needs to push apart). Same broadcast shape as
+    * [[bruteForceTopK]] — the corpus never shuffles; the label predicate
+    * rides the broadcast join, so excluded same-label rows are dropped
+    * before any scoring work. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("c_label"), quantize(col(vecCol)).as("cq"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), quantize(col(vecCol)).as("qq"))
+    val scored = c.join(broadcast(q), col("c_label") =!= col("q_label"))
+      .select(col("query_id"), col("corpus_id"), col("c_label"),
+        cosineQ(col("cq"), col("qq")).as("cos_sim"))
+    topK(scored, k)
+  }
+
   /** Shared ranking tail: per-query rank by cosine desc, ties on corpus id
     * — one definition so exact and ANN paths can never drift. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** Hand-checked cases for the corpus-curation batch: source-level gating,
+  * percent-rank language floor, equi-depth binning, hard-negative mining,
+  * and the exact-arithmetic Gini–Simpson diversity index. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("source curation keeps exactly the sources inside the mean-length band") {
+    // srcA mean 300 (in [280,330]), srcB mean 200 (below), srcC mean 400 (above)
+    val docs = Seq.tabulate(30) { i =>
+      val (src, base) = i % 3 match {
+        case 0 => ("srcA", 300L)
+        case 1 => ("srcB", 200L)
+        case _ => ("srcC", 400L)
+      }
+      // symmetric wiggle so the mean stays exactly at base
+      val wiggle = Seq(-5L, 0L, 5L, 0L, -5L, 5L, 0L, 0L, -5L, 5L)(i / 3)
+      (i.toLong, "t", if (i % 5 == 0) "en" else "fr", src, base + wiggle)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stats = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    val kept = stats.where(col("n_docs") >= 10 &&
+        col("sum_chars") >= col("n_docs") * 280 &&
+        col("sum_chars") <= col("n_docs") * 330)
+      .select("source").as[String].collect().toSet
+    kept shouldBe Set("srcA")
+    val out = docs.join(broadcast(stats.where(col("sum_chars") >= col("n_docs") * 280 &&
+        col("sum_chars") <= col("n_docs") * 330).select("source")),
+        Seq("source"), "left_semi")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_kept"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out shouldBe Map(("srcA", "en") -> 2L, ("srcA", "fr") -> 8L)
+  }
+
+  test("percent-rank floor keeps the top 90% and is exact at the boundary") {
+    // 11 docs in one lang, lengths 100..200 step 10: percent_rank of the
+    // i-th is i/10; the 0.1 cut drops exactly the shortest doc
+    val docs = (0 to 10).map(i => (i.toLong, "t", "en", "s", 100L + 10 * i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_chars")
+    val out = docs.withColumn("pr", percent_rank().over(w))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pr") >= 0.1, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("pr") >= 0.1, col("n_chars"))).as("floor_chars"))
+      .collect()(0)
+    out.getLong(1) shouldBe 11L
+    out.getLong(2) shouldBe 10L // pr of the second doc is exactly 0.1 → kept
+    out.getLong(3) shouldBe 110L
+  }
+
+  test("equi-depth ntile front-loads the remainder deterministically") {
+    // 10 rows into 4 bins → sizes 3,3,2,2 in the (n_chars, doc_id) order
+    val docs = (0 until 10).map(i => (i.toLong, "t", "en", "s", 100L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val bins = docs.withColumn("bin", ntile(4).over(w))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    bins shouldBe Map(
+      1 -> ((3L, 100L, 102L)), 2 -> ((3L, 103L, 105L)),
+      3 -> ((2L, 106L, 107L)), 4 -> ((2L, 108L, 109L)))
+  }
+
+  test("hard negatives exclude the query's own label and rank by cosine") {
+    // axis-aligned vectors: query (1,0) label 0; same-label near-twin must
+    // NOT appear; the nearest different-label vector wins rank 1
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0),     // query, label 0
+      (1L, Seq(0.99f, 0.1f), 0), // same label — excluded despite cos≈1
+      (2L, Seq(0.9f, 0.4f), 1),  // different label, closest
+      (3L, Seq(0f, 1f), 1),      // different label, orthogonal
+      (4L, Seq(-1f, 0f), 2))     // different label, opposite
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.where(col("vec_id") === 0L), k = 3)
+      .select("corpus_id", "rank").as[(Long, Int)].collect().toMap
+    out.keySet should not contain 1L
+    out shouldBe Map(2L -> 1, 3L -> 2, 4L -> 3)
+  }
+
+  test("Gini–Simpson is 0 for a single group and (n-1)/n for uniform groups") {
+    def gini(df: org.apache.spark.sql.DataFrame, keyCol: String): Double =
+      df.groupBy(keyCol).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+        .select(((col("n") * col("n") - col("ss")).cast("double") /
+          (col("n") * col("n")).cast("double")))
+        .as[Double].collect()(0)
+    val single = Seq(("a", 1), ("a", 2), ("a", 3)).toDF("k", "v")
+    gini(single, "k") shouldBe 0.0
+    // 4 uniform groups of 2 → 1 - 4·(2/8)² = 0.75, exactly representable
+    val uniform = (0 until 8).map(i => (s"g${i % 4}", i)).toDF("k", "v")
+    gini(uniform, "k") shouldBe 0.75
+  }
+}

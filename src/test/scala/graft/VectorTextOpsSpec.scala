@@ -375,6 +375,44 @@ class VectorTextOpsSpec extends SparkSpec {
     out.toSeq shouldBe Seq(("x", "y", 2L, 1.0))
   }
 
+  test("jl_project / pq_encode / normalize_text are callable from SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT jl_project(array(3L, -1L, 4L, 2L), 4, 2) AS p,
+        |  transform(pq_encode(array(10L, -20L, 30L, -40L), 4, 1, 4),
+        |    e -> e.code) AS codes,
+        |  normalize_text('Café NAÏVE') AS n""".stripMargin).collect()(0)
+    val viaApi = Seq((1L, Seq(3L, -1L, 4L, 2L))).toDF("id", "qv")
+      .select(Projection.jlProject($"qv", 4, 2)).collect()(0).getSeq[Long](0)
+    r.getSeq[Long](0) shouldBe viaApi
+    r.getSeq[Int](1) should have size 1
+    r.getString(2) shouldBe "cafe naive"
+  }
+
+  test("sliding KMV union over buckets equals a rebuild over the window's rows") {
+    import graft.functions.Sketches
+    val k = 64
+    val rows = (0 until 300).map(i => (i % 5, s"user${i % 37 + (i % 5) * 11}"))
+    val df = rows.toDF("bucket", "u")
+    val perBucket = df.groupBy("bucket")
+      .agg(Sketches.kmvSketch(Sketches.hash63($"u"), k).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rangeBetween(-2, 0)
+    val slid = perBucket.withColumn("sks", collect_list($"sk").over(w))
+      .select($"bucket",
+        Sketches.kmvEstimate(
+          aggregate($"sks", array().cast("array<bigint>"),
+            (acc, sk) => Sketches.kmvUnion(acc, sk, k)), k).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // independent rebuild: one sketch straight over each trailing window
+    val direct = (0 until 5).map { b =>
+      val users = rows.filter { case (bb, _) => bb >= b - 2 && bb <= b }
+        .map(_._2).distinct.size
+      b -> users.toDouble // all windows here are below k → exact
+    }.toMap
+    slid shouldBe direct
+  }
+
   test("kCore peels to the dense core with in-core degrees") {
     // triangle 1-2-3 with a tail 3-4-5: 2-core = the triangle
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
