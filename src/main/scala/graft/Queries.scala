@@ -1485,6 +1485,74 @@ object Queries {
     giniOf("source").unionByName(giniOf("lang"))
   }
 
+  private val ChunkW = 50
+  private val ChunkS = 25
+
+  /** RAG-style document chunking: fixed token windows of W=50 with stride
+    * S=25, final partial chunk kept only if it adds tokens the previous
+    * chunk didn't cover (`start + S < n_toks`). Pure scan + explode —
+    * zero shuffles, so at 100 TB it's embarrassingly parallel and the
+    * chunk table inherits the corpus's partitioning. */
+  def q129DocChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs
+      .withColumn("toks", split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(filter(
+          sequence(lit(0), greatest(col("n_toks") - 1, lit(0)), lit(ChunkS)),
+          st => st === 0 || st + lit(ChunkW - ChunkS) < col("n_toks")))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / ChunkS).cast("int").as("chunk_no"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkW)))
+          .as("chunk_text"),
+        least(lit(ChunkW), col("n_toks") - col("start")).cast("bigint")
+          .as("chunk_toks"))
+  }
+
+  private val KAnonK = 100
+
+  /** k-anonymity with a two-level generalization hierarchy over the
+    * quasi-identifier (event_type, hour): cells below k report at the
+    * 6-hour band if the band clears k, else are suppressed — the standard
+    * release-decision table a governance pass emits. Two rollups (the
+    * band rollup runs over CELL rows, not events) + a broadcast join of
+    * the tiny band table. */
+  def q130KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), hour(col("ts")).as("hr"))
+    val hourCnt = ev.groupBy("event_type", "hr").agg(count(lit(1)).as("n_rows"))
+    val bandCnt = hourCnt.withColumn("band", expr("hr div 6"))
+      .groupBy("event_type", "band").agg(sum("n_rows").as("band_rows"))
+    hourCnt.withColumn("band", expr("hr div 6"))
+      .join(broadcast(bandCnt), Seq("event_type", "band"))
+      .select(col("event_type"), col("hr"), col("n_rows"),
+        when(col("n_rows") >= KAnonK, "hour")
+          .when(col("band_rows") >= KAnonK, "band")
+          .otherwise("suppressed").as("level"))
+  }
+
+  /** Entity snapshot from an event log (golden-record survivorship): per
+    * user, the value of the LATEST event of each type — deterministic
+    * pick (ts desc, event_id desc), pivoted to one wide row per user.
+    * The first exchange carries (user, type) groups; the pivot exchange
+    * carries only one row per surviving (user, type) — output-sized, so
+    * the second shuffle is free at any corpus scale. */
+  def q131EntitySnapshot(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = ev.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    latest.groupBy("user_id").agg(
+      max(when(col("event_type") === "signup", col("value"))).as("signup_value"),
+      max(when(col("event_type") === "click", col("value"))).as("click_value"),
+      max(when(col("event_type") === "view", col("value"))).as("view_value"),
+      max(when(col("event_type") === "purchase", col("value"))).as("purchase_value"),
+      max(when(col("event_type") === "error", col("value"))).as("error_value"),
+      date_trunc("second", max(col("ts"))).as("last_seen"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2577,6 +2645,45 @@ object Queries {
         |  CAST(n_docs*n_docs - sum_sq AS DOUBLE)
         |    / CAST(n_docs*n_docs AS DOUBLE) AS gini_simpson
         |FROM g""".stripMargin,
+    "q129_doc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $ToksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM d),
+         |e AS (SELECT doc_id, toks, n_toks,
+         |        unnest(range(0, greatest(n_toks, 1), 25)) AS start FROM n)
+         |SELECT doc_id, CAST(start // 25 AS INT) AS chunk_no,
+         |  array_to_string(toks[start+1 : start+50], ' ') AS chunk_text,
+         |  CAST(least(50, n_toks - start) AS BIGINT) AS chunk_toks
+         |FROM e WHERE start = 0 OR start + 25 < n_toks""".stripMargin,
+    "q130_k_anonymity" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, hr // 6 AS band,
+        |    CAST(sum(n_rows) AS BIGINT) AS band_rows
+        |  FROM h GROUP BY 1, 2)
+        |SELECT h.event_type, h.hr, h.n_rows,
+        |  CASE WHEN h.n_rows >= 100 THEN 'hour'
+        |       WHEN b.band_rows >= 100 THEN 'band'
+        |       ELSE 'suppressed' END AS level
+        |FROM h JOIN b ON h.event_type = b.event_type AND h.hr // 6 = b.band""".stripMargin,
+    "q131_entity_snapshot" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |l AS (SELECT * FROM r WHERE rn = 1)
+        |SELECT user_id,
+        |  max(CASE WHEN event_type = 'signup' THEN value END) AS signup_value,
+        |  max(CASE WHEN event_type = 'click' THEN value END) AS click_value,
+        |  max(CASE WHEN event_type = 'view' THEN value END) AS view_value,
+        |  max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_value,
+        |  max(CASE WHEN event_type = 'error' THEN value END) AS error_value,
+        |  date_trunc('second', max(ts)) AS last_seen
+        |FROM l GROUP BY 1""".stripMargin,
     "q120_grouped_topk" ->
       """SELECT c_nationkey, CAST(rn AS INT) AS rank, c_custkey, bal_cents
         |FROM (
@@ -3571,6 +3678,9 @@ object Queries {
     "q125_lang_floor" -> (q125LangFloor _),
     "q126_equidepth_bins" -> (q126EquidepthBins _),
     "q127_hard_negatives" -> (q127HardNegatives _),
-    "q128_diversity" -> (q128Diversity _)
+    "q128_diversity" -> (q128Diversity _),
+    "q129_doc_chunks" -> (q129DocChunks _),
+    "q130_k_anonymity" -> (q130KAnonymity _),
+    "q131_entity_snapshot" -> (q131EntitySnapshot _)
   )
 }

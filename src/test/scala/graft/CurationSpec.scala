@@ -86,6 +86,69 @@ class CurationSpec extends SparkSpec {
     out shouldBe Map(2L -> 1, 3L -> 2, 4L -> 3)
   }
 
+  test("doc chunking: stride windows cover every token exactly once per window rule") {
+    // 60 tokens, W=50 S=25 → starts 0,25 (start 50 adds nothing beyond 25's chunk)
+    def chunksOf(n: Int): Seq[(Int, Long)] = {
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+        .withColumn("toks", split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+        .withColumn("n_toks", org.apache.spark.sql.functions.size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n_toks"),
+          explode(filter(sequence(lit(0), greatest(col("n_toks") - 1, lit(0)), lit(25)),
+            st => st === 0 || st + lit(25) < col("n_toks"))).as("start"))
+        .select((col("start") / 25).cast("int").as("chunk_no"),
+          least(lit(50), col("n_toks") - col("start")).cast("bigint").as("chunk_toks"))
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    }
+    chunksOf(60) shouldBe Seq((0, 50L), (1, 35L))
+    chunksOf(40) shouldBe Seq((0, 40L))   // tail start 25 adds nothing new
+    chunksOf(50) shouldBe Seq((0, 50L))
+    chunksOf(51) shouldBe Seq((0, 50L), (1, 26L))
+    chunksOf(100) shouldBe Seq((0, 50L), (1, 50L), (2, 50L))
+  }
+
+  test("k-anonymity generalization picks hour, band, or suppressed per cell") {
+    // type t: hour 0 has 5 rows (>=k=3 at hour level), hour 1 has 2 rows but
+    // band 0 totals 7 (>=3 → band), hour 23 alone has 1 row and band 3 has
+    // only 1 → suppressed
+    val k = 3
+    val rows = Seq.fill(5)(("t", 0)) ++ Seq.fill(2)(("t", 1)) ++ Seq(("t", 23))
+    val hourCnt = rows.toDF("event_type", "hr")
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n_rows"))
+    val bandCnt = hourCnt.withColumn("band", expr("hr div 6"))
+      .groupBy("event_type", "band").agg(sum("n_rows").as("band_rows"))
+    val out = hourCnt.withColumn("band", expr("hr div 6"))
+      .join(broadcast(bandCnt), Seq("event_type", "band"))
+      .select(col("hr"),
+        when(col("n_rows") >= k, "hour")
+          .when(col("band_rows") >= k, "band")
+          .otherwise("suppressed").as("level"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    out shouldBe Map(0 -> "hour", 1 -> "band", 23 -> "suppressed")
+  }
+
+  test("entity snapshot keeps the latest value per type, ties broken by event id") {
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:01")
+    // user 7: two clicks at the same ts → higher event_id wins; one view earlier
+    val ev = Seq(
+      (1L, ts1, 7L, "click", 10.0), (2L, ts1, 7L, "click", 20.0),
+      (3L, ts0, 7L, "view", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val out = ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy("user_id").agg(
+        max(when(col("event_type") === "click", col("value"))).as("click_value"),
+        max(when(col("event_type") === "view", col("value"))).as("view_value"),
+        max(col("ts")).as("last_seen"))
+      .collect()(0)
+    out.getDouble(1) shouldBe 20.0 // event_id 2 beats 1 at the same ts
+    out.getDouble(2) shouldBe 5.0
+    out.getTimestamp(3) shouldBe ts1
+  }
+
   test("Gini–Simpson is 0 for a single group and (n-1)/n for uniform groups") {
     def gini(df: org.apache.spark.sql.DataFrame, keyCol: String): Double =
       df.groupBy(keyCol).agg(count(lit(1)).as("c"))
