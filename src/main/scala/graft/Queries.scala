@@ -1553,6 +1553,117 @@ object Queries {
       date_trunc("second", max(col("ts"))).as("last_seen"))
   }
 
+  private val DecayCapDays = 20
+
+  /** Recency-weighted user value (EWMA-style feature): each event weighs
+    * 2^(cap − age_days), so the score halves per day of age. All
+    * arithmetic is exact until the final division — values route through
+    * floor(value·1e6) longs, weights are powers of two, sums through
+    * DECIMAL(38,0) — so the score is bit-identical across engines and
+    * partitionings (float sums are order-dependent; long/decimal sums are
+    * not). The anchor date is one tiny agg broadcast to the scan. */
+  def q132DecayedValue(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val anchor = ev.agg(max(to_date(col("ts"))).as("anchor_d"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age",
+        least(datediff(col("anchor_d"), to_date(col("ts"))), lit(DecayCapDays)))
+      .withColumn("wt",
+        expr(s"shiftleft(CAST(1 AS BIGINT), $DecayCapDays - age)"))
+      .withColumn("contrib", floor(col("value") * 1e6).cast("long") * col("wt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("contrib").cast("decimal(38,0)")).as("sc"),
+        sum(col("wt").cast("decimal(38,0)")).as("sw"))
+      .select(col("user_id"), col("n_events"),
+        (col("sc").cast("double") / col("sw").cast("double") / 1e6)
+          .as("decayed_value"))
+  }
+
+  /** Per-document sentence-level quality metrics, entirely scan-side: the
+    * sentence split, per-sentence word counts, and all four metrics run
+    * as array algebra inside one projection — no explode, no shuffle, so
+    * at 100 TB this is free riding on whatever scan produced it. */
+  def q133SentenceStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)), x => x =!= lit(""))
+    docs
+      .select(col("doc_id"),
+        transform(sents, sn => size(split(sn, "\\s+"))).as("wc"))
+      .select(col("doc_id"),
+        size(col("wc")).cast("bigint").as("n_sentences"),
+        aggregate(col("wc"), lit(0L), (acc, x) => acc + x).as("n_words"),
+        when(size(col("wc")) > 0,
+          aggregate(col("wc"), lit(0L), (acc, x) => acc + x).cast("double") /
+            size(col("wc")))
+          .as("avg_sent_words"),
+        array_max(col("wc")).cast("bigint").as("max_sent_words"),
+        when(size(col("wc")) > 0,
+          size(filter(col("wc"), x => x < 4)).cast("double") / size(col("wc")))
+          .as("frac_short"))
+  }
+
+  /** Containment join (asymmetric Jaccard |A∩B|/|A|): catches the
+    * subset-duplicate a symmetric threshold misses — a page embedded
+    * whole inside a larger page scores low Jaccard but containment ≈ 1.
+    * Same deterministic candidate-pair frame as q26; shingles computed
+    * once per doc on the semi-joined subset. */
+  def q134ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs.where(col("doc_id") < 50)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val pairs = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        col("id1") < col("id2"))
+    pairs
+      .withColumn("n_common",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("bigint"))
+      .where(col("n_common") > 0)
+      .select(col("id1"), col("id2"), col("n_common"),
+        (col("n_common").cast("double") / size(col("sh1"))).as("cont_1"),
+        (col("n_common").cast("double") / size(col("sh2"))).as("cont_2"))
+  }
+
+  /** Class-balanced resampling: downsample every label to the minority
+    * class's count, picking survivors by portable hash so the subset is
+    * deterministic and engine-replayable (the balanced-training-set pass;
+    * quota comes from the DATA, unlike q75's config-driven mixture). The
+    * per-label window is the only exchange; the min-count scalar
+    * broadcasts. */
+  def q135LabelBalance(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val minc = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("min_n"))
+    val w = Window.partitionBy("label").orderBy(col("bucket"), col("vec_id"))
+    emb.select(col("vec_id"), col("label"))
+      .withColumn("bucket",
+        pmod(TextAnalysis.portableHash(col("vec_id").cast("string")), lit(10000L)))
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(minc))
+      .where(col("rn") <= col("min_n"))
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * transition counts plus row-normalized probabilities (long/long
+    * division — exact on every engine). One user-partitioned window for
+    * the lead, then a types×types-sized agg; the normalizing window runs
+    * over MATRIX rows, not events. */
+  def q136MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val wf = Window.partitionBy("from_type")
+    trans.withColumn("n_from", sum("n_trans").over(wf))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        (col("n_trans").cast("double") / col("n_from")).as("prob"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2684,6 +2795,79 @@ object Queries {
         |  max(CASE WHEN event_type = 'error' THEN value END) AS error_value,
         |  date_trunc('second', max(ts)) AS last_seen
         |FROM l GROUP BY 1""".stripMargin,
+    "q132_decayed_value" ->
+      """WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor_d FROM events),
+        |e AS (SELECT user_id, value,
+        |        least(date_diff('day', CAST(ts AS DATE), a.anchor_d), 20) AS age
+        |      FROM events, a),
+        |c AS (SELECT user_id,
+        |        (CAST(1 AS BIGINT) << (20 - age)) AS wt,
+        |        CAST(floor(value * 1e6) AS BIGINT)
+        |          * (CAST(1 AS BIGINT) << (20 - age)) AS contrib
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(contrib AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(sum(CAST(wt AS DECIMAL(38,0))) AS DOUBLE) / 1e6
+        |    AS decayed_value
+        |FROM c GROUP BY 1""".stripMargin,
+    "q133_sentence_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(
+        |        list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |        x -> x <> ''),
+        |      sn -> len(string_split_regex(sn, '\s+'))) AS wc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(wc) AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(list_sum(wc), 0) AS BIGINT) AS n_words,
+        |  CASE WHEN len(wc) > 0
+        |       THEN CAST(list_sum(wc) AS DOUBLE) / len(wc) END AS avg_sent_words,
+        |  CAST(list_max(wc) AS BIGINT) AS max_sent_words,
+        |  CASE WHEN len(wc) > 0
+        |       THEN CAST(len(list_filter(wc, x -> x < 4)) AS DOUBLE) / len(wc)
+        |       END AS frac_short
+        |FROM w""".stripMargin,
+    "q134_containment_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 1)),
+        |    i -> CASE WHEN len(tk) >= 3
+        |              THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |              ELSE array_to_string(tk, ' ') END)) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |        FROM documents WHERE doc_id < 50))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS cont_1,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS cont_2
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) > 0""".stripMargin,
+    "q135_label_balance" ->
+      """WITH m AS (
+        |  SELECT min(n) AS min_n FROM (
+        |    SELECT label, count(*) AS n FROM embeddings GROUP BY 1)),
+        |r AS (
+        |  SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY label ORDER BY
+        |      (CAST(substr(regexp_replace(md5(CAST(vec_id AS VARCHAR)),
+        |         '[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT) % 10000),
+        |      vec_id) AS rn
+        |  FROM embeddings)
+        |SELECT vec_id, label FROM r, m WHERE rn <= min_n""".stripMargin,
+    "q136_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n_trans
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans AS DOUBLE)
+        |    / sum(n_trans) OVER (PARTITION BY from_type) AS prob
+        |FROM c""".stripMargin,
     "q120_grouped_topk" ->
       """SELECT c_nationkey, CAST(rn AS INT) AS rank, c_custkey, bal_cents
         |FROM (
@@ -3681,6 +3865,11 @@ object Queries {
     "q128_diversity" -> (q128Diversity _),
     "q129_doc_chunks" -> (q129DocChunks _),
     "q130_k_anonymity" -> (q130KAnonymity _),
-    "q131_entity_snapshot" -> (q131EntitySnapshot _)
+    "q131_entity_snapshot" -> (q131EntitySnapshot _),
+    "q132_decayed_value" -> (q132DecayedValue _),
+    "q133_sentence_stats" -> (q133SentenceStats _),
+    "q134_containment_join" -> (q134ContainmentJoin _),
+    "q135_label_balance" -> (q135LabelBalance _),
+    "q136_markov_transitions" -> (q136MarkovTransitions _)
   )
 }

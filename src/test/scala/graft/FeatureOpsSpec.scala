@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Hand-checked cases for the feature-engineering batch: recency-decayed
+  * value, sentence-level quality metrics, containment join, class-balanced
+  * resampling, and Markov transition matrices. */
+class FeatureOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decayed value halves per day and is partitioning-invariant") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2026-01-${d}%02d 12:00:00")
+    // one user: 10.0 today (weight 2^20), 10.0 yesterday (2^19) →
+    // score = 10 * (2^20 + 2^19) / (2^20 + 2^19) = 10 exactly
+    val ev = Seq((1L, ts(2), 7L, 10.0), (2L, ts(1), 7L, 10.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    def score(df: org.apache.spark.sql.DataFrame): Double = {
+      val anchor = df.agg(max(to_date(col("ts"))).as("anchor_d"))
+      df.crossJoin(broadcast(anchor))
+        .withColumn("age", least(datediff(col("anchor_d"), to_date(col("ts"))), lit(20)))
+        .withColumn("wt", expr("shiftleft(CAST(1 AS BIGINT), 20 - age)"))
+        .withColumn("contrib", floor(col("value") * 1e6).cast("long") * col("wt"))
+        .groupBy("user_id")
+        .agg(sum(col("contrib").cast("decimal(38,0)")).as("sc"),
+          sum(col("wt").cast("decimal(38,0)")).as("sw"))
+        .select((col("sc").cast("double") / col("sw").cast("double") / 1e6))
+        .as[Double].collect()(0)
+    }
+    score(ev) shouldBe 10.0
+    score(ev.repartition(7)) shouldBe 10.0
+    // mixed values: (20*2^20 + 10*2^19) / (2^20 + 2^19) = 50/3 — check the
+    // exact rational both ways
+    val ev2 = Seq((1L, ts(2), 7L, 20.0), (2L, ts(1), 7L, 10.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    score(ev2) shouldBe (20e6 * (1L << 20) + 10e6 * (1L << 19)) /
+      ((1L << 20) + (1L << 19)).toDouble / 1e6
+  }
+
+  test("sentence stats: split, word counts, and short-sentence fraction") {
+    val text = "One two three. Four five! Six?? Seven eight nine ten"
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)), x => x =!= lit(""))
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(transform(sents, sn =>
+        org.apache.spark.sql.functions.size(split(sn, "\\s+"))).as("wc"))
+      .select(org.apache.spark.sql.functions.size(col("wc")).as("n"),
+        aggregate(col("wc"), lit(0L), (a, x) => a + x).as("words"),
+        array_max(col("wc")).as("mx"),
+        org.apache.spark.sql.functions.size(filter(col("wc"), x => x < 4)).as("short"))
+      .collect()(0)
+    out.getInt(0) shouldBe 4       // "Six??" double punctuation = one split
+    out.getLong(1) shouldBe 10L
+    out.getInt(2) shouldBe 4
+    out.getInt(3) shouldBe 3       // 3-, 2-, 1-word sentences are short
+  }
+
+  test("containment finds the embedded-page pattern symmetric Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val row = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        col("id1") < col("id2"))
+      .withColumn("n_common",
+        org.apache.spark.sql.functions.size(array_intersect(col("sh1"), col("sh2"))).cast("bigint"))
+      .select(
+        (col("n_common").cast("double") /
+          org.apache.spark.sql.functions.size(col("sh1"))).as("cont_1"),
+        (col("n_common").cast("double") /
+          org.apache.spark.sql.functions.size(col("sh2"))).as("cont_2"))
+      .collect()(0)
+    row.getDouble(0) shouldBe 1.0 // every shingle of the small doc is in the big
+    row.getDouble(1) should be < 0.2
+  }
+
+  test("label balance equalizes every class to the minority count, deterministically") {
+    import graft.text.TextAnalysis
+    val emb = ((1 to 10).map(i => (i.toLong, 0)) ++ (11 to 14).map(i => (i.toLong, 1)) ++
+      (15 to 21).map(i => (i.toLong, 2))).toDF("vec_id", "label")
+    def balanced(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] = {
+      val minc = df.groupBy("label").agg(count(lit(1)).as("n")).agg(min("n").as("min_n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("bucket"), col("vec_id"))
+      df.withColumn("bucket",
+          pmod(TextAnalysis.portableHash(col("vec_id").cast("string")), lit(10000L)))
+        .withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(minc))
+        .where(col("rn") <= col("min_n"))
+        .select("vec_id", "label").as[(Long, Int)].collect().toSeq.sorted
+    }
+    val out = balanced(emb)
+    out.groupBy(_._2).view.mapValues(_.size).toMap shouldBe Map(0 -> 4, 1 -> 4, 2 -> 4)
+    balanced(emb.repartition(5)) shouldBe out // hash pick, not partition order
+  }
+
+  test("markov transition rows normalize to probability 1 per source state") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:${m}%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 7L, "a"), (2L, ts(2), 7L, "b"), (3L, ts(3), 7L, "a"),
+      (4L, ts(4), 7L, "c"), (5L, ts(1), 8L, "a"), (6L, ts(2), 8L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    val probs = trans.withColumn("n_from", sum("n_trans").over(wf))
+      .select(col("from_type"),
+        (col("n_trans").cast("double") / col("n_from")).as("prob"))
+    // a→b twice (users 7 and 8), a→c once → P(b|a)=2/3, P(c|a)=1/3
+    val fromA = probs.where(col("from_type") === "a")
+      .select("prob").as[Double].collect().sorted.toSeq
+    fromA shouldBe Seq(1.0 / 3, 2.0 / 3)
+    probs.groupBy("from_type").agg(sum("prob").as("total"))
+      .select("total").as[Double].collect().foreach(_ shouldBe 1.0 +- 1e-12)
+  }
+}
