@@ -1664,6 +1664,68 @@ object Queries {
         (col("n_trans").cast("double") / col("n_from")).as("prob"))
   }
 
+  /** Contingency table + per-cell chi-square contribution for the
+    * lang×source mixture (the independence check a corpus audit runs
+    * before trusting a stratified split). All counts and the deviation
+    * o·N − row·col stay exact longs (sound below ~3·10⁹ docs — beyond
+    * that the audit runs per shard); each cell does ONE double division,
+    * so values are bit-identical across engines. The marginal windows
+    * run over CELL rows (langs×sources), never documents. */
+  def q137Contingency(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val byLang = Window.partitionBy("lang")
+    val bySource = Window.partitionBy("source")
+    val all = Window.partitionBy()
+    cells
+      .withColumn("row_n", sum("o").over(byLang))
+      .withColumn("col_n", sum("o").over(bySource))
+      .withColumn("tot", sum("o").over(all))
+      .withColumn("dev_d",
+        (col("o") * col("tot") - col("row_n") * col("col_n")).cast("double"))
+      .select(col("lang"), col("source"), col("o"),
+        ((col("row_n") * col("col_n")).cast("double") / col("tot").cast("double"))
+          .as("expected"),
+        (col("dev_d") * col("dev_d") /
+          ((col("row_n") * col("col_n")).cast("double") * col("tot").cast("double")))
+          .as("chi2_cell"))
+  }
+
+  /** Per-user engagement rollup over gap-sessionization: session count,
+    * bounce rate (single-event sessions), and mean session duration —
+    * built ON [[graft.streaming.Streams.sessionizeBatch]] so the session
+    * definition can never drift from the streaming twin. Durations sum
+    * as exact micros longs; the two ratios are single double divisions. */
+  def q138SessionMetrics(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.streaming.Streams
+      .sessionizeBatch(events(s, dir), gapMs = 10 * 60 * 1000L)
+    sess.groupBy("user_id").agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events").cast("long")).as("n_events"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("dur_us"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        (col("n_bounces").cast("double") / col("n_sessions")).as("bounce_rate"),
+        (col("dur_us").cast("double") / col("n_sessions") / 1e6)
+          .as("avg_session_secs"))
+  }
+
+  /** Day-over-day change per event type: daily counts with the previous
+    * day's count and the growth ratio (long/long division — exact).
+    * The lag window runs over DAY rows per type, not events; the daily
+    * rollup is the only scan-sized exchange. */
+  def q139PeriodOverPeriod(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.withColumn("prev_n", lag("n", 1).over(w))
+      .select(col("event_type"), col("day"), col("n"), col("prev_n"),
+        ((col("n") - col("prev_n")).cast("double") / col("prev_n"))
+          .as("growth"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2868,6 +2930,55 @@ object Queries {
         |  CAST(n_trans AS DOUBLE)
         |    / sum(n_trans) OVER (PARTITION BY from_type) AS prob
         |FROM c""".stripMargin,
+    "q137_contingency" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT lang, source, o,
+        |    CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS row_n,
+        |    CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS col_n,
+        |    CAST(sum(o) OVER () AS BIGINT) AS tot
+        |  FROM cells),
+        |d AS (SELECT *, CAST(o*tot - row_n*col_n AS DOUBLE) AS dev_d FROM m)
+        |SELECT lang, source, o,
+        |  CAST(row_n*col_n AS DOUBLE) / CAST(tot AS DOUBLE) AS expected,
+        |  dev_d * dev_d
+        |    / (CAST(row_n*col_n AS DOUBLE) * CAST(tot AS DOUBLE)) AS chi2_cell
+        |FROM d""".stripMargin,
+    "q138_session_metrics" ->
+      """WITH sess AS (
+        |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |    count(*) AS n_events
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |    FROM (
+        |      SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |                  > 600000000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM events))
+        |  GROUP BY user_id, session_id)
+        |SELECT user_id,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS bounce_rate,
+        |  CAST(sum(epoch_us(session_end) - epoch_us(session_start)) AS DOUBLE)
+        |    / count(*) / 1e6 AS avg_session_secs
+        |FROM sess GROUP BY 1""".stripMargin,
+    "q139_period_over_period" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+        |  CAST(n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |       AS DOUBLE)
+        |    / lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS growth
+        |FROM daily""".stripMargin,
     "q120_grouped_topk" ->
       """SELECT c_nationkey, CAST(rn AS INT) AS rank, c_custkey, bal_cents
         |FROM (
@@ -3870,6 +3981,9 @@ object Queries {
     "q133_sentence_stats" -> (q133SentenceStats _),
     "q134_containment_join" -> (q134ContainmentJoin _),
     "q135_label_balance" -> (q135LabelBalance _),
-    "q136_markov_transitions" -> (q136MarkovTransitions _)
+    "q136_markov_transitions" -> (q136MarkovTransitions _),
+    "q137_contingency" -> (q137Contingency _),
+    "q138_session_metrics" -> (q138SessionMetrics _),
+    "q139_period_over_period" -> (q139PeriodOverPeriod _)
   )
 }

@@ -96,6 +96,72 @@ class FeatureOpsSpec extends SparkSpec {
     balanced(emb.repartition(5)) shouldBe out // hash pick, not partition order
   }
 
+  test("chi-square cells are zero under independence and positive under association") {
+    def chi2(rows: Seq[(String, String)]): Map[(String, String), Double] = {
+      val cells = rows.toDF("lang", "source")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      cells
+        .withColumn("row_n", sum("o").over(byLang))
+        .withColumn("col_n", sum("o").over(bySource))
+        .withColumn("tot", sum("o").over(all))
+        .withColumn("dev_d",
+          (col("o") * col("tot") - col("row_n") * col("col_n")).cast("double"))
+        .select(col("lang"), col("source"),
+          (col("dev_d") * col("dev_d") /
+            ((col("row_n") * col("col_n")).cast("double") * col("tot").cast("double")))
+            .as("chi2_cell"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    }
+    // perfectly independent 2×2 (equal cells) → every contribution is 0
+    val indep = for { l <- Seq("en", "fr"); s <- Seq("a", "b"); _ <- 1 to 5 } yield (l, s)
+    chi2(indep).values.foreach(_ shouldBe 0.0)
+    // perfectly associated (en only in a, fr only in b) → all positive
+    val assoc = Seq.fill(5)(("en", "a")) ++ Seq.fill(5)(("fr", "b"))
+    chi2(assoc).values.foreach(_ should be > 0.0)
+  }
+
+  test("session metrics: bounce rate and mean duration from gap sessions") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:${m}%02d:00")
+    // user 7: session A = 2 events spanning 60s, then a >10min gap, then a
+    // 1-event bounce session; bounce_rate 1/2, avg duration (60+0)/2 = 30s
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 1.0), (2L, ts(1), 7L, "click", 1.0),
+      (3L, ts(20), 7L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sess = graft.streaming.Streams.sessionizeBatch(ev, gapMs = 10 * 60 * 1000L)
+    val out = sess.groupBy("user_id").agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("dur_us"))
+      .select(
+        (col("n_bounces").cast("double") / col("n_sessions")).as("bounce_rate"),
+        (col("dur_us").cast("double") / col("n_sessions") / 1e6).as("avg_secs"))
+      .collect()(0)
+    out.getDouble(0) shouldBe 0.5
+    out.getDouble(1) shouldBe 30.0
+  }
+
+  test("period-over-period growth is exact and null on the first day") {
+    val d = (day: Int, n: Int) => (1 to n).map(i =>
+      (day * 100L + i, java.sql.Timestamp.valueOf(f"2026-01-${day}%02d 01:00:00"), i.toLong, "view"))
+    val ev = (d(1, 4) ++ d(2, 6) ++ d(3, 3)).toDF("event_id", "ts", "user_id", "event_type")
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val rows = daily.withColumn("prev_n", lag("n", 1).over(w))
+      .select(col("day"),
+        ((col("n") - col("prev_n")).cast("double") / col("prev_n")).as("growth"))
+      .collect().map(r => r.getDate(0).toString -> Option(r.get(1))).toMap
+    rows("2026-01-01") shouldBe None
+    rows("2026-01-02") shouldBe Some(0.5)   // 4 → 6
+    rows("2026-01-03") shouldBe Some(-0.5)  // 6 → 3
+  }
+
   test("markov transition rows normalize to probability 1 per source state") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:${m}%02d:00")
     val ev = Seq(
