@@ -1726,6 +1726,53 @@ object Queries {
           .as("growth"))
   }
 
+  /** Cluster-quality report (k-means inertia per label) in EXACT
+    * arithmetic: with s = Σv and per-member deviation n·v − s, the
+    * member's squared distance to the centroid is Σ_d(n·v−s)²/n² — longs
+    * until one double division, so the report is bit-identical across
+    * engines and partitionings (float centroids would make it
+    * order-dependent). One VectorSumLong agg (64 longs of state per
+    * label) + a broadcast-back probe scan. Long-exact for clusters below
+    * ~10⁵ members at this quantization; beyond that the audit shards or
+    * accepts float centroids. */
+  def q140ClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.select(col("vec_id"), col("label"),
+      Dedup.quantize(col("embedding")).as("qv"))
+    val sums = q.groupBy("label").agg(
+      graft.functions.VectorAgg.vectorSum(col("qv"), 64).as("svec"),
+      count(lit(1)).as("n"))
+    q.join(broadcast(sums), Seq("label"))
+      .withColumn("contrib",
+        aggregate(zip_with(col("qv"), col("svec"),
+            (v, sv) => (v * col("n") - sv) * (v * col("n") - sv)),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy("label")
+      .agg(max(col("n")).as("n"),
+        sum(col("contrib").cast("decimal(38,0)")).as("sc"))
+      .select(col("label"), col("n"),
+        (col("sc").cast("double") / (col("n") * col("n")).cast("double") / 1e6)
+          .as("inertia"),
+        (col("sc").cast("double") /
+          (col("n") * col("n") * col("n")).cast("double") / 1e6)
+          .as("mean_sq_dist"))
+  }
+
+  /** Language-ID confusion matrix: the labeled `lang` column vs the
+    * n-gram-marker classifier's prediction, with per-actual-language
+    * recall shares — the eval table a curation pipeline publishes before
+    * trusting automatic language routing. ONE scan (label and prediction
+    * come from the same row); the share window runs over matrix cells. */
+  def q141LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents")
+      .select(col("lang").as("actual"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("actual")
+    m.withColumn("row_share",
+      col("n").cast("double") / sum("n").over(w))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2979,6 +3026,35 @@ object Queries {
         |       AS DOUBLE)
         |    / lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS growth
         |FROM daily""".stripMargin,
+    "q140_cluster_quality" ->
+      s"""WITH q AS (SELECT vec_id, label, ${quantSql("embedding")} AS qv
+         |           FROM embeddings),
+         |nn AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+         |e AS (SELECT label, vec_id, unnest(qv) AS v,
+         |        unnest(range(1, len(qv)+1)) AS d FROM q),
+         |m AS (SELECT label, d, CAST(sum(v) AS BIGINT) AS sv
+         |      FROM e GROUP BY 1, 2),
+         |c AS (SELECT e.label, e.vec_id,
+         |        CAST(sum((nn.n * e.v - m.sv) * (nn.n * e.v - m.sv))
+         |             AS BIGINT) AS contrib
+         |      FROM e JOIN m ON e.label = m.label AND e.d = m.d
+         |      JOIN nn ON nn.label = e.label
+         |      GROUP BY 1, 2)
+         |SELECT c.label, nn.n AS n,
+         |  CAST(sum(CAST(contrib AS DECIMAL(38,0))) AS DOUBLE)
+         |    / CAST(nn.n * nn.n AS DOUBLE) / 1e6 AS inertia,
+         |  CAST(sum(CAST(contrib AS DECIMAL(38,0))) AS DOUBLE)
+         |    / CAST(nn.n * nn.n * nn.n AS DOUBLE) / 1e6 AS mean_sq_dist
+         |FROM c JOIN nn ON nn.label = c.label
+         |GROUP BY 1, 2""".stripMargin,
+    "q141_lang_confusion" ->
+      s"""WITH g AS ($langIdOracle),
+         |m AS (SELECT d.lang AS actual, g.lang_guess AS predicted,
+         |        count(*) AS n
+         |      FROM documents d JOIN g USING (doc_id) GROUP BY 1, 2)
+         |SELECT actual, predicted, n,
+         |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY actual) AS row_share
+         |FROM m""".stripMargin,
     "q120_grouped_topk" ->
       """SELECT c_nationkey, CAST(rn AS INT) AS rank, c_custkey, bal_cents
         |FROM (
@@ -3984,6 +4060,8 @@ object Queries {
     "q136_markov_transitions" -> (q136MarkovTransitions _),
     "q137_contingency" -> (q137Contingency _),
     "q138_session_metrics" -> (q138SessionMetrics _),
-    "q139_period_over_period" -> (q139PeriodOverPeriod _)
+    "q139_period_over_period" -> (q139PeriodOverPeriod _),
+    "q140_cluster_quality" -> (q140ClusterQuality _),
+    "q141_lang_confusion" -> (q141LangConfusion _)
   )
 }

@@ -162,6 +162,55 @@ class FeatureOpsSpec extends SparkSpec {
     rows("2026-01-03") shouldBe Some(-0.5)  // 6 → 3
   }
 
+  test("cluster inertia is exact: identical members score 0, a known pair scores 2") {
+    import graft.functions.VectorAgg
+    // label 0: two copies of the same vector → inertia 0
+    // label 1: (0,0) and (2,0) → centroid (1,0), each dist² = 1 → inertia 2, msd 1
+    val emb = Seq(
+      (1L, Seq(3f, 4f), 0), (2L, Seq(3f, 4f), 0),
+      (3L, Seq(0f, 0f), 1), (4L, Seq(2f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.select(col("vec_id"), col("label"),
+      Dedup.quantize(col("embedding")).as("qv"))
+    val sums = q.groupBy("label").agg(
+      VectorAgg.vectorSum(col("qv"), 2).as("svec"), count(lit(1)).as("n"))
+    val out = q.join(broadcast(sums), Seq("label"))
+      .withColumn("contrib",
+        aggregate(zip_with(col("qv"), col("svec"),
+            (v, sv) => (v * col("n") - sv) * (v * col("n") - sv)),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy("label")
+      .agg(max(col("n")).as("n"), sum(col("contrib").cast("decimal(38,0)")).as("sc"))
+      .select(col("label"),
+        (col("sc").cast("double") / (col("n") * col("n")).cast("double") / 1e6)
+          .as("inertia"),
+        (col("sc").cast("double") /
+          (col("n") * col("n") * col("n")).cast("double") / 1e6).as("msd"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    out(0) shouldBe ((0.0, 0.0))
+    out(1) shouldBe ((2.0, 1.0))
+  }
+
+  test("lang confusion matrix: diagonal for marker-bearing text, shares sum to 1") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "word the thing and more of it is here", "en"),
+      (2L, "alpha the beta and gamma of delta is x", "en"),
+      (3L, "sur le pont la ville et la mer est bleue", "fr"),
+      (4L, "xyzzy qqq www", "fr")) // no markers → predicted 'und'
+      .toDF("doc_id", "text", "lang")
+    val m = docs.select(col("lang").as("actual"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("actual")
+    val rows = m.withColumn("row_share", col("n").cast("double") / sum("n").over(w))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    rows(("en", "en")) shouldBe ((2L, 1.0))
+    rows(("fr", "fr")) shouldBe ((1L, 0.5))
+    rows(("fr", "und")) shouldBe ((1L, 0.5))
+  }
+
   test("markov transition rows normalize to probability 1 per source state") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:${m}%02d:00")
     val ev = Seq(
