@@ -1773,6 +1773,78 @@ object Queries {
       col("n").cast("double") / sum("n").over(w))
   }
 
+  private val TempQuotaN = 1000L
+
+  /** Temperature-flattened mixture quotas (UniMax-style, τ = 1/2):
+    * per-language sampling quotas ∝ √n with largest-remainder rounding to
+    * exactly N=1000. √ is IEEE-exact on every engine, and the share
+    * denominator folds a SORTED array sequentially — the one float sum in
+    * the engine that must be order-deterministic, made so explicitly
+    * (`aggregate` over `array_sort`, mirrored by DuckDB `list_reduce`).
+    * All windows run over LANGUAGE rows. */
+  def q142TemperatureQuotas(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("sq", sqrt(col("n").cast("double")))
+      .withColumn("ssum",
+        aggregate(array_sort(collect_list(col("sq")).over(all)),
+          lit(0d), (a, x) => a + x))
+      .withColumn("rawq", col("sq") / col("ssum") * TempQuotaN)
+      .withColumn("base", floor(col("rawq")).cast("long"))
+      .withColumn("leftover", lit(TempQuotaN) - sum("base").over(all))
+      .withColumn("rk", row_number().over(
+        Window.orderBy((col("rawq") - col("base")).desc, col("lang"))))
+      .select(col("lang"), col("n"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
+  /** Pair-feature extraction for training an entity-resolution /
+    * dedup-classifier model: per candidate pair, exact n-gram Jaccard,
+    * length ratio, and language agreement. The candidate frame is the
+    * deterministic bounded block (id < 40); features join the per-doc
+    * attributes once per side. */
+  def q143PairFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sub = docs.where(col("doc_id") < 40)
+    val pairs = sub.select(col("doc_id").as("id1"))
+      .join(sub.select(col("doc_id").as("id2")), col("id1") < col("id2"))
+    val jac = Dedup.jaccardVerify(docs, pairs)
+    val attrs = sub.select(col("doc_id"), col("n_chars"), col("lang"))
+    jac
+      .join(attrs.select(col("doc_id").as("id1"), col("n_chars").as("c1"),
+        col("lang").as("l1")), Seq("id1"))
+      .join(attrs.select(col("doc_id").as("id2"), col("n_chars").as("c2"),
+        col("lang").as("l2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        (least(col("c1"), col("c2")).cast("double") /
+          greatest(col("c1"), col("c2"))).as("len_ratio"),
+        (col("l1") === col("l2")).as("same_lang"))
+  }
+
+  /** Flesch-style readability per document, one scan and zero shuffles:
+    * words, sentences (same non-empty-split contract as q133), and a
+    * vowel-run syllable heuristic — the score is fixed constants times
+    * two long/long divisions, deterministic on every engine. */
+  def q144Readability(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)), x => x =!= lit(""))
+    docs.select(col("doc_id"),
+        size(toks).cast("bigint").as("n_words"),
+        size(sents).cast("bigint").as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("bigint").as("n_syllables"))
+      .where(col("n_words") > 0 && col("n_sentences") > 0)
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -3055,6 +3127,56 @@ object Queries {
          |SELECT actual, predicted, n,
          |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY actual) AS row_share
          |FROM m""".stripMargin,
+    "q142_temperature_quotas" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS sq,
+        |        list_reduce(list_sort(list(sqrt(CAST(n AS DOUBLE))) OVER ()),
+        |                    (a, x) -> a + x) AS ssum
+        |      FROM c),
+        |b AS (SELECT lang, n, sq / ssum * 1000 AS rawq,
+        |        CAST(floor(sq / ssum * 1000) AS BIGINT) AS base
+        |      FROM s),
+        |f AS (SELECT lang, n, base,
+        |        1000 - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+        |        row_number() OVER (ORDER BY rawq - base DESC, lang) AS rk
+        |      FROM b)
+        |SELECT lang, n,
+        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |FROM f""".stripMargin,
+    "q143_pair_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, lang,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents WHERE doc_id < 40),
+        |sh AS (
+        |  SELECT doc_id, n_chars, lang, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 1)),
+        |    i -> CASE WHEN len(tk) >= 3
+        |              THEN tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |              ELSE array_to_string(tk, ' ') END)) AS sh
+        |  FROM d)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) AS jaccard,
+        |  CAST(least(a.n_chars, b.n_chars) AS DOUBLE)
+        |    / greatest(a.n_chars, b.n_chars) AS len_ratio,
+        |  a.lang = b.lang AS same_lang
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id""".stripMargin,
+    "q144_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+        |         AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(
+        |      list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |      x -> x <> '')) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |         AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+        |FROM m WHERE n_words > 0 AND n_sentences > 0""".stripMargin,
     "q120_grouped_topk" ->
       """SELECT c_nationkey, CAST(rn AS INT) AS rank, c_custkey, bal_cents
         |FROM (
@@ -4062,6 +4184,9 @@ object Queries {
     "q138_session_metrics" -> (q138SessionMetrics _),
     "q139_period_over_period" -> (q139PeriodOverPeriod _),
     "q140_cluster_quality" -> (q140ClusterQuality _),
-    "q141_lang_confusion" -> (q141LangConfusion _)
+    "q141_lang_confusion" -> (q141LangConfusion _),
+    "q142_temperature_quotas" -> (q142TemperatureQuotas _),
+    "q143_pair_features" -> (q143PairFeatures _),
+    "q144_readability" -> (q144Readability _)
   )
 }

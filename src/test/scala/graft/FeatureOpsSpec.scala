@@ -211,6 +211,85 @@ class FeatureOpsSpec extends SparkSpec {
     rows(("fr", "und")) shouldBe ((1L, 0.5))
   }
 
+  test("temperature quotas sum to exactly N and flatten toward the minority") {
+    def quotas(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      df.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("sq", sqrt(col("n").cast("double")))
+        .withColumn("ssum",
+          aggregate(array_sort(collect_list(col("sq")).over(all)),
+            lit(0d), (a, x) => a + x))
+        .withColumn("rawq", col("sq") / col("ssum") * 1000)
+        .withColumn("base", floor(col("rawq")).cast("long"))
+        .withColumn("leftover", lit(1000L) - sum("base").over(all))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy((col("rawq") - col("base")).desc, col("lang"))))
+        .select(col("lang"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // 90/10 split: raw shares 900/100; sqrt flattening gives 3:1 → 750/250
+    val docs = (Seq.fill(90)("en") ++ Seq.fill(10)("fr")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    val q = quotas(docs)
+    q.values.sum shouldBe 1000L
+    q("en") shouldBe 750L
+    q("fr") shouldBe 250L
+    quotas(docs.repartition(7)) shouldBe q // ordered fold → partition-invariant
+  }
+
+  test("pair features: identical docs score jaccard 1, equal lengths, same lang") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", 30L),
+      (3L, "totally different words here now", "fr", 33L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = docs.select(col("doc_id").as("id1"))
+      .join(docs.select(col("doc_id").as("id2")), col("id1") < col("id2"))
+    val out = Dedup.jaccardVerify(docs, pairs)
+      .join(docs.select(col("doc_id").as("id1"), col("n_chars").as("c1"),
+        col("lang").as("l1")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("n_chars").as("c2"),
+        col("lang").as("l2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        (least(col("c1"), col("c2")).cast("double") /
+          greatest(col("c1"), col("c2"))).as("len_ratio"),
+        (col("l1") === col("l2")).as("same_lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    out((1L, 2L)) shouldBe ((1.0, 1.0, true))
+    out((1L, 3L))._1 shouldBe 0.0
+    out((1L, 3L))._3 shouldBe false
+  }
+
+  test("readability: hand-computed flesch for a two-sentence doc") {
+    // "go on. it is ok." → words=5? "go on. it is ok." split on spaces after
+    // punctuation removal: tokens [go, on., it, is, ok.] = 5 words,
+    // 2 sentences, vowel runs: o,o,i,i,o = 5 syllables
+    val text = "go on. it is ok."
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(
+        org.apache.spark.sql.functions.size(
+          split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+          .cast("bigint").as("w"),
+        org.apache.spark.sql.functions.size(filter(
+          transform(split(col("text"), "[.!?]+"), x => trim(x)), x => x =!= lit("")))
+          .cast("bigint").as("s"),
+        org.apache.spark.sql.functions.size(
+          regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("bigint").as("sy"))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * (col("w").cast("double") / col("s"))
+          - lit(84.6) * (col("sy").cast("double") / col("w")))
+      .collect()(0)
+    out.getLong(0) shouldBe 5L
+    // split on [.!?]+ yields ["go on", " it is ok", ""] → trimmed non-empty = 2
+    out.getLong(1) shouldBe 2L
+    out.getLong(2) shouldBe 5L
+  }
+
   test("markov transition rows normalize to probability 1 per source state") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:${m}%02d:00")
     val ev = Seq(
