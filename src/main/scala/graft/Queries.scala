@@ -1845,6 +1845,51 @@ object Queries {
           - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
   }
 
+  /** Per-source language purity: majority-language share and Gini–Simpson
+    * impurity per source — the grouped version of q128's corpus-level
+    * index, the table a router consults before assuming a source is
+    * monolingual. Exact long arithmetic to one division per source; two
+    * nested rollups, both map-side combined, cells never exceed
+    * sources×langs. */
+  def q145SourcePurity(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    cells.groupBy("source").agg(
+        count(lit(1)).as("n_langs"),
+        sum("c").as("n_docs"),
+        max("c").as("top_c"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        (col("top_c").cast("double") / col("n_docs")).as("majority_share"),
+        ((col("n_docs") * col("n_docs") - col("ss")).cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("gini_impurity"))
+  }
+
+  /** Referential-integrity audit across the star schema: child row counts
+    * and orphan counts (anti-join) per FK relationship, one row each —
+    * the conformance report a warehouse load publishes. Anti-joins
+    * broadcast the parent KEY set only; counts are map-side combined. */
+  def q146FkAudit(s: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, childKey: String,
+            parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.join(
+        broadcast(parent.select(col(parentKey).as(childKey)).distinct()),
+        Seq(childKey), "left_anti")
+      child.agg(count(lit(1)).as("child_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("orphans")))
+        .select(lit(name).as("relationship"), col("child_rows"),
+          col("orphans"), (col("orphans") === 0L).as("ok"))
+    }
+    rel("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+      .unionByName(rel("orders->customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .unionByName(rel("customer->nation", t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey"))
+      .unionByName(rel("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
+        t(s, dir, "nation"), "n_nationkey"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -3177,6 +3222,47 @@ object Queries {
         |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
         |FROM m WHERE n_words > 0 AND n_sentences > 0""".stripMargin,
+    "q145_source_purity" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |    CAST(sum(c) AS BIGINT) AS n_docs, CAST(max(c) AS BIGINT) AS top_c,
+        |    CAST(sum(c*c) AS BIGINT) AS ss
+        |  FROM cells GROUP BY 1)
+        |SELECT source, n_docs, n_langs,
+        |  CAST(top_c AS DOUBLE) / n_docs AS majority_share,
+        |  CAST(n_docs*n_docs - ss AS DOUBLE)
+        |    / CAST(n_docs*n_docs AS DOUBLE) AS gini_impurity
+        |FROM g""".stripMargin,
+    "q146_fk_audit" ->
+      """SELECT 'lineitem->orders' AS relationship,
+        |  (SELECT count(*) FROM lineitem) AS child_rows,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphans,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0 AS ok
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) = 0
+        |UNION ALL
+        |SELECT 'supplier->nation',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)),
+        |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)) = 0""".stripMargin,
     "q120_grouped_topk" ->
       """SELECT c_nationkey, CAST(rn AS INT) AS rank, c_custkey, bal_cents
         |FROM (
@@ -4187,6 +4273,8 @@ object Queries {
     "q141_lang_confusion" -> (q141LangConfusion _),
     "q142_temperature_quotas" -> (q142TemperatureQuotas _),
     "q143_pair_features" -> (q143PairFeatures _),
-    "q144_readability" -> (q144Readability _)
+    "q144_readability" -> (q144Readability _),
+    "q145_source_purity" -> (q145SourcePurity _),
+    "q146_fk_audit" -> (q146FkAudit _)
   )
 }

@@ -149,6 +149,37 @@ class CurationSpec extends SparkSpec {
     out.getTimestamp(3) shouldBe ts1
   }
 
+  test("source purity: majority share and impurity for a known mix") {
+    // srcA: 3 en + 1 fr → majority 0.75, gini = 1 - (9+1)/16 = 0.375
+    val docs = Seq(("srcA", "en"), ("srcA", "en"), ("srcA", "en"), ("srcA", "fr"),
+      ("srcB", "de")).toDF("source", "lang")
+    val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val out = cells.groupBy("source").agg(
+        count(lit(1)).as("n_langs"), sum("c").as("n_docs"),
+        max("c").as("top_c"), sum(col("c") * col("c")).as("ss"))
+      .select(col("source"),
+        (col("top_c").cast("double") / col("n_docs")).as("maj"),
+        ((col("n_docs") * col("n_docs") - col("ss")).cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("gini"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    out("srcA") shouldBe ((0.75, 0.375))
+    out("srcB") shouldBe ((1.0, 0.0))
+  }
+
+  test("fk audit counts orphans and flags the broken relationship") {
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk") // 99 orphan
+    val parent = Seq((10L, "x"), (20L, "y")).toDF("pk", "v")
+    val orphans = child.join(
+      broadcast(parent.select(col("pk").as("fk")).distinct()), Seq("fk"), "left_anti")
+    val out = child.agg(count(lit(1)).as("child_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("orphans")))
+      .select(col("child_rows"), col("orphans"), (col("orphans") === 0L).as("ok"))
+      .collect()(0)
+    out.getLong(0) shouldBe 3L
+    out.getLong(1) shouldBe 1L
+    out.getBoolean(2) shouldBe false
+  }
+
   test("Gini–Simpson is 0 for a single group and (n-1)/n for uniform groups") {
     def gini(df: org.apache.spark.sql.DataFrame, keyCol: String): Double =
       df.groupBy(keyCol).agg(count(lit(1)).as("c"))
