@@ -208,4 +208,50 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .drop("session_id")
   }
+
+  /** Streaming maintenance of the per-bucket KMV sketch table behind
+    * q123-style sliding count-distinct: each micro-batch sketches only
+    * its OWN events, then `kmvUnion`-folds them into the stored buckets.
+    * The union is an associative set merge of distinct hashes, so
+    * at-least-once redelivery is absorbed (re-folding the same events is
+    * a no-op) and the sliding window report rebuilds from BUCKET rows at
+    * any time without revisiting history — the streaming twin of the
+    * linear-sketch maintenance CountMin already does. */
+  def slidingKmvStream(spark: SparkSession, events: DataFrame, path: String,
+                       checkpoint: String, k: Int,
+                       availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.Sketches
+    import graft.operators.Upsert
+    val writer = events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val incoming = batch
+            .select(
+              graft.Queries.floorDiv(unix_micros(col("ts")), 3600000000L)
+                .as("bucket"),
+              col("user_id"))
+            .groupBy("bucket")
+            .agg(Sketches.kmvSketch(
+              Sketches.hash63(col("user_id").cast("string")), k).as("sk"))
+          val next =
+            if (Upsert.tableExists(spark, path))
+              spark.read.parquet(path)
+                .select(col("bucket"), col("sk").as("sk_old"))
+                .join(incoming.select(col("bucket"), col("sk").as("sk_new")),
+                  Seq("bucket"), "full_outer")
+                .select(col("bucket"),
+                  when(col("sk_old").isNull, col("sk_new"))
+                    .when(col("sk_new").isNull, col("sk_old"))
+                    .otherwise(Sketches.kmvUnion(col("sk_old"), col("sk_new"), k))
+                    .as("sk"))
+            else incoming
+          Upsert.replace(spark, path, next)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 }

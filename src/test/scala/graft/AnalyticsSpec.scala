@@ -231,6 +231,50 @@ class AnalyticsSpec extends SparkSpec {
     streamed shouldBe direct
   }
 
+  test("sliding-KMV bucket sketches maintained per micro-batch == batch build, " +
+    "and full reprocessing is a no-op (set-merge idempotency)") {
+    import graft.functions.Sketches
+    import graft.streaming.Streams
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val k = 4096
+    val srcDir = tmpDir("kmv_stream_src")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val sch = spark.read.parquet(srcDir).schema
+    val statePath = tmpDir("kmv_stream_state") + "/buckets"
+    // testdata events carry TIMESTAMP(NANOS) read as long — convert the
+    // same way Queries.events does before handing to the operator
+    def withTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      else df
+    def run(checkpoint: String): Unit = {
+      val q = Streams.slidingKmvStream(spark,
+        withTs(spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)),
+        statePath, checkpoint, k, availableNow = true)
+      try q.awaitTermination() finally q.stop()
+    }
+    run(tmpDir("kmv_stream_ckpt"))
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select(col("bucket"), Sketches.kmvEstimate(col("sk"), k).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamed = estimates(spark.read.parquet(statePath))
+    // batch twin: one sketch per bucket straight over the whole table
+    val direct = estimates(withTs(spark.read.parquet(srcDir))
+      .select(graft.Queries.floorDiv(unix_micros(col("ts")), 3600000000L)
+        .as("bucket"), col("user_id"))
+      .groupBy("bucket")
+      .agg(Sketches.kmvSketch(Sketches.hash63(col("user_id").cast("string")), k)
+        .as("sk")))
+    streamed shouldBe direct
+    // reprocess EVERYTHING with a fresh checkpoint: the set merge must
+    // absorb the redelivery without moving a single estimate
+    run(tmpDir("kmv_stream_ckpt2"))
+    estimates(spark.read.parquet(statePath)) shouldBe streamed
+  }
+
   test("stream-static dim enrichment over a real file stream == batch twin, " +
     "stream side never exchanges") {
     import graft.streaming.Streams
