@@ -272,4 +272,95 @@ class PropertySpec extends SparkSpec {
     out("in_range(p)") shouldBe gen.count(r => r._3 < 0.0 || r._3 > 100.0).toLong
     out("unique(k)") shouldBe (gen.size - gen.map(_._1).distinct.size).toLong
   }
+
+  test("doc chunking: generated docs — full coverage, stride starts, budgeted sizes") {
+    val (w, s) = (50, 25)
+    val gen = Gen.listOfN(60, Gen.choose(1, 180)).sample.get.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"t$j").mkString(" "), n) }
+    val chunks = gen.map { case (id, text, _) => (id, text) }.toDF("doc_id", "text")
+      .withColumn("toks", split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+      .withColumn("n_toks", org.apache.spark.sql.functions.size(col("toks")))
+      .select(col("doc_id"), col("n_toks"),
+        explode(filter(sequence(lit(0), greatest(col("n_toks") - 1, lit(0)), lit(s)),
+          st => st === 0 || st + lit(w - s) < col("n_toks"))).as("start"))
+      .select(col("doc_id"), col("start"),
+        least(lit(w), col("n_toks") - col("start")).as("len"))
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    gen.foreach { case (id, _, n) =>
+      val cs = chunks(id).map(c => (c._2, c._3)).sortBy(_._1)
+      // stride starts, first at 0
+      cs.head._1 shouldBe 0
+      cs.foreach { case (st, _) => st % s shouldBe 0 }
+      // every token index [0, n) is covered by some chunk
+      val covered = cs.flatMap { case (st, len) => st until (st + len) }.toSet
+      covered shouldBe (0 until n).toSet
+      // no chunk exceeds the window; only the last may be shorter than w when n > w
+      cs.foreach { case (_, len) => len should be <= w }
+      if (n >= w) cs.init.foreach { case (_, len) => len shouldBe w }
+    }
+  }
+
+  test("temperature quotas: generated language mixes always sum to N exactly") {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val mixes = Gen.listOfN(12,
+      Gen.nonEmptyListOf(Gen.choose(1, 5000)).map(_.take(12))).sample.get
+    mixes.zipWithIndex.foreach { case (counts, mi) =>
+      val df = counts.zipWithIndex
+        .map { case (n, i) => (s"l$i", n.toLong) }.toDF("lang", "n")
+      val got = df
+        .withColumn("sq", sqrt(col("n").cast("double")))
+        .withColumn("ssum",
+          aggregate(array_sort(collect_list(col("sq")).over(all)),
+            lit(0d), (a, x) => a + x))
+        .withColumn("rawq", col("sq") / col("ssum") * 1000)
+        .withColumn("base", floor(col("rawq")).cast("long"))
+        .withColumn("leftover", lit(1000L) - sum("base").over(all))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy((col("rawq") - col("base")).desc, col("lang"))))
+        .select((col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)))
+        .as[Long].collect()
+      withClue(s"mix #$mi $counts: ") {
+        got.sum shouldBe 1000L
+        got.foreach(_ should be >= 0L)
+      }
+    }
+  }
+
+  test("containment bounds: generated doc pairs stay in [0,1] and hit 1 on subsets") {
+    import graft.dedup.Dedup
+    val vocab = (1 to 30).map(i => s"w$i")
+    val gen = Gen.listOfN(24, for {
+      n <- Gen.choose(3, 25)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = gen.toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val out = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        col("id1") < col("id2"))
+      .select(
+        (org.apache.spark.sql.functions.size(array_intersect(col("sh1"), col("sh2")))
+          .cast("double") /
+          org.apache.spark.sql.functions.size(col("sh1"))).as("c1"),
+        (org.apache.spark.sql.functions.size(array_intersect(col("sh1"), col("sh2")))
+          .cast("double") /
+          org.apache.spark.sql.functions.size(col("sh2"))).as("c2"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (c1, c2) =>
+      c1 should (be >= 0.0 and be <= 1.0)
+      c2 should (be >= 0.0 and be <= 1.0)
+    }
+    // a doc prefixed into a longer doc must be fully contained
+    val small = "alpha beta gamma delta epsilon"
+    val pair = Seq((1L, small), (2L, small + " " + vocab.mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val c1 = pair.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+      .collect().sortBy(_._1).map(_._2) match {
+        case Array(a, b) => a.count(b.contains).toDouble / a.size
+      }
+    c1 shouldBe 1.0
+  }
 }
