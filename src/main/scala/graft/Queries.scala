@@ -1890,6 +1890,22 @@ object Queries {
         t(s, dir, "nation"), "n_nationkey"))
   }
 
+  /** Dedup impact report: the cluster-size distribution and docs-removed
+    * count a near-dup pass publishes before anyone signs off on deleting
+    * data — built on the same MinHash→verify→connected-components chain
+    * as q58, then two rollups over CLUSTER rows (distribution cardinality
+    * is max cluster size, a handful of rows at any corpus scale). */
+  def q147DedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minHashDedup(docs, threshold = 0.5, portable = true,
+      maxBucketSize = Int.MaxValue)
+    Dedup.dedupClusters(docs, pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -3222,6 +3238,16 @@ object Queries {
         |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
         |FROM m WHERE n_words > 0 AND n_sentences > 0""".stripMargin,
+    "q147_dedup_impact" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |asgn AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cc c ON c.node = d.doc_id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |          FROM asgn GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
+         |FROM sizes GROUP BY 1""".stripMargin,
     "q145_source_purity" ->
       """WITH cells AS (
         |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
@@ -4275,6 +4301,7 @@ object Queries {
     "q143_pair_features" -> (q143PairFeatures _),
     "q144_readability" -> (q144Readability _),
     "q145_source_purity" -> (q145SourcePurity _),
-    "q146_fk_audit" -> (q146FkAudit _)
+    "q146_fk_audit" -> (q146FkAudit _),
+    "q147_dedup_impact" -> (q147DedupImpact _)
   )
 }

@@ -180,6 +180,20 @@ class CurationSpec extends SparkSpec {
     out.getBoolean(2) shouldBe false
   }
 
+  test("dedup impact: size distribution and removal counts from known clusters") {
+    import graft.dedup.Dedup
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // pairs chain {1,2,3} and {4,5}; 6 and 7 stay singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val out = Dedup.dedupClusters(docs, pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out shouldBe Map(3L -> ((1L, 2L)), 2L -> ((1L, 1L)), 1L -> ((2L, 0L)))
+  }
+
   test("Gini–Simpson is 0 for a single group and (n-1)/n for uniform groups") {
     def gini(df: org.apache.spark.sql.DataFrame, keyCol: String): Double =
       df.groupBy(keyCol).agg(count(lit(1)).as("c"))
