@@ -1906,6 +1906,31 @@ object Queries {
         ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"))
   }
 
+  /** Packing-efficiency report over the q64 token-packing chain: per
+    * shard, bin count and fill statistics against the 512-token budget —
+    * the utilization table that decides whether a packing budget wastes
+    * context-window space. Both report rollups run over BIN rows; the
+    * packing chain itself is the only scan-sized work. */
+  def q148PackingReport(s: SparkSession, dir: String): DataFrame = {
+    val shuffled = graft.operators.Sampling.shardedShuffle(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      col("doc_id"), "ep1", 8)
+    val packed = graft.operators.Sampling.packByTokenBudget(shuffled,
+      graft.text.TextAnalysis.tokenCount(col("text")), budget = 512)
+    packed
+      .groupBy("shard", "bin")
+      .agg(sum(graft.text.TextAnalysis.tokenCount(col("text"))).as("bin_tokens"),
+        count(lit(1)).as("n_docs"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("bin_tokens").as("total_tokens"),
+        max("bin_tokens").as("max_bin_tokens"),
+        min("bin_tokens").as("min_bin_tokens"))
+      .select(col("shard"), col("n_bins"), col("total_tokens"),
+        col("max_bin_tokens"), col("min_bin_tokens"),
+        (col("total_tokens").cast("double") / col("n_bins")).as("mean_fill"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -3238,6 +3263,31 @@ object Queries {
         |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
         |FROM m WHERE n_words > 0 AND n_sentences > 0""".stripMargin,
+    "q148_packing_report" -> {
+      val hashSql = "CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || 'ep1'), " +
+        "'[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
+      s"""WITH h AS (
+         |  SELECT doc_id, len($ToksSql) AS toks, $hashSql AS h FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+         |    CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos,
+         |    toks
+         |  FROM h),
+         |p AS (
+         |  SELECT shard, toks,
+         |    CAST(floor(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+         |      AS BIGINT) AS bin
+         |  FROM s),
+         |b AS (SELECT shard, bin, CAST(sum(toks) AS BIGINT) AS bin_tokens,
+         |        count(*) AS n_docs
+         |      FROM p GROUP BY 1, 2)
+         |SELECT shard, count(*) AS n_bins,
+         |  CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+         |  max(bin_tokens) AS max_bin_tokens, min(bin_tokens) AS min_bin_tokens,
+         |  CAST(sum(bin_tokens) AS DOUBLE) / count(*) AS mean_fill
+         |FROM b GROUP BY 1""".stripMargin
+    },
     "q147_dedup_impact" ->
       s"""WITH RECURSIVE $dedupClusterCtes,
          |asgn AS (
@@ -4302,6 +4352,7 @@ object Queries {
     "q144_readability" -> (q144Readability _),
     "q145_source_purity" -> (q145SourcePurity _),
     "q146_fk_audit" -> (q146FkAudit _),
-    "q147_dedup_impact" -> (q147DedupImpact _)
+    "q147_dedup_impact" -> (q147DedupImpact _),
+    "q148_packing_report" -> (q148PackingReport _)
   )
 }

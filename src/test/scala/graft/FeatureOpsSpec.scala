@@ -290,6 +290,30 @@ class FeatureOpsSpec extends SparkSpec {
     out.getLong(2) shouldBe 5L
   }
 
+  test("packing report conserves tokens and numbers bins contiguously") {
+    import graft.operators.Sampling
+    import graft.text.TextAnalysis
+    val docs = (1L to 40L).map(i => (i, (1 to (i % 7 + 3).toInt)
+      .map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val shuffled = Sampling.shardedShuffle(docs, col("doc_id"), "ep1", 4)
+    val packed = Sampling.packByTokenBudget(shuffled,
+      TextAnalysis.tokenCount(col("text")), budget = 10)
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("bin_tokens"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // conservation: per-shard bin totals == per-shard doc totals
+    val byShardBins = bins.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val byShardDocs = shuffled
+      .groupBy("shard").agg(sum(TextAnalysis.tokenCount(col("text"))).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byShardBins shouldBe byShardDocs
+    // bins are 0..n-1 with no gaps in every shard
+    bins.groupBy(_._1).foreach { case (_, bs) =>
+      val ids = bs.map(_._2).sorted
+      ids shouldBe (0L until ids.length.toLong)
+    }
+  }
+
   test("markov transition rows normalize to probability 1 per source state") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:${m}%02d:00")
     val ev = Seq(
