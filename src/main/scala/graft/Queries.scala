@@ -1931,6 +1931,54 @@ object Queries {
         (col("total_tokens").cast("double") / col("n_bins")).as("mean_fill"))
   }
 
+  private val VocabCuts = Seq(100, 500, 1000)
+
+  /** Vocabulary-coverage curve: what fraction of all token OCCURRENCES the
+    * top-k most frequent tokens cover, at k ∈ {100, 500, 1000} — the
+    * table that sizes a tokenizer's vocabulary. One token rollup over the
+    * scan (map-side combined); ranking and cumulative sums run over
+    * DISTINCT-token rows; the three cut rows are the output. Deterministic
+    * rank ties on (count desc, token). */
+  def q149VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+        .as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = counts.agg(sum("c").as("total_occurrences"),
+      count(lit(1)).as("n_distinct"))
+    import s.implicits._
+    VocabCuts.toDF("vocab_size")
+      .crossJoin(broadcast(stats))
+      .withColumn("target_rk", least(col("vocab_size"), col("n_distinct").cast("int")))
+      .join(ranked, col("target_rk") === col("rk"))
+      .select(col("vocab_size"), col("rk").cast("bigint").as("tokens_used"),
+        col("cum").as("occurrences_covered"),
+        (col("cum").cast("double") / col("total_occurrences")).as("coverage"))
+  }
+
+  /** Burst detection over per-minute event volumes: a minute is a burst
+    * when its count exceeds 3× the trailing median of the previous 10
+    * minutes (exact interpolated percentile — the window runs over MINUTE
+    * rows, so the holistic median is over ≤10 values). The per-minute
+    * rollup is the only scan-sized exchange. */
+  def q150BurstDetection(s: SparkSession, dir: String): DataFrame = {
+    val perMin = events(s, dir)
+      .groupBy(floorDiv(unix_micros(col("ts")), 60000000L).as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("minute").rowsBetween(-10, -1)
+    perMin
+      .withColumn("trail_med", expr("percentile(n, 0.5)").over(w))
+      .select(col("minute"), col("n"), col("trail_med"),
+        (col("trail_med").isNotNull &&
+          col("n").cast("double") > lit(3.0) * col("trail_med")).as("burst"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -3263,6 +3311,37 @@ object Queries {
         |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
         |FROM m WHERE n_words > 0 AND n_sentences > 0""".stripMargin,
+    "q149_vocab_coverage" ->
+      s"""WITH tk AS (SELECT unnest($ToksLowerSql) AS tok FROM documents),
+         |t2 AS (SELECT tok FROM tk WHERE tok <> ''),
+         |c AS (SELECT tok, count(*) AS c FROM t2 GROUP BY 1),
+         |r AS (SELECT tok, c,
+         |        row_number() OVER (ORDER BY c DESC, tok) AS rk,
+         |        sum(c) OVER (ORDER BY c DESC, tok
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM c),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS total_occ,
+         |         count(*) AS n_distinct FROM c),
+         |k AS (SELECT unnest([100, 500, 1000]) AS vocab_size)
+         |SELECT CAST(k.vocab_size AS INT) AS vocab_size,
+         |  CAST(least(k.vocab_size, st.n_distinct) AS BIGINT) AS tokens_used,
+         |  CAST(r.cum AS BIGINT) AS occurrences_covered,
+         |  CAST(r.cum AS DOUBLE) / st.total_occ AS coverage
+         |FROM k CROSS JOIN st
+         |JOIN r ON r.rk = least(k.vocab_size, st.n_distinct)""".stripMargin,
+    "q150_burst_detection" ->
+      """WITH m AS (
+        |  SELECT epoch_us(ts) // 60000000 AS minute, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT minute, n,
+        |  quantile_cont(n, 0.5) OVER (ORDER BY minute
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS trail_med,
+        |  (quantile_cont(n, 0.5) OVER (ORDER BY minute
+        |     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) IS NOT NULL
+        |   AND CAST(n AS DOUBLE) > 3.0 * quantile_cont(n, 0.5) OVER (
+        |     ORDER BY minute ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |    AS burst
+        |FROM m""".stripMargin,
     "q148_packing_report" -> {
       val hashSql = "CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || 'ep1'), " +
         "'[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT)"
@@ -4353,6 +4432,8 @@ object Queries {
     "q145_source_purity" -> (q145SourcePurity _),
     "q146_fk_audit" -> (q146FkAudit _),
     "q147_dedup_impact" -> (q147DedupImpact _),
-    "q148_packing_report" -> (q148PackingReport _)
+    "q148_packing_report" -> (q148PackingReport _),
+    "q149_vocab_coverage" -> (q149VocabCoverage _),
+    "q150_burst_detection" -> (q150BurstDetection _)
   )
 }

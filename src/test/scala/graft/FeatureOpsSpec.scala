@@ -314,6 +314,49 @@ class FeatureOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage: known counts, cuts clamp to the distinct-token count") {
+    // tokens: a×4, b×2, c×1 → 7 occurrences, 3 distinct
+    val docs = Seq((1L, "a a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val toks = docs.select(explode(
+      split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("tok"))
+    val ranked = counts.withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum("c").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val stats = counts.agg(sum("c").as("tot"), count(lit(1)).as("nd"))
+    val out = Seq(1, 2, 100).toDF("vocab_size")
+      .crossJoin(broadcast(stats))
+      .withColumn("target_rk", least(col("vocab_size"), col("nd").cast("int")))
+      .join(ranked, col("target_rk") === col("rk"))
+      .select(col("vocab_size"), col("cum"),
+        (col("cum").cast("double") / col("tot")).as("cov"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out(1) shouldBe ((4L, 4.0 / 7))    // top-1 = 'a'
+    out(2) shouldBe ((6L, 6.0 / 7))    // + 'b'
+    out(100) shouldBe ((7L, 1.0))      // clamped to all 3 distinct tokens
+  }
+
+  test("burst detection: trailing median flags only the spike, first row never fires") {
+    // minutes 0..9 at n=2, minute 10 at n=7 (> 3×2), minute 11 back to 2
+    val perMin = ((0L to 9L).map((_, 2L)) ++ Seq((10L, 7L), (11L, 2L)))
+      .toDF("minute", "n")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("minute")
+      .rowsBetween(-10, -1)
+    val out = perMin
+      .withColumn("trail_med", expr("percentile(n, 0.5)").over(w))
+      .select(col("minute"),
+        (col("trail_med").isNotNull &&
+          col("n").cast("double") > lit(3.0) * col("trail_med")).as("burst"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out(0) shouldBe false // empty trailing frame → median null → never a burst
+    (1L to 9L).foreach(m => out(m) shouldBe false)
+    out(10L) shouldBe true
+    out(11L) shouldBe false // spike joins the trailing window but median stays 2
+  }
+
   test("markov transition rows normalize to probability 1 per source state") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:${m}%02d:00")
     val ev = Seq(
