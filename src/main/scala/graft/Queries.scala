@@ -1979,6 +1979,23 @@ object Queries {
           col("n").cast("double") > lit(3.0) * col("trail_med")).as("burst"))
   }
 
+  /** Dedup-aware sampling weights (soft dedup): every document gets
+    * weight 1/|its near-dup cluster|, so a training sampler sees each
+    * CONTENT once in expectation instead of once per copy — the
+    * alternative to hard deletion when provenance must survive. Rational
+    * weights (1/size as one double division) on the q58 cluster chain;
+    * the weight join broadcasts CLUSTER-size rows. */
+  def q151DedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minHashDedup(docs, threshold = 0.5, portable = true,
+      maxBucketSize = Int.MaxValue)
+    val clusters = Dedup.dedupClusters(docs, pairs)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    clusters.join(broadcast(sizes), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("sz").as("cluster_size"),
+        (lit(1.0) / col("sz")).as("sample_weight"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -3367,6 +3384,16 @@ object Queries {
          |  CAST(sum(bin_tokens) AS DOUBLE) / count(*) AS mean_fill
          |FROM b GROUP BY 1""".stripMargin
     },
+    "q151_dedup_weights" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |asgn AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cc c ON c.node = d.doc_id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+         |          FROM asgn GROUP BY 1)
+         |SELECT a.doc_id, a.cluster_id, s.cluster_size,
+         |  CAST(1.0 AS DOUBLE) / s.cluster_size AS sample_weight
+         |FROM asgn a JOIN sizes s USING (cluster_id)""".stripMargin,
     "q147_dedup_impact" ->
       s"""WITH RECURSIVE $dedupClusterCtes,
          |asgn AS (
@@ -4434,6 +4461,7 @@ object Queries {
     "q147_dedup_impact" -> (q147DedupImpact _),
     "q148_packing_report" -> (q148PackingReport _),
     "q149_vocab_coverage" -> (q149VocabCoverage _),
-    "q150_burst_detection" -> (q150BurstDetection _)
+    "q150_burst_detection" -> (q150BurstDetection _),
+    "q151_dedup_weights" -> (q151DedupWeights _)
   )
 }

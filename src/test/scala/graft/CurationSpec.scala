@@ -194,6 +194,25 @@ class CurationSpec extends SparkSpec {
     out shouldBe Map(3L -> ((1L, 2L)), 2L -> ((1L, 1L)), 1L -> ((2L, 0L)))
   }
 
+  test("dedup weights: every cluster contributes total weight 1") {
+    import graft.dedup.Dedup
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val clusters = Dedup.dedupClusters(docs, pairs)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val weighted = clusters.join(broadcast(sizes), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (lit(1.0) / col("sz")).as("w"))
+    // each content cluster sums to exactly 1 in expectation
+    val perCluster = weighted.groupBy("cluster_id").agg(sum("w").as("tw"))
+      .select("tw").as[Double].collect()
+    perCluster.foreach(_ shouldBe 1.0 +- 1e-12)
+    weighted.count() shouldBe 7L // provenance survives: no row deleted
+    val w123 = weighted.where(col("doc_id") === 1L)
+      .select("w").as[Double].collect()(0)
+    w123 shouldBe 1.0 / 3
+  }
+
   test("Gini–Simpson is 0 for a single group and (n-1)/n for uniform groups") {
     def gini(df: org.apache.spark.sql.DataFrame, keyCol: String): Double =
       df.groupBy(keyCol).agg(count(lit(1)).as("c"))
