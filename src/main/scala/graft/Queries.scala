@@ -1996,6 +1996,20 @@ object Queries {
         (lit(1.0) / col("sz")).as("sample_weight"))
   }
 
+  /** Full BPE: train 8 merges on the corpus word-frequency table
+    * ([[graft.text.Bpe.trainMergesWithTable]] — each round one pair
+    * aggregation over WORD rows + a single-row collect), then read the
+    * subword histogram straight off the trained table (each word row
+    * carries its corpus frequency — zero extra corpus passes). No DuckDB
+    * oracle: the sequential merge dependency isn't SQL-expressible, so
+    * the driver records the rows-only check; the merge sequence is
+    * pinned against a single-node reference implementation in the
+    * spec. */
+  def q152BpeSubwords(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.subwordStats(t(s, dir, "documents"), "text",
+        nMerges = 8, maxWords = 10000)
+      .orderBy(col("n").desc, col("subword")).limit(50)
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -4462,6 +4476,7 @@ object Queries {
     "q148_packing_report" -> (q148PackingReport _),
     "q149_vocab_coverage" -> (q149VocabCoverage _),
     "q150_burst_detection" -> (q150BurstDetection _),
-    "q151_dedup_weights" -> (q151DedupWeights _)
+    "q151_dedup_weights" -> (q151DedupWeights _),
+    "q152_bpe_subwords" -> (q152BpeSubwords _)
   )
 }
