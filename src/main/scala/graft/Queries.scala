@@ -2010,6 +2010,31 @@ object Queries {
         nMerges = 8, maxWords = 10000)
       .orderBy(col("n").desc, col("subword")).limit(50)
 
+  /** MinHash banding quality evaluation: the banded pipeline's RECALL
+    * against exact all-pairs ground truth on the bounded frame (id<50) —
+    * the tuning table for band geometry (bands×rows trades recall for
+    * candidate volume). Precision is 1 by construction (candidates are
+    * Jaccard-verified before emission), so recall is the number that
+    * moves; the quadratic truth join is affordable only on the bounded
+    * frame, which is exactly how the estimate is made at corpus scale —
+    * on a sample, never the corpus. */
+  def q153MinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 50)
+    val pred = Dedup.minHashDedup(docs, threshold = 0.5, portable = true,
+      maxBucketSize = Int.MaxValue).select("id1", "id2")
+    val allPairs = docs.select(col("doc_id").as("id1"))
+      .join(docs.select(col("doc_id").as("id2")), col("id1") < col("id2"))
+    val truth = Dedup.jaccardVerify(docs, allPairs)
+      .where(col("jaccard") >= 0.5).select("id1", "id2")
+    val hit = truth.join(pred, Seq("id1", "id2"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -3398,6 +3423,30 @@ object Queries {
          |  CAST(sum(bin_tokens) AS DOUBLE) / count(*) AS mean_fill
          |FROM b GROUP BY 1""".stripMargin
     },
+    "q153_minhash_recall" ->
+      s"""WITH $minHashSigCtes,
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($minHashBandEq)
+         |  WHERE b.doc_id < 50),
+         |pred AS (
+         |  SELECT id1, id2 FROM cand
+         |  WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+         |          / len(list_distinct(sh1 || sh2)) >= 0.5),
+         |truth AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE b.doc_id < 50
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |hit AS (SELECT t.id1 FROM truth t JOIN pred p
+         |        ON t.id1 = p.id1 AND t.id2 = p.id2)
+         |SELECT (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM pred) AS n_pred,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+         |    CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |      / (SELECT count(*) FROM truth) END AS recall""".stripMargin,
     "q151_dedup_weights" ->
       s"""WITH RECURSIVE $dedupClusterCtes,
          |asgn AS (
@@ -4477,6 +4526,7 @@ object Queries {
     "q149_vocab_coverage" -> (q149VocabCoverage _),
     "q150_burst_detection" -> (q150BurstDetection _),
     "q151_dedup_weights" -> (q151DedupWeights _),
-    "q152_bpe_subwords" -> (q152BpeSubwords _)
+    "q152_bpe_subwords" -> (q152BpeSubwords _),
+    "q153_minhash_recall" -> (q153MinhashRecall _)
   )
 }

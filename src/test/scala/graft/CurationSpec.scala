@@ -213,6 +213,28 @@ class CurationSpec extends SparkSpec {
     w123 shouldBe 1.0 / 3
   }
 
+  test("minhash recall eval: predictions are a subset of truth (precision 1), bounds hold") {
+    import graft.dedup.Dedup
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 50)
+    val pred = Dedup.minHashDedup(docs, threshold = 0.5, portable = true,
+      maxBucketSize = Int.MaxValue).select("id1", "id2")
+    val allPairs = docs.select(col("doc_id").as("id1"))
+      .join(docs.select(col("doc_id").as("id2")), col("id1") < col("id2"))
+    val truth = Dedup.jaccardVerify(docs, allPairs)
+      .where(col("jaccard") >= 0.5).select("id1", "id2")
+    val nPred = pred.count()
+    val nTruth = truth.count()
+    val nHit = truth.join(pred, Seq("id1", "id2"), "left_semi").count()
+    // verification step makes every prediction a true positive
+    pred.join(truth, Seq("id1", "id2"), "left_anti").count() shouldBe 0L
+    nHit shouldBe nPred // pred ⊆ truth ⟹ every prediction is a hit
+    nHit should be <= nTruth
+    nTruth should be > 0L // the frame actually contains near-dups
+  }
+
   test("Gini–Simpson is 0 for a single group and (n-1)/n for uniform groups") {
     def gini(df: org.apache.spark.sql.DataFrame, keyCol: String): Double =
       df.groupBy(keyCol).agg(count(lit(1)).as("c"))
