@@ -12,6 +12,21 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
+  /** Release per-query executor state between measurements. Several
+    * queries return `localCheckpoint`ed DataFrames (graph iterations,
+    * dedup snapshots, cooccur caps) whose backing RDD blocks survive the
+    * DataFrame reference — 153 queries × 2 runs in one JVM otherwise
+    * accumulate gigabytes of storage blocks, and late-alphabet queries
+    * inherit the memory pressure of everything before them (round-5 bench
+    * showed unchanged code regressing up to 12× from exactly this).
+    * Unpersisting every persistent RDD + clearing the table cache after
+    * each query makes each measurement start from a clean storage pool,
+    * the same state a fresh job on a cluster would see. */
+  private def releaseState(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,6 +62,10 @@ object Bench {
             failures.getOrElseUpdate(name,
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
             None
+        } finally {
+          // outside the timed window: state release is harness hygiene,
+          // not query cost
+          releaseState(spark)
         }
       }
       // a failed query reports -1, never a (fast) failure time

@@ -1170,11 +1170,16 @@ object Queries {
 
   /** Tokenize-to-ids under a frequency-ranked 1000-token vocabulary
     * (deterministic tie-break; OOV → 0) — the reproducible text→ids step
-    * ([[TextAnalysis.vocabulary]] / [[TextAnalysis.encodeIds]]). */
+    * ([[TextAnalysis.vocabulary]] / [[TextAnalysis.encodeIds]]). The id
+    * array is emitted CSV-joined (pure integers, so the string form is
+    * canonical) — the oracle harness compares scalar columns. */
   def q105TokenizeIds(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     TextAnalysis.encodeIds(docs, "doc_id", "text",
-      TextAnalysis.vocabulary(docs, "text", size = 1000))
+        TextAnalysis.vocabulary(docs, "text", size = 1000))
+      .select(col("doc_id"),
+        array_join(col("token_ids").cast("array<string>"), ",").as("token_ids"),
+        col("n_oov"))
   }
 
   /** Distribution drift gate: English documents' length histogram vs the
@@ -1211,8 +1216,11 @@ object Queries {
     t(s, dir, "embeddings")
       .where(col("embedding").isNotNull)
       .select(col("vec_id"),
-        graft.similarity.Projection.jlProject(
-          Dedup.quantize(col("embedding")), inDim = 64, outDim = 16).as("proj"))
+        // CSV-join the integer projection so the output is scalar-typed
+        // for the oracle harness (the operator itself stays array-valued)
+        array_join(graft.similarity.Projection.jlProject(
+            Dedup.quantize(col("embedding")), inDim = 64, outDim = 16)
+          .cast("array<string>"), ",").as("proj"))
 
   /** Product-quantization encode (4 subspaces × 16 centroids over 64
     * dims): per-vector code bytes + total reconstruction error
@@ -1225,7 +1233,8 @@ object Queries {
         graft.similarity.Projection.pqEncode(
           Dedup.quantize(col("embedding")), inDim = 64, nSub = 4, nCent = 16).as("enc"))
       .select(col("vec_id"),
-        transform(col("enc"), e => e.getField("code")).as("codes"),
+        array_join(transform(col("enc"), e => e.getField("code"))
+          .cast("array<string>"), ",").as("codes"),
         aggregate(col("enc"), lit(0L), (acc, e) => acc + e.getField("dist"))
           .as("recon_err"))
 
@@ -1274,8 +1283,9 @@ object Queries {
       graft.functions.VectorAgg.vectorMax(col("qv"), 64).as("mx"))
     q.crossJoin(broadcast(bounds))
       .select(col("vec_id"),
-        graft.similarity.Projection.minMaxScale(col("qv"), col("mn"), col("mx"))
-          .as("scaled"))
+        array_join(
+          graft.similarity.Projection.minMaxScale(col("qv"), col("mn"), col("mx"))
+            .cast("array<string>"), ",").as("scaled"))
   }
 
   /** 3-core of the lineitem part-sequence graph (same edges as q73/q90):
@@ -1866,20 +1876,23 @@ object Queries {
   }
 
   /** Referential-integrity audit across the star schema: child row counts
-    * and orphan counts (anti-join) per FK relationship, one row each —
-    * the conformance report a warehouse load publishes. Anti-joins
-    * broadcast the parent KEY set only; counts are map-side combined. */
+    * and orphan counts per FK relationship, one row each — the
+    * conformance report a warehouse load publishes. ONE scan per child:
+    * a left join against the broadcast parent KEY set marks hits, and a
+    * single map-side-combined aggregate reads both counts off it (the
+    * count + anti-join formulation scanned every child twice). A child
+    * key that is NULL never matches, so it counts as an orphan — the
+    * same semantics the anti-join had. */
   def q146FkAudit(s: SparkSession, dir: String): DataFrame = {
     def rel(name: String, child: DataFrame, childKey: String,
-            parent: DataFrame, parentKey: String): DataFrame = {
-      val orphans = child.join(
-        broadcast(parent.select(col(parentKey).as(childKey)).distinct()),
-        Seq(childKey), "left_anti")
-      child.agg(count(lit(1)).as("child_rows"))
-        .crossJoin(orphans.agg(count(lit(1)).as("orphans")))
+            parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey))
+        .join(broadcast(parent.select(col(parentKey).as(childKey)).distinct()
+          .withColumn("__hit", lit(1))), Seq(childKey), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          count(when(col("__hit").isNull, 1)).as("orphans"))
         .select(lit(name).as("relationship"), col("child_rows"),
           col("orphans"), (col("orphans") === 0L).as("ok"))
-    }
     rel("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
         t(s, dir, "orders"), "o_orderkey")
       .unionByName(rel("orders->customer", t(s, dir, "orders"), "o_custkey",
@@ -2000,11 +2013,11 @@ object Queries {
     * ([[graft.text.Bpe.trainMergesWithTable]] — each round one pair
     * aggregation over WORD rows + a single-row collect), then read the
     * subword histogram straight off the trained table (each word row
-    * carries its corpus frequency — zero extra corpus passes). No DuckDB
-    * oracle: the sequential merge dependency isn't SQL-expressible, so
-    * the driver records the rows-only check; the merge sequence is
-    * pinned against a single-node reference implementation in the
-    * spec. */
+    * carries its corpus frequency — zero extra corpus passes).
+    * Value-checked: the oracle unrolls the 8 merge rounds as chained
+    * CTEs (pair counts → best pair → positional greedy merge), and the
+    * merge sequence is additionally pinned against a single-node
+    * reference implementation in the spec. */
   def q152BpeSubwords(s: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.subwordStats(t(s, dir, "documents"), "text",
         nMerges = 8, maxWords = 10000)
@@ -2895,7 +2908,8 @@ object Queries {
          |      THEN 1 ELSE -1 END)) AS BIGINT) AS o
          |  FROM x CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) p
          |  GROUP BY 1, 2)
-         |SELECT vec_id, list(o ORDER BY p) AS proj FROM s GROUP BY vec_id""".stripMargin,
+         |SELECT vec_id, array_to_string(list(o ORDER BY p), ',') AS proj
+         |FROM s GROUP BY vec_id""".stripMargin,
     "q110_pq_encode" ->
       // identical arithmetic codebooks; argmin via row_number(dist, k)
       s"""WITH q AS (SELECT vec_id, ${quantSql("embedding")} AS qv
@@ -2913,7 +2927,7 @@ object Queries {
          |pick AS (SELECT vec_id, s, k, dist,
          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
          |  FROM d)
-         |SELECT vec_id, list(CAST(k AS INT) ORDER BY s) AS codes,
+         |SELECT vec_id, array_to_string(list(k ORDER BY s), ',') AS codes,
          |  CAST(sum(dist) AS BIGINT) AS recon_err
          |FROM pick WHERE rn = 1 GROUP BY vec_id""".stripMargin,
     "q111_tfidf_topk" ->
@@ -3003,7 +3017,8 @@ object Queries {
          |    CASE WHEN mx > mn THEN ((v - mn) * 10000) // (mx - mn)
          |         ELSE 0 END AS sv
          |  FROM x JOIN b USING (j))
-         |SELECT vec_id, list(CAST(sv AS BIGINT) ORDER BY j) AS scaled
+         |SELECT vec_id, array_to_string(list(CAST(sv AS BIGINT) ORDER BY j), ',')
+         |  AS scaled
          |FROM s GROUP BY vec_id""".stripMargin,
     "q117_adc_topk" ->
       // q110's codes chain + a LUT of query→centroid distances; the query
@@ -3447,6 +3462,55 @@ object Queries {
          |  CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
          |    CAST((SELECT count(*) FROM hit) AS DOUBLE)
          |      / (SELECT count(*) FROM truth) END AS recall""".stripMargin,
+    // The 8 BPE merge rounds unrolled as chained CTEs (the q73/q116
+    // technique applied to Sennrich'16): each round re-derives the
+    // exploded (word, pos, symbol) frame after picking the best pair by
+    // (count desc, pair) and applying the greedy left-fold merge. The
+    // fold is expressed POSITIONALLY: a position matches when it starts
+    // the best pair; within a run of CONSECUTIVE matches (which only
+    // arises when a = b, e.g. "eeee"), greedy merging takes the even
+    // offsets from the run start — exactly the accumulator-tail fold the
+    // engine's Bpe.applyMerge computes, since a merged token a||b can
+    // never re-match a within the same round (a||b ≠ a).
+    "q152_bpe_subwords" -> {
+      def round(r: Int): String = {
+        val p = r - 1
+        s"""e$r AS (SELECT word, wcount, i, s,
+           |  lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt FROM x$p),
+           |b$r AS (SELECT a, b FROM (
+           |    SELECT s AS a, nxt AS b, sum(wcount) AS c FROM e$r
+           |    WHERE nxt IS NOT NULL GROUP BY 1, 2)
+           |  ORDER BY c DESC, a, b LIMIT 1),
+           |m$r AS (SELECT word, wcount, i, s,
+           |    (coalesce(s = (SELECT a FROM b$r), FALSE)
+           |     AND coalesce(nxt = (SELECT b FROM b$r), FALSE)) AS m
+           |  FROM e$r),
+           |g$r AS (SELECT *, count(CASE WHEN NOT m THEN 1 END) OVER
+           |    (PARTITION BY word ORDER BY i) AS grp FROM m$r),
+           |y$r AS (SELECT *, m AND ((i - min(CASE WHEN m THEN i END) OVER
+           |    (PARTITION BY word, grp)) % 2 = 0) AS st FROM g$r),
+           |c$r AS (SELECT *, coalesce(lag(st) OVER
+           |    (PARTITION BY word ORDER BY i), FALSE) AS consumed FROM y$r),
+           |x$r AS (SELECT word, wcount,
+           |    row_number() OVER (PARTITION BY word ORDER BY i) AS i,
+           |    CASE WHEN st THEN (SELECT a || b FROM b$r) ELSE s END AS s
+           |  FROM c$r WHERE NOT consumed)""".stripMargin
+      }
+      s"""WITH w0 AS (
+         |  SELECT word, count(*) AS wcount FROM (
+         |    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+         |      '\\s+', ' ', 'g')), ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1
+         |  ORDER BY wcount DESC, word LIMIT 10000),
+         |x0 AS (SELECT word, wcount,
+         |    unnest(generate_series(1, length(word))) AS i,
+         |    unnest(list_transform(generate_series(1, length(word)),
+         |      j -> substr(word, j, 1))) AS s
+         |  FROM w0),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT s AS subword, CAST(sum(wcount) AS BIGINT) AS n
+         |FROM x8 GROUP BY 1 ORDER BY n DESC, subword LIMIT 50""".stripMargin
+    },
     "q151_dedup_weights" ->
       s"""WITH RECURSIVE $dedupClusterCtes,
          |asgn AS (
@@ -3648,7 +3712,8 @@ object Queries {
          |  QUALIFY id <= 1000),
          |e AS (SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS tid
          |  FROM tk t LEFT JOIN v USING (tok))
-         |SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+         |SELECT doc_id, array_to_string(list(tid ORDER BY pos), ',')
+         |  AS token_ids,
          |  CAST(count(*) FILTER (WHERE tid = 0) AS BIGINT) AS n_oov
          |FROM e GROUP BY doc_id""".stripMargin,
     "q101_cube" ->

@@ -22,6 +22,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // queries returning localCheckpoint'ed results (graph/dedup/
+        // cooccur) leave storage blocks behind; 153 queries in one JVM
+        // accumulate them — release per query (same hygiene as Bench)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

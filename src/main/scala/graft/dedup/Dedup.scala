@@ -565,13 +565,25 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
           val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
+          // A crash between this batch's index/docs writes and the
+          // checkpoint commit replays the batch with its OWN state already
+          // durable: its bands would sit in the bucket pool twice
+          // (index + probe), double-counting toward maxBucketSize — a
+          // finite cap could then drop candidate pairs the uncrashed run
+          // keeps, and the replay would overwrite pairs/batch=<bid> with
+          // the smaller result. Anti-joining the batch ids out of BOTH
+          // state reads makes the replay see exactly the pre-batch state,
+          // so redelivery is idempotent for any crash point.
+          val bIds = b.select(col(idCol))
           val index =
             if (exists(idxPath))
               spark.read.parquet(idxPath).select(col(idCol), col("bucket"))
+                .join(bIds, Seq(idCol), "left_anti")
             else b.select(col(idCol)).limit(0).withColumn("bucket", lit(0L))
           val known =
             if (exists(docsPath))
               spark.read.parquet(docsPath).select(col(idCol), col(textCol))
+                .join(bIds, Seq(idCol), "left_anti")
             else b.limit(0)
           val all = known.unionByName(b)
           val pairs = incrementalNearDup(index, b, all, minJaccard,

@@ -146,7 +146,17 @@ object Profile {
     * Requires |x·scale| < ~3·10⁹ so per-row squares fit a long. */
   def zscoreOutlierCounts(df: DataFrame, groupCol: String, valueCol: String,
                           k: Double = 3.0, scale: Int = 100): DataFrame = {
-    val xq = round(col(valueCol) * scale).cast("long")
+    // |xq| ≤ floor(√Long.MaxValue): past it xq·xq wraps SILENTLY in long
+    // arithmetic and σ comes out wrong with no symptom — make the
+    // documented precondition a checked one (same loud-guard discipline
+    // as RangeJoin's fan-out cap)
+    val maxAbs = 3037000499L
+    val xq0 = round(col(valueCol) * scale).cast("long")
+    val xq = when(abs(xq0) <= maxAbs, xq0)
+      .otherwise(raise_error(concat(
+        lit(s"zscoreOutlierCounts: |$valueCol * $scale| = "), abs(xq0),
+        lit(s" exceeds $maxAbs — the per-row square would overflow long; " +
+          "lower `scale` or pre-clip the column"))).cast("long"))
     def dsum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,0)")).cast("double")
     val stats = df.where(col(valueCol).isNotNull)

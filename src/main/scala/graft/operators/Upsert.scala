@@ -52,14 +52,22 @@ object Upsert {
     * protocol relies on — adequate for the one-job-at-a-time deployments
     * this guards. */
   private[graft] def acquireLock(spark: SparkSession, path: String,
-                                 ttlMs: Long): Unit = {
+                                 ttlMs: Long): String = {
     val lp = lockPath(path)
     val f = fs(spark, lp)
+    // Unique ownership token stamped INTO the lease file. Release and the
+    // pre-swap ownership check compare against it, so a writer whose merge
+    // outlived the TTL (and whose lease was legitimately taken over by a
+    // successor) can neither delete the successor's lease on its way out
+    // nor perform the destructive swap — without the token, the stale
+    // writer's finally-release would silently re-open the table to a THIRD
+    // writer while the successor is mid-swap.
+    val token =
+      s"pid=${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
     def tryCreate(): Boolean =
       try {
         val out = f.create(lp, false)
-        out.writeBytes(
-          s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n")
+        out.writeBytes(s"$token ts=${System.currentTimeMillis()}\n")
         out.close()
         true
       } catch { case _: java.io.IOException => false }
@@ -76,11 +84,44 @@ object Upsert {
         throw new ConcurrentWriteException(
           s"upsert: lost takeover race for stale lease $lp")
     }
+    token
   }
 
-  private[graft] def releaseLock(spark: SparkSession, path: String): Unit = {
+  /** The token currently stamped in the lease file, or None if absent. */
+  private def currentToken(spark: SparkSession, path: String): Option[String] = {
     val lp = lockPath(path)
-    fs(spark, lp).delete(lp, false)
+    val f = fs(spark, lp)
+    try {
+      val in = f.open(lp)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.split("\\s+").headOption.filter(_.nonEmpty)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Throw if this writer no longer holds the lease — called immediately
+    * before each destructive commit (rename swap / dynamic overwrite), so
+    * a TTL takeover during a slow merge aborts the old writer instead of
+    * letting two writers interleave renames on the same directory. */
+  private def assertHeld(spark: SparkSession, path: String,
+                         token: String): Unit = {
+    val held = currentToken(spark, path)
+    if (!held.contains(token))
+      throw new ConcurrentWriteException(
+        s"upsert: lease for $path was taken over mid-merge " +
+          s"(held=${held.getOrElse("<gone>")}, mine=$token); aborting before " +
+          "the commit — this writer exceeded the lock TTL")
+  }
+
+  /** Delete the lease ONLY if `token` still owns it: releasing
+    * unconditionally would let a TTL-expired writer's finally-block delete
+    * its successor's live lease. */
+  private[graft] def releaseLock(spark: SparkSession, path: String,
+                                 token: String): Unit = {
+    val lp = lockPath(path)
+    if (currentToken(spark, path).contains(token))
+      fs(spark, lp).delete(lp, false)
   }
 
   /** Deterministic per-key winner among duplicate source rows: the row
@@ -160,16 +201,16 @@ object Upsert {
              lockTtlMs: Long = DefaultLockTtlMs): Unit = {
     val src0 = dedupSource(source, keys)
     if (src0.isEmpty) return
-    acquireLock(spark, path, lockTtlMs)
+    val token = acquireLock(spark, path, lockTtlMs)
     try upsertLocked(spark, path, src0, keys, insertOnly, partitionCols,
-      evolveSchema)
-    finally releaseLock(spark, path)
+      evolveSchema, token)
+    finally releaseLock(spark, path, token)
   }
 
   private def upsertLocked(spark: SparkSession, path: String, src0: DataFrame,
                            keys: Seq[String], insertOnly: Boolean,
                            partitionCols: Seq[String],
-                           evolveSchema: Boolean): Unit = {
+                           evolveSchema: Boolean, token: String): Unit = {
     recoverSwap(spark, path)
     val existing = readTable(spark, path)
     if (existing.isEmpty) {
@@ -225,6 +266,7 @@ object Upsert {
       try {
         val stagedDirs = partDirs(spark.read.parquet(staged)
           .select(partitionCols.map(col): _*).distinct().collect())
+        assertHeld(spark, path, token) // last check before destructive commit
         spark.read.parquet(staged)
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
@@ -236,17 +278,20 @@ object Upsert {
           .foreach(p => fs(spark, new Path(path)).delete(new Path(s"$path/$p"), true))
       } finally fs(spark, new Path(staged)).delete(new Path(staged), true)
     } else {
-      stageAndSwap(spark, path, merge(target, src, keys, insertOnly))
+      stageAndSwap(spark, path, merge(target, src, keys, insertOnly), token)
     }
   }
 
   /** Stage `df` (whose plan may read `path`) to a sibling dir, then
-    * atomically swap it in. */
+    * atomically swap it in. Ownership is re-verified between staging and
+    * the first rename — the merge computation is the part that can outlive
+    * the lock TTL. */
   private def stageAndSwap(spark: SparkSession, path: String,
-                           df: DataFrame): Unit = {
+                           df: DataFrame, token: String): Unit = {
     val staged = stage(spark, path, df)
     val p = new Path(path); val f = fs(spark, p)
     val old = new Path(path + "__old")
+    assertHeld(spark, path, token)
     f.delete(old, true)
     // HDFS-style rename returns false instead of throwing — an ignored
     // failure here would drop the table; check both hops.
@@ -265,13 +310,13 @@ object Upsert {
     * the caller's plan, durability semantics live here. */
   def replace(spark: SparkSession, path: String, df: DataFrame,
               lockTtlMs: Long = DefaultLockTtlMs): Unit = {
-    acquireLock(spark, path, lockTtlMs)
+    val token = acquireLock(spark, path, lockTtlMs)
     try {
       recoverSwap(spark, path)
       if (!tableExists(spark, path))
         df.write.mode(SaveMode.Overwrite).parquet(path)
-      else stageAndSwap(spark, path, df)
-    } finally releaseLock(spark, path)
+      else stageAndSwap(spark, path, df, token)
+    } finally releaseLock(spark, path, token)
   }
 
   /** Recover from a crash between the two swap renames: if the table dir

@@ -59,7 +59,10 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
                   maxWords: Int = 100000): Seq[(String, String)] =
     trainMergesWithTable(docs, textCol, nMerges, maxWords) match {
-      case (merges, tbl) => tbl.unpersist(); merges
+      // Graph.unpersist, not Dataset.unpersist: the table is a
+      // localCheckpoint snapshot (a persisted RDD behind a LogicalRDD
+      // leaf) that Dataset.unpersist cannot reach
+      case (merges, tbl) => graft.operators.Graph.unpersist(tbl); merges
     }
 
   /** [[trainMerges]] plus the trained (word, wcount, syms) table — the
@@ -91,7 +94,9 @@ object Bpe {
         merges += best
         val next = tbl.withColumn("syms",
           applyMerge(col("syms"), best._1, best._2)).localCheckpoint()
-        tbl.unpersist()
+        // release the PREVIOUS round's snapshot RDD (Graph.unpersist —
+        // Dataset.unpersist is a no-op on a LogicalRDD-backed checkpoint)
+        graft.operators.Graph.unpersist(tbl)
         tbl = next
         i += 1
       }

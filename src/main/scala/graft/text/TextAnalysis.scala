@@ -368,10 +368,20 @@ object TextAnalysis {
     val dft = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
       .where(col("n_t") >= minDf)
     val wcap = Window.partitionBy(col("id")).orderBy(col("tok"))
+    // Four downstream consumers reference this subplan (na, nDocs, and
+    // BOTH sides of the pair self-join). Left un-materialized, plan reuse
+    // is at the mercy of AQE exchange-reuse detection, which races with
+    // stage scheduling under a loaded JVM and occasionally recomputes the
+    // whole cap chain. localCheckpoint computes it exactly once and every
+    // consumer reads the materialized (id, tok) rows — deterministic plan,
+    // and the checkpoint is capped rows only (≤ maxPerGroup per id).
+    // Callers inherit the snapshot; Bench/Verify release it per query via
+    // the persistent-RDD sweep (see Bench.releaseState).
     val capped = toks.join(dft.select("tok"), "tok")
       .withColumn("rn", row_number().over(wcap))
       .where(col("rn") <= maxPerGroup)
       .select("id", "tok")
+      .localCheckpoint()
     val na = capped.groupBy("tok").agg(count(lit(1)).as("n_tok"))
     val nDocs = capped.select("id").distinct()
       .agg(count(lit(1)).as("n_docs"))

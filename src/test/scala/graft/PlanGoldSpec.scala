@@ -78,18 +78,10 @@ class PlanGoldSpec extends SparkSpec {
       val regressions = names.flatMap { n =>
         val now = profile(n)
         val ref = golden(n)
-        // cooccurLiftOn consumers reference the capped subplan three
-        // times; AQE's exchange-reuse detection races with stage
-        // scheduling under a loaded JVM, so one duplicate exchange
-        // occasionally materializes instead of being reused (same data,
-        // same result — only the plan string varies). Tolerate exactly
-        // that one extra exchange for exactly these queries.
-        val slack =
-          if (Set("q112_cooccur_lift", "q122_basket_lift")(n)) 1 else 0
         // more shuffles / more total exchanges / a new SMJ = regression;
         // fewer is an improvement and passes (regenerate to pin it)
         Seq("shuffles", "exchanges", "smj").collect {
-          case k if now(k) > ref(k) + (if (k == "smj") 0 else slack) =>
+          case k if now(k) > ref(k) =>
             s"$n: $k ${ref(k)} -> ${now(k)}"
         } ++
           // losing a broadcast join (without losing the join itself) means

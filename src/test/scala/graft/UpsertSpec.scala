@@ -130,14 +130,14 @@ class UpsertSpec extends SparkSpec {
     val path = tmpDir("upsertlk") + "/t"
     Upsert.upsert(spark, path, target, Seq("k"))
     // writer A holds the lease mid-merge…
-    Upsert.acquireLock(spark, path, Upsert.DefaultLockTtlMs)
+    val tokenA = Upsert.acquireLock(spark, path, Upsert.DefaultLockTtlMs)
     try {
       // …so writer B must raise, not interleave with A's staged swap
       val ex = the[Upsert.ConcurrentWriteException] thrownBy
         Upsert.upsert(spark, path, source, Seq("k"))
       ex.getMessage should include("locked by another writer")
       spark.read.parquet(path).count() shouldBe 2 // B wrote nothing
-    } finally Upsert.releaseLock(spark, path)
+    } finally Upsert.releaseLock(spark, path, tokenA)
     // A released → B's retry wins
     Upsert.upsert(spark, path, source, Seq("k"))
     spark.read.parquet(path).count() shouldBe 3
@@ -154,6 +154,30 @@ class UpsertSpec extends SparkSpec {
     Upsert.upsert(spark, path, source, Seq("k"), lockTtlMs = 1000)
     spark.read.parquet(path).count() shouldBe 3
     lock.exists() shouldBe false // takeover released its own lease
+  }
+
+  test("TTL-expired writer cannot release its successor's lease or swap") {
+    val path = tmpDir("upserttok") + "/t"
+    Upsert.upsert(spark, path, target, Seq("k"))
+    // writer A acquires, then its merge outlives the TTL…
+    val tokenA = Upsert.acquireLock(spark, path, Upsert.DefaultLockTtlMs)
+    val lock = new java.io.File(path + "__lock")
+    lock.setLastModified(System.currentTimeMillis() - 10000) shouldBe true
+    // …writer B legitimately takes the stale lease over
+    val tokenB = Upsert.acquireLock(spark, path, 1000)
+    tokenA should not be tokenB
+    // A's finally-release is a NO-OP against B's lease (the round-5 advice
+    // scenario: an unconditional delete here re-opens the table to a third
+    // writer while B is mid-swap)
+    Upsert.releaseLock(spark, path, tokenA)
+    lock.exists() shouldBe true
+    // and a third writer still bounces off B's live lease
+    val ex = the[Upsert.ConcurrentWriteException] thrownBy
+      Upsert.upsert(spark, path, source, Seq("k"))
+    ex.getMessage should include("locked by another writer")
+    // B's own release works
+    Upsert.releaseLock(spark, path, tokenB)
+    lock.exists() shouldBe false
   }
 
   test("lock is released after a failed merge") {

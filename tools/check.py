@@ -19,9 +19,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
+    # Sort BEFORE stringifying, mirroring the driver's harness: an
+    # ARRAY-typed output column crashes pandas sort_values there
+    # ("unhashable type: numpy.ndarray"), and round 5 proved a local gate
+    # that stringifies first silently passes queries the driver cannot
+    # check. Queries must emit scalar columns (array_join/to_json/explode).
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
 
 
 def compare(name, spark_df, oracle_df):
@@ -72,7 +79,11 @@ def main(sf_dir, out_dir):
             print(f"  ✗ {name}: ORACLE SQL ERROR {str(e)[:200]}")
             n_bad += 1
             continue
-        err = compare(name, spark_df, oracle_df)
+        try:
+            err = compare(name, spark_df, oracle_df)
+        except TypeError as e:
+            # the driver's harness dies the same way on non-scalar columns
+            err = f"HARNESS-INCOMPATIBLE output ({str(e)[:120]})"
         if err:
             print(f"  ✗ {name}: {err}")
             n_bad += 1
