@@ -37,7 +37,7 @@ object Queries {
     * (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench); convert
     * back to a micros timestamp with integer division — a double round-trip
     * would lose precision above 2^53 ns. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -46,6 +46,12 @@ object Queries {
         // epoch_us; pmod makes the remainder nonnegative so the quotient
         // floors for any sign
         df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // regenerated testdata writes TIMESTAMP_MICROS with isAdjustedToUTC=0;
+        // the session builders set inferTimestampNTZ=false so this arm should
+        // not fire, but if a future session misses the conf, normalize here:
+        // session TZ is pinned UTC, so the NTZ→LTZ cast is value-preserving
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
@@ -3475,13 +3481,13 @@ object Queries {
     "q152_bpe_subwords" -> {
       def round(r: Int): String = {
         val p = r - 1
-        s"""e$r AS (SELECT word, wcount, i, s,
+        s"""e$r AS MATERIALIZED (SELECT word, wcount, i, s,
            |  lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt FROM x$p),
-           |b$r AS (SELECT a, b FROM (
+           |b$r AS MATERIALIZED (SELECT a, b FROM (
            |    SELECT s AS a, nxt AS b, sum(wcount) AS c FROM e$r
            |    WHERE nxt IS NOT NULL GROUP BY 1, 2)
            |  ORDER BY c DESC, a, b LIMIT 1),
-           |m$r AS (SELECT word, wcount, i, s,
+           |m$r AS MATERIALIZED (SELECT word, wcount, i, s,
            |    (coalesce(s = (SELECT a FROM b$r), FALSE)
            |     AND coalesce(nxt = (SELECT b FROM b$r), FALSE)) AS m
            |  FROM e$r),
@@ -3491,18 +3497,18 @@ object Queries {
            |    (PARTITION BY word, grp)) % 2 = 0) AS st FROM g$r),
            |c$r AS (SELECT *, coalesce(lag(st) OVER
            |    (PARTITION BY word ORDER BY i), FALSE) AS consumed FROM y$r),
-           |x$r AS (SELECT word, wcount,
+           |x$r AS MATERIALIZED (SELECT word, wcount,
            |    row_number() OVER (PARTITION BY word ORDER BY i) AS i,
            |    CASE WHEN st THEN (SELECT a || b FROM b$r) ELSE s END AS s
            |  FROM c$r WHERE NOT consumed)""".stripMargin
       }
-      s"""WITH w0 AS (
+      s"""WITH w0 AS MATERIALIZED (
          |  SELECT word, count(*) AS wcount FROM (
          |    SELECT unnest(string_split(trim(regexp_replace(lower(text),
          |      '\\s+', ' ', 'g')), ' ')) AS word FROM documents)
          |  WHERE word <> '' GROUP BY 1
          |  ORDER BY wcount DESC, word LIMIT 10000),
-         |x0 AS (SELECT word, wcount,
+         |x0 AS MATERIALIZED (SELECT word, wcount,
          |    unnest(generate_series(1, length(word))) AS i,
          |    unnest(list_transform(generate_series(1, length(word)),
          |      j -> substr(word, j, 1))) AS s

@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet has TIMESTAMP(NANOS); surface as long, convert in-plan
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // regenerated testdata writes TIMESTAMP_MICROS with isAdjustedToUTC=0;
+      // keep reading it as TimestampType (session-TZ UTC) instead of NTZ so
+      // unix_micros/withWatermark stay valid
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -234,4 +234,89 @@ class PipelineSpec extends SparkSpec {
       withClue(name) { s shouldBe b }
     }
   }
+
+  test("gold merge that loses its lease mid-merge aborts at assertHeld; successor's output survives") {
+    import spark.implicits._
+    import graft.operators.Upsert
+    val path = tmpDir("goldlease") + "/dim_author" // the SilverToGold dim-upsert call site
+    val keys = Seq("AuthorID_NK")
+    Upsert.upsert(spark, path,
+      Seq((1L, "An"), (2L, "Binh")).toDF("AuthorID_NK", "AuthorName"), keys)
+    val lock = new java.io.File(path + "__lock")
+    // empty ⇒ None: acquireLock creates the file and THEN stamps the token,
+    // so a read in that gap must count as "not acquired yet", not as a token
+    def lockToken(): Option[String] =
+      if (!lock.exists()) None
+      else scala.util.Try(Files.readString(lock.toPath)).toOption
+        .flatMap(_.split("\\s+").headOption).filter(_.nonEmpty)
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(2)
+      withClue(what) { cond shouldBe true }
+    }
+
+    // writer A: a slow incremental gold run — every source row passes a
+    // freezable gate (test-side UDF; the engine itself stays UDF-free)
+    LeaseDrill.blockedA = false; LeaseDrill.blockedB = false
+    val gateA = udf((v: Long) => LeaseDrill.gate('A', v)).asNondeterministic()
+    val gateB = udf((v: Long) => LeaseDrill.gate('B', v)).asNondeterministic()
+    @volatile var aFailure: Throwable = null
+    @volatile var bFailure: Throwable = null
+    val a = new Thread(() => {
+      try Upsert.upsert(spark, path,
+        Seq((2L, "Binh-stale"), (3L, "Cuong-stale")).toDF("AuthorID_NK", "AuthorName")
+          .withColumn("AuthorID_NK", gateA($"AuthorID_NK")).coalesce(1), keys)
+      catch { case t: Throwable => aFailure = t }
+    }, "lease-drill-A")
+    a.start()
+    // A holds the lease → freeze its merge mid-stage, then age the lease
+    // past TTL (the UpsertSpec aging technique: a merge that outlived it)
+    awaitTrue("A acquired")(lockToken().nonEmpty)
+    val tokenA = lockToken()
+    LeaseDrill.blockedA = true
+    lock.setLastModified(System.currentTimeMillis() - 10000) shouldBe true
+    // successor B: the retried gold run — legitimately takes the stale
+    // lease over and starts ITS merge, also gated so we can sequence A's
+    // abort before B's destructive swap
+    val b = new Thread(() => {
+      try Upsert.upsert(spark, path,
+        Seq((2L, "Binh-v2"), (4L, "Dung")).toDF("AuthorID_NK", "AuthorName")
+          .withColumn("AuthorID_NK", gateB($"AuthorID_NK")).coalesce(1), keys,
+        lockTtlMs = 1000)
+      catch { case t: Throwable => bFailure = t }
+    }, "lease-drill-B")
+    b.start()
+    awaitTrue("B took over")(lockToken().exists(t => !tokenA.contains(t)))
+    LeaseDrill.blockedB = true
+    // un-freeze A: its staging completes against the intact table, and the
+    // pre-swap assertHeld must abort it — B now owns the lease
+    LeaseDrill.blockedA = false
+    a.join(120000)
+    a.isAlive shouldBe false
+    aFailure should not be null
+    aFailure.getMessage should include("taken over mid-merge")
+    // un-freeze B: the successor's merge lands
+    LeaseDrill.blockedB = false
+    b.join(120000)
+    b.isAlive shouldBe false
+    withClue(String.valueOf(bFailure)) { bFailure shouldBe null }
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    out shouldBe Set((1L, "An"), (2L, "Binh-v2"), (4L, "Dung"))
+    lock.exists() shouldBe false // B released; A's no-op release didn't resurrect it
+  }
+}
+
+/** Freezable gates for the lease-takeover drill. A top-level Scala object:
+  * closure serialization resolves it back to the JVM singleton, so flag
+  * flips from the test thread are visible inside local-mode tasks. The
+  * unconditional sleep widens every race window the sequencing relies on
+  * (a gated row can never outrun the 2 ms polling loops). */
+object LeaseDrill {
+  @volatile var blockedA = false
+  @volatile var blockedB = false
+  def gate(which: Char, v: Long): Long = {
+    Thread.sleep(100)
+    while (if (which == 'A') blockedA else blockedB) Thread.sleep(5)
+    v
+  }
 }

@@ -14,6 +14,7 @@ object TestSpark {
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
