@@ -2054,6 +2054,117 @@ object Queries {
           col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** Number of buckets for the q154 co-located join (both sides). */
+  private val JoinBuckets = 8
+
+  /** Bucketed co-located join — the 100 TB "prepare once, join many
+    * times" pattern. Both sides are written `bucketBy(8)` on the join key
+    * (one file per bucket via an up-front repartition on the same hash,
+    * sorted within), so the join itself needs NO exchange on either side:
+    * the plan is two bucketed scans feeding a sort-merge join (the
+    * `merge` hint keeps AQE from substituting a broadcast at toy SF —
+    * at 100 TB neither side broadcasts), and the only shuffle in the
+    * whole query is the final 4-row status rollup. PlanGoldSpec pins
+    * exactly that profile. The rewrite cost is paid once per table, not
+    * once per join — on a cluster this is the bucketed-table layout the
+    * warehouse maintains continuously. */
+  def q154BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    // repartition on the bucket key = Spark's bucket hash → each writer
+    // task owns exactly one bucket: one file per bucket, sorted, so the
+    // scan reports both partitioning AND ordering to the join planner
+    li.repartition(JoinBuckets, col("l_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable("graft_bkt_lineitem")
+    ord.repartition(JoinBuckets, col("o_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable("graft_bkt_orders")
+    s.table("graft_bkt_lineitem").hint("merge")
+      .join(s.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,10)")).cast("double").as("revenue"))
+  }
+
+  /** Salt replicas for the q155 skew-mitigated join. */
+  private val SaltBuckets = 8
+
+  /** Skew-salted equi-join: the fact side's hot keys are spread over
+    * [[SaltBuckets]] deterministic salt values (pmod of the row id — no
+    * rand(), so replays and retries land identically) and the dim side is
+    * exploded into one replica per salt, so the join key becomes
+    * (key, salt) and no single reducer owns a hot key's whole partition.
+    * The `merge` hint keeps the shuffle visible at toy SF — the POINT of
+    * salting is the shuffled case; when the dim broadcasts, skew is moot.
+    * Result is provably identical to the unsalted join (the oracle runs
+    * the plain join). At 100 TB this is the manual fallback when AQE's
+    * skew-join split can't help (e.g. a skewed build side). */
+  def q155SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("salt", pmod(col("event_id"), lit(SaltBuckets.toLong)).cast("int"))
+    val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(array((0 until SaltBuckets).map(i => lit(i)): _*)))
+    fact.hint("merge")
+      .join(dim, fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"))
+  }
+
+  /** q156 tier cut-points on the fixed-point lm_score (scale 1e6). */
+  private val PerplexityKeep = 35000L
+  private val PerplexityReview = 34000L
+
+  /** CCNet-style LM-fluency quality filter: score every document under
+    * the corpus bigram model ([[TextAnalysis.bigramLmScore]], fixed-point
+    * — bit-identical on any partitioning) and cut into keep / review /
+    * drop tiers on the score. The decision column rides WITH the corpus
+    * (no docs dropped here) so downstream mixtures can weight rather than
+    * hard-filter; documents under 2 tokens have no bigrams and are absent,
+    * same universe as q77. One corpus scan feeds both the model and the
+    * scoring join; the model side shuffles (pair, counts) longs only. */
+  def q156PerplexityTiers(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = TextAnalysis.bigramModel(docs, "text")
+    TextAnalysis.bigramLmScore(docs, "doc_id", "text", model)
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"),
+        when(col("lm_score") >= PerplexityKeep, lit("keep"))
+          .when(col("lm_score") >= PerplexityReview, lit("review"))
+          .otherwise(lit("drop")).as("tier"))
+  }
+
+  /** IVF-ANN recall against exact brute force on a bounded query sample
+    * (the q153 banding-recall technique applied to the vector path):
+    * per query, |IVF top-k ∩ exact top-k| / k. Both sides use identical
+    * (cos desc, corpus_id) tie-breaks, so the intersection — and the
+    * recall — is deterministic and hash-comparable. This is the query a
+    * platform runs before trusting nprobe at production scale; the exact
+    * leg stays bounded (20 queries × corpus), never all-pairs. */
+  def q157IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+      .select("query_id", "corpus_id")
+    val approx = Similarity.ivfTopK(emb, qs, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "corpus_id")
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2368,6 +2479,83 @@ object Queries {
        |GROUP BY sku""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // bucketing is a layout property, not a semantic one: the oracle runs
+    // the plain join — identical output proves the bucketed path changes
+    // the plan, never the answer
+    "q154_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)))
+        |   AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // salting likewise: the oracle is the UNsalted join
+    "q155_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q156_perplexity_tiers" -> {
+      val scale = TextAnalysis.LmScale
+      s"""WITH p AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS pair
+         |  FROM (SELECT doc_id, $ToksSql AS tk FROM documents)),
+         |m AS (SELECT pair, count(*) AS c2 FROM p GROUP BY 1),
+         |m2 AS (SELECT pair, c2, string_split(pair, ' ')[1] AS w1 FROM m),
+         |m3 AS (SELECT pair,
+         |    (c2 * $scale) // CAST(sum(c2) OVER (PARTITION BY w1) AS BIGINT)
+         |      AS pts
+         |  FROM m2),
+         |d AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(coalesce(pts, 0)) AS BIGINT) AS s
+         |  FROM p LEFT JOIN m3 USING (pair) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, s // n_bigrams AS lm_score,
+         |  CASE WHEN s // n_bigrams >= $PerplexityKeep THEN 'keep'
+         |       WHEN s // n_bigrams >= $PerplexityReview THEN 'review'
+         |       ELSE 'drop' END AS tier
+         |FROM d""".stripMargin
+    },
+    // IVF replay (q34's oracle with 20 probes) ∩ brute force (q27's) →
+    // per-query recall; identical tie-breaks make the intersection exact
+    "q157_ivf_recall" ->
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+         |          FROM e ORDER BY vec_id LIMIT 16),
+         |sims AS (SELECT e.vec_id, cents.cell,
+         |           list_dot_product(e.v, cents.v)
+         |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.v, cents.v))) AS cs
+         |         FROM e, cents),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cell DESC) AS rn FROM sims) WHERE rn = 1),
+         |probe AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cell DESC) AS rn FROM sims WHERE vec_id < 20) WHERE rn <= 4),
+         |iv AS (SELECT p.vec_id AS query_id, a.vec_id AS corpus_id,
+         |        list_dot_product(q.v, c.v)
+         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |      FROM probe p JOIN assign a ON p.cell = a.cell
+         |      JOIN e q ON q.vec_id = p.vec_id JOIN e c ON c.vec_id = a.vec_id
+         |      WHERE p.vec_id <> a.vec_id),
+         |ivf AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, corpus_id) AS rn FROM iv)
+         |  WHERE rn <= 10),
+         |bf0 AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |        list_dot_product(q.v, c.v)
+         |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |      FROM e q, e c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |bf AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, corpus_id) AS rn FROM bf0)
+         |  WHERE rn <= 10),
+         |hit AS (SELECT query_id, count(*) AS n_hit
+         |        FROM bf JOIN ivf USING (query_id, corpus_id) GROUP BY 1),
+         |ex AS (SELECT query_id, count(*) AS n_exact FROM bf GROUP BY 1)
+         |SELECT ex.query_id, ex.n_exact,
+         |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
+         |FROM ex LEFT JOIN hit USING (query_id)""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -4598,6 +4786,10 @@ object Queries {
     "q150_burst_detection" -> (q150BurstDetection _),
     "q151_dedup_weights" -> (q151DedupWeights _),
     "q152_bpe_subwords" -> (q152BpeSubwords _),
-    "q153_minhash_recall" -> (q153MinhashRecall _)
+    "q153_minhash_recall" -> (q153MinhashRecall _),
+    "q154_bucketed_join" -> (q154BucketedJoin _),
+    "q155_salted_join" -> (q155SaltedJoin _),
+    "q156_perplexity_tiers" -> (q156PerplexityTiers _),
+    "q157_ivf_recall" -> (q157IvfRecall _)
   )
 }

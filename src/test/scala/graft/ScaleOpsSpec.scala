@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 scale-pattern operators: bucketed co-located join, skew-salted
+  * join, perplexity tiering, IVF recall. The q-level values are
+  * oracle-checked; these specs pin the PLAN properties and the algebraic
+  * equivalences the oracle can't see. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$sfDir/lineitem.parquet").exists()
+
+  test("q154: no exchange anywhere below the bucketed sort-merge join") {
+    assume(haveData)
+    val df = Queries.all("q154_bucketed_join")(spark, sfDir)
+    df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE
+    // AQE hides materialized stages behind leaf QueryStageExec wrappers, so
+    // a tree collect can't see the join — assert on the printed final plan
+    // (the PlanGoldSpec technique): exactly one shuffle and one SMJ, and
+    // the shuffle prints ABOVE the join (tree order = parents first), i.e.
+    // it's the rollup, not a lost co-location under the join
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    "SortMergeJoin".r.findAllIn(p).size shouldBe 1
+    p.indexOf("Exchange hashpartitioning") should be < p.indexOf("SortMergeJoin")
+    p should include("Bucketed: true")
+    // ... and the bucketed result equals the plain join done from scratch
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,10)")).cast("double").as("revenue"))
+      .as[(String, Long, Double)].collect().toSet
+    df.as[(String, Long, Double)].collect().toSet shouldBe plain
+  }
+
+  test("q155: salted join ≡ plain join on a corpus with a deliberately hot key") {
+    // 1000 facts on ONE key (the skew case salting exists for) + a spread
+    val fact = ((1 to 1000).map(i => (7L, i.toLong, i.toDouble)) ++
+      (1 to 50).map(i => (i.toLong % 5, 10000L + i, 1.0)))
+      .toDF("user_id", "event_id", "value")
+    val dim = (0L to 10L).map(k => (k, s"seg${k % 3}")).toDF("c_custkey", "c_mktsegment")
+    val S = 8
+    val f2 = fact.withColumn("salt", pmod(col("event_id"), lit(S.toLong)).cast("int"))
+    val d2 = dim.withColumn("salt", explode(array((0 until S).map(i => lit(i)): _*)))
+    val saltedAgg = f2.hint("merge")
+      .join(d2, f2("user_id") === d2("c_custkey") && f2("salt") === d2("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .as[(String, Long, Double)].collect().toSet
+    val plainAgg = fact.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .as[(String, Long, Double)].collect().toSet
+    saltedAgg shouldBe plainAgg
+  }
+
+  test("q156: tiers respect the cut-points and cover exactly the ≥2-token docs") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val out = Queries.all("q156_perplexity_tiers")(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect()
+    out should not be empty
+    out.foreach { case (_, nBigrams, score, tier) =>
+      nBigrams should be >= 1L
+      val expected =
+        if (score >= 35000L) "keep" else if (score >= 34000L) "review" else "drop"
+      tier shouldBe expected
+    }
+    // universe = q77's: same doc set, same scores
+    val q77 = Queries.all("q77_bigram_lm")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    out.map(r => r._1 -> r._3).toMap shouldBe q77
+  }
+
+  test("q157: recall is n_hit/n_exact with IVF hits a subset of exact hits") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val rows = Queries.all("q157_ivf_recall")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    rows should have size 20
+    rows.foreach { case (_, nExact, nHit, recall) =>
+      nExact shouldBe 10L
+      nHit should be <= nExact
+      nHit should be >= 0L
+      recall shouldBe (nHit.toDouble / nExact)
+    }
+  }
+}
