@@ -2165,6 +2165,31 @@ object Queries {
           .as("recall"))
   }
 
+  /** Dynamic partition pruning over a date-partitioned fact: the fact
+    * (events) is laid out `partitionBy(d)` — the layout every event
+    * warehouse uses — and joined to a date dim carrying a selective
+    * predicate (`day(d) % 7 = 1` → 5 of 30 partitions). The predicate's
+    * date set is only known at RUNTIME (it lives on the dim side), so
+    * static pruning can't help; Spark's DPP broadcasts the filtered dim
+    * and injects `dynamicpruningexpression(d IN subquery)` into the scan's
+    * PartitionFilters — the fact reads 5/30 partitions, verified by
+    * ScaleOpsSpec. At 100 TB this is the difference between scanning a
+    * week and scanning three years. Oracle = the same join on the
+    * unpartitioned parquet: layout changes bytes read, never the answer. */
+  def q158DynamicPruning(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_events"
+    events(s, dir).withColumn("d", col("ts").cast("date"))
+      .write.mode("overwrite").partitionBy("d").parquet(base)
+    val fact = s.read.parquet(base)
+    val dim = s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("d"))
+      .where(dayofmonth(col("d")) % 7 === 1)
+    fact.join(dim, Seq("d"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"))
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2487,6 +2512,17 @@ object Queries {
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)))
         |   AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // DPP is a scan-layout optimization: the oracle joins the
+    // unpartitioned parquet directly
+    "q158_dynamic_pruning" ->
+      """WITH dim AS (
+        |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |    INTERVAL 1 DAY))::DATE AS d)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM events JOIN dim ON CAST(ts AS DATE) = dim.d
+        |WHERE day(dim.d) % 7 = 1
         |GROUP BY 1""".stripMargin,
     // salting likewise: the oracle is the UNsalted join
     "q155_salted_join" ->
@@ -4790,6 +4826,7 @@ object Queries {
     "q154_bucketed_join" -> (q154BucketedJoin _),
     "q155_salted_join" -> (q155SaltedJoin _),
     "q156_perplexity_tiers" -> (q156PerplexityTiers _),
-    "q157_ivf_recall" -> (q157IvfRecall _)
+    "q157_ivf_recall" -> (q157IvfRecall _),
+    "q158_dynamic_pruning" -> (q158DynamicPruning _)
   )
 }
