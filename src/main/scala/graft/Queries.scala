@@ -280,7 +280,7 @@ object Queries {
     Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.3, cap = 300)
       .select(col("id1"), col("id2"), col("cos_sim"))
 
-  /** LSH-bucketed ANN (scale path; rows-only check — bucket fn not in SQL). */
+  /** LSH-bucketed ANN (scale path; oracle replays the md5-plane buckets in SQL). */
   def q29LshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 5, planes = 4)
@@ -305,12 +305,13 @@ object Queries {
         Multimodal.documentsAsMedia(t(s, dir, "documents")))
       .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
 
-  /** Document fingerprint (rolling hash; rows-only — sequential fold). */
+  /** Document fingerprint (rolling hash; oracle replays the fold with a
+    * list_reduce over per-token portable hashes). */
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
 
-  /** IVF ANN scale path (rows-only — centroid probing not SQL-expressible). */
+  /** IVF ANN scale path (oracle replays assignment + probing in SQL). */
   def q34IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     graft.similarity.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
