@@ -2121,8 +2121,8 @@ object Queries {
   }
 
   /** q156 tier cut-points on the fixed-point lm_score (scale 1e6). */
-  private val PerplexityKeep = 35000L
-  private val PerplexityReview = 34000L
+  private[graft] val PerplexityKeep = 35000L
+  private[graft] val PerplexityReview = 34000L
 
   /** CCNet-style LM-fluency quality filter: score every document under
     * the corpus bigram model ([[TextAnalysis.bigramLmScore]], fixed-point

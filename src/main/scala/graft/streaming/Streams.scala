@@ -254,4 +254,38 @@ object Streams {
        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else writer).start()
   }
+
+  /** Streaming quality-tier scoring with a FROZEN bigram model — the
+    * production shape of q156: the model trains offline on a reference
+    * corpus, and newly ingested documents are scored and tiered as they
+    * arrive. A document is wholly contained in one row, so per-micro-batch
+    * scoring with the batch kernel ([[graft.text.TextAnalysis
+    * .bigramLmScore]]) is exact: no cross-batch state, no watermark, and
+    * the output is a pure append. The model join moves (pair, counts)
+    * longs only; at scale the frozen model is a stored table the stream
+    * side joins against, exactly as here. Checkpointing makes redelivered
+    * batches no-ops (file-source offsets), so the appended tier table is
+    * exactly-once per document. */
+  def perplexityTiersStream(spark: SparkSession, docs: DataFrame,
+                            model: DataFrame, path: String, checkpoint: String,
+                            keep: Long = graft.Queries.PerplexityKeep,
+                            review: Long = graft.Queries.PerplexityReview,
+                            availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.text.TextAnalysis.bigramLmScore(batch, "doc_id", "text", model)
+            .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"),
+              when(col("lm_score") >= keep, lit("keep"))
+                .when(col("lm_score") >= review, lit("review"))
+                .otherwise(lit("drop")).as("tier"))
+            .write.mode("append").parquet(path)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 }

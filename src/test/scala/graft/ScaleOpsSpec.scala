@@ -103,6 +103,28 @@ class ScaleOpsSpec extends SparkSpec {
     df.as[(String, Long, Double)].collect().toSet shouldBe plain
   }
 
+  test("q156 streaming twin: frozen-model tier scoring over a 2-batch file stream == batch") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // model trained OFFLINE on the full corpus, then frozen for the stream
+    val model = graft.text.TextAnalysis.bigramModel(docs, "text")
+    val batchTiers = Queries.all("q156_perplexity_tiers")(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val streamDir = tmpDir("docs_stream")
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    docs.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val out = tmpDir("tiers_out"); val ckpt = tmpDir("tiers_ckpt")
+    val q = graft.streaming.Streams.perplexityTiersStream(
+      spark, stream, model, out, ckpt, availableNow = true)
+    try q.awaitTermination(120000) shouldBe true finally q.stop()
+    spark.read.parquet(out)
+      .as[(Long, Long, Long, String)].collect().toSet shouldBe batchTiers
+  }
+
   test("q157: recall is n_hit/n_exact with IVF hits a subset of exact hits") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val rows = Queries.all("q157_ivf_recall")(spark, sfDir)
