@@ -7,14 +7,21 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side machinery here is real — schema, partitioning,
+  * The Spark-side machinery is real — schema, partitioning,
   * batch-iterator shape (`mapPartitions`, the JVM analogue of arrow-batch
-  * UDFs) — while the actual media decode is STUBBED as a deterministic
-  * fake (`fakeDecode`), since no image/audio codec ships in this
-  * environment. Swapping the stub for a real decoder changes one function
-  * and nothing about the distributed plan.
+  * UDFs) — and so is the decode for every format the JVM itself ships a
+  * codec for: image rasters via `javax.imageio` (PNG/GIF/JPEG/BMP) in
+  * [[decodePixels]], WAV PCM samples via the chunk walk in
+  * [[decodeWavSamples]]. Only payloads with no JDK codec (video
+  * containers, arbitrary bytes) fall back to deterministic byte-level
+  * features — the one remaining, and honestly unreachable-to-fix, stub.
   */
 object Multimodal {
+
+  // ImageIO's default stream cache spills to temp FILES per decode — in a
+  // 32-thread executor that is 32 spurious disk round-trips per batch;
+  // payloads are already in memory, so cache in memory too.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** media row: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -164,10 +171,93 @@ object Multimodal {
   case class MediaFeature(media_id: Long, media_type: String,
                           byte_len: Int, checksum: Long, feature: Array[Double])
 
-  /** STUB decoder: a real implementation would parse `payload` with an
-    * image/audio codec. The fake is deterministic: byte-length, additive
-    * checksum, and an 8-bin byte histogram as the "feature vector". */
-  private def fakeDecode(id: Long, mtype: String, payload: Array[Byte]): MediaFeature = {
+  case class PixelFeature(width: Int, height: Int, lumaHist: Array[Double])
+
+  /** REAL pixel decode for the containers the JDK itself can read
+    * (PNG/GIF/JPEG/BMP via `javax.imageio` — ships in every JVM, no
+    * external codec): full raster decode, then an 8-bin luminance
+    * histogram in exact integer arithmetic (ITU-R 601 luma,
+    * (299r+587g+114b)/1000, binned by >>5). Returns None for anything
+    * ImageIO cannot decode — the honest answer for a truncated or
+    * non-image payload. */
+  def decodePixels(payload: Array[Byte]): Option[PixelFeature] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val hist = new Array[Double](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 5) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      Some(PixelFeature(w, h, hist))
+    }
+  }
+
+  case class SampleStats(nSamples: Long, peak: Double, rms: Double)
+
+  /** REAL PCM sample decode for WAV payloads (formats 8-bit unsigned and
+    * 16-bit signed little-endian, the PCM shapes `parseWavHeader` reports):
+    * walks the RIFF chunks to the data chunk's OFFSET, then folds the
+    * samples into peak and RMS amplitude normalized to [-1, 1]. None for
+    * non-WAV, compressed, or sample widths beyond PCM8/16. */
+  def decodeWavSamples(p: Array[Byte]): Option[SampleStats] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def ascii(off: Int, s: String) =
+      p.length >= off + s.length && s.indices.forall(i => p(off + i) == s(i).toByte)
+    if (p.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var i = 12
+    var bits = -1
+    var dataOff = -1; var dataLen = 0L
+    while (i + 8 <= p.length) {
+      val size = le32(i + 4)
+      if (ascii(i, "fmt ") && i + 24 <= p.length) bits = le16(i + 22)
+      else if (ascii(i, "data") && dataOff < 0) { dataOff = i + 8; dataLen = size }
+      val next = i.toLong + 8L + size + (size & 1L) // long math: see parseWavHeader
+      if (next > p.length) i = p.length else i = next.toInt
+    }
+    if (dataOff < 0 || (bits != 8 && bits != 16)) return None
+    val end = math.min(p.length.toLong, dataOff + dataLen).toInt
+    var n = 0L; var peak = 0.0; var sumSq = 0.0
+    var j = dataOff
+    val step = bits / 8
+    while (j + step <= end) {
+      val v =
+        if (bits == 8) (u8(j) - 128) / 128.0
+        else le16(j).toShort / 32768.0
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v * v
+      n += 1
+      j += step
+    }
+    if (n == 0) Some(SampleStats(0, 0.0, 0.0))
+    else Some(SampleStats(n, peak, math.sqrt(sumSq / n)))
+  }
+
+  /** Decoder: byte-level stats (length + additive checksum) always; the
+    * feature vector comes from a REAL decode when the payload is one —
+    * image containers through the JDK's own ImageIO raster decode
+    * ([decodePixels]: [w, h] ++ 8-bin luma histogram), WAV audio through
+    * the PCM sample fold ([decodeWavSamples]: [n, peak, rms]). Payloads
+    * no JVM codec can read (video containers, arbitrary bytes) fall back
+    * to the 8-bin byte histogram — that single fallback is the one
+    * remaining stub, and it is reachable only for formats this
+    * environment genuinely cannot decode. */
+  private def decode(id: Long, mtype: String, payload: Array[Byte]): MediaFeature = {
     val hist = new Array[Double](8)
     var sum = 0L
     var i = 0
@@ -177,7 +267,12 @@ object Multimodal {
       sum = (sum + b) % 1000000007L
       i += 1
     }
-    MediaFeature(id, mtype, payload.length, sum, hist)
+    val feature = decodePixels(payload)
+      .map(pf => Array(pf.width.toDouble, pf.height.toDouble) ++ pf.lumaHist)
+      .orElse(decodeWavSamples(payload)
+        .map(st => Array(st.nSamples.toDouble, st.peak, st.rms)))
+      .getOrElse(hist)
+    MediaFeature(id, mtype, payload.length, sum, feature)
   }
 
   /** Batched feature extraction: one decoder invocation per partition
@@ -188,7 +283,7 @@ object Multimodal {
     media.select("media_id", "media_type", "payload")
       .mapPartitions { rows: Iterator[Row] =>
         // per-partition decoder init would go here (model load, codec ctx)
-        rows.map(r => fakeDecode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+        rows.map(r => decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
       }
   }
 

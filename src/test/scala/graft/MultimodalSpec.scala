@@ -107,4 +107,66 @@ class MultimodalSpec extends SparkSpec {
     rows(0).getLong(5) shouldBe 1000L
     rows(1).isNullAt(1) shouldBe true
   }
+
+  test("real pixel decode: a generated PNG raster yields exact dimensions and luma histogram") {
+    // 4×2 PNG with known colors: 4 black, 2 white, 2 mid-gray (128)
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) img.setRGB(x, 0, 0x000000)          // luma 0   → bin 0
+    img.setRGB(0, 1, 0xffffff); img.setRGB(1, 1, 0xffffff)   // luma 255 → bin 7
+    img.setRGB(2, 1, 0x808080); img.setRGB(3, 1, 0x808080)   // luma 128 → bin 4
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val pf = Multimodal.decodePixels(png).get
+    pf.width shouldBe 4
+    pf.height shouldBe 2
+    pf.lumaHist.toSeq shouldBe Seq(4.0, 0, 0, 0, 2.0, 0, 0, 2.0)
+    // non-images refuse, never guess
+    Multimodal.decodePixels("not an image".getBytes) shouldBe None
+  }
+
+  test("real PCM decode: peak and RMS from hand-built 16-bit samples; fallback for junk") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le16(v: Int) = b(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = b(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    // mono 16-bit PCM, 4 samples: 0, +16384, -16384, -32768
+    val samples = le16(0) ++ le16(16384) ++ le16(-16384 & 0xffff) ++ le16(-32768 & 0xffff)
+    val wav = "RIFF".getBytes ++ le32(4 + 24 + 8 + samples.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(samples.length) ++ samples
+    val st = Multimodal.decodeWavSamples(wav).get
+    st.nSamples shouldBe 4L
+    st.peak shouldBe 1.0 // -32768/32768
+    st.rms shouldBe math.sqrt((0.0 + 0.25 + 0.25 + 1.0) / 4) +- 1e-12
+    Multimodal.decodeWavSamples("junk".getBytes) shouldBe None
+  }
+
+  test("extractFeatures uses real decodes where a JDK codec exists, byte fallback otherwise") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav = "RIFF".getBytes ++ le32(4 + 24 + 8 + 2) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(2) ++ le16(16384)
+    val media = Seq(
+      (1L, "image", bos.toByteArray),
+      (2L, "audio", wav),
+      (3L, "video", "just bytes".getBytes)).toDF("media_id", "media_type", "payload")
+    val out = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    out(1L).feature.take(2).toSeq shouldBe Seq(2.0, 1.0)       // real w × h
+    out(1L).feature.drop(2).sum shouldBe 2.0                    // histogram covers all pixels
+    out(2L).feature.toSeq shouldBe Seq(1.0, 0.5, 0.5)           // n, peak, rms of one sample
+    out(3L).feature.length shouldBe 8                           // byte-histogram fallback
+    out(3L).feature.sum shouldBe 10.0                           // one bin count per byte
+  }
 }
