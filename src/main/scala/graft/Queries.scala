@@ -2191,6 +2191,45 @@ object Queries {
         sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"))
   }
 
+  /** Oracle-checked media decode: each document renders a deterministic
+    * 8×8 grayscale raster (gray(x,y) = (doc_id·31 + 8x + y) mod 256),
+    * PNG-encodes it with the JDK's ImageIO, decodes it back with
+    * [[Multimodal.decodePixels]], and reports the 8-bin luma histogram
+    * (for gray pixels luma ≡ gray exactly: (299g+587g+114g)/1000 = g).
+    * The oracle computes the SAME histogram arithmetically from the
+    * rendering formula — a hash match proves the whole encode → decode →
+    * feature path is lossless and bit-exact, cross-engine. The encode/
+    * decode runs inside mapPartitions (the per-partition codec batch
+    * shape); nothing but (id, 11 ints) ever leaves the executor. */
+  def q159MediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < 8) {
+            var y = 0
+            while (y < 8) {
+              val g = ((id * 31 + x * 8 + y) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              y += 1
+            }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val pf = Multimodal.decodePixels(bos.toByteArray).getOrElse(
+            throw new IllegalStateException(s"decode failed for doc $id"))
+          val h = pf.lumaHist.map(_.toLong)
+          (id, pf.width, pf.height,
+            h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+        }
+      }.toDF("doc_id", "width", "height",
+        "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2525,6 +2564,26 @@ object Queries {
         |FROM events JOIN dim ON CAST(ts AS DATE) = dim.d
         |WHERE day(dim.d) % 7 = 1
         |GROUP BY 1""".stripMargin,
+    // the oracle never touches PNG bytes: it computes the histogram the
+    // decode MUST produce from the rendering formula — matching hashes
+    // prove the engine's encode→decode→feature path is lossless
+    "q159_media_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(((doc_id * 31 + x.i * 8 + y.i) % 256) // 32 AS INT) AS bin
+        |  FROM documents
+        |  CROSS JOIN generate_series(0, 7) x(i)
+        |  CROSS JOIN generate_series(0, 7) y(i))
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |  CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        |  CAST(sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+        |  CAST(sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+        |  CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+        |  CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+        |FROM px GROUP BY 1""".stripMargin,
     // salting likewise: the oracle is the UNsalted join
     "q155_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
@@ -4828,6 +4887,7 @@ object Queries {
     "q155_salted_join" -> (q155SaltedJoin _),
     "q156_perplexity_tiers" -> (q156PerplexityTiers _),
     "q157_ivf_recall" -> (q157IvfRecall _),
-    "q158_dynamic_pruning" -> (q158DynamicPruning _)
+    "q158_dynamic_pruning" -> (q158DynamicPruning _),
+    "q159_media_decode" -> (q159MediaDecode _)
   )
 }
