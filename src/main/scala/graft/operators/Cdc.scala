@@ -79,11 +79,11 @@ object Cdc {
     val writer = changes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val next =
-            if (Upsert.tableExists(spark, path))
-              applyChangesTo(spark.read.parquet(path), batch, keys, seqCol,
-                opCol, deleteOp)
-            else applyChanges(batch, keys, seqCol, opCol, deleteOp)
+          val next = Upsert.readOption(spark, path) match {
+            case Some(cur) =>
+              applyChangesTo(cur, batch, keys, seqCol, opCol, deleteOp)
+            case None => applyChanges(batch, keys, seqCol, opCol, deleteOp)
+          }
           Upsert.replace(spark, path, next)
         }
       }

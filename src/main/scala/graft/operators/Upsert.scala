@@ -20,9 +20,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     rewritten (dynamic partition overwrite), mirroring Iceberg's
   *     partition-level commit: a daily micro-batch touching 2 dates rewrites
   *     2 partitions of a 100 TB table, not the table.
-  *   - Without `partitionBy`, the merge stages to a sibling tmp dir and
-  *     atomically swaps via rename — single-writer assumption, same as the
-  *     reference's one-Airflow-run-at-a-time schedule.
+  *   - Without `partitionBy`, every merge commits a NEW immutable snapshot
+  *     under `path/_versions/` and atomically swaps the `path/_current`
+  *     pointer ([[graft.sources.Snapshots]]) — Iceberg-reader parity: a
+  *     reader resolves the pointer to a complete, immutable version dir, so
+  *     no reader ever observes a missing table or a half-written merge, no
+  *     matter how it races the writer. Old versions are retained
+  *     (`retainVersions`) for in-flight readers and time travel, then
+  *     vacuumed — the same reader-vs-expiration contract as Iceberg's
+  *     expire_snapshots. Read versioned tables with [[read]], not
+  *     `spark.read.parquet(path)` (the data lives in hidden `_`-prefixed
+  *     dirs a plain parquet scan ignores — deliberately: stale flat files
+  *     would silently serve OLD data, an error is the honest failure).
+  *
+  * Why the partitioned path keeps the flat hive layout: its commit never
+  * renames the table root (no whole-table FileNotFound window — the gap
+  * this versioning closes for the swap path), readers of UNTOUCHED
+  * partitions race nothing at all, and a touched partition's window is
+  * Spark's own dynamic-overwrite commit (per-partition delete + staged
+  * rename, metadata-speed). Versioning it whole-table would copy the full
+  * 100 TB fact per daily merge — the exact cost Snapshots' scaladoc warns
+  * against; true per-partition manifests are the documented follow-up.
   */
 object Upsert {
 
@@ -35,6 +53,12 @@ object Upsert {
   /** Default single-writer lease TTL: generous enough for any one merge,
     * short enough that a crashed writer doesn't wedge the table for long. */
   val DefaultLockTtlMs: Long = 15 * 60 * 1000L
+
+  /** Versions kept after each whole-table commit (current + 3 prior): a
+    * reader that pinned a version stays valid until 3 further commits
+    * land — at any realistic merge cadence, orders of magnitude longer
+    * than a scan. Raise it for long-running readers; never below 1. */
+  val DefaultRetainVersions: Int = 4
 
   private def lockPath(path: String) = new Path(path + "__lock")
 
@@ -157,11 +181,31 @@ object Upsert {
   def tableExists(spark: SparkSession, path: String): Boolean =
     fs(spark, new Path(path)).exists(new Path(path))
 
-  /** Best-effort read of an existing Parquet table; None when the dir is
-    * absent or holds no readable footers (e.g. an aborted empty write left
-    * only _SUCCESS behind — schema inference would throw). */
+  /** Read an Upsert-maintained table: versioned layouts resolve the
+    * `_current` pointer to an immutable snapshot dir (never racing a
+    * writer); legacy flat layouts and partitioned tables fall through to a
+    * plain parquet read. This is THE read path for upsert tables — a raw
+    * `spark.read.parquet(path)` on a versioned table sees no data files
+    * (they live under hidden `_versions/`). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    if (graft.sources.Snapshots.isVersioned(spark, path))
+      graft.sources.Snapshots.read(spark, path)
+    else spark.read.parquet(path)
+
+  /** [[read]] that answers None instead of throwing when the table is
+    * absent, empty, or has no committed version yet. */
+  def readOption(spark: SparkSession, path: String): Option[DataFrame] =
+    readTable(spark, path)
+
+  /** Best-effort read of an existing table; None when the dir is absent,
+    * no version has been committed, or a flat dir holds no readable
+    * footers (e.g. an aborted empty write left only _SUCCESS behind —
+    * schema inference would throw). */
   private def readTable(spark: SparkSession, path: String): Option[DataFrame] =
     if (!tableExists(spark, path)) None
+    else if (graft.sources.Snapshots.isVersioned(spark, path))
+      graft.sources.Snapshots.currentVersion(spark, path)
+        .map(v => graft.sources.Snapshots.read(spark, path, asOf = v))
     else try Some(spark.read.parquet(path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
@@ -198,24 +242,32 @@ object Upsert {
              keys: Seq[String], insertOnly: Boolean = false,
              partitionCols: Seq[String] = Nil,
              evolveSchema: Boolean = false,
-             lockTtlMs: Long = DefaultLockTtlMs): Unit = {
+             lockTtlMs: Long = DefaultLockTtlMs,
+             retainVersions: Int = DefaultRetainVersions): Unit = {
     val src0 = dedupSource(source, keys)
     if (src0.isEmpty) return
     val token = acquireLock(spark, path, lockTtlMs)
     try upsertLocked(spark, path, src0, keys, insertOnly, partitionCols,
-      evolveSchema, token)
+      evolveSchema, token, retainVersions)
     finally releaseLock(spark, path, token)
   }
 
   private def upsertLocked(spark: SparkSession, path: String, src0: DataFrame,
                            keys: Seq[String], insertOnly: Boolean,
                            partitionCols: Seq[String],
-                           evolveSchema: Boolean, token: String): Unit = {
+                           evolveSchema: Boolean, token: String,
+                           retainVersions: Int): Unit = {
     recoverSwap(spark, path)
+    if (partitionCols.nonEmpty)
+      require(!graft.sources.Snapshots.isVersioned(spark, path),
+        s"upsert: $path is a versioned (whole-table snapshot) table; " +
+          "partition-scoped rewrite applies only to flat hive-layout tables")
     val existing = readTable(spark, path)
     if (existing.isEmpty) {
-      val w = src0.write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      if (partitionCols.nonEmpty) {
+        src0.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols: _*).parquet(path)
+      } else commitVersion(spark, path, src0, token, retainVersions)
       return
     }
     val (target, src) =
@@ -278,44 +330,56 @@ object Upsert {
           .foreach(p => fs(spark, new Path(path)).delete(new Path(s"$path/$p"), true))
       } finally fs(spark, new Path(staged)).delete(new Path(staged), true)
     } else {
-      stageAndSwap(spark, path, merge(target, src, keys, insertOnly), token)
+      commitVersion(spark, path, merge(target, src, keys, insertOnly), token,
+        retainVersions)
     }
   }
 
-  /** Stage `df` (whose plan may read `path`) to a sibling dir, then
-    * atomically swap it in. Ownership is re-verified between staging and
-    * the first rename — the merge computation is the part that can outlive
-    * the lock TTL. */
-  private def stageAndSwap(spark: SparkSession, path: String,
-                           df: DataFrame, token: String): Unit = {
-    val staged = stage(spark, path, df)
-    val p = new Path(path); val f = fs(spark, p)
-    val old = new Path(path + "__old")
-    assertHeld(spark, path, token)
-    f.delete(old, true)
-    // HDFS-style rename returns false instead of throwing — an ignored
-    // failure here would drop the table; check both hops.
-    if (!f.rename(p, old))
-      throw new IllegalStateException(s"upsert swap: rename $p -> $old failed")
-    if (!f.rename(new Path(staged), p))
-      throw new IllegalStateException(
-        s"upsert swap: rename $staged -> $p failed; previous data is at $old")
-    f.delete(old, true)
+  /** Commit `df` (whose plan may read the table's CURRENT version or its
+    * legacy flat files — the staged write lands in a fresh hidden version
+    * dir, never over its own input) as the table's next snapshot.
+    * Ownership is re-verified between the slow data write and the instant
+    * pointer swap — the merge computation is the part that can outlive the
+    * lock TTL; a writer that lost its lease mid-write leaves only an
+    * unpublished orphan dir the next vacuum collects. After the swap any
+    * legacy flat data files are removed (plain-parquet readers of a
+    * migrated table would otherwise silently read the FROZEN pre-migration
+    * state forever) and retention is enforced. */
+  private def commitVersion(spark: SparkSession, path: String, df: DataFrame,
+                            token: String, retainVersions: Int): Unit = {
+    import graft.sources.Snapshots
+    val v = Snapshots.stageVersion(spark, path, df)
+    assertHeld(spark, path, token) // last check before the visible commit
+    Snapshots.publish(spark, path, v)
+    cleanupFlatFiles(spark, path)
+    Snapshots.vacuum(spark, path, keep = math.max(1, retainVersions))
   }
 
-  /** Atomic full REPLACE of the table at `path` with `df` (whose plan may
-    * read the current table — it is staged before the swap), under the
-    * same single-writer lease and crash recovery as [[upsert]]. The
-    * primitive a CDC snapshot maintainer needs: merge semantics live in
-    * the caller's plan, durability semantics live here. */
+  /** Remove legacy flat data files left at the table root after migration
+    * to the versioned layout (crash-safe: runs after every commit, no-op
+    * once clean). Hidden `_`-entries (versions, pointer, schema sidecar)
+    * survive. */
+  private def cleanupFlatFiles(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path); val f = fs(spark, p)
+    f.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.foreach(st => f.delete(st.getPath, true))
+  }
+
+  /** Full REPLACE of the table at `path` with `df` (whose plan may read
+    * the current table — the new state is staged as the next snapshot
+    * before the pointer moves), under the same single-writer lease and
+    * crash recovery as [[upsert]]. The primitive a CDC snapshot maintainer
+    * needs: merge semantics live in the caller's plan, durability
+    * semantics live here. */
   def replace(spark: SparkSession, path: String, df: DataFrame,
-              lockTtlMs: Long = DefaultLockTtlMs): Unit = {
+              lockTtlMs: Long = DefaultLockTtlMs,
+              retainVersions: Int = DefaultRetainVersions): Unit = {
     val token = acquireLock(spark, path, lockTtlMs)
     try {
       recoverSwap(spark, path)
-      if (!tableExists(spark, path))
-        df.write.mode(SaveMode.Overwrite).parquet(path)
-      else stageAndSwap(spark, path, df, token)
+      commitVersion(spark, path, df, token, retainVersions)
     } finally releaseLock(spark, path, token)
   }
 

@@ -280,11 +280,10 @@ object SilverToGold {
     def metered[T](table: String)(body: => T): T =
       graft.metrics.MetricsRegistry.timed(metrics, "silver_to_gold", table)(body)
     def silverFull(name: String): DataFrame =
-      if (graft.operators.Upsert.tableExists(spark, s"$silverWarehouse/$name"))
-        spark.read.parquet(s"$silverWarehouse/$name")
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        graft.core.Schemas.silverSchemas(name))
+      graft.operators.Upsert.readOption(spark, s"$silverWarehouse/$name")
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.core.Schemas.silverSchemas(name)))
     val articlesAll = silverFull("articles")
     val articlesScoped =
       if (dates.isEmpty) articlesAll

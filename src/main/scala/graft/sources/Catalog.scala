@@ -45,8 +45,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def tableExists(name: String): Boolean = {
     val p = new Path(tablePath(name))
     fs.exists(p) && (fs.exists(sidecarPath(name)) ||
-      (try { spark.read.parquet(tablePath(name)); true }
-       catch { case _: org.apache.spark.sql.AnalysisException => false }))
+      (try { graft.operators.Upsert.read(spark, tablePath(name)); true }
+       catch { case _: Exception => false }))
   }
 
   /** S4: idempotent table creation from a first batch (CREATE IF NOT EXISTS). */
@@ -58,10 +58,15 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         .parquet(tablePath(name))
     }
 
+  /** Versioned (snapshot-pointer) tables resolve through
+    * [[graft.operators.Upsert.read]]; flat tables read directly. */
   def read(name: String): DataFrame =
-    try spark.read.parquet(tablePath(name))
+    try graft.operators.Upsert.read(spark, tablePath(name))
     catch {
-      case e: org.apache.spark.sql.AnalysisException =>
+      // AnalysisException: flat dir with no footers; IllegalArgument:
+      // versioned dir with no committed snapshot yet
+      case e @ (_: org.apache.spark.sql.AnalysisException |
+                _: IllegalArgumentException) =>
         // no data files yet: a DDL-created table reads as schema-typed empty
         readSidecar(name).map(schema => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))

@@ -43,15 +43,19 @@ object Snapshots {
   private def versionPath(table: String, v: Long) =
     s"$table/$VersionsDir/${vName(v)}"
 
+  private val VersionName = "^v(\\d{8,})$".r
+
   /** Committed versions, ascending: version dirs with a _SUCCESS marker
-    * (a crashed write has none and is invisible). */
+    * (a crashed write has none and is invisible; in-flight `.staging-*`
+    * dirs don't match the version-name shape at all). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = new Path(s"$table/$VersionsDir")
     val f = fs(spark, dir)
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filter(p => f.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.stripPrefix("v").toLong).toSeq.sorted
+      .flatMap(p => VersionName.findFirstMatchIn(p.getName).map(_.group(1).toLong))
+      .toSeq.sorted
   }
 
   /** The pointer's version, or (pointer missing/corrupt — e.g. a reader
@@ -80,25 +84,73 @@ object Snapshots {
     val f = fs(spark, dir)
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).filter(_.isDirectory)
-      .map(_.getPath.getName.stripPrefix("v").toLong).toSeq.sorted
+      .flatMap(s => VersionName.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong)).toSeq.sorted
   }
+
+  /** True when `table` uses the versioned layout (a `_versions` dir
+    * exists) — the discriminator [[graft.operators.Upsert.read]] uses to
+    * route between pointer-resolved and plain-parquet reads. */
+  def isVersioned(spark: SparkSession, table: String): Boolean = {
+    val dir = new Path(s"$table/$VersionsDir")
+    fs(spark, dir).exists(dir)
+  }
+
+  /** Write `df` as the next (not-yet-published) version dir; returns its
+    * number. The data lands in a unique hidden `.staging-*` dir first and
+    * is then atomically RENAMED into the next free version slot — two
+    * concurrent stagers (a TTL-takeover race) can never interleave files
+    * in one dir, because a rename onto an existing target fails and the
+    * loser renumbers. Readers cannot see the version until [[publish]]
+    * swaps the pointer; the stage/publish split lets a caller re-verify
+    * its write lease between the slow data write and the instant swap. An
+    * abandoned staged version is a COMPLETE dataset that merely never
+    * became current — the pointer-corrupt fallback may transiently serve
+    * it (bounded staleness, never partial data) and vacuum collects it. */
+  private[graft] def stageVersion(spark: SparkSession, table: String,
+                                  df: DataFrame): Long = {
+    val tmp = new Path(
+      s"$table/$VersionsDir/.staging-${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+    val f = fs(spark, tmp)
+    var attempt = 0
+    while (attempt < 50) {
+      val next = allVersionDirs(spark, table).lastOption.getOrElse(0L) + 1
+      if (f.rename(tmp, new Path(versionPath(table, next)))) return next
+      attempt += 1 // lost the slot race; renumber against the new listing
+    }
+    f.delete(tmp, true)
+    throw new IllegalStateException(
+      s"snapshot stage: could not claim a version slot at $table after 50 tries")
+  }
+
+  /** Atomically publish a staged version: after the pointer swap every new
+    * read resolves to `v`; readers mid-scan on the previous version keep
+    * their (immutable) files. */
+  private[graft] def publish(spark: SparkSession, table: String, v: Long): Unit =
+    swapPointer(spark, table, v)
 
   /** Commit `df` as the next snapshot; returns the new version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val next = allVersionDirs(spark, table).lastOption.getOrElse(0L) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(versionPath(table, next))
-    swapPointer(spark, table, next)
+    val next = stageVersion(spark, table, df)
+    publish(spark, table, next)
     next
   }
 
-  /** Read the current snapshot (time travel: pass `asOf`). */
+  /** Read the current snapshot (time travel: pass `asOf`). Current reads
+    * skip the existence re-check: [[currentVersion]] already validated the
+    * pointed dir, and re-listing here would only widen the window in which
+    * a racing commit+vacuum could invalidate the answer. A pinned version
+    * stays scannable as long as the retention policy keeps it — the same
+    * reader-vs-expiration contract as Iceberg's expire_snapshots. */
   def read(spark: SparkSession, table: String, asOf: Long = -1L): DataFrame = {
     val v =
       if (asOf > 0) asOf
       else currentVersion(spark, table).getOrElse(
         throw new IllegalArgumentException(s"no committed snapshot at $table"))
-    require(versions(spark, table).contains(v),
-      s"snapshot v$v does not exist at $table (have ${versions(spark, table)})")
+    if (asOf > 0)
+      require(versions(spark, table).contains(v),
+        s"snapshot v$v does not exist at $table (have ${versions(spark, table)})")
     spark.read.parquet(versionPath(table, v))
   }
 
@@ -131,9 +183,14 @@ object Snapshots {
     val keepSet = (all.filter(_ != cur).takeRight(keep - 1) :+ cur).toSet
     val dir = new Path(s"$table/$VersionsDir")
     val f = fs(spark, dir)
-    f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-      .filter(p => !keepSet.map(vName).contains(p.getName))
-      .foreach(p => f.delete(p, true))
+    f.listStatus(dir).filter(_.isDirectory)
+      .filter(st => !keepSet.map(vName).contains(st.getPath.getName))
+      // a fresh .staging-* dir may belong to a concurrent TTL-expired
+      // stager that hasn't aborted yet — deleting it mid-write would turn
+      // its clean lease-abort into an IO error; collect only cold ones
+      .filter(st => VersionName.findFirstMatchIn(st.getPath.getName).nonEmpty ||
+        System.currentTimeMillis() - st.getModificationTime > 15 * 60 * 1000L)
+      .foreach(st => f.delete(st.getPath, true))
   }
 
   private def swapPointer(spark: SparkSession, table: String, v: Long): Unit = {

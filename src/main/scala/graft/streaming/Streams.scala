@@ -234,10 +234,9 @@ object Streams {
             .groupBy("bucket")
             .agg(Sketches.kmvSketch(
               Sketches.hash63(col("user_id").cast("string")), k).as("sk"))
-          val next =
-            if (Upsert.tableExists(spark, path))
-              spark.read.parquet(path)
-                .select(col("bucket"), col("sk").as("sk_old"))
+          val next = Upsert.readOption(spark, path) match {
+            case Some(cur) =>
+              cur.select(col("bucket"), col("sk").as("sk_old"))
                 .join(incoming.select(col("bucket"), col("sk").as("sk_new")),
                   Seq("bucket"), "full_outer")
                 .select(col("bucket"),
@@ -245,7 +244,8 @@ object Streams {
                     .when(col("sk_new").isNull, col("sk_old"))
                     .otherwise(Sketches.kmvUnion(col("sk_old"), col("sk_new"), k))
                     .as("sk"))
-            else incoming
+            case None => incoming
+          }
           Upsert.replace(spark, path, next)
         }
       }

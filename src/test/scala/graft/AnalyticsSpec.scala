@@ -260,7 +260,7 @@ class AnalyticsSpec extends SparkSpec {
     def estimates(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
       df.select(col("bucket"), Sketches.kmvEstimate(col("sk"), k).as("est"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val streamed = estimates(spark.read.parquet(statePath))
+    val streamed = estimates(graft.operators.Upsert.read(spark, statePath))
     // batch twin: one sketch per bucket straight over the whole table
     val direct = estimates(withTs(spark.read.parquet(srcDir))
       .select(graft.Queries.floorDiv(unix_micros(col("ts")), 3600000000L)
@@ -272,7 +272,7 @@ class AnalyticsSpec extends SparkSpec {
     // reprocess EVERYTHING with a fresh checkpoint: the set merge must
     // absorb the redelivery without moving a single estimate
     run(tmpDir("kmv_stream_ckpt2"))
-    estimates(spark.read.parquet(statePath)) shouldBe streamed
+    estimates(graft.operators.Upsert.read(spark, statePath)) shouldBe streamed
   }
 
   test("stream-static dim enrichment over a real file stream == batch twin, " +

@@ -188,12 +188,12 @@ class DataOpsSpec extends SparkSpec {
       try q.awaitTermination() finally q.stop()
     }
     drain()
-    spark.read.parquet(table).as[(Long, String)].collect().toMap shouldBe
+    graft.operators.Upsert.read(spark, table).as[(Long, String)].collect().toMap shouldBe
       Map(1L -> "a", 2L -> "b")
     put("b2", Seq((1L, 3L, "U", "a2"), (2L, 4L, "D", null),
       (3L, 5L, "I", "c")))
     drain() // checkpoint: only the NEW file is applied
-    val finalState = spark.read.parquet(table)
+    val finalState = graft.operators.Upsert.read(spark, table)
       .as[(Long, String)].collect().toMap
     finalState shouldBe Map(1L -> "a2", 3L -> "c")
     // equals the one-shot batch fold of the full changelog

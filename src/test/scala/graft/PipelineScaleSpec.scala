@@ -64,8 +64,8 @@ class PipelineScaleSpec extends SparkSpec {
     val goldSecs = (System.nanoTime() - t1) / 1e9
     val fact = spark.read.parquet(s"$gold/fact_article_publication")
     fact.count() shouldBe 20001
-    spark.read.parquet(s"$gold/dim_author").count() shouldBe 212 // 211 + UNKNOWN
-    spark.read.parquet(s"$gold/dim_date").count() shouldBe 30
+    graft.operators.Upsert.read(spark, s"$gold/dim_author").count() shouldBe 212 // 211 + UNKNOWN
+    graft.operators.Upsert.read(spark, s"$gold/dim_date").count() shouldBe 30
     info(f"silver: $silverSecs%.1f s, gold: $goldSecs%.1f s for 20k articles")
   }
 }

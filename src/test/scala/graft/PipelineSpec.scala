@@ -31,7 +31,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   private def silver(wh: String, name: String): DataFrame =
-    spark.read.parquet(s"$wh/$name")
+    graft.operators.Upsert.read(spark, s"$wh/$name")
 
   test("batch bronze→silver→gold→flat view end to end") {
     val root = tmpDir("bronze")
@@ -66,16 +66,16 @@ class PipelineSpec extends SparkSpec {
     fact.count() shouldBe 2
     val f1 = fact.where(col("PublicationDateKey") === 20251010).collect()(0)
     f1.getAs[Int]("WordCountInMainContent") shouldBe 5
-    spark.read.parquet(s"$gold/dim_date").count() shouldBe 2
+    graft.operators.Upsert.read(spark, s"$gold/dim_date").count() shouldBe 2
     // UNKNOWN members seeded for sentinel FKs
-    spark.read.parquet(s"$gold/dim_author")
+    graft.operators.Upsert.read(spark, s"$gold/dim_author")
       .where(col("AuthorKey") === -1L).count() shouldBe 1
 
     val flat = FlatView.vwArticlesFlat(
       fact,
-      spark.read.parquet(s"$gold/dim_author"),
-      spark.read.parquet(s"$gold/dim_topic"),
-      spark.read.parquet(s"$gold/dim_sub_topic"))
+      graft.operators.Upsert.read(spark, s"$gold/dim_author"),
+      graft.operators.Upsert.read(spark, s"$gold/dim_topic"),
+      graft.operators.Upsert.read(spark, s"$gold/dim_sub_topic"))
     flat.count() shouldBe 2
     flat.where(col("ArticleTitle") === "Bai 1")
       .select("AuthorName").collect()(0).getString(0) shouldBe "An"
@@ -179,8 +179,8 @@ class PipelineSpec extends SparkSpec {
     for (t <- Seq("dim_date", "dim_author", "dim_topic", "dim_sub_topic",
         "fact_article_publication", "fact_article_keyword",
         "fact_top_comment_activity", "fact_top_comment_interaction_detail")) {
-      val full = spark.read.parquet(s"$goldFull/$t").collect().map(_.toSeq).toSet
-      val inc = spark.read.parquet(s"$goldInc/$t").collect().map(_.toSeq).toSet
+      val full = graft.operators.Upsert.read(spark, s"$goldFull/$t").collect().map(_.toSeq).toSet
+      val inc = graft.operators.Upsert.read(spark, s"$goldInc/$t").collect().map(_.toSeq).toSet
       withClue(t) { inc shouldBe full }
     }
     // the day-2 run never rewrote day 1's fact partition
@@ -300,7 +300,7 @@ class PipelineSpec extends SparkSpec {
     b.join(120000)
     b.isAlive shouldBe false
     withClue(String.valueOf(bFailure)) { bFailure shouldBe null }
-    val out = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    val out = Upsert.read(spark, path).as[(Long, String)].collect().toSet
     out shouldBe Set((1L, "An"), (2L, "Binh-v2"), (4L, "Dung"))
     lock.exists() shouldBe false // B released; A's no-op release didn't resurrect it
   }

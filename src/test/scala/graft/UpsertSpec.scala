@@ -29,9 +29,9 @@ class UpsertSpec extends SparkSpec {
     val path = tmpDir("upsert") + "/t"
     Upsert.upsert(spark, path, target, Seq("k"))
     Upsert.upsert(spark, path, source, Seq("k"))
-    val once = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    val once = Upsert.read(spark, path).collect().map(_.toSeq).toSet
     Upsert.upsert(spark, path, source, Seq("k"))   // replay the same batch
-    val twice = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    val twice = Upsert.read(spark, path).collect().map(_.toSeq).toSet
     twice shouldBe once
     once.map(s => (s(0), s(2))) shouldBe Set((1, 10), (2, 99), (3, 30))
   }
@@ -64,10 +64,11 @@ class UpsertSpec extends SparkSpec {
   test("upsert recovers a table stranded mid-swap") {
     val path = tmpDir("upsertr") + "/t"
     Upsert.upsert(spark, path, target, Seq("k"))
-    // simulate a crash between the two swap renames: table dir moved aside
+    // simulate a pre-versioning crash between the two swap renames: table
+    // dir moved aside (recovery must restore it before merging)
     new java.io.File(path).renameTo(new java.io.File(path + "__old")) shouldBe true
     Upsert.upsert(spark, path, source, Seq("k"))
-    val out = spark.read.parquet(path)
+    val out = Upsert.read(spark, path)
     out.count() shouldBe 3 // recovery restored the 2 old rows, merge applied source
     out.where($"k" === 1).count() shouldBe 1
   }
@@ -104,11 +105,11 @@ class UpsertSpec extends SparkSpec {
     val drifted = Seq((2L, "B", 7)).toDF("k", "v", "extra")
     an[Exception] should be thrownBy
       Upsert.upsert(spark, path, drifted, Seq("k"))
-    spark.read.parquet(path).columns.sorted shouldBe Array("k", "v")
+    Upsert.read(spark, path).columns.sorted shouldBe Array("k", "v")
 
     // with evolveSchema: new column appears, pre-evolution rows read NULL
     Upsert.upsert(spark, path, drifted, Seq("k"), evolveSchema = true)
-    val t = spark.read.parquet(path)
+    val t = Upsert.read(spark, path)
     t.columns.sorted shouldBe Array("extra", "k", "v")
     t.where($"k" === 2L).select("extra").collect()(0).getInt(0) shouldBe 7
     t.where($"k" === 1L).select("extra").collect()(0).isNullAt(0) shouldBe true
@@ -116,7 +117,7 @@ class UpsertSpec extends SparkSpec {
     // a source missing a known column NULL-fills it for replaced rows
     Upsert.upsert(spark, path,
       Seq((1L, 11)).toDF("k", "extra"), Seq("k"), evolveSchema = true)
-    val t2 = spark.read.parquet(path)
+    val t2 = Upsert.read(spark, path)
     t2.where($"k" === 1L).select("v").collect()(0).isNullAt(0) shouldBe true
     t2.where($"k" === 2L).select("v").collect()(0).getString(0) shouldBe "B"
 
@@ -136,11 +137,11 @@ class UpsertSpec extends SparkSpec {
       val ex = the[Upsert.ConcurrentWriteException] thrownBy
         Upsert.upsert(spark, path, source, Seq("k"))
       ex.getMessage should include("locked by another writer")
-      spark.read.parquet(path).count() shouldBe 2 // B wrote nothing
+      Upsert.read(spark, path).count() shouldBe 2 // B wrote nothing
     } finally Upsert.releaseLock(spark, path, tokenA)
     // A released → B's retry wins
     Upsert.upsert(spark, path, source, Seq("k"))
-    spark.read.parquet(path).count() shouldBe 3
+    Upsert.read(spark, path).count() shouldBe 3
   }
 
   test("stale lease past TTL is taken over") {
@@ -152,7 +153,7 @@ class UpsertSpec extends SparkSpec {
     // age the lease past the 1s TTL we pass below → crashed-writer takeover
     lock.setLastModified(System.currentTimeMillis() - 10000) shouldBe true
     Upsert.upsert(spark, path, source, Seq("k"), lockTtlMs = 1000)
-    spark.read.parquet(path).count() shouldBe 3
+    Upsert.read(spark, path).count() shouldBe 3
     lock.exists() shouldBe false // takeover released its own lease
   }
 
@@ -189,6 +190,105 @@ class UpsertSpec extends SparkSpec {
     new java.io.File(path + "__lock").exists() shouldBe false
     // and the table is immediately writable again
     Upsert.upsert(spark, path, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
-    spark.read.parquet(path).count() shouldBe 2
+    Upsert.read(spark, path).count() shouldBe 2
+  }
+
+  test("whole-table upserts commit snapshots: versioned layout, retention, time travel") {
+    import graft.sources.Snapshots
+    val path = tmpDir("upsertver") + "/t"
+    Upsert.upsert(spark, path, target, Seq("k"))
+    // versioned from birth: data lives under hidden _versions, pointer set
+    Snapshots.isVersioned(spark, path) shouldBe true
+    Snapshots.currentVersion(spark, path) shouldBe Some(1L)
+    // a plain parquet read sees no data files — the loud failure mode, not
+    // silent stale data
+    an[Exception] should be thrownBy spark.read.parquet(path).count()
+    Upsert.upsert(spark, path, source, Seq("k"))
+    Snapshots.currentVersion(spark, path) shouldBe Some(2L)
+    // time travel: the pre-merge state is still readable
+    Snapshots.read(spark, path, asOf = 1L).count() shouldBe 2
+    Upsert.read(spark, path).count() shouldBe 3
+    // retention: versions are vacuumed down to DefaultRetainVersions
+    (3 to 8).foreach { i =>
+      Upsert.upsert(spark, path, Seq((1, s"n$i", i)).toDF("k", "name", "v"), Seq("k"))
+    }
+    val vs = Snapshots.versions(spark, path)
+    vs.size shouldBe Upsert.DefaultRetainVersions
+    vs.max shouldBe 8L
+  }
+
+  test("a legacy flat table is migrated to the versioned layout on its next merge") {
+    import graft.sources.Snapshots
+    val path = tmpDir("upsertmig") + "/t"
+    target.write.parquet(path) // pre-existing flat table, written out-of-band
+    Upsert.upsert(spark, path, source, Seq("k"))
+    Snapshots.isVersioned(spark, path) shouldBe true
+    val out = Upsert.read(spark, path)
+    out.count() shouldBe 3
+    out.where($"k" === 2).select("v").collect()(0).getInt(0) shouldBe 99
+    // flat files were cleaned after the pointer swap — nothing serves the
+    // frozen pre-migration state
+    new java.io.File(path).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")) shouldBe empty
+  }
+
+  test("readers racing 50 concurrent upserts never see a missing or mixed table") {
+    val path = tmpDir("upsertrace") + "/t"
+    val keys = (1 to 100)
+    def state(v: Int) = keys.map(k => (k, v)).toDF("k", "v")
+    Upsert.upsert(spark, path, state(0), Seq("k"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val rows = Upsert.read(spark, path).collect()
+          // atomicity invariant: a snapshot is ALL of one upsert's rows —
+          // never a partial file set, never a mix of two versions
+          if (rows.length != keys.size)
+            failures.add(s"saw ${rows.length} rows")
+          val vals = rows.map(_.getInt(1)).distinct
+          if (vals.length != 1)
+            failures.add(s"mixed versions: ${vals.toSeq.sorted}")
+        } catch {
+          case e: Exception =>
+            failures.add(s"reader error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try {
+      // 4 writer threads × shared counter to 50 merges, retrying lease
+      // contention — the multi-writer shape the lease serializes
+      val next = new java.util.concurrent.atomic.AtomicInteger(1)
+      val writers = (1 to 4).map { _ =>
+        new Thread(() => {
+          var i = next.getAndIncrement()
+          while (i <= 50) {
+            try {
+              Upsert.upsert(spark, path, state(i), Seq("k"))
+              i = next.getAndIncrement()
+            } catch {
+              case _: Upsert.ConcurrentWriteException => Thread.sleep(20)
+            }
+          }
+        })
+      }
+      writers.foreach(_.start())
+      writers.foreach(_.join(300000))
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    failures.toArray shouldBe empty
+    // the final state is SOME single writer's complete output (threads
+    // claim version numbers before racing for the lease, so the last
+    // commit is not necessarily #50 — atomicity, not ordering, is the
+    // contract under test)
+    val end = Upsert.read(spark, path).collect()
+    end.length shouldBe keys.size
+    val endVals = end.map(_.getInt(1)).distinct
+    endVals.length shouldBe 1
+    endVals(0) should (be >= 1 and be <= 50)
   }
 }
