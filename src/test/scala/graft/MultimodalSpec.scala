@@ -141,6 +141,13 @@ class MultimodalSpec extends SparkSpec {
     st.peak shouldBe 1.0 // -32768/32768
     st.rms shouldBe math.sqrt((0.0 + 0.25 + 0.25 + 1.0) / 4) +- 1e-12
     Multimodal.decodeWavSamples("junk".getBytes) shouldBe None
+    // A-law (format 6) is 8-bit but COMPANDED: decoding it as linear PCM
+    // would return confidently wrong stats — the contract is None
+    val alaw = "RIFF".getBytes ++ le32(4 + 24 + 8 + 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(6) ++ le16(1) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
+    Multimodal.decodeWavSamples(alaw) shouldBe None
   }
 
   test("extractFeatures uses real decodes where a JDK codec exists, byte fallback otherwise") {

@@ -121,8 +121,16 @@ class ScaleOpsSpec extends SparkSpec {
     val q = graft.streaming.Streams.perplexityTiersStream(
       spark, stream, model, out, ckpt, availableNow = true)
     try q.awaitTermination(120000) shouldBe true finally q.stop()
-    spark.read.parquet(out)
-      .as[(Long, Long, Long, String)].collect().toSet shouldBe batchTiers
+    def tiers() = spark.read.parquet(out)
+      .select("doc_id", "n_bigrams", "lm_score", "tier")
+      .as[(Long, Long, Long, String)].collect().toSet
+    tiers() shouldBe batchTiers
+    // full redelivery (fresh checkpoint, same source): the batch=<id>
+    // overwrite sink absorbs it — no duplicate tier rows appear
+    val q2 = graft.streaming.Streams.perplexityTiersStream(
+      spark, stream, model, out, tmpDir("tiers_ckpt2"), availableNow = true)
+    try q2.awaitTermination(120000) shouldBe true finally q2.stop()
+    tiers() shouldBe batchTiers
   }
 
   test("q157: recall is n_hit/n_exact with IVF hits a subset of exact hits") {
