@@ -1412,9 +1412,10 @@ object Queries {
     perBucket
       .withColumn("sks", collect_list(col("sk")).over(w))
       .select(col("bucket"),
-        Sketches.kmvEstimate(
-          aggregate(col("sks"), array().cast("array<bigint>"),
-            (acc, sk) => Sketches.kmvUnion(acc, sk, k)), k)
+        // one codegen'd k-way merge per row (value-identical to the
+        // kmvUnion fold — see kmvUnionAll) instead of an interpreted
+        // aggregate lambda re-sorting 4096-long arrays per window step
+        Sketches.kmvEstimate(Sketches.kmvUnionAll(col("sks"), k), k)
           .as("distinct_users"))
   }
 

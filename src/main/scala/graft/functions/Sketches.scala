@@ -125,6 +125,18 @@ object Sketches {
   def kmvUnion(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_union(a, b)), 1, k)
 
+  /** Union of a whole ARRAY of KMV sketches in one compiled k-way merge
+    * ([[KmvMergeExpr]]) — value-identical to folding [[kmvUnion]] over the
+    * array (early trimming can never discard one of the global k smallest:
+    * a value cut after any partial union is already larger than k values
+    * of that union), but one codegen'd pass over already-sorted inputs
+    * instead of an interpreted `aggregate` lambda doing
+    * array_union+array_sort per step — the q123 sliding-window fold's
+    * measured constant-factor hazard. */
+  def kmvUnionAll(sketches: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvMergeExpr(ExpressionUtils.expression(sketches), k))
+
   /** Jaccard similarity estimate between the sets behind two sketches
     * (Beyer et al.): among the union sketch's k smallest hashes, the
     * fraction present in BOTH input sketches. Deterministic — the same
@@ -146,5 +158,71 @@ object Sketches {
     when(n < k, n.cast("double"))
       .otherwise(
         lit((k - 1).toDouble) * lit(TwoPow63) / element_at(sketch, k).cast("double"))
+  }
+}
+
+/** K-way merge of an array of KMV sketches (each a SORTED ascending array
+  * of distinct non-negative longs) into the k smallest distinct values —
+  * a native codegen'd expression (same static-call pattern as
+  * [[graft.functions.FingerprintExpr]]), so the post-window projection of
+  * q123-style sliding unions stays inside whole-stage codegen. */
+case class KmvMergeExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 2, s"kmv merge: k must be >= 2, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_union_all"
+  override def nullSafeEval(input: Any): Any =
+    KmvMergeExpr.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KmvMergeExpr.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KmvMergeExpr {
+  /** Merge N sorted distinct long arrays, keeping the k smallest distinct
+    * values. Each loop turn advances exactly one input pointer, emitting a
+    * value only when it differs from the last emitted — O(N · total) long
+    * comparisons for the tiny N (window width) this serves, zero
+    * allocation beyond the output. */
+  def compute(sketches: org.apache.spark.sql.catalyst.util.ArrayData,
+              k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sketches.numElements()
+    val as = new Array[org.apache.spark.sql.catalyst.util.ArrayData](n)
+    val len = new Array[Int](n)
+    val idx = new Array[Int](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      as(i) = sketches.getArray(i)
+      len(i) = as(i).numElements()
+      total += len(i)
+      i += 1
+    }
+    val out = new Array[Long](math.min(k, total))
+    var m = 0
+    var last = -1L // hashes are 63-bit non-negative; -1 sentinel is safe
+    var exhausted = false
+    while (m < k && !exhausted) {
+      var best = -1
+      var bv = Long.MaxValue
+      i = 0
+      while (i < n) {
+        if (idx(i) < len(i)) {
+          val v = as(i).getLong(idx(i))
+          if (v < bv) { bv = v; best = i }
+        }
+        i += 1
+      }
+      if (best < 0) exhausted = true
+      else {
+        idx(best) += 1
+        if (bv != last) { out(m) = bv; last = bv; m += 1 }
+      }
+    }
+    new GenericArrayData(if (m == out.length) out else out.take(m))
   }
 }

@@ -198,6 +198,31 @@ class AnalyticsSpec extends SparkSpec {
       .as[Double].head() shouldBe (10.0 / 50.0)
   }
 
+  test("kmvUnionAll (codegen k-way merge) == folding kmvUnion, incl. sub-k and empty inputs") {
+    import graft.functions.Sketches
+    val k = 16
+    def sketchOf(xs: Seq[String]) = xs.toDF("v")
+      .agg(Sketches.kmvSketch(Sketches.hash63(col("v")), k).as("sk"))
+    // three overlapping sets; c is tiny (sub-k) to hit the short-array arm
+    val a = (1 to 40).map(i => s"x$i")
+    val b = (30 to 70).map(i => s"x$i")
+    val c = Seq("x5", "x99")
+    val three = sketchOf(a).select(col("sk").as("a"))
+      .crossJoin(sketchOf(b).select(col("sk").as("b")))
+      .crossJoin(sketchOf(c).select(col("sk").as("c")))
+      .select(array(col("a"), col("b"), col("c")).as("sks"))
+    val folded = three.select(
+      aggregate(col("sks"), array().cast("array<bigint>"),
+        (acc, sk) => Sketches.kmvUnion(acc, sk, k))).as[Seq[Long]].head()
+    val merged = three.select(Sketches.kmvUnionAll(col("sks"), k))
+      .as[Seq[Long]].head()
+    merged shouldBe folded
+    merged shouldBe sketchOf(a ++ b ++ c).select(col("sk")).as[Seq[Long]].head()
+    // an empty sketch array (no buckets in range) merges to the empty sketch
+    spark.range(1).select(Sketches.kmvUnionAll(
+      array().cast("array<array<bigint>>"), k)).as[Seq[Long]].head() shouldBe Nil
+  }
+
   test("count-min counters maintained per micro-batch == the batch build " +
     "(linear-sketch mergeability over a real file stream)") {
     val sfDir = "/root/testdata/sf0.01"
