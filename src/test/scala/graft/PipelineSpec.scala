@@ -304,6 +304,72 @@ class PipelineSpec extends SparkSpec {
     out shouldBe Set((1L, "An"), (2L, "Binh-v2"), (4L, "Dung"))
     lock.exists() shouldBe false // B released; A's no-op release didn't resurrect it
   }
+
+  test("3 concurrent incremental gold runs on overlapping dates converge to the full-run state") {
+    import graft.operators.Upsert
+    val root = tmpDir("bronzeC")
+    val wh = tmpDir("silverC")
+    val goldRef = tmpDir("goldRef")
+    val gold = tmpDir("goldRace")
+    writeFixtures(root)
+    BronzeToSilver.runBatch(spark, root, wh)
+    SilverToGold.run(spark, wh, goldRef) // single-writer reference state
+
+    // the Airflow shape: concurrent daily tasks with overlapping work-lists,
+    // each retrying the WHOLE run when it loses a table lease mid-run (the
+    // per-table merges are idempotent, so a rerun over already-committed
+    // tables is a no-op)
+    val d1 = java.sql.Date.valueOf("2025-10-10")
+    val d2 = java.sql.Date.valueOf("2025-10-11")
+    val dateSets = Seq(Seq(d1), Seq(d2), Seq(d1, d2))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = dateSets.zipWithIndex.map { case (ds, i) =>
+      new Thread(() => {
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 120) {
+          try {
+            SilverToGold.runIncremental(spark, wh, gold, ds)
+            done = true
+          } catch {
+            case _: Upsert.ConcurrentWriteException =>
+              attempts += 1; Thread.sleep(100)
+            case t: Throwable =>
+              failures.add(s"writer$i: ${t.getClass.getSimpleName}: ${t.getMessage}")
+              done = true
+          }
+        }
+        if (!done) failures.add(s"writer$i: never converged")
+      }, s"gold-writer-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(600000))
+    failures.toArray shouldBe empty
+
+    // converged: every dim and fact equals the single-writer reference —
+    // exactly one writer's (idempotent-identical) output per table/partition
+    for (t <- Seq("dim_date", "dim_author", "dim_topic", "dim_sub_topic",
+        "dim_keyword", "dim_reference_source", "dim_interaction_type",
+        "fact_article_publication", "fact_article_keyword",
+        "fact_article_reference", "fact_top_comment_activity",
+        "fact_top_comment_interaction_detail")) {
+      val ref = Upsert.read(spark, s"$goldRef/$t").collect().map(_.toSeq).toSet
+      val raced = Upsert.read(spark, s"$gold/$t").collect().map(_.toSeq).toSet
+      withClue(t) { raced shouldBe ref }
+    }
+    // and no partial-write debris or stranded leases anywhere in the raced
+    // warehouse
+    val leftovers = java.nio.file.Files.walk(java.nio.file.Paths.get(gold))
+      .iterator()
+    val bad = new scala.collection.mutable.ArrayBuffer[String]()
+    while (leftovers.hasNext) {
+      val n = leftovers.next().getFileName.toString
+      if (n.contains("__stage") || n.contains("__lock") ||
+          n.contains("_temporary") || n.startsWith(".staging-"))
+        bad += n
+    }
+    bad shouldBe empty
+  }
 }
 
 /** Freezable gates for the lease-takeover drill. A top-level Scala object:
