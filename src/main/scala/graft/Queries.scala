@@ -2270,6 +2270,54 @@ object Queries {
         "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
   }
 
+  /** The ORACLE-visible schema pin, one row per (table, column): the
+    * Spark side is this literal expectation table; the oracle side runs
+    * live `DESCRIBE` over the registered parquet views. SchemaProbeSpec
+    * already fails loudly when a testdata regeneration changes what SPARK
+    * sees; this is the missing twin for the DuckDB lens — the round-6 q152
+    * failure mode, where a physical-type change broke only the oracle,
+    * now fails this one named row instead of a mystery query downstream.
+    * (DuckDB reads annotation-less INT32/INT64 as INTEGER/BIGINT and maps
+    * TIMESTAMP_MICROS→TIMESTAMP; a regeneration to NANOS would read
+    * TIMESTAMP_NS here and hash-mismatch immediately.) */
+  private[graft] val OracleVisibleSchema: Seq[(String, String, String)] = Seq(
+    "region" -> Seq("r_regionkey" -> "INTEGER", "r_name" -> "VARCHAR"),
+    "nation" -> Seq("n_nationkey" -> "INTEGER", "n_name" -> "VARCHAR",
+      "n_regionkey" -> "INTEGER"),
+    "customer" -> Seq("c_custkey" -> "BIGINT", "c_name" -> "VARCHAR",
+      "c_nationkey" -> "INTEGER", "c_acctbal" -> "DOUBLE",
+      "c_mktsegment" -> "VARCHAR"),
+    "supplier" -> Seq("s_suppkey" -> "BIGINT", "s_name" -> "VARCHAR",
+      "s_nationkey" -> "INTEGER", "s_acctbal" -> "DOUBLE"),
+    "part" -> Seq("p_partkey" -> "BIGINT", "p_name" -> "VARCHAR",
+      "p_brand" -> "VARCHAR", "p_type" -> "VARCHAR", "p_size" -> "INTEGER",
+      "p_retailprice" -> "DOUBLE"),
+    "orders" -> Seq("o_orderkey" -> "BIGINT", "o_custkey" -> "BIGINT",
+      "o_orderstatus" -> "VARCHAR", "o_totalprice" -> "DOUBLE",
+      "o_orderdate" -> "TIMESTAMP", "o_orderpriority" -> "VARCHAR"),
+    "lineitem" -> Seq("l_orderkey" -> "BIGINT", "l_partkey" -> "BIGINT",
+      "l_suppkey" -> "BIGINT", "l_linenumber" -> "INTEGER",
+      "l_quantity" -> "DOUBLE", "l_extendedprice" -> "DOUBLE",
+      "l_discount" -> "DOUBLE", "l_tax" -> "DOUBLE",
+      "l_returnflag" -> "VARCHAR", "l_linestatus" -> "VARCHAR",
+      "l_shipdate" -> "TIMESTAMP"),
+    "events" -> Seq("event_id" -> "BIGINT", "ts" -> "TIMESTAMP",
+      "user_id" -> "BIGINT", "event_type" -> "VARCHAR",
+      "value" -> "DOUBLE", "props" -> "VARCHAR"),
+    "documents" -> Seq("doc_id" -> "BIGINT", "text" -> "VARCHAR",
+      "lang" -> "VARCHAR", "source" -> "VARCHAR", "n_chars" -> "BIGINT"),
+    "embeddings" -> Seq("vec_id" -> "BIGINT", "embedding" -> "FLOAT[]",
+      "label" -> "INTEGER")
+  ).flatMap { case (tbl, cols) => cols.map { case (c, ty) => (tbl, c, ty) } }
+
+  /** See [[OracleVisibleSchema]]: the probe's Spark side never touches the
+    * data — it IS the expectation; the oracle side describes the live
+    * views, so only a testdata change can break the row set. */
+  def q160OracleTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    OracleVisibleSchema.toDF("tbl", "col_name", "col_type")
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2604,6 +2652,15 @@ object Queries {
         |FROM events JOIN dim ON CAST(ts AS DATE) = dim.d
         |WHERE day(dim.d) % 7 = 1
         |GROUP BY 1""".stripMargin,
+    // the DuckDB twin of SchemaProbeSpec: the Spark side is a literal
+    // expectation table, the oracle DESCRIBEs the live parquet views — a
+    // testdata regeneration that changes only what the ORACLE sees (the
+    // round-6 q152 mode) hash-mismatches this named row set immediately
+    "q160_oracle_types" ->
+      OracleVisibleSchema.map(_._1).distinct.map(t =>
+        s"SELECT '$t' AS tbl, column_name AS col_name, " +
+          s"column_type AS col_type FROM (DESCRIBE $t)")
+        .mkString("\nUNION ALL\n"),
     // the oracle never touches PNG bytes: it computes the histogram the
     // decode MUST produce from the rendering formula — matching hashes
     // prove the engine's encode→decode→feature path is lossless
@@ -4928,6 +4985,7 @@ object Queries {
     "q156_perplexity_tiers" -> (q156PerplexityTiers _),
     "q157_ivf_recall" -> (q157IvfRecall _),
     "q158_dynamic_pruning" -> (q158DynamicPruning _),
-    "q159_media_decode" -> (q159MediaDecode _)
+    "q159_media_decode" -> (q159MediaDecode _),
+    "q160_oracle_types" -> (q160OracleTypes _)
   )
 }

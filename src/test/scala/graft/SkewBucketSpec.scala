@@ -111,6 +111,59 @@ class SkewBucketSpec extends SparkSpec {
     seqs.values.map(_._2).sum shouldBe 120L
   }
 
+  test("AQE skew-join vs explicit salt: who handles the hot key when") {
+    // hot fixture: key 7 owns ~90% of 40k fact rows; dim is 50 keys but
+    // broadcast is disabled (the saltedJoin scaladoc case: dimension-sized
+    // yet broadcast-ineligible)
+    val hot = (1 to 40000).map(i =>
+      (if (i % 10 != 0) 7L else i.toLong % 50, s"payload-$i")).toDF("k", "v")
+    val dim = (0L until 50L).map(k => (k, s"name$k")).toDF("k", "name")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // scale AQE's 256 MB-class thresholds down to fixture size so the
+      // same decision logic that runs at 100 TB runs here
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+
+      // (a) bare SMJ: AQE's skew-join DOES split the hot partition —
+      // no manual salt needed
+      val bare = hot.join(dim.hint("merge"), Seq("k"))
+      bare.queryExecution.toRdd.foreach(_ => ())
+      val barePlan = bare.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      info("bare plan:\n" + barePlan)
+      withClue(barePlan) { barePlan should include("skewed") }
+
+      // (b) the same join feeding a groupBy on the join key: the join
+      // output's hash partitioning is REQUIRED downstream, so AQE declines
+      // to split (splitting duplicates right-side rows across splits of
+      // one key) — the case where the explicit salt remains necessary
+      val chained = hot.join(dim.hint("merge"), Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      chained.queryExecution.toRdd.foreach(_ => ())
+      val chainedPlan = chained.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      info("chained plan:\n" + chainedPlan)
+      withClue(chainedPlan) { chainedPlan should not include "skewed" }
+
+      // the salted rewrite handles exactly that case, identically
+      val plainRows = chained.collect().map(_.toSeq).toSet
+      val salted = Skew.saltedJoin(hot, dim, Seq("k"), saltFactor = 8)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      salted.collect().map(_.toSeq).toSet shouldBe plainRows
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
     val right = (1L to 500L).map(i => (i % 100, s"r$i")).toDF("k", "name")
