@@ -2318,6 +2318,35 @@ object Queries {
     OracleVisibleSchema.toDF("tbl", "col_name", "col_type")
   }
 
+  /** SemDeDup over the embedding corpus ([[Dedup.semanticDedup]],
+    * arXiv:2303.09540): 16 seeded coarse cells (the q34/q157 quantizer),
+    * drop a vector when a lower-id cell-mate has cosine ≥ 0.3 — the
+    * threshold sits at the ~99th pairwise-cosine percentile of this
+    * synthetic corpus, so kept/dropped splits meaningfully (real corpora
+    * near-dup much higher; the threshold is the caller's knob). Pair work
+    * never crosses cells — the paper's point, and why this survives
+    * scales where q28's capped all-pairs can't. */
+  def q161SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(s, dir, "embeddings"), threshold = 0.3, nlist = 16)
+
+  /** Approximate triangle count via DOULION edge sparsification
+    * ([[graft.operators.Graph.triangleEstimate]], KDD 2009) on q90's
+    * co-purchase graph at p = 1/2: the sampled wedge join does ~a quarter
+    * of q90's superlinear work while the estimate lands within ~1% of the
+    * exact count at this SF (15504 vs 15413 at sf0.01) — the 100 TB path
+    * q90's scaladoc promises. The hash-derived sample makes the "coin
+    * flips" replayable in the oracle. */
+  def q162TrianglesApprox(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .where(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("dst"))
+    graft.operators.Graph.triangleEstimate(edges, num = 1, den = 2)
+  }
+
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Bounded-memory approximate quantiles (P50/P90/P99 of document
@@ -2749,6 +2778,47 @@ object Queries {
          |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
          |  CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / ex.n_exact AS recall
          |FROM ex LEFT JOIN hit USING (query_id)""".stripMargin,
+    // SemDeDup replay: q157's seeded cells + assignment, then the paper's
+    // upper-triangular within-cell drop at cosine >= 0.3
+    "q161_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+         |          FROM e ORDER BY vec_id LIMIT 16),
+         |sims AS (SELECT e.vec_id, cents.cell,
+         |           list_dot_product(e.v, cents.v)
+         |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.v, cents.v))) AS cs
+         |         FROM e, cents),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cs DESC, cell DESC) AS rn FROM sims) WHERE rn = 1),
+         |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),
+         |dup AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
+         |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |        WHERE list_dot_product(a.v, b.v)
+         |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+         |SELECT av.vec_id, av.cell, d.vec_id IS NULL AS kept
+         |FROM av LEFT JOIN dup d USING (vec_id)""".stripMargin,
+    // DOULION replay: q90's canonical edge set, hash-sampled at p=1/2
+    // (portableHash of "a_b" — the engine's deterministic coin), exact
+    // triangle count on the sample, scaled by 2^3
+    "q162_triangles_approx" ->
+      """WITH adj AS (
+        |  SELECT l_partkey AS src, lead(l_partkey) OVER
+        |      (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT src, dst FROM adj
+        |       WHERE dst IS NOT NULL AND dst <> src),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM e0),
+        |s AS (SELECT a, b FROM e WHERE
+        |  CAST(substr(regexp_replace(md5(CAST(a AS VARCHAR) || '_' || CAST(b AS VARCHAR)),
+        |    '[a-f]', '', 'g') || '00000000', 1, 8) AS BIGINT) % 2 = 0),
+        |tri AS (SELECT count(*) AS tri_sampled
+        |        FROM s e1 JOIN s e2 ON e2.a = e1.b
+        |             JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM s) AS n_sampled,
+        |  tri_sampled, tri_sampled * 8 AS tri_est FROM tri""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -4986,6 +5056,8 @@ object Queries {
     "q157_ivf_recall" -> (q157IvfRecall _),
     "q158_dynamic_pruning" -> (q158DynamicPruning _),
     "q159_media_decode" -> (q159MediaDecode _),
-    "q160_oracle_types" -> (q160OracleTypes _)
+    "q160_oracle_types" -> (q160OracleTypes _),
+    "q161_semantic_dedup" -> (q161SemanticDedup _),
+    "q162_triangles_approx" -> (q162TrianglesApprox _)
   )
 }

@@ -701,4 +701,44 @@ object Dedup {
       .select(col("id1"), col("id2"), cosineQ(col("v1"), col("v2")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster-scoped semantic dedup. The corpus is partitioned into cells
+    * by nearest coarse centroid — the same scan-side literal-centroid
+    * ranking as IVF search ([[graft.similarity.Similarity.cellRanking]]),
+    * so assignment costs zero shuffles — then, per cell, a row is dropped
+    * when any LOWER-id row of the same cell has quantized cosine ≥
+    * `threshold` (the paper's upper-triangular keep-first policy; theirs
+    * orders by distance-to-centroid, ours by id for cross-engine
+    * determinism).
+    *
+    * Scale shape: pair generation never crosses cells, so the only
+    * shuffle is the self-join on cell id and the quadratic blow-up is
+    * Σ|cell|² — bounded by the quantizer, not the corpus. At 100 TB raise
+    * `nlist` (or pass k-means-trained `centroids` from
+    * [[graft.similarity.Similarity.trainCentroids]]) so cells stay ~1e4
+    * rows; the paper runs the identical shape at 5e7 points per
+    * clustering. Returns every input row: (vec_id, cell, kept). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.3,
+                    nlist: Int = 16, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    centroids: Seq[Seq[Long]] = Nil): DataFrame = {
+    import graft.similarity.Similarity
+    val cents: Array[(Int, Seq[Long])] =
+      if (centroids.nonEmpty) centroids.toArray.zipWithIndex.map(_.swap)
+      else Similarity.seededCentroids(embeddings, nlist, idCol, vecCol)
+    val assigned = embeddings
+      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("v"))
+      .withColumn("cell",
+        element_at(Similarity.cellRanking(cents, col("v")), 1).getField("cell"))
+    val l = assigned.select(col("vec_id").as("id1"), col("cell"), col("v").as("v1"))
+    val r = assigned.select(col("vec_id").as("id2"), col("cell"), col("v").as("v2"))
+    val dropped = l.join(r, Seq("cell"))
+      .where(col("id1") < col("id2") &&
+        cosineQ(col("v1"), col("v2")) >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("__dup").isNull.as("kept"))
+  }
 }

@@ -179,11 +179,17 @@ object Graph {
     * three canonicalize+degree-join passes; Spark's ContextCleaner frees
     * the snapshot when the result goes out of scope. */
   def triangleCounts(edges: DataFrame, src: String = "src",
-                     dst: String = "dst"): DataFrame = {
-    val canon = edges
-      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
-      .where(col("u").isNotNull && col("u") =!= col("v"))
-      .distinct()
+                     dst: String = "dst"): DataFrame =
+    triangleCornerCounts(
+      edges
+        .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+        .where(col("u").isNotNull && col("u") =!= col("v"))
+        .distinct())
+
+  /** [[triangleCounts]]' core over an ALREADY canonical (u < v),
+    * duplicate-free edge set — split out so [[triangleEstimate]] can
+    * sample the canonical set without paying a second distinct. */
+  private def triangleCornerCounts(canon: DataFrame): DataFrame = {
     val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient each edge low→high in the (degree, id) total order; carry the
@@ -205,6 +211,43 @@ object Graph {
       or.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** DOULION (Tsourakakis et al., KDD 2009): global triangle-count
+    * estimate by edge sparsification — keep each canonical edge iff
+    * portableHash("a_b") mod `den` < `num` (sampling rate p = num/den;
+    * hash-derived, so the sample is deterministic and oracle-replayable,
+    * where the paper flips coins), count triangles EXACTLY on the sampled
+    * graph via [[triangleCounts]]' degree-oriented wedge join, scale by
+    * (den/num)³. The paper proves the estimator unbiased with variance
+    * vanishing as edges grow — the regime 100 TB graphs live in; at p=1/2
+    * the wedge join (the superlinear term) does ~1/4 the work, and smaller
+    * p buys more.
+    *
+    * This is the documented scale alternative to exact [[triangleCounts]]
+    * (q90), whose wedge volume grows with degree². One row:
+    * (n_edges, n_sampled, tri_sampled, tri_est). */
+  def triangleEstimate(edges: DataFrame, num: Int = 1, den: Int = 2,
+                       src: String = "src", dst: String = "dst"): DataFrame = {
+    require(num > 0 && den >= num, s"need 0 < num <= den, got $num/$den")
+    val canon = edges
+      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // canonical edge set feeds stats + sample once
+    val keep = pmod(graft.text.TextAnalysis.portableHash(
+      concat_ws("_", col("u"), col("v"))), lit(den.toLong)) < lit(num.toLong)
+    val scale = (den.toLong * den * den) / (num.toLong * num * num)
+    // a hash sample of a distinct canonical set is itself distinct and
+    // canonical — feed the core directly, no second distinct
+    val tri = triangleCornerCounts(canon.where(keep))
+      .agg(coalesce(floor(sum(col("triangles")) / 3), lit(0L)).cast("long")
+        .as("tri_sampled"))
+      .withColumn("tri_est", col("tri_sampled") * lit(scale))
+    // both edge counts in ONE pass over the checkpointed set
+    canon.agg(count(lit(1)).as("n_edges"),
+        count(when(keep, lit(1))).as("n_sampled"))
+      .crossJoin(tri) // two 1-row aggregates — the only cross join
   }
 
   /** k-core decomposition membership: the maximal subgraph in which every

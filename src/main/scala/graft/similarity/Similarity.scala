@@ -141,23 +141,37 @@ object Similarity {
     cents.map(c => c.map(x => math.floor(x * 1000.0).toLong).toSeq).toSeq
   }
 
+  /** Seeded coarse quantizer: the first `nlist` corpus vectors by id,
+    * quantized — the deterministic centroid set behind [[ivfTopK]] and
+    * [[graft.dedup.Dedup.semanticDedup]] when no trained centroids are
+    * passed. Bounded driver collect (`nlist` rows). */
+  def seededCentroids(corpus: DataFrame, nlist: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[(Int, Seq[Long])] =
+    corpus.orderBy(col(idCol)).limit(nlist)
+      .select(quantize(col(vecCol)).as("q")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](0)) }
+
+  /** (similarity, cell) structs for quantized vector `q` against literal
+    * `cents`, best first (ties → higher cell) — the scan-side cell ranking
+    * shared by every coarse-quantized path, so IVF search and semantic
+    * dedup can never disagree on an assignment. */
+  def cellRanking(cents: Array[(Int, Seq[Long])], q: Column): Column = {
+    val scored = array(cents.toIndexedSeq.map { case (cid, v) =>
+      struct(cosineQ(q, typedLit(v)).as("sim"), lit(cid).as("cell"))
+    }: _*)
+    reverse(array_sort(scored))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               centroids: Seq[Seq[Long]] = Nil): DataFrame = {
     val cents: Array[(Int, Seq[Long])] =
       if (centroids.nonEmpty) centroids.toArray.zipWithIndex.map(_.swap)
-      else corpus.orderBy(col(idCol)).limit(nlist)
-        .select(quantize(col(vecCol)).as("q")).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](0)) }
+      else seededCentroids(corpus, nlist, idCol, vecCol)
 
-    def cellRanks(q: Column): Column = {
-      // (similarity, cellId) structs sorted desc → probe order
-      val scored = array(cents.toIndexedSeq.map { case (cid, v) =>
-        struct(cosineQ(q, typedLit(v)).as("sim"), lit(cid).as("cell"))
-      }: _*)
-      reverse(array_sort(scored))
-    }
+    def cellRanks(q: Column): Column = cellRanking(cents, q)
 
     val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cell", element_at(cellRanks(col("cq")), 1).getField("cell"))

@@ -477,6 +477,39 @@ class AnalyticsSpec extends SparkSpec {
     (1L to 6L).foreach(i => out(i) shouldBe 2L)
   }
 
+  test("triangleEstimate: p=1 degenerates to the exact count; sample is a hash-subset") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 5L)).toDF("src", "dst")
+    // num=den → every edge kept, scale 1: the estimator IS triangleCounts
+    val full = Graph.triangleEstimate(e, num = 1, den = 1)
+      .as[(Long, Long, Long, Long)].collect().head
+    full shouldBe ((7L, 7L, 4L, 4L)) // K4 = 4 triangles; 6 + pendant = 7 canonical edges
+    // p=1/2: sampled edges a strict hash-subset, estimate = sampled * 8,
+    // and the row is deterministic (hash coins, not RNG)
+    val half1 = Graph.triangleEstimate(e, num = 1, den = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    val half2 = Graph.triangleEstimate(e, num = 1, den = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    half1 shouldBe half2
+    half1._1 shouldBe 7L
+    half1._2 should be <= 7L
+    half1._4 shouldBe half1._3 * 8
+  }
+
+  test("triangleEstimate lands near exact on a dense fixture (DOULION accuracy)") {
+    // K12: C(12,3) = 220 triangles, 66 edges — dense enough that a p=1/2
+    // hash sample keeps the estimator in range (paper: variance shrinks
+    // with triangle-rich graphs)
+    val nodes = 1L to 12L
+    val e = (for { a <- nodes; b <- nodes if a < b } yield (a, b)).toDF("src", "dst")
+    val r = Graph.triangleEstimate(e, num = 1, den = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    r._1 shouldBe 66L
+    // deterministic sample → fixed estimate; assert the realized accuracy
+    // band rather than a tautology (exact = 220)
+    r._4.toDouble shouldBe 220.0 +- 110.0
+  }
+
   test("lastTouchAttribution: credits the preceding touch, direct when none") {
     import graft.operators.Funnel
     val out = Funnel.lastTouchAttribution(

@@ -199,4 +199,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     wide.subsetOf(brute) shouldBe true
   }
+
+  test("semantic dedup: within-cell keep-first, cross-cell pairs never compared") {
+    // two orthogonal directions → two cells (centroids seeded from ids 1, 2);
+    // 1∥3∥5 cluster together, 2∥4 together, 6 is alone in cell 1's direction
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.99f, 0.01f, 0.0f)),  // dup of 1 (same cell, lower id kept)
+      (4L, Seq(0.01f, 0.99f, 0.0f)),  // dup of 2
+      (5L, Seq(0.98f, 0.0f, 0.01f)),  // dup of 1 AND 3 → still one drop row
+      (6L, Seq(0.6f, 0.0f, -0.8f))    // cell of 1, but cosine 0.6 < 0.9
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, threshold = 0.9, nlist = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L) // every row reported
+    out(1L)._2 shouldBe true   // first of its group
+    out(2L)._2 shouldBe true
+    out(3L)._2 shouldBe false  // lower-id cell-mate 1 above threshold
+    out(4L)._2 shouldBe false
+    out(5L)._2 shouldBe false
+    out(6L)._2 shouldBe true   // same cell as 1, below threshold
+    out(1L)._1 shouldBe out(3L)._1 // the x-direction cell
+    out(2L)._1 shouldBe out(4L)._1 // the y-direction cell
+    out(1L)._1 should not be out(2L)._1
+  }
+
+  test("semantic dedup: trained centroids slot in without changing the contract") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.99f, 0.01f)), (4L, Seq(0.01f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val cents = graft.similarity.Similarity.trainCentroids(emb, nlist = 2, iters = 2)
+    val out = Dedup.semanticDedup(emb, threshold = 0.9, centroids = cents)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out shouldBe Map(1L -> true, 2L -> true, 3L -> false, 4L -> false)
+  }
 }
