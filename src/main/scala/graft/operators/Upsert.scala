@@ -190,6 +190,8 @@ object Upsert {
   def read(spark: SparkSession, path: String): DataFrame =
     if (graft.sources.Snapshots.isVersioned(spark, path))
       graft.sources.Snapshots.read(spark, path)
+    else if (graft.sources.PartitionSnapshots.isManifested(spark, path))
+      graft.sources.PartitionSnapshots.read(spark, path)
     else spark.read.parquet(path)
 
   /** [[read]] that answers None instead of throwing when the table is
@@ -206,6 +208,8 @@ object Upsert {
     else if (graft.sources.Snapshots.isVersioned(spark, path))
       graft.sources.Snapshots.currentVersion(spark, path)
         .map(v => graft.sources.Snapshots.read(spark, path, asOf = v))
+    else if (graft.sources.PartitionSnapshots.isManifested(spark, path))
+      graft.sources.PartitionSnapshots.readOption(spark, path)
     else try Some(spark.read.parquet(path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
@@ -243,12 +247,15 @@ object Upsert {
              partitionCols: Seq[String] = Nil,
              evolveSchema: Boolean = false,
              lockTtlMs: Long = DefaultLockTtlMs,
-             retainVersions: Int = DefaultRetainVersions): Unit = {
+             retainVersions: Int = DefaultRetainVersions,
+             partitionManifests: Boolean = false): Unit = {
+    require(partitionCols.nonEmpty || !partitionManifests,
+      "upsert: partitionManifests requires partitionCols")
     val src0 = dedupSource(source, keys)
     if (src0.isEmpty) return
     val token = acquireLock(spark, path, lockTtlMs)
     try upsertLocked(spark, path, src0, keys, insertOnly, partitionCols,
-      evolveSchema, token, retainVersions)
+      evolveSchema, token, retainVersions, partitionManifests)
     finally releaseLock(spark, path, token)
   }
 
@@ -256,15 +263,37 @@ object Upsert {
                            keys: Seq[String], insertOnly: Boolean,
                            partitionCols: Seq[String],
                            evolveSchema: Boolean, token: String,
-                           retainVersions: Int): Unit = {
+                           retainVersions: Int,
+                           partitionManifests: Boolean = false): Unit = {
+    import graft.sources.PartitionSnapshots
     recoverSwap(spark, path)
     if (partitionCols.nonEmpty)
       require(!graft.sources.Snapshots.isVersioned(spark, path),
         s"upsert: $path is a versioned (whole-table snapshot) table; " +
           "partition-scoped rewrite applies only to flat hive-layout tables")
+    // sticky opt-in: once a table carries manifests, every later upsert
+    // commits through them — a flag forgotten on one call must not demote
+    // the table back to unsafe dynamic-overwrite commits
+    val manifested = partitionCols.nonEmpty &&
+      (partitionManifests || PartitionSnapshots.isManifested(spark, path))
+    if (manifested) {
+      // zero-IO migration: the marker flip makes flat partitions implicit
+      // v0 snapshots; nothing moves until each partition's first commit
+      PartitionSnapshots.ensureManifested(spark, path, partitionCols)
+      PartitionSnapshots.cleanupStaging(spark, path)
+    }
     val existing = readTable(spark, path)
     if (existing.isEmpty) {
-      if (partitionCols.nonEmpty) {
+      if (manifested) {
+        val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
+        src0.write.mode(SaveMode.ErrorIfExists)
+          .partitionBy(partitionCols: _*).parquet(staging)
+        try {
+          assertHeld(spark, path, token)
+          PartitionSnapshots.commitStaged(spark, path, staging, partitionCols,
+            emptied = Set.empty, retainVersions = retainVersions)
+        } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
+      } else if (partitionCols.nonEmpty) {
         src0.write.mode(SaveMode.Overwrite)
           .partitionBy(partitionCols: _*).parquet(path)
       } else commitVersion(spark, path, src0, token, retainVersions)
@@ -314,6 +343,22 @@ object Upsert {
       val merged =
         if (insertOnly) affected.unionByName(src.join(affected, keys, "left_anti"))
         else src.unionByName(affected.join(src, keys, "left_anti"))
+      if (manifested) {
+        // stage ONCE (hive layout, partition cols stripped into dirs), then
+        // rename each staged partition dir into its version slot + swap
+        // that partition's pointer — readers of a touched partition keep
+        // their pinned immutable version; partitions that lost every row
+        // publish an EMPTY version instead of a reader-visible delete
+        val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
+        merged.write.mode(SaveMode.ErrorIfExists)
+          .partitionBy(partitionCols: _*).parquet(staging)
+        try {
+          assertHeld(spark, path, token) // last check before the commits
+          graft.sources.PartitionSnapshots.commitStaged(spark, path, staging,
+            partitionCols, emptied = touchedDirs, retainVersions = retainVersions)
+        } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
+        return
+      }
       val staged = stage(spark, path, merged)
       try {
         val stagedDirs = partDirs(spark.read.parquet(staged)

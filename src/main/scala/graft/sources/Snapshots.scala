@@ -40,7 +40,7 @@ object Snapshots {
 
   private def vName(v: Long) = f"v$v%08d"
 
-  private def versionPath(table: String, v: Long) =
+  private[graft] def versionPath(table: String, v: Long) =
     s"$table/$VersionsDir/${vName(v)}"
 
   private val VersionName = "^v(\\d{8,})$".r
@@ -79,7 +79,7 @@ object Snapshots {
   /** Every version directory, committed or not — crashed writes (no
     * _SUCCESS) still occupy their number, so the next commit must skip
     * them rather than collide with ErrorIfExists and wedge the table. */
-  private def allVersionDirs(spark: SparkSession, table: String): Seq[Long] = {
+  private[graft] def allVersionDirs(spark: SparkSession, table: String): Seq[Long] = {
     val dir = new Path(s"$table/$VersionsDir")
     val f = fs(spark, dir)
     if (!f.exists(dir)) Nil

@@ -1,0 +1,211 @@
+package graft
+
+import graft.operators.Upsert
+import graft.sources.PartitionSnapshots
+
+class PartitionSnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byKey(path: String): Map[Int, (String, Int)] =
+    Upsert.read(spark, path).collect()
+      .map(r => r.getAs[Int]("k") ->
+        ((r.getAs[Any]("part").toString, r.getAs[Int]("v")))).toMap
+
+  test("manifested table: round-trip, typed partition column, loud plain read") {
+    val path = tmpDir("pmansnap") + "/t"
+    val t0 = Seq((1, "2024-01-01", 10), (2, "2024-01-02", 20))
+      .toDF("k", "date", "v")
+    Upsert.upsert(spark, path, t0, Seq("k"), partitionCols = Seq("date"),
+      partitionManifests = true)
+    val out = Upsert.read(spark, path)
+    // partition column recovered from the k=v path segment, DATE-typed
+    // exactly as a flat hive read would type it
+    out.schema("date").dataType shouldBe org.apache.spark.sql.types.DateType
+    out.collect().map(r => (r.getAs[Int]("k"), r.getAs[Any]("date").toString,
+      r.getAs[Int]("v"))).toSet shouldBe
+      Set((1, "2024-01-01", 10), (2, "2024-01-02", 20))
+    // data lives under _versions — a plain parquet read fails loudly
+    // instead of silently serving a frozen or partial state
+    an[Exception] should be thrownBy spark.read.parquet(path).collect()
+  }
+
+  test("manifests are sticky and commits are partition-scoped") {
+    val path = tmpDir("pmansticky") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // second upsert WITHOUT the flag must still commit through manifests
+    Upsert.upsert(spark, path, Seq((2, "p2", 99)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 99)))
+    // untouched partition still at v1; touched partition advanced
+    graft.sources.Snapshots.versions(spark, s"$path/part=p1") shouldBe Seq(1L)
+    graft.sources.Snapshots.versions(spark, s"$path/part=p2").max should be >= 2L
+  }
+
+  test("a key moving partitions publishes an EMPTY version, not a delete") {
+    val path = tmpDir("pmanmove") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Upsert.upsert(spark, path, Seq((1, "p2", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    // no stale row in p1, both rows in p2
+    byKey(path) shouldBe Map(1 -> (("p2", 11)), 2 -> (("p2", 20)))
+    // p1's directory SURVIVES with a newer, empty, committed version — a
+    // reader pinned on v1 keeps its files (the Iceberg expire contract)
+    val p1 = s"$path/part=p1"
+    val vs = graft.sources.Snapshots.versions(spark, p1)
+    vs.size should be >= 2
+    graft.sources.Snapshots.read(spark, p1, asOf = vs.head).count() shouldBe 1L
+  }
+
+  test("flat hive table migrates with zero IO: flat files are the implicit v0") {
+    val path = tmpDir("pmanmig") + "/t"
+    // a pre-existing flat hive-layout table (the old default commit path)
+    Seq((1, "p1", 10), (2, "p2", 20), (3, "p2", 30)).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    val flatFiles = new java.io.File(s"$path/part=p2").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    Upsert.upsert(spark, path, Seq((3, "p2", 99)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    byKey(path) shouldBe
+      Map(1 -> (("p1", 10)), 2 -> (("p2", 20)), 3 -> (("p2", 99)))
+    // untouched p1 was never rewritten, listed into staging, or repointed:
+    // its flat files still serve as the implicit v0
+    new java.io.File(s"$path/part=p1/_versions").exists() shouldBe false
+    // touched p2 committed v1; its flat v0 files are RETAINED for pinned
+    // readers (default retention) — nothing was copied or deleted
+    graft.sources.Snapshots.versions(spark, s"$path/part=p2") shouldBe Seq(1L)
+    new java.io.File(s"$path/part=p2").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet shouldBe flatFiles
+  }
+
+  test("implicit v0 flat files expire once retention is covered by real versions") {
+    val path = tmpDir("pmanexp") + "/t"
+    Seq((1, "p1", 10)).toDF("k", "part", "v").write.partitionBy("part").parquet(path)
+    Upsert.upsert(spark, path, Seq((1, "p1", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true,
+      retainVersions = 2)
+    // one real version: v0 still inside the retention window
+    new java.io.File(s"$path/part=p1").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet")) should be > 0
+    Upsert.upsert(spark, path, Seq((1, "p1", 12)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), retainVersions = 2)
+    // two real versions cover retain=2: the implicit v0 ages out
+    new java.io.File(s"$path/part=p1").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet")) shouldBe 0
+    byKey(path) shouldBe Map(1 -> (("p1", 12)))
+  }
+
+  test("a crash between slot rename and publish never serves partial data") {
+    val path = tmpDir("pmancrash") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // simulate a writer that died after renaming its staged dir into the
+    // v2 slot but before _SUCCESS/publish: complete data, unpublished
+    Seq((1, 99)).toDF("k", "v").write
+      .parquet(s"$path/part=p1/_versions/.staging-sim")
+    new java.io.File(s"$path/part=p1/_versions/.staging-sim")
+      .renameTo(new java.io.File(s"$path/part=p1/_versions/v00000002")) shouldBe true
+    new java.io.File(s"$path/part=p1/_versions/v00000002/_SUCCESS").delete()
+    // the pointer still names v1 → readers stay on the committed snapshot
+    byKey(path) shouldBe Map(1 -> (("p1", 10)))
+    // even with the pointer lost too (crash during a later swap), readers
+    // fall back to the newest COMMITTED version, not the unpublished slot
+    new java.io.File(s"$path/part=p1/_current").delete()
+    byKey(path) shouldBe Map(1 -> (("p1", 10)))
+  }
+
+  test("a crashed FIRST commit serves the complete unpublished slot, never partial") {
+    val path = tmpDir("pmancrash0") + "/t"
+    // migrated flat table (implicit v0), first real commit dies after the
+    // slot rename but before _SUCCESS/publish
+    Seq((1, "p1", 10)).toDF("k", "part", "v").write.partitionBy("part").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_partition_manifests"), "part")
+    Seq((1, 99)).toDF("k", "v").write
+      .parquet(s"$path/part=p1/_versions/.staging-sim")
+    new java.io.File(s"$path/part=p1/_versions/.staging-sim")
+      .renameTo(new java.io.File(s"$path/part=p1/_versions/v00000001")) shouldBe true
+    new java.io.File(s"$path/part=p1/_versions/v00000001/_SUCCESS").delete()
+    // no committed version exists: the slot's whole-dir rename guarantees
+    // it is complete — bounded staleness (an almost-committed merge),
+    // never a partial file set
+    byKey(path) shouldBe Map(1 -> (("p1", 99)))
+  }
+
+  test("per-partition retention vacuums old versions") {
+    val path = tmpDir("pmanvac") + "/t"
+    (0 to 6).foreach { i =>
+      Upsert.upsert(spark, path, Seq((1, "p1", i)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), partitionManifests = true,
+        retainVersions = 2)
+    }
+    val vs = graft.sources.Snapshots.versions(spark, s"$path/part=p1")
+    vs.size shouldBe 2
+    vs.max shouldBe 7L
+    byKey(path) shouldBe Map(1 -> (("p1", 6)))
+  }
+
+  test("readers racing concurrent partition upserts never see a partial partition") {
+    val path = tmpDir("pmanrace") + "/t"
+    val keys = 1 to 40 // one partition's full content per version
+    def state(part: String, v: Int) =
+      keys.map(k => (s"$part-$k", part, v)).toDF("k", "part", "v")
+    Upsert.upsert(spark, path,
+      state("p1", 0).unionByName(state("p2", 0)), Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val rows = Upsert.read(spark, path)
+            .collect().map(r => (r.getAs[String]("part"), r.getAs[Int]("v")))
+          // PER-PARTITION atomicity: each partition is ALL of one commit's
+          // rows at one version — never a partial file set, never a mix
+          rows.groupBy(_._1).foreach { case (p, rs) =>
+            if (rs.length != keys.size)
+              failures.add(s"$p: ${rs.length} rows")
+            if (rs.map(_._2).distinct.length != 1)
+              failures.add(s"$p: mixed versions ${rs.map(_._2).distinct.toSeq}")
+          }
+        } catch {
+          case e: Exception =>
+            failures.add(s"reader error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try {
+      val next = new java.util.concurrent.atomic.AtomicInteger(1)
+      val writers = (1 to 3).map { _ =>
+        new Thread(() => {
+          var i = next.getAndIncrement()
+          while (i <= 24) {
+            val part = if (i % 2 == 0) "p1" else "p2"
+            try {
+              Upsert.upsert(spark, path, state(part, i), Seq("k"),
+                partitionCols = Seq("part"))
+              i = next.getAndIncrement()
+            } catch {
+              case _: Upsert.ConcurrentWriteException => Thread.sleep(20)
+            }
+          }
+        })
+      }
+      writers.foreach(_.start())
+      writers.foreach(_.join(300000))
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    failures.toArray shouldBe empty
+    Upsert.read(spark, path).count() shouldBe keys.size * 2L
+    // no staging debris under the table root
+    new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("_staging-")) shouldBe empty
+  }
+}
