@@ -2347,6 +2347,41 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** Whole-table TIME TRAVEL through the root manifest
+    * ([[graft.sources.PartitionSnapshots.read]] `asOf`): the staged table
+    * commits two manifested merges — root v1 doubles the balance of every
+    * fifth key, root v2 then MOVES every third key across partitions —
+    * and the query pins root v1, reading the table exactly as it stood
+    * between the merges. One pointer + one manifest file resolve the
+    * whole multi-partition snapshot (no directory walk, no interference
+    * from v2's partition rewrites) — the Iceberg `VERSION AS OF` read
+    * path at metadata cost. Staging is memoized per session, so reruns
+    * read the same frozen history and the bench times the
+    * manifest-resolved scan. The oracle replays the v1 merge algebra
+    * over the immutable source table. */
+  def q164RootTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("proot", dir) { base =>
+      t(s, dir, "customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.partitionBy("c_mktsegment").parquet(s"$base/t")
+      val d1 = t(s, dir, "customer")
+        .where(col("c_custkey") <= 200 && col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") * 2).as("c_acctbal"),
+          col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", d1, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val d2 = t(s, dir, "customer")
+        .where(col("c_custkey") <= 200 && col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + lit(1000.0)).as("c_acctbal"),
+          lit("MOVED").as("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", d2, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"))
+    } + "/t"
+    graft.sources.PartitionSnapshots.read(s, path, asOf = 1L)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SemDeDup over the embedding corpus ([[Dedup.semanticDedup]],
     * arXiv:2303.09540): 16 seeded coarse cells (the q34/q157 quantizer),
     * drop a vector when a lower-id cell-mate has cosine ≥ 0.3 — the
@@ -2860,6 +2895,14 @@ object Queries {
         |UNION ALL
         |SELECT c_custkey, c_acctbal, c_mktsegment FROM base
         |WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
+    // q164's pinned root v1 = the seed with merge 1 (double every fifth
+    // key's balance) applied and merge 2 NOT yet applied
+    "q164_root_time_travel" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey <= 200""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5100,6 +5143,7 @@ object Queries {
     "q160_oracle_types" -> (q160OracleTypes _),
     "q161_semantic_dedup" -> (q161SemanticDedup _),
     "q162_triangles_approx" -> (q162TrianglesApprox _),
-    "q163_manifested_merge" -> (q163ManifestedMerge _)
+    "q163_manifested_merge" -> (q163ManifestedMerge _),
+    "q164_root_time_travel" -> (q164RootTimeTravel _)
   )
 }

@@ -128,8 +128,8 @@ object Upsert {
     * before each destructive commit (rename swap / dynamic overwrite), so
     * a TTL takeover during a slow merge aborts the old writer instead of
     * letting two writers interleave renames on the same directory. */
-  private def assertHeld(spark: SparkSession, path: String,
-                         token: String): Unit = {
+  private[graft] def assertHeld(spark: SparkSession, path: String,
+                                token: String): Unit = {
     val held = currentToken(spark, path)
     if (!held.contains(token))
       throw new ConcurrentWriteException(

@@ -224,7 +224,8 @@ object BronzeToSilver {
   def upsertBatch(spark: SparkSession, batch: DataFrame, warehouse: String,
                   metrics: Option[graft.metrics.MetricsRegistry] = None,
                   quarantineDir: Option[String] = None,
-                  extraArticleCols: Seq[String] = Nil): Unit = {
+                  extraArticleCols: Seq[String] = Nil,
+                  partitionManifests: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val base = validArticles(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -251,8 +252,13 @@ object BronzeToSilver {
         // written before the column existed)
         val evolve = name == "articles" && extraArticleCols.nonEmpty
         graft.metrics.MetricsRegistry.timed(metrics, "bronze_to_silver", name) {
+          // manifested commits apply to the one PARTITIONED silver table
+          // (articles): per-date version slots + root manifest — the
+          // reference's Iceberg MERGE semantics for streaming ingest
+          // (sticky once on; see PartitionSnapshots)
           Upsert.upsert(spark, s"$warehouse/$name", df, keys, insertOnly, parts,
-            evolveSchema = evolve)
+            evolveSchema = evolve,
+            partitionManifests = partitionManifests && parts.nonEmpty)
         }
       }
     } finally base.unpersist()
@@ -267,12 +273,14 @@ object BronzeToSilver {
                topicFromPath: Boolean = true,
                quarantineDir: Option[String] = None,
                bronzeSchema: org.apache.spark.sql.types.StructType = Schemas.bronzeArticle,
-               extraArticleCols: Seq[String] = Nil): Unit = {
+               extraArticleCols: Seq[String] = Nil,
+               partitionManifests: Boolean = false): Unit = {
     val raw = spark.read.schema(bronzeSchema)
       .option("recursiveFileLookup", "true").option("mode", "PERMISSIVE")
       .json(bronzeDir)
     upsertBatch(spark, normalize(raw, topicFromPath), warehouse,
-      quarantineDir = quarantineDir, extraArticleCols = extraArticleCols)
+      quarantineDir = quarantineDir, extraArticleCols = extraArticleCols,
+      partitionManifests = partitionManifests)
   }
 
   /** Streaming run: file-arrival source, stateless, exactly-once via
@@ -282,7 +290,8 @@ object BronzeToSilver {
   def runStream(spark: SparkSession, bronzeDir: String, warehouse: String,
                 checkpoint: String, maxFilesPerTrigger: Int = 500,
                 availableNow: Boolean = false,
-                topicFromPath: Boolean = true): StreamingQuery = {
+                topicFromPath: Boolean = true,
+                partitionManifests: Boolean = false): StreamingQuery = {
     val raw = spark.readStream.schema(Schemas.bronzeArticle)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -291,7 +300,8 @@ object BronzeToSilver {
     val normalized = normalize(raw, topicFromPath)
     val writer = normalized.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(spark, batch, warehouse)
+        upsertBatch(spark, batch, warehouse,
+          partitionManifests = partitionManifests)
       }
       .option("checkpointLocation", checkpoint)
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

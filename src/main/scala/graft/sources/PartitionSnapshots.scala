@@ -52,16 +52,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is vacuumed — increasingly stale, then empty. Route reads through
   * [[graft.operators.Upsert.read]] / [[read]].
   *
-  * Known trade vs real Iceberg: resolving a read lists partition dirs
-  * (one filesystem listing per level) instead of reading a manifest file;
-  * object-store deployments with very high partition counts would want a
-  * root-level manifest cache on top. Single-writer per table is enforced
-  * by [[graft.operators.Upsert]]'s lease, as for every other layout.
+  * On top of the per-partition pointers sits a ROOT MANIFEST — the
+  * Iceberg-style table-level snapshot:
+  *
+  * {{{
+  *   <table>/_root/_versions/v00000001/manifest   ← full (partition → state) map
+  *   <table>/_root/_current                       ← root pointer, atomic swap
+  * }}}
+  *
+  * Each commit, after its per-partition publishes, writes a NEW manifest
+  * file naming every partition's pinned state (a version slot, the
+  * implicit FLAT v0, or EMPTY) and swaps the root pointer. This buys the
+  * two properties per-partition pointers alone cannot give:
+  *
+  *  1. **Cross-partition atomicity.** A reader resolves ONE manifest and
+  *     scans exactly the immutable version dirs it names — a
+  *     multi-partition commit becomes visible all-at-once at the root
+  *     pointer swap, never partition-by-partition. (Partition-level
+  *     readers may still race ahead on a partition pointer; table-level
+  *     readers are snapshot-isolated.)
+  *  2. **Listing-free reads.** Resolving a read is one pointer + one
+  *     manifest file — no per-partition directory walk — the O(1)
+  *     metadata path an object store with 30 000 partitions needs. The
+  *     directory-walk path remains only as the fallback for tables whose
+  *     root manifest has not been written yet (pre-upgrade commits).
+  *
+  * Root manifests are retained and vacuumed like any snapshot chain
+  * (`asOf` time travel across whole-table states); an old manifest stays
+  * resolvable as long as per-partition retention keeps the versions it
+  * names — the same reader-vs-expiration contract as everywhere else.
+  * Single-writer per table is enforced by [[graft.operators.Upsert]]'s
+  * lease, as for every other layout.
   */
 object PartitionSnapshots {
 
   private val Marker = "_partition_manifests"
   private val VersionsDir = "_versions"
+  private val RootDir = "_root"
+  private val ManifestFile = "manifest"
+  // manifest state tokens (beyond a pinned "v00000001"-style slot name)
+  private val Flat = "FLAT"    // implicit v0: the partition's flat hive files
+  private val Empty = "EMPTY"  // partition holds zero rows
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -154,30 +185,132 @@ object PartitionSnapshots {
     }
   }
 
-  /** Read the table: each partition resolved to its committed snapshot
-    * (or its implicit v0 — see `resolvedDataPath`), partition columns
-    * recovered from the `k=v` path segments via `basePath`, exactly as a
-    * flat hive read types them. */
-  def read(spark: SparkSession, table: String): DataFrame =
-    readOption(spark, table).getOrElse(
+  /** Read the table as one consistent snapshot: the current root manifest
+    * names every partition's pinned state and the scan touches exactly
+    * those immutable dirs (time travel: pass `asOf` = a [[rootVersions]]
+    * entry). Partition columns are recovered from the `k=v` path segments
+    * via `basePath`, exactly as a flat hive read types them. Tables from
+    * before the root-manifest upgrade fall back to the per-partition
+    * directory walk. */
+  def read(spark: SparkSession, table: String, asOf: Long = -1L): DataFrame =
+    readOption(spark, table, asOf).getOrElse(
       throw new IllegalArgumentException(
         s"no committed partition snapshots at $table"))
 
   /** [[read]] that answers None when no partition holds any rows. */
-  def readOption(spark: SparkSession, table: String): Option[DataFrame] = {
+  def readOption(spark: SparkSession, table: String,
+                 asOf: Long = -1L): Option[DataFrame] = {
     if (!isManifested(spark, table)) return None
-    val cols = partitionCols(spark, table)
-    val paths = partitionDirs(spark, table, cols.size)
-      .flatMap(rel => resolvedDataPath(spark, table, rel))
+    val paths = rootManifest(spark, table, asOf) match {
+      case Some(entries) => entries.toSeq.flatMap { case (rel, state) =>
+        state match {
+          case Empty => None
+          case Flat  => Some(s"$table/$rel")
+          case v     => Some(s"$table/$rel/$VersionsDir/$v")
+        }
+      }
+      case None =>
+        require(asOf <= 0, s"no root manifest at $table to time-travel")
+        val cols = partitionCols(spark, table)
+        partitionDirs(spark, table, cols.size)
+          .flatMap(rel => resolvedDataPath(spark, table, rel))
+    }
     if (paths.isEmpty) None
     else Some(spark.read.option("basePath", table).parquet(paths: _*))
   }
 
+  /** Committed root-manifest versions, ascending — each is a whole-table
+    * snapshot [[read]] can pin with `asOf`. */
+  def rootVersions(spark: SparkSession, table: String): Seq[Long] =
+    Snapshots.versions(spark, s"$table/$RootDir")
+
+  /** The (partition rel-path → state) map of the current root manifest
+    * (or the one at root version `asOf`); None when the table predates
+    * root manifests. A missing requested `asOf` throws — same contract
+    * as [[Snapshots.read]]. */
+  def rootManifest(spark: SparkSession, table: String,
+                   asOf: Long = -1L): Option[Map[String, String]] = {
+    val rt = s"$table/$RootDir"
+    val v =
+      if (asOf > 0) {
+        require(Snapshots.versions(spark, rt).contains(asOf),
+          s"root manifest v$asOf does not exist at $table " +
+            s"(have ${Snapshots.versions(spark, rt)})")
+        Some(asOf)
+      } else Snapshots.currentVersion(spark, rt)
+    v.map { rv =>
+      val p = new Path(s"${Snapshots.versionPath(rt, rv)}/$ManifestFile")
+      val in = fs(spark, p).open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      text.split("\n").filter(_.nonEmpty).map { line =>
+        // "state\trel": the state token never contains a tab, the rel is
+        // everything after the first one
+        val i = line.indexOf('\t')
+        line.substring(i + 1) -> line.substring(0, i)
+      }.toMap
+    }
+  }
+
+  /** Current on-disk state of every partition, by directory walk — the
+    * seed for a table's FIRST root manifest (later commits fold their
+    * touched partitions into the previous manifest instead: O(touched),
+    * no walk). */
+  private def scanStates(spark: SparkSession, table: String,
+                         cols: Seq[String]): Map[String, String] =
+    partitionDirs(spark, table, cols.size).map { rel =>
+      val pt = s"$table/$rel"
+      val state = Snapshots.currentVersion(spark, pt)
+        .orElse(Snapshots.allVersionDirs(spark, pt).lastOption) match {
+        case Some(v) =>
+          if (hasDataFiles(spark, new Path(Snapshots.versionPath(pt, v))))
+            f"v$v%08d" else Empty
+        case None =>
+          if (hasDataFiles(spark, new Path(pt))) Flat else Empty
+      }
+      rel -> state
+    }.toMap
+
+  /** Write `entries` as the next root manifest and swap the root pointer
+    * — the instant at which the whole commit becomes visible to
+    * table-level readers. Same claim discipline as the data slots: the
+    * manifest lands in a hidden staging dir RENAMED into the next free
+    * version slot. Old manifests age out under the same `retain` window
+    * as the data versions they name. */
+  private def publishRoot(spark: SparkSession, table: String,
+                          entries: Map[String, String], retain: Int): Unit = {
+    val rt = s"$table/$RootDir"
+    val f = fs(spark, new Path(rt))
+    val tmp = new Path(s"$rt/$VersionsDir/.staging-${java.util.UUID.randomUUID()}")
+    f.mkdirs(tmp)
+    val out = f.create(new Path(tmp, ManifestFile), true)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (rel, state) => s"$state\t$rel" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    var attempt = 0
+    while (attempt < 50) {
+      val next = Snapshots.allVersionDirs(spark, rt).lastOption.getOrElse(0L) + 1
+      val slot = new Path(Snapshots.versionPath(rt, next))
+      if (f.rename(tmp, slot)) {
+        f.create(new Path(slot, "_SUCCESS"), true).close()
+        Snapshots.publish(spark, rt, next)
+        Snapshots.vacuum(spark, rt, keep = retain)
+        return
+      }
+      attempt += 1
+    }
+    f.delete(tmp, true)
+    throw new IllegalStateException(
+      s"root manifest: could not claim a version slot at $table")
+  }
+
   /** Rename complete data at `from` into `pt`'s next version slot, mark
-    * it committed, swap the pointer. The rename is whole-dir atomic, so
-    * every published (and even every unpublished) slot holds complete
-    * data. */
-  private def commitDir(spark: SparkSession, pt: String, from: Path): Unit = {
+    * it committed, swap the pointer; returns the claimed version. The
+    * rename is whole-dir atomic, so every published (and even every
+    * unpublished) slot holds complete data. */
+  private def commitDir(spark: SparkSession, pt: String, from: Path): Long = {
     val f = fs(spark, from)
     f.mkdirs(new Path(pt, VersionsDir))
     var attempt = 0
@@ -187,7 +320,7 @@ object PartitionSnapshots {
       if (f.rename(from, slot)) {
         f.create(new Path(slot, "_SUCCESS"), true).close()
         Snapshots.publish(spark, pt, next)
-        return
+        return next
       }
       attempt += 1
     }
@@ -199,10 +332,14 @@ object PartitionSnapshots {
     * renamed into that partition's next version slot and published;
     * `emptied` partitions (touched, but with zero surviving rows) get an
     * EMPTY published version — the reader-safe replacement for deleting
-    * the partition dir. Per partition, after its publish: retention is
-    * enforced, and the implicit-v0 flat files of a migrated table are
-    * removed once `retain` real versions exist (v0 ages out of the
-    * retention window like any other snapshot). */
+    * the partition dir. After the per-partition publishes, ONE new root
+    * manifest folds the touched partitions' new states into the previous
+    * manifest (seeded by a directory walk for the table's first commit)
+    * and the root pointer swap makes the whole commit visible atomically
+    * to table-level readers. Per touched partition, after the root
+    * publish: retention is enforced, and the implicit-v0 flat files of a
+    * migrated table are removed once `retain` real versions exist (v0
+    * ages out of the retention window like any other snapshot). */
   private[graft] def commitStaged(spark: SparkSession, table: String,
                                   stagingRoot: String, cols: Seq[String],
                                   emptied: Set[String],
@@ -210,11 +347,10 @@ object PartitionSnapshots {
     val f = fs(spark, new Path(table))
     val retain = math.max(1, retainVersions)
     val staged = partitionDirs(spark, stagingRoot, cols.size)
-    staged.foreach { rel =>
-      commitDir(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
-      finishPartitionCommit(spark, table, rel, retain)
+    val committed = staged.map { rel =>
+      rel -> commitDir(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
     }
-    (emptied -- staged.toSet).foreach { rel =>
+    val blanked = (emptied -- staged.toSet).toSeq.map { rel =>
       val pt = s"$table/$rel"
       f.mkdirs(new Path(pt, VersionsDir))
       val next = Snapshots.allVersionDirs(spark, pt).lastOption.getOrElse(0L) + 1
@@ -222,8 +358,16 @@ object PartitionSnapshots {
       f.mkdirs(slot)
       f.create(new Path(slot, "_SUCCESS"), true).close()
       Snapshots.publish(spark, pt, next)
-      finishPartitionCommit(spark, table, rel, retain)
+      rel
     }
+    val base = rootManifest(spark, table)
+      .getOrElse(scanStates(spark, table, cols))
+    publishRoot(spark, table,
+      base ++ committed.map { case (rel, v) => rel -> f"v$v%08d" }
+        ++ blanked.map(_ -> Empty),
+      retain)
+    (committed.map(_._1) ++ blanked)
+      .foreach(rel => finishPartitionCommit(spark, table, rel, retain))
   }
 
   /** Post-publish hygiene for one partition: enforce snapshot retention,
@@ -238,6 +382,89 @@ object PartitionSnapshots {
       f.listStatus(pd)
         .filter(st => st.isFile && !hidden(st.getPath.getName))
         .foreach(st => f.delete(st.getPath, false))
+  }
+
+  /** Instant whole-table rollback: repoint the ROOT at an older manifest
+    * — every partition snaps back to the state that manifest pinned, in
+    * one pointer swap, nothing rewritten (Iceberg's
+    * rollback_to_snapshot). Later root versions and the data they name
+    * survive until retention vacuums them; the next merge reads the
+    * rolled-back state and commits forward from it. Takes the table's
+    * writer lease — rollback is a write. */
+  def rollbackRoot(spark: SparkSession, table: String, v: Long): Unit = {
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try Snapshots.rollback(spark, s"$table/$RootDir", v)
+    finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
+  /** Reader-safe small-file compaction for a manifested table — the
+    * rewrite_data_files analogue. Each partition whose pinned data dir
+    * holds more than `minFiles` data files is rewritten to
+    * ceil(bytes / targetFileBytes) files and committed as a NEW version
+    * through the ordinary commit path (per-partition slot + pointer, one
+    * new root manifest): readers pinned on the pre-compaction version
+    * keep their immutable files — no in-place swap window, unlike
+    * [[graft.operators.Compaction.compactDir]]'s flat-table path.
+    * Row-preserving by construction (read → coalesce → rewrite of the
+    * same rows; coalesce merges scan splits, no shuffle). Partitions at
+    * or under `minFiles` are untouched — a steady-state daily run
+    * compacts only what the stream fragmented. Returns
+    * (filesBefore, filesAfter) per compacted partition. */
+  def compact(spark: SparkSession, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              minFiles: Int = 4,
+              retainVersions: Int = graft.operators.Upsert.DefaultRetainVersions)
+      : Map[String, (Int, Int)] = {
+    require(isManifested(spark, table), s"$table is not a manifested table")
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      val cols = partitionCols(spark, table)
+      val entries = rootManifest(spark, table)
+        .getOrElse(scanStates(spark, table, cols))
+      val todo = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
+        val dataDir = state match {
+          case Empty => None
+          case Flat  => Some(s"$table/$rel")
+          case v     => Some(s"$table/$rel/$VersionsDir/$v")
+        }
+        dataDir.flatMap { d =>
+          val f = fs(spark, new Path(d))
+          val files = f.listStatus(new Path(d))
+            .filter(st => st.isFile && !hidden(st.getPath.getName))
+          if (files.length <= minFiles) None
+          else Some((rel, d, files.length, files.map(_.getLen).sum))
+        }
+      }
+      if (todo.isEmpty) return Map.empty
+      val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
+      todo.foreach { case (rel, d, _, bytes) =>
+        val nOut = math.max(1,
+          math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        spark.read.parquet(d).coalesce(nOut)
+          .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .parquet(s"$staging/$rel")
+      }
+      try {
+        graft.operators.Upsert.assertHeld(spark, table, token)
+        commitStaged(spark, table, staging, cols,
+          emptied = Set.empty, retainVersions = retainVersions)
+      } finally
+        fs(spark, new Path(staging)).delete(new Path(staging), true)
+      val committedStates = rootManifest(spark, table)
+        .getOrElse(Map.empty[String, String])
+      todo.map { case (rel, _, before, _) =>
+        val after = committedStates.get(rel) match {
+          case Some(v) if v != Empty && v != Flat =>
+            fs(spark, new Path(table)).listStatus(
+              new Path(s"$table/$rel/$VersionsDir/$v"))
+              .count(st => st.isFile && !hidden(st.getPath.getName))
+          case _ => before
+        }
+        rel -> (before, after)
+      }.toMap
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
   }
 
   /** Remove staging roots a crashed writer abandoned (cold ones only —

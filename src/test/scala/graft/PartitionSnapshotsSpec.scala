@@ -208,4 +208,149 @@ class PartitionSnapshotsSpec extends SparkSpec {
     new java.io.File(path).listFiles().map(_.getName)
       .filter(_.startsWith("_staging-")) shouldBe empty
   }
+
+  test("every commit publishes a root manifest naming each partition's state") {
+    val path = tmpDir("pmanroot") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.rootManifest(spark, path) shouldBe
+      Some(Map("part=p1" -> "v00000001", "part=p2" -> "v00000001"))
+    // a key moves: touched partitions advance, the emptied one goes EMPTY
+    Upsert.upsert(spark, path, Seq((1, "p2", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    PartitionSnapshots.rootManifest(spark, path) shouldBe
+      Some(Map("part=p1" -> "EMPTY", "part=p2" -> "v00000002"))
+    PartitionSnapshots.rootVersions(spark, path) shouldBe Seq(1L, 2L)
+  }
+
+  test("root manifests give whole-table time travel") {
+    val path = tmpDir("pmanroottt") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Upsert.upsert(spark, path, Seq((1, "p2", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    // current: the key moved; asOf the first root version: the seed state,
+    // consistently across BOTH partitions
+    byKey(path) shouldBe Map(1 -> (("p2", 11)), 2 -> (("p2", 20)))
+    PartitionSnapshots.read(spark, path, asOf = 1L).collect()
+      .map(r => r.getAs[Int]("k") ->
+        ((r.getAs[Any]("part").toString, r.getAs[Int]("v")))).toMap shouldBe
+      Map(1 -> (("p1", 10)), 2 -> (("p2", 20)))
+    an[Exception] should be thrownBy
+      PartitionSnapshots.read(spark, path, asOf = 99L)
+  }
+
+  test("migration seeds the first root manifest: FLAT for untouched partitions") {
+    val path = tmpDir("pmanrootmig") + "/t"
+    Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    Upsert.upsert(spark, path, Seq((2, "p2", 99)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // untouched p1 pinned at its implicit flat v0; touched p2 at v1
+    PartitionSnapshots.rootManifest(spark, path) shouldBe
+      Some(Map("part=p1" -> "FLAT", "part=p2" -> "v00000001"))
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 99)))
+  }
+
+  test("reads resolve through the manifest, not directory listing") {
+    val path = tmpDir("pmanrootlist") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // files dropped into the table dir OUTSIDE a manifest commit (a
+    // half-done distcp, a rogue writer) are invisible until committed —
+    // the Iceberg contract, and the proof reads never list-and-guess
+    Seq((9, 90)).toDF("k", "v").write.parquet(s"$path/part=rogue")
+    byKey(path) shouldBe Map(1 -> (("p1", 10)))
+  }
+
+  test("table-level readers see multi-partition commits atomically") {
+    val path = tmpDir("pmanrootatomic") + "/t"
+    def state(v: Int) = Seq((1, "p1", v), (2, "p2", v)).toDF("k", "part", "v")
+    Upsert.upsert(spark, path, state(0), Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // every commit rewrites BOTH partitions with one v: a consistent
+          // snapshot has exactly one distinct v across the whole table.
+          // Per-partition pointers alone cannot give this (p1 may publish
+          // before p2); the root manifest must.
+          val vs = Upsert.read(spark, path)
+            .collect().map(_.getAs[Int]("v")).distinct
+          if (vs.length != 1)
+            failures.add(s"torn snapshot: versions ${vs.toSeq.sorted}")
+        } catch {
+          case e: Exception =>
+            failures.add(s"reader error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try (1 to 12).foreach { i =>
+      Upsert.upsert(spark, path, state(i), Seq("k"),
+        partitionCols = Seq("part"))
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    failures.toArray shouldBe empty
+    byKey(path) shouldBe Map(1 -> (("p1", 12)), 2 -> (("p2", 12)))
+  }
+
+  private def dataFileCount(dir: String): Int = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) 0
+    else d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  test("compaction rewrites fragmented partitions as a new version, reader-safe") {
+    val path = tmpDir("pmancompact") + "/t"
+    // a migrated stream-fragmented table: p1's flat (implicit v0) files
+    // split across 8 writer tasks — explicit repartition(8) survives AQE
+    // coalescing, unlike the merge shuffle inside Upsert
+    (1 to 80).map(i => (i, "p1", i)).toDF("k", "part", "v").repartition(8)
+      .unionByName(Seq((1000, "p2", 0)).toDF("k", "part", "v").coalesce(1))
+      .write.partitionBy("part").parquet(path)
+    Upsert.upsert(spark, path, Seq((1000, "p2", 1)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val before = PartitionSnapshots.rootManifest(spark, path).get
+    before("part=p1") shouldBe "FLAT"
+    dataFileCount(s"$path/part=p1") should be >= 8
+    val report = PartitionSnapshots.compact(spark, path, minFiles = 4)
+    report.keySet shouldBe Set("part=p1") // p2's single-file v1: under minFiles
+    report("part=p1")._1 should be >= 8
+    report("part=p1")._2 shouldBe 1
+    val after = PartitionSnapshots.rootManifest(spark, path).get
+    after("part=p2") shouldBe before("part=p2") // untouched partition unmoved
+    after("part=p1") shouldBe "v00000001" // FLAT fragments became a real version
+    dataFileCount(s"$path/part=p1/_versions/v00000001") shouldBe 1
+    // rows preserved exactly
+    Upsert.read(spark, path).count() shouldBe 81L
+    // a reader pinned on the pre-compaction root still resolves the old
+    // state: p1's flat fragments are retained until real versions cover
+    // the retention window
+    PartitionSnapshots.read(spark, path, asOf = 1L).count() shouldBe 81L
+  }
+
+  test("root rollback repoints the whole table in one swap") {
+    val path = tmpDir("pmanrollback") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Upsert.upsert(spark, path, Seq((1, "p2", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    byKey(path) shouldBe Map(1 -> (("p2", 11)), 2 -> (("p2", 20)))
+    PartitionSnapshots.rollbackRoot(spark, path, 1L)
+    // every partition snapped back: the moved key is home again, the
+    // EMPTY version p1 got in root v2 no longer shows
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 20)))
+    // the next merge commits FORWARD from the rolled-back state
+    Upsert.upsert(spark, path, Seq((2, "p2", 99)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 99)))
+  }
 }

@@ -235,6 +235,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest with manifested commits equals the flat-layout run") {
+    val root = tmpDir("bronzeM")
+    val whFlat = tmpDir("silverMF")
+    val whMan = tmpDir("silverMM")
+    val ckpt = tmpDir("ckptM")
+    writeFixtures(root)
+
+    BronzeToSilver.runBatch(spark, root, whFlat)
+    // the Iceberg-MERGE shape: micro-batch MERGEs committed per date
+    // partition as version slots + a root manifest per batch
+    val q = BronzeToSilver.runStream(spark, root, whMan, ckpt,
+      maxFilesPerTrigger = 2, availableNow = true, partitionManifests = true)
+    q.awaitTermination(120000) shouldBe true
+
+    for (name <- graft.core.Schemas.silverTables) {
+      val f = silver(whFlat, name).collect().map(_.toSeq).toSet
+      val m = silver(whMan, name).collect().map(_.toSeq).toSet
+      withClue(name) { m shouldBe f }
+    }
+    // articles (the partitioned table) committed through the manifests:
+    // one root manifest per micro-batch that touched it, every partition
+    // pinned; the dimension tables kept their whole-table snapshot layout
+    import graft.sources.PartitionSnapshots
+    PartitionSnapshots.isManifested(spark, s"$whMan/articles") shouldBe true
+    PartitionSnapshots.rootVersions(spark, s"$whMan/articles")
+      .nonEmpty shouldBe true
+    PartitionSnapshots.rootManifest(spark, s"$whMan/articles").get.values
+      .foreach(_ should fullyMatch regex "v\\d{8,}|FLAT|EMPTY")
+    PartitionSnapshots.isManifested(spark, s"$whMan/authors") shouldBe false
+  }
+
   test("gold merge that loses its lease mid-merge aborts at assertHeld; successor's output survives") {
     import spark.implicits._
     import graft.operators.Upsert
