@@ -2382,6 +2382,24 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** Row-level CHANGELOG between two root snapshots
+    * ([[graft.sources.PartitionSnapshots.changes]]) of q164's staged
+    * table: the feed from root v1 → v2 is exactly merge 2's effect —
+    * an insert of every moved row's new image and a delete of its old
+    * one, while rows the rewrite carried over unchanged cancel out.
+    * Metadata-first: partitions pinned at the same state in both
+    * manifests are never read, so between consecutive commits the scan
+    * is O(touched partitions), not O(table) — the property that makes a
+    * daily CDC feed off a 100 TB table cheap. The oracle replays both
+    * snapshot states in SQL and diffs them. */
+  def q165RootChangelog(s: SparkSession, dir: String): DataFrame = {
+    q164RootTimeTravel(s, dir) // ensures the staged history exists
+    val path = stagedOnce("proot", dir)(_ => ()) + "/t"
+    graft.sources.PartitionSnapshots.changes(s, path, fromV = 1L, toV = 2L)
+      .select(col("change_type"), col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SemDeDup over the embedding corpus ([[Dedup.semanticDedup]],
     * arXiv:2303.09540): 16 seeded coarse cells (the q34/q157 quantizer),
     * drop a vector when a lower-id cell-mate has cosine ≥ 0.3 — the
@@ -2903,6 +2921,22 @@ object Queries {
         |       ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment
         |FROM customer WHERE c_custkey <= 200""".stripMargin,
+    // q165's feed = merge 2's effect on q164's v1 state: every third key
+    // inserts its new image (orig balance + 1000, segment MOVED) and
+    // deletes its v1 image (balance doubled only for every fifteenth key)
+    "q165_root_changelog" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey <= 200)
+        |SELECT 'insert' AS change_type, c_custkey,
+        |  c_acctbal + 1000.0 AS c_acctbal, 'MOVED' AS c_mktsegment
+        |FROM customer WHERE c_custkey <= 200 AND c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT 'delete' AS change_type, c_custkey, c_acctbal, c_mktsegment
+        |FROM v1 WHERE c_custkey % 3 = 0""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5144,6 +5178,7 @@ object Queries {
     "q161_semantic_dedup" -> (q161SemanticDedup _),
     "q162_triangles_approx" -> (q162TrianglesApprox _),
     "q163_manifested_merge" -> (q163ManifestedMerge _),
-    "q164_root_time_travel" -> (q164RootTimeTravel _)
+    "q164_root_time_travel" -> (q164RootTimeTravel _),
+    "q165_root_changelog" -> (q165RootChangelog _)
   )
 }

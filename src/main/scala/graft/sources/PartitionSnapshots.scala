@@ -384,6 +384,52 @@ object PartitionSnapshots {
         .foreach(st => f.delete(st.getPath, false))
   }
 
+  /** Row-level change feed between two root snapshots (Iceberg's
+    * changelog read / Delta's CDF, computed rather than stored).
+    * Metadata-first: the two manifests are diffed and partitions pinned
+    * at the SAME state on both sides are never read — between
+    * consecutive commits of a 30 000-partition table, the scan touches
+    * only the partitions that commit rewrote, however big the table is.
+    * For the differing partitions, rows present at `toV` but not `fromV`
+    * emit `change_type = 'insert'`, the reverse `'delete'`; an update is
+    * its delete+insert pair (multiset semantics via exceptAll — row
+    * identity is the whole row, since this layer has no key metadata;
+    * callers with a key can pivot the pairs into updates by joining on
+    * it). Rows identical on both sides of a rewritten partition cancel
+    * out — a compaction-only commit yields an empty feed. */
+  def changes(spark: SparkSession, table: String,
+              fromV: Long, toV: Long): DataFrame = {
+    val from = rootManifest(spark, table, fromV).get
+    val to = rootManifest(spark, table, toV).get
+    val differing = (from.keySet ++ to.keySet)
+      .filter(rel => from.get(rel) != to.get(rel))
+    def pathsOf(m: Map[String, String]): Seq[String] =
+      differing.toSeq.sorted.flatMap(rel => m.get(rel).flatMap {
+        case Empty => None
+        case Flat  => Some(s"$table/$rel")
+        case v     => Some(s"$table/$rel/$VersionsDir/$v")
+      })
+    def side(paths: Seq[String], schemaFrom: Seq[String]): DataFrame =
+      if (paths.nonEmpty)
+        spark.read.option("basePath", table).parquet(paths: _*)
+      else // empty side: borrow the other side's schema (zero rows)
+        spark.read.option("basePath", table)
+          .parquet(schemaFrom: _*).limit(0)
+    val fp = pathsOf(from)
+    val tp = pathsOf(to)
+    if (fp.isEmpty && tp.isEmpty) {
+      // no differing data dirs at all: an empty feed shaped like the table
+      val any = read(spark, table, asOf = toV).limit(0)
+      return any.withColumn("change_type",
+        org.apache.spark.sql.functions.lit("insert")).limit(0)
+    }
+    val fdf = side(fp, tp)
+    val tdf = side(tp, fp)
+    import org.apache.spark.sql.functions.lit
+    tdf.exceptAll(fdf).withColumn("change_type", lit("insert"))
+      .unionByName(fdf.exceptAll(tdf).withColumn("change_type", lit("delete")))
+  }
+
   /** Instant whole-table rollback: repoint the ROOT at an older manifest
     * — every partition snaps back to the state that manifest pinned, in
     * one pointer swap, nothing rewritten (Iceberg's

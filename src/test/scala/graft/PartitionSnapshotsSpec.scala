@@ -336,6 +336,44 @@ class PartitionSnapshotsSpec extends SparkSpec {
     PartitionSnapshots.read(spark, path, asOf = 1L).count() shouldBe 81L
   }
 
+  test("changelog diffs manifests first: same-state partitions are never read") {
+    val path = tmpDir("pmanchanges") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20), (3, "p2", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Upsert.upsert(spark, path, Seq((2, "p2", 21)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    // poison the untouched partition's pinned data dir: if the changelog
+    // scanned p1 at all, the corrupt file would kill the read
+    val p1v = PartitionSnapshots.rootManifest(spark, path).get("part=p1")
+    val poison = new java.io.File(s"$path/part=p1/_versions/$p1v/zz-poison.parquet")
+    java.nio.file.Files.writeString(poison.toPath, "not parquet")
+    try {
+      val feed = PartitionSnapshots.changes(spark, path, 1L, 2L)
+        .collect().map(r => (r.getAs[String]("change_type"),
+          r.getAs[Int]("k"), r.getAs[Any]("part").toString, r.getAs[Int]("v")))
+        .toSet
+      // only the rewritten row pair shows; k=3 was carried over unchanged
+      // and cancels out; k=1's partition was never touched (or read)
+      feed shouldBe Set(("insert", 2, "p2", 21), ("delete", 2, "p2", 20))
+    } finally poison.delete()
+  }
+
+  test("a compaction-only commit yields an empty changelog") {
+    val path = tmpDir("pmanchangesc") + "/t"
+    // p1 stream-fragmented flat (implicit v0); the manifested upsert
+    // touches only p2, so p1 stays FLAT across 8 files at root v1
+    (1 to 40).map(i => (i, "p1", i)).toDF("k", "part", "v").repartition(8)
+      .unionByName(Seq((100, "p2", 0)).toDF("k", "part", "v").coalesce(1))
+      .write.partitionBy("part").parquet(path)
+    Upsert.upsert(spark, path, Seq((100, "p2", 1)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.compact(spark, path, minFiles = 2)
+      .keySet shouldBe Set("part=p1")
+    // the rewrite changed bytes-on-disk, not content: the feed is empty
+    PartitionSnapshots.changes(spark, path, 1L, 2L).count() shouldBe 0L
+  }
+
   test("root rollback repoints the whole table in one swap") {
     val path = tmpDir("pmanrollback") + "/t"
     Upsert.upsert(spark, path,
