@@ -2400,6 +2400,40 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** WRITE-AUDIT-PUBLISH merge (Iceberg's WAP pattern,
+    * [[Upsert.upsert]] `audit` → [[graft.operators.Expectations.check]]):
+    * q163's cross-partition MERGE, but the commit stages its version
+    * slots, runs a declarative expectations gate (key not-null + unique,
+    * segment non-empty) against the complete WOULD-BE snapshot — the
+    * real files at their final paths — and only then seals the slots and
+    * swaps the pointers. A failed rule publishes nothing (spec'd in
+    * PartitionSnapshotsSpec); here the gate passes, so the read-back
+    * equals the plain merge algebra the oracle replays. The audit costs
+    * one extra scan of the touched data, the price Iceberg WAP pays for
+    * never publishing a bad snapshot. */
+  def q166AuditedMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    val path = stagedOnce("pwap", dir) { base =>
+      t(s, dir, "customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.partitionBy("c_mktsegment").parquet(s"$base/t")
+    } + "/t"
+    val delta = t(s, dir, "customer")
+      .where(col("c_custkey") <= 300 && col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + lit(500.0)).as("c_acctbal"),
+        lit("MOVED").as("c_mktsegment"))
+    Upsert.upsert(s, path, delta, Seq("c_custkey"),
+      partitionCols = Seq("c_mktsegment"), partitionManifests = true,
+      audit = Some(df => Expectations.check(df, Seq(
+        Expectations.NotNull("c_custkey"),
+        Expectations.UniqueKey(Seq("c_custkey")),
+        Expectations.Satisfies("segment_nonempty",
+          col("c_mktsegment").isNotNull)))))
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SemDeDup over the embedding corpus ([[Dedup.semanticDedup]],
     * arXiv:2303.09540): 16 seeded coarse cells (the q34/q157 quantizer),
     * drop a vector when a lower-id cell-mate has cosine ≥ 0.3 — the
@@ -2921,6 +2955,18 @@ object Queries {
         |       ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment
         |FROM customer WHERE c_custkey <= 200""".stripMargin,
+    // q166 = q163's merge algebra, committed through the WAP gate (the
+    // gate passes, so durability ceremony never changes the answer)
+    "q166_audited_merge" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment
+        |              FROM customer WHERE c_custkey <= 300),
+        |src AS (SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal,
+        |               'MOVED' AS c_mktsegment
+        |        FROM customer WHERE c_custkey <= 300 AND c_custkey % 7 = 0)
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM src
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM base
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
     // q165's feed = merge 2's effect on q164's v1 state: every third key
     // inserts its new image (orig balance + 1000, segment MOVED) and
     // deletes its v1 image (balance doubled only for every fifteenth key)
@@ -5179,6 +5225,7 @@ object Queries {
     "q162_triangles_approx" -> (q162TrianglesApprox _),
     "q163_manifested_merge" -> (q163ManifestedMerge _),
     "q164_root_time_travel" -> (q164RootTimeTravel _),
-    "q165_root_changelog" -> (q165RootChangelog _)
+    "q165_root_changelog" -> (q165RootChangelog _),
+    "q166_audited_merge" -> (q166AuditedMerge _)
   )
 }

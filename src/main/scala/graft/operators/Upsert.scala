@@ -242,20 +242,32 @@ object Upsert {
     * new source columns are added to the table (see [[align]]); without it
     * a schema drift fails the merge loudly (the reference's fixed-DDL
     * behavior). */
+  /** `audit` (write-audit-publish, manifested tables only): runs against
+    * the complete would-be post-merge snapshot BEFORE anything is
+    * published; must return an [[Expectations.check]]-style report with
+    * a `passed` column. Any failed rule aborts the commit with
+    * [[graft.sources.PartitionSnapshots.AuditFailedException]] and the
+    * table stays byte-for-byte unchanged. */
   def upsert(spark: SparkSession, path: String, source: DataFrame,
              keys: Seq[String], insertOnly: Boolean = false,
              partitionCols: Seq[String] = Nil,
              evolveSchema: Boolean = false,
              lockTtlMs: Long = DefaultLockTtlMs,
              retainVersions: Int = DefaultRetainVersions,
-             partitionManifests: Boolean = false): Unit = {
+             partitionManifests: Boolean = false,
+             audit: Option[DataFrame => DataFrame] = None): Unit = {
     require(partitionCols.nonEmpty || !partitionManifests,
       "upsert: partitionManifests requires partitionCols")
+    require(audit.isEmpty || partitionManifests ||
+      (partitionCols.nonEmpty &&
+        graft.sources.PartitionSnapshots.isManifested(spark, path)),
+      "upsert: audit (write-audit-publish) requires a manifested table " +
+        "(partitionManifests = true, or a table already carrying manifests)")
     val src0 = dedupSource(source, keys)
     if (src0.isEmpty) return
     val token = acquireLock(spark, path, lockTtlMs)
     try upsertLocked(spark, path, src0, keys, insertOnly, partitionCols,
-      evolveSchema, token, retainVersions, partitionManifests)
+      evolveSchema, token, retainVersions, partitionManifests, audit)
     finally releaseLock(spark, path, token)
   }
 
@@ -264,7 +276,8 @@ object Upsert {
                            partitionCols: Seq[String],
                            evolveSchema: Boolean, token: String,
                            retainVersions: Int,
-                           partitionManifests: Boolean = false): Unit = {
+                           partitionManifests: Boolean = false,
+                           audit: Option[DataFrame => DataFrame] = None): Unit = {
     import graft.sources.PartitionSnapshots
     recoverSwap(spark, path)
     if (partitionCols.nonEmpty)
@@ -282,6 +295,13 @@ object Upsert {
       PartitionSnapshots.ensureManifested(spark, path, partitionCols)
       PartitionSnapshots.cleanupStaging(spark, path)
     }
+    def commitManifested(staging: String, emptied: Set[String]): Unit =
+      audit match {
+        case Some(a) => PartitionSnapshots.commitStagedAudited(spark, path,
+          staging, partitionCols, emptied, retainVersions, a)
+        case None => PartitionSnapshots.commitStaged(spark, path, staging,
+          partitionCols, emptied, retainVersions)
+      }
     val existing = readTable(spark, path)
     if (existing.isEmpty) {
       if (manifested) {
@@ -290,8 +310,7 @@ object Upsert {
           .partitionBy(partitionCols: _*).parquet(staging)
         try {
           assertHeld(spark, path, token)
-          PartitionSnapshots.commitStaged(spark, path, staging, partitionCols,
-            emptied = Set.empty, retainVersions = retainVersions)
+          commitManifested(staging, Set.empty)
         } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
       } else if (partitionCols.nonEmpty) {
         src0.write.mode(SaveMode.Overwrite)
@@ -354,8 +373,7 @@ object Upsert {
           .partitionBy(partitionCols: _*).parquet(staging)
         try {
           assertHeld(spark, path, token) // last check before the commits
-          graft.sources.PartitionSnapshots.commitStaged(spark, path, staging,
-            partitionCols, emptied = touchedDirs, retainVersions = retainVersions)
+          commitManifested(staging, touchedDirs)
         } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
         return
       }

@@ -384,6 +384,104 @@ object PartitionSnapshots {
         .foreach(st => f.delete(st.getPath, false))
   }
 
+  /** A write-audit-publish commit was rejected by its audit: nothing was
+    * published, the table is unchanged, and the report rows that failed
+    * are in the message. */
+  final class AuditFailedException(msg: String) extends RuntimeException(msg)
+
+  /** Rename complete data at `from` into `pt`'s next version slot WITHOUT
+    * committing it (no _SUCCESS, no pointer swap) — the claim half of a
+    * write-audit-publish commit. The slot is invisible to readers (no
+    * pointer names it; it is not a committed version) until sealed. */
+  private def claimSlot(spark: SparkSession, pt: String, from: Path): Long = {
+    val f = fs(spark, from)
+    f.mkdirs(new Path(pt, VersionsDir))
+    var attempt = 0
+    while (attempt < 50) {
+      val next = Snapshots.allVersionDirs(spark, pt).lastOption.getOrElse(0L) + 1
+      if (f.rename(from, new Path(Snapshots.versionPath(pt, next)))) return next
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"partition claim: could not claim a version slot at $pt")
+  }
+
+  /** The data paths a (partition → state) manifest map resolves to. */
+  private def manifestDataPaths(table: String,
+                                entries: Map[String, String]): Seq[String] =
+    entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
+      state match {
+        case Empty => None
+        case Flat  => Some(s"$table/$rel")
+        case v     => Some(s"$table/$rel/$VersionsDir/$v")
+      }
+    }
+
+  /** WRITE-AUDIT-PUBLISH variant of [[commitStaged]] (Iceberg's WAP
+    * pattern): the staged partitions are renamed into version slots but
+    * NOT committed; `audit` then runs against the complete WOULD-BE
+    * table snapshot (new slots + untouched partitions' pinned states)
+    * and must return an [[graft.operators.Expectations.check]]-style
+    * report with a `passed` column. Only if every rule passed are the
+    * slots sealed (_SUCCESS + per-partition pointer swaps) and the new
+    * root manifest published; a failed audit deletes the unpublished
+    * slots and throws [[AuditFailedException]] — readers never saw the
+    * rejected data, the table is byte-for-byte unchanged. The audit
+    * reads real files at their final paths (not a pre-write DataFrame),
+    * so what is validated is exactly what readers would scan. */
+  private[graft] def commitStagedAudited(
+      spark: SparkSession, table: String, stagingRoot: String,
+      cols: Seq[String], emptied: Set[String], retainVersions: Int,
+      audit: DataFrame => DataFrame): Unit = {
+    val f = fs(spark, new Path(table))
+    val retain = math.max(1, retainVersions)
+    // base BEFORE claiming: scanStates' crash-recovery fallback would
+    // otherwise bake the not-yet-audited slots into the untouched entries
+    val base = rootManifest(spark, table)
+      .getOrElse(scanStates(spark, table, cols))
+    val staged = partitionDirs(spark, stagingRoot, cols.size)
+    val claimed = staged.map { rel =>
+      rel -> claimSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
+    }
+    val blanked = (emptied -- staged.toSet).toSeq.map { rel =>
+      val pt = s"$table/$rel"
+      f.mkdirs(new Path(pt, VersionsDir))
+      val next = Snapshots.allVersionDirs(spark, pt).lastOption.getOrElse(0L) + 1
+      f.mkdirs(new Path(Snapshots.versionPath(pt, next)))
+      rel -> next
+    }
+    val entries = base ++
+      claimed.map { case (rel, v) => rel -> f"v$v%08d" } ++
+      blanked.map { case (rel, _) => rel -> Empty }
+    val slotPaths = (claimed ++ blanked).map { case (rel, v) =>
+      new Path(Snapshots.versionPath(s"$table/$rel", v))
+    }
+    val wouldBePaths = manifestDataPaths(table, entries)
+    val failures =
+      if (wouldBePaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else {
+        val wouldBe = spark.read.option("basePath", table)
+          .parquet(wouldBePaths: _*)
+        // report rows are one-per-rule: a bounded driver-side collect
+        audit(wouldBe).filter(!org.apache.spark.sql.functions.col("passed"))
+          .collect()
+      }
+    if (failures.nonEmpty) {
+      slotPaths.foreach(p => f.delete(p, true))
+      throw new AuditFailedException(
+        s"audit rejected the commit to $table; nothing published. Failed " +
+          s"rules: ${failures.mkString("; ")}")
+    }
+    (claimed ++ blanked).foreach { case (rel, v) =>
+      val pt = s"$table/$rel"
+      f.create(new Path(Snapshots.versionPath(pt, v), "_SUCCESS"), true).close()
+      Snapshots.publish(spark, pt, v)
+    }
+    publishRoot(spark, table, entries, retain)
+    (claimed ++ blanked)
+      .foreach { case (rel, _) => finishPartitionCommit(spark, table, rel, retain) }
+  }
+
   /** Row-level change feed between two root snapshots (Iceberg's
     * changelog read / Delta's CDF, computed rather than stored).
     * Metadata-first: the two manifests are diffed and partitions pinned

@@ -374,6 +374,37 @@ class PartitionSnapshotsSpec extends SparkSpec {
     PartitionSnapshots.changes(spark, path, 1L, 2L).count() shouldBe 0L
   }
 
+  test("write-audit-publish: a failed audit publishes nothing, table unchanged") {
+    import graft.operators.Expectations
+    val path = tmpDir("pmanwap") + "/t"
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => Expectations.check(df, Seq(
+        Expectations.InRange("v", 0, 100),
+        Expectations.NotNull("k")))
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true,
+      audit = Some(gate))
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 20)))
+    // the rejected merge: v=999 breaks the range rule over the WOULD-BE
+    // post-merge snapshot
+    val bad = Seq((1, "p1", 999)).toDF("k", "part", "v")
+    a[graft.sources.PartitionSnapshots.AuditFailedException] should be thrownBy
+      Upsert.upsert(spark, path, bad, Seq("k"), partitionCols = Seq("part"),
+        audit = Some(gate))
+    // nothing published: same data, same root version, no stray slots
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 20)))
+    PartitionSnapshots.rootVersions(spark, path) shouldBe Seq(1L)
+    graft.sources.Snapshots.versions(spark, s"$path/part=p1") shouldBe Seq(1L)
+    new java.io.File(s"$path/part=p1/_versions").listFiles()
+      .map(_.getName).sorted shouldBe Array("v00000001")
+    // a compliant merge against the SAME gate commits normally afterwards
+    Upsert.upsert(spark, path, Seq((1, "p1", 42)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), audit = Some(gate))
+    byKey(path) shouldBe Map(1 -> (("p1", 42)), 2 -> (("p2", 20)))
+    PartitionSnapshots.rootVersions(spark, path) shouldBe Seq(1L, 2L)
+  }
+
   test("root rollback repoints the whole table in one swap") {
     val path = tmpDir("pmanrollback") + "/t"
     Upsert.upsert(spark, path,
