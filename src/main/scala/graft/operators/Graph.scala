@@ -237,13 +237,17 @@ object Graph {
       .localCheckpoint() // canonical edge set feeds stats + sample once
     val keep = pmod(graft.text.TextAnalysis.portableHash(
       concat_ws("_", col("u"), col("v"))), lit(den.toLong)) < lit(num.toLong)
-    val scale = (den.toLong * den * den) / (num.toLong * num * num)
+    // scale in doubles: integer (den³/num³) truncates for any num ∤ den
+    // (e.g. 2/3 would scale by 3 instead of 3.375 — a systematic ~11%
+    // underestimate); rounded back to long so divisible ratios are exact
+    val scale = math.pow(den.toDouble / num, 3)
     // a hash sample of a distinct canonical set is itself distinct and
     // canonical — feed the core directly, no second distinct
     val tri = triangleCornerCounts(canon.where(keep))
       .agg(coalesce(floor(sum(col("triangles")) / 3), lit(0L)).cast("long")
         .as("tri_sampled"))
-      .withColumn("tri_est", col("tri_sampled") * lit(scale))
+      .withColumn("tri_est",
+        round(col("tri_sampled") * lit(scale)).cast("long"))
     // both edge counts in ONE pass over the checkpointed set
     canon.agg(count(lit(1)).as("n_edges"),
         count(when(keep, lit(1))).as("n_sampled"))

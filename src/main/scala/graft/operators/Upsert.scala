@@ -284,6 +284,16 @@ object Upsert {
       require(!graft.sources.Snapshots.isVersioned(spark, path),
         s"upsert: $path is a versioned (whole-table snapshot) table; " +
           "partition-scoped rewrite applies only to flat hive-layout tables")
+    else
+      // mirror of the guard above: the whole-table snapshot commit ends in
+      // cleanupFlatFiles, which removes every non-hidden root entry — on a
+      // manifested table that is all the k=v partition dirs and their
+      // immutable _versions history, while the root manifest survives and
+      // points at deleted paths. Refuse loudly instead.
+      require(!PartitionSnapshots.isManifested(spark, path),
+        s"upsert: $path carries partition manifests; pass its partition " +
+          "columns (whole-table snapshot commits would destroy the " +
+          "per-partition snapshot history)")
     // sticky opt-in: once a table carries manifests, every later upsert
     // commits through them — a flag forgotten on one call must not demote
     // the table back to unsafe dynamic-overwrite commits
@@ -442,6 +452,11 @@ object Upsert {
     val token = acquireLock(spark, path, lockTtlMs)
     try {
       recoverSwap(spark, path)
+      // same guard as the whole-table upsert leg: commitVersion's
+      // cleanupFlatFiles would delete a manifested table's partition dirs
+      require(!graft.sources.PartitionSnapshots.isManifested(spark, path),
+        s"replace: $path carries partition manifests; route the rewrite " +
+          "through upsert(partitionCols = ...) instead")
       commitVersion(spark, path, df, token, retainVersions)
     } finally releaseLock(spark, path, token)
   }

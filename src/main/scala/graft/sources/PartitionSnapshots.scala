@@ -56,14 +56,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Iceberg-style table-level snapshot:
   *
   * {{{
-  *   <table>/_root/_versions/v00000001/manifest   ← full (partition → state) map
+  *   <table>/_root/_versions/v00000001/manifest   ← FULL (partition → state) map
+  *   <table>/_root/_versions/v00000002/delta      ← touched entries + parent version
   *   <table>/_root/_current                       ← root pointer, atomic swap
   * }}}
   *
-  * Each commit, after its per-partition publishes, writes a NEW manifest
-  * file naming every partition's pinned state (a version slot, the
-  * implicit FLAT v0, or EMPTY) and swaps the root pointer. This buys the
-  * two properties per-partition pointers alone cannot give:
+  * The root pointer swap is THE commit point: each commit first seals its
+  * per-partition version slots (complete data + _SUCCESS, pointers
+  * untouched), then publishes ONE new root manifest naming every
+  * partition's pinned state (a version slot, the implicit FLAT v0, or
+  * EMPTY), and only then swaps the per-partition pointers — which are a
+  * read CACHE for partition-level readers, never the source of truth. A
+  * crash before the root publish is a clean abort (sealed slots age out,
+  * nothing ever names them); a crash after it leaves at worst a lagging
+  * partition pointer that serves the previous complete version until the
+  * partition's next commit heals it. No crash ordering can leave the
+  * root manifest permanently behind a pointer. This buys the two
+  * properties per-partition pointers alone cannot give:
   *
   *  1. **Cross-partition atomicity.** A reader resolves ONE manifest and
   *     scans exactly the immutable version dirs it names — a
@@ -71,18 +80,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     pointer swap, never partition-by-partition. (Partition-level
   *     readers may still race ahead on a partition pointer; table-level
   *     readers are snapshot-isolated.)
-  *  2. **Listing-free reads.** Resolving a read is one pointer + one
-  *     manifest file — no per-partition directory walk — the O(1)
-  *     metadata path an object store with 30 000 partitions needs. The
-  *     directory-walk path remains only as the fallback for tables whose
-  *     root manifest has not been written yet (pre-upgrade commits).
+  *  2. **Listing-free reads.** Resolving a read is one pointer + at most
+  *     [[RebaseEvery]] small manifest files — no per-partition directory
+  *     walk — the O(1) metadata path an object store with 30 000
+  *     partitions needs. The directory-walk path remains only as the
+  *     fallback for tables whose root manifest has not been written yet
+  *     (pre-upgrade commits).
+  *
+  * Commit METADATA is O(touched), not O(partitions): most commits write
+  * a DELTA manifest holding only the touched partitions' entries plus
+  * the parent root version it folds onto; a FULL manifest is rebased at
+  * least every [[RebaseEvery]] commits (and whenever the chain forks —
+  * first commit, post-rollback). A 2-partition commit against a 30 000-
+  * partition table writes a 2-line file, not a 30 000-line one —
+  * Iceberg's manifest-list amortization, done as a parent chain.
   *
   * Root manifests are retained and vacuumed like any snapshot chain
-  * (`asOf` time travel across whole-table states); an old manifest stays
-  * resolvable as long as per-partition retention keeps the versions it
-  * names — the same reader-vs-expiration contract as everywhere else.
-  * Single-writer per table is enforced by [[graft.operators.Upsert]]'s
-  * lease, as for every other layout.
+  * (`asOf` time travel across whole-table states), chain-aware: a kept
+  * delta always keeps its parents down to a full manifest, and an old
+  * manifest stays resolvable as long as per-partition retention keeps
+  * the versions it names — the same reader-vs-expiration contract as
+  * everywhere else. Single-writer per table is enforced by
+  * [[graft.operators.Upsert]]'s lease, as for every other layout.
   */
 object PartitionSnapshots {
 
@@ -90,9 +109,21 @@ object PartitionSnapshots {
   private val VersionsDir = "_versions"
   private val RootDir = "_root"
   private val ManifestFile = "manifest"
+  private val DeltaFile = "delta"
   // manifest state tokens (beyond a pinned "v00000001"-style slot name)
   private val Flat = "FLAT"    // implicit v0: the partition's flat hive files
   private val Empty = "EMPTY"  // partition holds zero rows
+  // rides inside a write-audit-publish slot from staging through the claim
+  // rename: a slot carrying it holds data whose audit never passed, and no
+  // read or state-scan path may serve it (deleted when the audit seals)
+  private val WapMarker = ".wap-pending"
+  /** A FULL root manifest is written at least every this-many commits; the
+    * ones between carry only the touched partitions as a DELTA against
+    * their recorded parent. Bounds both sides: commit metadata is
+    * O(touched) on delta commits, and a read folds at most this many
+    * manifest files (Iceberg's manifest-list amortization, done with a
+    * parent chain instead of a list). */
+  private[graft] val RebaseEvery = 8
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -163,20 +194,39 @@ object PartitionSnapshots {
     walk(root, depth, "")
   }
 
+  /** True when the version slot still carries the write-audit-publish
+    * marker: its data was claimed but its audit never passed (in flight,
+    * crashed, or about to be deleted) — never serve or scan-state it. */
+  private def isPendingAudit(spark: SparkSession, pt: String,
+                             v: Long): Boolean = {
+    val p = new Path(Snapshots.versionPath(pt, v), WapMarker)
+    fs(spark, p).exists(p)
+  }
+
+  /** Newest version slot that is safe for the crash-recovery fallback:
+    * unsealed slots from an interrupted ORDINARY commit hold complete,
+    * intended data (the whole-dir rename contract), but slots still
+    * marked [[WapMarker]] hold UNAUDITED data and are skipped. */
+  private def latestServableSlot(spark: SparkSession, pt: String): Option[Long] =
+    Snapshots.allVersionDirs(spark, pt).reverse
+      .find(v => !isPendingAudit(spark, pt, v))
+
   /** The COMPLETE data directory for one partition, or None when the
     * partition holds no rows (dropped / empty version). Fallback chain:
     *   1. the partition's committed snapshot (pointer, else newest with
     *      _SUCCESS — [[Snapshots.currentVersion]]'s own fallback),
     *   2. a complete-but-unpublished version slot (crash between the
     *      whole-dir rename into the slot and the pointer swap; bounded
-    *      staleness, never partial — the [[Snapshots]] staging contract),
+    *      staleness, never partial — the [[Snapshots]] staging contract;
+    *      slots still awaiting their write-audit-publish verdict are
+    *      excluded — rejected-in-flight data must never serve),
     *   3. the flat hive files themselves (the implicit v0 of a migrated
     *      table that has not been committed to yet). */
   private def resolvedDataPath(spark: SparkSession, table: String,
                                rel: String): Option[String] = {
     val pt = s"$table/$rel"
     Snapshots.currentVersion(spark, pt)
-      .orElse(Snapshots.allVersionDirs(spark, pt).lastOption) match {
+      .orElse(latestServableSlot(spark, pt)) match {
       case Some(v) =>
         val vp = Snapshots.versionPath(pt, v)
         if (hasDataFiles(spark, new Path(vp))) Some(vp) else None
@@ -227,7 +277,11 @@ object PartitionSnapshots {
   /** The (partition rel-path → state) map of the current root manifest
     * (or the one at root version `asOf`); None when the table predates
     * root manifests. A missing requested `asOf` throws — same contract
-    * as [[Snapshots.read]]. */
+    * as [[Snapshots.read]]. Delta manifests are folded onto their
+    * recorded-PARENT chain (not version order — after a [[rollbackRoot]]
+    * the chain forks, and version order would resurrect the rolled-back
+    * states); the chain ends at a full manifest within [[RebaseEvery]]
+    * hops. */
   def rootManifest(spark: SparkSession, table: String,
                    asOf: Long = -1L): Option[Map[String, String]] = {
     val rt = s"$table/$RootDir"
@@ -238,18 +292,36 @@ object PartitionSnapshots {
             s"(have ${Snapshots.versions(spark, rt)})")
         Some(asOf)
       } else Snapshots.currentVersion(spark, rt)
-    v.map { rv =>
-      val p = new Path(s"${Snapshots.versionPath(rt, rv)}/$ManifestFile")
-      val in = fs(spark, p).open(p)
-      val text = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-      text.split("\n").filter(_.nonEmpty).map { line =>
-        // "state\trel": the state token never contains a tab, the rel is
-        // everything after the first one
-        val i = line.indexOf('\t')
-        line.substring(i + 1) -> line.substring(0, i)
-      }.toMap
+    v.map(resolveManifest(spark, rt, _))
+  }
+
+  private def readText(spark: SparkSession, p: Path): String = {
+    val in = fs(spark, p).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** "state\trel" lines → map: the state token never contains a tab, the
+    * rel is everything after the first one. */
+  private def parseEntries(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      line.substring(i + 1) -> line.substring(0, i)
+    }.toMap
+
+  /** Fold root version `rv` to its full (partition → state) map: a full
+    * manifest is the answer; a delta folds onto its parent's resolution. */
+  private def resolveManifest(spark: SparkSession, rt: String,
+                              rv: Long): Map[String, String] = {
+    val slot = Snapshots.versionPath(rt, rv)
+    val full = new Path(s"$slot/$ManifestFile")
+    if (fs(spark, full).exists(full))
+      parseEntries(readText(spark, full).split("\n").toSeq)
+    else {
+      val lines = readText(spark, new Path(s"$slot/$DeltaFile"))
+        .split("\n").toSeq.filter(_.nonEmpty)
+      val parent = lines.head.stripPrefix("v").toLong
+      resolveManifest(spark, rt, parent) ++ parseEntries(lines.tail)
     }
   }
 
@@ -262,7 +334,7 @@ object PartitionSnapshots {
     partitionDirs(spark, table, cols.size).map { rel =>
       val pt = s"$table/$rel"
       val state = Snapshots.currentVersion(spark, pt)
-        .orElse(Snapshots.allVersionDirs(spark, pt).lastOption) match {
+        .orElse(latestServableSlot(spark, pt)) match {
         case Some(v) =>
           if (hasDataFiles(spark, new Path(Snapshots.versionPath(pt, v))))
             f"v$v%08d" else Empty
@@ -272,22 +344,47 @@ object PartitionSnapshots {
       rel -> state
     }.toMap
 
-  /** Write `entries` as the next root manifest and swap the root pointer
-    * — the instant at which the whole commit becomes visible to
-    * table-level readers. Same claim discipline as the data slots: the
+  private def hasFullManifest(spark: SparkSession, rt: String,
+                              v: Long): Boolean = {
+    val p = new Path(s"${Snapshots.versionPath(rt, v)}/$ManifestFile")
+    fs(spark, p).exists(p)
+  }
+
+  /** Publish the commit's root manifest and swap the root pointer — THE
+    * commit point: the instant at which the whole commit becomes visible
+    * to table-level readers. Same claim discipline as the data slots: the
     * manifest lands in a hidden staging dir RENAMED into the next free
-    * version slot. Old manifests age out under the same `retain` window
-    * as the data versions they name. */
+    * version slot.
+    *
+    * Commit metadata is O(touched), not O(partitions): when the new
+    * version extends the current pointer and the delta chain is shorter
+    * than [[RebaseEvery]], only `touched` entries are written as a DELTA
+    * naming its parent version; otherwise (first commit, every
+    * [[RebaseEvery]]-th, or a post-rollback fork, where the pointer
+    * trails the newest committed version) the FULL `entries` map is
+    * rebased. Old manifests age out under the same `retain` window as
+    * the data versions they name — chain-aware: a kept delta always
+    * keeps its parents down to a full manifest. */
   private def publishRoot(spark: SparkSession, table: String,
-                          entries: Map[String, String], retain: Int): Unit = {
+                          entries: Map[String, String],
+                          touched: Map[String, String], retain: Int): Unit = {
     val rt = s"$table/$RootDir"
     val f = fs(spark, new Path(rt))
+    val committed = Snapshots.versions(spark, rt)
+    val parent = Snapshots.currentVersion(spark, rt)
+    val chainLen = committed.reverse
+      .takeWhile(v => !hasFullManifest(spark, rt, v)).size
+    val asDelta = parent.nonEmpty && committed.lastOption == parent &&
+      chainLen + 1 < RebaseEvery
     val tmp = new Path(s"$rt/$VersionsDir/.staging-${java.util.UUID.randomUUID()}")
     f.mkdirs(tmp)
-    val out = f.create(new Path(tmp, ManifestFile), true)
-    try out.write(entries.toSeq.sortBy(_._1)
+    def fmt(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
       .map { case (rel, state) => s"$state\t$rel" }.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (file, text) =
+      if (asDelta) (DeltaFile, f"v${parent.get}%08d" + "\n" + fmt(touched))
+      else (ManifestFile, fmt(entries))
+    val out = f.create(new Path(tmp, file), true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     var attempt = 0
     while (attempt < 50) {
@@ -296,7 +393,7 @@ object PartitionSnapshots {
       if (f.rename(tmp, slot)) {
         f.create(new Path(slot, "_SUCCESS"), true).close()
         Snapshots.publish(spark, rt, next)
-        Snapshots.vacuum(spark, rt, keep = retain)
+        vacuumRoot(spark, rt, retain)
         return
       }
       attempt += 1
@@ -306,11 +403,44 @@ object PartitionSnapshots {
       s"root manifest: could not claim a version slot at $table")
   }
 
-  /** Rename complete data at `from` into `pt`'s next version slot, mark
-    * it committed, swap the pointer; returns the claimed version. The
-    * rename is whole-dir atomic, so every published (and even every
-    * unpublished) slot holds complete data. */
-  private def commitDir(spark: SparkSession, pt: String, from: Path): Long = {
+  /** Root-chain retention: keep the current + newest `retain`−1 committed
+    * root versions ([[Snapshots.vacuum]]'s policy) PLUS the parent chain
+    * each kept delta folds through — deleting a parent out from under a
+    * live delta would break every read of it. Chains are bounded by
+    * [[RebaseEvery]], so the extra retention is at most one rebase
+    * window. */
+  private def vacuumRoot(spark: SparkSession, rt: String, retain: Int): Unit = {
+    val committed = Snapshots.versions(spark, rt)
+    val cur = Snapshots.currentVersion(spark, rt).getOrElse(return)
+    val kept = (committed.filter(_ != cur)
+      .takeRight(math.max(1, retain) - 1) :+ cur).toSet
+    def chain(v: Long): Set[Long] =
+      if (hasFullManifest(spark, rt, v)) Set(v)
+      else {
+        val head = readText(spark,
+          new Path(s"${Snapshots.versionPath(rt, v)}/$DeltaFile"))
+          .split("\n").head
+        Set(v) ++ chain(head.stripPrefix("v").toLong)
+      }
+    val keepSet = kept.flatMap(chain).map(v => f"v$v%08d")
+    val dir = new Path(s"$rt/$VersionsDir")
+    val f = fs(spark, dir)
+    val versionName = "^v(\\d{8,})$".r
+    f.listStatus(dir).filter(_.isDirectory)
+      .filter(st => !keepSet.contains(st.getPath.getName))
+      // cold-only for non-version dirs: a fresh .staging-* may belong to a
+      // concurrent TTL-expired publisher that hasn't aborted yet
+      .filter(st => versionName.findFirstMatchIn(st.getPath.getName).nonEmpty ||
+        System.currentTimeMillis() - st.getModificationTime > 15 * 60 * 1000L)
+      .foreach(st => f.delete(st.getPath, true))
+  }
+
+  /** Rename complete data at `from` into `pt`'s next version slot and
+    * SEAL it (_SUCCESS — committed, but the partition pointer is not yet
+    * swapped); returns the claimed version. The rename is whole-dir
+    * atomic, so every sealed (and even every unsealed) slot holds
+    * complete data. */
+  private def sealSlot(spark: SparkSession, pt: String, from: Path): Long = {
     val f = fs(spark, from)
     f.mkdirs(new Path(pt, VersionsDir))
     var attempt = 0
@@ -319,7 +449,6 @@ object PartitionSnapshots {
       val slot = new Path(Snapshots.versionPath(pt, next))
       if (f.rename(from, slot)) {
         f.create(new Path(slot, "_SUCCESS"), true).close()
-        Snapshots.publish(spark, pt, next)
         return next
       }
       attempt += 1
@@ -328,18 +457,31 @@ object PartitionSnapshots {
       s"partition commit: could not claim a version slot at $pt")
   }
 
-  /** Commit a staged `partitionBy` write: every staged partition dir is
-    * renamed into that partition's next version slot and published;
-    * `emptied` partitions (touched, but with zero surviving rows) get an
-    * EMPTY published version — the reader-safe replacement for deleting
-    * the partition dir. After the per-partition publishes, ONE new root
-    * manifest folds the touched partitions' new states into the previous
-    * manifest (seeded by a directory walk for the table's first commit)
-    * and the root pointer swap makes the whole commit visible atomically
-    * to table-level readers. Per touched partition, after the root
-    * publish: retention is enforced, and the implicit-v0 flat files of a
-    * migrated table are removed once `retain` real versions exist (v0
-    * ages out of the retention window like any other snapshot). */
+  /** Commit a staged `partitionBy` write. Ordering makes the ROOT pointer
+    * swap the single commit point, so no crash can leave the root
+    * manifest permanently behind a partition pointer (the next commit
+    * would fold that stale base forward forever, and retention could then
+    * vacuum a version the live root still names):
+    *
+    *  1. every staged partition dir (and an empty dir per `emptied`
+    *     partition — touched, zero surviving rows — the reader-safe
+    *     replacement for deleting it) is renamed into that partition's
+    *     next version slot and SEALED, pointers untouched;
+    *  2. ONE new root manifest folds the touched partitions' new states
+    *     into the previous manifest (seeded by a directory walk for the
+    *     table's first commit) and the root pointer swap makes the whole
+    *     commit visible atomically — a crash BEFORE this is a clean
+    *     abort: sealed-but-unrooted slots are never folded into later
+    *     manifests and age out under retention;
+    *  3. per-partition pointers swap — a read CACHE for partition-level
+    *     readers; a crash between 2 and 3 leaves a pointer serving the
+    *     previous complete version (bounded staleness at partition
+    *     granularity, the contract those readers already have) until the
+    *     partition's next commit heals it, while table-level readers are
+    *     already on the new root;
+    *  4. hygiene: retention per touched partition, and the implicit-v0
+    *     flat files of a migrated table are removed once `retain` real
+    *     versions exist (v0 ages out like any other snapshot). */
   private[graft] def commitStaged(spark: SparkSession, table: String,
                                   stagingRoot: String, cols: Seq[String],
                                   emptied: Set[String],
@@ -347,27 +489,20 @@ object PartitionSnapshots {
     val f = fs(spark, new Path(table))
     val retain = math.max(1, retainVersions)
     val staged = partitionDirs(spark, stagingRoot, cols.size)
-    val committed = staged.map { rel =>
-      rel -> commitDir(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
-    }
-    val blanked = (emptied -- staged.toSet).toSeq.map { rel =>
-      val pt = s"$table/$rel"
-      f.mkdirs(new Path(pt, VersionsDir))
-      val next = Snapshots.allVersionDirs(spark, pt).lastOption.getOrElse(0L) + 1
-      val slot = new Path(Snapshots.versionPath(pt, next))
-      f.mkdirs(slot)
-      f.create(new Path(slot, "_SUCCESS"), true).close()
-      Snapshots.publish(spark, pt, next)
-      rel
-    }
+    // base BEFORE sealing: on a first commit, scanStates' fallback must
+    // see the pre-commit states, not the slots this commit is creating
     val base = rootManifest(spark, table)
       .getOrElse(scanStates(spark, table, cols))
-    publishRoot(spark, table,
-      base ++ committed.map { case (rel, v) => rel -> f"v$v%08d" }
-        ++ blanked.map(_ -> Empty),
-      retain)
-    (committed.map(_._1) ++ blanked)
-      .foreach(rel => finishPartitionCommit(spark, table, rel, retain))
+    val blanked = (emptied -- staged.toSet).toSeq
+    blanked.foreach(rel => f.mkdirs(new Path(s"$stagingRoot/$rel")))
+    val sealedSlots = (staged ++ blanked).map { rel =>
+      rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
+    }
+    val touched = staged.map(rel => rel -> f"v${sealedSlots.toMap.apply(rel)}%08d").toMap ++
+      blanked.map(_ -> Empty)
+    publishRoot(spark, table, base ++ touched, touched, retain) // commit point
+    sealedSlots.foreach { case (rel, v) => Snapshots.publish(spark, s"$table/$rel", v) }
+    sealedSlots.foreach { case (rel, _) => finishPartitionCommit(spark, table, rel, retain) }
   }
 
   /** Post-publish hygiene for one partition: enforce snapshot retention,
@@ -391,11 +526,22 @@ object PartitionSnapshots {
 
   /** Rename complete data at `from` into `pt`'s next version slot WITHOUT
     * committing it (no _SUCCESS, no pointer swap) — the claim half of a
-    * write-audit-publish commit. The slot is invisible to readers (no
-    * pointer names it; it is not a committed version) until sealed. */
+    * write-audit-publish commit. The staged dir carries [[WapMarker]]
+    * (placed BEFORE this rename, so no crash window exists in which the
+    * slot looks like an ordinary interrupted commit): until the audit
+    * passes and the seal removes it, every read and state-scan path
+    * skips the slot. Cold marked slots a crashed auditor abandoned are
+    * reaped here, on the partition's next claim — the one moment a
+    * writer provably owns the partition and lists its versions anyway. */
   private def claimSlot(spark: SparkSession, pt: String, from: Path): Long = {
     val f = fs(spark, from)
     f.mkdirs(new Path(pt, VersionsDir))
+    Snapshots.allVersionDirs(spark, pt)
+      .filter(isPendingAudit(spark, pt, _))
+      .map(v => new Path(Snapshots.versionPath(pt, v)))
+      .filter(p => System.currentTimeMillis() -
+        f.getFileStatus(p).getModificationTime > 15 * 60 * 1000L)
+      .foreach(p => f.delete(p, true))
     var attempt = 0
     while (attempt < 50) {
       val next = Snapshots.allVersionDirs(spark, pt).lastOption.getOrElse(0L) + 1
@@ -440,46 +586,71 @@ object PartitionSnapshots {
     val base = rootManifest(spark, table)
       .getOrElse(scanStates(spark, table, cols))
     val staged = partitionDirs(spark, stagingRoot, cols.size)
-    val claimed = staged.map { rel =>
-      rel -> claimSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
+    // blanked partitions (touched, zero surviving rows) ride the same
+    // staged-dir → claim path as data partitions, as empty dirs
+    val blanked = (emptied -- staged.toSet).toSeq
+    blanked.foreach(rel => f.mkdirs(new Path(s"$stagingRoot/$rel")))
+    // the WAP marker goes into the STAGED dirs so the claim rename carries
+    // it atomically — from the first instant a slot exists it is
+    // recognizably unaudited, and no read/state-scan path will serve it
+    (staged ++ blanked).foreach { rel =>
+      f.create(new Path(s"$stagingRoot/$rel", WapMarker), true).close()
     }
-    val blanked = (emptied -- staged.toSet).toSeq.map { rel =>
-      val pt = s"$table/$rel"
-      f.mkdirs(new Path(pt, VersionsDir))
-      val next = Snapshots.allVersionDirs(spark, pt).lastOption.getOrElse(0L) + 1
-      f.mkdirs(new Path(Snapshots.versionPath(pt, next)))
-      rel -> next
-    }
-    val entries = base ++
-      claimed.map { case (rel, v) => rel -> f"v$v%08d" } ++
-      blanked.map { case (rel, _) => rel -> Empty }
-    val slotPaths = (claimed ++ blanked).map { case (rel, v) =>
-      new Path(Snapshots.versionPath(s"$table/$rel", v))
-    }
-    val wouldBePaths = manifestDataPaths(table, entries)
-    val failures =
-      if (wouldBePaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else {
-        val wouldBe = spark.read.option("basePath", table)
-          .parquet(wouldBePaths: _*)
-        // report rows are one-per-rule: a bounded driver-side collect
-        audit(wouldBe).filter(!org.apache.spark.sql.functions.col("passed"))
-          .collect()
+    var claimed = List.empty[(String, Long)]
+    val entries =
+      try {
+        (staged ++ blanked).foreach { rel =>
+          claimed = (rel -> claimSlot(spark, s"$table/$rel",
+            new Path(s"$stagingRoot/$rel"))) :: claimed
+        }
+        val cm = claimed.toMap
+        val es = base ++
+          staged.map(rel => rel -> f"v${cm(rel)}%08d") ++
+          blanked.map(_ -> Empty)
+        val wouldBePaths = manifestDataPaths(table, es)
+        val failures =
+          if (wouldBePaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else {
+            val wouldBe = spark.read.option("basePath", table)
+              .parquet(wouldBePaths: _*)
+            // report rows are one-per-rule: a bounded driver-side collect
+            audit(wouldBe).filter(!org.apache.spark.sql.functions.col("passed"))
+              .collect()
+          }
+        if (failures.nonEmpty)
+          throw new AuditFailedException(
+            s"audit rejected the commit to $table; nothing published. Failed " +
+              s"rules: ${failures.mkString("; ")}")
+        es
+      } catch {
+        // ANY failure — a failed rule, an audit that itself throws (e.g.
+        // an AnalysisException from a rule naming a missing column), a
+        // claim that lost its slot race — deletes every claimed slot
+        // before rethrowing: the table is byte-for-byte unchanged and no
+        // unaudited slot is left for a fallback path to trip over
+        case t: Throwable =>
+          claimed.foreach { case (rel, v) =>
+            f.delete(new Path(Snapshots.versionPath(s"$table/$rel", v)), true)
+          }
+          throw t
       }
-    if (failures.nonEmpty) {
-      slotPaths.foreach(p => f.delete(p, true))
-      throw new AuditFailedException(
-        s"audit rejected the commit to $table; nothing published. Failed " +
-          s"rules: ${failures.mkString("; ")}")
+    // seal: drop the marker, then _SUCCESS — from here the slots are
+    // ordinary committed versions and the ordering mirrors commitStaged
+    claimed.foreach { case (rel, v) =>
+      val slot = new Path(Snapshots.versionPath(s"$table/$rel", v))
+      f.delete(new Path(slot, WapMarker), false)
+      f.create(new Path(slot, "_SUCCESS"), true).close()
     }
-    (claimed ++ blanked).foreach { case (rel, v) =>
-      val pt = s"$table/$rel"
-      f.create(new Path(Snapshots.versionPath(pt, v), "_SUCCESS"), true).close()
-      Snapshots.publish(spark, pt, v)
+    publishRoot(spark, table, entries,
+      claimed.toMap.map { case (rel, v) =>
+        rel -> (if (blanked.contains(rel)) Empty else f"v$v%08d")
+      }, retain) // commit point
+    claimed.foreach { case (rel, v) =>
+      Snapshots.publish(spark, s"$table/$rel", v)
     }
-    publishRoot(spark, table, entries, retain)
-    (claimed ++ blanked)
-      .foreach { case (rel, _) => finishPartitionCommit(spark, table, rel, retain) }
+    claimed.foreach { case (rel, _) =>
+      finishPartitionCommit(spark, table, rel, retain)
+    }
   }
 
   /** Row-level change feed between two root snapshots (Iceberg's

@@ -405,6 +405,282 @@ class PartitionSnapshotsSpec extends SparkSpec {
     PartitionSnapshots.rootVersions(spark, path) shouldBe Seq(1L, 2L)
   }
 
+  test("whole-table commit paths refuse a manifested table, history intact") {
+    val path = tmpDir("pmanguard") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // both whole-table snapshot commits end in cleanupFlatFiles, which
+    // would delete every k=v partition dir (and its immutable _versions
+    // history) while the root manifest survived pointing at nothing —
+    // they must refuse a manifested table loudly instead
+    an[IllegalArgumentException] should be thrownBy
+      Upsert.upsert(spark, path, Seq((1, "p1", 99)).toDF("k", "part", "v"),
+        Seq("k")) // partitionCols forgotten
+    an[IllegalArgumentException] should be thrownBy
+      Upsert.replace(spark, path, Seq((1, "p1", 99)).toDF("k", "part", "v"))
+    // nothing was touched: same data, same versions, same root
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 20)))
+    graft.sources.Snapshots.versions(spark, s"$path/part=p1") shouldBe Seq(1L)
+    PartitionSnapshots.rootVersions(spark, path) shouldBe Seq(1L)
+    // and the lease was released on the refusal — the next valid commit runs
+    Upsert.upsert(spark, path, Seq((1, "p1", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    byKey(path) shouldBe Map(1 -> (("p1", 11)), 2 -> (("p2", 20)))
+  }
+
+  test("an audit that itself throws deletes its claimed slots (nothing leaks)") {
+    import graft.operators.Expectations
+    val path = tmpDir("pmanwapthrow") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // a rule naming a column the table does not have: the audit plan
+    // throws AnalysisException — not a clean failed-rules report
+    val broken: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => Expectations.check(df, Seq(Expectations.NotNull("no_such_column")))
+    an[Exception] should be thrownBy
+      Upsert.upsert(spark, path, Seq((1, "p1", 99)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), audit = Some(broken))
+    // the claimed-but-unaudited slots were deleted on the failure path:
+    // no stray version dirs, no markers, table byte-for-byte unchanged
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 20)))
+    new java.io.File(s"$path/part=p1/_versions").listFiles()
+      .map(_.getName).sorted shouldBe Array("v00000001")
+    PartitionSnapshots.rootVersions(spark, path) shouldBe Seq(1L)
+  }
+
+  test("a crashed audit's marked slot never serves and is reaped on the next claim") {
+    import graft.operators.Expectations
+    val path = tmpDir("pmanwapcrash") + "/t"
+    // migrated flat table: NO committed version, NO root manifest — the
+    // exact partition state where an abandoned unaudited slot would be
+    // served by the crash-recovery fallback and baked into the first
+    // manifest, violating 'readers never saw the rejected data'
+    Seq((1, "p1", 10)).toDF("k", "part", "v").write.partitionBy("part").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_partition_manifests"), "part")
+    // simulate a writer that died mid-audit: claimed slot, data complete,
+    // WAP marker still present, no _SUCCESS, no pointer
+    val slot = s"$path/part=p1/_versions/v00000001"
+    Seq((1, 999)).toDF("k", "v").write.parquet(slot)
+    new java.io.File(s"$slot/_SUCCESS").delete()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(slot, ".wap-pending"), "")
+    // the unaudited data never serves — the flat v0 does
+    byKey(path) shouldBe Map(1 -> (("p1", 10)))
+    // a cold marked slot (older than the writer-lease TTL) is reaped when
+    // the partition is next claimed; the new audited commit then lands
+    new java.io.File(slot).setLastModified(
+      System.currentTimeMillis() - 16 * 60 * 1000L) shouldBe true
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => Expectations.check(df, Seq(Expectations.InRange("v", 0, 100)))
+    Upsert.upsert(spark, path, Seq((1, "p1", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true,
+      audit = Some(gate))
+    byKey(path) shouldBe Map(1 -> (("p1", 11)))
+    // no marker survives anywhere under the partition
+    new java.io.File(s"$path/part=p1/_versions").listFiles().flatMap(d =>
+      Option(d.listFiles()).toSeq.flatten.map(_.getName))
+      .count(_ == ".wap-pending") shouldBe 0
+  }
+
+  private def rootFile(path: String, v: Long, name: String): java.io.File =
+    new java.io.File(f"$path/_root/_versions/v$v%08d/$name")
+
+  test("root commits write O(touched) deltas, rebasing a full manifest periodically") {
+    val path = tmpDir("pmandelta") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 0), (2, "p2", 0), (3, "p3", 0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // first commit: a FULL manifest naming all three partitions
+    rootFile(path, 1, "manifest").isFile shouldBe true
+    // touching 1 of 3 partitions writes a DELTA: parent line + ONE entry,
+    // not a map of every partition — commit metadata is O(touched)
+    Upsert.upsert(spark, path, Seq((2, "p2", 1)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    rootFile(path, 2, "manifest").isFile shouldBe false
+    val delta = java.nio.file.Files.readString(rootFile(path, 2, "delta").toPath)
+      .split("\n").filter(_.nonEmpty)
+    delta.head shouldBe "v00000001"
+    delta.tail.length shouldBe 1
+    delta.tail.head should endWith("part=p2")
+    // the folded view is still the complete table state
+    PartitionSnapshots.rootManifest(spark, path) shouldBe
+      Some(Map("part=p1" -> "v00000001", "part=p2" -> "v00000002",
+        "part=p3" -> "v00000001"))
+    byKey(path) shouldBe
+      Map(1 -> (("p1", 0)), 2 -> (("p2", 1)), 3 -> (("p3", 0)))
+    // the delta chain is bounded: by the RebaseEvery-th commit a full
+    // manifest is rebased, so reads never fold more than that many files
+    (2 to PartitionSnapshots.RebaseEvery).foreach { i =>
+      Upsert.upsert(spark, path, Seq((2, "p2", i)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"))
+    }
+    val rebased = PartitionSnapshots.RebaseEvery + 1
+    rootFile(path, rebased - 1, "delta").isFile shouldBe true
+    rootFile(path, rebased, "manifest").isFile shouldBe true
+    byKey(path) shouldBe Map(1 -> (("p1", 0)),
+      2 -> (("p2", PartitionSnapshots.RebaseEvery)), 3 -> (("p3", 0)))
+    // time travel folds the chain at any pinned version whose data is
+    // still inside the per-partition retention window (the documented
+    // reader-vs-expiration contract: older pins age out with their data)
+    val pin = PartitionSnapshots.RebaseEvery - 2L
+    PartitionSnapshots.read(spark, path, asOf = pin).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Int]("v")).toMap shouldBe
+      Map(1 -> 0, 2 -> (pin - 1).toInt, 3 -> 0)
+  }
+
+  test("rollback forks the root chain: the next commit rebases a full manifest") {
+    val path = tmpDir("pmandeltafork") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Upsert.upsert(spark, path, Seq((2, "p2", 21)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    rootFile(path, 2, "delta").isFile shouldBe true
+    PartitionSnapshots.rollbackRoot(spark, path, 1L)
+    // committing forward from the fork may NOT extend v2's delta chain —
+    // folding by version order would resurrect the rolled-back state
+    Upsert.upsert(spark, path, Seq((1, "p1", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    rootFile(path, 3, "manifest").isFile shouldBe true
+    byKey(path) shouldBe Map(1 -> (("p1", 11)), 2 -> (("p2", 20)))
+    // the abandoned branch stays pinnable until retention takes it
+    PartitionSnapshots.read(spark, path, asOf = 2L).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Int]("v")).toMap shouldBe
+      Map(1 -> 10, 2 -> 21)
+  }
+
+  test("root vacuum is chain-aware: a kept delta keeps its parents") {
+    val path = tmpDir("pmandeltavac") + "/t"
+    // retain=1 is the adversarial setting: naive retention would keep only
+    // the newest root version — a delta whose parents it just deleted
+    (0 to 3).foreach { i =>
+      Upsert.upsert(spark, path, Seq((1, "p1", i)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), partitionManifests = true,
+        retainVersions = 1)
+    }
+    // v4 is a delta; its chain v1(full)..v3 must have survived vacuum
+    rootFile(path, 4, "delta").isFile shouldBe true
+    rootFile(path, 1, "manifest").isFile shouldBe true
+    byKey(path) shouldBe Map(1 -> (("p1", 3)))
+    // after a rebase, one more delta commit lets vacuum finally drop the
+    // old chain: only the new full + its one delta remain
+    (4 to PartitionSnapshots.RebaseEvery).foreach { i =>
+      Upsert.upsert(spark, path, Seq((1, "p1", i)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), retainVersions = 1)
+    }
+    val rebased = PartitionSnapshots.RebaseEvery + 1
+    rootFile(path, rebased, "manifest").isFile shouldBe true
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 99)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), retainVersions = 1)
+    PartitionSnapshots.rootVersions(spark, path) shouldBe
+      Seq(rebased.toLong, rebased + 1L)
+    byKey(path) shouldBe Map(1 -> (("p1", 99)))
+  }
+
+  test("a crash between slot seal and root publish is a clean abort") {
+    val path = tmpDir("pmansealcrash") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // simulate a writer that died AFTER sealing its new slot (_SUCCESS)
+    // but BEFORE the root manifest publish — the commit point was never
+    // reached, so this must read as if the commit never happened
+    Seq((1, 99)).toDF("k", "v").write
+      .parquet(s"$path/part=p1/_versions/.staging-sim")
+    new java.io.File(s"$path/part=p1/_versions/.staging-sim")
+      .renameTo(new java.io.File(s"$path/part=p1/_versions/v00000002")) shouldBe true
+    byKey(path) shouldBe Map(1 -> (("p1", 10)))
+    // the next commit folds forward from the ROOT manifest, never from
+    // the orphan slot: no later state ever names v2's data
+    Upsert.upsert(spark, path, Seq((2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 20)))
+    PartitionSnapshots.rootManifest(spark, path).get
+      .apply("part=p1") shouldBe "v00000001"
+  }
+
+  test("a lagging partition pointer heals on the partition's next commit") {
+    val path = tmpDir("pmanptrlag") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Upsert.upsert(spark, path, Seq((1, "p1", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    // simulate a crash between the root publish and the pointer swap:
+    // the pointer still names v1 while the root manifest pins v2
+    // (written through the Hadoop FS so the checksum sidecar stays valid)
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/part=p1/_current")
+    val pfs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pout = pfs.create(ptr, true)
+    pout.write("v00000001".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    pout.close()
+    // table-level readers are on the root — the commit point — unaffected
+    byKey(path) shouldBe Map(1 -> (("p1", 11)))
+    // partition-level resolution serves the complete PREVIOUS version
+    // (bounded staleness), and the next commit heals the pointer
+    graft.sources.Snapshots.currentVersion(spark, s"$path/part=p1") shouldBe Some(1L)
+    Upsert.upsert(spark, path, Seq((1, "p1", 12)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    graft.sources.Snapshots.currentVersion(spark, s"$path/part=p1") shouldBe Some(3L)
+    byKey(path) shouldBe Map(1 -> (("p1", 12)))
+  }
+
+  test("readers pinned mid-compaction+vacuum never error and see complete snapshots") {
+    val path = tmpDir("pmancompactrace") + "/t"
+    val keys = 1 to 30 // one partition's full content per version
+    def state(v: Int) =
+      Seq("p1", "p2").flatMap(p => keys.map(k => (s"$p-$k", p, v)))
+        .toDF("k", "part", "v").repartition(4) // fragmented: compactable
+    Upsert.upsert(spark, path, state(0), Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true,
+      retainVersions = 2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // pin whatever root version is current, then read THROUGH the
+          // pin twice while compaction + vacuum churn underneath: the
+          // retention contract says a pinned version within the retain
+          // window resolves to complete immutable files; a version
+          // vacuumed out from under a too-slow reader fails LOUDLY
+          // (acceptable aging), never partially
+          val pin = PartitionSnapshots.rootVersions(spark, path).last
+          (1 to 2).foreach { _ =>
+            val rows = PartitionSnapshots.read(spark, path, asOf = pin)
+              .collect().map(r => (r.getAs[String]("part"), r.getAs[Int]("v")))
+            rows.groupBy(_._1).foreach { case (p, rs) =>
+              if (rs.length != keys.size)
+                failures.add(s"pin=$pin $p: ${rs.length} rows")
+              if (rs.map(_._2).distinct.length != 1)
+                failures.add(s"pin=$pin $p: mixed ${rs.map(_._2).distinct.toSeq}")
+            }
+          }
+        } catch {
+          case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("root manifest") =>
+            () // pinned version aged out of retention: the documented contract
+          case e: Exception =>
+            failures.add(s"reader error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try (1 to 6).foreach { i =>
+      Upsert.upsert(spark, path, state(i), Seq("k"),
+        partitionCols = Seq("part"), retainVersions = 2)
+      PartitionSnapshots.compact(spark, path, minFiles = 2,
+        retainVersions = 2)
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    failures.toArray shouldBe empty
+    Upsert.read(spark, path).count() shouldBe keys.size * 2L
+  }
+
   test("root rollback repoints the whole table in one swap") {
     val path = tmpDir("pmanrollback") + "/t"
     Upsert.upsert(spark, path,
