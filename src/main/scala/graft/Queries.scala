@@ -2434,6 +2434,81 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** Shared staging for q167/q168 — a two-commit manifested "silver"
+    * history plus a gold aggregate built from root v1:
+    * root v1 seeds customers ≤ 400 partitioned by segment; gold =
+    * per-segment (count, balance sum) from that state; root v2 then
+    * merges every 97th key (+100 balance) with every 194th MOVING
+    * segment — a narrow commit touching a handful of partitions, the
+    * daily-merge shape. Returns the staging base. */
+  private def changelogGoldStage(s: SparkSession, dir: String): String =
+    stagedOnce("pincgold", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/silver", seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val g1 = graft.sources.PartitionSnapshots.read(s, s"$base/silver")
+        .groupBy(col("c_mktsegment").cast("string").as("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      Upsert.upsert(s, s"$base/gold", g1, Seq("c_mktsegment"))
+      val delta = t(s, dir, "customer")
+        .where(col("c_custkey") <= 400 && col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"),
+          when(col("c_custkey") % 194 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      Upsert.upsert(s, s"$base/silver", delta, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"))
+    }
+
+  /** CHANGELOG-DRIVEN INCREMENTAL MAINTENANCE (the Iceberg
+    * incremental-read pattern, [[graft.sources.PartitionSnapshots
+    * .changedPartitions]] + [[graft.pipeline.SilverToGold
+    * .runFromChangelog]]'s algebra on a staged table): the gold
+    * aggregate built at silver root v1 is brought up to v2 by diffing
+    * the two ROOT MANIFESTS — two metadata files name exactly the
+    * partitions the merge rewrote, zero data files opened for the
+    * work-list — then rescanning ONLY those partitions and merging their
+    * re-derived rows into gold. Untouched segments keep their v1-built
+    * gold rows without a byte read; at a 30 000-partition daily cadence
+    * that is the whole difference between O(day) and O(table) per run.
+    * The oracle is the FULL REBUILD of the v2 state — equality IS the
+    * incremental-maintenance correctness claim. */
+  def q167ChangelogIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionSnapshots
+    val base = changelogGoldStage(s, dir)
+    val segs = PartitionSnapshots
+      .changedPartitions(s, s"$base/silver", fromV = 1L, toV = 2L)
+      .map(_.split("=", 2)(1))
+      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName)
+    val gNew = Upsert.read(s, s"$base/silver")
+      .where(col("c_mktsegment").isin(segs: _*)) // partition-pruned rescan
+      .groupBy(col("c_mktsegment").cast("string").as("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    Upsert.upsert(s, s"$base/gold", gNew, Seq("c_mktsegment"))
+    Upsert.read(s, s"$base/gold")
+  }
+
+  /** The changelog WORK-LIST itself ([[graft.sources.PartitionSnapshots
+    * .changedPartitions]]): which partitions did the v1→v2 merge rewrite?
+    * Answered from the two root manifests alone — the O(touched)
+    * metadata read that makes q167's maintenance (and a daily 100 TB
+    * merge cadence) cheap. The oracle re-derives the same list from the
+    * merge algebra: the segments the touched keys lived in (matched keys
+    * rewrite their home partition) plus the segment they moved to. */
+  def q168ChangelogWorklist(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionSnapshots
+    import s.implicits._
+    val base = changelogGoldStage(s, dir)
+    PartitionSnapshots
+      .changedPartitions(s, s"$base/silver", fromV = 1L, toV = 2L)
+      .map(_.split("=", 2)(1))
+      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName)
+      .toDF("part_value").orderBy("part_value")
+  }
+
   /** SemDeDup over the embedding corpus ([[Dedup.semanticDedup]],
     * arXiv:2303.09540): 16 seeded coarse cells (the q34/q157 quantizer),
     * drop a vector when a lower-id cell-mate has cosine ≥ 0.3 — the
@@ -2983,6 +3058,29 @@ object Queries {
         |UNION ALL
         |SELECT 'delete' AS change_type, c_custkey, c_acctbal, c_mktsegment
         |FROM v1 WHERE c_custkey % 3 = 0""".stripMargin,
+    // q167: the oracle is the FULL REBUILD of the v2 silver state — the
+    // changelog-driven incremental maintenance must equal it exactly
+    "q167_changelog_incremental" ->
+      """WITH v2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS bal,
+        |    CASE WHEN c_custkey % 194 = 0 THEN 'MOVED'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey <= 400)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM v2 GROUP BY c_mktsegment""".stripMargin,
+    // q168: the merge rewrote the touched keys' home partitions plus the
+    // partition they moved into (which exists only when a moving key does)
+    "q168_changelog_worklist" ->
+      """SELECT DISTINCT c_mktsegment AS part_value
+        |FROM customer WHERE c_custkey <= 400 AND c_custkey % 97 = 0
+        |UNION
+        |SELECT 'MOVED' AS part_value
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey <= 400 AND c_custkey % 194 = 0)
+        |ORDER BY part_value""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5226,6 +5324,8 @@ object Queries {
     "q163_manifested_merge" -> (q163ManifestedMerge _),
     "q164_root_time_travel" -> (q164RootTimeTravel _),
     "q165_root_changelog" -> (q165RootChangelog _),
-    "q166_audited_merge" -> (q166AuditedMerge _)
+    "q166_audited_merge" -> (q166AuditedMerge _),
+    "q167_changelog_incremental" -> (q167ChangelogIncremental _),
+    "q168_changelog_worklist" -> (q168ChangelogWorklist _)
   )
 }

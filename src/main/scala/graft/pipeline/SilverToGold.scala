@@ -232,6 +232,46 @@ object SilverToGold {
     runCore(spark, silverWarehouse, goldWarehouse, metrics, dates)
   }
 
+  /** Changelog-driven incremental gold — the Iceberg incremental-read
+    * pattern over a MANIFESTED silver articles table: diff the articles
+    * root manifests between `fromRootV` and `toRootV`
+    * ([[graft.sources.PartitionSnapshots.changedPartitions]] — two
+    * manifest files, zero data files, O(touched partitions)), turn the
+    * differing `date=...` partitions into the day work-list, and run the
+    * ordinary incremental rebuild over exactly those days. Where
+    * [[runIncremental]] needs the caller to KNOW which dates changed
+    * (and [[missingDates]] only finds wholly-absent ones — an update to
+    * an existing day is invisible to it), this derives the list from
+    * what the silver commits actually rewrote — the daily-merge cadence
+    * driven by the table's own history instead of a scheduler's guess.
+    * Idempotent and compaction-safe: a partition rewritten with
+    * identical rows (compaction) re-derives identical gold. Same merge
+    * semantics as every incremental path: gold rows whose silver
+    * source rows were DELETED (not replaced) survive until a full
+    * rebuild, exactly as with [[runIncremental]]. Returns the processed
+    * dates (empty when the commits touched nothing). */
+  def runFromChangelog(spark: SparkSession, silverWarehouse: String,
+                       goldWarehouse: String, fromRootV: Long, toRootV: Long,
+                       metrics: Option[graft.metrics.MetricsRegistry] = None)
+      : Seq[java.sql.Date] = {
+    import graft.sources.PartitionSnapshots
+    val articles = s"$silverWarehouse/articles"
+    require(PartitionSnapshots.isManifested(spark, articles),
+      s"runFromChangelog needs partition manifests on $articles " +
+        "(BronzeToSilver partitionManifests = true)")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val dates = PartitionSnapshots
+      .changedPartitions(spark, articles, fromRootV, toRootV)
+      .map(_.split("=", 2)(1))
+      .map(ExternalCatalogUtils.unescapePathName)
+      .filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      .map(java.sql.Date.valueOf)
+      .sortBy(_.getTime)
+    if (dates.nonEmpty)
+      runCore(spark, silverWarehouse, goldWarehouse, metrics, dates)
+    dates
+  }
+
   /** Dates present in silver articles but missing from the gold fact —
     * the backfill work-list. Both sides are PURE DIRECTORY LISTINGS: the
     * partition values live in the hive-style dir names (`date=...`,

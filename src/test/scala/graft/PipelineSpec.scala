@@ -216,6 +216,60 @@ class PipelineSpec extends SparkSpec {
     SilverToGold.missingDates(spark, wh, gold) shouldBe Seq(d2)
   }
 
+  test("changelog-driven gold derives its day work-list from silver's root manifests") {
+    val day12Root = tmpDir("bronzeCL1") // first ingest: days 1+2
+    val day3Root = tmpDir("bronzeCL2")  // second ingest: new day 3 + day-2 update
+    val wh = tmpDir("silverCL")
+    val goldInc = tmpDir("goldCLI")
+    val goldRef = tmpDir("goldCLR")
+    def put(root: String, rel: String, json: String): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, json)
+    }
+    writeFixtures(day12Root)
+    BronzeToSilver.runBatch(spark, day12Root, wh, partitionManifests = true)
+    val articles = s"$wh/articles"
+    val v1 = graft.sources.PartitionSnapshots.rootVersions(spark, articles).last
+    SilverToGold.run(spark, wh, goldInc) // gold current as of silver root v1
+
+    // the next ingest batch: a brand-new day PLUS an update to an existing
+    // day's article — the update is invisible to missingDates (20251011
+    // already exists in gold) but the manifest diff names both days
+    put(day3Root, "vnexpress/the-thao/2025/10/12/a3.json",
+      """{"title":"Bai 3","url":"https://e.vn/a3","author":"Cuc","topic":"x","sub_topic":null,"publish_date":"1760270400000","description":"d3","main_content":"tám chín mười","keywords":["k1"],"references":["r2"],"comment_count":0,"top_comments":[],"ingested_at":"2025-10-12T15:00:00","year":2025,"month":10,"day":12}""")
+    put(day3Root, "vnexpress/kinh-doanh/2025/10/11/a2.json",
+      """{"title":"Bai 2 sua","url":"https://e.vn/a2","author":"Binh","topic":"x","sub_topic":null,"publish_date":"1760197020000","description":"d2 updated","main_content":"sáu bảy tám","keywords":["k2","k3"],"references":[],"comment_count":0,"top_comments":[],"ingested_at":"2025-10-12T15:00:00","year":2025,"month":10,"day":11}""")
+    BronzeToSilver.runBatch(spark, day3Root, wh, partitionManifests = true)
+    val v2 = graft.sources.PartitionSnapshots.rootVersions(spark, articles).last
+    v2 should be > v1
+
+    val day1Part = new java.io.File(s"$goldInc/fact_article_publication")
+      .listFiles().filter(_.getName.startsWith("PublicationDateKey=20251010")).head
+    val mtime = day1Part.lastModified()
+    Thread.sleep(1100)
+    // the work-list comes from the articles table's own commit history —
+    // no scheduler bookkeeping, no full-table scan
+    SilverToGold.runFromChangelog(spark, wh, goldInc, v1, v2) shouldBe
+      Seq(java.sql.Date.valueOf("2025-10-11"), java.sql.Date.valueOf("2025-10-12"))
+    // the untouched day's gold fact partition was never rewritten
+    day1Part.lastModified() shouldBe mtime
+
+    // ≡ a full rebuild from the current silver, for every dim and fact
+    SilverToGold.run(spark, wh, goldRef)
+    for (t <- Seq("dim_date", "dim_author", "dim_topic", "dim_sub_topic",
+        "dim_keyword", "fact_article_publication", "fact_article_keyword",
+        "fact_article_reference", "fact_top_comment_activity",
+        "fact_top_comment_interaction_detail")) {
+      val ref = graft.operators.Upsert.read(spark, s"$goldRef/$t").collect().map(_.toSeq).toSet
+      val inc = graft.operators.Upsert.read(spark, s"$goldInc/$t").collect().map(_.toSeq).toSet
+      withClue(t) { inc shouldBe ref }
+    }
+    // and the updated article's new image is what gold carries
+    graft.operators.Upsert.read(spark, s"$goldInc/fact_article_publication")
+      .where(col("ArticleDescription") === "d2 updated").count() shouldBe 1L
+  }
+
   test("streaming availableNow reaches the same silver state as batch") {
     val root = tmpDir("bronzeS")
     val whStream = tmpDir("silverS")
