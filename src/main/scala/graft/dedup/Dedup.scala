@@ -588,10 +588,14 @@ object Dedup {
           val all = known.unionByName(b)
           val pairs = incrementalNearDup(index, b, all, minJaccard,
             idCol, textCol, w, k, bands, portable, maxBucketSize)
-          pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$bid")
-          minHashBuckets(b, idCol, textCol, w, k, bands, portable)
-            .write.mode("overwrite").parquet(s"$idxPath/batch=$bid")
-          b.write.mode("overwrite").parquet(s"$docsPath/batch=$bid")
+          // staged-rename sink: each batch dir is either absent or
+          // complete — a racing reader never sees a half-written rewrite
+          graft.sources.FsUtils.writeDirAtomic(spark, pairs,
+            s"$pairsPath/batch=$bid")
+          graft.sources.FsUtils.writeDirAtomic(spark,
+            minHashBuckets(b, idCol, textCol, w, k, bands, portable),
+            s"$idxPath/batch=$bid")
+          graft.sources.FsUtils.writeDirAtomic(spark, b, s"$docsPath/batch=$bid")
           graft.operators.Graph.unpersist(b)
         }
       }

@@ -147,4 +147,39 @@ object FsUtils {
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
   }
+
+  /** Write `df` as the parquet directory `dest` with READER-SAFE replace
+    * semantics — the sink primitive behind the streaming `batch=<id>`
+    * subdirectory pattern. The data lands in a hidden sibling staging dir
+    * and is RENAMED into place, so `dest` either does not exist or holds
+    * a COMPLETE file set: a crashed write leaves only hidden staging
+    * debris (reaped cold on the next call), never a visible partial
+    * batch. Replacing an existing `dest` (an at-least-once redelivery
+    * rewriting its own batch dir) is two metadata renames back to back —
+    * a reader listing exactly between them misses that one dir (bounded
+    * staleness, the same view as before the batch landed) but can never
+    * observe half-written data, which the previous in-place overwrite
+    * (delete + slow rewrite, visible the whole time) could not promise. */
+  def writeDirAtomic(spark: SparkSession, df: DataFrame, dest: String): Unit = {
+    val d = new Path(dest)
+    val parent = d.getParent
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(parent))
+      fs.listStatus(parent)
+        .filter(st => st.isDirectory &&
+          (st.getPath.getName.startsWith(".staging-") ||
+            st.getPath.getName.startsWith(".trash-")))
+        .filter(st => System.currentTimeMillis() -
+          st.getModificationTime > 15 * 60 * 1000L)
+        .foreach(st => fs.delete(st.getPath, true))
+    val uuid = java.util.UUID.randomUUID()
+    val staging = new Path(parent, s".staging-$uuid")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    val trash = new Path(parent, s".trash-$uuid")
+    if (fs.exists(d) && !fs.rename(d, trash))
+      throw new IllegalStateException(s"atomic dir write: could not retire $d")
+    if (!fs.rename(staging, d))
+      throw new IllegalStateException(s"atomic dir write: could not publish $d")
+    fs.delete(trash, true)
+  }
 }

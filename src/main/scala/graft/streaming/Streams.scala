@@ -263,13 +263,17 @@ object Streams {
     * .bigramLmScore]]) is exact: no cross-batch state, no watermark, and
     * the output is a pure append. The model join moves (pair, counts)
     * longs only; at scale the frozen model is a stored table the stream
-    * side joins against, exactly as here. Each micro-batch OVERWRITES its
-    * own `batch=<id>` subdirectory (the [[graft.dedup.Dedup.nearDupStream]]
-    * sink pattern) — a retry after a crash between the data write and the
-    * checkpoint offset commit rewrites the same subdir instead of
-    * appending a duplicate, so the tier table is exactly-once per document
-    * on redelivery, not merely at-least-once. Readers see `batch` as a
-    * partition column and can ignore it. */
+    * side joins against, exactly as here. Each micro-batch owns its
+    * `batch=<id>` subdirectory, REPLACED by staged rename
+    * ([[graft.sources.FsUtils.writeDirAtomic]], the
+    * [[graft.dedup.Dedup.nearDupStream]] sink pattern) — a retry after a
+    * crash between the data write and the checkpoint offset commit
+    * rewrites the same subdir instead of appending a duplicate, so the
+    * tier table is exactly-once per document on redelivery, not merely
+    * at-least-once; and because the rewrite is a rename swap, a racing
+    * reader sees the batch dir complete or (for the instant of the swap)
+    * not at all — never half-written. Readers see `batch` as a partition
+    * column and can ignore it. */
   def perplexityTiersStream(spark: SparkSession, docs: DataFrame,
                             model: DataFrame, path: String, checkpoint: String,
                             keep: Long = graft.Queries.PerplexityKeep,
@@ -279,12 +283,13 @@ object Streams {
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
-          graft.text.TextAnalysis.bigramLmScore(batch, "doc_id", "text", model)
-            .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"),
-              when(col("lm_score") >= keep, lit("keep"))
-                .when(col("lm_score") >= review, lit("review"))
-                .otherwise(lit("drop")).as("tier"))
-            .write.mode("overwrite").parquet(s"$path/batch=$bid")
+          graft.sources.FsUtils.writeDirAtomic(spark,
+            graft.text.TextAnalysis.bigramLmScore(batch, "doc_id", "text", model)
+              .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"),
+                when(col("lm_score") >= keep, lit("keep"))
+                  .when(col("lm_score") >= review, lit("review"))
+                  .otherwise(lit("drop")).as("tier")),
+            s"$path/batch=$bid")
         }
       }
       .option("checkpointLocation", checkpoint)

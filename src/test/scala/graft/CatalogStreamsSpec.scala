@@ -378,4 +378,27 @@ class CatalogStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     exhaustive.toSet shouldBe bruteTop5.toSet
   }
+
+  test("writeDirAtomic: batch dirs are complete-or-absent, replace is a rename swap") {
+    import spark.implicits._
+    val root = tmpDir("atomicdir")
+    val dest = s"$root/batch=7"
+    FsUtils.writeDirAtomic(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), dest)
+    spark.read.parquet(dest).count() shouldBe 2L
+    // replace (the at-least-once redelivery path): new content, and the
+    // swap leaves no staging or trash debris behind
+    FsUtils.writeDirAtomic(spark, Seq((1, "a2")).toDF("k", "v"), dest)
+    spark.read.parquet(dest).collect().map(r => (r.getInt(0), r.getString(1))) shouldBe
+      Array((1, "a2"))
+    new java.io.File(root).listFiles().map(_.getName)
+      .filter(n => n.startsWith(".staging-") || n.startsWith(".trash-")) shouldBe empty
+    // a crashed attempt leaves only HIDDEN staging debris -- the visible
+    // dir set is untouched -- and a cold leftover is reaped on the next call
+    val stale = new java.io.File(s"$root/.staging-deadbeef")
+    stale.mkdirs() shouldBe true
+    stale.setLastModified(System.currentTimeMillis() - 16 * 60 * 1000L) shouldBe true
+    FsUtils.writeDirAtomic(spark, Seq((9, "z")).toDF("k", "v"), s"$root/batch=8")
+    stale.exists() shouldBe false
+    spark.read.parquet(root).count() shouldBe 2L // batch=7 (1 row) + batch=8 (1 row)
+  }
 }
