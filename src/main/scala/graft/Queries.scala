@@ -600,11 +600,16 @@ object Queries {
   /** Fuzzy key self-join (edit distance ≤ 1) over one market segment's
     * customer names: deletion-neighborhood equi-join + exact levenshtein
     * verify ([[graft.operators.FuzzyJoin]]) — the DuckDB oracle pays the
-    * quadratic cross product the encoding exists to avoid. */
+    * quadratic cross product the encoding exists to avoid. The
+    * maxBucketSize guard (10 000, orders of magnitude above any variant
+    * bucket the testdata produces — the join stays oracle-exact) is the
+    * corpus-scale bound: a hot near-identical key family can otherwise
+    * make the candidate join quadratic on its own (see the operator's
+    * recall contract). */
   def q66FuzzyJoin(s: SparkSession, dir: String): DataFrame =
     graft.operators.FuzzyJoin.selfJoinEdit1(
         t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING"),
-        "c_custkey", "c_name")
+        "c_custkey", "c_name", maxBucketSize = 10000)
       .select(col("id1"), col("id2"))
 
   /** Deterministic Vietnamese sample phrases (public news-section names —
@@ -2509,6 +2514,60 @@ object Queries {
       .toDF("part_value").orderBy("part_value")
   }
 
+  /** Fixed create-once table for q169: the oracle's DuckDB side must
+    * name the path in static SQL, so the table lives at a well-known
+    * location and is claimed by an ATOMIC whole-dir rename (first
+    * session wins; losers discard their staging and read the winner's).
+    * Existence implies completeness, and the table is never mutated
+    * after the claim — so the value-equality of q169 is
+    * content-independent: both engines read the SAME staged bytes, and
+    * what is being checked is that they RESOLVE the layout identically. */
+  private val Q169Table = "/tmp/graft_q169_table"
+  private def ensureQ169Table(s: SparkSession, dir: String): String = {
+    if (!new java.io.File(Q169Table).exists()) {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_q169_stage").toString
+      val t0 = s"$stage/t"
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, t0, seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val delta = t(s, dir, "customer")
+        .where(col("c_custkey") <= 200 && col("c_custkey") % 6 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(250.0)).as("c_acctbal"),
+          when(col("c_custkey") % 12 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      Upsert.upsert(s, t0, delta, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"))
+      // atomic claim; a lost race just means another session staged it
+      new java.io.File(t0).renameTo(new java.io.File(Q169Table))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    }
+    Q169Table
+  }
+
+  /** EXTERNAL-ENGINE STORAGE PORTABILITY of the
+    * [[graft.sources.PartitionSnapshots]] layout: the staged table holds
+    * a two-commit manifested history (root v1 = full manifest, root v2 =
+    * an O(touched) DELTA naming its parent), and the DuckDB oracle
+    * resolves it WITHOUT this engine — pure SQL walks
+    * `_root/_current` → the delta chain (recursive CTE over the
+    * manifest/delta files, nearest-override fold) → the pinned
+    * `rel/_versions/vNNN` data dirs, and reads exactly those parquet
+    * files. Equality with this side's pointer-aware read proves a
+    * foreign engine can resolve the snapshot layout from the bytes
+    * alone — the storage half of the portability story (q50 is the SQL
+    * half). The read itself is the metadata path a 30 000-partition
+    * table needs: one pointer, ≤ RebaseEvery manifest files, no
+    * directory listing. */
+  def q169ExternalManifestRead(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureQ169Table(s, dir)
+    graft.sources.PartitionSnapshots.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SemDeDup over the embedding corpus ([[Dedup.semanticDedup]],
     * arXiv:2303.09540): 16 seeded coarse cells (the q34/q157 quantizer),
     * drop a vector when a lower-id cell-mate has cosine ≥ 0.3 — the
@@ -3081,6 +3140,53 @@ object Queries {
         |WHERE EXISTS (SELECT 1 FROM customer
         |              WHERE c_custkey <= 400 AND c_custkey % 194 = 0)
         |ORDER BY part_value""".stripMargin,
+    // q169: DuckDB resolves the PartitionSnapshots layout itself — pure
+    // SQL walks the root pointer, folds the delta chain onto its parent
+    // manifest (nearest override wins), and reads exactly the pinned
+    // version dirs. No engine code involved: storage portability.
+    "q169_external_manifest_read" ->
+      """WITH RECURSIVE
+        |cur AS (SELECT trim(content) AS vname
+        |        FROM read_text('/tmp/graft_q169_table/_root/_current')),
+        |mfiles AS (
+        |  SELECT regexp_extract(filename, 'v(\d+)/manifest$', 1) AS v,
+        |         TRUE AS is_full, content
+        |  FROM read_text('/tmp/graft_q169_table/_root/_versions/*/manifest')
+        |  UNION ALL
+        |  SELECT regexp_extract(filename, 'v(\d+)/delta$', 1) AS v,
+        |         FALSE AS is_full, content
+        |  FROM read_text('/tmp/graft_q169_table/_root/_versions/*/delta')),
+        |chain(v, is_full, content, depth) AS (
+        |  SELECT m.v, m.is_full, m.content, 0
+        |  FROM mfiles m, cur c WHERE 'v' || m.v = c.vname
+        |  UNION ALL
+        |  SELECT m.v, m.is_full, m.content, c.depth + 1
+        |  FROM chain c JOIN mfiles m
+        |    ON (NOT c.is_full)
+        |   AND ('v' || m.v = trim(string_split(c.content, chr(10))[1]))),
+        |manifest_lines AS (
+        |  SELECT depth, unnest(string_split(content, chr(10))) AS line
+        |  FROM chain),
+        |entries AS (
+        |  SELECT depth, string_split(line, chr(9))[1] AS state,
+        |         string_split(line, chr(9))[2] AS rel
+        |  FROM manifest_lines WHERE contains(line, chr(9))),
+        |resolved AS (
+        |  SELECT rel, state FROM (
+        |    SELECT rel, state,
+        |           row_number() OVER (PARTITION BY rel ORDER BY depth) AS pick
+        |    FROM entries) WHERE pick = 1),
+        |data_files AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    regexp_extract(filename,
+        |      '/([^/]+=[^/]+)/_versions/v\d+/[^/]+$', 1) AS rel,
+        |    regexp_extract(filename, '/(v\d+)/[^/]+$', 1) AS vslot
+        |  FROM read_parquet('/tmp/graft_q169_table/*/_versions/*/*.parquet',
+        |                    filename=true))
+        |SELECT f.c_custkey, f.c_acctbal,
+        |       string_split(f.rel, '=')[2] AS c_mktsegment
+        |FROM data_files f
+        |JOIN resolved r ON f.rel = r.rel AND f.vslot = r.state""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5326,6 +5432,7 @@ object Queries {
     "q165_root_changelog" -> (q165RootChangelog _),
     "q166_audited_merge" -> (q166AuditedMerge _),
     "q167_changelog_incremental" -> (q167ChangelogIncremental _),
-    "q168_changelog_worklist" -> (q168ChangelogWorklist _)
+    "q168_changelog_worklist" -> (q168ChangelogWorklist _),
+    "q169_external_manifest_read" -> (q169ExternalManifestRead _)
   )
 }

@@ -58,10 +58,24 @@ object ScaleGen {
     def saltVec(c: String)(d: DataFrame, i: Int): DataFrame =
       d.withColumn(c, transform(col(c), x => x + lit(i * 1e-3f)))
 
+    /** Name-key salt: append the SAME `#i#i` suffix to every name in
+      * replica i. Appending an identical suffix to both sides of any
+      * pair preserves its edit distance exactly, so each replica's fuzzy-
+      * match structure is the source's, while any two replicas differ in
+      * ≥ 2 positions (the doubled index) and can never cross-match at
+      * edit distance 1. Without this, k unsalted replicas make every name
+      * k exact copies and a fuzzy self-join's TRUE answer grows k² per
+      * name — a corpus artifact masquerading as operator superlinearity
+      * (round-9 sf10 audit measured q66 at 35× for 10× data from exactly
+      * this; with the salt the answer scales k×). */
+    def saltName(c: String)(d: DataFrame, i: Int): DataFrame =
+      d.withColumn(c, concat(col(c), lit(s"#$i#$i")))
+
     val out: Seq[(String, DataFrame)] = Seq(
       "region" -> src("region"),
       "nation" -> src("nation"),
-      "customer" -> replicate(src("customer"), Seq("c_custkey")),
+      "customer" -> replicate(src("customer"), Seq("c_custkey"),
+        saltName("c_name")),
       "supplier" -> replicate(src("supplier"), Seq("s_suppkey")),
       "part" -> replicate(src("part"), Seq("p_partkey")),
       "orders" -> replicate(src("orders"), Seq("o_orderkey", "o_custkey")),

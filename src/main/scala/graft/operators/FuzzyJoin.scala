@@ -37,9 +37,24 @@ object FuzzyJoin {
     * edit distance 1. Output: id1, id2, key1, key2. Null keys never match
     * (SQL equality semantics); keys longer than `maxKeyLen` fail LOUDLY —
     * a silently exploding variant fan-out is the failure mode this
-    * operator exists to avoid (pre-truncate or hash long keys instead). */
+    * operator exists to avoid (pre-truncate or hash long keys instead).
+    *
+    * `maxBucketSize` is the corpus-scale guard (the q118 blocked-ER /
+    * LSH maxBucketSize trade, round-9 verdict ask): a variant shared by
+    * B keys generates O(B²) candidate pairs, and a single pathological
+    * hot key family ("UNKNOWN", "N/A", an OCR artifact) can turn the
+    * equi-join quadratic on its own. With a finite cap, variants whose
+    * bucket exceeds it are EXCLUDED from pair generation before the
+    * self-join (the hot list is heavy-hitters-small and broadcast). The
+    * documented recall contract: a pair is lost only if EVERY variant it
+    * shares is hot — for edit-distance-1 neighbors that means the keys
+    * themselves sit inside a ≥ maxBucketSize near-identical family,
+    * where emitting the quadratic pair set is precisely what cannot be
+    * afforded; dedup at that density belongs to exact-group operators
+    * (hash the key, group, link). Default keeps the join exact. */
   def selfJoinEdit1(df: DataFrame, idCol: String, keyCol: String,
-                    maxKeyLen: Int = 128): DataFrame = {
+                    maxKeyLen: Int = 128,
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val guarded = df.where(col(keyCol).isNotNull).select(
       col(idCol).as("__id"),
       when(length(col(keyCol)) <= maxKeyLen, col(keyCol))
@@ -47,8 +62,14 @@ object FuzzyJoin {
           lit(s"fuzzy join: key longer than maxKeyLen=$maxKeyLen chars ("),
           length(col(keyCol)), lit(") — truncate or raise the cap"))))
         .as("__key"))
-    val v = guarded.select(col("__id"), col("__key"),
+    val v0 = guarded.select(col("__id"), col("__key"),
       explode(deletionVariants(col("__key"))).as("__v"))
+    val v =
+      if (maxBucketSize == Int.MaxValue) v0
+      else v0.join(
+        broadcast(v0.groupBy("__v").count()
+          .where(col("count") > maxBucketSize).select("__v")),
+        Seq("__v"), "left_anti")
     // levenshtein verify BEFORE the distinct: pairs sharing several
     // variants are re-verified map-side (cheap, keys are short) so only
     // true matches pay the dedup exchange

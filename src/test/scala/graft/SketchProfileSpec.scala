@@ -85,6 +85,22 @@ class SketchProfileSpec extends SparkSpec {
     e.getMessage should include("fuzzy join")
   }
 
+  test("fuzzy join hot-bucket cap drops only pairs inside the hot family") {
+    // a pathological near-identical family ("dup") of 40 keys would emit
+    // C(40,2) = 780 pairs; with the cap its shared variants are excluded
+    // and the quadratic family is dropped, while ordinary pairs —
+    // including one INVOLVING no hot variant overlap — survive exactly
+    val hot = (1L to 40L).map(i => (i, "dup"))
+    val cool = Seq((100L, "kitten"), (101L, "kitte"), (102L, "mitten"))
+    val df = (hot ++ cool).toDF("id", "name")
+    val capped = FuzzyJoin.selfJoinEdit1(df, "id", "name", maxBucketSize = 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe Set((100L, 101L), (100L, 102L))
+    // default = exact: the full quadratic family is emitted
+    FuzzyJoin.selfJoinEdit1(df, "id", "name")
+      .count() shouldBe (40L * 39 / 2 + 2)
+  }
+
   test("diacritic fold and slug reproduce the reference's topic-slug shapes") {
     val vn = Seq("Thời sự", "Đường phố Hà Nội", "GIÁO DỤC – Đào tạo", "plain ascii")
       .toDF("s")
