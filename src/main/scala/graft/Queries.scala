@@ -2568,6 +2568,42 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** EQUALITY DELETE, merge-on-read
+    * ([[graft.sources.PartitionSnapshots.deleteKeys]] — Iceberg v2's
+    * equality-delete files): q163's manifested merge history, then a
+    * key-list delete (every 11th key) committed as ONE small delete file
+    * plus an O(touched) root delta — no data file rewritten. The read
+    * applies the delete file as a broadcast anti-join over exactly the
+    * partitions whose manifest state carries the ref. At 100 TB this is
+    * the GDPR-erasure path: a thousand-key delete against a 30 000-
+    * partition fact costs one key-lookup scan and a metadata commit, not
+    * a partition rewrite — compaction materializes it later
+    * ([[graft.sources.PartitionSnapshots.compact]]). Staging is memoized
+    * per session (the delete of already-deleted keys is a no-op), so the
+    * bench times the merge-on-read READ, not table creation. The oracle
+    * replays merge + delete algebra in SQL. */
+  def q170EqualityDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pdel", dir) { base =>
+      t(s, dir, "customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.partitionBy("c_mktsegment").parquet(s"$base/t")
+      val delta = t(s, dir, "customer")
+        .where(col("c_custkey") <= 300 && col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(500.0)).as("c_acctbal"),
+          lit("MOVED").as("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", delta, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      graft.sources.PartitionSnapshots.deleteKeys(s, s"$base/t",
+        t(s, dir, "customer")
+          .where(col("c_custkey") <= 300 && col("c_custkey") % 11 === 0)
+          .select(col("c_custkey")))
+    } + "/t"
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SemDeDup over the embedding corpus ([[Dedup.semanticDedup]],
     * arXiv:2303.09540): 16 seeded coarse cells (the q34/q157 quantizer),
     * drop a vector when a lower-id cell-mate has cosine ≥ 0.3 — the
@@ -3187,6 +3223,22 @@ object Queries {
         |       string_split(f.rel, '=')[2] AS c_mktsegment
         |FROM data_files f
         |JOIN resolved r ON f.rel = r.rel AND f.vslot = r.state""".stripMargin,
+    // q170: q163's merge algebra minus the equality-deleted key list —
+    // merge-on-read durability (delete file + anti-join) never changes
+    // the answer, only who pays the rewrite and when
+    "q170_equality_delete" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment
+        |              FROM customer WHERE c_custkey <= 300),
+        |src AS (SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal,
+        |               'MOVED' AS c_mktsegment
+        |        FROM customer WHERE c_custkey <= 300 AND c_custkey % 7 = 0),
+        |merged AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM src
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM base
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src))
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM merged
+        |WHERE c_custkey % 11 <> 0""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5433,6 +5485,7 @@ object Queries {
     "q166_audited_merge" -> (q166AuditedMerge _),
     "q167_changelog_incremental" -> (q167ChangelogIncremental _),
     "q168_changelog_worklist" -> (q168ChangelogWorklist _),
-    "q169_external_manifest_read" -> (q169ExternalManifestRead _)
+    "q169_external_manifest_read" -> (q169ExternalManifestRead _),
+    "q170_equality_delete" -> (q170EqualityDelete _)
   )
 }

@@ -110,6 +110,7 @@ object PartitionSnapshots {
   private val RootDir = "_root"
   private val ManifestFile = "manifest"
   private val DeltaFile = "delta"
+  private val DeletesDir = "_deletes"
   // manifest state tokens (beyond a pinned "v00000001"-style slot name)
   private val Flat = "FLAT"    // implicit v0: the partition's flat hive files
   private val Empty = "EMPTY"  // partition holds zero rows
@@ -251,22 +252,16 @@ object PartitionSnapshots {
   def readOption(spark: SparkSession, table: String,
                  asOf: Long = -1L): Option[DataFrame] = {
     if (!isManifested(spark, table)) return None
-    val paths = rootManifest(spark, table, asOf) match {
-      case Some(entries) => entries.toSeq.flatMap { case (rel, state) =>
-        state match {
-          case Empty => None
-          case Flat  => Some(s"$table/$rel")
-          case v     => Some(s"$table/$rel/$VersionsDir/$v")
-        }
-      }
+    rootManifest(spark, table, asOf) match {
+      case Some(entries) => readEntries(spark, table, entries)
       case None =>
         require(asOf <= 0, s"no root manifest at $table to time-travel")
         val cols = partitionCols(spark, table)
-        partitionDirs(spark, table, cols.size)
+        val paths = partitionDirs(spark, table, cols.size)
           .flatMap(rel => resolvedDataPath(spark, table, rel))
+        if (paths.isEmpty) None
+        else Some(spark.read.option("basePath", table).parquet(paths: _*))
     }
-    if (paths.isEmpty) None
-    else Some(spark.read.option("basePath", table).parquet(paths: _*))
   }
 
   /** Committed root-manifest versions, ascending — each is a whole-table
@@ -308,6 +303,50 @@ object PartitionSnapshots {
       val i = line.indexOf('\t')
       line.substring(i + 1) -> line.substring(0, i)
     }.toMap
+
+  /** Split a manifest state into its base token (`v00000001` | FLAT |
+    * EMPTY) and the equality-delete ids pending against it
+    * (`v00000001+d00000001,d00000002` — merge-on-read: the pinned data
+    * is served minus those delete files' keys). */
+  private[graft] def parseState(state: String): (String, Seq[String]) = {
+    val i = state.indexOf('+')
+    if (i < 0) (state, Nil)
+    else (state.substring(0, i),
+      state.substring(i + 1).split(",").toSeq.filter(_.nonEmpty))
+  }
+
+  private def stateDataPath(table: String, rel: String,
+                            base: String): Option[String] =
+    base match {
+      case Empty => None
+      case Flat  => Some(s"$table/$rel")
+      case v     => Some(s"$table/$rel/$VersionsDir/$v")
+    }
+
+  /** Materialize a (partition → state) manifest map as a DataFrame:
+    * partitions sharing the same pending-delete set are scanned as one
+    * multi-path read, each delete file is applied as ONE broadcast
+    * anti-join over that group (merge-on-read — the Iceberg v2 equality-
+    * delete read path), and the groups union back together. Tables with
+    * no pending deletes take a single-group fast path identical to the
+    * old plain multi-path scan. None when no partition holds data. */
+  private def readEntries(spark: SparkSession, table: String,
+                          entries: Map[String, String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.broadcast
+    val groups = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
+      val (base, dels) = parseState(state)
+      stateDataPath(table, rel, base).map(p => (dels, p))
+    }.groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
+    if (groups.isEmpty) None
+    else Some(groups.map { case (dels, members) =>
+      val df = spark.read.option("basePath", table)
+        .parquet(members.map(_._2): _*)
+      dels.foldLeft(df) { (d, id) =>
+        val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
+        d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+      }
+    }.reduce(_ unionByName _))
+  }
 
   /** Fold root version `rv` to its full (partition → state) map: a full
     * manifest is the answer; a delta folds onto its parent's resolution. */
@@ -552,17 +591,6 @@ object PartitionSnapshots {
       s"partition claim: could not claim a version slot at $pt")
   }
 
-  /** The data paths a (partition → state) manifest map resolves to. */
-  private def manifestDataPaths(table: String,
-                                entries: Map[String, String]): Seq[String] =
-    entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
-      state match {
-        case Empty => None
-        case Flat  => Some(s"$table/$rel")
-        case v     => Some(s"$table/$rel/$VersionsDir/$v")
-      }
-    }
-
   /** WRITE-AUDIT-PUBLISH variant of [[commitStaged]] (Iceberg's WAP
     * pattern): the staged partitions are renamed into version slots but
     * NOT committed; `audit` then runs against the complete WOULD-BE
@@ -607,16 +635,15 @@ object PartitionSnapshots {
         val es = base ++
           staged.map(rel => rel -> f"v${cm(rel)}%08d") ++
           blanked.map(_ -> Empty)
-        val wouldBePaths = manifestDataPaths(table, es)
-        val failures =
-          if (wouldBePaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
-          else {
-            val wouldBe = spark.read.option("basePath", table)
-              .parquet(wouldBePaths: _*)
+        val failures = readEntries(table = table, spark = spark, entries = es) match {
+          case None => Array.empty[org.apache.spark.sql.Row]
+          case Some(wouldBe) =>
+            // delete-aware: what is validated is exactly what readers
+            // would scan, minus any pending equality deletes.
             // report rows are one-per-rule: a bounded driver-side collect
             audit(wouldBe).filter(!org.apache.spark.sql.functions.col("passed"))
               .collect()
-          }
+        }
         if (failures.nonEmpty)
           throw new AuditFailedException(
             s"audit rejected the commit to $table; nothing published. Failed " +
@@ -690,28 +717,22 @@ object PartitionSnapshots {
     val to = rootManifest(spark, table, toV).get
     val differing = (from.keySet ++ to.keySet)
       .filter(rel => from.get(rel) != to.get(rel))
-    def pathsOf(m: Map[String, String]): Seq[String] =
-      differing.toSeq.sorted.flatMap(rel => m.get(rel).flatMap {
-        case Empty => None
-        case Flat  => Some(s"$table/$rel")
-        case v     => Some(s"$table/$rel/$VersionsDir/$v")
-      })
-    def side(paths: Seq[String], schemaFrom: Seq[String]): DataFrame =
-      if (paths.nonEmpty)
-        spark.read.option("basePath", table).parquet(paths: _*)
-      else // empty side: borrow the other side's schema (zero rows)
-        spark.read.option("basePath", table)
-          .parquet(schemaFrom: _*).limit(0)
-    val fp = pathsOf(from)
-    val tp = pathsOf(to)
-    if (fp.isEmpty && tp.isEmpty) {
+    // delete-aware sides: a commit that only ADDED an equality-delete ref
+    // to a partition's state still differs, and its feed is exactly the
+    // deleted rows — readEntries serves each side minus its pending deletes
+    def sideOf(m: Map[String, String]): Option[DataFrame] =
+      readEntries(spark, table, m.view.filterKeys(differing).toMap)
+    val fopt = sideOf(from)
+    val topt = sideOf(to)
+    if (fopt.isEmpty && topt.isEmpty) {
       // no differing data dirs at all: an empty feed shaped like the table
       val any = read(spark, table, asOf = toV).limit(0)
       return any.withColumn("change_type",
         org.apache.spark.sql.functions.lit("insert")).limit(0)
     }
-    val fdf = side(fp, tp)
-    val tdf = side(tp, fp)
+    // empty side: borrow the other side's schema (zero rows)
+    val fdf = fopt.getOrElse(topt.get.limit(0))
+    val tdf = topt.getOrElse(fopt.get.limit(0))
     import org.apache.spark.sql.functions.lit
     tdf.exceptAll(fdf).withColumn("change_type", lit("insert"))
       .unionByName(fdf.exceptAll(tdf).withColumn("change_type", lit("delete")))
@@ -757,25 +778,30 @@ object PartitionSnapshots {
       val entries = rootManifest(spark, table)
         .getOrElse(scanStates(spark, table, cols))
       val todo = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
-        val dataDir = state match {
-          case Empty => None
-          case Flat  => Some(s"$table/$rel")
-          case v     => Some(s"$table/$rel/$VersionsDir/$v")
-        }
-        dataDir.flatMap { d =>
+        val (base, dels) = parseState(state)
+        stateDataPath(table, rel, base).flatMap { d =>
           val f = fs(spark, new Path(d))
           val files = f.listStatus(new Path(d))
             .filter(st => st.isFile && !hidden(st.getPath.getName))
-          if (files.length <= minFiles) None
-          else Some((rel, d, files.length, files.map(_.getLen).sum))
+          // a partition carrying pending equality deletes is ALWAYS
+          // rewritten (the rewrite materializes them and the new state
+          // drops the refs — rewrite_position_delete_files' job), however
+          // few files it holds
+          if (files.length <= minFiles && dels.isEmpty) None
+          else Some((rel, d, dels, files.length, files.map(_.getLen).sum))
         }
       }
       if (todo.isEmpty) return Map.empty
       val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
-      todo.foreach { case (rel, d, _, bytes) =>
+      todo.foreach { case (rel, d, dels, _, bytes) =>
         val nOut = math.max(1,
           math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        spark.read.parquet(d).coalesce(nOut)
+        val src = dels.foldLeft(spark.read.parquet(d)) { (df, id) =>
+          val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
+          df.join(org.apache.spark.sql.functions.broadcast(keys),
+            keys.columns.toSeq, "left_anti")
+        }
+        src.coalesce(nOut)
           .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
           .parquet(s"$staging/$rel")
       }
@@ -785,10 +811,11 @@ object PartitionSnapshots {
           emptied = Set.empty, retainVersions = retainVersions)
       } finally
         fs(spark, new Path(staging)).delete(new Path(staging), true)
+      vacuumDeletes(spark, table)
       val committedStates = rootManifest(spark, table)
         .getOrElse(Map.empty[String, String])
-      todo.map { case (rel, _, before, _) =>
-        val after = committedStates.get(rel) match {
+      todo.map { case (rel, _, _, before, _) =>
+        val after = committedStates.get(rel).map(parseState(_)._1) match {
           case Some(v) if v != Empty && v != Flat =>
             fs(spark, new Path(table)).listStatus(
               new Path(s"$table/$rel/$VersionsDir/$v"))
@@ -798,6 +825,132 @@ object PartitionSnapshots {
         rel -> (before, after)
       }.toMap
     } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
+  /** EQUALITY-DELETE commit (merge-on-read — Iceberg v2's equality
+    * deletes): remove every row whose key columns match a row of `keys`
+    * WITHOUT rewriting any data file. The commit writes `keys` once under
+    * `<table>/_deletes/dNNNNNNNN/` and publishes a root manifest whose
+    * touched partitions' states carry a `+dNNNNNNNN` ref; readers apply
+    * the delete file as a broadcast anti-join over exactly those
+    * partitions ([[readEntries]]). At 100 TB this is the difference
+    * between a metadata-speed commit and rewriting every partition a
+    * GDPR-erasure key list touches.
+    *
+    * Sequence semantics at partition granularity: a later rewrite of a
+    * touched partition (MERGE, [[compact]]) reads delete-applied data and
+    * commits a PLAIN state — the delete is materialized and no longer
+    * applies there, so a subsequently upserted key is visible again
+    * (never re-suppressed), matching Iceberg's rule that an equality
+    * delete applies only to data sequenced BEFORE it. Time travel to a
+    * pre-delete root serves the undeleted rows; the changelog between the
+    * two roots is exactly the deleted rows.
+    *
+    * Key columns must be DATA columns (partition columns are directory
+    * names — delete by rewriting with a partition filter instead), and a
+    * key list matching nothing is a no-op (returns false, no new root).
+    * Finding the touched partitions costs one column-pruned semi-join
+    * scan of key+partition columns — the same lookup a MERGE pays.
+    * Single-writer: takes the table's lease. */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+                 retainVersions: Int =
+                   graft.operators.Upsert.DefaultRetainVersions): Boolean = {
+    require(isManifested(spark, table),
+      s"deleteKeys: $table is not a manifested table")
+    val cols = partitionCols(spark, table)
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty && keyCols.intersect(cols).isEmpty,
+      s"deleteKeys: key columns $keyCols must be data columns, not " +
+        s"partition columns $cols")
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      cleanupStaging(spark, table)
+      val base = rootManifest(spark, table)
+        .getOrElse(scanStates(spark, table, cols))
+      val current = readEntries(spark, table, base).getOrElse(return false)
+      keyCols.foreach(c => require(current.columns.contains(c),
+        s"deleteKeys: key column '$c' is not a column of $table"))
+      val k = keys.dropDuplicates(keyCols)
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      import org.apache.spark.sql.functions.{broadcast, col}
+      // touched partitions: column-pruned semi-join (bounded collect —
+      // one row per touched PARTITION, never per key)
+      val touchedRels = current
+        .join(broadcast(k), keyCols, "left_semi")
+        .select(cols.map(col): _*).distinct().collect()
+        .map(r => cols.zip(r.toSeq).map { case (c, v) =>
+          val dirVal =
+            if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(v.toString)
+          s"${ExternalCatalogUtils.escapePathName(c)}=$dirVal"
+        }.mkString("/")).toSet
+      if (touchedRels.isEmpty) return false
+      // write the delete file once: hidden staging → rename into a slot
+      val f = fs(spark, new Path(table))
+      f.mkdirs(new Path(s"$table/$DeletesDir"))
+      val tmp = s"$table/$DeletesDir/.staging-${java.util.UUID.randomUUID()}"
+      k.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp)
+      val id = claimDeleteSlot(spark, table, new Path(tmp))
+      val touched = touchedRels.toSeq.sorted.map { rel =>
+        val (b, dels) = parseState(base.getOrElse(rel, Flat))
+        rel -> s"$b+${(dels :+ id).mkString(",")}"
+      }.toMap
+      graft.operators.Upsert.assertHeld(spark, table, token)
+      publishRoot(spark, table, base ++ touched, touched,
+        math.max(1, retainVersions)) // commit point
+      vacuumDeletes(spark, table)
+      true
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
+  private val DeleteName = "^d(\\d{8,})$".r
+
+  /** Rename complete delete keys at `from` into the next `_deletes` slot;
+    * returns the claimed id ("d00000001"). Same claim discipline as the
+    * data slots — the rename is whole-dir atomic. */
+  private def claimDeleteSlot(spark: SparkSession, table: String,
+                              from: Path): String = {
+    val f = fs(spark, from)
+    val dir = new Path(s"$table/$DeletesDir")
+    var attempt = 0
+    while (attempt < 50) {
+      val next = f.listStatus(dir).flatMap(st =>
+        DeleteName.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
+        .maxOption.getOrElse(0L) + 1
+      val id = f"d$next%08d"
+      if (f.rename(from, new Path(dir, id))) return id
+      attempt += 1
+    }
+    f.delete(from, true)
+    throw new IllegalStateException(
+      s"deleteKeys: could not claim a delete slot at $table")
+  }
+
+  /** Reap delete files no RETAINED root manifest references (a rewrite
+    * materialized them, or the manifests naming them aged out). Cold-only
+    * below the root-retention guard: an id is never reaped while any
+    * resolvable root version still names it, so pinned time-travel
+    * readers keep their merge-on-read view — the same reader-vs-
+    * expiration contract as every snapshot chain. Callers hold the
+    * table's writer lease. */
+  private[graft] def vacuumDeletes(spark: SparkSession, table: String): Unit = {
+    val dir = new Path(s"$table/$DeletesDir")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return
+    val rt = s"$table/$RootDir"
+    val referenced = Snapshots.versions(spark, rt)
+      .flatMap(v => resolveManifest(spark, rt, v).values)
+      .flatMap(s => parseState(s)._2).toSet
+    f.listStatus(dir)
+      .filter { st =>
+        val n = st.getPath.getName
+        DeleteName.findFirstMatchIn(n).nonEmpty && !referenced.contains(n) ||
+          // cold hidden staging a crashed delete commit abandoned
+          n.startsWith(".staging-") &&
+            System.currentTimeMillis() - st.getModificationTime > 15 * 60 * 1000L
+      }
+      .foreach(st => f.delete(st.getPath, true))
   }
 
   /** Remove staging roots a crashed writer abandoned (cold ones only —

@@ -698,4 +698,136 @@ class PartitionSnapshotsSpec extends SparkSpec {
       Seq("k"), partitionCols = Seq("part"))
     byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 99)))
   }
+
+  test("equality delete hides rows without touching data files; time travel serves them") {
+    val path = tmpDir("pmandel") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p1", 20), (3, "p2", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val preDelete = PartitionSnapshots.rootVersions(spark, path).max
+    val p1Files = new java.io.File(s"$path/part=p1/_versions/v00000001")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    PartitionSnapshots.deleteKeys(spark, path,
+      Seq(Tuple1(2)).toDF("k")) shouldBe true
+    // the delete is merge-on-read: visible rows shrink, no data file moved
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 3 -> (("p2", 30)))
+    new java.io.File(s"$path/part=p1/_versions/v00000001")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+      .toSet shouldBe p1Files
+    // only the touched partition carries the ref; the untouched one is
+    // pinned at its old state byte-for-byte
+    val states = PartitionSnapshots.rootManifest(spark, path).get
+    states("part=p1") should include("+d")
+    states("part=p2") should not include "+d"
+    // time travel to the pre-delete root still serves the deleted key
+    PartitionSnapshots.read(spark, path, asOf = preDelete)
+      .where($"k" === 2).count() shouldBe 1L
+  }
+
+  test("a rewrite materializes pending deletes; a re-upserted key is visible again") {
+    val path = tmpDir("pmandelseq") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p1", 20), (3, "p2", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.deleteKeys(spark, path, Seq(Tuple1(2)).toDF("k"))
+    // MERGE re-inserting the deleted key: the touched partition's rewrite
+    // reads delete-applied data, commits a PLAIN state, and the new row
+    // is NOT re-suppressed (Iceberg's sequence rule: an equality delete
+    // applies only to data sequenced before it)
+    Upsert.upsert(spark, path, Seq((2, "p1", 21)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    byKey(path) shouldBe
+      Map(1 -> (("p1", 10)), 2 -> (("p1", 21)), 3 -> (("p2", 30)))
+    PartitionSnapshots.rootManifest(spark, path)
+      .get("part=p1") should not include "+d"
+  }
+
+  test("compaction always rewrites delete-pending partitions and reaps dead delete files") {
+    val path = tmpDir("pmandelcmp") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p1", 20), (3, "p2", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true,
+      retainVersions = 1)
+    PartitionSnapshots.deleteKeys(spark, path, Seq(Tuple1(1)).toDF("k"),
+      retainVersions = 1)
+    new java.io.File(s"$path/_deletes/d00000001").exists() shouldBe true
+    // p1 holds ONE file (<= minFiles) yet compaction must rewrite it —
+    // that is what materializes the delete and frees the delete file
+    val report = PartitionSnapshots.compact(spark, path, minFiles = 4,
+      retainVersions = 1)
+    report.keySet shouldBe Set("part=p1")
+    byKey(path) shouldBe Map(2 -> (("p1", 20)), 3 -> (("p2", 30)))
+    PartitionSnapshots.rootManifest(spark, path)
+      .get("part=p1") should not include "+d"
+    // the delete file SURVIVES the compaction: the post-compaction root is
+    // a delta whose retained parent chain still references it — a delete
+    // id is never reaped while any resolvable root version names it
+    new java.io.File(s"$path/_deletes/d00000001").exists() shouldBe true
+    // (with retainVersions=1 the PARTITION retention already expired the
+    // version that old root pins, so resolving it fails LOUDLY — the
+    // expire-snapshots contract a too-slow reader gets everywhere here)
+    an[Exception] should be thrownBy
+      PartitionSnapshots.read(spark, path, asOf = 2L).count()
+    // drive the chain past a full-manifest rebase so retention drops the
+    // referencing parents — only then is the delete file reapable
+    (1 to PartitionSnapshots.RebaseEvery).foreach { i =>
+      Upsert.upsert(spark, path, Seq((3, "p2", 30 + i)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), retainVersions = 1)
+    }
+    PartitionSnapshots.vacuumDeletes(spark, path)
+    new java.io.File(s"$path/_deletes/d00000001").exists() shouldBe false
+    // a second compaction finds nothing to do
+    PartitionSnapshots.compact(spark, path, minFiles = 4,
+      retainVersions = 1) shouldBe Map.empty
+  }
+
+  test("changelog between pre- and post-delete roots is exactly the deleted rows") {
+    val path = tmpDir("pmandelcdc") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p1", 20), (3, "p2", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val v1 = PartitionSnapshots.rootVersions(spark, path).max
+    PartitionSnapshots.deleteKeys(spark, path, Seq(Tuple1(2)).toDF("k"))
+    val v2 = PartitionSnapshots.rootVersions(spark, path).max
+    val feed = PartitionSnapshots.changes(spark, path, v1, v2)
+      .select("change_type", "k").as[(String, Int)].collect().toSet
+    feed shouldBe Set(("delete", 2))
+  }
+
+  test("deleteKeys guards: partition-column keys refused, unmatched keys a no-op") {
+    val path = tmpDir("pmandelguard") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    an[IllegalArgumentException] should be thrownBy
+      PartitionSnapshots.deleteKeys(spark, path, Seq(Tuple1("p1")).toDF("part"))
+    an[IllegalArgumentException] should be thrownBy
+      PartitionSnapshots.deleteKeys(spark, path, Seq(Tuple1(9)).toDF("nope"))
+    val before = PartitionSnapshots.rootVersions(spark, path)
+    // keys matching nothing publish nothing — no new root, no delete file
+    PartitionSnapshots.deleteKeys(spark, path,
+      Seq(Tuple1(999)).toDF("k")) shouldBe false
+    PartitionSnapshots.rootVersions(spark, path) shouldBe before
+    new java.io.File(s"$path/_deletes").listFiles() match {
+      case null  => succeed
+      case files => files.count(!_.getName.startsWith(".")) shouldBe 0
+    }
+  }
+
+  test("WAP audits validate the delete-applied would-be snapshot") {
+    import graft.operators.Expectations
+    val path = tmpDir("pmandelwap") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p1", -5)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.deleteKeys(spark, path, Seq(Tuple1(2)).toDF("k"))
+    // the rule rejects negative v; the only negative row is DELETED, so
+    // the audit must pass — it validates what readers would actually scan
+    Upsert.upsert(spark, path, Seq((3, "p2", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"),
+      audit = Some(df => Expectations.check(df, Seq(
+        Expectations.Satisfies("v_nonneg",
+          org.apache.spark.sql.functions.col("v") >= 0)))))
+    byKey(path) shouldBe Map(1 -> (("p1", 10)), 3 -> (("p2", 30)))
+  }
 }
