@@ -2604,6 +2604,58 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** ADDITIVE SCHEMA EVOLUTION on a manifested table (manifest-pinned
+    * schema — [[graft.sources.PartitionSnapshots.pinnedSchema]], the
+    * Iceberg schema-from-metadata read): an evolving MERGE adds a
+    * `priority` column while touching ONLY the BUILDING partition; the
+    * other partitions' files never learn the column, yet the read fills
+    * it as NULL because every commit pins the union DATA schema in its
+    * root slot and readers apply it instead of sampling parquet footers —
+    * which at 30 000 partitions is both the correctness fix (footer
+    * inference silently drops the new column when it samples an old
+    * file first) and the metadata-speed path (zero footers opened for
+    * schema). Time travel reads each root at ITS schema. The oracle
+    * replays the evolution in SQL. */
+  def q171SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pevo", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val delta = t(s, dir, "customer")
+        .where(col("c_custkey") <= 300 && col("c_custkey") % 7 === 0 &&
+          col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(500.0)).as("c_acctbal"),
+          col("c_mktsegment"), lit("HIGH").as("priority"))
+      Upsert.upsert(s, s"$base/t", delta, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), evolveSchema = true)
+    } + "/t"
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"),
+        col("priority"))
+  }
+
+  /** SNAPSHOT DRIFT between two root versions
+    * ([[graft.operators.Profile.snapshotDrift]]) of q164's staged table:
+    * the v1→v2 merge added 1000 to every third key's balance, so the
+    * c_acctbal mean shifts well past the 5% tolerance and the monitor
+    * flags it — the pre-promotion data-quality diff a daily snapshot
+    * pipeline runs (complementing q166's absolute WAP rules with a
+    * relative "valid but different" gate). Two manifest-resolved scans
+    * of ONE projected column + a col_name join; both states replay in
+    * the oracle. */
+  def q172SnapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    q164RootTimeTravel(s, dir) // ensures the staged two-version history
+    val path = stagedOnce("proot", dir)(_ => ()) + "/t"
+    import graft.sources.PartitionSnapshots
+    graft.operators.Profile.snapshotDrift(
+      PartitionSnapshots.read(s, path, asOf = 1L),
+      PartitionSnapshots.read(s, path, asOf = 2L),
+      Seq("c_acctbal"), relTol = 0.05)
+  }
+
   /** SemDeDup over the embedding corpus ([[Dedup.semanticDedup]],
     * arXiv:2303.09540): 16 seeded coarse cells (the q34/q157 quantizer),
     * drop a vector when a lower-id cell-mate has cosine ≥ 0.3 — the
@@ -3239,6 +3291,45 @@ object Queries {
         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src))
         |SELECT c_custkey, c_acctbal, c_mktsegment FROM merged
         |WHERE c_custkey % 11 <> 0""".stripMargin,
+    // q171: the evolving merge replayed in SQL — rows the evolved commit
+    // never touched read the added column as NULL (manifest-pinned union
+    // schema), matched rows carry the merged image
+    "q171_schema_evolution" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+        |       THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment,
+        |  CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+        |       THEN 'HIGH' END AS priority
+        |FROM customer WHERE c_custkey <= 300""".stripMargin,
+    // q172: both root states replayed, same summarize algebra per side
+    // (DECIMAL(28,10) sums for order-independence), relative mean shift
+    // flagged at 5%
+    "q172_snapshot_drift" ->
+      """WITH v1 AS (
+        |  SELECT CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |              ELSE c_acctbal END AS b
+        |  FROM customer WHERE c_custkey <= 200),
+        |v2 AS (
+        |  SELECT CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.0
+        |              WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |              ELSE c_acctbal END AS b
+        |  FROM customer WHERE c_custkey <= 200),
+        |sa AS (SELECT count(b) AS n_from, count(*) - count(b) AS nulls_from,
+        |         CAST(min(b) AS DOUBLE) AS min_from,
+        |         CAST(max(b) AS DOUBLE) AS max_from,
+        |         CAST(SUM(CAST(b AS DECIMAL(28,10))) AS DOUBLE)
+        |           / count(b) AS mean_from FROM v1),
+        |sb AS (SELECT count(b) AS n_to, count(*) - count(b) AS nulls_to,
+        |         CAST(min(b) AS DOUBLE) AS min_to,
+        |         CAST(max(b) AS DOUBLE) AS max_to,
+        |         CAST(SUM(CAST(b AS DECIMAL(28,10))) AS DOUBLE)
+        |           / count(b) AS mean_to FROM v2)
+        |SELECT 'c_acctbal' AS col_name, n_from, nulls_from, min_from,
+        |  max_from, mean_from, n_to, nulls_to, min_to, max_to, mean_to,
+        |  abs(mean_to - mean_from) / abs(mean_from) AS mean_rel_delta,
+        |  abs(mean_to - mean_from) / abs(mean_from) > 0.05 AS mean_drift
+        |FROM sa, sb""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5486,6 +5577,8 @@ object Queries {
     "q167_changelog_incremental" -> (q167ChangelogIncremental _),
     "q168_changelog_worklist" -> (q168ChangelogWorklist _),
     "q169_external_manifest_read" -> (q169ExternalManifestRead _),
-    "q170_equality_delete" -> (q170EqualityDelete _)
+    "q170_equality_delete" -> (q170EqualityDelete _),
+    "q171_schema_evolution" -> (q171SchemaEvolution _),
+    "q172_snapshot_drift" -> (q172SnapshotDrift _)
   )
 }

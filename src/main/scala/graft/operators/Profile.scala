@@ -323,4 +323,34 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
+
+  /** SNAPSHOT DRIFT — per-column stat deltas between two table states
+    * (e.g. two root-manifest versions of the same table via
+    * `PartitionSnapshots.read(asOf)`): row/null counts, min/max, mean on
+    * each side plus the relative mean shift, flagged against `relTol`.
+    * The between-commits data-quality monitor a training pipeline runs
+    * before promoting a snapshot: a bad upstream batch shows up as a
+    * mean/null-fraction jump BEFORE anything consumes it, and unlike the
+    * WAP gate (absolute rules) this catches "valid but different"
+    * regressions. Cost: one [[summarize]] wide agg per side — two scans,
+    * a columnar projection of just `cols`, and a tiny col_name join; at
+    * 100 TB the from-side is typically the already-profiled previous run
+    * (cache the summarize output, diff for free). */
+  def snapshotDrift(from: DataFrame, to: DataFrame, cols: Seq[String],
+                    relTol: Double = 0.05): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      summarize(df, cols).select(col("col_name"),
+        col("n").as(s"n_$sfx"), col("nulls").as(s"nulls_$sfx"),
+        col("col_min").as(s"min_$sfx"), col("col_max").as(s"max_$sfx"),
+        col("col_mean").as(s"mean_$sfx"))
+    side(from, "from").join(side(to, "to"), Seq("col_name"))
+      .withColumn("mean_rel_delta",
+        when(abs(col("mean_from")) > lit(0.0),
+          abs(col("mean_to") - col("mean_from")) / abs(col("mean_from"))))
+      .withColumn("mean_drift",
+        when(col("mean_rel_delta").isNotNull,
+          col("mean_rel_delta") > lit(relTol))
+          // zero/NULL from-mean: any change at all counts as drift
+          .otherwise(not(col("mean_to") <=> col("mean_from"))))
+  }
 }

@@ -305,12 +305,13 @@ object Upsert {
       PartitionSnapshots.ensureManifested(spark, path, partitionCols)
       PartitionSnapshots.cleanupStaging(spark, path)
     }
-    def commitManifested(staging: String, emptied: Set[String]): Unit =
+    def commitManifested(staging: String, emptied: Set[String],
+                         schema: org.apache.spark.sql.types.StructType): Unit =
       audit match {
         case Some(a) => PartitionSnapshots.commitStagedAudited(spark, path,
-          staging, partitionCols, emptied, retainVersions, a)
+          staging, partitionCols, emptied, retainVersions, a, Some(schema))
         case None => PartitionSnapshots.commitStaged(spark, path, staging,
-          partitionCols, emptied, retainVersions)
+          partitionCols, emptied, retainVersions, Some(schema))
       }
     val existing = readTable(spark, path)
     if (existing.isEmpty) {
@@ -320,7 +321,7 @@ object Upsert {
           .partitionBy(partitionCols: _*).parquet(staging)
         try {
           assertHeld(spark, path, token)
-          commitManifested(staging, Set.empty)
+          commitManifested(staging, Set.empty, src0.schema)
         } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
       } else if (partitionCols.nonEmpty) {
         src0.write.mode(SaveMode.Overwrite)
@@ -383,7 +384,7 @@ object Upsert {
           .partitionBy(partitionCols: _*).parquet(staging)
         try {
           assertHeld(spark, path, token) // last check before the commits
-          commitManifested(staging, touchedDirs)
+          commitManifested(staging, touchedDirs, merged.schema)
         } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
         return
       }

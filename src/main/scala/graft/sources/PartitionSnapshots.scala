@@ -111,6 +111,7 @@ object PartitionSnapshots {
   private val ManifestFile = "manifest"
   private val DeltaFile = "delta"
   private val DeletesDir = "_deletes"
+  private val SchemaFile = "schema.json"
   // manifest state tokens (beyond a pinned "v00000001"-style slot name)
   private val Flat = "FLAT"    // implicit v0: the partition's flat hive files
   private val Empty = "EMPTY"  // partition holds zero rows
@@ -253,7 +254,10 @@ object PartitionSnapshots {
                  asOf: Long = -1L): Option[DataFrame] = {
     if (!isManifested(spark, table)) return None
     rootManifest(spark, table, asOf) match {
-      case Some(entries) => readEntries(spark, table, entries)
+      case Some(entries) =>
+        val rv = if (asOf > 0) asOf
+          else Snapshots.currentVersion(spark, s"$table/$RootDir").get
+        readEntries(spark, table, entries, pinnedSchema(spark, table, rv))
       case None =>
         require(asOf <= 0, s"no root manifest at $table to time-travel")
         val cols = partitionCols(spark, table)
@@ -329,9 +333,14 @@ object PartitionSnapshots {
     * anti-join over that group (merge-on-read — the Iceberg v2 equality-
     * delete read path), and the groups union back together. Tables with
     * no pending deletes take a single-group fast path identical to the
-    * old plain multi-path scan. None when no partition holds data. */
+    * old plain multi-path scan. With `schema` (the manifest-pinned union
+    * schema), partitions whose files predate an added column read it as
+    * NULL — and NO footer sampling/merging happens at all, the Iceberg
+    * schema-from-metadata read path. None when no partition holds data. */
   private def readEntries(spark: SparkSession, table: String,
-                          entries: Map[String, String]): Option[DataFrame] = {
+                          entries: Map[String, String],
+                          schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
     import org.apache.spark.sql.functions.broadcast
     val groups = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
       val (base, dels) = parseState(state)
@@ -339,13 +348,28 @@ object PartitionSnapshots {
     }.groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
     if (groups.isEmpty) None
     else Some(groups.map { case (dels, members) =>
-      val df = spark.read.option("basePath", table)
-        .parquet(members.map(_._2): _*)
+      val reader = schema.foldLeft(spark.read.option("basePath", table))(_ schema _)
+      val df = reader.parquet(members.map(_._2): _*)
       dels.foldLeft(df) { (d, id) =>
         val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
         d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
       }
     }.reduce(_ unionByName _))
+  }
+
+  /** The union schema pinned in root version `rv`'s slot (written by
+    * every commit since schema pinning; None for pre-upgrade slots,
+    * where reads fall back to footer inference). Iceberg keeps schemas
+    * in table metadata for the same two reasons: additive evolution
+    * (files that predate a column must read it as NULL, which inference
+    * from an arbitrary first footer silently drops) and metadata-speed
+    * reads (no footer sampling across 30 000 partitions). */
+  def pinnedSchema(spark: SparkSession, table: String,
+                   rv: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(s"${Snapshots.versionPath(s"$table/$RootDir", rv)}/$SchemaFile")
+    if (!fs(spark, p).exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(readText(spark, p))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Fold root version `rv` to its full (partition → state) map: a full
@@ -406,7 +430,9 @@ object PartitionSnapshots {
     * keeps its parents down to a full manifest. */
   private def publishRoot(spark: SparkSession, table: String,
                           entries: Map[String, String],
-                          touched: Map[String, String], retain: Int): Unit = {
+                          touched: Map[String, String], retain: Int,
+                          schema: Option[org.apache.spark.sql.types.StructType]
+                            = None): Unit = {
     val rt = s"$table/$RootDir"
     val f = fs(spark, new Path(rt))
     val committed = Snapshots.versions(spark, rt)
@@ -425,6 +451,20 @@ object PartitionSnapshots {
     val out = f.create(new Path(tmp, file), true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // pin the union schema in the slot (carried forward when the commit
+    // itself has none — e.g. a delete commit, which reshapes no rows).
+    // DATA columns only: partition columns keep their hive path-value
+    // typing (a date=2024-01-01 dir reads as DATE however the writer's
+    // in-memory column was typed), which Spark supplies for columns the
+    // user schema omits.
+    val pcols = partitionCols(spark, table).toSet
+    schema.map(st => org.apache.spark.sql.types.StructType(
+        st.fields.filterNot(fld => pcols.contains(fld.name))))
+      .orElse(parent.flatMap(pinnedSchema(spark, table, _))).foreach { st =>
+      val so = f.create(new Path(tmp, SchemaFile), true)
+      try so.write(st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally so.close()
+    }
     var attempt = 0
     while (attempt < 50) {
       val next = Snapshots.allVersionDirs(spark, rt).lastOption.getOrElse(0L) + 1
@@ -524,7 +564,9 @@ object PartitionSnapshots {
   private[graft] def commitStaged(spark: SparkSession, table: String,
                                   stagingRoot: String, cols: Seq[String],
                                   emptied: Set[String],
-                                  retainVersions: Int): Unit = {
+                                  retainVersions: Int,
+                                  schema: Option[org.apache.spark.sql.types.StructType]
+                                    = None): Unit = {
     val f = fs(spark, new Path(table))
     val retain = math.max(1, retainVersions)
     val staged = partitionDirs(spark, stagingRoot, cols.size)
@@ -539,7 +581,7 @@ object PartitionSnapshots {
     }
     val touched = staged.map(rel => rel -> f"v${sealedSlots.toMap.apply(rel)}%08d").toMap ++
       blanked.map(_ -> Empty)
-    publishRoot(spark, table, base ++ touched, touched, retain) // commit point
+    publishRoot(spark, table, base ++ touched, touched, retain, schema) // commit point
     sealedSlots.foreach { case (rel, v) => Snapshots.publish(spark, s"$table/$rel", v) }
     sealedSlots.foreach { case (rel, _) => finishPartitionCommit(spark, table, rel, retain) }
   }
@@ -606,7 +648,8 @@ object PartitionSnapshots {
   private[graft] def commitStagedAudited(
       spark: SparkSession, table: String, stagingRoot: String,
       cols: Seq[String], emptied: Set[String], retainVersions: Int,
-      audit: DataFrame => DataFrame): Unit = {
+      audit: DataFrame => DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val f = fs(spark, new Path(table))
     val retain = math.max(1, retainVersions)
     // base BEFORE claiming: scanStates' crash-recovery fallback would
@@ -635,7 +678,7 @@ object PartitionSnapshots {
         val es = base ++
           staged.map(rel => rel -> f"v${cm(rel)}%08d") ++
           blanked.map(_ -> Empty)
-        val failures = readEntries(table = table, spark = spark, entries = es) match {
+        val failures = readEntries(spark, table, es, schema) match {
           case None => Array.empty[org.apache.spark.sql.Row]
           case Some(wouldBe) =>
             // delete-aware: what is validated is exactly what readers
@@ -671,7 +714,7 @@ object PartitionSnapshots {
     publishRoot(spark, table, entries,
       claimed.toMap.map { case (rel, v) =>
         rel -> (if (blanked.contains(rel)) Empty else f"v$v%08d")
-      }, retain) // commit point
+      }, retain, schema) // commit point
     claimed.foreach { case (rel, v) =>
       Snapshots.publish(spark, s"$table/$rel", v)
     }
@@ -719,9 +762,14 @@ object PartitionSnapshots {
       .filter(rel => from.get(rel) != to.get(rel))
     // delete-aware sides: a commit that only ADDED an equality-delete ref
     // to a partition's state still differs, and its feed is exactly the
-    // deleted rows — readEntries serves each side minus its pending deletes
+    // deleted rows — readEntries serves each side minus its pending
+    // deletes. Both sides read at the TARGET version's pinned schema
+    // (Iceberg's changelog-at-current-schema rule): rows that predate an
+    // added column diff as NULL there instead of failing the exceptAll.
+    val feedSchema = pinnedSchema(spark, table, toV)
+      .orElse(pinnedSchema(spark, table, fromV))
     def sideOf(m: Map[String, String]): Option[DataFrame] =
-      readEntries(spark, table, m.view.filterKeys(differing).toMap)
+      readEntries(spark, table, m.view.filterKeys(differing).toMap, feedSchema)
     val fopt = sideOf(from)
     val topt = sideOf(to)
     if (fopt.isEmpty && topt.isEmpty) {

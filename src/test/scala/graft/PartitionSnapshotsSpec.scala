@@ -699,6 +699,27 @@ class PartitionSnapshotsSpec extends SparkSpec {
     byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 99)))
   }
 
+  test("schema evolution: untouched partitions read the manifest-pinned schema") {
+    val path = tmpDir("pmanevo") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // evolving merge touches ONLY p2 — p1's files never learn the column
+    Upsert.upsert(spark, path,
+      Seq((2, "p2", 21, "x")).toDF("k", "part", "v", "extra"),
+      Seq("k"), partitionCols = Seq("part"), evolveSchema = true)
+    val out = Upsert.read(spark, path)
+    // the union schema comes from the manifest's pinned schema, NOT from
+    // whichever partition's footer Spark samples first — pre-evolution
+    // rows read NULL, exactly as the whole-table snapshot path promises
+    out.columns.toSet shouldBe Set("k", "part", "v", "extra")
+    out.collect().map(r => (r.getAs[Int]("k"), r.getAs[String]("extra")))
+      .toSet shouldBe Set((1, null), (2, "x"))
+    // time travel to the pre-evolution root reads the OLD schema
+    PartitionSnapshots.read(spark, path, asOf = 1L)
+      .columns.toSet shouldBe Set("k", "part", "v")
+  }
+
   test("equality delete hides rows without touching data files; time travel serves them") {
     val path = tmpDir("pmandel") + "/t"
     Upsert.upsert(spark, path,

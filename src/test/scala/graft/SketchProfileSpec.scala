@@ -146,4 +146,26 @@ class SketchProfileSpec extends SparkSpec {
     Profile.summarize(df, Seq("k", "v"))
       .queryExecution.executedPlan.toString should not include "Union"
   }
+
+  test("snapshotDrift flags relative mean shifts and zero-mean edge cases") {
+    val from = Seq((1, 100.0, 0.0), (2, 100.0, 0.0)).toDF("k", "a", "z")
+    val shifted = Seq((1, 120.0, 0.0), (2, 100.0, 0.0)).toDF("k", "a", "z")
+    val out = Profile.snapshotDrift(from, shifted, Seq("a", "z"), relTol = 0.05)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    // a: mean 100 → 110, rel delta 0.10 > 0.05 → drift
+    out("a").getAs[Double]("mean_rel_delta") shouldBe 0.10 +- 1e-12
+    out("a").getAs[Boolean]("mean_drift") shouldBe true
+    // z: zero means on both sides — no spurious division, no drift
+    out("z").isNullAt(out("z").fieldIndex("mean_rel_delta")) shouldBe true
+    out("z").getAs[Boolean]("mean_drift") shouldBe false
+    // zero from-mean with a nonzero to-mean IS drift (rel delta undefined)
+    val zeroTo = Seq((1, 100.0, 5.0), (2, 100.0, -3.0)).toDF("k", "a", "z")
+    val out2 = Profile.snapshotDrift(from, zeroTo, Seq("z"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    out2("z").getAs[Boolean]("mean_drift") shouldBe true
+    // within tolerance → quiet
+    val tiny = Seq((1, 101.0, 0.0), (2, 100.0, 0.0)).toDF("k", "a", "z")
+    Profile.snapshotDrift(from, tiny, Seq("a")).collect()
+      .head.getAs[Boolean]("mean_drift") shouldBe false
+  }
 }
