@@ -2637,6 +2637,59 @@ object Queries {
         col("priority"))
   }
 
+  /** Metadata-only PARTITION DROP
+    * ([[graft.sources.PartitionSnapshots.dropPartitions]] — Iceberg's
+    * `DROP PARTITION`): the retention-pipeline operation. Dropping the
+    * MACHINERY segment of the staged manifested table commits an EMPTY
+    * version per dropped partition and ONE root manifest — no data
+    * scanned or rewritten, O(dropped) directory metadata however big the
+    * table; pinned readers and time travel keep the dropped files until
+    * retention expires them. Staging memoized; the re-drop on rerun is a
+    * no-op (already EMPTY), so the bench times the post-drop read. The
+    * oracle replays the drop as a filter. */
+  def q173DropPartitions(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pdrop", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      graft.sources.PartitionSnapshots.dropPartitions(s, s"$base/t",
+        m => m("c_mktsegment") == "MACHINERY")
+    } + "/t"
+    graft.sources.PartitionSnapshots.dropPartitions(s, path,
+      m => m("c_mktsegment") == "MACHINERY") // idempotent no-op on rerun
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
+  /** Root TAGS ([[graft.sources.PartitionSnapshots.tagRoot]] — Iceberg's
+    * snapshot tags): the seed state is tagged `baseline`, a merge then
+    * advances the table, and the query reads THROUGH the tag — the
+    * audit/reproducibility primitive ("the corpus exactly as train-run X
+    * read it") that survives retention indefinitely at metadata cost:
+    * the tag pins the root manifest, its delta parents, and every data
+    * version they name, none of it copied. The oracle is the untouched
+    * seed state. */
+  def q174TaggedRead(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("ptag", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      graft.sources.PartitionSnapshots.tagRoot(s, s"$base/t", "baseline")
+      val delta = t(s, dir, "customer")
+        .where(col("c_custkey") <= 200 && col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") * 2).as("c_acctbal"),
+          col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", delta, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"))
+    } + "/t"
+    graft.sources.PartitionSnapshots.readTag(s, path, "baseline")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SNAPSHOT DRIFT between two root versions
     * ([[graft.operators.Profile.snapshotDrift]]) of q164's staged table:
     * the v1→v2 merge added 1000 to every third key's balance, so the
@@ -3330,6 +3383,15 @@ object Queries {
         |  abs(mean_to - mean_from) / abs(mean_from) AS mean_rel_delta,
         |  abs(mean_to - mean_from) / abs(mean_from) > 0.05 AS mean_drift
         |FROM sa, sb""".stripMargin,
+    // q173: the metadata-only drop replayed as a filter
+    "q173_drop_partitions" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey <= 300 AND c_mktsegment <> 'MACHINERY'""".stripMargin,
+    // q174: the tag pins the seed state; the later merge never shows
+    "q174_tagged_read" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey <= 200""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5579,6 +5641,8 @@ object Queries {
     "q169_external_manifest_read" -> (q169ExternalManifestRead _),
     "q170_equality_delete" -> (q170EqualityDelete _),
     "q171_schema_evolution" -> (q171SchemaEvolution _),
-    "q172_snapshot_drift" -> (q172SnapshotDrift _)
+    "q172_snapshot_drift" -> (q172SnapshotDrift _),
+    "q173_drop_partitions" -> (q173DropPartitions _),
+    "q174_tagged_read" -> (q174TaggedRead _)
   )
 }

@@ -491,8 +491,19 @@ object PartitionSnapshots {
   private def vacuumRoot(spark: SparkSession, rt: String, retain: Int): Unit = {
     val committed = Snapshots.versions(spark, rt)
     val cur = Snapshots.currentVersion(spark, rt).getOrElse(return)
+    // tagged roots are retention-exempt until their tag is dropped
+    val tagged = {
+      val dir = new Path(s"$rt/$TagsDir")
+      val f = fs(spark, dir)
+      if (!f.exists(dir)) Set.empty[Long]
+      else f.listStatus(dir)
+        .filter(st => st.isFile && !hidden(st.getPath.getName))
+        .map(st => readText(spark, st.getPath).trim.stripPrefix("v").toLong)
+        .toSet
+    }
     val kept = (committed.filter(_ != cur)
-      .takeRight(math.max(1, retain) - 1) :+ cur).toSet
+      .takeRight(math.max(1, retain) - 1) :+ cur).toSet ++
+      tagged.filter(committed.contains)
     def chain(v: Long): Set[Long] =
       if (hasFullManifest(spark, rt, v)) Set(v)
       else {
@@ -593,8 +604,13 @@ object PartitionSnapshots {
                                     rel: String, retain: Int): Unit = {
     val pd = new Path(s"$table/$rel")
     val f = fs(spark, pd)
-    Snapshots.vacuum(spark, s"$table/$rel", keep = retain)
-    if (Snapshots.versions(spark, s"$table/$rel").size >= retain)
+    // data versions a TAGGED root pins are retention-exempt, like the
+    // manifests that name them (tagRoot's contract: the tagged state
+    // stays resolvable end-to-end until the tag is dropped)
+    val (protVs, protFlat) = tagProtected(spark, table, rel)
+    Snapshots.vacuum(spark, s"$table/$rel", keep = retain,
+      extraKeep = protVs)
+    if (!protFlat && Snapshots.versions(spark, s"$table/$rel").size >= retain)
       f.listStatus(pd)
         .filter(st => st.isFile && !hidden(st.getPath.getName))
         .foreach(st => f.delete(st.getPath, false))
@@ -786,6 +802,78 @@ object PartitionSnapshots {
       .unionByName(fdf.exceptAll(tdf).withColumn("change_type", lit("delete")))
   }
 
+  private val TagsDir = "_tags"
+  private val TagName = "^[A-Za-z0-9._-]+$".r
+
+  /** TAG a root version with a stable name (Iceberg's snapshot tags):
+    * the tagged whole-table state survives retention indefinitely —
+    * [[vacuumRoot]] keeps the manifest (and its delta parents) and
+    * per-partition retention keeps every data version it names — until
+    * [[dropRootTag]] releases it. The audit/compliance primitive:
+    * "the corpus exactly as train-run 2024-06 read it" stays resolvable
+    * while daily commits churn, at METADATA cost (nothing is copied —
+    * the tag pins immutable files that already exist). Re-tagging an
+    * existing name repoints it. */
+  def tagRoot(spark: SparkSession, table: String, name: String,
+              v: Long = -1L): Unit = {
+    require(TagName.findFirstMatchIn(name).nonEmpty,
+      s"tagRoot: invalid tag name '$name'")
+    val rt = s"$table/$RootDir"
+    val target =
+      if (v > 0) v
+      else Snapshots.currentVersion(spark, rt).getOrElse(
+        throw new IllegalArgumentException(s"tagRoot: no committed root at $table"))
+    require(Snapshots.versions(spark, rt).contains(target),
+      s"tagRoot: root v$target does not exist at $table")
+    val dir = new Path(s"$rt/$TagsDir")
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    // write-then-rename: the tag file is complete-or-absent to readers
+    val tmp = new Path(dir, s".${name}-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(f"v$target%08d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(new Path(dir, name), false)
+    if (!f.rename(tmp, new Path(dir, name))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"tagRoot: could not publish tag $name")
+    }
+  }
+
+  /** Release a tag; the version it pinned re-enters ordinary retention
+    * on the next commit's vacuum. Unknown names are a no-op. */
+  def dropRootTag(spark: SparkSession, table: String, name: String): Unit =
+    fs(spark, new Path(table))
+      .delete(new Path(s"$table/$RootDir/$TagsDir/$name"), false)
+
+  /** Current (tag name → root version) map. */
+  def rootTags(spark: SparkSession, table: String): Map[String, Long] = {
+    val dir = new Path(s"$table/$RootDir/$TagsDir")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).filter(st => st.isFile && !hidden(st.getPath.getName))
+      .map(st => st.getPath.getName ->
+        readText(spark, st.getPath).trim.stripPrefix("v").toLong).toMap
+  }
+
+  /** [[read]] pinned at the root version a tag names. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame =
+    read(spark, table, asOf = rootTags(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(s"readTag: no tag '$name' at $table")))
+
+  /** Partition data versions (and FLAT pins) that tagged roots name for
+    * `rel` — what per-partition retention must never expire. */
+  private def tagProtected(spark: SparkSession, table: String,
+                           rel: String): (Set[Long], Boolean) = {
+    val rt = s"$table/$RootDir"
+    val states = rootTags(spark, table).values.toSet[Long]
+      .flatMap(v => resolveManifest(spark, rt, v).get(rel))
+      .map(parseState(_)._1)
+    (states.collect { case v if v != Empty && v != Flat =>
+      v.stripPrefix("v").toLong },
+      states.contains(Flat))
+  }
+
   /** Instant whole-table rollback: repoint the ROOT at an older manifest
     * — every partition snaps back to the state that manifest pinned, in
     * one pointer swap, nothing rewritten (Iceberg's
@@ -872,6 +960,59 @@ object PartitionSnapshots {
         }
         rel -> (before, after)
       }.toMap
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
+  /** Metadata-only partition DROP (Iceberg's `DROP PARTITION` /
+    * delete-by-partition-predicate): every manifest partition whose
+    * parsed `column → value` map satisfies `pred` commits an EMPTY
+    * version through the ordinary staged path — per-partition slot,
+    * ONE root manifest, pointer swap — so readers flip atomically at
+    * the root and pinned readers keep their immutable files until
+    * retention expires them. NO data is scanned or rewritten: dropping
+    * a year of a 30 000-partition table is O(dropped) directory
+    * metadata, the operation retention pipelines run daily. Values
+    * arrive unescaped (a `d=2024-01-01` dir yields "2024-01-01"; NULL
+    * partitions yield the hive default token). Partitions already
+    * EMPTY are skipped; returns the rel-paths dropped ([] = no-op,
+    * no commit). Single-writer: takes the table's lease via the
+    * commit path. */
+  def dropPartitions(spark: SparkSession, table: String,
+                     pred: Map[String, String] => Boolean,
+                     retainVersions: Int =
+                       graft.operators.Upsert.DefaultRetainVersions): Seq[String] = {
+    require(isManifested(spark, table),
+      s"dropPartitions: $table is not a manifested table")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val cols = partitionCols(spark, table)
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      cleanupStaging(spark, table)
+      val base = rootManifest(spark, table)
+        .getOrElse(scanStates(spark, table, cols))
+      def parseRel(rel: String): Map[String, String] =
+        rel.split("/").toSeq.map { seg =>
+          val i = seg.indexOf('=')
+          ExternalCatalogUtils.unescapePathName(seg.substring(0, i)) ->
+            ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+        }.toMap
+      val dropped = base.collect {
+        case (rel, state) if state != Empty && pred(parseRel(rel)) => rel
+      }.toSeq.sorted
+      if (dropped.isEmpty) return Nil
+      // ride the ordinary staged-commit machinery (empty dir → EMPTY
+      // version slot → root publish → pointer swap): same crash
+      // discipline, same reader contract as a merge that emptied them
+      val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
+      val f = fs(spark, new Path(table))
+      f.mkdirs(new Path(staging))
+      try {
+        graft.operators.Upsert.assertHeld(spark, table, token)
+        commitStaged(spark, table, staging, cols,
+          emptied = dropped.toSet, retainVersions = retainVersions)
+      } finally f.delete(new Path(staging), true)
+      dropped
     } finally graft.operators.Upsert.releaseLock(spark, table, token)
   }
 

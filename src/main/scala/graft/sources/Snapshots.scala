@@ -176,11 +176,13 @@ object Snapshots {
 
   /** Delete all snapshots except the current one and the newest
     * `keep`−1 others (plus any orphan dirs from crashed writes). */
-  def vacuum(spark: SparkSession, table: String, keep: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, table: String, keep: Int = 2,
+             extraKeep: Set[Long] = Set.empty): Unit = {
     require(keep >= 1, "vacuum must keep at least the current snapshot")
     val cur = currentVersion(spark, table).getOrElse(return)
     val all = versions(spark, table)
-    val keepSet = (all.filter(_ != cur).takeRight(keep - 1) :+ cur).toSet
+    val keepSet = (all.filter(_ != cur).takeRight(keep - 1) :+ cur)
+      .toSet ++ extraKeep
     val dir = new Path(s"$table/$VersionsDir")
     val f = fs(spark, dir)
     f.listStatus(dir).filter(_.isDirectory)

@@ -699,6 +699,57 @@ class PartitionSnapshotsSpec extends SparkSpec {
     byKey(path) shouldBe Map(1 -> (("p1", 10)), 2 -> (("p2", 99)))
   }
 
+  test("dropPartitions is metadata-only: EMPTY states, pinned readers keep files") {
+    val path = tmpDir("pmandrop") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20), (3, "p3", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val preDrop = PartitionSnapshots.rootVersions(spark, path).max
+    // values arrive unescaped; the predicate picks two of three
+    PartitionSnapshots.dropPartitions(spark, path,
+      m => m("part") != "p2") shouldBe Seq("part=p1", "part=p3")
+    byKey(path) shouldBe Map(2 -> (("p2", 20)))
+    // dropped partitions are EMPTY in the new root; untouched pinned as-is
+    val states = PartitionSnapshots.rootManifest(spark, path).get
+    states("part=p1") shouldBe "EMPTY"
+    states("part=p3") shouldBe "EMPTY"
+    // the data survives for time travel until retention expires it
+    PartitionSnapshots.read(spark, path, asOf = preDrop).count() shouldBe 3L
+    // a second identical drop is a no-op: no new root committed
+    val v = PartitionSnapshots.rootVersions(spark, path).max
+    PartitionSnapshots.dropPartitions(spark, path,
+      m => m("part") != "p2") shouldBe Nil
+    PartitionSnapshots.rootVersions(spark, path).max shouldBe v
+  }
+
+  test("a tagged root survives retention end-to-end until the tag drops") {
+    val path = tmpDir("pmantag") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true,
+      retainVersions = 1)
+    PartitionSnapshots.tagRoot(spark, path, "train-2024.06")
+    PartitionSnapshots.rootTags(spark, path) shouldBe Map("train-2024.06" -> 1L)
+    // churn far past both root retention and the rebase window
+    (1 to PartitionSnapshots.RebaseEvery + 2).foreach { i =>
+      Upsert.upsert(spark, path, Seq((1, "p1", 10 + i)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), retainVersions = 1)
+    }
+    // the tagged whole-table state still reads exactly as tagged: the
+    // root manifest AND p1's v1 data files were retention-exempt
+    PartitionSnapshots.readTag(spark, path, "train-2024.06")
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[Int]("v")))
+      .toSet shouldBe Set((1, 10), (2, 20))
+    // current state unaffected
+    byKey(path)(1)._2 shouldBe 10 + PartitionSnapshots.RebaseEvery + 2
+    // dropping the tag re-enters retention: the next commit vacuums it
+    PartitionSnapshots.dropRootTag(spark, path, "train-2024.06")
+    Upsert.upsert(spark, path, Seq((1, "p1", 99)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), retainVersions = 1)
+    an[Exception] should be thrownBy
+      PartitionSnapshots.readTag(spark, path, "train-2024.06")
+  }
+
   test("schema evolution: untouched partitions read the manifest-pinned schema") {
     val path = tmpDir("pmanevo") + "/t"
     Upsert.upsert(spark, path,
