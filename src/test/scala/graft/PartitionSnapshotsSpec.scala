@@ -681,6 +681,53 @@ class PartitionSnapshotsSpec extends SparkSpec {
     Upsert.read(spark, path).count() shouldBe keys.size * 2L
   }
 
+  test("readers racing delete commits and compaction see whole snapshots only") {
+    val path = tmpDir("pmandelrace") + "/t"
+    val n = 40
+    Upsert.upsert(spark, path,
+      (1 to n).map(k => (k, if (k % 2 == 0) "p1" else "p2", k * 10))
+        .toDF("k", "part", "v").repartition(4),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true,
+      retainVersions = 2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // current-state read while equality-delete commits + delete-
+          // materializing compactions churn: deletes land one key at a
+          // time in order, so any WHOLE snapshot shows exactly the keys
+          // {m+1..n} for some prefix length m — a torn read (half a
+          // delete, a partition mid-rewrite) shows anything else
+          val ks = Upsert.read(spark, path)
+            .collect().map(_.getAs[Int]("k")).sorted
+          if (ks.distinct.length != ks.length)
+            failures.add(s"dup keys: ${ks.length} vs ${ks.distinct.length}")
+          val missing = (1 to n).toSet -- ks.toSet
+          val m = missing.size
+          if (missing != (1 to m).toSet)
+            failures.add(s"non-prefix missing set: ${missing.toSeq.sorted}")
+        } catch {
+          case e: Exception =>
+            failures.add(s"reader error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try (1 to 6).foreach { i =>
+      PartitionSnapshots.deleteKeys(spark, path, Seq(Tuple1(i)).toDF("k"),
+        retainVersions = 2)
+      if (i % 2 == 0)
+        PartitionSnapshots.compact(spark, path, minFiles = 1,
+          retainVersions = 2)
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    failures.toArray shouldBe empty
+    Upsert.read(spark, path).count() shouldBe (n - 6).toLong
+  }
+
   test("root rollback repoints the whole table in one swap") {
     val path = tmpDir("pmanrollback") + "/t"
     Upsert.upsert(spark, path,
