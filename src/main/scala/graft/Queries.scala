@@ -2690,6 +2690,59 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** METADATA-ONLY COUNT(*) (Iceberg's count pushdown —
+    * [[graft.sources.PartitionSnapshots.rowCount]]): every commit
+    * harvests its sealed partitions' parquet-footer record counts into
+    * the root manifest (zero extra Spark jobs — the writer's footers
+    * already hold them), so counting a 30 000-partition table is one
+    * manifest resolution, no data file opened. The fixture seeds ≤400
+    * and merges in 401–430 (inserts) plus every-9th updates — updates
+    * keep, inserts grow the count. `rowCount` answers Some(n) only when
+    * exact (no pending equality deletes, stats on every live
+    * partition); the oracle counts the replayed final state. */
+  def q175MetadataCount(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pcount", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val delta = t(s, dir, "customer")
+        .where(col("c_custkey") <= 430 &&
+          (col("c_custkey") > 400 || col("c_custkey") % 9 === 0))
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(50.0)).as("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", delta, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"))
+    } + "/t"
+    val n = graft.sources.PartitionSnapshots.rowCount(s, path)
+      .getOrElse(sys.error("q175: metadata count unexpectedly unavailable"))
+    import s.implicits._
+    Seq(n).toDF("n_rows")
+  }
+
+  /** STATS-PRUNED range scan (Iceberg scan planning —
+    * [[graft.sources.PartitionSnapshots.readWhereBetween]]): customers
+    * bucketed into 100-key partitions; `c_custkey BETWEEN 120 AND 250`
+    * plans its scan from the manifest's per-partition min/max bounds, so
+    * only buckets 1 and 2 are ever listed or read — pruning on a
+    * NON-partition column's value range, decided before any file or
+    * footer is touched. At 30 000 partitions this is the difference
+    * between metadata planning and a listing storm. The spec pins the
+    * pruning via inputFiles; the oracle checks values. */
+  def q176StatsPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pprune", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_acctbal"),
+          ((col("c_custkey") - 1) / lit(100)).cast("int").as("bucket"))
+      Upsert.upsert(s, s"$base/t", seed, Seq("c_custkey"),
+        partitionCols = Seq("bucket"), partitionManifests = true)
+    } + "/t"
+    graft.sources.PartitionSnapshots
+      .readWhereBetween(s, path, "c_custkey", 120, 250)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("bucket").cast("int").as("bucket"))
+  }
+
   /** SNAPSHOT DRIFT between two root versions
     * ([[graft.operators.Profile.snapshotDrift]]) of q164's staged table:
     * the v1→v2 merge added 1000 to every third key's balance, so the
@@ -3392,6 +3445,18 @@ object Queries {
     "q174_tagged_read" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey <= 200""".stripMargin,
+    // q175: the metadata count must equal the real count of the merged
+    // state (seed <=400 plus inserted 401-430; updates don't change it)
+    "q175_metadata_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer WHERE c_custkey <= 430""".stripMargin,
+    // q176: the stats-pruned scan replayed as a plain filter — pruning
+    // changes which files are LISTED, never the answer
+    "q176_stats_pruned_read" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST((c_custkey - 1) // 100 AS INT) AS bucket
+        |FROM customer
+        |WHERE c_custkey BETWEEN 120 AND 250""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5643,6 +5708,8 @@ object Queries {
     "q171_schema_evolution" -> (q171SchemaEvolution _),
     "q172_snapshot_drift" -> (q172SnapshotDrift _),
     "q173_drop_partitions" -> (q173DropPartitions _),
-    "q174_tagged_read" -> (q174TaggedRead _)
+    "q174_tagged_read" -> (q174TaggedRead _),
+    "q175_metadata_count" -> (q175MetadataCount _),
+    "q176_stats_pruned_read" -> (q176StatsPrunedRead _)
   )
 }

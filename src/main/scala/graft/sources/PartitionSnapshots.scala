@@ -300,13 +300,51 @@ object PartitionSnapshots {
     finally in.close()
   }
 
-  /** "state\trel" lines → map: the state token never contains a tab, the
-    * rel is everything after the first one. */
-  private def parseEntries(lines: Seq[String]): Map[String, String] =
+  /** "state\trel[\tstats]" lines → (rel → (state, stats)): the state
+    * token never contains a tab; rel runs to the next tab or EOL; the
+    * optional third field is the partition's encoded footer stats
+    * ([[encodeStats]] — URL-escaped, so tab-free by construction).
+    * Pre-stats manifests parse with stats = None. */
+  private def parseEntries(lines: Seq[String]): Map[String, (String, Option[String])] =
     lines.filter(_.nonEmpty).map { line =>
       val i = line.indexOf('\t')
-      line.substring(i + 1) -> line.substring(0, i)
+      val rest = line.substring(i + 1)
+      val j = rest.indexOf('\t')
+      if (j < 0) rest -> (line.substring(0, i), None)
+      else rest.substring(0, j) ->
+        (line.substring(0, i), Some(rest.substring(j + 1)))
     }.toMap
+
+  /** Per-partition footer statistics as carried in the manifest —
+    * Iceberg's record_count / lower_bounds / upper_bounds, at partition
+    * granularity. Bounds describe the partition's BASE data files;
+    * pending equality deletes only shrink the true row set, so `rows`
+    * is exact for delete-free states and an upper bound otherwise. */
+  final case class PartStats(rows: Long, cols: Map[String, (String, String)])
+
+  private def encodeStats(s: PartStats): String = {
+    def e(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    (s"rows=${s.rows}" +: s.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"${e(c)}=${e(mn)},${e(mx)}"
+    }).mkString(";")
+  }
+
+  private def decodeStats(s: String): PartStats = {
+    def d(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    var rows = 0L
+    val cols = Map.newBuilder[String, (String, String)]
+    s.split(";").filter(_.nonEmpty).foreach { part =>
+      val i = part.indexOf('=')
+      val k = part.substring(0, i)
+      val v = part.substring(i + 1)
+      if (k == "rows") rows = v.toLong
+      else {
+        val j = v.indexOf(',')
+        cols += d(k) -> (d(v.substring(0, j)), d(v.substring(j + 1)))
+      }
+    }
+    PartStats(rows, cols.result())
+  }
 
   /** Split a manifest state into its base token (`v00000001` | FLAT |
     * EMPTY) and the equality-delete ids pending against it
@@ -372,10 +410,11 @@ object PartitionSnapshots {
       .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
-  /** Fold root version `rv` to its full (partition → state) map: a full
-    * manifest is the answer; a delta folds onto its parent's resolution. */
-  private def resolveManifest(spark: SparkSession, rt: String,
-                              rv: Long): Map[String, String] = {
+  /** Fold root version `rv` to its full (partition → (state, stats))
+    * map: a full manifest is the answer; a delta folds onto its parent's
+    * resolution (a touched line replaces state AND stats together). */
+  private def resolveManifestFull(spark: SparkSession, rt: String,
+                                  rv: Long): Map[String, (String, Option[String])] = {
     val slot = Snapshots.versionPath(rt, rv)
     val full = new Path(s"$slot/$ManifestFile")
     if (fs(spark, full).exists(full))
@@ -384,9 +423,13 @@ object PartitionSnapshots {
       val lines = readText(spark, new Path(s"$slot/$DeltaFile"))
         .split("\n").toSeq.filter(_.nonEmpty)
       val parent = lines.head.stripPrefix("v").toLong
-      resolveManifest(spark, rt, parent) ++ parseEntries(lines.tail)
+      resolveManifestFull(spark, rt, parent) ++ parseEntries(lines.tail)
     }
   }
+
+  private def resolveManifest(spark: SparkSession, rt: String,
+                              rv: Long): Map[String, String] =
+    resolveManifestFull(spark, rt, rv).map { case (rel, (st, _)) => rel -> st }
 
   /** Current on-disk state of every partition, by directory walk — the
     * seed for a table's FIRST root manifest (later commits fold their
@@ -432,7 +475,8 @@ object PartitionSnapshots {
                           entries: Map[String, String],
                           touched: Map[String, String], retain: Int,
                           schema: Option[org.apache.spark.sql.types.StructType]
-                            = None): Unit = {
+                            = None,
+                          touchedStats: Map[String, String] = Map.empty): Unit = {
     val rt = s"$table/$RootDir"
     val f = fs(spark, new Path(rt))
     val committed = Snapshots.versions(spark, rt)
@@ -443,8 +487,22 @@ object PartitionSnapshots {
       chainLen + 1 < RebaseEvery
     val tmp = new Path(s"$rt/$VersionsDir/.staging-${java.util.UUID.randomUUID()}")
     f.mkdirs(tmp)
+    // a full rebase carries every untouched partition's stats forward
+    // from the parent fold; a delta line replaces state+stats together
+    val stats: Map[String, String] =
+      (if (asDelta) Map.empty[String, String]
+       else parent.map { pv =>
+         resolveManifestFull(spark, rt, pv).toSeq.collect {
+           case (rel, (_, Some(s))) => rel -> s
+         }.toMap
+       }.getOrElse(Map.empty[String, String])) ++ touchedStats
     def fmt(m: Map[String, String]): String = m.toSeq.sortBy(_._1)
-      .map { case (rel, state) => s"$state\t$rel" }.mkString("\n")
+      .map { case (rel, state) =>
+        stats.get(rel) match {
+          case Some(s) => s"$state\t$rel\t$s"
+          case None    => s"$state\t$rel"
+        }
+      }.mkString("\n")
     val (file, text) =
       if (asDelta) (DeltaFile, f"v${parent.get}%08d" + "\n" + fmt(touched))
       else (ManifestFile, fmt(entries))
@@ -592,7 +650,16 @@ object PartitionSnapshots {
     }
     val touched = staged.map(rel => rel -> f"v${sealedSlots.toMap.apply(rel)}%08d").toMap ++
       blanked.map(_ -> Empty)
-    publishRoot(spark, table, base ++ touched, touched, retain, schema) // commit point
+    // footer harvest of the sealed slots (touched partitions only, zero
+    // Spark jobs) — the manifest's record_count / bounds fields
+    val touchedStats = sealedSlots.map { case (rel, v) =>
+      val (rows, cols) =
+        if (blanked.contains(rel)) (0L, Map.empty[String, (String, String)])
+        else ParquetStats.harvest(spark, Snapshots.versionPath(s"$table/$rel", v))
+      rel -> encodeStats(PartStats(rows, cols))
+    }.toMap
+    publishRoot(spark, table, base ++ touched, touched, retain, schema,
+      touchedStats) // commit point
     sealedSlots.foreach { case (rel, v) => Snapshots.publish(spark, s"$table/$rel", v) }
     sealedSlots.foreach { case (rel, _) => finishPartitionCommit(spark, table, rel, retain) }
   }
@@ -727,10 +794,16 @@ object PartitionSnapshots {
       f.delete(new Path(slot, WapMarker), false)
       f.create(new Path(slot, "_SUCCESS"), true).close()
     }
+    val auditedStats = claimed.map { case (rel, v) =>
+      val (rows, cols) =
+        if (blanked.contains(rel)) (0L, Map.empty[String, (String, String)])
+        else ParquetStats.harvest(spark, Snapshots.versionPath(s"$table/$rel", v))
+      rel -> encodeStats(PartStats(rows, cols))
+    }.toMap
     publishRoot(spark, table, entries,
       claimed.toMap.map { case (rel, v) =>
         rel -> (if (blanked.contains(rel)) Empty else f"v$v%08d")
-      }, retain, schema) // commit point
+      }, retain, schema, auditedStats) // commit point
     claimed.foreach { case (rel, v) =>
       Snapshots.publish(spark, s"$table/$rel", v)
     }
@@ -800,6 +873,79 @@ object PartitionSnapshots {
     import org.apache.spark.sql.functions.lit
     tdf.exceptAll(fdf).withColumn("change_type", lit("insert"))
       .unionByName(fdf.exceptAll(tdf).withColumn("change_type", lit("delete")))
+  }
+
+  /** The (partition → footer stats) map of a root manifest — partitions
+    * whose entries carry no stats (pre-stats commits, FLAT migrations)
+    * are absent. */
+  def rootStats(spark: SparkSession, table: String,
+                asOf: Long = -1L): Map[String, PartStats] = {
+    val rt = s"$table/$RootDir"
+    val v = if (asOf > 0) asOf
+      else Snapshots.currentVersion(spark, rt).getOrElse(return Map.empty)
+    resolveManifestFull(spark, rt, v).collect {
+      case (rel, (_, Some(s))) => rel -> decodeStats(s)
+    }
+  }
+
+  /** METADATA-ONLY row count (Iceberg's count(*) pushdown): the sum of
+    * every live partition's manifest-recorded record count — zero data
+    * files opened. None when the count is not knowable from metadata
+    * alone: a partition with pending equality deletes (its recorded
+    * rows are an upper bound until a rewrite materializes them) or a
+    * live partition missing stats (pre-stats commit, FLAT migration
+    * fallback). The honest contract: a caller getting None runs the
+    * scan; a caller getting Some(n) can trust it exactly. */
+  def rowCount(spark: SparkSession, table: String,
+               asOf: Long = -1L): Option[Long] = {
+    require(isManifested(spark, table), s"rowCount: $table is not manifested")
+    val rt = s"$table/$RootDir"
+    val v = if (asOf > 0) asOf
+      else Snapshots.currentVersion(spark, rt).getOrElse(return None)
+    val full = resolveManifestFull(spark, rt, v)
+    val counts = full.toSeq.map { case (_, (state, stats)) =>
+      val (base, dels) = parseState(state)
+      if (base == Empty) Some(0L)
+      else if (dels.nonEmpty) None // upper bound only — must scan
+      else stats.map(decodeStats(_).rows)
+    }
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
+  /** STATS-PRUNED range scan (Iceberg scan planning from manifest
+    * bounds): serve `column BETWEEN lo AND hi` reading ONLY the
+    * partitions whose manifest-recorded [min,max] for `column`
+    * intersects the range — partitions without usable bounds are kept
+    * (absent stats mean "cannot prune", never "skip"). The residual
+    * filter still applies (bounds prune partitions, not rows), and
+    * Catalyst pushes it into the parquet scan of the surviving
+    * partitions — manifest pruning happens BEFORE any file is listed,
+    * the planning-time win footer-based skipping cannot give at 30 000
+    * partitions. Returns an empty, correctly-shaped frame when every
+    * partition prunes. */
+  def readWhereBetween(spark: SparkSession, table: String, column: String,
+                       lo: Double, hi: Double,
+                       asOf: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val all = read(spark, table, asOf)
+    val stats = rootStats(spark, table, asOf)
+    val entries = rootManifest(spark, table, asOf).getOrElse(
+      return all.where(col(column).between(lo, hi)))
+    val kept = entries.filter { case (rel, _) =>
+      stats.get(rel).flatMap(_.cols.get(column)) match {
+        case Some((mn, mx)) =>
+          (ParquetStats.numeric(mn), ParquetStats.numeric(mx)) match {
+            case (Some(a), Some(b)) => b >= lo && a <= hi
+            case _ => true
+          }
+        case None => true
+      }
+    }
+    val rv = if (asOf > 0) asOf
+      else Snapshots.currentVersion(spark, s"$table/$RootDir").get
+    readEntries(spark, table, kept, pinnedSchema(spark, table, rv))
+      .map(_.where(col(column).between(lo, hi)))
+      .getOrElse(all.limit(0).where(col(column).between(lo, hi)))
   }
 
   private val TagsDir = "_tags"
@@ -1085,9 +1231,17 @@ object PartitionSnapshots {
         val (b, dels) = parseState(base.getOrElse(rel, Flat))
         rel -> s"$b+${(dels :+ id).mkString(",")}"
       }.toMap
+      // carry the touched partitions' footer stats forward: the bounds
+      // still describe the base files (rows becomes an upper bound — a
+      // delete only shrinks the true set; rowCount reports accordingly)
+      val rt = s"$table/$RootDir"
+      val priorStats = Snapshots.currentVersion(spark, rt)
+        .map(v => resolveManifestFull(spark, rt, v).collect {
+          case (rel, (_, Some(st))) if touched.contains(rel) => rel -> st
+        }).getOrElse(Map.empty[String, String])
       graft.operators.Upsert.assertHeld(spark, table, token)
       publishRoot(spark, table, base ++ touched, touched,
-        math.max(1, retainVersions)) // commit point
+        math.max(1, retainVersions), touchedStats = priorStats) // commit point
       vacuumDeletes(spark, table)
       true
     } finally graft.operators.Upsert.releaseLock(spark, table, token)

@@ -504,7 +504,9 @@ class PartitionSnapshotsSpec extends SparkSpec {
       .split("\n").filter(_.nonEmpty)
     delta.head shouldBe "v00000001"
     delta.tail.length shouldBe 1
-    delta.tail.head should endWith("part=p2")
+    // state \t rel \t footer-stats — the O(touched) line carries its
+    // partition's record count and bounds alongside the state
+    delta.tail.head should startWith("v00000002\tpart=p2\trows=1;")
     // the folded view is still the complete table state
     PartitionSnapshots.rootManifest(spark, path) shouldBe
       Some(Map("part=p1" -> "v00000001", "part=p2" -> "v00000002",
@@ -679,6 +681,50 @@ class PartitionSnapshotsSpec extends SparkSpec {
     }
     failures.toArray shouldBe empty
     Upsert.read(spark, path).count() shouldBe keys.size * 2L
+  }
+
+  test("manifests carry footer stats: metadata row count, honest None under deletes") {
+    val path = tmpDir("pmanstats") + "/t"
+    Upsert.upsert(spark, path,
+      (1 to 20).map(k => (k, if (k <= 10) "p1" else "p2", k * 1.5))
+        .toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // count(*) answered from the manifest alone — and exactly
+    PartitionSnapshots.rowCount(spark, path) shouldBe Some(20L)
+    // per-partition bounds harvested from the footers Spark already wrote
+    val st = PartitionSnapshots.rootStats(spark, path)
+    st("part=p1").rows shouldBe 10L
+    st("part=p1").cols("k") shouldBe (("1", "10"))
+    st("part=p2").cols("k") shouldBe (("11", "20"))
+    // a pending equality delete makes the metadata count an upper bound
+    // → the honest answer is None (scan required)...
+    PartitionSnapshots.deleteKeys(spark, path, Seq(Tuple1(3)).toDF("k"))
+    PartitionSnapshots.rowCount(spark, path) shouldBe None
+    // ...until a rewrite materializes it and the count is exact again
+    PartitionSnapshots.compact(spark, path, minFiles = 1)
+    PartitionSnapshots.rowCount(spark, path) shouldBe Some(19L)
+    // stats survive delta folding: commits touching ONE partition keep
+    // the other's stats resolvable through the chain
+    Upsert.upsert(spark, path, Seq((30, "p2", 4.5)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    PartitionSnapshots.rootStats(spark, path)("part=p1").rows shouldBe 9L
+    PartitionSnapshots.rowCount(spark, path) shouldBe Some(20L)
+  }
+
+  test("stats-pruned range scan never lists non-intersecting partitions") {
+    val path = tmpDir("pmanprune") + "/t"
+    Upsert.upsert(spark, path,
+      (1 to 30).map(k => (k, s"p${(k - 1) / 10 + 1}", k * 10))
+        .toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val out = PartitionSnapshots.readWhereBetween(spark, path, "k", 12, 18)
+    out.collect().map(_.getAs[Int]("k")).sorted shouldBe (12 to 18).toArray
+    // the scan was planned from manifest bounds: only p2's files appear
+    all(out.inputFiles.toSeq) should include("part=p2")
+    // a range matching nothing reads nothing and keeps the shape
+    val none = PartitionSnapshots.readWhereBetween(spark, path, "k", 500, 600)
+    none.count() shouldBe 0L
+    none.columns should contain allOf ("k", "part", "v")
   }
 
   test("readers racing delete commits and compaction see whole snapshots only") {
