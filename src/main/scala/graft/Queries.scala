@@ -2743,6 +2743,36 @@ object Queries {
         col("bucket").cast("int").as("bucket"))
   }
 
+  /** FAST APPEND + insert-only MERGE as append ([[Upsert.append]] /
+    * [[graft.sources.PartitionSnapshots.commitAppendStaged]] — Iceberg's
+    * fast-append at version-dir granularity): the seed is appended to
+    * twice — a plain append of late arrivals, then an insert-only MERGE
+    * whose overlap is skipped and whose new keys land as a new PART of
+    * each touched partition's state (`v0001&v0002`), no existing file
+    * read or rewritten. THE streaming-ingest commit shape at 100 TB:
+    * cost is the new rows + one root delta, however big the partitions
+    * already are. Stats merge monotonically so the metadata count stays
+    * exact. The oracle is the plain union of the surviving images. */
+  def q177FastAppend(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pappend", dir) { base =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", cust.where(col("c_custkey") <= 300),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"),
+        partitionManifests = true)
+      Upsert.append(s, s"$base/t",
+        cust.where(col("c_custkey") > 300 && col("c_custkey") <= 350),
+        Seq("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t",
+        cust.where(col("c_custkey") > 330 && col("c_custkey") <= 380),
+        Seq("c_custkey"), insertOnly = true,
+        partitionCols = Seq("c_mktsegment"))
+    } + "/t"
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SNAPSHOT DRIFT between two root versions
     * ([[graft.operators.Profile.snapshotDrift]]) of q164's staged table:
     * the v1→v2 merge added 1000 to every third key's balance, so the
@@ -3457,6 +3487,12 @@ object Queries {
         |  CAST((c_custkey - 1) // 100 AS INT) AS bucket
         |FROM customer
         |WHERE c_custkey BETWEEN 120 AND 250""".stripMargin,
+    // q177: seed <=300 + append 301-350 + insert-only 331-380 (overlap
+    // skipped) = the plain <=380 state; append durability never changes
+    // the answer, only the commit cost
+    "q177_fast_append" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey <= 380""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5710,6 +5746,7 @@ object Queries {
     "q173_drop_partitions" -> (q173DropPartitions _),
     "q174_tagged_read" -> (q174TaggedRead _),
     "q175_metadata_count" -> (q175MetadataCount _),
-    "q176_stats_pruned_read" -> (q176StatsPrunedRead _)
+    "q176_stats_pruned_read" -> (q176StatsPrunedRead _),
+    "q177_fast_append" -> (q177FastAppend _)
   )
 }

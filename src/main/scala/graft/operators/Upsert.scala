@@ -331,6 +331,23 @@ object Upsert {
     }
     val (target, src) =
       if (evolveSchema) align(existing.get, src0) else (existing.get, src0)
+    if (manifested && insertOnly && audit.isEmpty) {
+      // WHEN NOT MATCHED INSERT on a manifested table is a fast APPEND:
+      // only the genuinely-new keys' rows are staged and sealed as new
+      // version parts — no touched partition is rewritten, commit cost
+      // is O(new rows) however large the partitions already are
+      val newRows = src.join(target, keys, "left_anti")
+      if (newRows.isEmpty) return
+      val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
+      newRows.write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(partitionCols: _*).parquet(staging)
+      try {
+        assertHeld(spark, path, token)
+        PartitionSnapshots.commitAppendStaged(spark, path, staging,
+          partitionCols, retainVersions, Some(src.schema))
+      } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
+      return
+    }
     if (partitionCols.nonEmpty) {
       // Timestamp partition values are formatted by the writer with a
       // pattern Row.toString doesn't reproduce — reject them loudly
@@ -439,6 +456,56 @@ object Upsert {
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }.foreach(st => f.delete(st.getPath, true))
+  }
+
+  /** APPEND `df` to the manifested table at `path` — O(new data), the
+    * Iceberg fast-append: the staged partitions seal into NEW version
+    * slots and each touched partition's manifest state becomes the
+    * union of its prior parts and the new one; no existing file is
+    * read, rewritten or listed (contrast [[upsert]], which must rewrite
+    * touched partitions to honor key semantics). The ingest primitive
+    * for log-style facts: a streaming micro-batch's commit cost is its
+    * own data + one root delta, however large the partition already is.
+    * No key dedup is applied — use `upsert(insertOnly = true)` for
+    * MERGE WHEN NOT MATCHED semantics (which routes through this same
+    * append commit on manifested tables). With `evolveSchema`, new
+    * columns pin the evolved union schema; existing rows read them as
+    * NULL. An empty `df` is a no-op. */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             partitionCols: Seq[String],
+             evolveSchema: Boolean = false,
+             lockTtlMs: Long = DefaultLockTtlMs,
+             retainVersions: Int = DefaultRetainVersions): Unit = {
+    import graft.sources.PartitionSnapshots
+    require(partitionCols.nonEmpty, "append: partitionCols required")
+    if (df.isEmpty) return
+    val token = acquireLock(spark, path, lockTtlMs)
+    try {
+      recoverSwap(spark, path)
+      require(!graft.sources.Snapshots.isVersioned(spark, path),
+        s"append: $path is a whole-table snapshot table")
+      PartitionSnapshots.ensureManifested(spark, path, partitionCols)
+      PartitionSnapshots.cleanupStaging(spark, path)
+      val out = readTable(spark, path) match {
+        case Some(existing) if evolveSchema => align(existing, df)._2
+        case Some(existing) =>
+          require(existing.columns.sorted.sameElements(df.columns.sorted),
+            s"append: schema drift at $path (pass evolveSchema = true): " +
+              s"table ${existing.columns.sorted.toSeq} vs " +
+              s"df ${df.columns.sorted.toSeq}")
+          df
+        case None => df
+      }
+      val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
+      out.write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(partitionCols: _*).parquet(staging)
+      try {
+        assertHeld(spark, path, token)
+        // `out` is already conformed to the union schema when evolving
+        PartitionSnapshots.commitAppendStaged(spark, path, staging,
+          partitionCols, retainVersions, Some(out.schema))
+      } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
+    } finally releaseLock(spark, path, token)
   }
 
   /** Full REPLACE of the table at `path` with `df` (whose plan may read

@@ -346,15 +346,36 @@ object PartitionSnapshots {
     PartStats(rows, cols.result())
   }
 
-  /** Split a manifest state into its base token (`v00000001` | FLAT |
-    * EMPTY) and the equality-delete ids pending against it
-    * (`v00000001+d00000001,d00000002` — merge-on-read: the pinned data
-    * is served minus those delete files' keys). */
+  /** Split a manifest state into its PARTS. A partition's state is one
+    * or more `&`-joined parts — each a base token (`v00000001` | FLAT |
+    * EMPTY) plus the equality-delete ids pending against THAT part
+    * (`v00000001+d00000001,d00000002` — merge-on-read: the part's data
+    * is served minus those delete files' keys). Multi-part states are
+    * what APPEND commits produce (`v00000001&v00000005`: the partition
+    * is the union of both version dirs — Iceberg's file-level append,
+    * done at version-dir granularity), and per-PART delete refs encode
+    * the sequence rule structurally: a delete commits its ref onto
+    * every part that existed BEFORE it, so data appended later is never
+    * suppressed by an earlier delete. */
+  private[graft] def parseParts(state: String): Seq[(String, Seq[String])] =
+    state.split("&").toSeq.filter(_.nonEmpty).map { part =>
+      val i = part.indexOf('+')
+      if (i < 0) (part, Nil)
+      else (part.substring(0, i),
+        part.substring(i + 1).split(",").toSeq.filter(_.nonEmpty))
+    }
+
+  private def fmtParts(parts: Seq[(String, Seq[String])]): String =
+    parts.map { case (b, dels) =>
+      if (dels.isEmpty) b else s"$b+${dels.mkString(",")}"
+    }.mkString("&")
+
+  /** Single-part view of a state (the common case): its FIRST part's
+    * base and delete refs. Callers that must handle append unions use
+    * [[parseParts]]. */
   private[graft] def parseState(state: String): (String, Seq[String]) = {
-    val i = state.indexOf('+')
-    if (i < 0) (state, Nil)
-    else (state.substring(0, i),
-      state.substring(i + 1).split(",").toSeq.filter(_.nonEmpty))
+    val parts = parseParts(state)
+    if (parts.isEmpty) (state, Nil) else parts.head
   }
 
   private def stateDataPath(table: String, rel: String,
@@ -381,8 +402,9 @@ object PartitionSnapshots {
       : Option[DataFrame] = {
     import org.apache.spark.sql.functions.broadcast
     val groups = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
-      val (base, dels) = parseState(state)
-      stateDataPath(table, rel, base).map(p => (dels, p))
+      parseParts(state).flatMap { case (base, dels) =>
+        stateDataPath(table, rel, base).map(p => (dels, p))
+      }
     }.groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
     if (groups.isEmpty) None
     else Some(groups.map { case (dels, members) =>
@@ -661,20 +683,101 @@ object PartitionSnapshots {
     publishRoot(spark, table, base ++ touched, touched, retain, schema,
       touchedStats) // commit point
     sealedSlots.foreach { case (rel, v) => Snapshots.publish(spark, s"$table/$rel", v) }
-    sealedSlots.foreach { case (rel, _) => finishPartitionCommit(spark, table, rel, retain) }
+    val prot = referencedVersions(spark, table)
+    sealedSlots.foreach { case (rel, _) =>
+      finishPartitionCommit(spark, table, rel, retain, prot)
+    }
   }
 
   /** Post-publish hygiene for one partition: enforce snapshot retention,
     * and expire the implicit v0 (legacy flat files) once enough real
     * versions exist to cover every reader the retention window promises. */
+  /** APPEND commit (Iceberg's fast append — O(new data), file-level
+    * granularity at version-dir resolution): each staged partition dir
+    * is sealed into a NEW version slot and the partition's state becomes
+    * the UNION of its prior parts and the new one (`v0001&v0005`) — no
+    * existing file is read, rewritten, or even listed. The ingest path a
+    * streaming micro-batch needs at 100 TB: commit cost is the new
+    * files + one root delta, whatever the partition already holds.
+    * Existing parts keep their pending delete refs; the appended part
+    * carries none (the sequence rule — an earlier delete never
+    * suppresses later data). Stats merge monotonically (rows add,
+    * bounds widen) when the prior entry has them; an unknown prior
+    * leaves the union unknown — honest, never wrong. [[compact]] folds
+    * union partitions back to one dir. */
+  private[graft] def commitAppendStaged(spark: SparkSession, table: String,
+                                        stagingRoot: String, cols: Seq[String],
+                                        retainVersions: Int,
+                                        schema: Option[org.apache.spark.sql.types.StructType])
+      : Unit = {
+    val retain = math.max(1, retainVersions)
+    val staged = partitionDirs(spark, stagingRoot, cols.size)
+    if (staged.isEmpty) return
+    val base = rootManifest(spark, table)
+      .getOrElse(scanStates(spark, table, cols))
+    val rt = s"$table/$RootDir"
+    val priorStats = Snapshots.currentVersion(spark, rt)
+      .map { pv =>
+        resolveManifestFull(spark, rt, pv).toSeq.collect {
+          case (rel, (_, Some(s))) => rel -> s
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
+    val sealedSlots = staged.map { rel =>
+      rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
+    }
+    val touched = sealedSlots.map { case (rel, v) =>
+      val newPart = (f"v$v%08d", Seq.empty[String])
+      val prior = base.get(rel).map(parseParts).getOrElse(Nil)
+        .filterNot(_._1 == Empty)
+      rel -> fmtParts(prior :+ newPart)
+    }.toMap
+    val touchedStats = sealedSlots.flatMap { case (rel, v) =>
+      val (nRows, nCols) =
+        ParquetStats.harvest(spark, Snapshots.versionPath(s"$table/$rel", v))
+      val priorParts = base.get(rel).map(parseParts).getOrElse(Nil)
+        .filterNot(_._1 == Empty)
+      if (priorParts.isEmpty)
+        Some(rel -> encodeStats(PartStats(nRows, nCols)))
+      else priorStats.get(rel).map(decodeStats).map { p =>
+        val mergedCols = (p.cols.keySet intersect nCols.keySet).map { c =>
+          val (pa, pb) = p.cols(c); val (na, nb) = nCols(c)
+          // widen bounds; numeric compare when both parse, else string
+          def lo(x: String, y: String) =
+            (ParquetStats.numeric(x), ParquetStats.numeric(y)) match {
+              case (Some(a), Some(b)) => if (a <= b) x else y
+              case _ => if (x <= y) x else y
+            }
+          def hi(x: String, y: String) =
+            (ParquetStats.numeric(x), ParquetStats.numeric(y)) match {
+              case (Some(a), Some(b)) => if (a >= b) x else y
+              case _ => if (x >= y) x else y
+            }
+          c -> (lo(pa, na), hi(pb, nb))
+        }.toMap
+        rel -> encodeStats(PartStats(p.rows + nRows, mergedCols))
+      } // prior stats unknown → leave the union's stats unknown
+    }.toMap
+    publishRoot(spark, table, base ++ touched, touched, retain, schema,
+      touchedStats) // commit point
+    sealedSlots.foreach { case (rel, v) =>
+      Snapshots.publish(spark, s"$table/$rel", v)
+    }
+    val prot = referencedVersions(spark, table)
+    sealedSlots.foreach { case (rel, _) =>
+      finishPartitionCommit(spark, table, rel, retain, prot)
+    }
+  }
+
   private def finishPartitionCommit(spark: SparkSession, table: String,
-                                    rel: String, retain: Int): Unit = {
+                                    rel: String, retain: Int,
+                                    prot: Map[String, (Set[Long], Boolean)])
+      : Unit = {
     val pd = new Path(s"$table/$rel")
     val f = fs(spark, pd)
-    // data versions a TAGGED root pins are retention-exempt, like the
-    // manifests that name them (tagRoot's contract: the tagged state
-    // stays resolvable end-to-end until the tag is dropped)
-    val (protVs, protFlat) = tagProtected(spark, table, rel)
+    // data versions the CURRENT state or a tagged root still names are
+    // retention-exempt — count-based vacuum would otherwise delete an
+    // append union's older parts or a tagged pin
+    val (protVs, protFlat) = prot.getOrElse(rel, (Set.empty[Long], false))
     Snapshots.vacuum(spark, s"$table/$rel", keep = retain,
       extraKeep = protVs)
     if (!protFlat && Snapshots.versions(spark, s"$table/$rel").size >= retain)
@@ -807,8 +910,9 @@ object PartitionSnapshots {
     claimed.foreach { case (rel, v) =>
       Snapshots.publish(spark, s"$table/$rel", v)
     }
+    val prot = referencedVersions(spark, table)
     claimed.foreach { case (rel, _) =>
-      finishPartitionCommit(spark, table, rel, retain)
+      finishPartitionCommit(spark, table, rel, retain, prot)
     }
   }
 
@@ -904,9 +1008,9 @@ object PartitionSnapshots {
       else Snapshots.currentVersion(spark, rt).getOrElse(return None)
     val full = resolveManifestFull(spark, rt, v)
     val counts = full.toSeq.map { case (_, (state, stats)) =>
-      val (base, dels) = parseState(state)
-      if (base == Empty) Some(0L)
-      else if (dels.nonEmpty) None // upper bound only — must scan
+      val parts = parseParts(state)
+      if (parts.forall(_._1 == Empty)) Some(0L)
+      else if (parts.exists(_._2.nonEmpty)) None // upper bound — must scan
       else stats.map(decodeStats(_).rows)
     }
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
@@ -1007,17 +1111,33 @@ object PartitionSnapshots {
     read(spark, table, asOf = rootTags(spark, table).getOrElse(name,
       throw new IllegalArgumentException(s"readTag: no tag '$name' at $table")))
 
-  /** Partition data versions (and FLAT pins) that tagged roots name for
-    * `rel` — what per-partition retention must never expire. */
-  private def tagProtected(spark: SparkSession, table: String,
-                           rel: String): (Set[Long], Boolean) = {
+  /** Partition data versions (and FLAT pins) the CURRENT root state or
+    * a TAGGED root still names, per partition — what per-partition
+    * retention must never expire. The current state matters because an
+    * append union references OLD version dirs as live parts
+    * (`v0001&v0005`), so count-based vacuum alone would delete current
+    * data; tags pin their versions indefinitely (tagRoot's contract).
+    * Deliberately NOT every retained root: untagged time travel keeps
+    * its documented expire-snapshots semantics — a root older than the
+    * partition retention window may fail LOUDLY to resolve. */
+  private def referencedVersions(spark: SparkSession, table: String)
+      : Map[String, (Set[Long], Boolean)] = {
     val rt = s"$table/$RootDir"
-    val states = rootTags(spark, table).values.toSet[Long]
-      .flatMap(v => resolveManifest(spark, rt, v).get(rel))
-      .map(parseState(_)._1)
-    (states.collect { case v if v != Empty && v != Flat =>
-      v.stripPrefix("v").toLong },
-      states.contains(Flat))
+    val live = Snapshots.currentVersion(spark, rt).toSet ++
+      rootTags(spark, table).values
+    val acc = scala.collection.mutable.Map.empty[String, (Set[Long], Boolean)]
+    live.foreach { v =>
+      resolveManifest(spark, rt, v).foreach { case (rel, state) =>
+        parseParts(state).foreach { case (base, _) =>
+          val (vs, flat) = acc.getOrElse(rel, (Set.empty[Long], false))
+          acc(rel) =
+            if (base == Flat) (vs, true)
+            else if (base == Empty) (vs, flat)
+            else (vs + base.stripPrefix("v").toLong, flat)
+        }
+      }
+    }
+    acc.toMap
   }
 
   /** Instant whole-table rollback: repoint the ROOT at an older manifest
@@ -1060,30 +1180,37 @@ object PartitionSnapshots {
       val entries = rootManifest(spark, table)
         .getOrElse(scanStates(spark, table, cols))
       val todo = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
-        val (base, dels) = parseState(state)
-        stateDataPath(table, rel, base).flatMap { d =>
-          val f = fs(spark, new Path(d))
-          val files = f.listStatus(new Path(d))
-            .filter(st => st.isFile && !hidden(st.getPath.getName))
-          // a partition carrying pending equality deletes is ALWAYS
-          // rewritten (the rewrite materializes them and the new state
-          // drops the refs — rewrite_position_delete_files' job), however
-          // few files it holds
-          if (files.length <= minFiles && dels.isEmpty) None
-          else Some((rel, d, dels, files.length, files.map(_.getLen).sum))
+        val parts = parseParts(state).flatMap { case (base, dels) =>
+          stateDataPath(table, rel, base).map(d => (d, dels))
+        }
+        if (parts.isEmpty) None
+        else {
+          val files = parts.flatMap { case (d, _) =>
+            fs(spark, new Path(d)).listStatus(new Path(d))
+              .filter(st => st.isFile && !hidden(st.getPath.getName))
+          }
+          val anyDels = parts.exists(_._2.nonEmpty)
+          // a partition carrying pending equality deletes OR an append
+          // union is ALWAYS rewritten (the rewrite materializes the
+          // deletes and folds the parts back to one version dir —
+          // rewrite_data_files' job), however few files it holds
+          if (files.length <= minFiles && !anyDels && parts.length == 1) None
+          else Some((rel, parts, files.length, files.map(_.getLen).sum))
         }
       }
       if (todo.isEmpty) return Map.empty
       val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
-      todo.foreach { case (rel, d, dels, _, bytes) =>
+      todo.foreach { case (rel, parts, _, bytes) =>
         val nOut = math.max(1,
           math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        val src = dels.foldLeft(spark.read.parquet(d)) { (df, id) =>
-          val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
-          df.join(org.apache.spark.sql.functions.broadcast(keys),
-            keys.columns.toSeq, "left_anti")
+        val sides = parts.map { case (d, dels) =>
+          dels.foldLeft(spark.read.parquet(d)) { (df, id) =>
+            val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
+            df.join(org.apache.spark.sql.functions.broadcast(keys),
+              keys.columns.toSeq, "left_anti")
+          }
         }
-        src.coalesce(nOut)
+        sides.reduce(_ unionByName _).coalesce(nOut)
           .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
           .parquet(s"$staging/$rel")
       }
@@ -1096,7 +1223,7 @@ object PartitionSnapshots {
       vacuumDeletes(spark, table)
       val committedStates = rootManifest(spark, table)
         .getOrElse(Map.empty[String, String])
-      todo.map { case (rel, _, _, before, _) =>
+      todo.map { case (rel, _, before, _) =>
         val after = committedStates.get(rel).map(parseState(_)._1) match {
           case Some(v) if v != Empty && v != Flat =>
             fs(spark, new Path(table)).listStatus(
@@ -1227,9 +1354,12 @@ object PartitionSnapshots {
       val tmp = s"$table/$DeletesDir/.staging-${java.util.UUID.randomUUID()}"
       k.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp)
       val id = claimDeleteSlot(spark, table, new Path(tmp))
+      // the new ref lands on EVERY current part: the delete applies to
+      // all data that exists now; parts appended later never carry it
+      // (the sequence rule, encoded structurally)
       val touched = touchedRels.toSeq.sorted.map { rel =>
-        val (b, dels) = parseState(base.getOrElse(rel, Flat))
-        rel -> s"$b+${(dels :+ id).mkString(",")}"
+        rel -> fmtParts(parseParts(base.getOrElse(rel, Flat))
+          .map { case (b, dels) => (b, dels :+ id) })
       }.toMap
       // carry the touched partitions' footer stats forward: the bounds
       // still describe the base files (rows becomes an upper bound — a
@@ -1284,7 +1414,7 @@ object PartitionSnapshots {
     val rt = s"$table/$RootDir"
     val referenced = Snapshots.versions(spark, rt)
       .flatMap(v => resolveManifest(spark, rt, v).values)
-      .flatMap(s => parseState(s)._2).toSet
+      .flatMap(s => parseParts(s).flatMap(_._2)).toSet
     f.listStatus(dir)
       .filter { st =>
         val n = st.getPath.getName

@@ -683,6 +683,67 @@ class PartitionSnapshotsSpec extends SparkSpec {
     Upsert.read(spark, path).count() shouldBe keys.size * 2L
   }
 
+  test("append commits are O(new data): old version dirs untouched, union state") {
+    val path = tmpDir("pmanappend") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val v1Files = new java.io.File(s"$path/part=p1/_versions/v00000001")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    Upsert.append(spark, path, Seq((3, "p1", 30)).toDF("k", "part", "v"),
+      Seq("part"))
+    // the read is the union of both parts; the manifest state says so
+    byKey(path) shouldBe
+      Map(1 -> (("p1", 10)), 2 -> (("p2", 20)), 3 -> (("p1", 30)))
+    PartitionSnapshots.rootManifest(spark, path)
+      .get("part=p1") shouldBe "v00000001&v00000002"
+    // the prior version dir was not rewritten, touched, or relisted
+    new java.io.File(s"$path/part=p1/_versions/v00000001")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap shouldBe v1Files
+    // stats merged monotonically: metadata count stays exact
+    PartitionSnapshots.rowCount(spark, path) shouldBe Some(3L)
+    PartitionSnapshots.rootStats(spark, path)("part=p1")
+      .cols("k") shouldBe (("1", "3"))
+    // retention never expires an old part the live state references:
+    // churn past the retain window with more appends, v1 must survive
+    (1 to 4).foreach { i =>
+      Upsert.append(spark, path, Seq((10 + i, "p1", i)).toDF("k", "part", "v"),
+        Seq("part"), retainVersions = 2)
+    }
+    new java.io.File(s"$path/part=p1/_versions/v00000001")
+      .exists() shouldBe true
+    Upsert.read(spark, path).count() shouldBe 7L
+    // compaction folds the union back to ONE version dir
+    PartitionSnapshots.compact(spark, path, minFiles = 100)
+    PartitionSnapshots.rootManifest(spark, path)
+      .get("part=p1") should fullyMatch regex "v\\d{8}"
+    Upsert.read(spark, path).count() shouldBe 7L
+  }
+
+  test("insert-only MERGE on a manifested table appends, never rewrites") {
+    val path = tmpDir("pmaninsapp") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // k=1 exists (kept as-is, its partition NOT rewritten); k=3 is new
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 99), (3, "p1", 30)).toDF("k", "part", "v"),
+      Seq("k"), insertOnly = true, partitionCols = Seq("part"))
+    byKey(path) shouldBe
+      Map(1 -> (("p1", 10)), 2 -> (("p2", 20)), 3 -> (("p1", 30)))
+    // append, not rewrite: p1's state is a two-part union
+    PartitionSnapshots.rootManifest(spark, path)
+      .get("part=p1") should include("&")
+    // deletes before an append never suppress the appended data
+    PartitionSnapshots.deleteKeys(spark, path, Seq(Tuple1(3)).toDF("k"))
+    Upsert.upsert(spark, path, Seq((3, "p1", 31)).toDF("k", "part", "v"),
+      Seq("k"), insertOnly = true, partitionCols = Seq("part"))
+    byKey(path)(3) shouldBe (("p1", 31))
+    // exactly once: the deleted old image stays suppressed (its part
+    // carries the ref), the new part serves the re-inserted row
+    Upsert.read(spark, path).count() shouldBe 3L
+  }
+
   test("manifests carry footer stats: metadata row count, honest None under deletes") {
     val path = tmpDir("pmanstats") + "/t"
     Upsert.upsert(spark, path,
