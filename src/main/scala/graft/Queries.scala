@@ -2773,6 +2773,38 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** IDEMPOTENT TRANSACTIONAL APPEND ([[Upsert.append]] with `txn` —
+    * Delta's txnAppId/txnVersion, Iceberg's snapshot-summary pattern):
+    * micro-batch 0 is appended, then REDELIVERED verbatim (the
+    * foreachBatch crash-retry shape), then batch 1 commits normally.
+    * Each commit stamps `graft.txn.<appId> → version` into the root
+    * manifest's props; under the writer lease a version ≤ the highest
+    * already committed is skipped wholesale, so the redelivery commits
+    * NOTHING — exactly-once ingest without reading any data file. The
+    * oracle is the plain final image: a duplicated batch would double
+    * keys 301–340 and hash-mismatch. */
+  def q178TxnAppend(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("ptxnq", dir) { base =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", cust.where(col("c_custkey") <= 300),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"),
+        partitionManifests = true)
+      val b0 = cust.where(col("c_custkey") > 300 && col("c_custkey") <= 340)
+      Upsert.append(s, s"$base/t", b0, Seq("c_mktsegment"),
+        txn = Some(("q178", 0L)))
+      // crash redelivery of batch 0 — absorbed by the txn stamp
+      Upsert.append(s, s"$base/t", b0, Seq("c_mktsegment"),
+        txn = Some(("q178", 0L)))
+      Upsert.append(s, s"$base/t",
+        cust.where(col("c_custkey") > 340 && col("c_custkey") <= 380),
+        Seq("c_mktsegment"), txn = Some(("q178", 1L)))
+    } + "/t"
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SNAPSHOT DRIFT between two root versions
     * ([[graft.operators.Profile.snapshotDrift]]) of q164's staged table:
     * the v1→v2 merge added 1000 to every third key's balance, so the
@@ -3491,6 +3523,12 @@ object Queries {
     // skipped) = the plain <=380 state; append durability never changes
     // the answer, only the commit cost
     "q177_fast_append" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey <= 380""".stripMargin,
+    // q178: seed <=300 + txn-append 301-340 (delivered TWICE; the
+    // redelivery is skipped by the (appId, version) stamp) + 341-380 =
+    // the plain <=380 state; a duplicated batch would hash-mismatch
+    "q178_txn_append" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey <= 380""".stripMargin,
     "q01_pricing_agg" ->
@@ -5747,6 +5785,7 @@ object Queries {
     "q174_tagged_read" -> (q174TaggedRead _),
     "q175_metadata_count" -> (q175MetadataCount _),
     "q176_stats_pruned_read" -> (q176StatsPrunedRead _),
-    "q177_fast_append" -> (q177FastAppend _)
+    "q177_fast_append" -> (q177FastAppend _),
+    "q178_txn_append" -> (q178TxnAppend _)
   )
 }

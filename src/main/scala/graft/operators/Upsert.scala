@@ -470,18 +470,34 @@ object Upsert {
     * MERGE WHEN NOT MATCHED semantics (which routes through this same
     * append commit on manifested tables). With `evolveSchema`, new
     * columns pin the evolved union schema; existing rows read them as
-    * NULL. An empty `df` is a no-op. */
+    * NULL. An empty `df` is a no-op.
+    *
+    * `txn = Some((appId, version))` makes the append IDEMPOTENT per
+    * writer (Delta's txnAppId/txnVersion, Iceberg's snapshot summary):
+    * the commit stamps `graft.txn.<appId> → version` into the root
+    * manifest's props, and — under the same writer lease, so
+    * race-free — an append whose version is ≤ the highest already
+    * committed for that appId is SKIPPED. The exactly-once handle for
+    * streaming redelivery: a foreachBatch retry re-runs with the same
+    * batch id and commits nothing twice
+    * ([[graft.streaming.Streams.manifestedAppendStream]]). */
   def append(spark: SparkSession, path: String, df: DataFrame,
              partitionCols: Seq[String],
              evolveSchema: Boolean = false,
              lockTtlMs: Long = DefaultLockTtlMs,
-             retainVersions: Int = DefaultRetainVersions): Unit = {
+             retainVersions: Int = DefaultRetainVersions,
+             txn: Option[(String, Long)] = None): Unit = {
     import graft.sources.PartitionSnapshots
     require(partitionCols.nonEmpty, "append: partitionCols required")
     if (df.isEmpty) return
     val token = acquireLock(spark, path, lockTtlMs)
     try {
       recoverSwap(spark, path)
+      val alreadyCommitted = txn.exists { case (appId, v) =>
+        PartitionSnapshots.lastTxnVersion(spark, path,
+          s"graft.txn.$appId").exists(_ >= v)
+      }
+      if (alreadyCommitted) return
       require(!graft.sources.Snapshots.isVersioned(spark, path),
         s"append: $path is a whole-table snapshot table")
       PartitionSnapshots.ensureManifested(spark, path, partitionCols)
@@ -503,7 +519,10 @@ object Upsert {
         assertHeld(spark, path, token)
         // `out` is already conformed to the union schema when evolving
         PartitionSnapshots.commitAppendStaged(spark, path, staging,
-          partitionCols, retainVersions, Some(out.schema))
+          partitionCols, retainVersions, Some(out.schema),
+          txn.map { case (appId, v) =>
+            Map(s"graft.txn.$appId" -> v.toString)
+          }.getOrElse(Map.empty))
       } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
     } finally releaseLock(spark, path, token)
   }

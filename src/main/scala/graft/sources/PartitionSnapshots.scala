@@ -112,6 +112,7 @@ object PartitionSnapshots {
   private val DeltaFile = "delta"
   private val DeletesDir = "_deletes"
   private val SchemaFile = "schema.json"
+  private val PropsFile = "props"
   // manifest state tokens (beyond a pinned "v00000001"-style slot name)
   private val Flat = "FLAT"    // implicit v0: the partition's flat hive files
   private val Empty = "EMPTY"  // partition holds zero rows
@@ -498,7 +499,8 @@ object PartitionSnapshots {
                           touched: Map[String, String], retain: Int,
                           schema: Option[org.apache.spark.sql.types.StructType]
                             = None,
-                          touchedStats: Map[String, String] = Map.empty): Unit = {
+                          touchedStats: Map[String, String] = Map.empty,
+                          props: Map[String, String] = Map.empty): Unit = {
     val rt = s"$table/$RootDir"
     val f = fs(spark, new Path(rt))
     val committed = Snapshots.versions(spark, rt)
@@ -544,6 +546,15 @@ object PartitionSnapshots {
       val so = f.create(new Path(tmp, SchemaFile), true)
       try so.write(st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally so.close()
+    }
+    if (props.nonEmpty) {
+      require(props.forall { case (k, v) =>
+        k.nonEmpty && !s"$k$v".exists(c => c == '\t' || c == '\n' || c == '\r')
+      }, "commit props must be tab/newline-free")
+      val po = f.create(new Path(tmp, PropsFile), true)
+      try po.write(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally po.close()
     }
     var attempt = 0
     while (attempt < 50) {
@@ -708,7 +719,8 @@ object PartitionSnapshots {
   private[graft] def commitAppendStaged(spark: SparkSession, table: String,
                                         stagingRoot: String, cols: Seq[String],
                                         retainVersions: Int,
-                                        schema: Option[org.apache.spark.sql.types.StructType])
+                                        schema: Option[org.apache.spark.sql.types.StructType],
+                                        props: Map[String, String] = Map.empty)
       : Unit = {
     val retain = math.max(1, retainVersions)
     val staged = partitionDirs(spark, stagingRoot, cols.size)
@@ -758,7 +770,7 @@ object PartitionSnapshots {
       } // prior stats unknown → leave the union's stats unknown
     }.toMap
     publishRoot(spark, table, base ++ touched, touched, retain, schema,
-      touchedStats) // commit point
+      touchedStats, props) // commit point
     sealedSlots.foreach { case (rel, v) =>
       Snapshots.publish(spark, s"$table/$rel", v)
     }
@@ -1110,6 +1122,42 @@ object PartitionSnapshots {
   def readTag(spark: SparkSession, table: String, name: String): DataFrame =
     read(spark, table, asOf = rootTags(spark, table).getOrElse(name,
       throw new IllegalArgumentException(s"readTag: no tag '$name' at $table")))
+
+  /** COMMIT PROPERTIES of one root version (Iceberg's snapshot summary):
+    * the free-form (key → value) map the committing writer attached —
+    * operation provenance, stream transaction markers. Empty when the
+    * commit carried none. `asOf = -1` reads the current root. */
+  def rootProps(spark: SparkSession, table: String,
+                asOf: Long = -1L): Map[String, String] = {
+    val rt = s"$table/$RootDir"
+    val v = if (asOf >= 0L) asOf
+      else Snapshots.currentVersion(spark, rt).getOrElse(return Map.empty)
+    val p = new Path(s"${Snapshots.versionPath(rt, v)}/$PropsFile")
+    if (!fs(spark, p).exists(p)) Map.empty
+    else readText(spark, p).split("\n").toSeq.filter(_.nonEmpty).map { ln =>
+      val i = ln.indexOf('\t')
+      ln.substring(0, i) -> ln.substring(i + 1)
+    }.toMap
+  }
+
+  /** Highest LONG value committed under prop `key` across the RETAINED
+    * root chain — the idempotent-transaction probe (Delta's
+    * txnAppId/txnVersion): a writer that stamps commits with a
+    * monotonically increasing version skips any delivery whose version
+    * is ≤ this. Scanning the retained chain (not just the head) makes
+    * the probe robust to unrelated commits landing between a crash and
+    * the redelivery; the idempotency window is therefore the root
+    * retention window — a redelivery arriving after ≥retain OTHER
+    * commits would no longer be recognized, which for streaming (only
+    * the LAST batch is ever replayed) requires a concurrent writer to
+    * lap the whole window mid-recovery. */
+  def lastTxnVersion(spark: SparkSession, table: String,
+                     key: String): Option[Long] = {
+    val rt = s"$table/$RootDir"
+    val vs = Snapshots.versions(spark, rt)
+      .flatMap(v => rootProps(spark, table, v).get(key)).map(_.toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
 
   /** Partition data versions (and FLAT pins) the CURRENT root state or
     * a TAGGED root still names, per partition — what per-partition

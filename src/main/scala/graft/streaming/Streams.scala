@@ -297,4 +297,44 @@ object Streams {
        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
      else writer).start()
   }
+
+  /** Streaming ingest into a MANIFESTED partitioned table via fast
+    * appends — the 100 TB log-ingest shape: each micro-batch commits in
+    * O(its own rows) ([[graft.operators.Upsert.append]] — new version
+    * parts, no existing file read or rewritten, one root delta), so
+    * commit cost is independent of how large the table has grown.
+    * EXACTLY-ONCE, not at-least-once: every commit is stamped with the
+    * micro-batch id as an idempotent transaction
+    * (`txn = (appId, batchId)`, Delta's txnAppId/txnVersion pattern),
+    * and a foreachBatch redelivery after a crash — which re-runs the
+    * SAME batch id over the same checkpointed offsets — is skipped
+    * under the writer lease because that version already committed.
+    * `appId` defaults to a digest of the checkpoint path: a restart on
+    * the same checkpoint resumes the same transaction stream, while a
+    * FRESH checkpoint is (per Structured Streaming's own contract) a
+    * new query that reprocesses the source — and correspondingly a new
+    * transaction id that appends anew. Readers on the table see each
+    * batch atomically (root-pointer swap) and concurrent equality
+    * deletes never suppress later batches (per-part delete refs). */
+  def manifestedAppendStream(spark: SparkSession, rows: DataFrame,
+                             path: String, partitionCols: Seq[String],
+                             checkpoint: String,
+                             appId: Option[String] = None,
+                             availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Upsert
+    val app = appId.getOrElse(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString)
+    val writer = rows.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        Upsert.append(spark, path, batch, partitionCols,
+          txn = Some((app, bid)))
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 }

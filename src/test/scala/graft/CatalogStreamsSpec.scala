@@ -401,4 +401,45 @@ class CatalogStreamsSpec extends SparkSpec {
     stale.exists() shouldBe false
     spark.read.parquet(root).count() shouldBe 2L // batch=7 (1 row) + batch=8 (1 row)
   }
+
+  test("manifested append stream: exactly-once micro-batch ingest") {
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String, Int)]
+    val path = tmpDir("ingesttbl") + "/t"
+    val ckpt = tmpDir("ingestckpt")
+    val q = Streams.manifestedAppendStream(spark,
+      mem.toDF().toDF("k", "part", "v"), path, Seq("part"), ckpt,
+      appId = Some("ingest-e2e"))
+    try {
+      mem.addData((1, "p1", 10), (2, "p2", 20))
+      q.processAllAvailable()
+      mem.addData((3, "p1", 30))
+      q.processAllAvailable()
+    } finally q.stop()
+    Upsert.read(spark, path).count() shouldBe 3L
+    // each micro-batch committed as an O(new data) append: batch 1's p1
+    // rows landed as a second PART, batch 0's version dir untouched
+    PartitionSnapshots.rootManifest(spark, path)
+      .get("part=p1") should include("&")
+    // crash-redelivery: foreachBatch re-runs the LAST batch id with the
+    // same data — the txn stamp absorbs it, nothing commits twice
+    Upsert.append(spark, path, Seq((3, "p1", 30)).toDF("k", "part", "v"),
+      Seq("part"), txn = Some(("ingest-e2e", 1L)))
+    Upsert.read(spark, path).count() shouldBe 3L
+    PartitionSnapshots.lastTxnVersion(spark, path,
+      "graft.txn.ingest-e2e") shouldBe Some(1L)
+    // restart on the SAME checkpoint: the query resumes past committed
+    // offsets and only NEW data appends
+    val q2 = Streams.manifestedAppendStream(spark,
+      mem.toDF().toDF("k", "part", "v"), path, Seq("part"), ckpt,
+      appId = Some("ingest-e2e"))
+    try {
+      mem.addData((4, "p2", 40))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    Upsert.read(spark, path).collect()
+      .map(r => r.getAs[Int]("k")).sorted shouldBe Array(1, 2, 3, 4)
+  }
 }

@@ -744,6 +744,32 @@ class PartitionSnapshotsSpec extends SparkSpec {
     Upsert.read(spark, path).count() shouldBe 3L
   }
 
+  test("idempotent txn appends: same (appId, version) never commits twice") {
+    val path = tmpDir("ptxn") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val b0 = Seq((2, "p1", 20)).toDF("k", "part", "v")
+    Upsert.append(spark, path, b0, Seq("part"), txn = Some(("ingest", 0L)))
+    // props recorded on the committing root (Iceberg snapshot summary)
+    PartitionSnapshots.rootProps(spark, path) shouldBe
+      Map("graft.txn.ingest" -> "0")
+    // redelivery of the same (appId, version): skipped wholesale
+    Upsert.append(spark, path, b0, Seq("part"), txn = Some(("ingest", 0L)))
+    Upsert.read(spark, path).count() shouldBe 2L
+    // an unrelated commit landing between crash and redelivery doesn't
+    // blind the probe (it scans the retained root chain, not the head)
+    Upsert.upsert(spark, path, Seq((3, "p2", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    Upsert.append(spark, path, b0, Seq("part"), txn = Some(("ingest", 0L)))
+    Upsert.read(spark, path).count() shouldBe 3L
+    // the NEXT version under the same app commits normally
+    Upsert.append(spark, path, Seq((4, "p1", 40)).toDF("k", "part", "v"),
+      Seq("part"), txn = Some(("ingest", 1L)))
+    Upsert.read(spark, path).count() shouldBe 4L
+    PartitionSnapshots.lastTxnVersion(spark, path, "graft.txn.ingest") shouldBe
+      Some(1L)
+  }
+
   test("manifests carry footer stats: metadata row count, honest None under deletes") {
     val path = tmpDir("pmanstats") + "/t"
     Upsert.upsert(spark, path,

@@ -14,7 +14,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val out = "/tmp/graft_scratch_out"
-    val only = Seq("q163_manifested_merge")
+    val only = Seq("q177_fast_append", "q170_equality_deletes", "q175_metadata_count", "q176_stats_pruned_read", "q163_manifested_merge", "q164_partition_timetravel", "q165_changelog", "q166_wap_merge", "q173_drop_partitions", "q174_tagged_read")
     new java.io.File(out).mkdirs()
     only.foreach { name =>
       val t0 = System.nanoTime()
