@@ -958,10 +958,13 @@ object PartitionSnapshots {
     * identity is the whole row, since this layer has no key metadata;
     * callers with a key can pivot the pairs into updates by joining on
     * it). Rows identical on both sides of a rewritten partition cancel
-    * out — a compaction-only commit yields an empty feed. */
+    * out — a compaction-only commit yields an empty feed. `fromV = 0`
+    * is the empty pre-first-commit state: the feed is the full toV
+    * image as inserts (the changelog-stream full-history replay). */
   def changes(spark: SparkSession, table: String,
               fromV: Long, toV: Long): DataFrame = {
-    val from = rootManifest(spark, table, fromV).get
+    val from = if (fromV == 0L) Map.empty[String, String]
+      else rootManifest(spark, table, fromV).get
     val to = rootManifest(spark, table, toV).get
     val differing = (from.keySet ++ to.keySet)
       .filter(rel => from.get(rel) != to.get(rel))

@@ -14,4 +14,16 @@ object SqlInternals {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[SparkSession].sessionState.functionRegistry
       .registerFunction(ident, info, builder)
+
+  /** The `private[sql]` constructor streaming sources use for the
+    * DataFrame a `Source.getBatch` hands back: the micro-batch engine
+    * asserts `isStreaming = true` on it, which no public constructor
+    * can set. Same route as Spark's own FileStreamSource. */
+  def internalCreateStreamingDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -402,6 +402,98 @@ class CatalogStreamsSpec extends SparkSpec {
     spark.read.parquet(root).count() shouldBe 2L // batch=7 (1 row) + batch=8 (1 row)
   }
 
+  test("changelog stream: per-commit CDC feed, restart, history replay") {
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val path = tmpDir("clogtbl") + "/t"
+    val ckpt = tmpDir("clogckpt")
+    // v1: seed
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable collector (the production shape anyway)
+    def run(rounds: (() => Unit)*): Seq[(Int, Int, String, Long)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Long)]
+      val feed = Streams.changelogStream(spark, path)
+      val q = feed.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k", "v", "change_type", "_commit_version").collect()
+            .foreach(r => buf.add(
+              (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3))))
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        rounds.foreach { r => r(); q.processAllAvailable() }
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.sorted
+    }
+    // default start = current version: the seed itself never streams
+    val got = run(
+      // v2: fast append — two inserts
+      () => Upsert.append(spark, path,
+        Seq((3, "p1", 30), (4, "p2", 40)).toDF("k", "part", "v"), Seq("part")),
+      // v3: update k=1 — its delete+insert pair
+      () => Upsert.upsert(spark, path, Seq((1, "p1", 11)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part")))
+    got shouldBe Seq((1, 10, "delete", 3L), (1, 11, "insert", 3L),
+      (3, 30, "insert", 2L), (4, 40, "insert", 2L))
+    // restart on the SAME checkpoint: already-served commits never replay
+    val afterRestart = run(
+      // v4: equality delete of k=4 — streams as a delete row
+      () => { PartitionSnapshots.deleteKeys(spark, path,
+        Seq(4).toDF("k")) shouldBe true })
+    afterRestart shouldBe Seq((4, 40, "delete", 4L))
+    // startingVersion = 1 on a FRESH checkpoint: full history replay,
+    // each commit at its own _commit_version (v1 = the seed as inserts)
+    val replay = Streams.changelogStream(spark, path, startingVersion = Some(1L))
+    val q2 = replay.writeStream.format("memory").queryName("clogall")
+      .option("checkpointLocation", tmpDir("clogckpt2")).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.table("clogall")
+      .select("k", "v", "change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSeq.sorted
+    all shouldBe Seq((1, 10, "delete", 3L), (1, 10, "insert", 1L),
+      (1, 11, "insert", 3L), (2, 20, "insert", 1L), (3, 30, "insert", 2L),
+      (4, 40, "delete", 4L), (4, 40, "insert", 2L))
+    // net replay ≡ the table: inserts minus deletes at the end = read()
+    val net = spark.table("clogall").groupBy("k", "v")
+      .agg(sum(when(col("change_type") === "insert", 1)
+        .otherwise(-1)).as("n")).where(col("n") > 0)
+    net.select("k", "v").collect().map(r => (r.getInt(0), r.getInt(1)))
+      .sorted shouldBe
+      Upsert.read(spark, path).select("k", "v").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted
+  }
+
+  test("changelog → append stream: exactly-once table-to-table mirror") {
+    import graft.operators.Upsert
+    val src = tmpDir("mirsrc") + "/t"
+    val dst = tmpDir("mirdst") + "/t"
+    Upsert.upsert(spark, src, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val inserts = Streams.changelogStream(spark, src,
+        startingVersion = Some(1L))
+      .where(col("change_type") === "insert").select("k", "part", "v")
+    val q = Streams.manifestedAppendStream(spark, inserts, dst, Seq("part"),
+      tmpDir("mirckpt"))
+    try {
+      q.processAllAvailable()
+      Upsert.append(spark, src, Seq((2, "p2", 20), (3, "p1", 30))
+        .toDF("k", "part", "v"), Seq("part"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the mirror converges to the source: offsets pin which commits
+    // streamed, txn stamps make each append idempotent
+    Upsert.read(spark, dst).select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted shouldBe
+      Upsert.read(spark, src).select("k", "v").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted
+  }
+
   test("manifested append stream: exactly-once micro-batch ingest") {
     import graft.operators.Upsert
     import graft.sources.PartitionSnapshots
