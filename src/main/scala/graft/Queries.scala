@@ -2805,6 +2805,30 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** SORTED COMPACTION ([[graft.sources.PartitionSnapshots.compact]]
+    * with `sortWithin` — Iceberg's rewrite_data_files with a sort
+    * order): even and odd customer keys land as two interleaved parts
+    * (each file spanning the whole key range, footer stats useless),
+    * then the sorted rewrite range-partitions every partition on
+    * c_custkey so each output file covers a disjoint key slice. Layout
+    * only — the oracle pins that the rewrite preserved every row. */
+  def q179SortedCompaction(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("psortq", dir) { base =>
+      val cust = t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", cust.where(col("c_custkey") % 2 === 0),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"),
+        partitionManifests = true)
+      Upsert.append(s, s"$base/t", cust.where(col("c_custkey") % 2 === 1),
+        Seq("c_mktsegment"))
+      graft.sources.PartitionSnapshots.compact(s, s"$base/t",
+        sortWithin = Seq("c_custkey"))
+    } + "/t"
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SNAPSHOT DRIFT between two root versions
     * ([[graft.operators.Profile.snapshotDrift]]) of q164's staged table:
     * the v1→v2 merge added 1000 to every third key's balance, so the
@@ -3531,6 +3555,11 @@ object Queries {
     "q178_txn_append" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey <= 380""".stripMargin,
+    // q179: even + odd interleaved appends then a sorted rewrite — a
+    // pure layout change; the oracle is the untouched row set
+    "q179_sorted_compaction" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey <= 400""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5786,6 +5815,7 @@ object Queries {
     "q175_metadata_count" -> (q175MetadataCount _),
     "q176_stats_pruned_read" -> (q176StatsPrunedRead _),
     "q177_fast_append" -> (q177FastAppend _),
-    "q178_txn_append" -> (q178TxnAppend _)
+    "q178_txn_append" -> (q178TxnAppend _),
+    "q179_sorted_compaction" -> (q179SortedCompaction _)
   )
 }

@@ -1217,11 +1217,21 @@ object PartitionSnapshots {
     * same rows; coalesce merges scan splits, no shuffle). Partitions at
     * or under `minFiles` are untouched — a steady-state daily run
     * compacts only what the stream fragmented. Returns
-    * (filesBefore, filesAfter) per compacted partition. */
+    * (filesBefore, filesAfter) per compacted partition.
+    *
+    * `sortWithin = Seq(cols…)` makes it a SORTED rewrite (Iceberg's
+    * rewrite_data_files with a sort order): every partition is
+    * range-partitioned and sorted on the keys, so each output file
+    * covers a disjoint key slice and parquet footer min/max prune
+    * point/range reads to one file — the layout repair for tables grown
+    * by interleaved appends. Costs one shuffle per partition and
+    * rewrites ALL partitions (a layout change, not small-file
+    * reclamation). */
   def compact(spark: SparkSession, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               minFiles: Int = 4,
-              retainVersions: Int = graft.operators.Upsert.DefaultRetainVersions)
+              retainVersions: Int = graft.operators.Upsert.DefaultRetainVersions,
+              sortWithin: Seq[String] = Nil)
       : Map[String, (Int, Int)] = {
     require(isManifested(spark, table), s"$table is not a manifested table")
     val token = graft.operators.Upsert.acquireLock(spark, table,
@@ -1244,8 +1254,11 @@ object PartitionSnapshots {
           // a partition carrying pending equality deletes OR an append
           // union is ALWAYS rewritten (the rewrite materializes the
           // deletes and folds the parts back to one version dir —
-          // rewrite_data_files' job), however few files it holds
-          if (files.length <= minFiles && !anyDels && parts.length == 1) None
+          // rewrite_data_files' job), however few files it holds; a
+          // sort request rewrites every partition (the caller is
+          // changing the LAYOUT, not reclaiming small files)
+          if (files.length <= minFiles && !anyDels && parts.length == 1 &&
+              sortWithin.isEmpty) None
           else Some((rel, parts, files.length, files.map(_.getLen).sum))
         }
       }
@@ -1261,7 +1274,19 @@ object PartitionSnapshots {
               keys.columns.toSeq, "left_anti")
           }
         }
-        sides.reduce(_ unionByName _).coalesce(nOut)
+        val merged = sides.reduce(_ unionByName _)
+        // sorted rewrite (Iceberg rewrite_data_files with a sort order):
+        // range-partition then sort so each output file covers a
+        // DISJOINT slice of the sort key — parquet min/max row-group
+        // stats become non-overlapping and point/range reads on the
+        // key skip every other file, the layout win footer skipping
+        // cannot give on interleaved appends
+        val shaped =
+          if (sortWithin.isEmpty) merged.coalesce(nOut)
+          else merged.repartitionByRange(nOut,
+              sortWithin.map(org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(sortWithin.head, sortWithin.tail: _*)
+        shaped
           .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
           .parquet(s"$staging/$rel")
       }

@@ -770,6 +770,40 @@ class PartitionSnapshotsSpec extends SparkSpec {
       Some(1L)
   }
 
+  test("sorted compaction: disjoint per-file key ranges, rows preserved") {
+    val path = tmpDir("psortcomp") + "/t"
+    // interleaved appends: every file spans nearly the full key range,
+    // so footer min/max can prune nothing
+    val stripes = Seq(0, 1, 2, 3).map(i =>
+      spark.range(10000).selectExpr(s"id * 4 + $i AS k", "'p1' AS part",
+        "CAST(id AS INT) AS v"))
+    Upsert.upsert(spark, path, stripes.head, Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    stripes.tail.foreach(df => Upsert.append(spark, path, df, Seq("part")))
+    val res = PartitionSnapshots.compact(spark, path,
+      targetFileBytes = 16L * 1024, sortWithin = Seq("k"))
+    res.keySet shouldBe Set("part=p1")
+    res("part=p1")._2 should be > 1 // multiple sorted output files
+    // every output file covers a DISJOINT k slice
+    val ranges = Upsert.read(spark, path).inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sorted
+    ranges.size shouldBe res("part=p1")._2
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => hi should be < lo
+      case _ =>
+    }
+    // row-preserving: same multiset before and after
+    Upsert.read(spark, path).groupBy().sum("k", "v").collect()(0) match {
+      case r => (r.getLong(0), r.getLong(1)) shouldBe
+        ((0L until 40000L).sum, 4L * (0L until 10000L).sum)
+    }
+    Upsert.read(spark, path).count() shouldBe 40000L
+  }
+
   test("manifests carry footer stats: metadata row count, honest None under deletes") {
     val path = tmpDir("pmanstats") + "/t"
     Upsert.upsert(spark, path,
