@@ -2805,6 +2805,33 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** `$partitions` METADATA TABLE
+    * ([[graft.sources.PartitionSnapshots.partitionsMeta]] — Iceberg's
+    * inspection tables): q175's staged table (seed + overlapping merge,
+    * so counts reflect upserts, not raw inserts) read as one metadata
+    * row per partition; the manifest-recorded row counts must equal
+    * what a full GROUP BY count of the replayed data computes — the
+    * exactness contract that makes the inspection surface trustworthy.
+    * Zero data files opened on the engine side. */
+  def q180PartitionsMeta(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pcount", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val delta = t(s, dir, "customer")
+        .where(col("c_custkey") <= 430 &&
+          (col("c_custkey") > 400 || col("c_custkey") % 9 === 0))
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(50.0)).as("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", delta, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"))
+    } + "/t"
+    graft.sources.PartitionSnapshots.partitionsMeta(s, path)
+      .select(substring_index(col("partition"), "=", -1).as("c_mktsegment"),
+        col("row_count").cast("long").as("n_rows"))
+  }
+
   /** SORTED COMPACTION ([[graft.sources.PartitionSnapshots.compact]]
     * with `sortWithin` — Iceberg's rewrite_data_files with a sort
     * order): even and odd customer keys land as two interleaved parts
@@ -3560,6 +3587,11 @@ object Queries {
     "q179_sorted_compaction" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q180: the $partitions metadata table's recorded row counts must
+    // equal a real GROUP BY count of the staged table's final state
+    "q180_partitions_meta" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer WHERE c_custkey <= 430 GROUP BY 1""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5816,6 +5848,7 @@ object Queries {
     "q176_stats_pruned_read" -> (q176StatsPrunedRead _),
     "q177_fast_append" -> (q177FastAppend _),
     "q178_txn_append" -> (q178TxnAppend _),
-    "q179_sorted_compaction" -> (q179SortedCompaction _)
+    "q179_sorted_compaction" -> (q179SortedCompaction _),
+    "q180_partitions_meta" -> (q180PartitionsMeta _)
   )
 }

@@ -1162,6 +1162,100 @@ object PartitionSnapshots {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** `$snapshots` INSPECTION TABLE (Iceberg's metadata tables, served
+    * as a plain DataFrame): one row per RETAINED root version — commit
+    * time (slot mtime), whether the commit wrote a delta or a full
+    * manifest, the delta's parent, how many partitions it touched, the
+    * resolved table width, its commit props, and whether it is the
+    * version the live pointer serves. Built entirely from manifest
+    * metadata: zero data files opened, O(retained versions ×
+    * chain-resolve) driver work — the operational surface a 30 000-
+    * partition table is debugged through. */
+  def snapshotsMeta(spark: SparkSession, table: String): DataFrame = {
+    require(isManifested(spark, table),
+      s"snapshotsMeta: $table is not a manifested table")
+    val rt = s"$table/$RootDir"
+    val f = fs(spark, new Path(rt))
+    val cur = Snapshots.currentVersion(spark, rt)
+    val rows = Snapshots.versions(spark, rt).map { v =>
+      val slot = Snapshots.versionPath(rt, v)
+      val deltaP = new Path(s"$slot/$DeltaFile")
+      val isDelta = f.exists(deltaP)
+      val (parent, touched) =
+        if (isDelta) {
+          val lines = readText(spark, deltaP).split("\n").toSeq
+            .filter(_.nonEmpty)
+          (Some(lines.head.stripPrefix("v").toLong), lines.tail.size)
+        } else (Option.empty[Long], resolveManifestFull(spark, rt, v).size)
+      (v, new java.sql.Timestamp(f.getFileStatus(new Path(slot))
+          .getModificationTime), isDelta, parent, touched,
+        resolveManifestFull(spark, rt, v).size,
+        rootProps(spark, table, v), cur.contains(v))
+    }
+    import spark.implicits._
+    rows.toDF("root_version", "committed_at", "is_delta", "parent_version",
+      "touched_partitions", "total_partitions", "props", "is_current")
+  }
+
+  /** `$partitions` INSPECTION TABLE: one row per partition of a root
+    * state — its pinned state token, how many append parts and pending
+    * equality-delete refs it carries, its manifest-recorded row count
+    * (None when unknowable: pending deletes make it an upper bound,
+    * pre-stats commits have none) and per-column "min..max" bounds.
+    * Metadata-only; `asOf = -1` reads the current root. */
+  def partitionsMeta(spark: SparkSession, table: String,
+                     asOf: Long = -1L): DataFrame = {
+    require(isManifested(spark, table),
+      s"partitionsMeta: $table is not a manifested table")
+    val rt = s"$table/$RootDir"
+    val v = if (asOf > 0) asOf
+      else Snapshots.currentVersion(spark, rt).getOrElse(
+        throw new IllegalArgumentException(s"no committed root at $table"))
+    val rows = resolveManifestFull(spark, rt, v).toSeq.sortBy(_._1)
+      .map { case (rel, (state, stats)) =>
+        val parts = parseParts(state)
+        val dels = parts.map(_._2.size).sum
+        val st = stats.map(decodeStats)
+        (rel, state, parts.size, dels,
+          if (dels > 0) None else st.map(_.rows),
+          st.map(_.cols.map { case (c, (mn, mx)) => c -> s"$mn..$mx" }))
+      }
+    import spark.implicits._
+    rows.toDF("partition", "state", "n_parts", "n_delete_refs",
+      "row_count", "column_bounds")
+  }
+
+  /** `$files` INSPECTION TABLE: one row per live file of a root state —
+    * partition, the version-dir part serving it, `content` ("data" or
+    * "eq_deletes", Iceberg's content column), path, size. Lists ONLY
+    * what the manifest names (never superseded versions or staging), so
+    * the data rows plus the referenced delete files are the exact file
+    * set a [[read]] of that root opens. */
+  def filesMeta(spark: SparkSession, table: String,
+                asOf: Long = -1L): DataFrame = {
+    require(isManifested(spark, table),
+      s"filesMeta: $table is not a manifested table")
+    val rt = s"$table/$RootDir"
+    val v = if (asOf > 0) asOf
+      else Snapshots.currentVersion(spark, rt).getOrElse(
+        throw new IllegalArgumentException(s"no committed root at $table"))
+    def ls(d: String, rel: String, base: String, content: String) =
+      fs(spark, new Path(d)).listStatus(new Path(d))
+        .filter(st => st.isFile && !hidden(st.getPath.getName))
+        .map(st => (rel, base, content, st.getPath.toString, st.getLen)).toSeq
+    val rows = resolveManifestFull(spark, rt, v).toSeq.sortBy(_._1)
+      .flatMap { case (rel, (state, _)) =>
+        parseParts(state).flatMap { case (base, dels) =>
+          stateDataPath(table, rel, base).toSeq
+            .flatMap(ls(_, rel, base, "data")) ++
+            dels.flatMap(id =>
+              ls(s"$table/$DeletesDir/$id", rel, base, "eq_deletes"))
+        }
+      }
+    import spark.implicits._
+    rows.toDF("partition", "part", "content", "path", "size_bytes")
+  }
+
   /** Partition data versions (and FLAT pins) the CURRENT root state or
     * a TAGGED root still names, per partition — what per-partition
     * retention must never expire. The current state matters because an

@@ -804,6 +804,44 @@ class PartitionSnapshotsSpec extends SparkSpec {
     Upsert.read(spark, path).count() shouldBe 40000L
   }
 
+  test("inspection tables: $snapshots, $partitions, $files describe the live state") {
+    val path = tmpDir("pmeta") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Upsert.append(spark, path, Seq((3, "p1", 30)).toDF("k", "part", "v"),
+      Seq("part"), txn = Some(("meta", 0L)))
+    PartitionSnapshots.deleteKeys(spark, path, Seq(2).toDF("k")) shouldBe true
+    val snaps = PartitionSnapshots.snapshotsMeta(spark, path).collect()
+    snaps.map(_.getAs[Long]("root_version")).sorted shouldBe Array(1L, 2L, 3L)
+    snaps.count(_.getAs[Boolean]("is_current")) shouldBe 1
+    snaps.find(_.getAs[Long]("root_version") == 3L).get
+      .getAs[Boolean]("is_current") shouldBe true
+    // v2 was the txn append: a delta touching ONE partition, props kept
+    val v2 = snaps.find(_.getAs[Long]("root_version") == 2L).get
+    v2.getAs[Boolean]("is_delta") shouldBe true
+    v2.getAs[Long]("parent_version") shouldBe 1L
+    v2.getAs[Int]("touched_partitions") shouldBe 1
+    v2.getAs[Int]("total_partitions") shouldBe 2
+    v2.getAs[Map[String, String]]("props") shouldBe Map("graft.txn.meta" -> "0")
+    val parts = PartitionSnapshots.partitionsMeta(spark, path).collect()
+      .map(r => r.getAs[String]("partition") -> r).toMap
+    parts("part=p1").getAs[Int]("n_parts") shouldBe 2 // seed + append
+    parts("part=p1").getAs[Int]("n_delete_refs") shouldBe 0
+    parts("part=p1").getAs[Any]("row_count") shouldBe 2L
+    parts("part=p2").getAs[Int]("n_delete_refs") shouldBe 1 // pending delete
+    Option(parts("part=p2").getAs[Any]("row_count")) shouldBe None // honest
+    // $files lists exactly the file set a read of this root opens:
+    // data files plus the referenced equality-delete files
+    val files = PartitionSnapshots.filesMeta(spark, path).collect()
+    files.foreach(_.getAs[Long]("size_bytes") should be > 0L)
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    files.map(r => norm(r.getAs[String]("path"))).sorted shouldBe
+      Upsert.read(spark, path).inputFiles.map(norm).sorted
+    files.filter(_.getAs[String]("content") == "eq_deletes")
+      .map(_.getAs[String]("partition")) shouldBe Array("part=p2")
+  }
+
   test("manifests carry footer stats: metadata row count, honest None under deletes") {
     val path = tmpDir("pmanstats") + "/t"
     Upsert.upsert(spark, path,
