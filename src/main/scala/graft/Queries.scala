@@ -2832,6 +2832,34 @@ object Queries {
         col("row_count").cast("long").as("n_rows"))
   }
 
+  /** TIME-BASED SNAPSHOT EXPIRY
+    * ([[graft.sources.PartitionSnapshots.expireRoots]] — Iceberg's
+    * expire_snapshots): seed + append + overlapping merge build a
+    * 3-root history, then `expireRoots(olderThanMs = 0, retain = 1)`
+    * drops every root age allows (current + delta parents survive) and
+    * reaps the data versions only expired roots named. The oracle is
+    * the live state: expiry bounds TIME TRAVEL and storage, never the
+    * current read — the invariant a daily maintenance job relies on. */
+  def q181ExpireSnapshots(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pexpq", dir) { base =>
+      val cust = t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", cust.where(col("c_custkey") <= 300),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"),
+        partitionManifests = true)
+      Upsert.append(s, s"$base/t",
+        cust.where(col("c_custkey") > 300 && col("c_custkey") <= 350),
+        Seq("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", cust.where(col("c_custkey") > 330),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"))
+      graft.sources.PartitionSnapshots.expireRoots(s, s"$base/t",
+        olderThanMs = 0L, retainVersions = 1)
+    } + "/t"
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** SORTED COMPACTION ([[graft.sources.PartitionSnapshots.compact]]
     * with `sortWithin` — Iceberg's rewrite_data_files with a sort
     * order): even and odd customer keys land as two interleaved parts
@@ -3592,6 +3620,11 @@ object Queries {
     "q180_partitions_meta" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
         |FROM customer WHERE c_custkey <= 430 GROUP BY 1""".stripMargin,
+    // q181: seed <=300 + append 301-350 + merge >330, then aggressive
+    // snapshot expiry — history is gone, the live state is untouched
+    "q181_expire_snapshots" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey <= 400""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5849,6 +5882,7 @@ object Queries {
     "q177_fast_append" -> (q177FastAppend _),
     "q178_txn_append" -> (q178TxnAppend _),
     "q179_sorted_compaction" -> (q179SortedCompaction _),
-    "q180_partitions_meta" -> (q180PartitionsMeta _)
+    "q180_partitions_meta" -> (q180PartitionsMeta _),
+    "q181_expire_snapshots" -> (q181ExpireSnapshots _)
   )
 }

@@ -1285,6 +1285,75 @@ object PartitionSnapshots {
     acc.toMap
   }
 
+  /** TIME-BASED SNAPSHOT EXPIRY (Iceberg's `expire_snapshots(older_
+    * than)`): drop every root version whose slot is older than
+    * `olderThanMs`, except (a) the current root, (b) tagged roots
+    * (tagRoot's retention exemption), and (c) delta parents a surviving
+    * root still folds onto (chain closure — an expired parent would
+    * break a young delta's resolution). Then reap per-partition DATA
+    * versions no surviving root references: each partition keeps its
+    * newest `retainVersions` slots plus every version some remaining
+    * root pins — so after expiry EVERY surviving root still resolves
+    * end-to-end, a stronger contract than commit-time count retention
+    * (where an old root may outlive its data). Unreferenced equality-
+    * delete files are reaped with it. Returns the expired root
+    * versions, [] when nothing was old enough. The ops knob a daily
+    * maintenance job runs: time travel is bounded by AGE, storage by
+    * what surviving roots actually name. Takes the writer lease. */
+  def expireRoots(spark: SparkSession, table: String, olderThanMs: Long,
+                  retainVersions: Int =
+                    graft.operators.Upsert.DefaultRetainVersions): Seq[Long] = {
+    require(isManifested(spark, table),
+      s"expireRoots: $table is not a manifested table")
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      val rt = s"$table/$RootDir"
+      val f = fs(spark, new Path(rt))
+      val committed = Snapshots.versions(spark, rt)
+      val cur = Snapshots.currentVersion(spark, rt).getOrElse(return Nil)
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val tagged = rootTags(spark, table).values.toSet
+      val youngOrPinned = committed.filter { v =>
+        v == cur || tagged.contains(v) ||
+          f.getFileStatus(new Path(Snapshots.versionPath(rt, v)))
+            .getModificationTime >= cutoff
+      }
+      def chain(v: Long): Set[Long] =
+        if (hasFullManifest(spark, rt, v)) Set(v)
+        else Set(v) ++ chain(readText(spark,
+          new Path(s"${Snapshots.versionPath(rt, v)}/$DeltaFile"))
+          .split("\n").head.stripPrefix("v").toLong)
+      val keep = youngOrPinned.toSet.flatMap(chain)
+      val expired = committed.filterNot(keep.contains)
+      expired.foreach(v =>
+        f.delete(new Path(Snapshots.versionPath(rt, v)), true))
+      if (expired.nonEmpty) {
+        // protect the union of every SURVIVING root's pins, then
+        // count-vacuum each partition's data versions
+        val acc = scala.collection.mutable
+          .Map.empty[String, Set[Long]]
+        Snapshots.versions(spark, rt).foreach { v =>
+          resolveManifest(spark, rt, v).foreach { case (rel, state) =>
+            val vs = parseParts(state).collect {
+              case (base, _) if base != Flat && base != Empty =>
+                base.stripPrefix("v").toLong
+            }
+            acc(rel) = acc.getOrElse(rel, Set.empty) ++ vs
+          }
+        }
+        val cols = partitionCols(spark, table)
+        partitionDirs(spark, table, cols.size).foreach { rel =>
+          Snapshots.vacuum(spark, s"$table/$rel",
+            keep = math.max(1, retainVersions),
+            extraKeep = acc.getOrElse(rel, Set.empty))
+        }
+        vacuumDeletes(spark, table)
+      }
+      expired
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
   /** Instant whole-table rollback: repoint the ROOT at an older manifest
     * — every partition snaps back to the state that manifest pinned, in
     * one pointer swap, nothing rewritten (Iceberg's

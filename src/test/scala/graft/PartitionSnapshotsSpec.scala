@@ -842,6 +842,46 @@ class PartitionSnapshotsSpec extends SparkSpec {
       .map(_.getAs[String]("partition")) shouldBe Array("part=p2")
   }
 
+  test("time-based expiry: old roots drop, tags and chains survive, data reaped") {
+    val path = tmpDir("pexpire") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 0), (2, "p2", 0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // v2..v12: enough commits that the delta chain rebases and old
+    // chains become droppable
+    (1 to 11).foreach { i =>
+      Upsert.upsert(spark, path, Seq((1, "p1", i)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), retainVersions = 20)
+    }
+    PartitionSnapshots.tagRoot(spark, path, "audit2026", v = 2L)
+    val before = PartitionSnapshots.rootVersions(spark, path)
+    before.size shouldBe 12
+    val dataBefore = new java.io.File(s"$path/part=p1/_versions").list().length
+    // nothing is an hour old yet: no-op
+    PartitionSnapshots.expireRoots(spark, path, 3600L * 1000) shouldBe Nil
+    // expire everything not pinned: current + tag + delta parents survive
+    val expired = PartitionSnapshots.expireRoots(spark, path, 0L,
+      retainVersions = 1)
+    expired should not be empty
+    expired should not contain 12L // current
+    expired should not contain 2L  // tagged
+    PartitionSnapshots.rootVersions(spark, path) shouldBe
+      before.filterNot(expired.contains)
+    // every surviving root still resolves end-to-end
+    Upsert.read(spark, path).count() shouldBe 2L
+    Upsert.read(spark, path).where($"k" === 1)
+      .select("v").collect()(0).getInt(0) shouldBe 11
+    PartitionSnapshots.readTag(spark, path, "audit2026")
+      .where($"k" === 1).select("v").collect()(0).getInt(0) shouldBe 1
+    // an expired root is gone LOUDLY
+    intercept[IllegalArgumentException] {
+      PartitionSnapshots.read(spark, path, asOf = expired.max)
+    }
+    // data versions only expired roots named were reaped
+    val dataAfter = new java.io.File(s"$path/part=p1/_versions").list().length
+    dataAfter should be < dataBefore
+  }
+
   test("manifests carry footer stats: metadata row count, honest None under deletes") {
     val path = tmpDir("pmanstats") + "/t"
     Upsert.upsert(spark, path,
