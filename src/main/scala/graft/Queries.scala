@@ -2832,6 +2832,41 @@ object Queries {
         col("row_count").cast("long").as("n_rows"))
   }
 
+  /** BRANCH STAGE → VALIDATE → FAST-FORWARD
+    * ([[graft.sources.PartitionSnapshots.createBranch]]/`fastForwardRoot`
+    * — Iceberg branch refs): two commits land on a branch (a keyed merge
+    * of 301–370, then a fast append of 371–400) while MAIN still serves
+    * the 300-customer seed; the staged line is validated via
+    * `readBranch` (the multi-commit generalization of q166's
+    * single-commit WAP) and published to main in ONE pointer swap. The
+    * oracle is the post-publish image — and would catch a branch commit
+    * leaking into main early just as surely as a lost one. */
+  def q182BranchPublish(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pbranq", dir) { base =>
+      import graft.sources.PartitionSnapshots
+      val cust = t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", cust.where(col("c_custkey") <= 300),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"),
+        partitionManifests = true)
+      PartitionSnapshots.createBranch(s, s"$base/t", "staging")
+      Upsert.upsert(s, s"$base/t",
+        cust.where(col("c_custkey") > 300 && col("c_custkey") <= 370),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"),
+        branch = Some("staging"))
+      Upsert.append(s, s"$base/t", cust.where(col("c_custkey") > 370),
+        Seq("c_mktsegment"), branch = Some("staging"))
+      // the validation read a publisher gates on (q166's audit, but over
+      // the whole multi-commit staged line)
+      require(PartitionSnapshots.readBranch(s, s"$base/t", "staging")
+        .where(col("c_custkey").isNull).isEmpty, "branch audit failed")
+      PartitionSnapshots.fastForwardRoot(s, s"$base/t", "staging")
+    } + "/t"
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** TIME-BASED SNAPSHOT EXPIRY
     * ([[graft.sources.PartitionSnapshots.expireRoots]] — Iceberg's
     * expire_snapshots): seed + append + overlapping merge build a
@@ -3623,6 +3658,11 @@ object Queries {
     // q181: seed <=300 + append 301-350 + merge >330, then aggressive
     // snapshot expiry — history is gone, the live state is untouched
     "q181_expire_snapshots" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q182: seed <=300 on main + branch merge 301-370 + branch append
+    // 371-400, fast-forwarded — the published image is the plain union
+    "q182_branch_publish" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
     "q01_pricing_agg" ->
@@ -5883,6 +5923,7 @@ object Queries {
     "q178_txn_append" -> (q178TxnAppend _),
     "q179_sorted_compaction" -> (q179SortedCompaction _),
     "q180_partitions_meta" -> (q180PartitionsMeta _),
-    "q181_expire_snapshots" -> (q181ExpireSnapshots _)
+    "q181_expire_snapshots" -> (q181ExpireSnapshots _),
+    "q182_branch_publish" -> (q182BranchPublish _)
   )
 }

@@ -255,7 +255,8 @@ object Upsert {
              lockTtlMs: Long = DefaultLockTtlMs,
              retainVersions: Int = DefaultRetainVersions,
              partitionManifests: Boolean = false,
-             audit: Option[DataFrame => DataFrame] = None): Unit = {
+             audit: Option[DataFrame => DataFrame] = None,
+             branch: Option[String] = None): Unit = {
     require(partitionCols.nonEmpty || !partitionManifests,
       "upsert: partitionManifests requires partitionCols")
     require(audit.isEmpty || partitionManifests ||
@@ -263,11 +264,17 @@ object Upsert {
         graft.sources.PartitionSnapshots.isManifested(spark, path)),
       "upsert: audit (write-audit-publish) requires a manifested table " +
         "(partitionManifests = true, or a table already carrying manifests)")
+    require(branch.isEmpty || (partitionCols.nonEmpty &&
+      graft.sources.PartitionSnapshots.isManifested(spark, path)),
+      "upsert: branch commits require an existing manifested table")
+    require(branch.isEmpty || audit.isEmpty,
+      "upsert: pass audit OR branch — a branch IS the multi-commit " +
+        "audit staging (validate with readBranch, then fastForwardRoot)")
     val src0 = dedupSource(source, keys)
     if (src0.isEmpty) return
     val token = acquireLock(spark, path, lockTtlMs)
     try upsertLocked(spark, path, src0, keys, insertOnly, partitionCols,
-      evolveSchema, token, retainVersions, partitionManifests, audit)
+      evolveSchema, token, retainVersions, partitionManifests, audit, branch)
     finally releaseLock(spark, path, token)
   }
 
@@ -277,7 +284,8 @@ object Upsert {
                            evolveSchema: Boolean, token: String,
                            retainVersions: Int,
                            partitionManifests: Boolean = false,
-                           audit: Option[DataFrame => DataFrame] = None): Unit = {
+                           audit: Option[DataFrame => DataFrame] = None,
+                           branch: Option[String] = None): Unit = {
     import graft.sources.PartitionSnapshots
     recoverSwap(spark, path)
     if (partitionCols.nonEmpty)
@@ -311,9 +319,16 @@ object Upsert {
         case Some(a) => PartitionSnapshots.commitStagedAudited(spark, path,
           staging, partitionCols, emptied, retainVersions, a, Some(schema))
         case None => PartitionSnapshots.commitStaged(spark, path, staging,
-          partitionCols, emptied, retainVersions, Some(schema))
+          partitionCols, emptied, retainVersions, Some(schema), branch)
       }
-    val existing = readTable(spark, path)
+    // a branch merge targets the BRANCH head's snapshot, never main
+    val existing = branch match {
+      case Some(n) => PartitionSnapshots.readOption(spark, path,
+        asOf = PartitionSnapshots.rootBranches(spark, path).getOrElse(n,
+          throw new IllegalArgumentException(
+            s"upsert: no branch '$n' at $path — createBranch first")))
+      case None => readTable(spark, path)
+    }
     if (existing.isEmpty) {
       if (manifested) {
         val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
@@ -344,7 +359,7 @@ object Upsert {
       try {
         assertHeld(spark, path, token)
         PartitionSnapshots.commitAppendStaged(spark, path, staging,
-          partitionCols, retainVersions, Some(src.schema))
+          partitionCols, retainVersions, Some(src.schema), branch = branch)
       } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
       return
     }
@@ -486,9 +501,12 @@ object Upsert {
              evolveSchema: Boolean = false,
              lockTtlMs: Long = DefaultLockTtlMs,
              retainVersions: Int = DefaultRetainVersions,
-             txn: Option[(String, Long)] = None): Unit = {
+             txn: Option[(String, Long)] = None,
+             branch: Option[String] = None): Unit = {
     import graft.sources.PartitionSnapshots
     require(partitionCols.nonEmpty, "append: partitionCols required")
+    require(branch.isEmpty || PartitionSnapshots.isManifested(spark, path),
+      "append: branch commits require an existing manifested table")
     if (df.isEmpty) return
     val token = acquireLock(spark, path, lockTtlMs)
     try {
@@ -522,7 +540,7 @@ object Upsert {
           partitionCols, retainVersions, Some(out.schema),
           txn.map { case (appId, v) =>
             Map(s"graft.txn.$appId" -> v.toString)
-          }.getOrElse(Map.empty))
+          }.getOrElse(Map.empty), branch)
       } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
     } finally releaseLock(spark, path, token)
   }

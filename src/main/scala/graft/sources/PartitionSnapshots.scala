@@ -500,15 +500,28 @@ object PartitionSnapshots {
                           schema: Option[org.apache.spark.sql.types.StructType]
                             = None,
                           touchedStats: Map[String, String] = Map.empty,
-                          props: Map[String, String] = Map.empty): Unit = {
+                          props: Map[String, String] = Map.empty,
+                          branch: Option[String] = None): Unit = {
     val rt = s"$table/$RootDir"
     val f = fs(spark, new Path(rt))
     val committed = Snapshots.versions(spark, rt)
-    val parent = Snapshots.currentVersion(spark, rt)
-    val chainLen = committed.reverse
-      .takeWhile(v => !hasFullManifest(spark, rt, v)).size
+    // a branch commit's parent is the BRANCH head, not the main pointer
+    val parent = branch match {
+      case Some(n) => Some(branchRef(spark, table, n).getOrElse(
+        throw new IllegalArgumentException(
+          s"commit to unknown branch '$n' at $table"))._1)
+      case None => Snapshots.currentVersion(spark, rt)
+    }
+    // walk the parent's actual delta chain: for main the contiguous
+    // tail and the walk agree; for a branch whose head is no longer the
+    // newest slot only the walk is meaningful
+    def walkLen(v: Long): Int =
+      if (hasFullManifest(spark, rt, v)) 0
+      else 1 + walkLen(readText(spark,
+        new Path(s"${Snapshots.versionPath(rt, v)}/$DeltaFile"))
+        .split("\n").head.stripPrefix("v").toLong)
     val asDelta = parent.nonEmpty && committed.lastOption == parent &&
-      chainLen + 1 < RebaseEvery
+      walkLen(parent.get) + 1 < RebaseEvery
     val tmp = new Path(s"$rt/$VersionsDir/.staging-${java.util.UUID.randomUUID()}")
     f.mkdirs(tmp)
     // a full rebase carries every untouched partition's stats forward
@@ -562,7 +575,14 @@ object PartitionSnapshots {
       val slot = new Path(Snapshots.versionPath(rt, next))
       if (f.rename(tmp, slot)) {
         f.create(new Path(slot, "_SUCCESS"), true).close()
-        Snapshots.publish(spark, rt, next)
+        branch match {
+          case Some(n) =>
+            // commit point for a branch: advance only the branch ref —
+            // the main pointer and every main reader are untouched
+            val (_, base) = branchRef(spark, table, n).get
+            writeBranchRef(spark, table, n, head = next, base = base)
+          case None => Snapshots.publish(spark, rt, next)
+        }
         vacuumRoot(spark, rt, retain)
         return
       }
@@ -582,15 +602,22 @@ object PartitionSnapshots {
   private def vacuumRoot(spark: SparkSession, rt: String, retain: Int): Unit = {
     val committed = Snapshots.versions(spark, rt)
     val cur = Snapshots.currentVersion(spark, rt).getOrElse(return)
-    // tagged roots are retention-exempt until their tag is dropped
+    // tagged roots and branch heads are retention-exempt until dropped
     val tagged = {
       val dir = new Path(s"$rt/$TagsDir")
       val f = fs(spark, dir)
-      if (!f.exists(dir)) Set.empty[Long]
-      else f.listStatus(dir)
+      (if (!f.exists(dir)) Set.empty[Long]
+       else f.listStatus(dir)
         .filter(st => st.isFile && !hidden(st.getPath.getName))
         .map(st => readText(spark, st.getPath).trim.stripPrefix("v").toLong)
-        .toSet
+        .toSet) ++ {
+        val bd = new Path(s"$rt/$BranchesDir")
+        if (!f.exists(bd)) Set.empty[Long]
+        else f.listStatus(bd)
+          .filter(st => st.isFile && !hidden(st.getPath.getName))
+          .map(st => readText(spark, st.getPath).trim.split("\t")(0)
+            .stripPrefix("v").toLong).toSet
+      }
     }
     val kept = (committed.filter(_ != cur)
       .takeRight(math.max(1, retain) - 1) :+ cur).toSet ++
@@ -668,14 +695,21 @@ object PartitionSnapshots {
                                   emptied: Set[String],
                                   retainVersions: Int,
                                   schema: Option[org.apache.spark.sql.types.StructType]
-                                    = None): Unit = {
+                                    = None,
+                                  branch: Option[String] = None): Unit = {
     val f = fs(spark, new Path(table))
     val retain = math.max(1, retainVersions)
     val staged = partitionDirs(spark, stagingRoot, cols.size)
     // base BEFORE sealing: on a first commit, scanStates' fallback must
-    // see the pre-commit states, not the slots this commit is creating
-    val base = rootManifest(spark, table)
-      .getOrElse(scanStates(spark, table, cols))
+    // see the pre-commit states, not the slots this commit is creating.
+    // A branch commit folds forward from the BRANCH head's manifest.
+    val base = branch match {
+      case Some(n) => rootManifest(spark, table,
+        branchRef(spark, table, n).getOrElse(throw new IllegalArgumentException(
+          s"commit to unknown branch '$n' at $table"))._1).get
+      case None => rootManifest(spark, table)
+        .getOrElse(scanStates(spark, table, cols))
+    }
     val blanked = (emptied -- staged.toSet).toSeq
     blanked.foreach(rel => f.mkdirs(new Path(s"$stagingRoot/$rel")))
     val sealedSlots = (staged ++ blanked).map { rel =>
@@ -692,11 +726,17 @@ object PartitionSnapshots {
       rel -> encodeStats(PartStats(rows, cols))
     }.toMap
     publishRoot(spark, table, base ++ touched, touched, retain, schema,
-      touchedStats) // commit point
-    sealedSlots.foreach { case (rel, v) => Snapshots.publish(spark, s"$table/$rel", v) }
-    val prot = referencedVersions(spark, table)
-    sealedSlots.foreach { case (rel, _) =>
-      finishPartitionCommit(spark, table, rel, retain, prot)
+      touchedStats, branch = branch) // commit point
+    if (branch.isEmpty) {
+      // branch commits never move partition pointers or run data
+      // retention — main readers and their pinned states are untouched
+      sealedSlots.foreach { case (rel, v) =>
+        Snapshots.publish(spark, s"$table/$rel", v)
+      }
+      val prot = referencedVersions(spark, table)
+      sealedSlots.foreach { case (rel, _) =>
+        finishPartitionCommit(spark, table, rel, retain, prot)
+      }
     }
   }
 
@@ -720,15 +760,26 @@ object PartitionSnapshots {
                                         stagingRoot: String, cols: Seq[String],
                                         retainVersions: Int,
                                         schema: Option[org.apache.spark.sql.types.StructType],
-                                        props: Map[String, String] = Map.empty)
+                                        props: Map[String, String] = Map.empty,
+                                        branch: Option[String] = None)
       : Unit = {
     val retain = math.max(1, retainVersions)
     val staged = partitionDirs(spark, stagingRoot, cols.size)
     if (staged.isEmpty) return
-    val base = rootManifest(spark, table)
-      .getOrElse(scanStates(spark, table, cols))
     val rt = s"$table/$RootDir"
-    val priorStats = Snapshots.currentVersion(spark, rt)
+    // a branch append folds onto the BRANCH head's manifest and stats
+    val parentV = branch match {
+      case Some(n) => Some(branchRef(spark, table, n).getOrElse(
+        throw new IllegalArgumentException(
+          s"append to unknown branch '$n' at $table"))._1)
+      case None => Snapshots.currentVersion(spark, rt)
+    }
+    val base = branch match {
+      case Some(_) => rootManifest(spark, table, parentV.get).get
+      case None => rootManifest(spark, table)
+        .getOrElse(scanStates(spark, table, cols))
+    }
+    val priorStats = parentV
       .map { pv =>
         resolveManifestFull(spark, rt, pv).toSeq.collect {
           case (rel, (_, Some(s))) => rel -> s
@@ -770,13 +821,15 @@ object PartitionSnapshots {
       } // prior stats unknown → leave the union's stats unknown
     }.toMap
     publishRoot(spark, table, base ++ touched, touched, retain, schema,
-      touchedStats, props) // commit point
-    sealedSlots.foreach { case (rel, v) =>
-      Snapshots.publish(spark, s"$table/$rel", v)
-    }
-    val prot = referencedVersions(spark, table)
-    sealedSlots.foreach { case (rel, _) =>
-      finishPartitionCommit(spark, table, rel, retain, prot)
+      touchedStats, props, branch) // commit point
+    if (branch.isEmpty) {
+      sealedSlots.foreach { case (rel, v) =>
+        Snapshots.publish(spark, s"$table/$rel", v)
+      }
+      val prot = referencedVersions(spark, table)
+      sealedSlots.foreach { case (rel, _) =>
+        finishPartitionCommit(spark, table, rel, retain, prot)
+      }
     }
   }
 
@@ -1068,6 +1121,7 @@ object PartitionSnapshots {
   }
 
   private val TagsDir = "_tags"
+  private val BranchesDir = "_branches"
   private val TagName = "^[A-Za-z0-9._-]+$".r
 
   /** TAG a root version with a stable name (Iceberg's snapshot tags):
@@ -1125,6 +1179,117 @@ object PartitionSnapshots {
   def readTag(spark: SparkSession, table: String, name: String): DataFrame =
     read(spark, table, asOf = rootTags(spark, table).getOrElse(name,
       throw new IllegalArgumentException(s"readTag: no tag '$name' at $table")))
+
+  /** BRANCHES (Iceberg branch refs): a branch is a named MUTABLE root
+    * pointer forked from a committed version. Commits that pass
+    * `branch = Some(name)` ([[graft.operators.Upsert.upsert]]/`append`)
+    * base on the BRANCH head and advance only the branch file — the
+    * main pointer, every main reader, and the partition pointers are
+    * untouched, so a branch is a write-isolated line over shared
+    * storage: stage a multi-commit change, validate it with
+    * [[readBranch]], then [[fastForwardRoot]] main onto it in one
+    * pointer swap (the multi-commit generalization of single-commit
+    * write-audit-publish). Branch heads are retention-exempt like tags
+    * (root chain AND the data versions they pin) until the branch is
+    * dropped. The branch file records (head, fork base); fast-forward
+    * refuses LOUDLY when main advanced past the base — optimistic
+    * concurrency, the caller re-forks and re-applies. */
+  def createBranch(spark: SparkSession, table: String, name: String,
+                   v: Long = -1L): Unit = {
+    require(TagName.findFirstMatchIn(name).nonEmpty,
+      s"createBranch: invalid branch name '$name'")
+    val rt = s"$table/$RootDir"
+    require(branchRef(spark, table, name).isEmpty,
+      s"createBranch: branch '$name' already exists at $table")
+    val target =
+      if (v > 0) v
+      else Snapshots.currentVersion(spark, rt).getOrElse(
+        throw new IllegalArgumentException(
+          s"createBranch: no committed root at $table"))
+    require(Snapshots.versions(spark, rt).contains(target),
+      s"createBranch: root v$target does not exist at $table")
+    writeBranchRef(spark, table, name, head = target, base = target)
+  }
+
+  /** Delete a branch ref; the versions it pinned re-enter ordinary
+    * retention on the next commit's vacuum. Unknown names are a no-op. */
+  def dropBranch(spark: SparkSession, table: String, name: String): Unit =
+    fs(spark, new Path(table))
+      .delete(new Path(s"$table/$RootDir/$BranchesDir/$name"), false)
+
+  /** Current (branch name → head root version) map. */
+  def rootBranches(spark: SparkSession, table: String): Map[String, Long] =
+    branchRefs(spark, table).map { case (n, (head, _)) => n -> head }
+
+  private def branchRefs(spark: SparkSession, table: String)
+      : Map[String, (Long, Long)] = {
+    val dir = new Path(s"$table/$RootDir/$BranchesDir")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir)
+      .filter(st => st.isFile && !hidden(st.getPath.getName))
+      .map { st =>
+        val parts = readText(spark, st.getPath).trim.split("\t")
+        st.getPath.getName -> (parts(0).stripPrefix("v").toLong,
+          parts(1).stripPrefix("v").toLong)
+      }.toMap
+  }
+
+  private[graft] def branchRef(spark: SparkSession, table: String,
+                               name: String): Option[(Long, Long)] =
+    branchRefs(spark, table).get(name)
+
+  private def writeBranchRef(spark: SparkSession, table: String,
+                             name: String, head: Long, base: Long): Unit = {
+    val dir = new Path(s"$table/$RootDir/$BranchesDir")
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    // write-then-rename: the ref is complete-or-absent to readers
+    val tmp = new Path(dir, s".${name}-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(f"v$head%08d\tv$base%08d"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(new Path(dir, name), false)
+    if (!f.rename(tmp, new Path(dir, name))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"branch: could not publish ref $name at $table")
+    }
+  }
+
+  /** [[read]] pinned at a branch's head. */
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame =
+    read(spark, table, asOf = rootBranches(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"readBranch: no branch '$name' at $table")))
+
+  /** Publish a branch onto MAIN in one pointer swap (Iceberg's
+    * fast_forward): legal only while main still sits at the branch's
+    * fork base — if main advanced, fails LOUDLY with both versions (the
+    * caller re-forks from current and re-applies; silently merging
+    * diverged manifests would fabricate a state nobody audited). The
+    * branch survives, re-based onto its own head, so staging can
+    * continue. Returns the new main version. */
+  def fastForwardRoot(spark: SparkSession, table: String,
+                      name: String): Long = {
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      val rt = s"$table/$RootDir"
+      val (head, base) = branchRef(spark, table, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"fastForwardRoot: no branch '$name' at $table"))
+      val cur = Snapshots.currentVersion(spark, rt).getOrElse(
+        throw new IllegalArgumentException(s"no committed root at $table"))
+      require(cur == base,
+        s"fastForwardRoot: main advanced to v$cur since branch '$name' " +
+          s"forked at v$base — re-fork from current and re-apply")
+      if (head != cur) Snapshots.rollback(spark, rt, head)
+      writeBranchRef(spark, table, name, head = head, base = head)
+      head
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
 
   /** COMMIT PROPERTIES of one root version (Iceberg's snapshot summary):
     * the free-form (key → value) map the committing writer attached —
@@ -1269,7 +1434,7 @@ object PartitionSnapshots {
       : Map[String, (Set[Long], Boolean)] = {
     val rt = s"$table/$RootDir"
     val live = Snapshots.currentVersion(spark, rt).toSet ++
-      rootTags(spark, table).values
+      rootTags(spark, table).values ++ rootBranches(spark, table).values
     val acc = scala.collection.mutable.Map.empty[String, (Set[Long], Boolean)]
     live.foreach { v =>
       resolveManifest(spark, rt, v).foreach { case (rel, state) =>
@@ -1313,7 +1478,8 @@ object PartitionSnapshots {
       val committed = Snapshots.versions(spark, rt)
       val cur = Snapshots.currentVersion(spark, rt).getOrElse(return Nil)
       val cutoff = System.currentTimeMillis() - olderThanMs
-      val tagged = rootTags(spark, table).values.toSet
+      val tagged = rootTags(spark, table).values.toSet ++
+        rootBranches(spark, table).values
       val youngOrPinned = committed.filter { v =>
         v == cur || tagged.contains(v) ||
           f.getFileStatus(new Path(Snapshots.versionPath(rt, v)))

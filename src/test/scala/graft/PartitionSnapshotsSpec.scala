@@ -882,6 +882,58 @@ class PartitionSnapshotsSpec extends SparkSpec {
     dataAfter should be < dataBefore
   }
 
+  test("branches: isolated commits, fast-forward, conflict, retention exemption") {
+    val path = tmpDir("pbranch") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.createBranch(spark, path, "etl")
+    // two commits to the branch: a merge, then a fast append
+    Upsert.upsert(spark, path, Seq((1, "p1", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), branch = Some("etl"))
+    Upsert.append(spark, path, Seq((3, "p1", 30)).toDF("k", "part", "v"),
+      Seq("part"), branch = Some("etl"))
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    // main is untouched; the branch carries the staged line
+    img(Upsert.read(spark, path)) shouldBe Array((1, 10), (2, 20))
+    img(PartitionSnapshots.readBranch(spark, path, "etl")) shouldBe
+      Array((1, 11), (2, 20), (3, 30))
+    PartitionSnapshots.rootBranches(spark, path)("etl") shouldBe 3L
+    // fast-forward: main flips to the branch head in one pointer swap
+    PartitionSnapshots.fastForwardRoot(spark, path, "etl") shouldBe 3L
+    img(Upsert.read(spark, path)) shouldBe Array((1, 11), (2, 20), (3, 30))
+    // the pre-publish state is still time-travelable
+    PartitionSnapshots.read(spark, path, asOf = 1L).count() shouldBe 2L
+    // conflict: main advances while a second branch stages → refuse loudly
+    PartitionSnapshots.createBranch(spark, path, "etl2")
+    Upsert.upsert(spark, path, Seq((4, "p2", 40)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), branch = Some("etl2"))
+    Upsert.upsert(spark, path, Seq((5, "p2", 50)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    intercept[IllegalArgumentException] {
+      PartitionSnapshots.fastForwardRoot(spark, path, "etl2")
+    }
+    img(Upsert.read(spark, path)) shouldBe
+      Array((1, 11), (2, 20), (3, 30), (5, 50))
+    // retention churn well past retainVersions: the dangling branch's
+    // head AND the data versions it pins stay readable
+    (1 to 6).foreach { i =>
+      Upsert.upsert(spark, path, Seq((1, "p1", 100 + i)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"))
+    }
+    img(PartitionSnapshots.readBranch(spark, path, "etl2")) shouldBe
+      Array((1, 11), (2, 20), (3, 30), (4, 40))
+    // aggressive age-based expiry also exempts the branch head
+    PartitionSnapshots.expireRoots(spark, path, 0L)
+    img(PartitionSnapshots.readBranch(spark, path, "etl2")) shouldBe
+      Array((1, 11), (2, 20), (3, 30), (4, 40))
+    // dropping the branch re-enters retention; main serves on
+    PartitionSnapshots.dropBranch(spark, path, "etl2")
+    img(Upsert.read(spark, path)) shouldBe
+      Array((1, 106), (2, 20), (3, 30), (5, 50))
+  }
+
   test("manifests carry footer stats: metadata row count, honest None under deletes") {
     val path = tmpDir("pmanstats") + "/t"
     Upsert.upsert(spark, path,
