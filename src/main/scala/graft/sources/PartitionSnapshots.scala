@@ -1362,6 +1362,25 @@ object PartitionSnapshots {
       "touched_partitions", "total_partitions", "props", "is_current")
   }
 
+  /** `$refs` INSPECTION TABLE (Iceberg's refs metadata table): every
+    * named ref — `main` (the live pointer), each tag, each branch with
+    * its fork base — and the root version it names. The one-stop answer
+    * to "what is pinned and why is retention keeping it". */
+  def refsMeta(spark: SparkSession, table: String): DataFrame = {
+    require(isManifested(spark, table),
+      s"refsMeta: $table is not a manifested table")
+    val rt = s"$table/$RootDir"
+    val main = Snapshots.currentVersion(spark, rt).toSeq
+      .map(v => ("main", "main", v, Option.empty[Long]))
+    val tags = rootTags(spark, table).toSeq.sortBy(_._1)
+      .map { case (n, v) => (n, "tag", v, Option.empty[Long]) }
+    val branches = branchRefs(spark, table).toSeq.sortBy(_._1)
+      .map { case (n, (head, base)) => (n, "branch", head, Some(base)) }
+    import spark.implicits._
+    (main ++ tags ++ branches)
+      .toDF("name", "type", "root_version", "fork_base")
+  }
+
   /** `$partitions` INSPECTION TABLE: one row per partition of a root
     * state — its pinned state token, how many append parts and pending
     * equality-delete refs it carries, its manifest-recorded row count

@@ -928,6 +928,12 @@ class PartitionSnapshotsSpec extends SparkSpec {
     PartitionSnapshots.expireRoots(spark, path, 0L)
     img(PartitionSnapshots.readBranch(spark, path, "etl2")) shouldBe
       Array((1, 11), (2, 20), (3, 30), (4, 40))
+    // $refs lists every pinned name: main + the surviving branch ("etl"
+    // was re-based onto its own head by the fast-forward)
+    val refs = PartitionSnapshots.refsMeta(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    refs.map(_._1).toSet shouldBe Set("main", "etl", "etl2")
+    refs.find(_._1 == "etl2").get._2 shouldBe "branch"
     // dropping the branch re-enters retention; main serves on
     PartitionSnapshots.dropBranch(spark, path, "etl2")
     img(Upsert.read(spark, path)) shouldBe
