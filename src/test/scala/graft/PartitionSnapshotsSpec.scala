@@ -940,6 +940,38 @@ class PartitionSnapshotsSpec extends SparkSpec {
       Array((1, 106), (2, 20), (3, 30), (5, 50))
   }
 
+  test("interleaved main and branch writers stay isolated under lease contention") {
+    val path = tmpDir("pbrcon") + "/t"
+    Upsert.upsert(spark, path, Seq((0, "p1", 0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.createBranch(spark, path, "side")
+    def loop(n: Int)(body: Int => Unit): Thread = new Thread(() => {
+      var i = 1
+      while (i <= n) {
+        try { body(i); i += 1 }
+        catch { case _: Upsert.ConcurrentWriteException => Thread.sleep(20) }
+      }
+    })
+    // a main writer and a branch writer race for the same lease: the
+    // lease serializes commits, the ref split keeps the LINES apart
+    val tm = loop(5)(i => Upsert.upsert(spark, path,
+      Seq((100 + i, "p1", i)).toDF("k", "part", "v"), Seq("k"),
+      partitionCols = Seq("part")))
+    val tb = loop(5)(i => Upsert.upsert(spark, path,
+      Seq((200 + i, "p1", i)).toDF("k", "part", "v"), Seq("k"),
+      partitionCols = Seq("part"), branch = Some("side")))
+    tm.start(); tb.start(); tm.join(300000); tb.join(300000)
+    Upsert.read(spark, path).select("k").collect().map(_.getInt(0)).sorted shouldBe
+      (Seq(0) ++ (101 to 105)).toArray
+    PartitionSnapshots.readBranch(spark, path, "side")
+      .select("k").collect().map(_.getInt(0)).sorted shouldBe
+      (Seq(0) ++ (201 to 205)).toArray
+    // and the diverged branch can NOT fast-forward silently
+    intercept[IllegalArgumentException] {
+      PartitionSnapshots.fastForwardRoot(spark, path, "side")
+    }
+  }
+
   test("manifests carry footer stats: metadata row count, honest None under deletes") {
     val path = tmpDir("pmanstats") + "/t"
     Upsert.upsert(spark, path,
