@@ -113,6 +113,7 @@ object PartitionSnapshots {
   private val DeletesDir = "_deletes"
   private val SchemaFile = "schema.json"
   private val PropsFile = "props"
+  private[graft] val LineProp = "graft.line"
   // manifest state tokens (beyond a pinned "v00000001"-style slot name)
   private val Flat = "FLAT"    // implicit v0: the partition's flat hive files
   private val Empty = "EMPTY"  // partition holds zero rows
@@ -270,9 +271,22 @@ object PartitionSnapshots {
   }
 
   /** Committed root-manifest versions, ascending — each is a whole-table
-    * snapshot [[read]] can pin with `asOf`. */
+    * snapshot [[read]] can pin with `asOf`. Includes branch-staged
+    * commits; [[currentRootVersion]] is the MAIN-published head. */
   def rootVersions(spark: SparkSession, table: String): Seq[Long] =
     Snapshots.versions(spark, s"$table/$RootDir")
+
+  /** The root version the MAIN pointer currently serves (None before
+    * the first commit). Branch commits create versions above this
+    * without moving it. */
+  def currentRootVersion(spark: SparkSession, table: String): Option[Long] =
+    Snapshots.currentVersion(spark, s"$table/$RootDir")
+
+  /** Whether root version `v` was committed on the MAIN line (true) or
+    * staged on a branch (false). Pre-stamp commits count as main. */
+  private[graft] def isMainLine(spark: SparkSession, table: String,
+                                v: Long): Boolean =
+    rootProps(spark, table, v).get(LineProp).forall(!_.startsWith("branch:"))
 
   /** The (partition rel-path → state) map of the current root manifest
     * (or the one at root version `asOf`); None when the table predates
@@ -520,7 +534,14 @@ object PartitionSnapshots {
       else 1 + walkLen(readText(spark,
         new Path(s"${Snapshots.versionPath(rt, v)}/$DeltaFile"))
         .split("\n").head.stripPrefix("v").toLong)
-    val asDelta = parent.nonEmpty && committed.lastOption == parent &&
+    // deltas fold by RECORDED parent, so they are safe off any live
+    // parent; the post-rollback MAIN fork still rebases full (policy:
+    // an abandoned main line above the pointer stays unambiguous), but
+    // branch slots above the parent never force a rebase — interleaved
+    // main and branch writers keep their O(touched) delta commits
+    val forkSafe = branch.nonEmpty || parent.forall(p =>
+      committed.filter(_ > p).forall(v => !isMainLine(spark, table, v)))
+    val asDelta = parent.exists(committed.contains) && forkSafe &&
       walkLen(parent.get) + 1 < RebaseEvery
     val tmp = new Path(s"$rt/$VersionsDir/.staging-${java.util.UUID.randomUUID()}")
     f.mkdirs(tmp)
@@ -560,12 +581,17 @@ object PartitionSnapshots {
       try so.write(st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally so.close()
     }
-    if (props.nonEmpty) {
-      require(props.forall { case (k, v) =>
+    // every commit records its LINE (main vs branch:<name>) — the
+    // changelog stream keys on it to keep branch-staged slots out of
+    // the main feed; absent (pre-stamp commits) means main
+    val allProps = props ++
+      branch.map(n => Map(LineProp -> s"branch:$n")).getOrElse(Map.empty)
+    if (allProps.nonEmpty) {
+      require(allProps.forall { case (k, v) =>
         k.nonEmpty && !s"$k$v".exists(c => c == '\t' || c == '\n' || c == '\r')
       }, "commit props must be tab/newline-free")
       val po = f.create(new Path(tmp, PropsFile), true)
-      try po.write(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+      try po.write(allProps.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally po.close()
     }
@@ -1258,11 +1284,21 @@ object PartitionSnapshots {
     }
   }
 
-  /** [[read]] pinned at a branch's head. */
-  def readBranch(spark: SparkSession, table: String, name: String): DataFrame =
-    read(spark, table, asOf = rootBranches(spark, table).getOrElse(name,
+  /** [[read]] pinned at a branch's head. Lock-free readers can land in
+    * the ref swap's delete→rename window (same exposure as a tag
+    * rename), so a missing ref is retried briefly before concluding the
+    * branch really does not exist. */
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame = {
+    var attempt = 0
+    var head = branchRef(spark, table, name)
+    while (head.isEmpty && attempt < 10) {
+      Thread.sleep(10); attempt += 1
+      head = branchRef(spark, table, name)
+    }
+    read(spark, table, asOf = head.getOrElse(
       throw new IllegalArgumentException(
-        s"readBranch: no branch '$name' at $table")))
+        s"readBranch: no branch '$name' at $table"))._1)
+  }
 
   /** Publish a branch onto MAIN in one pointer swap (Iceberg's
     * fast_forward): legal only while main still sits at the branch's
@@ -1346,15 +1382,15 @@ object PartitionSnapshots {
       val slot = Snapshots.versionPath(rt, v)
       val deltaP = new Path(s"$slot/$DeltaFile")
       val isDelta = f.exists(deltaP)
+      val total = resolveManifestFull(spark, rt, v).size
       val (parent, touched) =
         if (isDelta) {
           val lines = readText(spark, deltaP).split("\n").toSeq
             .filter(_.nonEmpty)
           (Some(lines.head.stripPrefix("v").toLong), lines.tail.size)
-        } else (Option.empty[Long], resolveManifestFull(spark, rt, v).size)
+        } else (Option.empty[Long], total)
       (v, new java.sql.Timestamp(f.getFileStatus(new Path(slot))
-          .getModificationTime), isDelta, parent, touched,
-        resolveManifestFull(spark, rt, v).size,
+          .getModificationTime), isDelta, parent, touched, total,
         rootProps(spark, table, v), cur.contains(v))
     }
     import spark.implicits._
@@ -1429,12 +1465,14 @@ object PartitionSnapshots {
         .map(st => (rel, base, content, st.getPath.toString, st.getLen)).toSeq
     val rows = resolveManifestFull(spark, rt, v).toSeq.sortBy(_._1)
       .flatMap { case (rel, (state, _)) =>
-        parseParts(state).flatMap { case (base, dels) =>
+        val parts = parseParts(state)
+        // a delete ref stamped onto several parts is still ONE file set
+        val dels = parts.flatMap(_._2).distinct
+        parts.flatMap { case (base, _) =>
           stateDataPath(table, rel, base).toSeq
-            .flatMap(ls(_, rel, base, "data")) ++
-            dels.flatMap(id =>
-              ls(s"$table/$DeletesDir/$id", rel, base, "eq_deletes"))
-        }
+            .flatMap(ls(_, rel, base, "data"))
+        } ++ dels.flatMap(id =>
+          ls(s"$table/$DeletesDir/$id", rel, "", "eq_deletes"))
       }
     import spark.implicits._
     rows.toDF("partition", "part", "content", "path", "size_bytes")
@@ -1499,8 +1537,14 @@ object PartitionSnapshots {
       val cutoff = System.currentTimeMillis() - olderThanMs
       val tagged = rootTags(spark, table).values.toSet ++
         rootBranches(spark, table).values
+      // versions ABOVE the current pointer are never expired: deleting
+      // the top slots would let the next commit REUSE their version
+      // numbers (allVersionDirs.lastOption + 1), corrupting version
+      // identity for time travel, tags, and changelog offsets. Orphans
+      // up there (an abandoned branch's slots) die through count-based
+      // vacuum once later commits bury them.
       val youngOrPinned = committed.filter { v =>
-        v == cur || tagged.contains(v) ||
+        v >= cur || tagged.contains(v) ||
           f.getFileStatus(new Path(Snapshots.versionPath(rt, v)))
             .getModificationTime >= cutoff
       }

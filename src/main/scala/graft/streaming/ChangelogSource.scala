@@ -1,11 +1,12 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.sources.PartitionSnapshots
 
@@ -16,19 +17,26 @@ import graft.sources.PartitionSnapshots
   * the table's columns + `change_type` ('insert' | 'delete'; an update
   * is its pair) + `_commit_version` (the root version that carried it).
   *
-  * OFFSETS ARE ROOT VERSIONS: the checkpoint pins exactly which commits
-  * a restart has already served, so the feed is exactly-once end-to-end
-  * when the sink is idempotent per batch (e.g.
-  * [[Streams.manifestedAppendStream]] downstream — the two compose into
-  * a transactional table-to-table pipeline). Each micro-batch diffs
-  * manifests first ([[graft.sources.PartitionSnapshots.changes]]) —
-  * partitions pinned at the same state on both sides are never read, so
-  * a batch costs O(partitions the commits touched), never O(table).
+  * OFFSETS ARE MAIN-PUBLISHED ROOT VERSIONS — the live pointer, not the
+  * newest slot — so BRANCH-staged commits never leak into the feed: a
+  * branch's slots carry a line stamp and are skipped, and a
+  * fast-forward surfaces the published branch state as one net diff
+  * stamped with the head's version. The stream's starting point is
+  * persisted in the checkpoint's source metadata dir on first start, so
+  * a crash-replay of micro-batch 0 re-reads exactly the window the
+  * offset log recorded. Exactly-once end-to-end when the sink is
+  * idempotent per batch (e.g. [[Streams.manifestedAppendStream]] — the
+  * two compose into a transactional table-to-table pipeline). Each
+  * micro-batch diffs manifests first
+  * ([[graft.sources.PartitionSnapshots.changes]]) — partitions pinned at
+  * the same state on both sides are never read, so a batch costs
+  * O(partitions the commits touched), never O(table).
   *
   * Semantics and bounds, all inherited from the batch changelog:
-  *  - per-commit granularity: a batch spanning several commits unions
-  *    one feed per commit, each stamped with its `_commit_version`
-  *    (never the net effect across them);
+  *  - per-commit granularity along the MAIN line: a batch spanning
+  *    several main commits unions one feed per commit, each stamped
+  *    with its `_commit_version`; branch-staged versions in between
+  *    fold into the next main pair's diff (they were never published);
   *  - `startingVersion = v` replays history from commit v (v = 1 with a
   *    vacuumed head replays the oldest retained state as inserts);
   *    absent, the stream starts at the CURRENT version and serves only
@@ -36,6 +44,9 @@ import graft.sources.PartitionSnapshots
   *  - the root retention window must cover consumer lag: a stream
   *    resuming onto a vacuumed `fromV` fails LOUDLY (the expire-
   *    snapshots contract — same rule as pinned batch readers);
+  *  - after a [[graft.sources.PartitionSnapshots.rollbackRoot]] the
+  *    pointer sits below the consumed offset: the feed pauses until the
+  *    pointer passes it again, then emits the net diff across the fork;
   *  - schema is pinned at stream creation; additive column evolution
   *    mid-stream keeps serving the pinned columns (new columns appear
   *    on restart). A dropped/renamed column fails the batch loudly.
@@ -62,7 +73,7 @@ class ChangelogSourceProvider extends StreamSourceProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new ChangelogSource(sqlContext.sparkSession, table(parameters),
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong), metadataPath)
 }
 
 object ChangelogSource {
@@ -73,7 +84,7 @@ object ChangelogSource {
   def feedSchema(spark: SparkSession, table: String): StructType = {
     require(PartitionSnapshots.isManifested(spark, table),
       s"graft-changelog: $table is not a manifested table")
-    val cur = PartitionSnapshots.rootVersions(spark, table).lastOption
+    val cur = PartitionSnapshots.currentRootVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-changelog: $table has no committed root version"))
     PartitionSnapshots.changes(spark, table, cur, cur).schema
@@ -82,30 +93,64 @@ object ChangelogSource {
 }
 
 class ChangelogSource(spark: SparkSession, table: String,
-                      startingVersion: Option[Long]) extends Source {
+                      startingVersion: Option[Long],
+                      metadataPath: String) extends Source {
   private val declared = ChangelogSource.feedSchema(spark, table)
-  // last version already OUTSIDE the feed (exclusive lower bound) when
-  // the checkpoint has no offset yet: startingVersion - 1, or — the
-  // "only new commits" default — the current version at source creation
-  private val initialBase: Long = startingVersion.map { v =>
-    require(v >= 1, s"startingVersion must be >= 1, got $v")
-    v - 1
-  }.getOrElse(PartitionSnapshots.rootVersions(spark, table).lastOption
-    .getOrElse(0L))
+
+  /** Last version already OUTSIDE the feed (exclusive lower bound) for
+    * micro-batch 0 — PERSISTED into the checkpoint's source-metadata
+    * dir on first start, because `getBatch(start = None, …)` is re-run
+    * on crash-replay and must re-read the exact window the offset log
+    * recorded, not whatever the table's head happens to be after the
+    * restart (the FileStreamSource/Kafka initial-offset discipline). */
+  private val initialBase: Long = {
+    val p = new Path(metadataPath, "graft-changelog-base")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readBase(): Long = {
+      val in = f.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+    if (f.exists(p)) readBase()
+    else {
+      val v = startingVersion.map { sv =>
+        require(sv >= 1, s"startingVersion must be >= 1, got $sv")
+        sv - 1
+      }.getOrElse(
+        PartitionSnapshots.currentRootVersion(spark, table).getOrElse(0L))
+      f.mkdirs(p.getParent)
+      val tmp = new Path(p.getParent, s".${p.getName}-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (f.rename(tmp, p)) v
+      else { f.delete(tmp, false); readBase() } // lost a (re)create race
+    }
+  }
 
   override def schema: StructType = declared
 
   override def getOffset: Option[V1Offset] = {
-    val cur = PartitionSnapshots.rootVersions(spark, table).lastOption
+    // the MAIN pointer, never the newest slot: branch-staged versions
+    // above it are not published and must not become offsets
+    val cur = PartitionSnapshots.currentRootVersion(spark, table)
       .getOrElse(0L)
     if (cur == 0L) None else Some(LongOffset(math.max(cur, initialBase)))
   }
 
-  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val fromV = start.map(_.json.trim.toLong).getOrElse(initialBase)
-    val toV = end.json.trim.toLong
+  /** The micro-batch's feed as an ORDINARY batch DataFrame (getBatch
+    * wraps it with the isStreaming flag the engine asserts on). */
+  private[graft] def batchFeed(start: Option[Long], toV: Long): DataFrame = {
+    val fromV = start.getOrElse(initialBase)
+    // per-commit granularity along the MAIN line; toV itself is always
+    // included (it was an offset, i.e. pointer-published — after a
+    // fast-forward that is the branch head, serving the published state
+    // as one net diff). Branch-staged versions in between fold into the
+    // next included pair's manifest diff.
     val commits = PartitionSnapshots.rootVersions(spark, table)
-      .filter(v => v > fromV && v <= toV)
+      .filter(v => v > fromV && v <= toV &&
+        (v == toV || PartitionSnapshots.isMainLine(spark, table, v)))
     val feed =
       if (commits.isEmpty)
         PartitionSnapshots.changes(spark, table, toV, toV)
@@ -118,7 +163,12 @@ class ChangelogSource(spark: SparkSession, table: String,
       }._2.get
     // pin the stream-creation shape: additive evolution's new columns
     // are dropped until restart; anything else fails loudly here
-    val shaped = feed.select(declared.fieldNames.map(col).toSeq: _*)
+    feed.select(declared.fieldNames.map(col).toSeq: _*)
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val shaped = batchFeed(start.map(_.json.trim.toLong),
+      end.json.trim.toLong)
     org.apache.spark.sql.graft.SqlInternals.internalCreateStreamingDataFrame(
       spark, shaped.queryExecution.toRdd, declared)
   }

@@ -298,6 +298,19 @@ object Streams {
      else writer).start()
   }
 
+  /** Streaming READ of a manifested table's change feed (the
+    * [[ChangelogSource]] front door): a streaming DataFrame of
+    * table columns + `change_type` + `_commit_version`, offsets =
+    * MAIN-published root versions, O(touched partitions) per
+    * micro-batch. Compose with [[manifestedAppendStream]] for an
+    * exactly-once table-to-table incremental pipeline. */
+  def changelogStream(spark: SparkSession, table: String,
+                      startingVersion: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-changelog").option("path", table)
+    startingVersion.fold(r)(v => r.option("startingVersion", v.toString))
+      .load()
+  }
+
   /** Streaming ingest into a MANIFESTED partitioned table via fast
     * appends — the 100 TB log-ingest shape: each micro-batch commits in
     * O(its own rows) ([[graft.operators.Upsert.append]] — new version
@@ -316,19 +329,6 @@ object Streams {
     * transaction id that appends anew. Readers on the table see each
     * batch atomically (root-pointer swap) and concurrent equality
     * deletes never suppress later batches (per-part delete refs). */
-  /** Streaming READ of a manifested table's change feed (the
-    * [[ChangelogSource]] front door): a streaming DataFrame of
-    * table columns + `change_type` + `_commit_version`, offsets =
-    * root versions, O(touched partitions) per micro-batch. Compose
-    * with [[manifestedAppendStream]] for an exactly-once
-    * table-to-table incremental pipeline. */
-  def changelogStream(spark: SparkSession, table: String,
-                      startingVersion: Option[Long] = None): DataFrame = {
-    val r = spark.readStream.format("graft-changelog").option("path", table)
-    startingVersion.fold(r)(v => r.option("startingVersion", v.toString))
-      .load()
-  }
-
   def manifestedAppendStream(spark: SparkSession, rows: DataFrame,
                              path: String, partitionCols: Seq[String],
                              checkpoint: String,

@@ -500,6 +500,63 @@ class CatalogStreamsSpec extends SparkSpec {
     buf.asScala.toSeq.sorted shouldBe Seq(1, 2, 3)
   }
 
+  test("changelog stream never serves branch-staged commits; fast-forward streams the published diff") {
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val path = tmpDir("clogbr") + "/t"
+    val ckpt = tmpDir("clogbrckpt")
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]
+    val q = Streams.changelogStream(spark, path).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "_commit_version").collect()
+          .foreach(r => buf.add((r.getInt(0), r.getLong(1))))
+      }
+      .option("checkpointLocation", ckpt).start()
+    import scala.jdk.CollectionConverters._
+    try {
+      q.processAllAvailable()
+      // branch staging creates root slots ABOVE main's pointer — the
+      // feed must not serve them (they are unpublished)
+      PartitionSnapshots.createBranch(spark, path, "stage")
+      Upsert.upsert(spark, path, Seq((2, "p1", 20)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), branch = Some("stage"))
+      Upsert.append(spark, path, Seq((3, "p2", 30)).toDF("k", "part", "v"),
+        Seq("part"), branch = Some("stage"))
+      q.processAllAvailable()
+      buf.asScala.toSeq shouldBe empty
+      // fast-forward publishes: the feed emits the whole staged line as
+      // one net diff stamped with the published head's version
+      val head = PartitionSnapshots.fastForwardRoot(spark, path, "stage")
+      q.processAllAvailable()
+      buf.asScala.toSeq.sorted shouldBe Seq((2, head), (3, head))
+      // and ordinary main commits keep streaming per-commit after it
+      Upsert.append(spark, path, Seq((4, "p2", 40)).toDF("k", "part", "v"),
+        Seq("part"))
+      q.processAllAvailable()
+      buf.asScala.toSeq.map(_._1).sorted shouldBe Seq(2, 3, 4)
+    } finally q.stop()
+  }
+
+  test("changelog stream batch-0 window survives crash-replay (persisted base)") {
+    import graft.operators.Upsert
+    val path = tmpDir("clogbase") + "/t"
+    val meta = tmpDir("clogbasemeta")
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // source created while the table sits at v1: base=1 is PERSISTED
+    val s1 = new graft.streaming.ChangelogSource(spark, path, None, meta)
+    Upsert.append(spark, path, Seq((2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("part"))
+    // crash before batch 0 commits; the engine replays getBatch(None, 2)
+    // on a RE-CREATED source — which must re-read the recorded window,
+    // not restart empty from the table's new head
+    val s2 = new graft.streaming.ChangelogSource(spark, path, None, meta)
+    s2.batchFeed(None, 2L).select("k").collect()
+      .map(_.getInt(0)) shouldBe Array(2)
+  }
+
   test("changelog → append stream: exactly-once table-to-table mirror") {
     import graft.operators.Upsert
     val src = tmpDir("mirsrc") + "/t"

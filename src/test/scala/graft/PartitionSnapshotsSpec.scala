@@ -972,6 +972,49 @@ class PartitionSnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("branch slots above main never force rebases nor recycle version numbers") {
+    val path = tmpDir("pbrdelta") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.createBranch(spark, path, "b")
+    Upsert.upsert(spark, path, Seq((2, "p1", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), branch = Some("b")) // v2
+    // main commit with a branch slot above it: still an O(touched) DELTA
+    Upsert.upsert(spark, path, Seq((3, "p2", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part")) // v3
+    rootFile(path, 3, "delta").isFile shouldBe true
+    // branch commit after main interleaved: a delta off ITS OWN parent
+    Upsert.upsert(spark, path, Seq((4, "p1", 40)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), branch = Some("b")) // v4
+    rootFile(path, 4, "delta").isFile shouldBe true
+    PartitionSnapshots.readBranch(spark, path, "b").select("k").collect()
+      .map(_.getInt(0)).sorted shouldBe Array(1, 2, 4)
+    // orphan the branch above main's pointer (cur = 3 < 4), expire hard:
+    // slots above the pointer must survive, else the next commit would
+    // RECYCLE their version numbers
+    PartitionSnapshots.dropBranch(spark, path, "b")
+    PartitionSnapshots.expireRoots(spark, path, 0L)
+    PartitionSnapshots.rootVersions(spark, path) should contain(4L)
+    Upsert.upsert(spark, path, Seq((5, "p2", 50)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    PartitionSnapshots.currentRootVersion(spark, path) shouldBe Some(5L)
+  }
+
+  test("filesMeta lists a delete file shared across append parts exactly once") {
+    val path = tmpDir("pfdedup") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Upsert.append(spark, path, Seq((2, "p1", 20)).toDF("k", "part", "v"),
+      Seq("part")) // p1 now a two-part union
+    PartitionSnapshots.deleteKeys(spark, path, Seq(1).toDF("k")) shouldBe true
+    val files = PartitionSnapshots.filesMeta(spark, path).collect()
+    val paths = files.map(_.getAs[String]("path"))
+    paths.distinct.length shouldBe paths.length // the shared ref: ONE row
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    paths.map(norm).sorted shouldBe
+      Upsert.read(spark, path).inputFiles.map(norm).sorted
+  }
+
   test("manifests carry footer stats: metadata row count, honest None under deletes") {
     val path = tmpDir("pmanstats") + "/t"
     Upsert.upsert(spark, path,
