@@ -1000,6 +1000,26 @@ class PartitionSnapshotsSpec extends SparkSpec {
     PartitionSnapshots.currentRootVersion(spark, path) shouldBe Some(5L)
   }
 
+  test("schema evolution staged on a branch publishes with the fast-forward") {
+    val path = tmpDir("pbrevo") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.createBranch(spark, path, "evo")
+    // the branch adds a column; main's pinned schema is untouched
+    Upsert.upsert(spark, path,
+      Seq((2, "p1", 20, "x")).toDF("k", "part", "v", "tag"),
+      Seq("k"), partitionCols = Seq("part"), evolveSchema = true,
+      branch = Some("evo"))
+    Upsert.read(spark, path).columns should not contain "tag"
+    PartitionSnapshots.readBranch(spark, path, "evo")
+      .where($"k" === 1).select("tag").collect()(0).isNullAt(0) shouldBe true
+    // publish: main now reads the evolved union schema, old rows NULL
+    PartitionSnapshots.fastForwardRoot(spark, path, "evo")
+    val rows = Upsert.read(spark, path).select("k", "tag").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    rows shouldBe Map(1 -> None, 2 -> Some("x"))
+  }
+
   test("filesMeta lists a delete file shared across append parts exactly once") {
     val path = tmpDir("pfdedup") + "/t"
     Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
