@@ -513,7 +513,7 @@ object Upsert {
       recoverSwap(spark, path)
       val alreadyCommitted = txn.exists { case (appId, v) =>
         PartitionSnapshots.lastTxnVersion(spark, path,
-          s"graft.txn.$appId").exists(_ >= v)
+          s"graft.txn.$appId", branch).exists(_ >= v)
       }
       if (alreadyCommitted) return
       require(!graft.sources.Snapshots.isVersioned(spark, path),

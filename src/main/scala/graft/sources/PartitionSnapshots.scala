@@ -113,6 +113,7 @@ object PartitionSnapshots {
   private val DeletesDir = "_deletes"
   private val SchemaFile = "schema.json"
   private val PropsFile = "props"
+  private val ParentFile = "parent"
   private[graft] val LineProp = "graft.line"
   // manifest state tokens (beyond a pinned "v00000001"-style slot name)
   private val Flat = "FLAT"    // implicit v0: the partition's flat hive files
@@ -258,7 +259,7 @@ object PartitionSnapshots {
     rootManifest(spark, table, asOf) match {
       case Some(entries) =>
         val rv = if (asOf > 0) asOf
-          else Snapshots.currentVersion(spark, s"$table/$RootDir").get
+          else currentRootVersion(spark, table).get
         readEntries(spark, table, entries, pinnedSchema(spark, table, rv))
       case None =>
         require(asOf <= 0, s"no root manifest at $table to time-travel")
@@ -278,15 +279,56 @@ object PartitionSnapshots {
 
   /** The root version the MAIN pointer currently serves (None before
     * the first commit). Branch commits create versions above this
-    * without moving it. */
-  def currentRootVersion(spark: SparkSession, table: String): Option[Long] =
-    Snapshots.currentVersion(spark, s"$table/$RootDir")
+    * without moving it — so when the pointer file is absent (crash
+    * mid-swap, or a reader landing in the swap window) the fallback is
+    * the newest MAIN-LINE slot, never a branch-staged one: offsets,
+    * parents, and published reads must not confuse staged data for the
+    * published state. */
+  def currentRootVersion(spark: SparkSession, table: String): Option[Long] = {
+    val rt = s"$table/$RootDir"
+    Snapshots.pointedVersion(spark, rt).orElse(
+      Snapshots.versions(spark, rt).reverse
+        .find(isMainLine(spark, table, _)))
+  }
 
   /** Whether root version `v` was committed on the MAIN line (true) or
-    * staged on a branch (false). Pre-stamp commits count as main. */
+    * staged on a branch (false). Pre-stamp commits count as main.
+    * Memoized — a committed slot's props are immutable. */
   private[graft] def isMainLine(spark: SparkSession, table: String,
-                                v: Long): Boolean =
-    rootProps(spark, table, v).get(LineProp).forall(!_.startsWith("branch:"))
+                                v: Long): Boolean = {
+    val key = (table, v)
+    val hit = lineCache.get(key)
+    if (hit != null) hit.booleanValue()
+    else {
+      val r = rootProps(spark, table, v).get(LineProp)
+        .forall(!_.startsWith("branch:"))
+      if (lineCache.size() > 100000) lineCache.clear()
+      lineCache.put(key, java.lang.Boolean.valueOf(r))
+      r
+    }
+  }
+  private val lineCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]
+
+  /** The RECORDED parent of root version `v` — a delta's fold target,
+    * or the `parent` file a full rebase records (absent on first
+    * commits and pre-upgrade full manifests). The commit LINEAGE walk:
+    * versions not on the current head's parent chain (a rolled-back
+    * line, a dropped branch) are unreachable from it. */
+  private[graft] def parentOfRoot(spark: SparkSession, table: String,
+                                  v: Long): Option[Long] = {
+    val rt = s"$table/$RootDir"
+    val slot = Snapshots.versionPath(rt, v)
+    val d = new Path(s"$slot/$DeltaFile")
+    val f = fs(spark, d)
+    if (f.exists(d))
+      Some(readText(spark, d).split("\n").head.stripPrefix("v").toLong)
+    else {
+      val p = new Path(s"$slot/$ParentFile")
+      if (f.exists(p)) Some(readText(spark, p).trim.stripPrefix("v").toLong)
+      else None
+    }
+  }
 
   /** The (partition rel-path → state) map of the current root manifest
     * (or the one at root version `asOf`); None when the table predates
@@ -305,7 +347,7 @@ object PartitionSnapshots {
           s"root manifest v$asOf does not exist at $table " +
             s"(have ${Snapshots.versions(spark, rt)})")
         Some(asOf)
-      } else Snapshots.currentVersion(spark, rt)
+      } else currentRootVersion(spark, table)
     v.map(resolveManifest(spark, rt, _))
   }
 
@@ -524,7 +566,7 @@ object PartitionSnapshots {
       case Some(n) => Some(branchRef(spark, table, n).getOrElse(
         throw new IllegalArgumentException(
           s"commit to unknown branch '$n' at $table"))._1)
-      case None => Snapshots.currentVersion(spark, rt)
+      case None => currentRootVersion(spark, table)
     }
     // walk the parent's actual delta chain: for main the contiguous
     // tail and the walk agree; for a branch whose head is no longer the
@@ -567,6 +609,15 @@ object PartitionSnapshots {
     val out = f.create(new Path(tmp, file), true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // full rebases also record their parent (deltas carry it in-line):
+    // the commit LINEAGE stays walkable across rebases, which is what
+    // lets the changelog serve per-commit granularity and skip slots a
+    // rollback or dropped branch left unreachable
+    if (!asDelta) parent.foreach { pv =>
+      val po = f.create(new Path(tmp, ParentFile), true)
+      try po.write(f"v$pv%08d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally po.close()
+    }
     // pin the union schema in the slot (carried forward when the commit
     // itself has none — e.g. a delete commit, which reshapes no rows).
     // DATA columns only: partition columns keep their hive path-value
@@ -798,7 +849,7 @@ object PartitionSnapshots {
       case Some(n) => Some(branchRef(spark, table, n).getOrElse(
         throw new IllegalArgumentException(
           s"append to unknown branch '$n' at $table"))._1)
-      case None => Snapshots.currentVersion(spark, rt)
+      case None => currentRootVersion(spark, table)
     }
     val base = branch match {
       case Some(_) => rootManifest(spark, table, parentV.get).get
@@ -1080,7 +1131,7 @@ object PartitionSnapshots {
                 asOf: Long = -1L): Map[String, PartStats] = {
     val rt = s"$table/$RootDir"
     val v = if (asOf > 0) asOf
-      else Snapshots.currentVersion(spark, rt).getOrElse(return Map.empty)
+      else currentRootVersion(spark, table).getOrElse(return Map.empty)
     resolveManifestFull(spark, rt, v).collect {
       case (rel, (_, Some(s))) => rel -> decodeStats(s)
     }
@@ -1099,7 +1150,7 @@ object PartitionSnapshots {
     require(isManifested(spark, table), s"rowCount: $table is not manifested")
     val rt = s"$table/$RootDir"
     val v = if (asOf > 0) asOf
-      else Snapshots.currentVersion(spark, rt).getOrElse(return None)
+      else currentRootVersion(spark, table).getOrElse(return None)
     val full = resolveManifestFull(spark, rt, v)
     val counts = full.toSeq.map { case (_, (state, stats)) =>
       val parts = parseParts(state)
@@ -1140,7 +1191,7 @@ object PartitionSnapshots {
       }
     }
     val rv = if (asOf > 0) asOf
-      else Snapshots.currentVersion(spark, s"$table/$RootDir").get
+      else currentRootVersion(spark, table).get
     readEntries(spark, table, kept, pinnedSchema(spark, table, rv))
       .map(_.where(col(column).between(lo, hi)))
       .getOrElse(all.limit(0).where(col(column).between(lo, hi)))
@@ -1166,7 +1217,7 @@ object PartitionSnapshots {
     val rt = s"$table/$RootDir"
     val target =
       if (v > 0) v
-      else Snapshots.currentVersion(spark, rt).getOrElse(
+      else currentRootVersion(spark, table).getOrElse(
         throw new IllegalArgumentException(s"tagRoot: no committed root at $table"))
     require(Snapshots.versions(spark, rt).contains(target),
       s"tagRoot: root v$target does not exist at $table")
@@ -1229,7 +1280,7 @@ object PartitionSnapshots {
       s"createBranch: branch '$name' already exists at $table")
     val target =
       if (v > 0) v
-      else Snapshots.currentVersion(spark, rt).getOrElse(
+      else currentRootVersion(spark, table).getOrElse(
         throw new IllegalArgumentException(
           s"createBranch: no committed root at $table"))
     require(Snapshots.versions(spark, rt).contains(target),
@@ -1261,9 +1312,22 @@ object PartitionSnapshots {
       }.toMap
   }
 
+  /** One branch's (head, fork base). A lock-free reader can land in the
+    * ref swap's delete→rename window (same exposure as a tag rename),
+    * so a missing NAME inside an otherwise-populated branches dir is
+    * retried briefly before concluding it really does not exist —
+    * covering every caller (reads, fast-forward, commit paths) at the
+    * source instead of one call site. */
   private[graft] def branchRef(spark: SparkSession, table: String,
-                               name: String): Option[(Long, Long)] =
-    branchRefs(spark, table).get(name)
+                               name: String): Option[(Long, Long)] = {
+    var attempt = 0
+    var r = branchRefs(spark, table)
+    while (!r.contains(name) && r.nonEmpty && attempt < 5) {
+      Thread.sleep(10); attempt += 1
+      r = branchRefs(spark, table)
+    }
+    r.get(name)
+  }
 
   private def writeBranchRef(spark: SparkSession, table: String,
                              name: String, head: Long, base: Long): Unit = {
@@ -1284,21 +1348,12 @@ object PartitionSnapshots {
     }
   }
 
-  /** [[read]] pinned at a branch's head. Lock-free readers can land in
-    * the ref swap's delete→rename window (same exposure as a tag
-    * rename), so a missing ref is retried briefly before concluding the
-    * branch really does not exist. */
-  def readBranch(spark: SparkSession, table: String, name: String): DataFrame = {
-    var attempt = 0
-    var head = branchRef(spark, table, name)
-    while (head.isEmpty && attempt < 10) {
-      Thread.sleep(10); attempt += 1
-      head = branchRef(spark, table, name)
-    }
-    read(spark, table, asOf = head.getOrElse(
+  /** [[read]] pinned at a branch's head ([[branchRef]] absorbs the ref
+    * swap window). */
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame =
+    read(spark, table, asOf = branchRef(spark, table, name).getOrElse(
       throw new IllegalArgumentException(
         s"readBranch: no branch '$name' at $table"))._1)
-  }
 
   /** Publish a branch onto MAIN in one pointer swap (Iceberg's
     * fast_forward): legal only while main still sits at the branch's
@@ -1316,7 +1371,7 @@ object PartitionSnapshots {
       val (head, base) = branchRef(spark, table, name).getOrElse(
         throw new IllegalArgumentException(
           s"fastForwardRoot: no branch '$name' at $table"))
-      val cur = Snapshots.currentVersion(spark, rt).getOrElse(
+      val cur = currentRootVersion(spark, table).getOrElse(
         throw new IllegalArgumentException(s"no committed root at $table"))
       require(cur == base,
         s"fastForwardRoot: main advanced to v$cur since branch '$name' " +
@@ -1335,7 +1390,7 @@ object PartitionSnapshots {
                 asOf: Long = -1L): Map[String, String] = {
     val rt = s"$table/$RootDir"
     val v = if (asOf >= 0L) asOf
-      else Snapshots.currentVersion(spark, rt).getOrElse(return Map.empty)
+      else currentRootVersion(spark, table).getOrElse(return Map.empty)
     val p = new Path(s"${Snapshots.versionPath(rt, v)}/$PropsFile")
     if (!fs(spark, p).exists(p)) Map.empty
     else readText(spark, p).split("\n").toSeq.filter(_.nonEmpty).map { ln =>
@@ -1355,10 +1410,18 @@ object PartitionSnapshots {
     * commits would no longer be recognized, which for streaming (only
     * the LAST batch is ever replayed) requires a concurrent writer to
     * lap the whole window mid-recovery. */
-  def lastTxnVersion(spark: SparkSession, table: String,
-                     key: String): Option[Long] = {
+  def lastTxnVersion(spark: SparkSession, table: String, key: String,
+                     branch: Option[String] = None): Option[Long] = {
     val rt = s"$table/$RootDir"
-    val vs = Snapshots.versions(spark, rt)
+    // scope the probe to the WRITER'S line: a txn stamped on an
+    // unpublished (possibly dropped) branch must not suppress the same
+    // delivery to main, and vice versa
+    def onLine(v: Long): Boolean = branch match {
+      case Some(n) =>
+        rootProps(spark, table, v).get(LineProp).contains(s"branch:$n")
+      case None => isMainLine(spark, table, v)
+    }
+    val vs = Snapshots.versions(spark, rt).filter(onLine)
       .flatMap(v => rootProps(spark, table, v).get(key)).map(_.toLong)
     if (vs.isEmpty) None else Some(vs.max)
   }
@@ -1377,7 +1440,7 @@ object PartitionSnapshots {
       s"snapshotsMeta: $table is not a manifested table")
     val rt = s"$table/$RootDir"
     val f = fs(spark, new Path(rt))
-    val cur = Snapshots.currentVersion(spark, rt)
+    val cur = currentRootVersion(spark, table)
     val rows = Snapshots.versions(spark, rt).map { v =>
       val slot = Snapshots.versionPath(rt, v)
       val deltaP = new Path(s"$slot/$DeltaFile")
@@ -1406,7 +1469,7 @@ object PartitionSnapshots {
     require(isManifested(spark, table),
       s"refsMeta: $table is not a manifested table")
     val rt = s"$table/$RootDir"
-    val main = Snapshots.currentVersion(spark, rt).toSeq
+    val main = currentRootVersion(spark, table).toSeq
       .map(v => ("main", "main", v, Option.empty[Long]))
     val tags = rootTags(spark, table).toSeq.sortBy(_._1)
       .map { case (n, v) => (n, "tag", v, Option.empty[Long]) }
@@ -1429,7 +1492,7 @@ object PartitionSnapshots {
       s"partitionsMeta: $table is not a manifested table")
     val rt = s"$table/$RootDir"
     val v = if (asOf > 0) asOf
-      else Snapshots.currentVersion(spark, rt).getOrElse(
+      else currentRootVersion(spark, table).getOrElse(
         throw new IllegalArgumentException(s"no committed root at $table"))
     val rows = resolveManifestFull(spark, rt, v).toSeq.sortBy(_._1)
       .map { case (rel, (state, stats)) =>
@@ -1457,23 +1520,26 @@ object PartitionSnapshots {
       s"filesMeta: $table is not a manifested table")
     val rt = s"$table/$RootDir"
     val v = if (asOf > 0) asOf
-      else Snapshots.currentVersion(spark, rt).getOrElse(
+      else currentRootVersion(spark, table).getOrElse(
         throw new IllegalArgumentException(s"no committed root at $table"))
     def ls(d: String, rel: String, base: String, content: String) =
       fs(spark, new Path(d)).listStatus(new Path(d))
         .filter(st => st.isFile && !hidden(st.getPath.getName))
         .map(st => (rel, base, content, st.getPath.toString, st.getLen)).toSeq
-    val rows = resolveManifestFull(spark, rt, v).toSeq.sortBy(_._1)
-      .flatMap { case (rel, (state, _)) =>
-        val parts = parseParts(state)
-        // a delete ref stamped onto several parts is still ONE file set
-        val dels = parts.flatMap(_._2).distinct
-        parts.flatMap { case (base, _) =>
-          stateDataPath(table, rel, base).toSeq
-            .flatMap(ls(_, rel, base, "data"))
-        } ++ dels.flatMap(id =>
-          ls(s"$table/$DeletesDir/$id", rel, "", "eq_deletes"))
+    val full = resolveManifestFull(spark, rt, v).toSeq.sortBy(_._1)
+    val dataRows = full.flatMap { case (rel, (state, _)) =>
+      parseParts(state).flatMap { case (base, _) =>
+        stateDataPath(table, rel, base).toSeq
+          .flatMap(ls(_, rel, base, "data"))
       }
+    }
+    // a delete ref stamped onto several parts OR several partitions is
+    // still ONE file set: delete rows are table-scoped (partition "")
+    val delRows = full.flatMap { case (_, (state, _)) =>
+      parseParts(state).flatMap(_._2)
+    }.distinct.sorted.flatMap(id =>
+      ls(s"$table/$DeletesDir/$id", "", "", "eq_deletes"))
+    val rows = dataRows ++ delRows
     import spark.implicits._
     rows.toDF("partition", "part", "content", "path", "size_bytes")
   }
@@ -1490,7 +1556,7 @@ object PartitionSnapshots {
   private def referencedVersions(spark: SparkSession, table: String)
       : Map[String, (Set[Long], Boolean)] = {
     val rt = s"$table/$RootDir"
-    val live = Snapshots.currentVersion(spark, rt).toSet ++
+    val live = currentRootVersion(spark, table).toSet ++
       rootTags(spark, table).values ++ rootBranches(spark, table).values
     val acc = scala.collection.mutable.Map.empty[String, (Set[Long], Boolean)]
     live.foreach { v =>
@@ -1533,7 +1599,7 @@ object PartitionSnapshots {
       val rt = s"$table/$RootDir"
       val f = fs(spark, new Path(rt))
       val committed = Snapshots.versions(spark, rt)
-      val cur = Snapshots.currentVersion(spark, rt).getOrElse(return Nil)
+      val cur = currentRootVersion(spark, table).getOrElse(return Nil)
       val cutoff = System.currentTimeMillis() - olderThanMs
       val tagged = rootTags(spark, table).values.toSet ++
         rootBranches(spark, table).values
@@ -1833,7 +1899,7 @@ object PartitionSnapshots {
       // still describe the base files (rows becomes an upper bound — a
       // delete only shrinks the true set; rowCount reports accordingly)
       val rt = s"$table/$RootDir"
-      val priorStats = Snapshots.currentVersion(spark, rt)
+      val priorStats = currentRootVersion(spark, table)
         .map(v => resolveManifestFull(spark, rt, v).collect {
           case (rel, (_, Some(st))) if touched.contains(rel) => rel -> st
         }).getOrElse(Map.empty[String, String])

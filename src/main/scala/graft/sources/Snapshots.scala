@@ -60,20 +60,26 @@ object Snapshots {
 
   /** The pointer's version, or (pointer missing/corrupt — e.g. a reader
     * racing the swap) the newest complete snapshot. */
-  def currentVersion(spark: SparkSession, table: String): Option[Long] = {
+  def currentVersion(spark: SparkSession, table: String): Option[Long] =
+    pointedVersion(spark, table).orElse(versions(spark, table).lastOption)
+
+  /** The pointer FILE's version only — None when the pointer is absent
+    * or mid-swap, with NO newest-slot fallback. Callers that must never
+    * confuse staged slots for the published state (branch-aware layers)
+    * use this and choose their own fallback. */
+  private[graft] def pointedVersion(spark: SparkSession,
+                                    table: String): Option[Long] = {
     val p = new Path(table, Pointer)
     val f = fs(spark, p)
-    val pointed =
-      if (!f.exists(p)) None
-      else try {
-        val in = f.open(p)
-        val s = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-        val v = s.stripPrefix("v").toLong
-        if (f.exists(new Path(versionPath(table, v)))) Some(v) else None
-      } catch { case _: Exception => None }
-    pointed.orElse(versions(spark, table).lastOption)
+    if (!f.exists(p)) None
+    else try {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      val v = s.stripPrefix("v").toLong
+      if (f.exists(new Path(versionPath(table, v)))) Some(v) else None
+    } catch { case _: Exception => None }
   }
 
   /** Every version directory, committed or not — crashed writes (no

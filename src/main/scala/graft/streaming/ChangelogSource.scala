@@ -131,26 +131,53 @@ class ChangelogSource(spark: SparkSession, table: String,
 
   override def schema: StructType = declared
 
+  /** Highest offset this source has served or seen committed — the
+    * floor that keeps offsets MONOTONIC when the table's pointer moves
+    * backwards (rollbackRoot): the feed pauses until the pointer passes
+    * the consumed offset again, then emits the net diff across the
+    * fork (lineage selection below skips the abandoned commits). */
+  @volatile private var servedFloor = 0L
+
   override def getOffset: Option[V1Offset] = {
     // the MAIN pointer, never the newest slot: branch-staged versions
     // above it are not published and must not become offsets
     val cur = PartitionSnapshots.currentRootVersion(spark, table)
       .getOrElse(0L)
-    if (cur == 0L) None else Some(LongOffset(math.max(cur, initialBase)))
+    if (cur == 0L) None
+    else Some(LongOffset(math.max(math.max(cur, initialBase), servedFloor)))
+  }
+
+  /** Root versions on `toV`'s RECORDED-PARENT lineage strictly above
+    * `above`, ascending. Walking the lineage (not the version range)
+    * is what keeps commits a rollback abandoned or a dropped branch
+    * staged from ever re-entering the feed; a break in the chain (a
+    * pre-upgrade full manifest with no recorded parent) just coarsens
+    * the first pair into a net diff. */
+  private def lineage(toV: Long, above: Long): List[Long] = {
+    var acc = List.empty[Long]
+    var v: Option[Long] = Some(toV)
+    while (v.exists(_ > above)) {
+      acc = v.get :: acc
+      v = PartitionSnapshots.parentOfRoot(spark, table, v.get)
+    }
+    acc
   }
 
   /** The micro-batch's feed as an ORDINARY batch DataFrame (getBatch
     * wraps it with the isStreaming flag the engine asserts on). */
   private[graft] def batchFeed(start: Option[Long], toV: Long): DataFrame = {
     val fromV = start.getOrElse(initialBase)
-    // per-commit granularity along the MAIN line; toV itself is always
-    // included (it was an offset, i.e. pointer-published — after a
-    // fast-forward that is the branch head, serving the published state
-    // as one net diff). Branch-staged versions in between fold into the
-    // next included pair's manifest diff.
-    val commits = PartitionSnapshots.rootVersions(spark, table)
-      .filter(v => v > fromV && v <= toV &&
-        (v == toV || PartitionSnapshots.isMainLine(spark, table, v)))
+    servedFloor = math.max(servedFloor, math.max(fromV, toV))
+    // per-commit granularity along toV's LINEAGE restricted to the MAIN
+    // line; toV itself is always included (it was an offset, i.e.
+    // pointer-published — after a fast-forward that is the branch head,
+    // serving the published state as one net diff). Branch-staged
+    // versions and rollback-abandoned commits are not on the lineage /
+    // not main-stamped and fold into the next included pair's diff.
+    val commits =
+      if (toV <= fromV) Nil
+      else lineage(toV, fromV).filter(v =>
+        v == toV || PartitionSnapshots.isMainLine(spark, table, v))
     val feed =
       if (commits.isEmpty)
         PartitionSnapshots.changes(spark, table, toV, toV)
@@ -173,6 +200,7 @@ class ChangelogSource(spark: SparkSession, table: String,
       spark, shaped.queryExecution.toRdd, declared)
   }
 
-  override def commit(end: V1Offset): Unit = ()
+  override def commit(end: V1Offset): Unit =
+    servedFloor = math.max(servedFloor, end.json.trim.toLong)
   override def stop(): Unit = ()
 }

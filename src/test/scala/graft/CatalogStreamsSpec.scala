@@ -557,6 +557,31 @@ class CatalogStreamsSpec extends SparkSpec {
       .map(_.getInt(0)) shouldBe Array(2)
   }
 
+  test("changelog never re-serves commits a rollback abandoned") {
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val path = tmpDir("clogroll") + "/t"
+    val meta = tmpDir("clogrollmeta")
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val s = new graft.streaming.ChangelogSource(spark, path, None, meta)
+    Upsert.upsert(spark, path, Seq((2, "p1", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part")) // v2
+    Upsert.upsert(spark, path, Seq((3, "p1", 30)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part")) // v3 — consumed through here
+    PartitionSnapshots.rollbackRoot(spark, path, 1L)
+    Upsert.upsert(spark, path, Seq((4, "p1", 40)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part")) // v4, forked off v1
+    // the resumed window (3 → 4] walks v4's LINEAGE: the abandoned v2/v3
+    // never re-emit per-commit; the feed is the net diff across the fork
+    val got = s.batchFeed(Some(3L), 4L)
+      .select("k", "change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted
+    got.map(_._3).distinct shouldBe Array(4L)
+    got shouldBe Array((2, "delete", 4L), (3, "delete", 4L),
+      (4, "insert", 4L))
+  }
+
   test("changelog → append stream: exactly-once table-to-table mirror") {
     import graft.operators.Upsert
     val src = tmpDir("mirsrc") + "/t"

@@ -838,8 +838,9 @@ class PartitionSnapshotsSpec extends SparkSpec {
     def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
     files.map(r => norm(r.getAs[String]("path"))).sorted shouldBe
       Upsert.read(spark, path).inputFiles.map(norm).sorted
+    // delete rows are table-scoped: one row per delete FILE
     files.filter(_.getAs[String]("content") == "eq_deletes")
-      .map(_.getAs[String]("partition")) shouldBe Array("part=p2")
+      .map(_.getAs[String]("partition")) shouldBe Array("")
   }
 
   test("time-based expiry: old roots drop, tags and chains survive, data reaped") {
@@ -1020,13 +1021,17 @@ class PartitionSnapshotsSpec extends SparkSpec {
     rows shouldBe Map(1 -> None, 2 -> Some("x"))
   }
 
-  test("filesMeta lists a delete file shared across append parts exactly once") {
+  test("filesMeta lists a delete file shared across parts AND partitions once") {
     val path = tmpDir("pfdedup") + "/t"
-    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (3, "p2", 30)).toDF("k", "part", "v"),
       Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
     Upsert.append(spark, path, Seq((2, "p1", 20)).toDF("k", "part", "v"),
       Seq("part")) // p1 now a two-part union
-    PartitionSnapshots.deleteKeys(spark, path, Seq(1).toDF("k")) shouldBe true
+    // one delete commit hitting BOTH partitions: the ref lands on every
+    // part of p1 and on p2 — still one file set
+    PartitionSnapshots.deleteKeys(spark, path,
+      Seq(1, 3).toDF("k")) shouldBe true
     val files = PartitionSnapshots.filesMeta(spark, path).collect()
     val paths = files.map(_.getAs[String]("path"))
     paths.distinct.length shouldBe paths.length // the shared ref: ONE row
