@@ -73,7 +73,8 @@ class ChangelogSourceProvider extends StreamSourceProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new ChangelogSource(sqlContext.sparkSession, table(parameters),
-      parameters.get("startingVersion").map(_.toLong), metadataPath)
+      parameters.get("startingVersion").map(_.toLong), metadataPath,
+      parameters.get("branch"))
 }
 
 object ChangelogSource {
@@ -94,8 +95,22 @@ object ChangelogSource {
 
 class ChangelogSource(spark: SparkSession, table: String,
                       startingVersion: Option[Long],
-                      metadataPath: String) extends Source {
+                      metadataPath: String,
+                      branchName: Option[String] = None) extends Source {
   private val declared = ChangelogSource.feedSchema(spark, table)
+
+  /** The ref this stream follows: the MAIN pointer by default, or a
+    * branch's head with `.option("branch", name)` — an incremental
+    * validation consumer of a staged line sees each branch commit as
+    * its own micro-batch while main consumers see nothing until the
+    * fast-forward. A dropped branch stops the feed loudly on the next
+    * trigger. */
+  private def refHead(): Option[Long] = branchName match {
+    case Some(n) => Some(PartitionSnapshots.rootBranches(spark, table)
+      .getOrElse(n, throw new IllegalArgumentException(
+        s"graft-changelog: no branch '$n' at $table")))
+    case None => PartitionSnapshots.currentRootVersion(spark, table)
+  }
 
   /** Last version already OUTSIDE the feed (exclusive lower bound) for
     * micro-batch 0 — PERSISTED into the checkpoint's source-metadata
@@ -117,8 +132,7 @@ class ChangelogSource(spark: SparkSession, table: String,
       val v = startingVersion.map { sv =>
         require(sv >= 1, s"startingVersion must be >= 1, got $sv")
         sv - 1
-      }.getOrElse(
-        PartitionSnapshots.currentRootVersion(spark, table).getOrElse(0L))
+      }.getOrElse(refHead().getOrElse(0L))
       f.mkdirs(p.getParent)
       val tmp = new Path(p.getParent, s".${p.getName}-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, true)
@@ -139,10 +153,10 @@ class ChangelogSource(spark: SparkSession, table: String,
   @volatile private var servedFloor = 0L
 
   override def getOffset: Option[V1Offset] = {
-    // the MAIN pointer, never the newest slot: branch-staged versions
-    // above it are not published and must not become offsets
-    val cur = PartitionSnapshots.currentRootVersion(spark, table)
-      .getOrElse(0L)
+    // the followed REF's head (main pointer by default — never the
+    // newest slot: branch-staged versions above it are not published
+    // and must not become main offsets)
+    val cur = refHead().getOrElse(0L)
     if (cur == 0L) None
     else Some(LongOffset(math.max(math.max(cur, initialBase), servedFloor)))
   }
@@ -174,10 +188,17 @@ class ChangelogSource(spark: SparkSession, table: String,
     // serving the published state as one net diff). Branch-staged
     // versions and rollback-abandoned commits are not on the lineage /
     // not main-stamped and fold into the next included pair's diff.
+    // which lineage commits belong to THIS feed: main consumers see
+    // main-line commits; a branch consumer additionally sees its own
+    // branch's commits (its lineage walks through them to the fork) —
+    // never another branch's
+    def onLine(v: Long): Boolean =
+      PartitionSnapshots.isMainLine(spark, table, v) ||
+        branchName.exists(n => PartitionSnapshots.rootProps(spark, table, v)
+          .get("graft.line").contains(s"branch:$n"))
     val commits =
       if (toV <= fromV) Nil
-      else lineage(toV, fromV).filter(v =>
-        v == toV || PartitionSnapshots.isMainLine(spark, table, v))
+      else lineage(toV, fromV).filter(v => v == toV || onLine(v))
     val feed =
       if (commits.isEmpty)
         PartitionSnapshots.changes(spark, table, toV, toV)

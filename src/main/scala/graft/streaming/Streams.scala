@@ -305,10 +305,12 @@ object Streams {
     * micro-batch. Compose with [[manifestedAppendStream]] for an
     * exactly-once table-to-table incremental pipeline. */
   def changelogStream(spark: SparkSession, table: String,
-                      startingVersion: Option[Long] = None): DataFrame = {
-    val r = spark.readStream.format("graft-changelog").option("path", table)
-    startingVersion.fold(r)(v => r.option("startingVersion", v.toString))
-      .load()
+                      startingVersion: Option[Long] = None,
+                      branch: Option[String] = None): DataFrame = {
+    val r0 = spark.readStream.format("graft-changelog").option("path", table)
+    val r1 = startingVersion.fold(r0)(v =>
+      r0.option("startingVersion", v.toString))
+    branch.fold(r1)(n => r1.option("branch", n)).load()
   }
 
   /** Streaming ingest into a MANIFESTED partitioned table via fast

@@ -557,6 +557,42 @@ class CatalogStreamsSpec extends SparkSpec {
       .map(_.getInt(0)) shouldBe Array(2)
   }
 
+  test("branch changelog stream: staged commits per-commit, other lines invisible") {
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val path = tmpDir("clogbrfeed") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.createBranch(spark, path, "etl")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]
+    val q = Streams.changelogStream(spark, path, branch = Some("etl"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "_commit_version").collect()
+          .foreach(r => buf.add((r.getInt(0), r.getLong(1))))
+      }
+      .option("checkpointLocation", tmpDir("clogbrfeedckpt")).start()
+    import scala.jdk.CollectionConverters._
+    try {
+      q.processAllAvailable()
+      // two branch commits: the branch consumer sees each per-commit
+      Upsert.upsert(spark, path, Seq((2, "p1", 20)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), branch = Some("etl")) // v2
+      Upsert.append(spark, path, Seq((3, "p2", 30)).toDF("k", "part", "v"),
+        Seq("part"), branch = Some("etl")) // v3
+      q.processAllAvailable()
+      buf.asScala.toSeq.sorted shouldBe Seq((2, 2L), (3, 3L))
+      // a MAIN commit (and another branch's commit) stay invisible to it
+      Upsert.upsert(spark, path, Seq((4, "p2", 40)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"))
+      PartitionSnapshots.createBranch(spark, path, "other", v = 4L)
+      Upsert.append(spark, path, Seq((5, "p1", 50)).toDF("k", "part", "v"),
+        Seq("part"), branch = Some("other"))
+      q.processAllAvailable()
+      buf.asScala.toSeq.map(_._1).sorted shouldBe Seq(2, 3)
+    } finally q.stop()
+  }
+
   test("changelog never re-serves commits a rollback abandoned") {
     import graft.operators.Upsert
     import graft.sources.PartitionSnapshots
