@@ -114,6 +114,7 @@ object PartitionSnapshots {
   private val SchemaFile = "schema.json"
   private val PropsFile = "props"
   private val ParentFile = "parent"
+  private val PublishedMarker = "published"
   private[graft] val LineProp = "graft.line"
   // manifest state tokens (beyond a pinned "v00000001"-style slot name)
   private val Flat = "FLAT"    // implicit v0: the partition's flat hive files
@@ -291,19 +292,30 @@ object PartitionSnapshots {
         .find(isMainLine(spark, table, _)))
   }
 
-  /** Whether root version `v` was committed on the MAIN line (true) or
-    * staged on a branch (false). Pre-stamp commits count as main.
-    * Memoized — a committed slot's props are immutable. */
+  /** Whether root version `v` belongs to the MAIN (published) line:
+    * committed on main, OR a branch-staged slot a [[fastForwardRoot]]
+    * later PUBLISHED (its line stamp is immutable, so publication is a
+    * separate `published` marker in the slot). Pre-stamp commits count
+    * as main. Memoized for answers that can never change (main-stamped,
+    * or already-published); an unpublished branch slot is re-checked —
+    * a fast-forward may publish it later. */
   private[graft] def isMainLine(spark: SparkSession, table: String,
                                 v: Long): Boolean = {
     val key = (table, v)
     val hit = lineCache.get(key)
     if (hit != null) hit.booleanValue()
     else {
-      val r = rootProps(spark, table, v).get(LineProp)
+      val stampedMain = rootProps(spark, table, v).get(LineProp)
         .forall(!_.startsWith("branch:"))
-      if (lineCache.size() > 100000) lineCache.clear()
-      lineCache.put(key, java.lang.Boolean.valueOf(r))
+      val r = stampedMain || {
+        val m = new Path(
+          s"${Snapshots.versionPath(s"$table/$RootDir", v)}/$PublishedMarker")
+        fs(spark, m).exists(m)
+      }
+      if (r) { // immutable-true only: false can flip at a fast-forward
+        if (lineCache.size() > 100000) lineCache.clear()
+        lineCache.put(key, java.lang.Boolean.TRUE)
+      }
       r
     }
   }
@@ -1322,7 +1334,9 @@ object PartitionSnapshots {
                                name: String): Option[(Long, Long)] = {
     var attempt = 0
     var r = branchRefs(spark, table)
-    while (!r.contains(name) && r.nonEmpty && attempt < 5) {
+    // retry on ANY miss: the sole branch of a table is just as absent
+    // mid-swap as one among many
+    while (!r.contains(name) && attempt < 5) {
       Thread.sleep(10); attempt += 1
       r = branchRefs(spark, table)
     }
@@ -1376,7 +1390,16 @@ object PartitionSnapshots {
       require(cur == base,
         s"fastForwardRoot: main advanced to v$cur since branch '$name' " +
           s"forked at v$base — re-fork from current and re-apply")
-      if (head != cur) Snapshots.rollback(spark, rt, head)
+      if (head != cur) {
+        // the head is now PUBLISHED: mark it before the pointer swap so
+        // no window exists where the pointer names it but main-line
+        // resolution (pointer-absent fallback, changelog, txn probes)
+        // still classifies it as staged
+        val m = new Path(s"${Snapshots.versionPath(rt, head)}/$PublishedMarker")
+        val f = fs(spark, m)
+        if (!f.exists(m)) f.create(m, true).close()
+        Snapshots.rollback(spark, rt, head)
+      }
       writeBranchRef(spark, table, name, head = head, base = head)
       head
     } finally graft.operators.Upsert.releaseLock(spark, table, token)
@@ -1414,15 +1437,21 @@ object PartitionSnapshots {
                      branch: Option[String] = None): Option[Long] = {
     val rt = s"$table/$RootDir"
     // scope the probe to the WRITER'S line: a txn stamped on an
-    // unpublished (possibly dropped) branch must not suppress the same
-    // delivery to main, and vice versa
-    def onLine(v: Long): Boolean = branch match {
-      case Some(n) =>
-        rootProps(spark, table, v).get(LineProp).contains(s"branch:$n")
-      case None => isMainLine(spark, table, v)
+    // UNPUBLISHED (possibly dropped) branch must not suppress the same
+    // delivery to main — but a fast-forwarded head's stamps DID publish
+    // and do count for main (isMainLine's published marker). One props
+    // read per version serves both the line check and the key lookup.
+    // Caveat: re-creating a dropped branch under the SAME name inherits
+    // the dead branch's retained stamps — use a fresh name or appId.
+    val vs = Snapshots.versions(spark, rt).flatMap { v =>
+      val props = rootProps(spark, table, v)
+      val online = branch match {
+        case Some(n) => props.get(LineProp).contains(s"branch:$n")
+        case None => props.get(LineProp).forall(!_.startsWith("branch:")) ||
+          isMainLine(spark, table, v)
+      }
+      if (online) props.get(key).map(_.toLong) else None
     }
-    val vs = Snapshots.versions(spark, rt).filter(onLine)
-      .flatMap(v => rootProps(spark, table, v).get(key)).map(_.toLong)
     if (vs.isEmpty) None else Some(vs.max)
   }
 

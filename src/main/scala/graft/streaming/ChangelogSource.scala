@@ -106,9 +106,11 @@ class ChangelogSource(spark: SparkSession, table: String,
     * fast-forward. A dropped branch stops the feed loudly on the next
     * trigger. */
   private def refHead(): Option[Long] = branchName match {
-    case Some(n) => Some(PartitionSnapshots.rootBranches(spark, table)
-      .getOrElse(n, throw new IllegalArgumentException(
-        s"graft-changelog: no branch '$n' at $table")))
+    // branchRef (not rootBranches) — it absorbs the ref-swap window a
+    // poll can land in while this very branch commits
+    case Some(n) => Some(PartitionSnapshots.branchRef(spark, table, n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-changelog: no branch '$n' at $table"))._1)
     case None => PartitionSnapshots.currentRootVersion(spark, table)
   }
 
@@ -118,30 +120,39 @@ class ChangelogSource(spark: SparkSession, table: String,
     * on crash-replay and must re-read the exact window the offset log
     * recorded, not whatever the table's head happens to be after the
     * restart (the FileStreamSource/Kafka initial-offset discipline). */
-  private val initialBase: Long = {
-    val p = new Path(metadataPath, "graft-changelog-base")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readBase(): Long = {
-      val in = f.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-    if (f.exists(p)) readBase()
+  private val baseFile = new Path(metadataPath, "graft-changelog-base")
+  private lazy val baseFs =
+    baseFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readBase(): Long = {
+    val in = baseFs.open(baseFile)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+  }
+
+  private def writeBase(v: Long): Boolean = {
+    baseFs.mkdirs(baseFile.getParent)
+    val tmp = new Path(baseFile.getParent,
+      s".${baseFile.getName}-${java.util.UUID.randomUUID()}")
+    val out = baseFs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    baseFs.delete(baseFile, false)
+    val ok = baseFs.rename(tmp, baseFile)
+    if (!ok) baseFs.delete(tmp, false)
+    ok
+  }
+
+  private val initialBase: Long =
+    if (baseFs.exists(baseFile)) readBase()
     else {
       val v = startingVersion.map { sv =>
         require(sv >= 1, s"startingVersion must be >= 1, got $sv")
         sv - 1
       }.getOrElse(refHead().getOrElse(0L))
-      f.mkdirs(p.getParent)
-      val tmp = new Path(p.getParent, s".${p.getName}-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, true)
-      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (f.rename(tmp, p)) v
-      else { f.delete(tmp, false); readBase() } // lost a (re)create race
+      if (writeBase(v)) v else readBase() // lost a (re)create race
     }
-  }
 
   override def schema: StructType = declared
 
@@ -149,8 +160,11 @@ class ChangelogSource(spark: SparkSession, table: String,
     * floor that keeps offsets MONOTONIC when the table's pointer moves
     * backwards (rollbackRoot): the feed pauses until the pointer passes
     * the consumed offset again, then emits the net diff across the
-    * fork (lineage selection below skips the abandoned commits). */
-  @volatile private var servedFloor = 0L
+    * fork (lineage selection below skips the abandoned commits).
+    * Persisted monotonically into the base file at each [[commit]] so a
+    * RESTART during the rollback window cannot regress below the
+    * consumed offset and re-serve the abandoned commits. */
+  @volatile private var servedFloor = initialBase
 
   override def getOffset: Option[V1Offset] = {
     // the followed REF's head (main pointer by default — never the
@@ -195,7 +209,7 @@ class ChangelogSource(spark: SparkSession, table: String,
     def onLine(v: Long): Boolean =
       PartitionSnapshots.isMainLine(spark, table, v) ||
         branchName.exists(n => PartitionSnapshots.rootProps(spark, table, v)
-          .get("graft.line").contains(s"branch:$n"))
+          .get(PartitionSnapshots.LineProp).contains(s"branch:$n"))
     val commits =
       if (toV <= fromV) Nil
       else lineage(toV, fromV).filter(v => v == toV || onLine(v))
@@ -221,7 +235,12 @@ class ChangelogSource(spark: SparkSession, table: String,
       spark, shaped.queryExecution.toRdd, declared)
   }
 
-  override def commit(end: V1Offset): Unit =
-    servedFloor = math.max(servedFloor, end.json.trim.toLong)
+  override def commit(end: V1Offset): Unit = {
+    val v = end.json.trim.toLong
+    if (v > servedFloor) {
+      servedFloor = v
+      writeBase(v) // monotonic: survives a restart mid-rollback-window
+    }
+  }
   override def stop(): Unit = ()
 }

@@ -1021,6 +1021,32 @@ class PartitionSnapshotsSpec extends SparkSpec {
     rows shouldBe Map(1 -> None, 2 -> Some("x"))
   }
 
+  test("published branch heads: txn stamps reach main, pointer loss resolves to them") {
+    val path = tmpDir("pbrpub") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.createBranch(spark, path, "in")
+    Upsert.append(spark, path, Seq((2, "p1", 20)).toDF("k", "part", "v"),
+      Seq("part"), txn = Some(("app", 7L)), branch = Some("in")) // v2
+    // staged: the branch's stamp must NOT suppress a main delivery
+    PartitionSnapshots.lastTxnVersion(spark, path, "graft.txn.app") shouldBe
+      None
+    PartitionSnapshots.fastForwardRoot(spark, path, "in") shouldBe 2L
+    // published: the stamp now counts for main — a post-publish
+    // redelivery of the same (appId, version) commits nothing
+    PartitionSnapshots.lastTxnVersion(spark, path, "graft.txn.app") shouldBe
+      Some(7L)
+    Upsert.append(spark, path, Seq((2, "p1", 20)).toDF("k", "part", "v"),
+      Seq("part"), txn = Some(("app", 7L)))
+    Upsert.read(spark, path).count() shouldBe 2L
+    // pointer loss (crash mid-swap): resolution falls back to the
+    // newest PUBLISHED slot — the fast-forwarded head, never the fork
+    // base (which would silently un-publish v2's data)
+    new java.io.File(s"$path/_root/_current").delete() shouldBe true
+    PartitionSnapshots.currentRootVersion(spark, path) shouldBe Some(2L)
+    Upsert.read(spark, path).count() shouldBe 2L
+  }
+
   test("filesMeta lists a delete file shared across parts AND partitions once") {
     val path = tmpDir("pfdedup") + "/t"
     Upsert.upsert(spark, path,
