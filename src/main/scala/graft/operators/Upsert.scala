@@ -507,6 +507,15 @@ object Upsert {
     require(partitionCols.nonEmpty, "append: partitionCols required")
     require(branch.isEmpty || PartitionSnapshots.isManifested(spark, path),
       "append: branch commits require an existing manifested table")
+    // same guard as the rewrite path: later partition-value rendering
+    // (deleteKeys, upsert's touched-partition delete) cannot reproduce
+    // the writer's timestamp dir format — never let such a table exist
+    df.schema.fields.filter(f => partitionCols.contains(f.name)).foreach { f =>
+      require(f.dataType != org.apache.spark.sql.types.TimestampType &&
+        f.dataType != org.apache.spark.sql.types.TimestampNTZType,
+        s"append: timestamp-typed partition column '${f.name}' is not " +
+          "supported (partition by the derived DATE instead)")
+    }
     if (df.isEmpty) return
     val token = acquireLock(spark, path, lockTtlMs)
     try {
@@ -520,7 +529,18 @@ object Upsert {
         s"append: $path is a whole-table snapshot table")
       PartitionSnapshots.ensureManifested(spark, path, partitionCols)
       PartitionSnapshots.cleanupStaging(spark, path)
-      val out = readTable(spark, path) match {
+      // a branch append aligns against the BRANCH head's schema, never
+      // main's (mirrors upsertLocked's branch-merge read): a branch that
+      // evolved its schema beyond main must not have later appends
+      // rejected against — or silently re-pinned to — main's columns
+      val existing = branch match {
+        case Some(n) => PartitionSnapshots.readOption(spark, path,
+          asOf = PartitionSnapshots.rootBranches(spark, path).getOrElse(n,
+            throw new IllegalArgumentException(
+              s"append: no branch '$n' at $path — createBranch first")))
+        case None => readTable(spark, path)
+      }
+      val out = existing match {
         case Some(existing) if evolveSchema => align(existing, df)._2
         case Some(existing) =>
           require(existing.columns.sorted.sameElements(df.columns.sorted),

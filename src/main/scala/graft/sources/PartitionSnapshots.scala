@@ -391,10 +391,16 @@ object PartitionSnapshots {
     * is exact for delete-free states and an upper bound otherwise. */
   final case class PartStats(rows: Long, cols: Map[String, (String, String)])
 
+  /** Column keys are NAMESPACED (`c.<url-encoded-name>`) so a data
+    * column literally named "rows" can never collide with the row-count
+    * key; legacy un-prefixed column keys from older manifests still
+    * decode. Decode is defensive end-to-end: an unparseable entry is
+    * treated as absent stats (pruning stays conservative), never a
+    * throw — a malformed manifest line must not take down reads. */
   private def encodeStats(s: PartStats): String = {
     def e(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
     (s"rows=${s.rows}" +: s.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-      s"${e(c)}=${e(mn)},${e(mx)}"
+      s"c.${e(c)}=${e(mn)},${e(mx)}"
     }).mkString(";")
   }
 
@@ -404,12 +410,17 @@ object PartitionSnapshots {
     val cols = Map.newBuilder[String, (String, String)]
     s.split(";").filter(_.nonEmpty).foreach { part =>
       val i = part.indexOf('=')
-      val k = part.substring(0, i)
-      val v = part.substring(i + 1)
-      if (k == "rows") rows = v.toLong
-      else {
-        val j = v.indexOf(',')
-        cols += d(k) -> (d(v.substring(0, j)), d(v.substring(j + 1)))
+      if (i > 0) {
+        val k = part.substring(0, i)
+        val v = part.substring(i + 1)
+        def addCol(name: String): Unit = {
+          val j = v.indexOf(',')
+          if (j >= 0)
+            cols += d(name) -> (d(v.substring(0, j)), d(v.substring(j + 1)))
+        }
+        if (k == "rows") v.toLongOption.foreach(rows = _)
+        else if (k.startsWith("c.")) addCol(k.substring(2))
+        else addCol(k) // legacy un-prefixed column key
       }
     }
     PartStats(rows, cols.result())
@@ -1896,6 +1907,16 @@ object PartitionSnapshots {
       val current = readEntries(spark, table, base).getOrElse(return false)
       keyCols.foreach(c => require(current.columns.contains(c),
         s"deleteKeys: key column '$c' is not a column of $table"))
+      // Same guard as upsert's rewrite path: timestamp partition values
+      // are formatted by the writer with a pattern Row.toString doesn't
+      // reproduce — the rel reconstruction below would miss the on-disk
+      // name and target a fabricated partition. Reject loudly.
+      current.schema.fields.filter(f => cols.contains(f.name)).foreach { f =>
+        require(f.dataType != org.apache.spark.sql.types.TimestampType &&
+          f.dataType != org.apache.spark.sql.types.TimestampNTZType,
+          s"deleteKeys: timestamp-typed partition column '${f.name}' is " +
+            "not supported (partition by the derived DATE instead)")
+      }
       val k = keys.dropDuplicates(keyCols)
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       import org.apache.spark.sql.functions.{broadcast, col}
@@ -1911,6 +1932,12 @@ object PartitionSnapshots {
           s"${ExternalCatalogUtils.escapePathName(c)}=$dirVal"
         }.mkString("/")).toSet
       if (touchedRels.isEmpty) return false
+      // validate BEFORE staging the delete file (no slot leaked on abort)
+      touchedRels.toSeq.sorted.foreach(rel =>
+        if (!base.contains(rel)) throw new IllegalStateException(
+          s"deleteKeys: touched partition '$rel' is not in $table's " +
+            "manifest — partition-value rendering diverged from the " +
+            "writer's directory naming; refusing to commit"))
       // write the delete file once: hidden staging → rename into a slot
       val f = fs(spark, new Path(table))
       f.mkdirs(new Path(s"$table/$DeletesDir"))
@@ -1920,8 +1947,16 @@ object PartitionSnapshots {
       // the new ref lands on EVERY current part: the delete applies to
       // all data that exists now; parts appended later never carry it
       // (the sequence rule, encoded structurally)
+      // every touched rel must resolve in the base manifest — a miss
+      // means the reconstructed dir name diverged from the writer's hive
+      // naming, and a fabricated FLAT+dNN entry would point reads at a
+      // nonexistent directory while the targeted rows silently survive
       val touched = touchedRels.toSeq.sorted.map { rel =>
-        rel -> fmtParts(parseParts(base.getOrElse(rel, Flat))
+        val state = base.getOrElse(rel, throw new IllegalStateException(
+          s"deleteKeys: touched partition '$rel' is not in $table's " +
+            "manifest — partition-value rendering diverged from the " +
+            "writer's directory naming; refusing to commit"))
+        rel -> fmtParts(parseParts(state)
           .map { case (b, dels) => (b, dels :+ id) })
       }.toMap
       // carry the touched partitions' footer stats forward: the bounds

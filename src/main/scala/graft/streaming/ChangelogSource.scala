@@ -49,7 +49,10 @@ import graft.sources.PartitionSnapshots
   *    pointer passes it again, then emits the net diff across the fork;
   *  - schema is pinned at stream creation; additive column evolution
   *    mid-stream keeps serving the pinned columns (new columns appear
-  *    on restart). A dropped/renamed column fails the batch loudly.
+  *    on restart), and a `startingVersion` replay ACROSS an evolution
+  *    commit NULL-fills the added columns for pre-evolution commits —
+  *    every per-commit feed is conformed to the declared shape before
+  *    combining, so replay and evolution compose.
   */
 class ChangelogSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -119,40 +122,58 @@ class ChangelogSource(spark: SparkSession, table: String,
     * dir on first start, because `getBatch(start = None, …)` is re-run
     * on crash-replay and must re-read the exact window the offset log
     * recorded, not whatever the table's head happens to be after the
-    * restart (the FileStreamSource/Kafka initial-offset discipline). */
-  private val baseFile = new Path(metadataPath, "graft-changelog-base")
+    * restart (the FileStreamSource/Kafka initial-offset discipline).
+    *
+    * The floor is stored as VERSIONED marker files `<prefix>-<v>`
+    * (value in the name; create is atomic, no rename window) and read
+    * as the max over them — a crash at any point leaves either the old
+    * floor, the new floor, or both, never none, so the monotonic floor
+    * can never be lost to a delete-then-rename gap. Older markers and
+    * the legacy single content-bearing file are pruned best-effort
+    * after each advance. */
+  private val BasePrefix = "graft-changelog-base"
+  private val baseDir = new Path(metadataPath)
+  private val legacyBaseFile = new Path(baseDir, BasePrefix)
   private lazy val baseFs =
-    baseFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    baseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readBase(): Long = {
-    val in = baseFs.open(baseFile)
-    try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    finally in.close()
-  }
-
-  private def writeBase(v: Long): Boolean = {
-    baseFs.mkdirs(baseFile.getParent)
-    val tmp = new Path(baseFile.getParent,
-      s".${baseFile.getName}-${java.util.UUID.randomUUID()}")
-    val out = baseFs.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    baseFs.delete(baseFile, false)
-    val ok = baseFs.rename(tmp, baseFile)
-    if (!ok) baseFs.delete(tmp, false)
-    ok
-  }
-
-  private val initialBase: Long =
-    if (baseFs.exists(baseFile)) readBase()
-    else {
-      val v = startingVersion.map { sv =>
-        require(sv >= 1, s"startingVersion must be >= 1, got $sv")
-        sv - 1
-      }.getOrElse(refHead().getOrElse(0L))
-      if (writeBase(v)) v else readBase() // lost a (re)create race
+  private def readBase(): Option[Long] = {
+    if (!baseFs.exists(baseDir)) return None
+    val vs = baseFs.listStatus(baseDir).toSeq.map(_.getPath.getName).flatMap {
+      case BasePrefix => // legacy layout: the value is the file CONTENT
+        val in = baseFs.open(legacyBaseFile)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      case n if n.startsWith(BasePrefix + "-") =>
+        n.stripPrefix(BasePrefix + "-").toLongOption
+      case _ => None
     }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def writeBase(v: Long): Unit = {
+    baseFs.mkdirs(baseDir)
+    baseFs.create(new Path(baseDir, s"$BasePrefix-$v"), true).close()
+    // prune superseded markers (best-effort; readBase takes the max, so
+    // a crash mid-prune only leaves redundant files, never a regression)
+    baseFs.listStatus(baseDir).foreach { st =>
+      val n = st.getPath.getName
+      val stale = n == BasePrefix ||
+        (n.startsWith(BasePrefix + "-") &&
+          n.stripPrefix(BasePrefix + "-").toLongOption.exists(_ < v))
+      if (stale) baseFs.delete(st.getPath, false)
+    }
+  }
+
+  private val initialBase: Long = readBase().getOrElse {
+    val v = startingVersion.map { sv =>
+      require(sv >= 1, s"startingVersion must be >= 1, got $sv")
+      sv - 1
+    }.getOrElse(refHead().getOrElse(0L))
+    writeBase(v)
+    readBase().getOrElse(v) // a concurrent (re)creator can only raise it
+  }
 
   override def schema: StructType = declared
 
@@ -213,18 +234,33 @@ class ChangelogSource(spark: SparkSession, table: String,
     val commits =
       if (toV <= fromV) Nil
       else lineage(toV, fromV).filter(v => v == toV || onLine(v))
+    // conform each per-commit feed to the STREAM's declared shape:
+    // changes() reads every pair at that commit's own pinned schema, so
+    // a feed for a pre-evolution commit lacks columns added later — a
+    // startingVersion replay across an additive evolution commit must
+    // NULL-fill them (the rows predate the column), and a feed for a
+    // post-evolution commit read by a pre-evolution stream drops the
+    // new columns until restart (the documented pin). Without this the
+    // final select throws on the missing column and the checkpoint is
+    // permanently poisoned (restart replays the same window).
+    def conform(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(declared.fields.toSeq.filter(_.name != "_commit_version")
+        .map { f =>
+          if (have.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
     val feed =
       if (commits.isEmpty)
-        PartitionSnapshots.changes(spark, table, toV, toV)
+        conform(PartitionSnapshots.changes(spark, table, toV, toV))
           .withColumn("_commit_version", lit(0L)).limit(0)
       else commits.foldLeft((fromV, Option.empty[DataFrame])) {
         case ((prev, acc), v) =>
-          val one = PartitionSnapshots.changes(spark, table, prev, v)
+          val one = conform(PartitionSnapshots.changes(spark, table, prev, v))
             .withColumn("_commit_version", lit(v))
           (v, Some(acc.fold(one)(_ unionByName one)))
       }._2.get
-    // pin the stream-creation shape: additive evolution's new columns
-    // are dropped until restart; anything else fails loudly here
     feed.select(declared.fieldNames.map(col).toSeq: _*)
   }
 

@@ -469,6 +469,37 @@ class CatalogStreamsSpec extends SparkSpec {
         .map(r => (r.getInt(0), r.getInt(1))).sorted
   }
 
+  test("changelog replay across additive schema evolution NULL-fills old commits") {
+    import graft.operators.Upsert
+    val path = tmpDir("clogevo") + "/t"
+    // v1: pre-evolution seed (no 'tag' column)
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // v2: additive evolution commit — 'tag' appears
+    Upsert.upsert(spark, path,
+      Seq((2, "p1", 20, "x")).toDF("k", "part", "v", "tag"),
+      Seq("k"), partitionCols = Seq("part"), evolveSchema = true)
+    // v3: post-evolution append
+    Upsert.append(spark, path,
+      Seq((3, "p2", 30, "y")).toDF("k", "part", "v", "tag"), Seq("part"))
+    // fresh checkpoint, full-history replay: micro-batch 0 SPANS the
+    // evolution commit. The v1 feed is read at v1's pinned schema (no
+    // 'tag') — it must conform to the stream's declared shape with
+    // tag = NULL instead of wedging the checkpoint on a missing column.
+    val q = Streams.changelogStream(spark, path, startingVersion = Some(1L))
+      .writeStream.format("memory").queryName("clogevo")
+      .option("checkpointLocation", tmpDir("clogevockpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("clogevo")
+      .select("k", "tag", "change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getString(2),
+        r.getLong(3))).toSeq.sorted
+    got shouldBe Seq(
+      (1, None, "insert", 1L),
+      (2, Some("x"), "insert", 2L),
+      (3, Some("y"), "insert", 3L))
+  }
+
   test("changelog stream drains pending commits under Trigger.AvailableNow") {
     import graft.operators.Upsert
     val path = tmpDir("clognow") + "/t"

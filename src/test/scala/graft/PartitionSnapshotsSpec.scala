@@ -1378,4 +1378,50 @@ class PartitionSnapshotsSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("v") >= 0)))))
     byKey(path) shouldBe Map(1 -> (("p1", 10)), 3 -> (("p2", 30)))
   }
+
+  test("stats encoding survives a data column literally named 'rows'") {
+    val path = tmpDir("prowscol") + "/t"
+    // before the c.-namespace fix, the column's min,max entry collided
+    // with the row-count key and decodeStats threw NumberFormatException
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 5L), (2, "p2", 7L)).toDF("k", "part", "rows"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // fast append exercises the stats-MERGE path (decode prior + encode)
+    Upsert.append(spark, path,
+      Seq((3, "p1", 9L)).toDF("k", "part", "rows"), Seq("part"))
+    PartitionSnapshots.rowCount(spark, path) shouldBe Some(3L)
+    val stats = PartitionSnapshots.rootStats(spark, path)
+    stats.values.map(_.rows).sum shouldBe 3L
+    stats("part=p1").cols.keySet should contain("rows")
+    // stats-pruned range scan on the colliding column still answers
+    PartitionSnapshots.readWhereBetween(spark, path, "rows", 6.0, 10.0)
+      .select("k").collect().map(_.getInt(0)).sorted shouldBe Array(2, 3)
+    PartitionSnapshots.partitionsMeta(spark, path).count() shouldBe 2L
+  }
+
+  test("branch append aligns against the branch head's evolved schema") {
+    val path = tmpDir("pbrappevo") + "/t"
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.createBranch(spark, path, "evo")
+    Upsert.upsert(spark, path,
+      Seq((2, "p1", 20, "x")).toDF("k", "part", "v", "tag"),
+      Seq("k"), partitionCols = Seq("part"), evolveSchema = true,
+      branch = Some("evo"))
+    // a later branch append WITH the evolved column must validate
+    // against the branch head (main lacks 'tag' — aligning against main
+    // would reject this append or silently drop the column)
+    Upsert.append(spark, path,
+      Seq((3, "p2", 30, "y")).toDF("k", "part", "v", "tag"),
+      Seq("part"), branch = Some("evo"))
+    val rows = PartitionSnapshots.readBranch(spark, path, "evo")
+      .select("k", "tag").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    rows shouldBe Map(1 -> None, 2 -> Some("x"), 3 -> Some("y"))
+    // main stays untouched and un-evolved until the fast-forward
+    Upsert.read(spark, path).columns should not contain "tag"
+    PartitionSnapshots.fastForwardRoot(spark, path, "evo")
+    Upsert.read(spark, path).where($"k" === 3)
+      .select("tag").collect()(0).getString(0) shouldBe "y"
+  }
 }
