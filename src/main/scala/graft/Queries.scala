@@ -2867,6 +2867,93 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** FILE-SCOPED MERGE ([[graft.operators.Upsert.upsert]] over
+    * [[graft.sources.PartitionSnapshots.planFileScoped]] — Iceberg's
+    * file-level rewrite, selected from the per-file manifest sidecars
+    * each commit writes): the seed is fast-appended as four
+    * range-disjoint files per partition (`repartitionByRange` on the
+    * key — appends preserve the writer's file layout), so a keyed MERGE
+    * of the narrow band 50–70 rewrites ONLY the files whose recorded
+    * key bounds intersect the band; every other file survives by
+    * manifest token with its bytes, path, and mtime untouched. The
+    * builder REQUIRES survivor tokens in the committed state — a silent
+    * fallback to whole-partition rewriting fails the query — and the
+    * oracle replays full-partition MERGE semantics over the immutable
+    * source: file-level granularity changes write amplification, never
+    * the answer. At 100 TB this is the difference between a 1-row
+    * update costing one file and costing a multi-GB partition. */
+  def q183FileScopedMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pfscope", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 600)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .repartitionByRange(4, col("c_custkey"))
+      Upsert.append(s, s"$base/t", seed, Seq("c_mktsegment"))
+    } + "/t"
+    val delta = t(s, dir, "customer")
+      .where(col("c_custkey").between(50, 70))
+      .select(col("c_custkey"),
+        (col("c_acctbal") + lit(100.0)).as("c_acctbal"), col("c_mktsegment"))
+    Upsert.upsert(s, path, delta, Seq("c_custkey"),
+      partitionCols = Seq("c_mktsegment"))
+    val state = graft.sources.PartitionSnapshots.rootManifest(s, path).get
+    require(state.values.exists(_.contains("/")),
+      "q183: file-scoped MERGE left no survivor file tokens — " +
+        "whole-partition fallback engaged unexpectedly")
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
+  /** PARTITION-SPEC EVOLUTION
+    * ([[graft.sources.PartitionSnapshots.evolvePartitionSpec]] —
+    * Iceberg's spec evolution): the table seeds under spec
+    * `(c_mktsegment)`, evolves to `(c_mktsegment, c_nationkey)` with NO
+    * data rewrite (the promoted column's values live in the old files;
+    * new commits stage two-level dirs), then takes a post-evolution
+    * insert batch and a keyed MERGE whose matched keys live in
+    * OLD-spec partitions — those rows migrate lazily to the new layout
+    * while untouched old partitions stay in place. The builder REQUIRES
+    * both layouts in the committed manifest and that time travel to the
+    * pre-evolution root still resolves; the oracle replays the commit
+    * algebra over the immutable source — the partition layout is a
+    * write-side concern, never the answer. */
+  def q184SpecEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pspecq", dir) { base =>
+      import graft.sources.PartitionSnapshots
+      val cust = t(s, dir, "customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"),
+          col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", cust, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val seedCount = PartitionSnapshots.read(s, s"$base/t").count()
+      PartitionSnapshots.evolvePartitionSpec(s, s"$base/t",
+        Seq("c_mktsegment", "c_nationkey"))
+      val ins = t(s, dir, "customer")
+        .where(col("c_custkey") > 300 && col("c_custkey") <= 340)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"),
+          col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", ins, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment", "c_nationkey"))
+      val upd = cust.where(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(250.0)).as("c_acctbal"),
+          col("c_nationkey"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", upd, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment", "c_nationkey"))
+      val m = PartitionSnapshots.rootManifest(s, s"$base/t").get
+      require(m.keySet.exists(!_.contains("/")) &&
+        m.keySet.exists(_.contains("/")),
+        "q184: expected OLD- and NEW-spec partitions side by side")
+      require(PartitionSnapshots.read(s, s"$base/t", asOf = 1L)
+        .count() == seedCount,
+        "q184: pre-evolution time travel must still resolve the seed")
+    } + "/t"
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** TIME-BASED SNAPSHOT EXPIRY
     * ([[graft.sources.PartitionSnapshots.expireRoots]] — Iceberg's
     * expire_snapshots): seed + append + overlapping merge build a
@@ -3665,6 +3752,35 @@ object Queries {
     "q182_branch_publish" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q184: the commit algebra replayed over the immutable source — the
+    // partition layout (and its evolution) never changes the answer
+    "q184_spec_evolution" ->
+      """WITH seed AS (SELECT c_custkey, c_acctbal, c_nationkey, c_mktsegment
+        |              FROM customer WHERE c_custkey <= 300),
+        |ins AS (SELECT c_custkey, c_acctbal, c_nationkey, c_mktsegment
+        |        FROM customer WHERE c_custkey > 300 AND c_custkey <= 340),
+        |upd AS (SELECT c_custkey, c_acctbal + 250.0 AS c_acctbal,
+        |               c_nationkey, c_mktsegment
+        |        FROM customer WHERE c_custkey <= 300 AND c_custkey % 11 = 0)
+        |SELECT c_custkey, c_acctbal, c_nationkey, c_mktsegment FROM upd
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, c_nationkey, c_mktsegment FROM seed
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, c_nationkey, c_mktsegment
+        |FROM ins""".stripMargin,
+    // q183: full-partition MERGE semantics replayed over the immutable
+    // source — file-level rewrite granularity never changes the answer
+    "q183_file_scoped_merge" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment
+        |              FROM customer WHERE c_custkey <= 600),
+        |src AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+        |               c_mktsegment
+        |        FROM customer WHERE c_custkey BETWEEN 50 AND 70)
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM src
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM base
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -5924,6 +6040,8 @@ object Queries {
     "q179_sorted_compaction" -> (q179SortedCompaction _),
     "q180_partitions_meta" -> (q180PartitionsMeta _),
     "q181_expire_snapshots" -> (q181ExpireSnapshots _),
-    "q182_branch_publish" -> (q182BranchPublish _)
+    "q182_branch_publish" -> (q182BranchPublish _),
+    "q183_file_scoped_merge" -> (q183FileScopedMerge _),
+    "q184_spec_evolution" -> (q184SpecEvolution _)
   )
 }

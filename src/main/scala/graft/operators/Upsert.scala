@@ -322,11 +322,12 @@ object Upsert {
           partitionCols, emptied, retainVersions, Some(schema), branch)
       }
     // a branch merge targets the BRANCH head's snapshot, never main
-    val existing = branch match {
-      case Some(n) => PartitionSnapshots.readOption(spark, path,
-        asOf = PartitionSnapshots.rootBranches(spark, path).getOrElse(n,
-          throw new IllegalArgumentException(
-            s"upsert: no branch '$n' at $path — createBranch first")))
+    val branchHead: Option[Long] = branch.map(n =>
+      PartitionSnapshots.rootBranches(spark, path).getOrElse(n,
+        throw new IllegalArgumentException(
+          s"upsert: no branch '$n' at $path — createBranch first")))
+    val existing = branchHead match {
+      case Some(v) => PartitionSnapshots.readOption(spark, path, asOf = v)
       case None => readTable(spark, path)
     }
     if (existing.isEmpty) {
@@ -400,12 +401,91 @@ object Upsert {
               else ExternalCatalogUtils.escapePathName(v.toString)
             s"${ExternalCatalogUtils.escapePathName(c)}=$dirVal"
           }.mkString("/")).toSet
-      val touchedDirs = partDirs(touched.collect())
-      val affected = target.join(broadcast(touched), partitionCols, "left_semi")
-      val merged =
+      val touchedRows = touched.collect()
+      val touchedDirs = partDirs(touchedRows)
+      def mkMerged(affected: DataFrame): DataFrame =
         if (insertOnly) affected.unionByName(src.join(affected, keys, "left_anti"))
         else src.unionByName(affected.join(src, keys, "left_anti"))
       if (manifested) {
+        val base = branchHead match {
+          case Some(v) => PartitionSnapshots.rootManifest(spark, path, v)
+          case None => PartitionSnapshots.rootManifest(spark, path)
+        }
+        // partitions under RETIRED specs (the table's partition spec was
+        // evolved): a manifest rel whose own layout is a proper prefix of
+        // the current spec may hold matched keys — it is touched when its
+        // dir segments agree with some touched tuple on the rel's OWN
+        // columns. Its intersecting files rewrite (re-staged under the
+        // NEW spec — Iceberg's lazy migration); the rest survive in place.
+        val tupleSegs: Seq[Map[String, String]] = touchedRows.toSeq.map { r =>
+          partitionCols.zip(r.toSeq).map { case (c, v) =>
+            val dirVal =
+              if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else ExternalCatalogUtils.escapePathName(v.toString)
+            c -> s"${ExternalCatalogUtils.escapePathName(c)}=$dirVal"
+          }.toMap
+        }
+        val legacyTouched: Set[String] = base.map(_.collect {
+          case (rel, state) if state != "EMPTY" &&
+            PartitionSnapshots.relCols(rel) != partitionCols &&
+            PartitionSnapshots.relCols(rel).forall(partitionCols.contains) &&
+            tupleSegs.exists(m => rel.split("/").toSeq
+              .zip(PartitionSnapshots.relCols(rel))
+              .forall { case (seg, c) => m.get(c).contains(seg) }) => rel
+        }.toSet).getOrElse(Set.empty)
+        val allTouched = touchedDirs ++ legacyTouched
+        // FILE-SCOPED MERGE (Iceberg file-level rewrite): within each
+        // touched partition only the files whose manifest-recorded key
+        // bounds can contain a source key are read and rewritten; the
+        // rest survive as file-scoped state tokens — their bytes, paths,
+        // and mtimes untouched. Engaged when a numeric non-partition key
+        // column exists (bounds are prunable) and the commit isn't a WAP
+        // audit (which validates whole would-be snapshots). Falls back to
+        // the whole-partition rewrite otherwise — identical semantics.
+        // A table with retired-spec partitions ALWAYS routes through the
+        // path-explicit planner (degenerate full-range bounds when the
+        // key is not prunable): old-spec rows are read from their own
+        // dirs and re-staged under the current spec, never left behind.
+        val numericKey = keys.find { k =>
+          !partitionCols.contains(k) &&
+            (target.schema.find(_.name == k).map(_.dataType) match {
+              case Some(org.apache.spark.sql.types.ByteType |
+                        org.apache.spark.sql.types.ShortType |
+                        org.apache.spark.sql.types.IntegerType |
+                        org.apache.spark.sql.types.LongType |
+                        org.apache.spark.sql.types.FloatType |
+                        org.apache.spark.sql.types.DoubleType) => true
+              case _ => false
+            })
+        }
+        val fileScoped: Option[(Map[String, Seq[(String, Seq[String])]],
+                                Option[DataFrame])] =
+          (base, numericKey) match {
+            case (Some(bm), Some(kc)) if audit.isEmpty =>
+              import org.apache.spark.sql.functions.{max, min}
+              val b = src.agg(min(col(kc)).cast("double"),
+                max(col(kc)).cast("double")).head()
+              if (b.isNullAt(0)) None // all-NULL keys match nothing
+              else Some(PartitionSnapshots.planFileScoped(spark, path, bm,
+                allTouched, kc, b.getDouble(0), b.getDouble(1),
+                Some(target.schema)))
+            case (Some(bm), _) if legacyTouched.nonEmpty =>
+              // full-range bounds: nothing excluded, no survivors — the
+              // whole-partition rewrite, but read path-explicitly so
+              // retired-spec dirs never mix layouts in one scan
+              Some(PartitionSnapshots.planFileScoped(spark, path, bm,
+                allTouched, keys.head, Double.NegativeInfinity,
+                Double.PositiveInfinity, Some(target.schema)))
+            case _ => None
+          }
+        val (survivors, merged) = fileScoped match {
+          case Some((surv, rewriteDf)) =>
+            (surv, mkMerged(rewriteDf.getOrElse(target.limit(0))))
+          case None =>
+            (Map.empty[String, Seq[(String, Seq[String])]],
+              mkMerged(target.join(broadcast(touched), partitionCols,
+                "left_semi")))
+        }
         // stage ONCE (hive layout, partition cols stripped into dirs), then
         // rename each staged partition dir into its version slot + swap
         // that partition's pointer — readers of a touched partition keep
@@ -416,10 +496,19 @@ object Upsert {
           .partitionBy(partitionCols: _*).parquet(staging)
         try {
           assertHeld(spark, path, token) // last check before the commits
-          commitManifested(staging, touchedDirs, merged.schema)
+          audit match {
+            case Some(a) => PartitionSnapshots.commitStagedAudited(spark,
+              path, staging, partitionCols, allTouched, retainVersions, a,
+              Some(merged.schema))
+            case None => PartitionSnapshots.commitStaged(spark, path,
+              staging, partitionCols, allTouched, retainVersions,
+              Some(merged.schema), branch, survivors)
+          }
         } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
         return
       }
+      val affected = target.join(broadcast(touched), partitionCols, "left_semi")
+      val merged = mkMerged(affected)
       val staged = stage(spark, path, merged)
       try {
         val stagedDirs = partDirs(spark.read.parquet(staged)

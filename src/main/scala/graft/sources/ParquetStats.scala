@@ -79,6 +79,22 @@ object ParquetStats {
     (rows, cols)
   }
 
+  /** Per-FILE footer stats of a directory's data files: (file name,
+    * (rows, column → (min, max))) in listing order — the selection input
+    * for file-scoped MERGE rewrites and small-file compaction. Same
+    * capture rules as [[harvest]], applied one file at a time (harvest
+    * of a single-file path degenerates to exactly that file). */
+  def harvestPerFile(spark: SparkSession, dir: String)
+      : Seq[(String, (Long, Map[String, (String, String)]))] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).toSeq
+      .map(st => st.getPath.getName -> harvest(spark, st.getPath.toString))
+  }
+
   private def usableType(schema: org.apache.parquet.schema.MessageType,
                          name: String): Boolean = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._

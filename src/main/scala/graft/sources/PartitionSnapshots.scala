@@ -171,6 +171,93 @@ object PartitionSnapshots {
     }
   }
 
+  private val SpecsFile = "_partition_specs"
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's spec evolution, at hive-dir
+    * granularity): change the table's partition columns WITHOUT
+    * rewriting any data. The marker flips to `newCols` — every later
+    * commit stages under the new layout — while existing partition
+    * states stay exactly where they are: a manifest rel-path
+    * self-describes its own layout (`date=X` vs `date=X/hour=H`), so
+    * reads group entries by their spec and union the layouts, and time
+    * travel to pre-evolution roots resolves unchanged.
+    *
+    * Every column PROMOTED to the spec must already be a data column of
+    * the pinned schema: old files carry its values in-file (the dir has
+    * no segment for it), new files carry it as a dir segment — the read
+    * path fills it from whichever side has it, NULL-free. The promoted
+    * columns' types are recorded in the spec history at evolution time,
+    * because later pinned schemas strip the (now-partition) column.
+    * A post-evolution MERGE whose keys live in old-spec partitions
+    * rewrites only the intersecting files there (file-scoped survivors
+    * hold the rest in place) and re-stages the rewritten rows under the
+    * NEW spec — Iceberg's lazy migration, no big-bang rewrite ever.
+    * Single-writer: call under the table's lease (Upsert.withLock or an
+    * exclusive maintenance window). */
+  def evolvePartitionSpec(spark: SparkSession, table: String,
+                          newCols: Seq[String]): Unit = {
+    require(isManifested(spark, table),
+      s"evolvePartitionSpec: $table is not a manifested table")
+    val have = partitionCols(spark, table)
+    require(newCols.nonEmpty && newCols != have,
+      s"evolvePartitionSpec: new spec $newCols must differ from $have")
+    require(newCols.startsWith(have),
+      s"evolvePartitionSpec: supported evolution widens the spec — " +
+        s"$newCols must extend $have (Iceberg-style additive partitioning)")
+    val cur = currentRootVersion(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"evolvePartitionSpec: $table has no committed root manifest"))
+    val pinned = pinnedSchema(spark, table, cur).getOrElse(
+      throw new IllegalStateException(
+        s"evolvePartitionSpec: $table's root slot pins no schema"))
+    val promoted = newCols.filterNot(have.contains)
+    val fields = promoted.map(c => pinned.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"evolvePartitionSpec: promoted column '$c' must be a data " +
+          s"column of the pinned schema (${pinned.fieldNames.toSeq})")))
+    val f = fs(spark, new Path(table))
+    // append the evolution record FIRST (crash between the two writes
+    // leaves a record matching the still-current marker: harmless), then
+    // flip the marker — the single visibility point for writers
+    val hist = new Path(table, SpecsFile)
+    val prior = if (f.exists(hist)) readText(spark, hist) else ""
+    val line = s"${newCols.mkString(",")}\t" +
+      org.apache.spark.sql.types.StructType(fields).json
+    val out = f.create(hist, true)
+    try out.write((prior + line + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val mo = f.create(new Path(table, Marker), true)
+    try mo.write(newCols.mkString(",")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mo.close()
+  }
+
+  /** Columns ever PROMOTED into the partition spec by an evolution, with
+    * the data types recorded at evolution time — what a reader needs to
+    * type a promoted column when serving old-spec files (which carry it
+    * in-file) next to new-spec dirs (which carry it as a path segment).
+    * Empty for never-evolved tables (the zero-cost common case). */
+  private[graft] def promotedSpecCols(spark: SparkSession, table: String)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    val p = new Path(table, SpecsFile)
+    if (!fs(spark, p).exists(p)) return Nil
+    readText(spark, p).split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+      val i = line.indexOf('\t')
+      org.apache.spark.sql.types.DataType.fromJson(line.substring(i + 1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq
+    }.groupBy(_.name).map(_._2.last).toSeq.sortBy(_.name)
+  }
+
+  /** The partition columns a REL-PATH itself encodes ("date=X/hour=H" →
+    * date, hour) — each manifest entry self-describes its layout, which
+    * is what lets spec evolution leave old states in place. */
+  private[graft] def relCols(rel: String): Seq[String] =
+    rel.split("/").toSeq.filter(_.nonEmpty).map { seg =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.substring(0, seg.indexOf('=')))
+    }
+
   private def hidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
@@ -182,7 +269,10 @@ object PartitionSnapshots {
   }
 
   /** Relative partition paths ("d=2024-01-01", "a=1/b=2"), one per leaf:
-    * visible `k=v` dirs walked `depth` levels down. */
+    * visible `k=v` dirs walked `depth` levels down. A `k=v` dir holding
+    * data FILES but no deeper `k=v` dirs is a leaf even above `depth` —
+    * a RETIRED-spec partition of an evolved table (its layout is a
+    * prefix of the current spec), which staging walks must not drop. */
   def partitionDirs(spark: SparkSession, table: String,
                     depth: Int): Seq[String] = {
     val root = new Path(table)
@@ -190,13 +280,19 @@ object PartitionSnapshots {
     def walk(dir: Path, d: Int, rel: String): Seq[String] =
       if (d == 0) Seq(rel)
       else if (!f.exists(dir)) Nil
-      else f.listStatus(dir)
-        .filter(st => st.isDirectory && !hidden(st.getPath.getName) &&
-          st.getPath.getName.contains("="))
-        .toSeq.flatMap { st =>
+      else {
+        val subs = f.listStatus(dir)
+          .filter(st => st.isDirectory && !hidden(st.getPath.getName) &&
+            st.getPath.getName.contains("="))
+        // a k=v dir holding data files above full depth is a retired-spec
+        // leaf — and may ALSO parent deeper new-spec dirs in one staging
+        val self =
+          if (rel.nonEmpty && hasDataFiles(spark, dir)) Seq(rel) else Nil
+        self ++ subs.toSeq.flatMap { st =>
           val n = st.getPath.getName
           walk(st.getPath, d - 1, if (rel.isEmpty) n else s"$rel/$n")
         }
+      }
     walk(root, depth, "")
   }
 
@@ -426,6 +522,79 @@ object PartitionSnapshots {
     PartStats(rows, cols.result())
   }
 
+  private val FileStatsFile = "_filestats"
+
+  /** Write the FILE-LEVEL manifest sidecar of a sealed version dir
+    * (Iceberg's manifest-file entries, one line per data file:
+    * record_count + column bounds, url-escaped name + [[encodeStats]]).
+    * Harvested once from the footers the writer just produced; readers
+    * of the sidecar (file-scoped MERGE planning, small-file compaction)
+    * then get per-file pruning bounds from ONE metadata read instead of
+    * O(files) footer opens — at 100 TB that is the difference between
+    * metadata-speed planning and re-opening every touched file. */
+  private def writeFileStats(spark: SparkSession, dir: String,
+      perFile: Seq[(String, (Long, Map[String, (String, String)]))]): Unit = {
+    val p = new Path(dir, FileStatsFile)
+    val out = fs(spark, p).create(p, true)
+    try out.write(perFile.map { case (name, (rows, cols)) =>
+      s"${java.net.URLEncoder.encode(name, "UTF-8")}\t" +
+        encodeStats(PartStats(rows, cols))
+    }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Per-file stats of a version dir: the sidecar when present (one
+    * metadata read), else a live footer harvest (dirs sealed before the
+    * sidecar upgrade, or FLAT legacy files). */
+  private[graft] def fileStats(spark: SparkSession, dir: String)
+      : Seq[(String, PartStats)] = {
+    val p = new Path(dir, FileStatsFile)
+    if (fs(spark, p).exists(p))
+      readText(spark, p).split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
+          decodeStats(line.substring(i + 1))
+      }
+    else ParquetStats.harvestPerFile(spark, dir)
+      .map { case (n, (rows, cols)) => n -> PartStats(rows, cols) }
+  }
+
+  /** Widen `a` by `b`: rows add; bounds survive only for columns with
+    * usable stats on BOTH sides (numeric compare when both parse, else
+    * string) — the monotone merge an append union or a survivor set
+    * needs. */
+  private def mergeStats(a: PartStats, b: PartStats): PartStats = {
+    def lo(x: String, y: String) =
+      (ParquetStats.numeric(x), ParquetStats.numeric(y)) match {
+        case (Some(p), Some(q)) => if (p <= q) x else y
+        case _ => if (x <= y) x else y
+      }
+    def hi(x: String, y: String) =
+      (ParquetStats.numeric(x), ParquetStats.numeric(y)) match {
+        case (Some(p), Some(q)) => if (p >= q) x else y
+        case _ => if (x >= y) x else y
+      }
+    val cols = (a.cols.keySet intersect b.cols.keySet).map { c =>
+      val (pa, pb) = a.cols(c); val (na, nb) = b.cols(c)
+      c -> (lo(pa, na), hi(pb, nb))
+    }.toMap
+    PartStats(a.rows + b.rows, cols)
+  }
+
+  /** Dir-level stats from per-file stats — same semantics as a whole-dir
+    * [[ParquetStats.harvest]]: rows sum; a column prunes only when every
+    * file carries usable bounds for it. Zero files → zero rows. */
+  private def foldStats(perFile: Seq[(String, PartStats)]): PartStats =
+    perFile.map(_._2).reduceOption(mergeStats)
+      .getOrElse(PartStats(0L, Map.empty))
+
+  /** The version-dir number a base token pins: the dir token
+    * `v00000003` and the file-scoped token `v00000003/part-….parquet`
+    * both reference slot 3; FLAT/EMPTY pin none. */
+  private def baseVersion(base: String): Option[Long] =
+    if (base == Flat || base == Empty) None
+    else Some(base.takeWhile(_ != '/').stripPrefix("v").toLong)
+
   /** Split a manifest state into its PARTS. A partition's state is one
     * or more `&`-joined parts — each a base token (`v00000001` | FLAT |
     * EMPTY) plus the equality-delete ids pending against THAT part
@@ -436,7 +605,10 @@ object PartitionSnapshots {
     * done at version-dir granularity), and per-PART delete refs encode
     * the sequence rule structurally: a delete commits its ref onto
     * every part that existed BEFORE it, so data appended later is never
-    * suppressed by an earlier delete. */
+    * suppressed by an earlier delete. A base token may also be
+    * FILE-SCOPED — `v00000001/part-….parquet` names ONE surviving file
+    * of a version dir (a file-scoped MERGE rewrote its siblings); it
+    * reads, deletes, compacts, and retains exactly like a dir part. */
   private[graft] def parseParts(state: String): Seq[(String, Seq[String])] =
     state.split("&").toSeq.filter(_.nonEmpty).map { part =>
       val i = part.indexOf('+')
@@ -481,20 +653,135 @@ object PartitionSnapshots {
                           schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Option[DataFrame] = {
     import org.apache.spark.sql.functions.broadcast
+    // group by (pending-delete set, the rel's OWN partition layout): a
+    // spec-evolved table holds old- and new-spec dirs side by side, and
+    // one multi-path read must not mix layouts (partition discovery
+    // demands consistent structure). A promoted column missing from a
+    // group's dirs is read from the files themselves (it was a data
+    // column when they were written), typed as recorded at evolution.
     val groups = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
       parseParts(state).flatMap { case (base, dels) =>
-        stateDataPath(table, rel, base).map(p => (dels, p))
+        stateDataPath(table, rel, base).map(p => ((dels, relCols(rel)), p))
       }
-    }.groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
+    }.groupBy(_._1).toSeq.sortBy(_._1.toString)
     if (groups.isEmpty) None
-    else Some(groups.map { case (dels, members) =>
-      val reader = schema.foldLeft(spark.read.option("basePath", table))(_ schema _)
-      val df = reader.parquet(members.map(_._2): _*)
-      dels.foldLeft(df) { (d, id) =>
-        val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
-        d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+    else {
+      lazy val promoted = promotedSpecCols(spark, table)
+      Some(groups.map { case ((dels, pcols), members) =>
+        val groupSchema = schema.map { st =>
+          val extra = promoted.filterNot(f => pcols.contains(f.name))
+            .filterNot(f => st.fieldNames.contains(f.name))
+          org.apache.spark.sql.types.StructType(st.fields ++ extra)
+        }
+        val reader =
+          groupSchema.foldLeft(spark.read.option("basePath", table))(_ schema _)
+        val df = reader.parquet(members.map(_._2): _*)
+        dels.foldLeft(df) { (d, id) =>
+          val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
+          d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+        }
+      }.reduce(_ unionByName _))
+    }
+  }
+
+  /** FILE-SCOPED MERGE planning (Iceberg's file-level rewrite selection,
+    * evaluated from the [[writeFileStats]] sidecars — the per-file
+    * manifests): split each touched partition's state into
+    *
+    *  - SURVIVORS: parts — or individual files of a partially-surviving
+    *    part, as `vNNNNNNNN/<file>` file-scoped state tokens — whose
+    *    recorded bounds for `keyCol` provably exclude every source key
+    *    (numeric [min,max] disjoint from [lo,hi]). Their bytes are never
+    *    read, rewritten, or moved; they keep their pending delete refs
+    *    and their original paths/mtimes. A part all of whose files
+    *    survive keeps its ORIGINAL token (no state churn).
+    *  - the REWRITE SET: every other file, returned delete-applied as
+    *    one DataFrame (partition columns recovered via basePath) for the
+    *    caller to merge with the source and re-stage.
+    *
+    * FLAT parts never survive (legacy pre-manifest files — the first
+    * MERGE folds them into a real version); EMPTY parts contribute
+    * nothing; a file with absent or non-numeric bounds is rewritten —
+    * absent stats mean "cannot prune", never "skip". At 100 TB this is
+    * what makes a small keyed MERGE O(files its keys intersect) instead
+    * of O(touched partitions): a 1-row update into a 10 000-file
+    * partition rewrites one file and re-manifests the other 9 999. */
+  private[graft] def planFileScoped(
+      spark: SparkSession, table: String, base: Map[String, String],
+      touchedRels: Set[String], keyCol: String, lo: Double, hi: Double,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : (Map[String, Seq[(String, Seq[String])]], Option[DataFrame]) = {
+    import org.apache.spark.sql.functions.broadcast
+    // margin-safe disjointness: every bound went through a decimal/double
+    // round-trip (±1 ulp for 64-bit ints beyond 2^53 — xxhash64 surrogate
+    // keys live there), so exclusion demands a full-ulp gap on both
+    // sides; a borderline file is rewritten, never wrongly skipped
+    def excluded(st: PartStats): Boolean =
+      st.cols.get(keyCol).exists { case (mn, mx) =>
+        (ParquetStats.numeric(mn), ParquetStats.numeric(mx)) match {
+          case (Some(a), Some(b)) =>
+            Math.nextUp(b) < Math.nextDown(lo) ||
+              Math.nextDown(a) > Math.nextUp(hi)
+          case _ => false
+        }
       }
-    }.reduce(_ unionByName _))
+    val survivors = Map.newBuilder[String, Seq[(String, Seq[String])]]
+    // (delete refs, rel's own partition layout) → paths: one read per
+    // layout, so an evolved table's old- and new-spec files never mix
+    // in a single partition-discovery pass
+    val rewrite = Seq.newBuilder[((Seq[String], Seq[String]), String)]
+    touchedRels.toSeq.sorted.foreach { rel =>
+      base.get(rel).foreach { state =>
+        val keep = Seq.newBuilder[(String, Seq[String])]
+        parseParts(state).foreach { case (b, dels) =>
+          if (b == Empty) () // no data to keep or read
+          else if (b == Flat)
+            stateDataPath(table, rel, b).foreach(p =>
+              rewrite += (((dels, relCols(rel)), p)))
+          else if (b.contains('/')) {
+            // already file-scoped: survives whole or rewrites whole
+            val p = s"$table/$rel/$VersionsDir/$b"
+            val dir = p.substring(0, p.lastIndexOf('/'))
+            val name = p.substring(p.lastIndexOf('/') + 1)
+            if (fileStats(spark, dir).toMap.get(name).exists(excluded))
+              keep += ((b, dels))
+            else rewrite += (((dels, relCols(rel)), p))
+          } else {
+            val dir = s"$table/$rel/$VersionsDir/$b"
+            val perFile = fileStats(spark, dir)
+            val (live, dead) = perFile.partition(f => excluded(f._2))
+            if (dead.isEmpty && perFile.nonEmpty)
+              keep += ((b, dels)) // the whole part survives, token unchanged
+            else {
+              live.foreach { case (name, _) => keep += ((s"$b/$name", dels)) }
+              dead.foreach { case (name, _) =>
+                rewrite += (((dels, relCols(rel)), s"$dir/$name")) }
+            }
+          }
+        }
+        val k = keep.result()
+        if (k.nonEmpty) survivors += rel -> k
+      }
+    }
+    val groups = rewrite.result().groupBy(_._1).toSeq.sortBy(_._1.toString)
+    lazy val promoted = promotedSpecCols(spark, table)
+    val df =
+      if (groups.isEmpty) None
+      else Some(groups.map { case ((dels, pcols), members) =>
+        val groupSchema = schema.map { st =>
+          val extra = promoted.filterNot(f => pcols.contains(f.name))
+            .filterNot(f => st.fieldNames.contains(f.name))
+          org.apache.spark.sql.types.StructType(st.fields ++ extra)
+        }
+        val reader =
+          groupSchema.foldLeft(spark.read.option("basePath", table))(_ schema _)
+        val d0 = reader.parquet(members.map(_._2).sorted: _*)
+        dels.foldLeft(d0) { (d, id) =>
+          val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
+          d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+        }
+      }.reduce(_ unionByName _))
+    (survivors.result(), df)
   }
 
   /** The union schema pinned in root version `rv`'s slot (written by
@@ -796,7 +1083,9 @@ object PartitionSnapshots {
                                   retainVersions: Int,
                                   schema: Option[org.apache.spark.sql.types.StructType]
                                     = None,
-                                  branch: Option[String] = None): Unit = {
+                                  branch: Option[String] = None,
+                                  survivors: Map[String, Seq[(String, Seq[String])]]
+                                    = Map.empty): Unit = {
     val f = fs(spark, new Path(table))
     val retain = math.max(1, retainVersions)
     val staged = partitionDirs(spark, stagingRoot, cols.size)
@@ -810,20 +1099,78 @@ object PartitionSnapshots {
       case None => rootManifest(spark, table)
         .getOrElse(scanStates(spark, table, cols))
     }
+    def kept(rel: String) = survivors.getOrElse(rel, Nil)
     val blanked = (emptied -- staged.toSet).toSeq
-    blanked.foreach(rel => f.mkdirs(new Path(s"$stagingRoot/$rel")))
-    val sealedSlots = (staged ++ blanked).map { rel =>
+    // a touched partition with zero NEW rows but surviving file-scoped
+    // parts keeps exactly the survivors — no EMPTY slot is sealed for it
+    val (blankedKeep, blankedEmpty) = blanked.partition(kept(_).nonEmpty)
+    blankedEmpty.foreach(rel => f.mkdirs(new Path(s"$stagingRoot/$rel")))
+    // seal DEEPEST rels first: a retired-spec staged dir can parent a
+    // new-spec staged dir, and a parent rename would swallow the child
+    val sealedSlots = (staged ++ blankedEmpty)
+      .sortBy(rel => -rel.count(_ == '/')).map { rel =>
       rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
     }
-    val touched = staged.map(rel => rel -> f"v${sealedSlots.toMap.apply(rel)}%08d").toMap ++
-      blanked.map(_ -> Empty)
+    // a partition's new state: its SURVIVING parts (file-scoped MERGE —
+    // untouched files of prior versions, kept by token with their
+    // pending delete refs) plus the freshly sealed part. A staged rel
+    // the caller did NOT list as touched (`emptied`) was never read —
+    // rows MIGRATED into it (a key moving partitions, or lazy spec
+    // migration out of a retired layout): its prior parts must survive,
+    // so the new part APPENDS (delete refs carried — the new rows are
+    // sequenced after them and hold none).
+    def priorOf(rel: String): Seq[(String, Seq[String])] =
+      if (emptied.contains(rel)) kept(rel)
+      else base.get(rel).map(parseParts(_).filterNot(_._1 == Empty))
+        .getOrElse(Nil)
+    val touched =
+      staged.map { rel =>
+        val v = f"v${sealedSlots.toMap.apply(rel)}%08d"
+        rel -> fmtParts(priorOf(rel) :+ ((v, Seq.empty[String])))
+      }.toMap ++
+      blankedEmpty.map(_ -> Empty) ++
+      blankedKeep.map(rel => rel -> fmtParts(kept(rel)))
     // footer harvest of the sealed slots (touched partitions only, zero
-    // Spark jobs) — the manifest's record_count / bounds fields
-    val touchedStats = sealedSlots.map { case (rel, v) =>
-      val (rows, cols) =
-        if (blanked.contains(rel)) (0L, Map.empty[String, (String, String)])
-        else ParquetStats.harvest(spark, Snapshots.versionPath(s"$table/$rel", v))
-      rel -> encodeStats(PartStats(rows, cols))
+    // Spark jobs) — the manifest's record_count / bounds fields, plus
+    // the per-file sidecar ([[writeFileStats]], the file-level manifest)
+    val sealedStats = sealedSlots.map { case (rel, v) =>
+      val st =
+        if (blankedEmpty.contains(rel)) PartStats(0L, Map.empty)
+        else {
+          val dir = Snapshots.versionPath(s"$table/$rel", v)
+          val perFile = ParquetStats.harvestPerFile(spark, dir)
+          writeFileStats(spark, dir,
+            perFile.map { case (n, (r, c)) => (n, (r, c)) })
+          foldStats(perFile.map { case (n, (r, c)) => n -> PartStats(r, c) })
+        }
+      rel -> st
+    }.toMap
+    // survivor parts contribute their recorded bounds from the file-level
+    // sidecars (one metadata read per dir); rows stay exact — a pending
+    // delete ref on a survivor part makes rowCount decline honestly
+    val sidecarCache =
+      scala.collection.mutable.Map.empty[String, Map[String, PartStats]]
+    def dirFileStats(dir: String): Map[String, PartStats] =
+      sidecarCache.getOrElseUpdate(dir, fileStats(spark, dir).toMap)
+    val touchedStats = (sealedStats.keySet ++ blankedKeep).flatMap { rel =>
+      // all-or-nothing: one unknowable surviving part makes the whole
+      // partition's stats absent ("cannot prune"), never an undercount
+      val carried = if (blankedEmpty.contains(rel)) Nil else priorOf(rel)
+      val survStats = carried.map { case (b, _) =>
+        stateDataPath(table, rel, b).flatMap { p =>
+          if (b.contains('/')) {
+            val dir = p.substring(0, p.lastIndexOf('/'))
+            val name = p.substring(p.lastIndexOf('/') + 1)
+            dirFileStats(dir).get(name)
+          } else Some(foldStats(fileStats(spark, p)))
+        }
+      }
+      if (survStats.exists(_.isEmpty)) None
+      else {
+        val all = survStats.flatten ++ sealedStats.get(rel).toSeq
+        Some(rel -> encodeStats(all.reduceOption(mergeStats)
+          .getOrElse(PartStats(0L, Map.empty))))
+      }
     }.toMap
     publishRoot(spark, table, base ++ touched, touched, retain, schema,
       touchedStats, branch = branch) // commit point
@@ -885,7 +1232,8 @@ object PartitionSnapshots {
           case (rel, (_, Some(s))) => rel -> s
         }.toMap
       }.getOrElse(Map.empty[String, String])
-    val sealedSlots = staged.map { rel =>
+    // deepest first: a parent rename must never swallow a nested staged rel
+    val sealedSlots = staged.sortBy(rel => -rel.count(_ == '/')).map { rel =>
       rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
     }
     val touched = sealedSlots.map { case (rel, v) =>
@@ -895,29 +1243,17 @@ object PartitionSnapshots {
       rel -> fmtParts(prior :+ newPart)
     }.toMap
     val touchedStats = sealedSlots.flatMap { case (rel, v) =>
-      val (nRows, nCols) =
-        ParquetStats.harvest(spark, Snapshots.versionPath(s"$table/$rel", v))
+      val dir = Snapshots.versionPath(s"$table/$rel", v)
+      val perFile = ParquetStats.harvestPerFile(spark, dir)
+      writeFileStats(spark, dir, perFile) // file-level manifest sidecar
+      val fresh = foldStats(perFile.map { case (n, (r, c)) =>
+        n -> PartStats(r, c) })
       val priorParts = base.get(rel).map(parseParts).getOrElse(Nil)
         .filterNot(_._1 == Empty)
-      if (priorParts.isEmpty)
-        Some(rel -> encodeStats(PartStats(nRows, nCols)))
+      if (priorParts.isEmpty) Some(rel -> encodeStats(fresh))
       else priorStats.get(rel).map(decodeStats).map { p =>
-        val mergedCols = (p.cols.keySet intersect nCols.keySet).map { c =>
-          val (pa, pb) = p.cols(c); val (na, nb) = nCols(c)
-          // widen bounds; numeric compare when both parse, else string
-          def lo(x: String, y: String) =
-            (ParquetStats.numeric(x), ParquetStats.numeric(y)) match {
-              case (Some(a), Some(b)) => if (a <= b) x else y
-              case _ => if (x <= y) x else y
-            }
-          def hi(x: String, y: String) =
-            (ParquetStats.numeric(x), ParquetStats.numeric(y)) match {
-              case (Some(a), Some(b)) => if (a >= b) x else y
-              case _ => if (x >= y) x else y
-            }
-          c -> (lo(pa, na), hi(pb, nb))
-        }.toMap
-        rel -> encodeStats(PartStats(p.rows + nRows, mergedCols))
+        // widen bounds monotonically; rows add
+        rel -> encodeStats(mergeStats(p, fresh))
       } // prior stats unknown → leave the union's stats unknown
     }.toMap
     publishRoot(spark, table, base ++ touched, touched, retain, schema,
@@ -1021,13 +1357,25 @@ object PartitionSnapshots {
     var claimed = List.empty[(String, Long)]
     val entries =
       try {
-        (staged ++ blanked).foreach { rel =>
+        // deepest first: a parent claim-rename must never swallow a
+        // nested staged rel (retired-spec dirs parent new-spec dirs)
+        (staged ++ blanked).sortBy(rel => -rel.count(_ == '/')).foreach { rel =>
           claimed = (rel -> claimSlot(spark, s"$table/$rel",
             new Path(s"$stagingRoot/$rel"))) :: claimed
         }
         val cm = claimed.toMap
+        // same migration rule as commitStaged: a staged rel outside the
+        // caller's touched set was never read — its prior parts survive
+        // and the audited part APPENDS
+        def auditedState(rel: String): String = {
+          val prior =
+            if (emptied.contains(rel)) Nil
+            else base.get(rel).map(parseParts(_).filterNot(_._1 == Empty))
+              .getOrElse(Nil)
+          fmtParts(prior :+ ((f"v${cm(rel)}%08d", Seq.empty[String])))
+        }
         val es = base ++
-          staged.map(rel => rel -> f"v${cm(rel)}%08d") ++
+          staged.map(rel => rel -> auditedState(rel)) ++
           blanked.map(_ -> Empty)
         val failures = readEntries(spark, table, es, schema) match {
           case None => Array.empty[org.apache.spark.sql.Row]
@@ -1062,15 +1410,32 @@ object PartitionSnapshots {
       f.delete(new Path(slot, WapMarker), false)
       f.create(new Path(slot, "_SUCCESS"), true).close()
     }
-    val auditedStats = claimed.map { case (rel, v) =>
-      val (rows, cols) =
-        if (blanked.contains(rel)) (0L, Map.empty[String, (String, String)])
-        else ParquetStats.harvest(spark, Snapshots.versionPath(s"$table/$rel", v))
-      rel -> encodeStats(PartStats(rows, cols))
+    val auditedStats = claimed.flatMap { case (rel, v) =>
+      if (blanked.contains(rel))
+        Some(rel -> encodeStats(PartStats(0L, Map.empty)))
+      else {
+        val dir = Snapshots.versionPath(s"$table/$rel", v)
+        val perFile = ParquetStats.harvestPerFile(spark, dir)
+        writeFileStats(spark, dir, perFile) // file-level manifest sidecar
+        val fresh =
+          foldStats(perFile.map { case (n, (r, c)) => n -> PartStats(r, c) })
+        val priorParts =
+          if (emptied.contains(rel)) Nil
+          else base.get(rel).map(parseParts(_).filterNot(_._1 == Empty))
+            .getOrElse(Nil)
+        val prior = priorParts.map { case (b, _) =>
+          stateDataPath(table, rel, b).map(p => foldStats(fileStats(spark, p)))
+        }
+        // append case: merge carried parts' stats; one unknowable part
+        // leaves the partition's stats absent (never an undercount)
+        if (prior.exists(_.isEmpty)) None
+        else Some(rel ->
+          encodeStats((prior.flatten :+ fresh).reduce(mergeStats)))
+      }
     }.toMap
     publishRoot(spark, table, entries,
       claimed.toMap.map { case (rel, v) =>
-        rel -> (if (blanked.contains(rel)) Empty else f"v$v%08d")
+        rel -> (if (blanked.contains(rel)) Empty else entries(rel))
       }, retain, schema, auditedStats) // commit point
     claimed.foreach { case (rel, v) =>
       Snapshots.publish(spark, s"$table/$rel", v)
@@ -1140,8 +1505,12 @@ object PartitionSnapshots {
         org.apache.spark.sql.functions.lit("insert")).limit(0)
     }
     // empty side: borrow the other side's schema (zero rows)
-    val fdf = fopt.getOrElse(topt.get.limit(0))
     val tdf = topt.getOrElse(fopt.get.limit(0))
+    // exceptAll is POSITIONAL: align the from-side to the to-side's
+    // column order (a spec-evolved table's sides can union their layout
+    // groups in different orders)
+    val fdf = fopt.getOrElse(tdf.limit(0))
+      .select(tdf.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
     import org.apache.spark.sql.functions.lit
     tdf.exceptAll(fdf).withColumn("change_type", lit("insert"))
       .unionByName(fdf.exceptAll(tdf).withColumn("change_type", lit("delete")))
@@ -1606,7 +1975,8 @@ object PartitionSnapshots {
           acc(rel) =
             if (base == Flat) (vs, true)
             else if (base == Empty) (vs, flat)
-            else (vs + base.stripPrefix("v").toLong, flat)
+            // a file-scoped survivor token pins its enclosing version dir
+            else (vs ++ baseVersion(base), flat)
         }
       }
     }
@@ -1671,8 +2041,8 @@ object PartitionSnapshots {
         Snapshots.versions(spark, rt).foreach { v =>
           resolveManifest(spark, rt, v).foreach { case (rel, state) =>
             val vs = parseParts(state).collect {
-              case (base, _) if base != Flat && base != Empty =>
-                base.stripPrefix("v").toLong
+              case (base, _) if baseVersion(base).nonEmpty =>
+                baseVersion(base).get
             }
             acc(rel) = acc.getOrElse(rel, Set.empty) ++ vs
           }
@@ -1790,8 +2160,10 @@ object PartitionSnapshots {
       }
       try {
         graft.operators.Upsert.assertHeld(spark, table, token)
+        // rewritten rels are TOUCHED (replace semantics): an unlisted
+        // staged rel would otherwise append to the parts it just folded
         commitStaged(spark, table, staging, cols,
-          emptied = Set.empty, retainVersions = retainVersions)
+          emptied = todo.map(_._1).toSet, retainVersions = retainVersions)
       } finally
         fs(spark, new Path(staging)).delete(new Path(staging), true)
       vacuumDeletes(spark, table)

@@ -216,12 +216,18 @@ class PartitionSnapshotsSpec extends SparkSpec {
       Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
     PartitionSnapshots.rootManifest(spark, path) shouldBe
       Some(Map("part=p1" -> "v00000001", "part=p2" -> "v00000001"))
-    // a key moves: touched partitions advance, the emptied one goes EMPTY
+    // a key moves: touched partitions advance, the emptied one goes EMPTY.
+    // p2's existing file provably holds no source key (bounds [2,2] vs
+    // source [1,1]), so the file-scoped MERGE keeps it as a surviving
+    // part and the moved row lands as a new part — no rewrite of p2.
     Upsert.upsert(spark, path, Seq((1, "p2", 11)).toDF("k", "part", "v"),
       Seq("k"), partitionCols = Seq("part"))
     PartitionSnapshots.rootManifest(spark, path) shouldBe
-      Some(Map("part=p1" -> "EMPTY", "part=p2" -> "v00000002"))
+      Some(Map("part=p1" -> "EMPTY", "part=p2" -> "v00000001&v00000002"))
     PartitionSnapshots.rootVersions(spark, path) shouldBe Seq(1L, 2L)
+    Upsert.read(spark, path).select("k", "part", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      .toSet shouldBe Set((1, "p2", 11), (2, "p2", 20))
   }
 
   test("root manifests give whole-table time travel") {
@@ -1377,6 +1383,149 @@ class PartitionSnapshotsSpec extends SparkSpec {
         Expectations.Satisfies("v_nonneg",
           org.apache.spark.sql.functions.col("v") >= 0)))))
     byKey(path) shouldBe Map(1 -> (("p1", 10)), 3 -> (("p2", 30)))
+  }
+
+  test("partition-spec evolution: old layout stays readable, new commits use the new spec") {
+    val path = tmpDir("pspecevo") + "/t"
+    // spec (date): hour is an ordinary DATA column of the old files
+    val seed = Seq((1, "2024-01-01", 3, 10), (2, "2024-01-01", 7, 20),
+      (3, "2024-01-02", 5, 30)).toDF("k", "date", "hour", "v")
+    Upsert.upsert(spark, path, seed, Seq("k"), partitionCols = Seq("date"),
+      partitionManifests = true)
+    PartitionSnapshots.evolvePartitionSpec(spark, path, Seq("date", "hour"))
+    PartitionSnapshots.partitionCols(spark, path) shouldBe Seq("date", "hour")
+    // the old layout is still the whole table; hour comes from the files
+    val v1rows = Upsert.read(spark, path)
+      .select("k", "hour", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    v1rows shouldBe Set((1, 3, 10), (2, 7, 20), (3, 5, 30))
+    // new-spec commit: inserts land under date=…/hour=… dirs
+    Upsert.upsert(spark, path,
+      Seq((4, "2024-01-02", 9, 40)).toDF("k", "date", "hour", "v"),
+      Seq("k"), partitionCols = Seq("date", "hour"))
+    val m2 = PartitionSnapshots.rootManifest(spark, path).get
+    m2.keySet should contain("date=2024-01-02/hour=9")
+    m2.keySet should contain("date=2024-01-01") // old-spec state in place
+    // union read across layouts: every row, hour correct on both sides
+    val got = Upsert.read(spark, path).select("k", "hour", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    got shouldBe Set((1, 3, 10), (2, 7, 20), (3, 5, 30), (4, 9, 40))
+    // time travel BEFORE the evolution still resolves
+    PartitionSnapshots.read(spark, path, asOf = 1L).count() shouldBe 3L
+    // post-evolution MERGE of a key living in an OLD-spec partition:
+    // its old row must not survive as a duplicate — it migrates to the
+    // new spec (lazy migration); untouched old partitions stay in place
+    Upsert.upsert(spark, path,
+      Seq((2, "2024-01-01", 7, 21)).toDF("k", "date", "hour", "v"),
+      Seq("k"), partitionCols = Seq("date", "hour"))
+    val after = Upsert.read(spark, path).select("k", "hour", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    after shouldBe Set((1, 3, 10), (2, 7, 21), (3, 5, 30), (4, 9, 40))
+    val m3 = PartitionSnapshots.rootManifest(spark, path).get
+    m3.keySet should contain("date=2024-01-01/hour=7")
+    // k=3's old-spec partition was never touched by the merge
+    m3("date=2024-01-02") shouldBe m2("date=2024-01-02")
+    // changelog across the evolution boundary serves both layouts
+    val feed = PartitionSnapshots.changes(spark, path, 2L, 3L)
+      .select("k", "v", "change_type").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    feed shouldBe Set((2, 20, "delete"), (2, 21, "insert"))
+    // compaction folds old-spec partitions in their own layout
+    PartitionSnapshots.compact(spark, path, minFiles = 0)
+    Upsert.read(spark, path).select("k", "hour", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .toSet shouldBe after
+  }
+
+  test("file-scoped MERGE rewrites only intersecting files; survivors keep bytes") {
+    val path = tmpDir("pfilescope") + "/t"
+    // seed ONE partition as three range-disjoint files (k slices)
+    val seed = (1 to 300).map(i => (i, "p1", i * 10)).toDF("k", "part", "v")
+      .repartitionByRange(3, $"k")
+    Upsert.upsert(spark, path, seed, Seq("k"), partitionCols = Seq("part"),
+      partitionManifests = true)
+    val v1 = new java.io.File(s"$path/part=p1/_versions/v00000001")
+    val before = v1.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified()).toMap
+    before.size shouldBe 3
+    // MERGE one key: exactly one file's range contains it
+    Upsert.upsert(spark, path, Seq((5, "p1", 999)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    val state = PartitionSnapshots.rootManifest(spark, path).get("part=p1")
+    // two survivors as file-scoped tokens + the freshly sealed part
+    val parts = state.split("&").toSeq
+    parts.count(_.startsWith("v00000001/")) shouldBe 2
+    parts.count(_.startsWith("v00000002")) shouldBe 1
+    // the surviving files' paths AND mtimes are byte-untouched
+    val after = v1.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified()).toMap
+    parts.filter(_.startsWith("v00000001/")).foreach { tok =>
+      val name = tok.stripPrefix("v00000001/")
+      after(name) shouldBe before(name)
+    }
+    // full-partition replay semantics: the merged view is exact
+    val got = Upsert.read(spark, path).select("k", "v").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    got.size shouldBe 300
+    got(5) shouldBe 999
+    got(4) shouldBe 40
+    got(300) shouldBe 3000
+    // metadata row count stays exact across the file-scoped commit
+    PartitionSnapshots.rowCount(spark, path) shouldBe Some(300L)
+    // $files parity: the listed data files are exactly the survivors +
+    // the new part's files, and time travel to v1 still resolves
+    val files = PartitionSnapshots.filesMeta(spark, path)
+      .where($"content" === "data").select("part").collect()
+      .map(_.getString(0))
+    files.count(_.startsWith("v00000001/")) shouldBe 2
+    files.exists(_.startsWith("v00000002")) shouldBe true
+    PartitionSnapshots.read(spark, path, asOf = 1L).count() shouldBe 300L
+    // changelog between the roots is exactly the one changed row
+    val feed = PartitionSnapshots.changes(spark, path, 1L, 2L)
+      .select("k", "v", "change_type").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    feed shouldBe Set((5, 50, "delete"), (5, 999, "insert"))
+    // stats-pruned reads keep working over the mixed file/dir state
+    PartitionSnapshots.readWhereBetween(spark, path, "k", 4.0, 6.0)
+      .count() shouldBe 3L
+    // equality delete over a survivor file's key range: merge-on-read
+    PartitionSnapshots.deleteKeys(spark, path,
+      Seq(250).toDF("k")) shouldBe true
+    Upsert.read(spark, path).count() shouldBe 299L
+    // and a later file-scoped MERGE materializes it only where it rewrites
+    Upsert.upsert(spark, path, Seq((251, "p1", -1)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    val end = Upsert.read(spark, path).select("k", "v").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    end.get(250) shouldBe None
+    end(251) shouldBe -1
+    end.size shouldBe 299
+  }
+
+  test("file-scoped survivors protect their version dirs from retention") {
+    val path = tmpDir("pfsretain") + "/t"
+    val seed = (1 to 300).map(i => (i, "p1", i)).toDF("k", "part", "v")
+      .repartitionByRange(3, $"k")
+    Upsert.upsert(spark, path, seed, Seq("k"), partitionCols = Seq("part"),
+      partitionManifests = true)
+    // churn many single-key merges well past retainVersions: v00000001
+    // still holds live survivor files and must never be vacuumed
+    (1 to 6).foreach { i =>
+      Upsert.upsert(spark, path, Seq((i, "p1", -i)).toDF("k", "part", "v"),
+        Seq("k"), partitionCols = Seq("part"), retainVersions = 2)
+    }
+    val got = Upsert.read(spark, path).select("k", "v").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    got.size shouldBe 300
+    (1 to 6).foreach(i => got(i) shouldBe -i)
+    got(300) shouldBe 300
+    // compaction folds the accumulated file tokens back to one dir
+    PartitionSnapshots.compact(spark, path)
+    val state = PartitionSnapshots.rootManifest(spark, path).get("part=p1")
+    state.split("&").length shouldBe 1
+    Upsert.read(spark, path).count() shouldBe 300L
   }
 
   test("stats encoding survives a data column literally named 'rows'") {
