@@ -2954,6 +2954,106 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  private val Q185Wh = "/tmp/graft_q185_wh"
+  private def ensureQ185Warehouse(s: SparkSession, dir: String): String = {
+    if (!new java.io.File(Q185Wh).exists()) {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_q185_stage").toString
+      val wh = s"$stage/wh"
+      // one table per layout kind the catalog records
+      t(s, dir, "region").write.parquet(s"$wh/region") // flat
+      Upsert.upsert(s, s"$wh/nation", t(s, dir, "nation"),
+        Seq("n_nationkey")) // whole-table snapshot pointer
+      // manifested, with a FILE-SCOPED history: range-disjoint seed
+      // files, then a narrow-band merge → survivor file tokens in the
+      // state the foreign resolver must honor
+      val cust = t(s, dir, "customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.append(s, s"$wh/cust",
+        cust.repartitionByRange(3, col("c_custkey")), Seq("c_mktsegment"))
+      val delta = t(s, dir, "customer")
+        .where(col("c_custkey").between(40, 60))
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(75.0)).as("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$wh/cust", delta, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"))
+      new graft.sources.Catalog(s, wh).writeCatalogManifest()
+      // atomic claim; a lost race just means another session staged it
+      new java.io.File(wh).renameTo(new java.io.File(Q185Wh))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    }
+    Q185Wh
+  }
+
+  /** EXTERNAL CATALOG MANIFEST ([[graft.sources.Catalog
+    * .writeCatalogManifest]] — the engine-external enumeration point,
+    * Iceberg's catalog file reduced to one `_catalog` manifest): the
+    * staged warehouse holds one table per layout kind (flat parquet,
+    * whole-table snapshot pointer, per-partition manifests with a
+    * file-scoped state), and BOTH sides enumerate and resolve it from
+    * the catalog file alone — the Spark side through
+    * [[graft.sources.Catalog.tablesFromManifest]]/`readFromManifest`
+    * (zero directory listing), the DuckDB oracle in pure SQL: read_text
+    * the catalog, then per recorded kind walk the snapshot pointer or
+    * the root-manifest delta chain, honoring the FULL state grammar
+    * ('&'-joined parts, file-scoped survivor tokens). Extends q169's
+    * storage portability from one table to catalog level: a fresh
+    * foreign session needs only the warehouse path. */
+  def q185CatalogManifest(s: SparkSession, dir: String): DataFrame = {
+    val wh = ensureQ185Warehouse(s, dir)
+    val cat = new graft.sources.Catalog(s, wh)
+    val rows = cat.tablesFromManifest().map { case (n, _, _) =>
+      (n, cat.readFromManifest(n).count())
+    }
+    val state = graft.sources.PartitionSnapshots
+      .rootManifest(s, s"$wh/cust").get
+    require(state.values.exists(_.contains("/")),
+      "q185: expected a file-scoped survivor token in cust's state")
+    import s.implicits._
+    rows.toDF("name", "n_rows")
+  }
+
+  /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
+    * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
+    * near-identical family ("PLANTEDNAME" + one tail character; every
+    * intra-family pair is a last-character substitution, so the ONLY
+    * deletion variant each pair shares is the 36-hot "PLANTEDNAME") is
+    * planted next to real customer names, and
+    * [[graft.operators.FuzzyJoin.selfJoinEdit1]] runs with
+    * `maxBucketSize = 30`. The documented contract — "a pair is lost
+    * only if EVERY variant it shares is hot" — is pinned as numbers:
+    * recall INSIDE the planted family is exactly 0 (its pairs live only
+    * in the capped bucket, and emitting that quadratic set is what the
+    * guard exists to refuse), recall OUTSIDE is exactly 1 (real-name
+    * buckets stay under the cap, nothing else is touched). The oracle
+    * replays both the quadratic levenshtein truth AND the
+    * variant/hot-bucket pipeline in SQL. */
+  def q186FuzzyRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val real = t(s, dir, "customer").where(col("c_custkey") <= 120)
+      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("k"))
+    val tails = (('0' to '9') ++ ('a' to 'z')).map(_.toString)
+    val planted = tails.zipWithIndex
+      .map { case (c, i) => (1000000L + i, s"PLANTEDNAME$c") }
+      .toDF("id", "k")
+    val names = real.unionByName(planted)
+    val pred = graft.operators.FuzzyJoin
+      .selfJoinEdit1(names, "id", "k", maxBucketSize = 30)
+      .select("id1", "id2")
+    val truth = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
+      .where(levenshtein(col("a.k"), col("b.k")) <= 1)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    def inFamily(side: String) = col(side) >= 1000000L
+    val marked = truth
+      .withColumn("fam", inFamily("id1") && inFamily("id2"))
+      .join(pred.withColumn("hit", lit(1)), Seq("id1", "id2"), "left")
+    marked.groupBy("fam").agg(
+        count(lit(1)).as("n_truth"),
+        count(col("hit")).as("n_hit"))
+      .select(col("fam").as("in_family"), col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** TIME-BASED SNAPSHOT EXPIRY
     * ([[graft.sources.PartitionSnapshots.expireRoots]] — Iceberg's
     * expire_snapshots): seed + append + overlapping merge build a
@@ -3752,6 +3852,110 @@ object Queries {
     "q182_branch_publish" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q186: the quadratic levenshtein truth AND the deletion-variant /
+    // hot-bucket pipeline both replayed in SQL — recall inside the
+    // planted hot family is exactly 0, outside exactly 1
+    "q186_fuzzy_recall" ->
+      """WITH
+        |realn AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS k
+        |          FROM customer WHERE c_custkey <= 120),
+        |planted AS (SELECT 1000000 + i AS id,
+        |    'PLANTEDNAME' ||
+        |    substr('0123456789abcdefghijklmnopqrstuvwxyz',
+        |           CAST(i AS INT) + 1, 1) AS k
+        |  FROM (SELECT unnest(range(36)) AS i)),
+        |names AS (SELECT * FROM realn UNION ALL SELECT * FROM planted),
+        |variants AS (
+        |  SELECT id, k, unnest(list_distinct(list_prepend(k,
+        |    list_transform(range(1, length(k) + 1),
+        |      i -> substr(k, 1, CAST(i AS INT) - 1) ||
+        |           substr(k, CAST(i AS INT) + 1))))) AS v
+        |  FROM names),
+        |hot AS (SELECT v FROM variants GROUP BY v HAVING count(*) > 30),
+        |surv AS (SELECT * FROM variants
+        |         WHERE v NOT IN (SELECT v FROM hot)),
+        |pred AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+        |         FROM surv a JOIN surv b ON a.v = b.v AND a.id < b.id
+        |         WHERE levenshtein(a.k, b.k) <= 1),
+        |truth AS (SELECT a.id AS id1, b.id AS id2,
+        |                 (a.id >= 1000000 AND b.id >= 1000000) AS fam
+        |          FROM names a JOIN names b ON a.id < b.id
+        |          WHERE levenshtein(a.k, b.k) <= 1)
+        |SELECT fam AS in_family, count(*) AS n_truth,
+        |       count(p.id1) AS n_hit,
+        |       CAST(count(p.id1) AS DOUBLE) / count(*) AS recall
+        |FROM truth t LEFT JOIN pred p
+        |  ON t.id1 = p.id1 AND t.id2 = p.id2
+        |GROUP BY fam""".stripMargin,
+    // q185: DuckDB enumerates the warehouse from the catalog manifest
+    // alone and resolves each table by its recorded kind — flat files,
+    // snapshot pointer, or the root-manifest chain with the full state
+    // grammar (multi-part unions + file-scoped survivor tokens)
+    "q185_catalog_manifest" ->
+      """WITH RECURSIVE
+        |catlines AS (SELECT unnest(string_split(content, chr(10))) AS line
+        |             FROM read_text('/tmp/graft_q185_wh/_catalog')),
+        |tables AS (SELECT string_split(line, chr(9))[1] AS name,
+        |                  string_split(line, chr(9))[2] AS kind
+        |           FROM catlines WHERE contains(line, chr(9))),
+        |flat_n AS (SELECT count(*) AS n
+        |           FROM read_parquet('/tmp/graft_q185_wh/region/*.parquet')),
+        |snap_cur AS (SELECT trim(content) AS v
+        |             FROM read_text('/tmp/graft_q185_wh/nation/_current')),
+        |snap_n AS (SELECT count(*) AS n
+        |  FROM read_parquet('/tmp/graft_q185_wh/nation/_versions/*/*.parquet',
+        |                    filename=true) f, snap_cur c
+        |  WHERE regexp_extract(f.filename, '/(v\d+)/[^/]+$', 1) = c.v),
+        |cur AS (SELECT trim(content) AS vname
+        |        FROM read_text('/tmp/graft_q185_wh/cust/_root/_current')),
+        |mfiles AS (
+        |  SELECT regexp_extract(filename, 'v(\d+)/manifest$', 1) AS v,
+        |         TRUE AS is_full, content
+        |  FROM read_text('/tmp/graft_q185_wh/cust/_root/_versions/*/manifest')
+        |  UNION ALL
+        |  SELECT regexp_extract(filename, 'v(\d+)/delta$', 1) AS v,
+        |         FALSE AS is_full, content
+        |  FROM read_text('/tmp/graft_q185_wh/cust/_root/_versions/*/delta')),
+        |chain(v, is_full, content, depth) AS (
+        |  SELECT m.v, m.is_full, m.content, 0
+        |  FROM mfiles m, cur c WHERE 'v' || m.v = c.vname
+        |  UNION ALL
+        |  SELECT m.v, m.is_full, m.content, c.depth + 1
+        |  FROM chain c JOIN mfiles m
+        |    ON (NOT c.is_full)
+        |   AND ('v' || m.v = trim(string_split(c.content, chr(10))[1]))),
+        |manifest_lines AS (
+        |  SELECT depth, unnest(string_split(content, chr(10))) AS line
+        |  FROM chain),
+        |entries AS (
+        |  SELECT depth, string_split(line, chr(9))[1] AS state,
+        |         string_split(line, chr(9))[2] AS rel
+        |  FROM manifest_lines WHERE contains(line, chr(9))),
+        |resolved AS (
+        |  SELECT rel, state FROM (
+        |    SELECT rel, state,
+        |           row_number() OVER (PARTITION BY rel ORDER BY depth) AS pick
+        |    FROM entries) WHERE pick = 1),
+        |parts AS (
+        |  SELECT rel,
+        |         string_split(unnest(string_split(state, '&')), '+')[1] AS base
+        |  FROM resolved),
+        |man_files AS (
+        |  SELECT regexp_extract(filename,
+        |           '/([^/]+=[^/]+)/_versions/v\d+/[^/]+$', 1) AS rel,
+        |         regexp_extract(filename, '/(v\d+)/[^/]+$', 1) AS vslot,
+        |         regexp_extract(filename, '/([^/]+)$', 1) AS fname
+        |  FROM read_parquet('/tmp/graft_q185_wh/cust/*/_versions/*/*.parquet',
+        |                    filename=true)),
+        |man_n AS (
+        |  SELECT count(*) AS n FROM man_files f JOIN parts p
+        |    ON f.rel = p.rel
+        |   AND (p.base = f.vslot OR p.base = f.vslot || '/' || f.fname))
+        |SELECT t.name, CAST(CASE t.name
+        |  WHEN 'region' THEN (SELECT n FROM flat_n)
+        |  WHEN 'nation' THEN (SELECT n FROM snap_n)
+        |  WHEN 'cust'   THEN (SELECT n FROM man_n) END AS BIGINT) AS n_rows
+        |FROM tables t""".stripMargin,
     // q184: the commit algebra replayed over the immutable source — the
     // partition layout (and its evolution) never changes the answer
     "q184_spec_evolution" ->
@@ -6042,6 +6246,8 @@ object Queries {
     "q181_expire_snapshots" -> (q181ExpireSnapshots _),
     "q182_branch_publish" -> (q182BranchPublish _),
     "q183_file_scoped_merge" -> (q183FileScopedMerge _),
-    "q184_spec_evolution" -> (q184SpecEvolution _)
+    "q184_spec_evolution" -> (q184SpecEvolution _),
+    "q185_catalog_manifest" -> (q185CatalogManifest _),
+    "q186_fuzzy_recall" -> (q186FuzzyRecall _)
   )
 }

@@ -72,6 +72,59 @@ object FlatView {
     * work a warehouse's own reclustering performs; a bare
     * sortWithinPartitions would leave every file spanning the full key
     * range (tasks hold arbitrary key mixes after upstream transforms). */
+  /** INCREMENTAL EXPORT MIRROR — the scale fix for the reference's
+    * full-refresh warehouse sink (gold_to_bigquery.py:118-142 is
+    * WRITE_TRUNCATE on every run: the one place the reference's own
+    * design would die at 100 TB). Maintains a plain-parquet mirror of a
+    * MANIFESTED table for foreign consumers: each run diffs the table's
+    * root manifests since the last mirrored version (the same
+    * metadata-only work-list the CDC source uses —
+    * [[graft.sources.PartitionSnapshots.changedPartitions]], O(touched),
+    * zero data files opened) and rewrites ONLY the touched partitions'
+    * mirror dirs, each replaced atomically
+    * ([[graft.sources.FsUtils.writeDirAtomic]] — a foreign reader sees
+    * complete dirs or the previous state, never a torn one). Partitions
+    * whose state emptied are deleted from the mirror. The last mirrored
+    * root version persists in `<mirror>/_mirror_version`; a mirror so
+    * stale its base root has been expired (or a first run) falls back to
+    * one full refresh. Partition columns are retained IN the mirror
+    * files, so a recursive read of the mirror dir is self-contained.
+    * Returns the rel-paths rewritten (empty = already current). */
+  def exportMirror(spark: org.apache.spark.sql.SparkSession, table: String,
+                   mirrorPath: String): Seq[String] = {
+    import graft.sources.{FsUtils, PartitionSnapshots}
+    import org.apache.hadoop.fs.Path
+    val cur = PartitionSnapshots.currentRootVersion(spark, table)
+      .getOrElse(return Nil)
+    val stateFile = new Path(mirrorPath, "_mirror_version")
+    val fs = stateFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last: Long =
+      if (!fs.exists(stateFile)) 0L
+      else {
+        val in = fs.open(stateFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    if (last == cur) return Nil
+    val manifest = PartitionSnapshots.rootManifest(spark, table).get
+    val touched: Seq[String] =
+      if (last == 0L) manifest.keys.toSeq.sorted
+      else scala.util.Try(
+        PartitionSnapshots.changedPartitions(spark, table, last, cur))
+        .getOrElse(manifest.keys.toSeq.sorted) // base expired → full refresh
+    touched.foreach { rel =>
+      PartitionSnapshots.readPartitions(spark, table, Set(rel)) match {
+        case Some(df) => FsUtils.writeDirAtomic(spark, df, s"$mirrorPath/$rel")
+        case None => fs.delete(new Path(s"$mirrorPath/$rel"), true)
+      }
+    }
+    val out = fs.create(stateFile, true)
+    try out.write(cur.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    touched
+  }
+
   def export(df: DataFrame, path: String, partitionFromTs: Option[String] = None,
              clusterBy: Seq[String] = Nil, clusterFiles: Int = 0): Unit = {
     val (out, parts) = partitionFromTs match {

@@ -253,24 +253,85 @@ object SilverToGold {
   def runFromChangelog(spark: SparkSession, silverWarehouse: String,
                        goldWarehouse: String, fromRootV: Long, toRootV: Long,
                        metrics: Option[graft.metrics.MetricsRegistry] = None)
+      : Seq[java.sql.Date] =
+    runFromChangelogBranched(spark, silverWarehouse, goldWarehouse,
+      fromRootV, Some(toRootV), metrics, None, None)
+
+  /** BRANCH-AWARE changelog gold — the write-audit-publish pattern END TO
+    * END across two layers: silver ingest staged on a branch of the
+    * articles table, gold derived from THAT branch onto a branch of the
+    * gold fact tables, both validated, then [[publishStaged]] fast-
+    * forwards silver and gold together. Until publish, MAIN readers of
+    * both layers see nothing.
+    *
+    * `silverBranch` names the articles branch the work-list and the
+    * article reads pin to (its head is the diff's `toRootV`);
+    * `goldBranch` routes every FACT upsert onto that branch of the
+    * (manifested) gold facts. The conformed DIMENSIONS publish to main
+    * immediately — they are idempotent, additive lookups keyed by
+    * deterministic surrogate hashes (Kimball practice: dims land before
+    * facts), so an aborted staging leaves at most unused dim rows,
+    * never a visible fact. Gold fact tables are zero-IO migrated to
+    * manifests on first branched run. */
+  def runFromChangelogBranched(spark: SparkSession, silverWarehouse: String,
+                               goldWarehouse: String, fromRootV: Long,
+                               toRootV: Option[Long] = None,
+                               metrics: Option[graft.metrics.MetricsRegistry] = None,
+                               silverBranch: Option[String] = None,
+                               goldBranch: Option[String] = None)
       : Seq[java.sql.Date] = {
     import graft.sources.PartitionSnapshots
     val articles = s"$silverWarehouse/articles"
     require(PartitionSnapshots.isManifested(spark, articles),
       s"runFromChangelog needs partition manifests on $articles " +
         "(BronzeToSilver partitionManifests = true)")
+    val toV = toRootV.orElse(silverBranch.map(n =>
+      PartitionSnapshots.rootBranches(spark, articles).getOrElse(n,
+        throw new IllegalArgumentException(
+          s"runFromChangelog: no branch '$n' at $articles"))))
+      .getOrElse(PartitionSnapshots.currentRootVersion(spark, articles).get)
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val dates = PartitionSnapshots
-      .changedPartitions(spark, articles, fromRootV, toRootV)
+      .changedPartitions(spark, articles, fromRootV, toV)
       .map(_.split("=", 2)(1))
       .map(ExternalCatalogUtils.unescapePathName)
       .filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
       .map(java.sql.Date.valueOf)
       .sortBy(_.getTime)
     if (dates.nonEmpty)
-      runCore(spark, silverWarehouse, goldWarehouse, metrics, dates)
+      runCore(spark, silverWarehouse, goldWarehouse, metrics, dates,
+        articlesAsOf = if (silverBranch.nonEmpty) Some(toV) else None,
+        goldBranch = goldBranch)
     dates
   }
+
+  /** Publish a staged silver+gold line in one place: fast-forward the
+    * silver articles branch, then each gold fact table carrying the
+    * branch (facts whose staging touched nothing have no branch ref and
+    * are skipped). Silver first — a crash between the two publishes
+    * leaves silver ahead and gold lagging, which is ordinary pipeline
+    * lag, never a gold state main's silver cannot explain. */
+  def publishStaged(spark: SparkSession, silverWarehouse: String,
+                    goldWarehouse: String, branch: String): Unit = {
+    import graft.sources.PartitionSnapshots
+    val articles = s"$silverWarehouse/articles"
+    if (PartitionSnapshots.rootBranches(spark, articles).contains(branch)) {
+      PartitionSnapshots.fastForwardRoot(spark, articles, branch)
+      PartitionSnapshots.dropBranch(spark, articles, branch)
+    }
+    factTables.foreach { t =>
+      val p = s"$goldWarehouse/$t"
+      if (PartitionSnapshots.isManifested(spark, p) &&
+          PartitionSnapshots.rootBranches(spark, p).contains(branch)) {
+        PartitionSnapshots.fastForwardRoot(spark, p, branch)
+        PartitionSnapshots.dropBranch(spark, p, branch)
+      }
+    }
+  }
+
+  private val factTables = Seq("fact_article_publication",
+    "fact_article_keyword", "fact_article_reference",
+    "fact_top_comment_activity", "fact_top_comment_interaction_detail")
 
   /** Dates present in silver articles but missing from the gold fact —
     * the backfill work-list. Both sides are PURE DIRECTORY LISTINGS: the
@@ -316,7 +377,9 @@ object SilverToGold {
                       goldWarehouse: String,
                       metrics: Option[graft.metrics.MetricsRegistry],
                       dates: Seq[java.sql.Date],
-                      extraArticleCols: Seq[String] = Nil): Unit = {
+                      extraArticleCols: Seq[String] = Nil,
+                      articlesAsOf: Option[Long] = None,
+                      goldBranch: Option[String] = None): Unit = {
     def metered[T](table: String)(body: => T): T =
       graft.metrics.MetricsRegistry.timed(metrics, "silver_to_gold", table)(body)
     def silverFull(name: String): DataFrame =
@@ -324,7 +387,14 @@ object SilverToGold {
         .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           graft.core.Schemas.silverSchemas(name)))
-    val articlesAll = silverFull("articles")
+    // a branched run pins articles at the SILVER BRANCH head — main
+    // readers of silver are reading a different (older) root
+    val articlesAll = articlesAsOf match {
+      case Some(v) => graft.sources.PartitionSnapshots
+        .readOption(spark, s"$silverWarehouse/articles", asOf = v)
+        .getOrElse(silverFull("articles").limit(0))
+      case None => silverFull("articles")
+    }
     val articlesScoped =
       if (dates.isEmpty) articlesAll
       else articlesAll.where(col("date").isin(dates: _*)) // partition-pruned
@@ -399,9 +469,25 @@ object SilverToGold {
         // extra-column runs evolve the publication fact additively, same
         // opt-in contract as the silver articles table
         val evolve = name == "fact_article_publication" && extraArticleCols.nonEmpty
+        val p = s"$goldWarehouse/$name"
+        goldBranch.foreach { b =>
+          // branch staging needs a manifested fact with the branch ref:
+          // migrate zero-IO (marker flip + baseline root manifest, no
+          // data touched) and fork the branch at the current main head
+          // on this table's first branched commit
+          import graft.sources.PartitionSnapshots
+          require(graft.operators.Upsert.readOption(spark, p).nonEmpty,
+            s"branched gold run needs an existing baseline at $p")
+          if (!PartitionSnapshots.isManifested(spark, p))
+            PartitionSnapshots.ensureManifested(spark, p, parts)
+          PartitionSnapshots.ensureRootManifest(spark, p)
+          if (!PartitionSnapshots.rootBranches(spark, p).contains(b))
+            PartitionSnapshots.createBranch(spark, p, b)
+        }
         metered(name) {
-          Upsert.upsert(spark, s"$goldWarehouse/$name", df, keys,
-            insertOnly = false, parts, evolveSchema = evolve)
+          Upsert.upsert(spark, p, df, keys,
+            insertOnly = false, parts, evolveSchema = evolve,
+            branch = goldBranch)
         }
       }
     } finally {

@@ -133,6 +133,86 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     else fs.listStatus(new Path(warehouse)).filter(_.isDirectory)
       .map(_.getPath.getName).toSeq.sorted
 
+  // ---- External catalog manifest -------------------------------------
+  // The engine-external enumeration point (Iceberg's catalog file / Hive
+  // metastore, reduced to one manifest): `<warehouse>/_catalog` lists
+  // every table with its layout kind and schema, so a FRESH session — or
+  // a foreign engine like the DuckDB oracle — enumerates and resolves
+  // the warehouse from that one file, no directory walking. Kinds:
+  //   flat       plain parquet dir (read the files)
+  //   snapshot   whole-table snapshot pointer (_current → _versions/vN)
+  //   manifested per-partition manifests (root pointer → manifest chain)
+
+  private def catalogPath = new Path(warehouse, "_catalog")
+
+  /** Write/refresh the catalog manifest from the live warehouse: one
+    * line per table, `name\tkind\tschema-json`. Build may walk the
+    * warehouse; READS never do — [[tablesFromManifest]] /
+    * [[readFromManifest]] resolve from the file alone. Atomic replace
+    * (temp + rename), so a concurrent reader sees old or new, never a
+    * torn file. Returns the recorded names. */
+  def writeCatalogManifest(): Seq[String] = {
+    val names = listTables()
+    val lines = names.map { n =>
+      val p = tablePath(n)
+      val kind =
+        if (PartitionSnapshots.isManifested(spark, p)) "manifested"
+        else if (Snapshots.isVersioned(spark, p)) "snapshot"
+        else "flat"
+      val schema = (try Some(read(n).schema) catch {
+        case _: Exception => None
+      }).map(_.json).getOrElse("")
+      require(!n.contains("\t") && !n.contains("\n"),
+        s"catalog: table name '$n' must be tab/newline-free")
+      s"$n\t$kind\t$schema"
+    }
+    val tmp = new Path(warehouse, s"._catalog-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(catalogPath, false)
+    if (!fs.rename(tmp, catalogPath))
+      throw new IllegalStateException(s"catalog: could not publish $catalogPath")
+    names
+  }
+
+  /** Enumerate tables from the catalog manifest ALONE — (name, kind,
+    * schema) per entry, zero directory listing. The fresh-session /
+    * foreign-engine entry point. */
+  def tablesFromManifest(): Seq[(String, String, Option[StructType])] = {
+    require(fs.exists(catalogPath),
+      s"no catalog manifest at $catalogPath — run writeCatalogManifest()")
+    val in = fs.open(catalogPath)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val f = line.split("\t", -1)
+      (f(0), f(1),
+        if (f.length > 2 && f(2).nonEmpty)
+          Some(DataType.fromJson(f(2)).asInstanceOf[StructType]) else None)
+    }
+  }
+
+  /** Read a table resolved through its RECORDED kind (no probing, no
+    * listing beyond what the kind's own pointer demands): the read a
+    * fresh session performs from the catalog manifest alone. */
+  def readFromManifest(name: String): DataFrame = {
+    val (_, kind, schema) = tablesFromManifest().find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog: no table '$name' in $catalogPath"))
+    val p = tablePath(name)
+    kind match {
+      case "manifested" => PartitionSnapshots.read(spark, p)
+      case "snapshot" => spark.read.parquet(
+        Snapshots.versionPath(p, Snapshots.currentVersion(spark, p)
+          .getOrElse(throw new IllegalStateException(
+            s"catalog: snapshot table '$name' has no committed version"))))
+      case _ => schema.foldLeft(spark.read)(_ schema _).parquet(p)
+    }
+  }
+
   def dropTable(name: String): Unit =
     fs.delete(new Path(tablePath(name)), true)
 }

@@ -368,6 +368,38 @@ object PartitionSnapshots {
     }
   }
 
+  /** Publish a BASELINE root manifest of the table's current on-disk
+    * partition states without touching any data file — the metadata-only
+    * seed a flat-migrated table needs before branch/tag/time-travel
+    * operations (later commits fold O(touched) deltas onto it). No-op
+    * when a root is already committed; returns the current root version.
+    * Single-writer: call while holding exclusive ownership of the table
+    * (a pipeline's own scheduling, or Upsert's lease). */
+  def ensureRootManifest(spark: SparkSession, table: String,
+                         retainVersions: Int =
+                           graft.operators.Upsert.DefaultRetainVersions): Long = {
+    require(isManifested(spark, table),
+      s"ensureRootManifest: $table is not a manifested table")
+    currentRootVersion(spark, table).getOrElse {
+      val entries = scanStates(spark, table, partitionCols(spark, table))
+      publishRoot(spark, table, entries, entries,
+        math.max(1, retainVersions))
+      currentRootVersion(spark, table).get
+    }
+  }
+
+  /** Read ONLY the given partitions of a root state — the incremental
+    * export mirror's per-partition resolver: same delete-aware,
+    * layout-grouped read as [[read]], restricted to `rels`. None when
+    * none of them holds rows. */
+  def readPartitions(spark: SparkSession, table: String, rels: Set[String],
+                     asOf: Long = -1L): Option[DataFrame] =
+    rootManifest(spark, table, asOf).flatMap { entries =>
+      val rv = if (asOf > 0) asOf else currentRootVersion(spark, table).get
+      readEntries(spark, table, entries.view.filterKeys(rels).toMap,
+        pinnedSchema(spark, table, rv))
+    }
+
   /** Committed root-manifest versions, ascending — each is a whole-table
     * snapshot [[read]] can pin with `asOf`. Includes branch-staged
     * commits; [[currentRootVersion]] is the MAIN-published head. */

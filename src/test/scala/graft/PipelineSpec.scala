@@ -455,6 +455,109 @@ class PipelineSpec extends SparkSpec {
     }
     bad shouldBe empty
   }
+
+  test("branch-staged silver→gold: WAP across two layers, one publish") {
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val root = tmpDir("bronzeWap")
+    val wh = tmpDir("silverWap")
+    val gold = tmpDir("goldWap")
+    val goldRef = tmpDir("goldWapRef")
+    writeFixtures(root)
+    BronzeToSilver.runBatch(spark, root, wh, partitionManifests = true)
+    SilverToGold.run(spark, wh, gold) // baseline gold from silver main
+    val articles = s"$wh/articles"
+    val factPath = s"$gold/fact_article_publication"
+    val v1 = PartitionSnapshots.rootVersions(spark, articles).last
+    // stage the next ingest on a SILVER branch: one updated day-2
+    // article + one brand-new day-3 article; main silver untouched
+    PartitionSnapshots.createBranch(spark, articles, "staging")
+    val day2 = Upsert.read(spark, articles)
+      .where(col("date") === lit(java.sql.Date.valueOf("2025-10-11")))
+    val updated = day2.limit(1)
+      .withColumn("Description", lit("d2 staged"))
+    val day3 = day2.limit(1)
+      .withColumn("ArticleID", sha2(lit("staged-a3"), 256))
+      .withColumn("Title", lit("Bai 3 staged"))
+      .withColumn("URL", lit("https://e.vn/a3s"))
+      .withColumn("PublicationDate",
+        to_timestamp(lit("2025-10-12 10:00:00")))
+      .withColumn("date", lit(java.sql.Date.valueOf("2025-10-12")))
+    Upsert.upsert(spark, articles, updated.unionByName(day3),
+      Seq("ArticleID"), partitionCols = Seq("date"),
+      branch = Some("staging"))
+    val factMainBefore = Upsert.read(spark, factPath)
+      .collect().map(_.toSeq).toSet
+    // derive gold FROM the silver branch ONTO a gold branch
+    SilverToGold.runFromChangelogBranched(spark, wh, gold, fromRootV = v1,
+      silverBranch = Some("staging"),
+      goldBranch = Some("staging")) should not be empty
+    // MAIN is untouched on both layers until publish
+    Upsert.read(spark, articles)
+      .where(col("Description") === "d2 staged").count() shouldBe 0L
+    Upsert.read(spark, factPath).collect().map(_.toSeq)
+      .toSet shouldBe factMainBefore
+    // the gold BRANCH already carries the staged line (validation read)
+    val branchFact = PartitionSnapshots.readBranch(spark, factPath, "staging")
+    branchFact.where(col("ArticleDescription") === "d2 staged")
+      .count() shouldBe 1L
+    branchFact.where(col("PublicationDateKey") === 20251012)
+      .count() shouldBe 1L
+    val branchImage = branchFact.collect().map(_.toSeq).toSet
+    // ONE publish step fast-forwards silver and gold together
+    SilverToGold.publishStaged(spark, wh, gold, "staging")
+    Upsert.read(spark, articles)
+      .where(col("Description") === "d2 staged").count() shouldBe 1L
+    Upsert.read(spark, factPath).collect().map(_.toSeq)
+      .toSet shouldBe branchImage
+    // published gold ≡ a full rebuild from the published silver
+    SilverToGold.run(spark, wh, goldRef)
+    Upsert.read(spark, s"$goldRef/fact_article_publication")
+      .collect().map(_.toSeq).toSet shouldBe branchImage
+  }
+
+  test("incremental export mirror rewrites only touched partition dirs") {
+    import spark.implicits._
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val path = tmpDir("mirrorsrc") + "/t"
+    val mirror = tmpDir("mirrordst") + "/m"
+    Upsert.upsert(spark,
+      path, Seq((1, "p1", 10), (2, "p2", 20), (3, "p3", 30))
+        .toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // first run = full refresh
+    FlatView.exportMirror(spark, path, mirror).sorted shouldBe
+      Seq("part=p1", "part=p2", "part=p3")
+    def mirrorRows() = spark.read.parquet(mirror).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("part"),
+        r.getAs[Int]("v"))).toSet
+    def tableRows() = Upsert.read(spark, path).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("part"),
+        r.getAs[Int]("v"))).toSet
+    mirrorRows() shouldBe tableRows()
+    val p3mtime = new java.io.File(s"$mirror/part=p3").lastModified()
+    // N mixed commits: append into p1, keyed merge updating p2, equality
+    // delete in p1, partition drop of p2's neighbor… then one mirror run
+    Upsert.append(spark, path, Seq((4, "p1", 40)).toDF("k", "part", "v"),
+      Seq("part"))
+    Upsert.upsert(spark, path, Seq((2, "p2", 21)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    PartitionSnapshots.deleteKeys(spark, path, Seq(1).toDF("k")) shouldBe true
+    val touched = FlatView.exportMirror(spark, path, mirror)
+    // only the partitions those commits touched were rewritten
+    touched.sorted shouldBe Seq("part=p1", "part=p2")
+    mirrorRows() shouldBe tableRows()
+    new java.io.File(s"$mirror/part=p3").lastModified() shouldBe p3mtime
+    // idempotent: already-current mirror is a no-op
+    FlatView.exportMirror(spark, path, mirror) shouldBe Nil
+    // a partition emptied at the source disappears from the mirror
+    PartitionSnapshots.dropPartitions(spark, path,
+      m => m("part") == "p3") shouldBe Seq("part=p3")
+    FlatView.exportMirror(spark, path, mirror) shouldBe Seq("part=p3")
+    new java.io.File(s"$mirror/part=p3").exists() shouldBe false
+    mirrorRows() shouldBe tableRows()
+  }
 }
 
 /** Freezable gates for the lease-takeover drill. A top-level Scala object:
