@@ -55,8 +55,24 @@ object ScaleGen {
       cols.foldLeft(d)((acc, c) => acc.withColumn(c,
         array_join(transform(split(col(c), " "), t => concat(t, lit(s"r$i"))), " ")))
 
+    /** Vector salt: a per-replica SIGNED CIRCULAR SHIFT — an orthogonal
+      * transform, so every within-replica cosine (the corpus's match
+      * structure) is preserved EXACTLY while cross-replica pairs
+      * decorrelate to ~N(0, 1/√d) cosine: replicas never collapse into
+      * angular clones. The previous tiny additive shift left every
+      * replica's DIRECTION unchanged, so k replicas made each source
+      * near-dup pair k² pairs — the same corpus artifact as unsalted
+      * names; the round-10 sf10 audit measured it as 1366× answer
+      * growth for 10× data. i = 0 is the identity (the source). */
     def saltVec(c: String)(d: DataFrame, i: Int): DataFrame =
-      d.withColumn(c, transform(col(c), x => x + lit(i * 1e-3f)))
+      if (i == 0) d
+      else d.withColumn(c, {
+        val n = size(col(c))
+        transform(col(c), (_, j) =>
+          when(pmod(hash(lit(i), j), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f)) *
+            element_at(col(c), (pmod(j + lit(i), n) + lit(1)).cast("int")))
+      })
 
     /** Name-key salt: append the SAME `#i#i` suffix to every name in
       * replica i. Appending an identical suffix to both sides of any

@@ -723,7 +723,17 @@ object Dedup {
     * `nlist` (or pass k-means-trained `centroids` from
     * [[graft.similarity.Similarity.trainCentroids]]) so cells stay ~1e4
     * rows; the paper runs the identical shape at 5e7 points per
-    * clustering. Returns every input row: (vec_id, cell, kept). */
+    * clustering.
+    *
+    * MEASURED CONTRACT (round-10 sf1→sf10 audit, PLANS.md): the total
+    * cost is n·nlist (scan-side assignment) + Σ|cell|² (in-cell pairs);
+    * the optimal nlist ∝ √n makes the whole operator Θ(n^1.5) — ~31.6×
+    * per 10× data is the FLOOR of cell-scoped pairwise dedup, not a
+    * regression (fixed nlist measured 30.8×/decade, corpus-scaled nlist
+    * 22.6×/decade). When a linear decade ratio is required, use the
+    * banded-LSH near-dup path ([[cosineNearDupLsh]], measured
+    * 8.0×/decade) and reserve SemDeDup for the bounded cells the paper
+    * applies it to. Returns every input row: (vec_id, cell, kept). */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.3,
                     nlist: Int = 16, idCol: String = "vec_id",
                     vecCol: String = "embedding",

@@ -462,13 +462,26 @@ object Upsert {
                                 Option[DataFrame])] =
           (base, numericKey) match {
             case (Some(bm), Some(kc)) if audit.isEmpty =>
-              import org.apache.spark.sql.functions.{max, min}
+              import org.apache.spark.sql.functions.{count, max, min}
               val b = src.agg(min(col(kc)).cast("double"),
-                max(col(kc)).cast("double")).head()
+                max(col(kc)).cast("double"), count(col(kc))).head()
               if (b.isNullAt(0)) None // all-NULL keys match nothing
-              else Some(PartitionSnapshots.planFileScoped(spark, path, bm,
-                allTouched, kc, b.getDouble(0), b.getDouble(1),
-                Some(target.schema)))
+              else {
+                // bounded collect of the source's distinct key values
+                // (src is already key-deduped): sharpens file pruning
+                // from one interval to point containment — scattered
+                // CDC keys stop forcing every in-between file to
+                // rewrite. ≤100k doubles ≈ 800 KB driver-side.
+                val points =
+                  if (b.getLong(2) <= 100000L)
+                    Some(src.select(col(kc).cast("double"))
+                      .where(col(kc).isNotNull).distinct()
+                      .collect().map(_.getDouble(0)).sorted)
+                  else None
+                Some(PartitionSnapshots.planFileScoped(spark, path, bm,
+                  allTouched, kc, b.getDouble(0), b.getDouble(1),
+                  Some(target.schema), points))
+              }
             case (Some(bm), _) if legacyTouched.nonEmpty =>
               // full-range bounds: nothing excluded, no survivors — the
               // whole-partition rewrite, but read path-explicitly so

@@ -741,19 +741,33 @@ object PartitionSnapshots {
   private[graft] def planFileScoped(
       spark: SparkSession, table: String, base: Map[String, String],
       touchedRels: Set[String], keyCol: String, lo: Double, hi: Double,
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      keyPoints: Option[Array[Double]] = None)
       : (Map[String, Seq[(String, Seq[String])]], Option[DataFrame]) = {
     import org.apache.spark.sql.functions.broadcast
     // margin-safe disjointness: every bound went through a decimal/double
     // round-trip (±1 ulp for 64-bit ints beyond 2^53 — xxhash64 surrogate
     // keys live there), so exclusion demands a full-ulp gap on both
-    // sides; a borderline file is rewritten, never wrongly skipped
+    // sides; a borderline file is rewritten, never wrongly skipped.
+    // With `keyPoints` (the SOURCE's sorted distinct key values, collected
+    // when their count is bounded) the test sharpens from one global
+    // interval to point containment: a file whose range falls in a GAP
+    // between scattered CDC keys survives — with the interval alone,
+    // updating keys {5, 10⁹} would rewrite every file in between. Margins
+    // are 2 ulp per side (one for each side's rounding).
     def excluded(st: PartStats): Boolean =
       st.cols.get(keyCol).exists { case (mn, mx) =>
         (ParquetStats.numeric(mn), ParquetStats.numeric(mx)) match {
           case (Some(a), Some(b)) =>
-            Math.nextUp(b) < Math.nextDown(lo) ||
-              Math.nextDown(a) > Math.nextUp(hi)
+            val aLo = Math.nextDown(Math.nextDown(a))
+            val bHi = Math.nextUp(Math.nextUp(b))
+            if (bHi < Math.nextDown(lo) || aLo > Math.nextUp(hi)) true
+            else keyPoints.exists { ks =>
+              // no source key falls inside the widened file range
+              val i = java.util.Arrays.binarySearch(ks, aLo)
+              val from = if (i >= 0) i else -(i + 1)
+              from >= ks.length || ks(from) > bHi
+            }
           case _ => false
         }
       }
@@ -2126,12 +2140,25 @@ object PartitionSnapshots {
     * point/range reads to one file — the layout repair for tables grown
     * by interleaved appends. Costs one shuffle per partition and
     * rewrites ALL partitions (a layout change, not small-file
-    * reclamation). */
+    * reclamation).
+    *
+    * `smallFileBytes` makes the selection FILE-LEVEL (Iceberg's
+    * rewrite_data_files file-size filter): within each partition only
+    * files under the threshold are folded into the new part, and every
+    * larger file SURVIVES in place as a file-scoped manifest token —
+    * bytes, path, and mtime untouched. A partition whose small-file
+    * count is ≤ `minFiles` is skipped entirely. At 100 TB this is what
+    * keeps a nightly compaction from rewriting healthy gigabyte files
+    * just to fold the stream's trailing KB-sized commits. Partitions
+    * with pending equality deletes — and every partition under a
+    * `sortWithin` request — still rewrite fully (materialization /
+    * layout contracts win over file selection). */
   def compact(spark: SparkSession, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               minFiles: Int = 4,
               retainVersions: Int = graft.operators.Upsert.DefaultRetainVersions,
-              sortWithin: Seq[String] = Nil)
+              sortWithin: Seq[String] = Nil,
+              smallFileBytes: Long = Long.MaxValue)
       : Map[String, (Int, Int)] = {
     require(isManifested(spark, table), s"$table is not a manifested table")
     val token = graft.operators.Upsert.acquireLock(spark, table,
@@ -2140,35 +2167,78 @@ object PartitionSnapshots {
       val cols = partitionCols(spark, table)
       val entries = rootManifest(spark, table)
         .getOrElse(scanStates(spark, table, cols))
+      // per rel: (read sides as (paths, deleteRefs), surviving parts,
+      // files before, bytes to rewrite)
       val todo = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
         val parts = parseParts(state).flatMap { case (base, dels) =>
-          stateDataPath(table, rel, base).map(d => (d, dels))
+          stateDataPath(table, rel, base).map(d => (base, d, dels))
         }
         if (parts.isEmpty) None
         else {
-          val files = parts.flatMap { case (d, _) =>
-            fs(spark, new Path(d)).listStatus(new Path(d))
-              .filter(st => st.isFile && !hidden(st.getPath.getName))
+          val partFiles = parts.map { case (base, d, dels) =>
+            (base, d, dels, fs(spark, new Path(d)).listStatus(new Path(d))
+              .filter(st => st.isFile && !hidden(st.getPath.getName)).toSeq)
           }
-          val anyDels = parts.exists(_._2.nonEmpty)
-          // a partition carrying pending equality deletes OR an append
-          // union is ALWAYS rewritten (the rewrite materializes the
-          // deletes and folds the parts back to one version dir —
-          // rewrite_data_files' job), however few files it holds; a
-          // sort request rewrites every partition (the caller is
-          // changing the LAYOUT, not reclaiming small files)
-          if (files.length <= minFiles && !anyDels && parts.length == 1 &&
-              sortWithin.isEmpty) None
-          else Some((rel, parts, files.length, files.map(_.getLen).sum))
+          val files = partFiles.flatMap(_._4)
+          val anyDels = parts.exists(_._3.nonEmpty)
+          val selective = smallFileBytes != Long.MaxValue &&
+            sortWithin.isEmpty && !anyDels
+          if (!selective) {
+            // a partition carrying pending equality deletes OR an append
+            // union is ALWAYS rewritten (the rewrite materializes the
+            // deletes and folds the parts back to one version dir —
+            // rewrite_data_files' job), however few files it holds; a
+            // sort request rewrites every partition (the caller is
+            // changing the LAYOUT, not reclaiming small files)
+            if (files.length <= minFiles && !anyDels && parts.length == 1 &&
+                sortWithin.isEmpty) None
+            else Some((rel,
+              partFiles.map { case (_, d, dels, _) => (Seq(d), dels) },
+              Seq.empty[(String, Seq[String])],
+              files.length, files.map(_.getLen).sum))
+          } else {
+            // FILE-LEVEL selection: fold only files under the threshold;
+            // larger files survive by token (whole-part token when none
+            // of a part's files is small — zero state churn)
+            val keep = Seq.newBuilder[(String, Seq[String])]
+            val rewrite = Seq.newBuilder[String]
+            var rbytes = 0L
+            partFiles.foreach { case (base, d, dels, fls) =>
+              if (base == Flat) { // legacy pre-manifest files: fold fully
+                rewrite ++= fls.map(_.getPath.toString)
+                rbytes += fls.map(_.getLen).sum
+              } else if (base.contains('/')) { // already file-scoped
+                if (fls.exists(_.getLen < smallFileBytes)) {
+                  rewrite += d; rbytes += fls.map(_.getLen).sum
+                } else keep += ((base, dels))
+              } else {
+                val (small, big) = fls.partition(_.getLen < smallFileBytes)
+                if (small.isEmpty) keep += ((base, dels))
+                else {
+                  rewrite ++= small.map(_.getPath.toString)
+                  rbytes += small.map(_.getLen).sum
+                  big.foreach(st =>
+                    keep += ((s"$base/${st.getPath.getName}", dels)))
+                }
+              }
+            }
+            val rw = rewrite.result()
+            // a fold must COMBINE at least two small files — rewriting a
+            // lone small file into another lone small file is churn, and
+            // would keep re-selecting it forever (no steady state)
+            if (rw.length <= math.max(minFiles, 1)) None
+            else Some((rel, Seq((rw, Seq.empty[String])), keep.result(),
+              files.length, rbytes))
+          }
         }
       }
       if (todo.isEmpty) return Map.empty
       val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
-      todo.foreach { case (rel, parts, _, bytes) =>
+      todo.foreach { case (rel, sidesIn, _, _, bytes) =>
         val nOut = math.max(1,
           math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        val sides = parts.map { case (d, dels) =>
-          dels.foldLeft(spark.read.parquet(d)) { (df, id) =>
+        val sides = sidesIn.map { case (paths, dels) =>
+          dels.foldLeft(spark.read.parquet(paths: _*)) { (df, id) =>
             val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
             df.join(org.apache.spark.sql.functions.broadcast(keys),
               keys.columns.toSeq, "left_anti")
@@ -2190,25 +2260,31 @@ object PartitionSnapshots {
           .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
           .parquet(s"$staging/$rel")
       }
+      val survivors = todo.collect {
+        case (rel, _, keep, _, _) if keep.nonEmpty => rel -> keep
+      }.toMap
       try {
         graft.operators.Upsert.assertHeld(spark, table, token)
         // rewritten rels are TOUCHED (replace semantics): an unlisted
         // staged rel would otherwise append to the parts it just folded
         commitStaged(spark, table, staging, cols,
-          emptied = todo.map(_._1).toSet, retainVersions = retainVersions)
+          emptied = todo.map(_._1).toSet, retainVersions = retainVersions,
+          survivors = survivors)
       } finally
         fs(spark, new Path(staging)).delete(new Path(staging), true)
       vacuumDeletes(spark, table)
       val committedStates = rootManifest(spark, table)
         .getOrElse(Map.empty[String, String])
-      todo.map { case (rel, _, before, _) =>
-        val after = committedStates.get(rel).map(parseState(_)._1) match {
-          case Some(v) if v != Empty && v != Flat =>
-            fs(spark, new Path(table)).listStatus(
-              new Path(s"$table/$rel/$VersionsDir/$v"))
-              .count(st => st.isFile && !hidden(st.getPath.getName))
-          case _ => before
-        }
+      todo.map { case (rel, _, _, before, _) =>
+        // files the committed state now names, across ALL its parts
+        val after = committedStates.get(rel).map(parseParts(_).map {
+          case (Empty, _) => 0
+          case (b, _) if b.contains('/') => 1
+          case (b, _) => stateDataPath(table, rel, b).map(p =>
+            fs(spark, new Path(p)).listStatus(new Path(p))
+              .count(st => st.isFile && !hidden(st.getPath.getName)))
+            .getOrElse(0)
+        }.sum).getOrElse(before)
         rel -> (before, after)
       }.toMap
     } finally graft.operators.Upsert.releaseLock(spark, table, token)

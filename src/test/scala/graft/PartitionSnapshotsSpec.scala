@@ -1504,6 +1504,29 @@ class PartitionSnapshotsSpec extends SparkSpec {
     end.size shouldBe 299
   }
 
+  test("file-scoped MERGE point-set pruning keeps files in key gaps") {
+    val path = tmpDir("pfsgap") + "/t"
+    val seed = (1 to 300).map(i => (i, "p1", i * 10)).toDF("k", "part", "v")
+      .repartitionByRange(3, $"k")
+    Upsert.upsert(spark, path, seed, Seq("k"), partitionCols = Seq("part"),
+      partitionManifests = true)
+    // merge the two EXTREMES: the interval [2, 299] covers every file,
+    // but the point set {2, 299} leaves the middle file's range in a
+    // gap — it must survive untouched
+    Upsert.upsert(spark, path,
+      Seq((2, "p1", -2), (299, "p1", -299)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    val state = PartitionSnapshots.rootManifest(spark, path).get("part=p1")
+    val parts = state.split("&").toSeq
+    parts.count(_.startsWith("v00000001/")) shouldBe 1 // the middle file
+    val got = Upsert.read(spark, path).select("k", "v").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    got.size shouldBe 300
+    got(2) shouldBe -2
+    got(299) shouldBe -299
+    got(150) shouldBe 1500
+  }
+
   test("file-scoped survivors protect their version dirs from retention") {
     val path = tmpDir("pfsretain") + "/t"
     val seed = (1 to 300).map(i => (i, "p1", i)).toDF("k", "part", "v")
@@ -1526,6 +1549,54 @@ class PartitionSnapshotsSpec extends SparkSpec {
     val state = PartitionSnapshots.rootManifest(spark, path).get("part=p1")
     state.split("&").length shouldBe 1
     Upsert.read(spark, path).count() shouldBe 300L
+  }
+
+  test("small-file compaction folds only files under the threshold") {
+    val path = tmpDir("psmallfc") + "/t"
+    // one big base file + three KB-sized appended parts
+    val big = (1 to 5000).map(i => (i, "p1", i)).toDF("k", "part", "v")
+      .coalesce(1)
+    Upsert.append(spark, path, big, Seq("part"))
+    (1 to 3).foreach(i => Upsert.append(spark, path,
+      Seq((100000 + i, "p1", i)).toDF("k", "part", "v"), Seq("part")))
+    val v1 = new java.io.File(s"$path/part=p1/_versions/v00000001")
+    val bigFile = v1.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .head
+    bigFile.length() should be > 8000L
+    val mtime = bigFile.lastModified()
+    val res = PartitionSnapshots.compact(spark, path, minFiles = 0,
+      smallFileBytes = 8000L)
+    // three small parts folded to one; the big part SURVIVED whole (its
+    // dir holds no small file — original token, zero state churn)
+    res("part=p1") shouldBe ((4, 2))
+    val state = PartitionSnapshots.rootManifest(spark, path).get("part=p1")
+    state should startWith("v00000001&")
+    bigFile.lastModified() shouldBe mtime
+    Upsert.read(spark, path).count() shouldBe 5003L
+    // steady state: nothing small remains, the next run is a no-op
+    PartitionSnapshots.compact(spark, path, minFiles = 0,
+      smallFileBytes = 8000L) shouldBe Map.empty
+    // a 1-key MERGE into the SMALL part leaves the big part surviving
+    // whole; the next selective run has one lone small file — churn,
+    // not a fold — and stays a no-op (steady state holds post-merge)
+    Upsert.upsert(spark, path,
+      Seq((100001, "p1", -1)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    PartitionSnapshots.rootManifest(spark, path)
+      .get("part=p1") should startWith("v00000001&")
+    bigFile.lastModified() shouldBe mtime
+    // the merge staged its part as two small files → one more genuine
+    // fold (3 files → big + 1), then steady state: a lone small file is
+    // churn, not a fold, and stays untouched
+    PartitionSnapshots.compact(spark, path, minFiles = 0,
+      smallFileBytes = 8000L) shouldBe Map("part=p1" -> ((3, 2)))
+    bigFile.lastModified() shouldBe mtime
+    PartitionSnapshots.compact(spark, path, minFiles = 0,
+      smallFileBytes = 8000L) shouldBe Map.empty
+    Upsert.read(spark, path).count() shouldBe 5003L
+    Upsert.read(spark, path).where($"k" === 100001)
+      .select("v").collect()(0).getInt(0) shouldBe -1
   }
 
   test("stats encoding survives a data column literally named 'rows'") {
