@@ -108,6 +108,17 @@ object FlatView {
       }
     if (last == cur) return Nil
     val manifest = PartitionSnapshots.rootManifest(spark, table).get
+    // a spec-EVOLVED table holds rels at mixed depths: a hive-layout
+    // mirror cannot hold both (replacing `date=X` atomically would
+    // destroy a nested `date=X/hour=H` mirror dir, and foreign readers
+    // of mixed-depth k=v dirs hit conflicting partition structures).
+    // Refuse loudly rather than corrupt the mirror silently.
+    val layouts = manifest.keys.map(PartitionSnapshots.relCols).toSet
+    require(layouts.size <= 1,
+      s"exportMirror: $table holds partitions under ${layouts.size} " +
+        "different partition specs (spec evolution mid-history) — a " +
+        "hive-layout mirror needs one layout; compact/migrate the old-" +
+        "spec partitions first or mirror via the changelog stream")
     val touched: Seq[String] =
       if (last == 0L) manifest.keys.toSeq.sorted
       else scala.util.Try(

@@ -127,10 +127,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     spark.table(name)
   }
 
-  /** SHOW TABLES (reference: gold_to_bigquery.py:100-115). */
+  /** SHOW TABLES (reference: gold_to_bigquery.py:100-115). Hidden
+    * entries (`.staging-…` debris from atomic writes, `_`-prefixed
+    * metadata) are never tables. */
   def listTables(): Seq[String] =
     if (!fs.exists(new Path(warehouse))) Nil
-    else fs.listStatus(new Path(warehouse)).filter(_.isDirectory)
+    else fs.listStatus(new Path(warehouse))
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
       .map(_.getPath.getName).toSeq.sorted
 
   // ---- External catalog manifest -------------------------------------

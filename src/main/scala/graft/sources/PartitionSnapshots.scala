@@ -737,7 +737,13 @@ object PartitionSnapshots {
     * absent stats mean "cannot prune", never "skip". At 100 TB this is
     * what makes a small keyed MERGE O(files its keys intersect) instead
     * of O(touched partitions): a 1-row update into a 10 000-file
-    * partition rewrites one file and re-manifests the other 9 999. */
+    * partition rewrites one file and re-manifests the other 9 999.
+    *
+    * Storage note: a version dir stays retention-protected WHOLE while
+    * any of its files survives by token, so a rewritten sibling's bytes
+    * linger until compaction folds the dir's last survivors — the same
+    * space-vs-write-amplification trade Iceberg makes, reclaimed by the
+    * ordinary [[compact]] cadence. */
   private[graft] def planFileScoped(
       spark: SparkSession, table: String, base: Map[String, String],
       touchedRels: Set[String], keyCol: String, lo: Double, hi: Double,
@@ -2094,11 +2100,15 @@ object PartitionSnapshots {
           }
         }
         val cols = partitionCols(spark, table)
-        partitionDirs(spark, table, cols.size).foreach { rel =>
-          Snapshots.vacuum(spark, s"$table/$rel",
-            keep = math.max(1, retainVersions),
-            extraKeep = acc.getOrElse(rel, Set.empty))
-        }
+        // reap by MANIFEST keys ∪ directory walk: a spec-evolved table's
+        // retired-layout rels hold their data under _versions while the
+        // same dir parents new-spec subdirs — the walk alone skips them
+        (partitionDirs(spark, table, cols.size) ++ acc.keys)
+          .distinct.foreach { rel =>
+            Snapshots.vacuum(spark, s"$table/$rel",
+              keep = math.max(1, retainVersions),
+              extraKeep = acc.getOrElse(rel, Set.empty))
+          }
         vacuumDeletes(spark, table)
       }
       expired

@@ -558,6 +558,24 @@ class PipelineSpec extends SparkSpec {
     new java.io.File(s"$mirror/part=p3").exists() shouldBe false
     mirrorRows() shouldBe tableRows()
   }
+
+  test("export mirror refuses a table holding mixed partition specs") {
+    import spark.implicits._
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val path = tmpDir("mirrorevo") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 3, 10)).toDF("k", "part", "hour", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.evolvePartitionSpec(spark, path, Seq("part", "hour"))
+    Upsert.upsert(spark, path,
+      Seq((2, "p1", 7, 20)).toDF("k", "part", "hour", "v"),
+      Seq("k"), partitionCols = Seq("part", "hour"))
+    // replacing mirror/part=p1 atomically would destroy a nested
+    // mirror/part=p1/hour=7 — refuse loudly instead
+    an[IllegalArgumentException] should be thrownBy
+      FlatView.exportMirror(spark, path, tmpDir("mirrorevodst") + "/m")
+  }
 }
 
 /** Freezable gates for the lease-takeover drill. A top-level Scala object:
