@@ -500,6 +500,34 @@ class CatalogStreamsSpec extends SparkSpec {
       (3, Some("y"), "insert", 3L))
   }
 
+  test("changelog stream serves a spec-evolved table across both layouts") {
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val path = tmpDir("clogspec") + "/t"
+    // v1 under spec (part); hour is a data column of the old files
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 3, 10), (2, "p1", 7, 20)).toDF("k", "part", "hour", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.evolvePartitionSpec(spark, path, Seq("part", "hour"))
+    // v2 (new spec): insert + an update whose key lives in an OLD-spec
+    // partition (lazy migration) — the feed must serve both layouts
+    Upsert.upsert(spark, path,
+      Seq((3, "p1", 9, 30), (2, "p1", 7, 21)).toDF("k", "part", "hour", "v"),
+      Seq("k"), partitionCols = Seq("part", "hour"))
+    val q = Streams.changelogStream(spark, path, startingVersion = Some(1L))
+      .writeStream.format("memory").queryName("clogspec")
+      .option("checkpointLocation", tmpDir("clogspecckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("clogspec")
+      .select("k", "hour", "v", "change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4))).toSet
+    got shouldBe Set(
+      (1, 3, 10, "insert", 1L), (2, 7, 20, "insert", 1L),
+      (2, 7, 20, "delete", 2L), (2, 7, 21, "insert", 2L),
+      (3, 9, 30, "insert", 2L))
+  }
+
   test("changelog stream drains pending commits under Trigger.AvailableNow") {
     import graft.operators.Upsert
     val path = tmpDir("clognow") + "/t"
