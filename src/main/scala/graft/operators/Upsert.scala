@@ -438,15 +438,18 @@ object Upsert {
         // touched partition only the files whose manifest-recorded key
         // bounds can contain a source key are read and rewritten; the
         // rest survive as file-scoped state tokens — their bytes, paths,
-        // and mtimes untouched. Engaged when a numeric non-partition key
-        // column exists (bounds are prunable) and the commit isn't a WAP
-        // audit (which validates whole would-be snapshots). Falls back to
-        // the whole-partition rewrite otherwise — identical semantics.
-        // A table with retired-spec partitions ALWAYS routes through the
-        // path-explicit planner (degenerate full-range bounds when the
+        // and mtimes untouched. Engaged when a prunable non-partition
+        // key column exists — NUMERIC (interval + point-set tests,
+        // ulp-margin-safe) or STRING (the reference's sha-256 hex IDs:
+        // footer bounds are exact-or-widened and pure-ASCII bounds
+        // compare byte-identically on both sides) — and the commit
+        // isn't a WAP audit (which validates whole would-be snapshots).
+        // Falls back to the whole-partition rewrite otherwise. A table
+        // with retired-spec partitions ALWAYS routes through the
+        // path-explicit planner (a nothing-excluded predicate when the
         // key is not prunable): old-spec rows are read from their own
         // dirs and re-staged under the current spec, never left behind.
-        val numericKey = keys.find { k =>
+        val prunableKey = keys.find { k =>
           !partitionCols.contains(k) &&
             (target.schema.find(_.name == k).map(_.dataType) match {
               case Some(org.apache.spark.sql.types.ByteType |
@@ -454,41 +457,73 @@ object Upsert {
                         org.apache.spark.sql.types.IntegerType |
                         org.apache.spark.sql.types.LongType |
                         org.apache.spark.sql.types.FloatType |
-                        org.apache.spark.sql.types.DoubleType) => true
+                        org.apache.spark.sql.types.DoubleType |
+                        org.apache.spark.sql.types.StringType) => true
               case _ => false
             })
         }
+        // bounded collect of the source's distinct key values (src is
+        // already key-deduped): sharpens file pruning from one interval
+        // to point containment — scattered CDC keys stop forcing every
+        // in-between file to rewrite. ≤100k keys driver-side.
+        def keyPredicate(kc: String)
+            : Option[graft.sources.PartitionSnapshots.PartStats => Boolean] = {
+          import org.apache.spark.sql.functions.{count, max, min}
+          val isString = target.schema(kc).dataType ==
+            org.apache.spark.sql.types.StringType
+          if (isString) {
+            val b = src.agg(min(col(kc)), max(col(kc)), count(col(kc))).head()
+            if (b.isNullAt(0)) None
+            else {
+              // byte-order-faithful comparison needs every compared
+              // string pure ASCII (UTF-16 char order ≠ UTF-8 byte order
+              // for some non-ASCII ranges) — non-ASCII keys disable
+              // string pruning rather than risk a wrong exclusion
+              def ascii(s: String) = s.forall(c => c >= 0x20 && c < 0x7f)
+              val points =
+                if (b.getLong(2) <= 100000L)
+                  Some(src.select(col(kc)).where(col(kc).isNotNull)
+                    .distinct().collect().map(_.getString(0)).sorted)
+                else None
+              if (!ascii(b.getString(0)) || !ascii(b.getString(1)) ||
+                  points.exists(_.exists(!ascii(_)))) None
+              else Some(PartitionSnapshots.stringKeyExcluded(kc,
+                b.getString(0), b.getString(1), points))
+            }
+          } else {
+            val b = src.agg(min(col(kc)).cast("double"),
+              max(col(kc)).cast("double"), count(col(kc))).head()
+            if (b.isNullAt(0)) None
+            else {
+              val points =
+                if (b.getLong(2) <= 100000L)
+                  Some(src.select(col(kc).cast("double"))
+                    .where(col(kc).isNotNull).distinct()
+                    .collect().map(_.getDouble(0)).sorted)
+                else None
+              Some(PartitionSnapshots.numericKeyExcluded(kc,
+                b.getDouble(0), b.getDouble(1), points))
+            }
+          }
+        }
         val fileScoped: Option[(Map[String, Seq[(String, Seq[String])]],
                                 Option[DataFrame])] =
-          (base, numericKey) match {
+          (base, prunableKey) match {
             case (Some(bm), Some(kc)) if audit.isEmpty =>
-              import org.apache.spark.sql.functions.{count, max, min}
-              val b = src.agg(min(col(kc)).cast("double"),
-                max(col(kc)).cast("double"), count(col(kc))).head()
-              if (b.isNullAt(0)) None // all-NULL keys match nothing
-              else {
-                // bounded collect of the source's distinct key values
-                // (src is already key-deduped): sharpens file pruning
-                // from one interval to point containment — scattered
-                // CDC keys stop forcing every in-between file to
-                // rewrite. ≤100k doubles ≈ 800 KB driver-side.
-                val points =
-                  if (b.getLong(2) <= 100000L)
-                    Some(src.select(col(kc).cast("double"))
-                      .where(col(kc).isNotNull).distinct()
-                      .collect().map(_.getDouble(0)).sorted)
-                  else None
-                Some(PartitionSnapshots.planFileScoped(spark, path, bm,
-                  allTouched, kc, b.getDouble(0), b.getDouble(1),
-                  Some(target.schema), points))
+              keyPredicate(kc) match {
+                case Some(pred) => Some(PartitionSnapshots.planFileScoped(
+                  spark, path, bm, allTouched, pred, Some(target.schema)))
+                case None if legacyTouched.nonEmpty =>
+                  Some(PartitionSnapshots.planFileScoped(spark, path, bm,
+                    allTouched, _ => false, Some(target.schema)))
+                case None => None // all-NULL keys match nothing
               }
             case (Some(bm), _) if legacyTouched.nonEmpty =>
-              // full-range bounds: nothing excluded, no survivors — the
-              // whole-partition rewrite, but read path-explicitly so
-              // retired-spec dirs never mix layouts in one scan
+              // nothing-excluded predicate: no survivors — the whole-
+              // partition rewrite, but read path-explicitly so retired-
+              // spec dirs never mix layouts in one scan
               Some(PartitionSnapshots.planFileScoped(spark, path, bm,
-                allTouched, keys.head, Double.NegativeInfinity,
-                Double.PositiveInfinity, Some(target.schema)))
+                allTouched, _ => false, Some(target.schema)))
             case _ => None
           }
         val (survivors, merged) = fileScoped match {

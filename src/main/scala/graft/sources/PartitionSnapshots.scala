@@ -722,8 +722,9 @@ object PartitionSnapshots {
     *
     *  - SURVIVORS: parts — or individual files of a partially-surviving
     *    part, as `vNNNNNNNN/<file>` file-scoped state tokens — whose
-    *    recorded bounds for `keyCol` provably exclude every source key
-    *    (numeric [min,max] disjoint from [lo,hi]). Their bytes are never
+    *    recorded key bounds the `excluded` predicate proves free of
+    *    every source key ([[numericKeyExcluded]] / [[stringKeyExcluded]]
+    *    — interval + optional point-set tests). Their bytes are never
     *    read, rewritten, or moved; they keep their pending delete refs
     *    and their original paths/mtimes. A part all of whose files
     *    survive keeps its ORIGINAL token (no state churn).
@@ -744,39 +745,72 @@ object PartitionSnapshots {
     * linger until compaction folds the dir's last survivors — the same
     * space-vs-write-amplification trade Iceberg makes, reclaimed by the
     * ordinary [[compact]] cadence. */
-  private[graft] def planFileScoped(
-      spark: SparkSession, table: String, base: Map[String, String],
-      touchedRels: Set[String], keyCol: String, lo: Double, hi: Double,
-      schema: Option[org.apache.spark.sql.types.StructType],
-      keyPoints: Option[Array[Double]] = None)
-      : (Map[String, Seq[(String, Seq[String])]], Option[DataFrame]) = {
-    import org.apache.spark.sql.functions.broadcast
-    // margin-safe disjointness: every bound went through a decimal/double
-    // round-trip (±1 ulp for 64-bit ints beyond 2^53 — xxhash64 surrogate
-    // keys live there), so exclusion demands a full-ulp gap on both
-    // sides; a borderline file is rewritten, never wrongly skipped.
-    // With `keyPoints` (the SOURCE's sorted distinct key values, collected
-    // when their count is bounded) the test sharpens from one global
-    // interval to point containment: a file whose range falls in a GAP
-    // between scattered CDC keys survives — with the interval alone,
-    // updating keys {5, 10⁹} would rewrite every file in between. Margins
-    // are 2 ulp per side (one for each side's rounding).
-    def excluded(st: PartStats): Boolean =
-      st.cols.get(keyCol).exists { case (mn, mx) =>
-        (ParquetStats.numeric(mn), ParquetStats.numeric(mx)) match {
-          case (Some(a), Some(b)) =>
-            val aLo = Math.nextDown(Math.nextDown(a))
-            val bHi = Math.nextUp(Math.nextUp(b))
-            if (bHi < Math.nextDown(lo) || aLo > Math.nextUp(hi)) true
-            else keyPoints.exists { ks =>
-              // no source key falls inside the widened file range
-              val i = java.util.Arrays.binarySearch(ks, aLo)
-              val from = if (i >= 0) i else -(i + 1)
-              from >= ks.length || ks(from) > bHi
-            }
-          case _ => false
+  /** Exclusion tests for [[planFileScoped]]: may a file with the given
+    * recorded bounds for the key column be PROVEN free of source keys?
+    * Both are margin-safe — a borderline or unparseable bound means
+    * "rewrite", never "skip".
+    *
+    * [[numericKeyExcluded]]: bounds went through a decimal/double
+    * round-trip (±1 ulp for 64-bit ints beyond 2^53 — xxhash64
+    * surrogate keys live there), so exclusion demands a 2-ulp gap per
+    * side. With `points` (the SOURCE's sorted distinct key values,
+    * collected when bounded) the test sharpens from one global interval
+    * to point containment: a file whose range falls in a GAP between
+    * scattered CDC keys survives — with the interval alone, updating
+    * keys {5, 10⁹} would rewrite every file in between.
+    *
+    * [[stringKeyExcluded]]: string footer stats are exact or WIDENED
+    * (parquet's truncator rounds max up, min down), so they are valid
+    * bounds as-is; comparison must be the unsigned-byte order both
+    * parquet stats and Spark's UTF8String use — restricted to pure
+    * printable-ASCII bounds (sha-256 hex IDs, URLs, slugs — the
+    * reference's entire key surface), where Java's char order IS byte
+    * order and the footer's UTF-8 decode round-trips exactly. Non-ASCII
+    * bounds are never trusted (rewrite). */
+  private[graft] def numericKeyExcluded(keyCol: String, lo: Double,
+      hi: Double, points: Option[Array[Double]])(st: PartStats): Boolean =
+    st.cols.get(keyCol).exists { case (mn, mx) =>
+      (ParquetStats.numeric(mn), ParquetStats.numeric(mx)) match {
+        case (Some(a), Some(b)) =>
+          val aLo = Math.nextDown(Math.nextDown(a))
+          val bHi = Math.nextUp(Math.nextUp(b))
+          if (bHi < Math.nextDown(lo) || aLo > Math.nextUp(hi)) true
+          else points.exists { ks =>
+            // no source key falls inside the widened file range
+            val i = java.util.Arrays.binarySearch(ks, aLo)
+            val from = if (i >= 0) i else -(i + 1)
+            from >= ks.length || ks(from) > bHi
+          }
+        case _ => false
+      }
+    }
+
+  private def asciiPrintable(s: String): Boolean =
+    s.forall(c => c >= 0x20 && c < 0x7f)
+
+  private[graft] def stringKeyExcluded(keyCol: String, lo: String,
+      hi: String, points: Option[Array[String]])(st: PartStats): Boolean =
+    st.cols.get(keyCol).exists { case (mn, mx) =>
+      asciiPrintable(mn) && asciiPrintable(mx) && {
+        if (mx.compareTo(lo) < 0 || mn.compareTo(hi) > 0) true
+        else points.exists { ks =>
+          val i = java.util.Arrays.binarySearch(
+            ks.asInstanceOf[Array[AnyRef]], mn,
+            java.util.Comparator.naturalOrder[String]()
+              .asInstanceOf[java.util.Comparator[AnyRef]])
+          val from = if (i >= 0) i else -(i + 1)
+          from >= ks.length || ks(from).compareTo(mx) > 0
         }
       }
+    }
+
+  private[graft] def planFileScoped(
+      spark: SparkSession, table: String, base: Map[String, String],
+      touchedRels: Set[String],
+      excluded: PartStats => Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : (Map[String, Seq[(String, Seq[String])]], Option[DataFrame]) = {
+    import org.apache.spark.sql.functions.broadcast
     val survivors = Map.newBuilder[String, Seq[(String, Seq[String])]]
     // (delete refs, rel's own partition layout) → paths: one read per
     // layout, so an evolved table's old- and new-spec files never mix

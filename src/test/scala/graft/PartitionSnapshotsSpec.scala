@@ -1527,6 +1527,39 @@ class PartitionSnapshotsSpec extends SparkSpec {
     got(150) shouldBe 1500
   }
 
+  test("file-scoped MERGE prunes on STRING keys (sha-style ids)") {
+    val path = tmpDir("pfsstr") + "/t"
+    // string surrogate ids — the reference's key scheme (sha-256 hex)
+    val seed = (1 to 300)
+      .map(i => (f"id$i%05d", "p1", i)).toDF("k", "part", "v")
+      .repartitionByRange(3, $"k")
+    Upsert.upsert(spark, path, seed, Seq("k"), partitionCols = Seq("part"),
+      partitionManifests = true)
+    // one key in the FIRST lexicographic slice: the other two files'
+    // string bounds provably exclude it and must survive by token
+    Upsert.upsert(spark, path,
+      Seq(("id00005", "p1", -5)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    val parts = PartitionSnapshots.rootManifest(spark, path)
+      .get("part=p1").split("&").toSeq
+    parts.count(_.startsWith("v00000001/")) shouldBe 2
+    val got = Upsert.read(spark, path).select("k", "v").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    got.size shouldBe 300
+    got("id00005") shouldBe -5
+    got("id00300") shouldBe 300
+    // a NON-ASCII source key disables string pruning (byte-vs-char
+    // order risk) — whole-partition fallback, still exact
+    Upsert.upsert(spark, path,
+      Seq(("idééx", "p1", 999)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    val after = Upsert.read(spark, path).select("k", "v").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    after.size shouldBe 301
+    after("idééx") shouldBe 999
+    after("id00005") shouldBe -5
+  }
+
   test("file-scoped survivors protect their version dirs from retention") {
     val path = tmpDir("pfsretain") + "/t"
     val seed = (1 to 300).map(i => (i, "p1", i)).toDF("k", "part", "v")
