@@ -3013,6 +3013,38 @@ object Queries {
     rows.toDF("name", "n_rows")
   }
 
+  /** FILE-SCOPED MERGE ON A STRING KEY (q183's mechanism over the
+    * reference's actual key scheme — unique string surrogate IDs):
+    * the seed fast-appends four files per partition range-disjoint in
+    * `c_name`, and a keyed MERGE of a narrow NAME band rewrites only
+    * the files whose string footer bounds intersect it — parquet
+    * string stats are exact-or-widened, and pure-ASCII bounds compare
+    * byte-identically in the engine, the footer, and the oracle. The
+    * builder REQUIRES survivor tokens (a silent whole-partition
+    * fallback fails the query); the oracle replays the merge over the
+    * immutable source. */
+  def q187StringKeyMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = stagedOnce("pfsname", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 600)
+        .select(col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .repartitionByRange(4, col("c_name"))
+      Upsert.append(s, s"$base/t", seed, Seq("c_mktsegment"))
+    } + "/t"
+    val delta = t(s, dir, "customer")
+      .where(col("c_custkey").between(50, 70))
+      .select(col("c_name"),
+        (col("c_acctbal") + lit(100.0)).as("c_acctbal"), col("c_mktsegment"))
+    Upsert.upsert(s, path, delta, Seq("c_name"),
+      partitionCols = Seq("c_mktsegment"))
+    val state = graft.sources.PartitionSnapshots.rootManifest(s, path).get
+    require(state.values.exists(_.contains("/")),
+      "q187: string-keyed file-scoped MERGE left no survivor tokens — " +
+        "whole-partition fallback engaged unexpectedly")
+    Upsert.read(s, path)
+      .select(col("c_name").cast("string").as("c_name"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -3852,6 +3884,18 @@ object Queries {
     "q182_branch_publish" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q187: q183's replay over the string key — file granularity and
+    // the pruning key's type never change the answer
+    "q187_string_key_merge" ->
+      """WITH base AS (SELECT c_name, c_acctbal, c_mktsegment
+        |              FROM customer WHERE c_custkey <= 600),
+        |src AS (SELECT c_name, c_acctbal + 100.0 AS c_acctbal,
+        |               c_mktsegment
+        |        FROM customer WHERE c_custkey BETWEEN 50 AND 70)
+        |SELECT c_name, c_acctbal, c_mktsegment FROM src
+        |UNION ALL
+        |SELECT c_name, c_acctbal, c_mktsegment FROM base
+        |WHERE c_name NOT IN (SELECT c_name FROM src)""".stripMargin,
     // q186: the quadratic levenshtein truth AND the deletion-variant /
     // hot-bucket pipeline both replayed in SQL — recall inside the
     // planted hot family is exactly 0, outside exactly 1
@@ -6248,6 +6292,7 @@ object Queries {
     "q183_file_scoped_merge" -> (q183FileScopedMerge _),
     "q184_spec_evolution" -> (q184SpecEvolution _),
     "q185_catalog_manifest" -> (q185CatalogManifest _),
-    "q186_fuzzy_recall" -> (q186FuzzyRecall _)
+    "q186_fuzzy_recall" -> (q186FuzzyRecall _),
+    "q187_string_key_merge" -> (q187StringKeyMerge _)
   )
 }
