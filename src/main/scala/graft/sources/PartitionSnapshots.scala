@@ -134,6 +134,45 @@ object PartitionSnapshots {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Bounded worker pool for PER-PARTITION commit FS ops (Iceberg's
+    * worker-pool knob): slot seals, pointer swaps, retention, sidecar
+    * harvests are independent per partition and latency-bound — at
+    * 30 000 touched partitions the serial loop IS the commit time. The
+    * ROOT manifest publish stays the single serial commit point. */
+  private[graft] val CommitParallelism = 16
+
+  /** Map `f` over `items` on a bounded fresh pool; exceptions propagate
+    * (first failure wins, remaining work is abandoned). Order of the
+    * RESULT matches `items` — callers can zip. Short inputs run inline. */
+  private[graft] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.lengthCompare(2) < 0) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(CommitParallelism, items.size))
+      try {
+        val futs = items.map(a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(a)
+          }))
+        futs.map(fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          })
+      } finally pool.shutdownNow()
+    }
+
+  /** [[inParallel]] for side-effecting per-partition ops whose RELS may
+    * NEST (a retired-spec dir parenting new-spec dirs after partition-
+    * spec evolution): groups by depth and runs DEEPEST groups first, so
+    * a parent's rename can never swallow a child's — the parallel form
+    * of the deepest-first rule the serial loops follow. */
+  private[graft] def forAllParallel[A](items: Seq[(String, A)])
+                                      (f: ((String, A)) => Unit): Unit =
+    items.groupBy(_._1.count(_ == '/')).toSeq.sortBy(-_._1)
+      .foreach { case (_, g) => inParallel(g)(f) }
+
   /** True when `table` uses per-partition manifests (the marker file
     * exists) — the discriminator Upsert's read/commit paths route on. */
   def isManifested(spark: SparkSession, table: String): Boolean =
@@ -811,45 +850,54 @@ object PartitionSnapshots {
       schema: Option[org.apache.spark.sql.types.StructType])
       : (Map[String, Seq[(String, Seq[String])]], Option[DataFrame]) = {
     import org.apache.spark.sql.functions.broadcast
-    val survivors = Map.newBuilder[String, Seq[(String, Seq[String])]]
-    // (delete refs, rel's own partition layout) → paths: one read per
-    // layout, so an evolved table's old- and new-spec files never mix
-    // in a single partition-discovery pass
-    val rewrite = Seq.newBuilder[((Seq[String], Seq[String]), String)]
-    touchedRels.toSeq.sorted.foreach { rel =>
-      base.get(rel).foreach { state =>
-        val keep = Seq.newBuilder[(String, Seq[String])]
-        parseParts(state).foreach { case (b, dels) =>
-          if (b == Empty) () // no data to keep or read
-          else if (b == Flat)
-            stateDataPath(table, rel, b).foreach(p =>
-              rewrite += (((dels, relCols(rel)), p)))
-          else if (b.contains('/')) {
-            // already file-scoped: survives whole or rewrites whole
-            val p = s"$table/$rel/$VersionsDir/$b"
-            val dir = p.substring(0, p.lastIndexOf('/'))
-            val name = p.substring(p.lastIndexOf('/') + 1)
-            if (fileStats(spark, dir).toMap.get(name).exists(excluded))
-              keep += ((b, dels))
-            else rewrite += (((dels, relCols(rel)), p))
-          } else {
-            val dir = s"$table/$rel/$VersionsDir/$b"
-            val perFile = fileStats(spark, dir)
-            val (live, dead) = perFile.partition(f => excluded(f._2))
-            if (dead.isEmpty && perFile.nonEmpty)
-              keep += ((b, dels)) // the whole part survives, token unchanged
-            else {
-              live.foreach { case (name, _) => keep += ((s"$b/$name", dels)) }
-              dead.foreach { case (name, _) =>
-                rewrite += (((dels, relCols(rel)), s"$dir/$name")) }
+    // per-rel selection fans out on the bounded pool — the planning
+    // cost of a 1000-partition MERGE is sidecar-read latency, which is
+    // per-partition independent. Rewrite groups carry (delete refs,
+    // rel's own partition layout): one read per layout, so an evolved
+    // table's old- and new-spec files never mix in a single
+    // partition-discovery pass.
+    val perRel: Seq[(String, Seq[(String, Seq[String])],
+                     Seq[((Seq[String], Seq[String]), String)])] =
+      inParallel(touchedRels.toSeq.sorted) { rel =>
+        base.get(rel) match {
+          case None => (rel, Nil, Nil)
+          case Some(state) =>
+            val keep = Seq.newBuilder[(String, Seq[String])]
+            val rewrite = Seq.newBuilder[((Seq[String], Seq[String]), String)]
+            parseParts(state).foreach { case (b, dels) =>
+              if (b == Empty) () // no data to keep or read
+              else if (b == Flat)
+                stateDataPath(table, rel, b).foreach(p =>
+                  rewrite += (((dels, relCols(rel)), p)))
+              else if (b.contains('/')) {
+                // already file-scoped: survives whole or rewrites whole
+                val p = s"$table/$rel/$VersionsDir/$b"
+                val dir = p.substring(0, p.lastIndexOf('/'))
+                val name = p.substring(p.lastIndexOf('/') + 1)
+                if (fileStats(spark, dir).toMap.get(name).exists(excluded))
+                  keep += ((b, dels))
+                else rewrite += (((dels, relCols(rel)), p))
+              } else {
+                val dir = s"$table/$rel/$VersionsDir/$b"
+                val perFile = fileStats(spark, dir)
+                val (live, dead) = perFile.partition(f => excluded(f._2))
+                if (dead.isEmpty && perFile.nonEmpty)
+                  keep += ((b, dels)) // whole part survives, token unchanged
+                else {
+                  live.foreach { case (name, _) =>
+                    keep += ((s"$b/$name", dels)) }
+                  dead.foreach { case (name, _) =>
+                    rewrite += (((dels, relCols(rel)), s"$dir/$name")) }
+                }
+              }
             }
-          }
+            (rel, keep.result(), rewrite.result())
         }
-        val k = keep.result()
-        if (k.nonEmpty) survivors += rel -> k
       }
-    }
-    val groups = rewrite.result().groupBy(_._1).toSeq.sortBy(_._1.toString)
+    val survivors =
+      perRel.collect { case (rel, k, _) if k.nonEmpty => rel -> k }.toMap
+    val groups = perRel.flatMap(_._3).groupBy(_._1).toSeq
+      .sortBy(_._1.toString)
     lazy val promoted = promotedSpecCols(spark, table)
     val df =
       if (groups.isEmpty) None
@@ -867,7 +915,7 @@ object PartitionSnapshots {
           d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
         }
       }.reduce(_ unionByName _))
-    (survivors.result(), df)
+    (survivors, df)
   }
 
   /** The union schema pinned in root version `rv`'s slot (written by
@@ -1191,12 +1239,15 @@ object PartitionSnapshots {
     // parts keeps exactly the survivors — no EMPTY slot is sealed for it
     val (blankedKeep, blankedEmpty) = blanked.partition(kept(_).nonEmpty)
     blankedEmpty.foreach(rel => f.mkdirs(new Path(s"$stagingRoot/$rel")))
-    // seal DEEPEST rels first: a retired-spec staged dir can parent a
-    // new-spec staged dir, and a parent rename would swallow the child
+    // seal on the bounded pool, DEEPEST depth groups first: a retired-
+    // spec staged dir can parent a new-spec staged dir, and a parent
+    // rename must never swallow a child (per-depth waves keep the rule)
     val sealedSlots = (staged ++ blankedEmpty)
-      .sortBy(rel => -rel.count(_ == '/')).map { rel =>
-      rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
-    }
+      .groupBy(_.count(_ == '/')).toSeq.sortBy(-_._1)
+      .flatMap { case (_, g) =>
+        inParallel(g)(rel =>
+          rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel")))
+      }
     // a partition's new state: its SURVIVING parts (file-scoped MERGE —
     // untouched files of prior versions, kept by token with their
     // pending delete refs) plus the freshly sealed part. A staged rel
@@ -1219,7 +1270,7 @@ object PartitionSnapshots {
     // footer harvest of the sealed slots (touched partitions only, zero
     // Spark jobs) — the manifest's record_count / bounds fields, plus
     // the per-file sidecar ([[writeFileStats]], the file-level manifest)
-    val sealedStats = sealedSlots.map { case (rel, v) =>
+    val sealedStats = inParallel(sealedSlots) { case (rel, v) =>
       val st =
         if (blankedEmpty.contains(rel)) PartStats(0L, Map.empty)
         else {
@@ -1235,10 +1286,11 @@ object PartitionSnapshots {
     // sidecars (one metadata read per dir); rows stay exact — a pending
     // delete ref on a survivor part makes rowCount decline honestly
     val sidecarCache =
-      scala.collection.mutable.Map.empty[String, Map[String, PartStats]]
+      new java.util.concurrent.ConcurrentHashMap[String, Map[String, PartStats]]()
     def dirFileStats(dir: String): Map[String, PartStats] =
-      sidecarCache.getOrElseUpdate(dir, fileStats(spark, dir).toMap)
-    val touchedStats = (sealedStats.keySet ++ blankedKeep).flatMap { rel =>
+      sidecarCache.computeIfAbsent(dir, d => fileStats(spark, d).toMap)
+    val touchedStats = inParallel(
+      (sealedStats.keySet ++ blankedKeep).toSeq.sorted) { rel =>
       // all-or-nothing: one unknowable surviving part makes the whole
       // partition's stats absent ("cannot prune"), never an undercount
       val carried = if (blankedEmpty.contains(rel)) Nil else priorOf(rel)
@@ -1257,17 +1309,20 @@ object PartitionSnapshots {
         Some(rel -> encodeStats(all.reduceOption(mergeStats)
           .getOrElse(PartStats(0L, Map.empty))))
       }
-    }.toMap
+    }.flatten.toMap
     publishRoot(spark, table, base ++ touched, touched, retain, schema,
       touchedStats, branch = branch) // commit point
     if (branch.isEmpty) {
       // branch commits never move partition pointers or run data
-      // retention — main readers and their pinned states are untouched
-      sealedSlots.foreach { case (rel, v) =>
+      // retention — main readers and their pinned states are untouched.
+      // Pointer-cache swaps and retention are per-partition independent:
+      // fan out on the bounded pool (the root publish above was the
+      // single serial commit point)
+      inParallel(sealedSlots) { case (rel, v) =>
         Snapshots.publish(spark, s"$table/$rel", v)
       }
       val prot = referencedVersions(spark, table)
-      sealedSlots.foreach { case (rel, _) =>
+      inParallel(sealedSlots) { case (rel, _) =>
         finishPartitionCommit(spark, table, rel, retain, prot)
       }
     }
@@ -1318,17 +1373,20 @@ object PartitionSnapshots {
           case (rel, (_, Some(s))) => rel -> s
         }.toMap
       }.getOrElse(Map.empty[String, String])
-    // deepest first: a parent rename must never swallow a nested staged rel
-    val sealedSlots = staged.sortBy(rel => -rel.count(_ == '/')).map { rel =>
-      rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel"))
-    }
+    // seal on the bounded pool, deepest depth groups first: a parent
+    // rename must never swallow a nested staged rel
+    val sealedSlots = staged.groupBy(_.count(_ == '/')).toSeq.sortBy(-_._1)
+      .flatMap { case (_, g) =>
+        inParallel(g)(rel =>
+          rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel")))
+      }
     val touched = sealedSlots.map { case (rel, v) =>
       val newPart = (f"v$v%08d", Seq.empty[String])
       val prior = base.get(rel).map(parseParts).getOrElse(Nil)
         .filterNot(_._1 == Empty)
       rel -> fmtParts(prior :+ newPart)
     }.toMap
-    val touchedStats = sealedSlots.flatMap { case (rel, v) =>
+    val touchedStats = inParallel(sealedSlots) { case (rel, v) =>
       val dir = Snapshots.versionPath(s"$table/$rel", v)
       val perFile = ParquetStats.harvestPerFile(spark, dir)
       writeFileStats(spark, dir, perFile) // file-level manifest sidecar
@@ -1341,15 +1399,15 @@ object PartitionSnapshots {
         // widen bounds monotonically; rows add
         rel -> encodeStats(mergeStats(p, fresh))
       } // prior stats unknown → leave the union's stats unknown
-    }.toMap
+    }.flatten.toMap
     publishRoot(spark, table, base ++ touched, touched, retain, schema,
       touchedStats, props, branch) // commit point
     if (branch.isEmpty) {
-      sealedSlots.foreach { case (rel, v) =>
+      inParallel(sealedSlots) { case (rel, v) =>
         Snapshots.publish(spark, s"$table/$rel", v)
       }
       val prot = referencedVersions(spark, table)
-      sealedSlots.foreach { case (rel, _) =>
+      inParallel(sealedSlots) { case (rel, _) =>
         finishPartitionCommit(spark, table, rel, retain, prot)
       }
     }
@@ -1443,12 +1501,18 @@ object PartitionSnapshots {
     var claimed = List.empty[(String, Long)]
     val entries =
       try {
-        // deepest first: a parent claim-rename must never swallow a
-        // nested staged rel (retired-spec dirs parent new-spec dirs)
-        (staged ++ blanked).sortBy(rel => -rel.count(_ == '/')).foreach { rel =>
-          claimed = (rel -> claimSlot(spark, s"$table/$rel",
-            new Path(s"$stagingRoot/$rel"))) :: claimed
-        }
+        // claim on the bounded pool, deepest depth groups first: a
+        // parent claim-rename must never swallow a nested staged rel
+        // (retired-spec dirs parent new-spec dirs). A mid-wave failure
+        // may leave claimed slots this list never saw — they carry the
+        // WAP marker and are reaped cold on the partition's next claim,
+        // the same crashed-auditor discipline as ever.
+        (staged ++ blanked).groupBy(_.count(_ == '/')).toSeq.sortBy(-_._1)
+          .foreach { case (_, g) =>
+            claimed = inParallel(g)(rel =>
+              rel -> claimSlot(spark, s"$table/$rel",
+                new Path(s"$stagingRoot/$rel"))).toList ::: claimed
+          }
         val cm = claimed.toMap
         // same migration rule as commitStaged: a staged rel outside the
         // caller's touched set was never read — its prior parts survive
@@ -1491,12 +1555,12 @@ object PartitionSnapshots {
       }
     // seal: drop the marker, then _SUCCESS — from here the slots are
     // ordinary committed versions and the ordering mirrors commitStaged
-    claimed.foreach { case (rel, v) =>
+    inParallel(claimed) { case (rel, v) =>
       val slot = new Path(Snapshots.versionPath(s"$table/$rel", v))
       f.delete(new Path(slot, WapMarker), false)
       f.create(new Path(slot, "_SUCCESS"), true).close()
     }
-    val auditedStats = claimed.flatMap { case (rel, v) =>
+    val auditedStats = inParallel(claimed) { case (rel, v) =>
       if (blanked.contains(rel))
         Some(rel -> encodeStats(PartStats(0L, Map.empty)))
       else {
@@ -1518,16 +1582,16 @@ object PartitionSnapshots {
         else Some(rel ->
           encodeStats((prior.flatten :+ fresh).reduce(mergeStats)))
       }
-    }.toMap
+    }.flatten.toMap
     publishRoot(spark, table, entries,
       claimed.toMap.map { case (rel, v) =>
         rel -> (if (blanked.contains(rel)) Empty else entries(rel))
       }, retain, schema, auditedStats) // commit point
-    claimed.foreach { case (rel, v) =>
+    inParallel(claimed) { case (rel, v) =>
       Snapshots.publish(spark, s"$table/$rel", v)
     }
     val prot = referencedVersions(spark, table)
-    claimed.foreach { case (rel, _) =>
+    inParallel(claimed) { case (rel, _) =>
       finishPartitionCommit(spark, table, rel, retain, prot)
     }
   }
@@ -2137,8 +2201,8 @@ object PartitionSnapshots {
         // reap by MANIFEST keys ∪ directory walk: a spec-evolved table's
         // retired-layout rels hold their data under _versions while the
         // same dir parents new-spec subdirs — the walk alone skips them
-        (partitionDirs(spark, table, cols.size) ++ acc.keys)
-          .distinct.foreach { rel =>
+        inParallel((partitionDirs(spark, table, cols.size) ++ acc.keys)
+          .distinct) { rel =>
             Snapshots.vacuum(spark, s"$table/$rel",
               keep = math.max(1, retainVersions),
               extraKeep = acc.getOrElse(rel, Set.empty))
@@ -2213,7 +2277,7 @@ object PartitionSnapshots {
         .getOrElse(scanStates(spark, table, cols))
       // per rel: (read sides as (paths, deleteRefs), surviving parts,
       // files before, bytes to rewrite)
-      val todo = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
+      val todo = inParallel(entries.toSeq.sortBy(_._1)) { case (rel, state) =>
         val parts = parseParts(state).flatMap { case (base, dels) =>
           stateDataPath(table, rel, base).map(d => (base, d, dels))
         }
@@ -2275,7 +2339,7 @@ object PartitionSnapshots {
               files.length, rbytes))
           }
         }
-      }
+      }.flatten
       if (todo.isEmpty) return Map.empty
       val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
       todo.foreach { case (rel, sidesIn, _, _, bytes) =>
