@@ -52,26 +52,35 @@ object Bench {
     // in DATA volumes round-over-round, not just in plan shape
     val metrics = new graft.metrics.MetricsRegistry(spark)
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { r =>
-        val t0 = System.nanoTime()
-        try {
-          metrics.timed("bench", s"$name/run$r") { materialize(fn(spark, sfDir)) }
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            failures.getOrElseUpdate(name,
-              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-            None
-        } finally {
-          // outside the timed window: state release is harness hygiene,
-          // not query cost
-          releaseState(spark)
-        }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // INTERLEAVED passes: run the WHOLE suite once per pass and keep each
+    // query's per-pass minimum. Back-to-back repeats of one query share
+    // the same few-second noise window, so a transient host stall (GC,
+    // co-tenant, page-cache churn) poisons both samples and shows up as
+    // a contiguous riser block in the report (rounds 8–10 each burned an
+    // adjudication on exactly that signature). Separating a query's two
+    // samples by a full suite pass (~minutes) makes the min noise-robust
+    // while measuring the same steady-state compute.
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (r <- 1 to runs; (name, fn) <- named) {
+      val t0 = System.nanoTime()
+      try {
+        metrics.timed("bench", s"$name/run$r") { materialize(fn(spark, sfDir)) }
+        val t = (System.nanoTime() - t0) / 1e9
+        best(name) = best.get(name).filter(_ >= 0).fold(t)(math.min(_, t))
+      } catch {
+        case e: Throwable =>
+          failures.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          // a failed query reports -1 unless another pass succeeded
+          if (!best.contains(name)) best(name) = -1.0
+      } finally {
+        // outside the timed window: state release is harness hygiene,
+        // not query cost
+        releaseState(spark)
       }
-      // a failed query reports -1, never a (fast) failure time
-      name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    val results = named.map { case (name, _) => name -> best(name) }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }

@@ -96,15 +96,34 @@ object FlatView {
     import org.apache.hadoop.fs.Path
     val cur = PartitionSnapshots.currentRootVersion(spark, table)
       .getOrElse(return Nil)
-    val stateFile = new Path(mirrorPath, "_mirror_version")
-    val fs = stateFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the mirrored version lives as VERSIONED marker files
+    // `_mirror_version-<v>` (value in the NAME; create is atomic, read
+    // is max-over-markers) — the changelog base-floor pattern. A crash
+    // mid-publish leaves old marker, new marker, or both, never a torn
+    // content file; anything unparseable (incl. the legacy
+    // content-bearing `_mirror_version`) degrades to a full refresh,
+    // never a wedge.
+    val VerPrefix = "_mirror_version"
+    val mirrorRoot = new Path(mirrorPath)
+    val fs = mirrorRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacyFile = new Path(mirrorRoot, VerPrefix)
     val last: Long =
-      if (!fs.exists(stateFile)) 0L
+      if (!fs.exists(mirrorRoot)) 0L
       else {
-        val in = fs.open(stateFile)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
+        val vs = fs.listStatus(mirrorRoot).toSeq.map(_.getPath.getName)
+          .flatMap {
+            case VerPrefix =>
+              scala.util.Try {
+                val in = fs.open(legacyFile)
+                try new String(in.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+                finally in.close()
+              }.toOption
+            case n if n.startsWith(VerPrefix + "-") =>
+              n.stripPrefix(VerPrefix + "-").toLongOption
+            case _ => None
+          }
+        if (vs.isEmpty) 0L else vs.max
       }
     if (last == cur) return Nil
     val manifest = PartitionSnapshots.rootManifest(spark, table).get
@@ -119,21 +138,49 @@ object FlatView {
         "different partition specs (spec evolution mid-history) — a " +
         "hive-layout mirror needs one layout; compact/migrate the old-" +
         "spec partitions first or mirror via the changelog stream")
-    val touched: Seq[String] =
-      if (last == 0L) manifest.keys.toSeq.sorted
+    val incremental: Option[Seq[String]] =
+      if (last == 0L) None
       else scala.util.Try(
         PartitionSnapshots.changedPartitions(spark, table, last, cur))
-        .getOrElse(manifest.keys.toSeq.sorted) // base expired → full refresh
+        .toOption // base expired → full refresh
+    // FULL refresh must also reconcile DELETIONS: a partition dropped
+    // from the table since the last mirrored version (or a stale dir in
+    // a pre-populated mirror) has no manifest entry, so the touched
+    // list alone would never delete its mirror dir and foreign readers
+    // would keep seeing deleted rows. Enumerate the mirror's existing
+    // k=v rels at the layout's depth and remove the orphans.
+    val stale: Seq[String] = if (incremental.isDefined) Nil else {
+      val depth = layouts.headOption.map(_.size).getOrElse(1)
+      def walk(p: Path, d: Int): Seq[String] =
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap { st =>
+            if (d == 1) Seq(st.getPath.getName)
+            else walk(st.getPath, d - 1).map(st.getPath.getName + "/" + _)
+          }
+      walk(mirrorRoot, depth).filterNot(manifest.contains).sorted
+    }
+    stale.foreach(rel => fs.delete(new Path(s"$mirrorPath/$rel"), true))
+    val touched: Seq[String] =
+      incremental.getOrElse(manifest.keys.toSeq.sorted)
     touched.foreach { rel =>
       PartitionSnapshots.readPartitions(spark, table, Set(rel)) match {
         case Some(df) => FsUtils.writeDirAtomic(spark, df, s"$mirrorPath/$rel")
         case None => fs.delete(new Path(s"$mirrorPath/$rel"), true)
       }
     }
-    val out = fs.create(stateFile, true)
-    try out.write(cur.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    touched
+    fs.mkdirs(mirrorRoot)
+    fs.create(new Path(mirrorRoot, s"$VerPrefix-$cur"), true).close()
+    // prune superseded markers + the legacy content file (best-effort:
+    // reads take the max, a crash mid-prune only leaves redundant files)
+    fs.listStatus(mirrorRoot).foreach { st =>
+      val n = st.getPath.getName
+      val superseded = n == VerPrefix || (n.startsWith(VerPrefix + "-") &&
+        n.stripPrefix(VerPrefix + "-").toLongOption.exists(_ < cur))
+      if (superseded) fs.delete(st.getPath, false)
+    }
+    stale ++ touched
   }
 
   def export(df: DataFrame, path: String, partitionFromTs: Option[String] = None,

@@ -141,37 +141,66 @@ object PartitionSnapshots {
     * ROOT manifest publish stays the single serial commit point. */
   private[graft] val CommitParallelism = 16
 
-  /** Map `f` over `items` on a bounded fresh pool; exceptions propagate
-    * (first failure wins, remaining work is abandoned). Order of the
-    * RESULT matches `items` — callers can zip. Short inputs run inline. */
+  /** Below this many items the pool's handoff latency exceeds the work
+    * saved on local-FS metadata ops — run inline. (Commit paths fire
+    * several inParallel waves per commit; at toy partition counts the
+    * pool was pure fixed overhead per the round-10 bench.) */
+  private val InlineBelow = 8
+
+  private val commitPoolThreadPrefix = "graft-commit-"
+
+  /** ONE shared daemon pool for all commit-path FS fan-out, created
+    * lazily on first ≥[[InlineBelow]]-item wave and never shut down —
+    * per-call pool construction was measurable fixed overhead on every
+    * small commit (round-10 q177/q178 risers). Daemon threads so JVM
+    * exit is never held up. */
+  private lazy val commitPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      CommitParallelism,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, commitPoolThreadPrefix + n.incrementAndGet())
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** Map `f` over `items` on the shared bounded pool; exceptions
+    * propagate (first failure wins, remaining queued work is cancelled).
+    * Order of the RESULT matches `items` — callers can zip. Short inputs
+    * run inline, as does any call already ON a pool thread (a nested
+    * fan-out on a bounded shared pool would deadlock at saturation). */
   private[graft] def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
-    if (items.lengthCompare(2) < 0) items.map(f)
+    if (items.lengthCompare(InlineBelow) < 0 ||
+        Thread.currentThread().getName.startsWith(commitPoolThreadPrefix))
+      items.map(f)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(CommitParallelism, items.size))
-      try {
-        val futs = items.map(a =>
-          pool.submit(new java.util.concurrent.Callable[B] {
-            def call(): B = f(a)
-          }))
-        futs.map(fut =>
+      val futs = items.map(a =>
+        commitPool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(a)
+        }))
+      var err: Throwable = null
+      val out = futs.map { fut =>
+        if (err != null) { fut.cancel(true); null.asInstanceOf[B] }
+        else
           try fut.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
-          })
-      } finally pool.shutdownNow()
+              err = e.getCause; null.asInstanceOf[B]
+          }
+      }
+      if (err != null) throw err
+      out
     }
 
-  /** [[inParallel]] for side-effecting per-partition ops whose RELS may
-    * NEST (a retired-spec dir parenting new-spec dirs after partition-
-    * spec evolution): groups by depth and runs DEEPEST groups first, so
-    * a parent's rename can never swallow a child's — the parallel form
-    * of the deepest-first rule the serial loops follow. */
-  private[graft] def forAllParallel[A](items: Seq[(String, A)])
-                                      (f: ((String, A)) => Unit): Unit =
-    items.groupBy(_._1.count(_ == '/')).toSeq.sortBy(-_._1)
-      .foreach { case (_, g) => inParallel(g)(f) }
+  /** The ONE copy of the deepest-first rule for per-partition ops whose
+    * RELS may NEST (a retired-spec dir parenting new-spec dirs after
+    * partition-spec evolution): rels grouped by path depth, DEEPEST
+    * group first, so a parent's rename can never swallow a child's.
+    * Run each wave with [[inParallel]]. */
+  private[graft] def depthWaves(rels: Seq[String]): Seq[Seq[String]] =
+    rels.groupBy(_.count(_ == '/')).toSeq.sortBy(-_._1).map(_._2)
 
   /** True when `table` uses per-partition manifests (the marker file
     * exists) — the discriminator Upsert's read/commit paths route on. */
@@ -1242,9 +1271,8 @@ object PartitionSnapshots {
     // seal on the bounded pool, DEEPEST depth groups first: a retired-
     // spec staged dir can parent a new-spec staged dir, and a parent
     // rename must never swallow a child (per-depth waves keep the rule)
-    val sealedSlots = (staged ++ blankedEmpty)
-      .groupBy(_.count(_ == '/')).toSeq.sortBy(-_._1)
-      .flatMap { case (_, g) =>
+    val sealedSlots = depthWaves((staged ++ blankedEmpty).toSeq)
+      .flatMap { g =>
         inParallel(g)(rel =>
           rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel")))
       }
@@ -1375,8 +1403,8 @@ object PartitionSnapshots {
       }.getOrElse(Map.empty[String, String])
     // seal on the bounded pool, deepest depth groups first: a parent
     // rename must never swallow a nested staged rel
-    val sealedSlots = staged.groupBy(_.count(_ == '/')).toSeq.sortBy(-_._1)
-      .flatMap { case (_, g) =>
+    val sealedSlots = depthWaves(staged)
+      .flatMap { g =>
         inParallel(g)(rel =>
           rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel")))
       }
@@ -1507,8 +1535,8 @@ object PartitionSnapshots {
         // may leave claimed slots this list never saw — they carry the
         // WAP marker and are reaped cold on the partition's next claim,
         // the same crashed-auditor discipline as ever.
-        (staged ++ blanked).groupBy(_.count(_ == '/')).toSeq.sortBy(-_._1)
-          .foreach { case (_, g) =>
+        depthWaves((staged ++ blanked).toSeq)
+          .foreach { g =>
             claimed = inParallel(g)(rel =>
               rel -> claimSlot(spark, s"$table/$rel",
                 new Path(s"$stagingRoot/$rel"))).toList ::: claimed
