@@ -2978,8 +2978,14 @@ object Queries {
       Upsert.upsert(s, s"$wh/cust", delta, Seq("c_custkey"),
         partitionCols = Seq("c_mktsegment"))
       new graft.sources.Catalog(s, wh).writeCatalogManifest()
-      // atomic claim; a lost race just means another session staged it
-      new java.io.File(wh).renameTo(new java.io.File(Q185Wh))
+      // atomic claim; a lost race just means another session staged it —
+      // but any OTHER rename failure (missing parent, permissions) must
+      // surface here, not later as an unrelated 'no catalog manifest'
+      val claimed = new java.io.File(wh).renameTo(new java.io.File(Q185Wh))
+      if (!claimed && !new java.io.File(Q185Wh).isDirectory)
+        throw new IllegalStateException(
+          s"q185: could not publish staged warehouse $wh -> $Q185Wh " +
+            "and no winner exists — check parent dir and permissions")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
     }
     Q185Wh
@@ -3042,6 +3048,46 @@ object Queries {
         "whole-partition fallback engaged unexpectedly")
     Upsert.read(s, path)
       .select(col("c_name").cast("string").as("c_name"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
+  /** SQL `MERGE INTO` STATEMENT SURFACE ([[graft.sources.Catalog.sql]]
+    * routing a parsed
+    * [[org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable]] to
+    * [[graft.operators.Upsert.upsert]]): the reference phrases EVERY
+    * write as MERGE text — `MERGE INTO t USING global_temp.v s ON
+    * t.K = s.K WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    * INSERT *` (gcs_bronze_to_silver.py:469-476, 12 more in
+    * gcs_silver_to_gold.py:329-541) — so a user porting those jobs
+    * verbatim hits this entry point on day one. The statement here is
+    * the reference's own shape (modulo table names): the target is a
+    * MANIFESTED partitioned table, the USING side a global temp view,
+    * and the routed merge lands through the manifested commit path
+    * (partition manifests + per-file sidecars), exactly as the API
+    * call would. The oracle replays MERGE semantics over the immutable
+    * source. Re-running the same statement is idempotent — same
+    * source, same keys, same document-replace result. */
+  def q188MergeSql(s: SparkSession, dir: String): DataFrame = {
+    val wh = stagedOnce("pmsql", dir) { base =>
+      val cust = t(s, dir, "customer").where(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/articles", cust, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+    }
+    t(s, dir, "customer")
+      .where(col("c_custkey").between(100, 150) ||
+        col("c_custkey").between(501, 550))
+      .select(col("c_custkey"),
+        (col("c_acctbal") + lit(200.0)).as("c_acctbal"), col("c_mktsegment"))
+      .createOrReplaceGlobalTempView("graft_q188_delta")
+    val cat = new graft.sources.Catalog(s, wh)
+    cat.sql(
+      """MERGE INTO articles t
+        |USING global_temp.graft_q188_delta s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .select(col("c_custkey"), col("c_acctbal"),
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
@@ -4019,6 +4065,17 @@ object Queries {
         |FROM ins""".stripMargin,
     // q183: full-partition MERGE semantics replayed over the immutable
     // source — file-level rewrite granularity never changes the answer
+    "q188_merge_sql" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment
+        |              FROM customer WHERE c_custkey <= 500),
+        |src AS (SELECT c_custkey, c_acctbal + 200.0 AS c_acctbal,
+        |               c_mktsegment
+        |        FROM customer WHERE c_custkey BETWEEN 100 AND 150
+        |           OR c_custkey BETWEEN 501 AND 550)
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM src
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM base
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
     "q183_file_scoped_merge" ->
       """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment
         |              FROM customer WHERE c_custkey <= 600),
@@ -6293,6 +6350,7 @@ object Queries {
     "q184_spec_evolution" -> (q184SpecEvolution _),
     "q185_catalog_manifest" -> (q185CatalogManifest _),
     "q186_fuzzy_recall" -> (q186FuzzyRecall _),
-    "q187_string_key_merge" -> (q187StringKeyMerge _)
+    "q187_string_key_merge" -> (q187StringKeyMerge _),
+    "q188_merge_sql" -> (q188MergeSql _)
   )
 }

@@ -96,10 +96,103 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   /** Run a SQL query with all warehouse tables visible by name. Re-reads
     * the warehouse listing each call so tables created since the last call
     * resolve too (snapshot semantics per query, like the reference's
-    * per-run spark.table reads). */
-  def sql(query: String): DataFrame = {
+    * per-run spark.table reads). MERGE INTO statements (the reference's
+    * entire write surface — gcs_bronze_to_silver.py:469-490,
+    * gcs_silver_to_gold.py:329-541) are intercepted after parsing and
+    * routed to [[graft.operators.Upsert.upsert]], so the manifested /
+    * file-scoped / fast-append commit machinery serves SQL text too. */
+  def sql(query: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(query) match {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        runMergeSql(m)
+      case _ =>
+        registerAll()
+        spark.sql(query)
+    }
+
+  /** Route a parsed `MERGE INTO t USING s ON … WHEN …` to the upsert
+    * commit path. Supported shapes are exactly the reference's two:
+    *
+    *   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    *     → keyed upsert (document-replace; file-scoped rewrite when the
+    *       touched key set allows it)
+    *   WHEN NOT MATCHED THEN INSERT *
+    *     → insert-only merge, which on manifested tables routes through
+    *       the fast-append commit (no existing file rewritten)
+    *
+    * The ON clause must be a conjunction of `t.<col> = s.<col>`
+    * equi-predicates over SAME-NAMED columns (all the reference uses);
+    * anything richer fails loudly rather than silently degrading.
+    * `WITH SCHEMA EVOLUTION` maps to the upsert's additive evolution.
+    * Returns the post-merge table (MERGE in Spark returns no rows; a
+    * readable result is strictly more useful and costs nothing). */
+  private def runMergeSql(
+      m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable)
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, SubqueryAlias, UpdateStarAction}
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    val targetName = strip(m.targetTable) match {
+      // multi-part names (the reference's `bronze.bronze_db.articles`)
+      // resolve by their final segment against THIS warehouse
+      case u: UnresolvedRelation => u.multipartIdentifier.last
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO: target must be a table name, got ${other.nodeName}")
+    }
+    require(tableExists(targetName),
+      s"MERGE INTO: no table '$targetName' in warehouse $warehouse")
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val rawKeys = conjuncts(m.mergeCondition).map {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
+        l.nameParts.last
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO: ON must be a conjunction of t.<col> = s.<col> " +
+          s"equi-predicates on same-named columns; got: ${other.sql}")
+    }
+    val insertOnly = m.matchedActions match {
+      case Seq() => true
+      case Seq(UpdateStarAction(None)) => false
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO: only an unconditional WHEN MATCHED THEN UPDATE SET * " +
+          s"is supported; got: $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => ()
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO: exactly one unconditional WHEN NOT MATCHED THEN " +
+          s"INSERT * is required; got: $other")
+    }
+    require(m.notMatchedBySourceActions.isEmpty,
+      "MERGE INTO: WHEN NOT MATCHED BY SOURCE is not supported")
+    // canonicalize key case against the target's actual schema — Spark
+    // resolution is case-insensitive, the upsert's key columns are not
+    val targetCols = read(targetName).schema.fieldNames
+    val keys = rawKeys.map(k => targetCols.find(_.equalsIgnoreCase(k))
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE INTO: ON column '$k' not in target '$targetName' " +
+          s"(${targetCols.mkString(", ")})")))
+    // the USING side resolves like any SELECT: warehouse tables by name,
+    // plus whatever temp/global-temp views the caller registered
     registerAll()
-    spark.sql(query)
+    val source = org.apache.spark.sql.graft.SqlInternals
+      .ofRows(spark, m.sourceTable)
+    val path = tablePath(targetName)
+    val pcols =
+      if (PartitionSnapshots.isManifested(spark, path))
+        PartitionSnapshots.partitionCols(spark, path)
+      else Nil
+    graft.operators.Upsert.upsert(spark, path, source, keys,
+      insertOnly = insertOnly, partitionCols = pcols,
+      evolveSchema = m.withSchemaEvolution)
+    read(targetName)
   }
 
   /** S4 as SQL text: CREATE TABLE IF NOT EXISTS from a DDL column list
@@ -175,9 +268,16 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(catalogPath, false)
-    if (!fs.rename(tmp, catalogPath))
-      throw new IllegalStateException(s"catalog: could not publish $catalogPath")
+    // overwrite-rename: a delete-then-rename pair would leave a window
+    // where a concurrent tablesFromManifest sees NO catalog file —
+    // contradicting the atomic-replace contract above. FileContext's
+    // OVERWRITE rename swaps in place; readers see old or new, never
+    // neither.
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(catalogPath.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, catalogPath,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     names
   }
 

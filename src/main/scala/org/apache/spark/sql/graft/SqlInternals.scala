@@ -15,6 +15,17 @@ object SqlInternals {
     spark.asInstanceOf[SparkSession].sessionState.functionRegistry
       .registerFunction(ident, info, builder)
 
+  /** Execute a PARSED (still unresolved) logical plan as a DataFrame —
+    * the `private[sql]` Dataset.ofRows route `SparkSession.sql` itself
+    * takes after parsing. Lets the MERGE INTO surface hand the
+    * statement's USING side (a table name or a full subquery) to the
+    * analyzer verbatim instead of re-printing it to SQL text. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[SparkSession], plan)
+
   /** The `private[sql]` constructor streaming sources use for the
     * DataFrame a `Source.getBatch` hands back: the micro-batch engine
     * asserts `isStreaming = true` on it, which no public constructor

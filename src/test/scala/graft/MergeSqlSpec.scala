@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+import graft.sources.{Catalog, PartitionSnapshots}
+
+/** SQL `MERGE INTO` statement surface ([[graft.sources.Catalog.sql]]):
+  * the reference phrases every write as MERGE text
+  * (gcs_bronze_to_silver.py:469-490, gcs_silver_to_gold.py:329-541) —
+  * these specs pin that the parsed statement routes to the SAME commit
+  * machinery as the API calls, including the fast-append path for
+  * insert-only merges, and that unsupported shapes fail loudly. */
+class MergeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Set[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toSet
+  }
+
+  test("MERGE text: UPDATE SET * / INSERT * lands through the manifested upsert") {
+    val wh = tmpDir("msqlwh")
+    val seed = Seq((1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0))
+      .toDF("k", "part", "v")
+    Upsert.upsert(spark, s"$wh/t", seed, Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    Seq((2, "p1", 21.0), (4, "p2", 40.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("msql_src")
+    val cat = new Catalog(spark, wh)
+    // the reference's exact statement shape, modulo names
+    val out = cat.sql(
+      """MERGE INTO t t
+        |USING msql_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = out.collect().map(r =>
+      (r.getAs[Int]("k"), r.getAs[String]("part"), r.getAs[Double]("v"))).toSet
+    got shouldBe Set((1, "p1", 10.0), (2, "p1", 21.0), (3, "p2", 30.0),
+      (4, "p2", 40.0))
+    // still a manifested table, still committed through its machinery
+    PartitionSnapshots.isManifested(spark, s"$wh/t") shouldBe true
+    // re-running the SAME statement is idempotent on content
+    cat.sql(
+      """MERGE INTO t t
+        |USING msql_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .collect().map(r =>
+        (r.getAs[Int]("k"), r.getAs[String]("part"), r.getAs[Double]("v")))
+      .toSet shouldBe got
+  }
+
+  test("insert-only MERGE text routes to fast-append: no existing file rewritten") {
+    val wh = tmpDir("msqlfa")
+    val seed = Seq((1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0))
+      .toDF("k", "part", "v")
+    Upsert.upsert(spark, s"$wh/t", seed, Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    val before = parquetFiles(s"$wh/t")
+    // source holds one matched key (2) and one new one (5): insert-only
+    // semantics must drop the matched row and append only the new one
+    Seq((2, "p1", 99.0), (5, "p2", 50.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("msql_ins")
+    val cat = new Catalog(spark, wh)
+    val out = cat.sql(
+      """MERGE INTO t t
+        |USING msql_ins s
+        |ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    out.collect().map(r =>
+      (r.getAs[Int]("k"), r.getAs[String]("part"), r.getAs[Double]("v")))
+      .toSet shouldBe Set((1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0),
+      (5, "p2", 50.0))
+    // the fast-append contract: every pre-existing data file survives
+    // byte-for-byte in place (path + mtime) — an upsert-style partition
+    // rewrite would have replaced p2's file
+    val after = parquetFiles(s"$wh/t")
+    before.subsetOf(after) shouldBe true
+    // and the touched partition's manifest state now carries BOTH parts
+    val state = PartitionSnapshots.rootManifest(spark, s"$wh/t").get
+    assert(state("part=p2").contains("&"),
+      s"expected appended part alongside the seed part, got ${state("part=p2")}")
+  }
+
+  test("MERGE text: USING subquery, multi-part target name, case-folded ON") {
+    val wh = tmpDir("msqlsub")
+    Upsert.upsert(spark,
+      s"$wh/dim", Seq((1, "a"), (2, "b")).toDF("ID", "name"), Seq("ID"),
+      partitionManifests = false)
+    Seq((2, "b2"), (3, "c")).toDF("ID", "name")
+      .createOrReplaceTempView("msql_sub_src")
+    val cat = new Catalog(spark, wh)
+    // target via namespace-qualified name (reference: bronze.bronze_db.t);
+    // ON uses a different case than the stored column; USING is a subquery
+    val out = cat.sql(
+      """MERGE INTO silver.silver_db.dim t
+        |USING (SELECT * FROM msql_sub_src WHERE name <> 'zzz') s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    out.collect().map(r => (r.getAs[Int]("ID"), r.getAs[String]("name")))
+      .toSet shouldBe Set((1, "a"), (2, "b2"), (3, "c"))
+  }
+
+  test("unsupported MERGE shapes fail loudly, not silently degrade") {
+    val wh = tmpDir("msqlbad")
+    Upsert.upsert(spark, s"$wh/t", Seq((1, 1.0)).toDF("k", "v"), Seq("k"))
+    Seq((1, 2.0)).toDF("k", "v").createOrReplaceTempView("msql_bad_src")
+    val cat = new Catalog(spark, wh)
+    // conditional matched action
+    an[IllegalArgumentException] should be thrownBy cat.sql(
+      """MERGE INTO t USING msql_bad_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v > 1 THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // non-equi ON
+    an[IllegalArgumentException] should be thrownBy cat.sql(
+      """MERGE INTO t USING msql_bad_src s ON t.k < s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // column-list assignments (not document-replace)
+    an[IllegalArgumentException] should be thrownBy cat.sql(
+      """MERGE INTO t USING msql_bad_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // not-matched-by-source
+    an[IllegalArgumentException] should be thrownBy cat.sql(
+      """MERGE INTO t USING msql_bad_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // missing target table
+    an[IllegalArgumentException] should be thrownBy cat.sql(
+      """MERGE INTO nope USING msql_bad_src s ON nope.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the table is untouched by all of the above
+    cat.read("t").collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .toSet shouldBe Set((1, 1.0))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds the new source column") {
+    val wh = tmpDir("msqlevo")
+    Upsert.upsert(spark, s"$wh/t", Seq((1, "p1", 10.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Seq((2, "p1", 20.0, "x")).toDF("k", "part", "v", "extra")
+      .createOrReplaceTempView("msql_evo_src")
+    val cat = new Catalog(spark, wh)
+    val out = cat.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO t
+        |USING msql_evo_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    out.columns should contain("extra")
+    out.collect().map(r => (r.getAs[Int]("k"),
+      Option(r.getAs[String]("extra")))).toSet shouldBe
+      Set((1, None), (2, Some("x")))
+  }
+}
