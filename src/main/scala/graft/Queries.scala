@@ -3091,6 +3091,84 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** HIDDEN BUCKET PARTITIONING
+    * ([[graft.sources.PartitionSnapshots.evolvePartitionSpec]] with a
+    * `bucket(16, c_custkey)` entry — Iceberg's hidden partitioning, the
+    * skew tool for 100 TB): the derived dir column is computed by the
+    * WRITER (xxhash64 mod 16) and stripped from every read; the caller
+    * never names it in data. The table seeds under `(c_mktsegment)`,
+    * evolves to `(c_mktsegment, bucket(16, c_custkey))`, bulk-loads
+    * post-evolution (all rows land in bucket dirs), and then a
+    * POINT-KEY MERGE must touch exactly ONE bucket dir — the builder
+    * REQUIRES `changedPartitions` between the two roots to be a single
+    * bucket rel, which is the whole point: a hot-key update into a
+    * 100 TB fact rewrites 1/16th of one segment, not the segment. The
+    * oracle replays full merge semantics over the immutable source —
+    * bucketing changes write amplification, never the answer. */
+  def q189HiddenBucket(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionSnapshots
+    val path = stagedOnce("pbkthid", dir) { base =>
+      val cust = t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", cust.where(col("c_custkey") <= 5),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"),
+        partitionManifests = true)
+      PartitionSnapshots.evolvePartitionSpec(s, s"$base/t",
+        Seq("c_mktsegment", "bucket(16, c_custkey)"))
+      Upsert.upsert(s, s"$base/t", cust.where(col("c_custkey") > 5),
+        Seq("c_custkey"),
+        partitionCols = PartitionSnapshots.partitionCols(s, s"$base/t"))
+    } + "/t"
+    val delta = t(s, dir, "customer").where(col("c_custkey") === 100)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + lit(300.0)).as("c_acctbal"), col("c_mktsegment"))
+    val before = PartitionSnapshots.currentRootVersion(s, path).get
+    Upsert.upsert(s, path, delta, Seq("c_custkey"),
+      partitionCols = PartitionSnapshots.partitionCols(s, path))
+    val after = PartitionSnapshots.currentRootVersion(s, path).get
+    val changed = PartitionSnapshots.changedPartitions(s, path, before, after)
+    require(changed.size == 1 && changed.head.contains("c_custkey__bucket16="),
+      s"q189: point-key MERGE must touch exactly ONE bucket dir, got " +
+        s"$changed")
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
+  /** POSITIONAL DELETE ([[graft.sources.PartitionSnapshots
+    * .deletePositions]] — Iceberg v2's position deletes, the second
+    * merge-on-read delete flavor beside q170's equality deletes): the
+    * seed fast-appends as range-disjoint files, row handles come from
+    * [[graft.sources.PartitionSnapshots.readWithRowPos]] (file +
+    * in-file ordinal via parquet `_metadata`), and the commit removes
+    * the 20–40 key band WITHOUT rewriting any data file — reads apply
+    * one broadcast anti-join on (file name, ordinal). The builder
+    * REQUIRES a `+p` ref in the committed state; the oracle replays the
+    * delete as a plain predicate over the immutable source — the
+    * delete's physical encoding never changes the answer. Where an
+    * equality delete costs O(keys) per read, the positional file is the
+    * cheaper read path for large enumerable doomed sets. */
+  def q190PositionalDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionSnapshots
+    val path = stagedOnce("pposdel", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .repartitionByRange(4, col("c_custkey"))
+      Upsert.append(s, s"$base/t", seed, Seq("c_mktsegment"))
+      val doomed = PartitionSnapshots.readWithRowPos(s, s"$base/t")
+        .where(col("c_custkey").between(20, 40))
+        .select(col("_pos_path"), col("_pos_ordinal"))
+      require(PartitionSnapshots.deletePositions(s, s"$base/t", doomed),
+        "q190: positional delete committed nothing")
+    } + "/t"
+    val state = graft.sources.PartitionSnapshots.rootManifest(s, path).get
+    require(state.values.exists(_.contains("+p")),
+      "q190: expected a positional delete ref in the committed state")
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4065,6 +4143,20 @@ object Queries {
         |FROM ins""".stripMargin,
     // q183: full-partition MERGE semantics replayed over the immutable
     // source — file-level rewrite granularity never changes the answer
+    "q190_positional_delete" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_custkey <= 300
+        |  AND c_custkey NOT BETWEEN 20 AND 40""".stripMargin,
+    "q189_hidden_bucket" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment
+        |              FROM customer WHERE c_custkey <= 400),
+        |src AS (SELECT c_custkey, c_acctbal + 300.0 AS c_acctbal,
+        |               c_mktsegment
+        |        FROM customer WHERE c_custkey = 100)
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM src
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM base
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM src)""".stripMargin,
     "q188_merge_sql" ->
       """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment
         |              FROM customer WHERE c_custkey <= 500),
@@ -6351,6 +6443,8 @@ object Queries {
     "q185_catalog_manifest" -> (q185CatalogManifest _),
     "q186_fuzzy_recall" -> (q186FuzzyRecall _),
     "q187_string_key_merge" -> (q187StringKeyMerge _),
-    "q188_merge_sql" -> (q188MergeSql _)
+    "q188_merge_sql" -> (q188MergeSql _),
+    "q189_hidden_bucket" -> (q189HiddenBucket _),
+    "q190_positional_delete" -> (q190PositionalDelete _)
   )
 }

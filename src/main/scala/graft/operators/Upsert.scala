@@ -50,6 +50,15 @@ object Upsert {
   final class ConcurrentWriteException(msg: String)
     extends IllegalStateException(msg)
 
+  /** An optimistic commit ([[upsertOptimistic]] /
+    * [[graft.sources.PartitionSnapshots.fastForwardRoot]] with
+    * `rebase = true`) found that another writer changed a partition this
+    * commit also touches since its base snapshot — retrying would
+    * silently discard the winner's rows (lost update). Re-derive the
+    * source from the current table state and re-submit. */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Default single-writer lease TTL: generous enough for any one merge,
     * short enough that a crashed writer doesn't wedge the table for long. */
   val DefaultLockTtlMs: Long = 15 * 60 * 1000L
@@ -197,19 +206,22 @@ object Upsert {
   /** [[read]] that answers None instead of throwing when the table is
     * absent, empty, or has no committed version yet. */
   def readOption(spark: SparkSession, path: String): Option[DataFrame] =
-    readTable(spark, path)
+    readTable(spark, path).map(
+      graft.sources.PartitionSnapshots.dropHidden(spark, path, _))
 
   /** Best-effort read of an existing table; None when the dir is absent,
     * no version has been committed, or a flat dir holds no readable
     * footers (e.g. an aborted empty write left only _SUCCESS behind —
-    * schema inference would throw). */
+    * schema inference would throw). INTERNAL: manifested tables keep
+    * their hidden transform dir columns (the merge legs select them) —
+    * public callers go through [[readOption]], which strips them. */
   private def readTable(spark: SparkSession, path: String): Option[DataFrame] =
     if (!tableExists(spark, path)) None
     else if (graft.sources.Snapshots.isVersioned(spark, path))
       graft.sources.Snapshots.currentVersion(spark, path)
         .map(v => graft.sources.Snapshots.read(spark, path, asOf = v))
     else if (graft.sources.PartitionSnapshots.isManifested(spark, path))
-      graft.sources.PartitionSnapshots.readOption(spark, path)
+      graft.sources.PartitionSnapshots.readRawOption(spark, path)
     else try Some(spark.read.parquet(path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
@@ -278,6 +290,117 @@ object Upsert {
     finally releaseLock(spark, path, token)
   }
 
+  /** OPTIMISTIC multi-writer upsert — Iceberg's commit retry loop for
+    * writers touching DISJOINT partitions. [[upsert]] fails fast on a
+    * live lease (the reference's one-job-per-table contract); this
+    * variant instead (1) WAITS for the lease with bounded backoff, then
+    * (2) under the lease, VALIDATES its touched-partition set against
+    * everything committed since `baseVersion` (the snapshot this
+    * writer's source logically derives from — defaults to the head at
+    * call time) and (3) commits rebased onto the new head. Two daily
+    * jobs landing different dates of one table both commit, in a
+    * linearizable root chain; a writer whose partitions OVERLAP a
+    * winning commit throws [[CommitConflictException]] LOUDLY —
+    * retrying it blindly would document-replace keys the winner just
+    * updated (lost update), so the caller must re-derive its source
+    * from the current state first.
+    *
+    * Conflict granularity is the partition (Iceberg's
+    * validation-by-partition for overwrite commits): a changed rel
+    * conflicts when its dir segments agree with ANY touched partition
+    * tuple on the rel's own columns — covering current-spec rels
+    * (exact match) and retired-spec parents (prefix match) alike; a
+    * changed rel whose layout is incomparable to this writer's spec is
+    * treated as a conflict rather than proven disjoint. Manifested
+    * tables only: the root-manifest history is what validation reads
+    * (two metadata resolutions, zero data files). */
+  def upsertOptimistic(spark: SparkSession, path: String, source: DataFrame,
+                       keys: Seq[String],
+                       partitionCols: Seq[String],
+                       insertOnly: Boolean = false,
+                       evolveSchema: Boolean = false,
+                       baseVersion: Option[Long] = None,
+                       maxWaitMs: Long = 120000L,
+                       lockTtlMs: Long = DefaultLockTtlMs,
+                       retainVersions: Int = DefaultRetainVersions): Unit = {
+    import graft.sources.PartitionSnapshots
+    require(partitionCols.nonEmpty,
+      "upsertOptimistic: partitionCols required (conflicts validate at " +
+        "partition granularity)")
+    require(PartitionSnapshots.isManifested(spark, path),
+      s"upsertOptimistic: $path is not a manifested table — the root " +
+        "manifest history is what commit validation reads")
+    val base = baseVersion.orElse(
+      PartitionSnapshots.currentRootVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"upsertOptimistic: no committed root at $path"))
+    val src0 = dedupSource(source, keys)
+    if (src0.isEmpty) return
+    // bounded lease wait: the winner is seconds away from its
+    // metadata-speed commit — spin with backoff instead of failing fast
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var token: String = null
+    var backoff = 25L
+    while (token == null) {
+      try token = acquireLock(spark, path, lockTtlMs)
+      catch {
+        case e: ConcurrentWriteException =>
+          if (System.currentTimeMillis() > deadline) throw e
+          Thread.sleep(backoff); backoff = math.min(backoff * 2, 1000L)
+      }
+    }
+    try {
+      val head = PartitionSnapshots.currentRootVersion(spark, path).get
+      if (head != base) {
+        val changed =
+          PartitionSnapshots.changedPartitions(spark, path, base, head)
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        import org.apache.spark.sql.functions.col
+        // partitions THIS merge rewrites: the source's own target
+        // partitions, plus (for keyed merges) the partitions its matched
+        // keys currently live in — the same bounded per-touched-partition
+        // collect the merge itself performs
+        val srcC = PartitionSnapshots.applyTransforms(spark, path, src0)
+        val touchedDf = {
+          val own = srcC.select(partitionCols.map(col): _*).distinct()
+          if (insertOnly) own
+          else own.unionByName(
+            PartitionSnapshots.readRawOption(spark, path)
+              .map(_.join(srcC.select(keys.map(col): _*).distinct(), keys,
+                "left_semi")
+                .select(partitionCols.map(col): _*).distinct())
+              .getOrElse(own.limit(0))).distinct()
+        }
+        val tupleSegs: Seq[Map[String, String]] =
+          touchedDf.collect().toSeq.map { r =>
+            partitionCols.zip(r.toSeq).map { case (c, v) =>
+              val dirVal =
+                if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                else ExternalCatalogUtils.escapePathName(v.toString)
+              c -> s"${ExternalCatalogUtils.escapePathName(c)}=$dirVal"
+            }.toMap
+          }
+        val overlap = changed.filter { rel =>
+          val cols = PartitionSnapshots.relCols(rel)
+          if (!cols.forall(partitionCols.contains)) true // unprovable → conflict
+          else tupleSegs.exists(m => rel.split("/").toSeq.zip(cols)
+            .forall { case (seg, c) => m.get(c).contains(seg) })
+        }
+        if (overlap.nonEmpty)
+          throw new CommitConflictException(
+            s"upsertOptimistic: another writer changed " +
+              s"${overlap.size} partition(s) this merge also touches " +
+              s"since base v$base (head v$head): " +
+              s"${overlap.sorted.take(8).mkString(", ")} — re-derive the " +
+              "source from the current table state and re-submit")
+        // disjoint: the ordinary locked merge against the CURRENT head
+        // IS the rebase — staged slots land on top of the winner's root
+      }
+      upsertLocked(spark, path, src0, keys, insertOnly, partitionCols,
+        evolveSchema, token, retainVersions, partitionManifests = true)
+    } finally releaseLock(spark, path, token)
+  }
+
   private def upsertLocked(spark: SparkSession, path: String, src0: DataFrame,
                            keys: Seq[String], insertOnly: Boolean,
                            partitionCols: Seq[String],
@@ -321,32 +444,38 @@ object Upsert {
         case None => PartitionSnapshots.commitStaged(spark, path, staging,
           partitionCols, emptied, retainVersions, Some(schema), branch)
       }
+    // hidden-partitioning: derive any transform dir columns the caller's
+    // frame cannot know about — computed once here at write time, hidden
+    // again by every public read (no-op for untransformed tables)
+    val srcT =
+      if (manifested) PartitionSnapshots.applyTransforms(spark, path, src0)
+      else src0
     // a branch merge targets the BRANCH head's snapshot, never main
     val branchHead: Option[Long] = branch.map(n =>
       PartitionSnapshots.rootBranches(spark, path).getOrElse(n,
         throw new IllegalArgumentException(
           s"upsert: no branch '$n' at $path — createBranch first")))
     val existing = branchHead match {
-      case Some(v) => PartitionSnapshots.readOption(spark, path, asOf = v)
+      case Some(v) => PartitionSnapshots.readRawOption(spark, path, asOf = v)
       case None => readTable(spark, path)
     }
     if (existing.isEmpty) {
       if (manifested) {
         val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
-        src0.write.mode(SaveMode.ErrorIfExists)
+        srcT.write.mode(SaveMode.ErrorIfExists)
           .partitionBy(partitionCols: _*).parquet(staging)
         try {
           assertHeld(spark, path, token)
-          commitManifested(staging, Set.empty, src0.schema)
+          commitManifested(staging, Set.empty, srcT.schema)
         } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
       } else if (partitionCols.nonEmpty) {
-        src0.write.mode(SaveMode.Overwrite)
+        srcT.write.mode(SaveMode.Overwrite)
           .partitionBy(partitionCols: _*).parquet(path)
-      } else commitVersion(spark, path, src0, token, retainVersions)
+      } else commitVersion(spark, path, srcT, token, retainVersions)
       return
     }
     val (target, src) =
-      if (evolveSchema) align(existing.get, src0) else (existing.get, src0)
+      if (evolveSchema) align(existing.get, srcT) else (existing.get, srcT)
     if (manifested && insertOnly && audit.isEmpty) {
       // WHEN NOT MATCHED INSERT on a manifested table is a fast APPEND:
       // only the genuinely-new keys' rows are staged and sealed as new
@@ -671,21 +800,24 @@ object Upsert {
       // evolved its schema beyond main must not have later appends
       // rejected against — or silently re-pinned to — main's columns
       val existing = branch match {
-        case Some(n) => PartitionSnapshots.readOption(spark, path,
+        case Some(n) => PartitionSnapshots.readRawOption(spark, path,
           asOf = PartitionSnapshots.rootBranches(spark, path).getOrElse(n,
             throw new IllegalArgumentException(
               s"append: no branch '$n' at $path — createBranch first")))
         case None => readTable(spark, path)
       }
+      // hidden-partitioning: derive transform dir columns before the
+      // drift check — the raw table side carries them, callers never do
+      val dfT = PartitionSnapshots.applyTransforms(spark, path, df)
       val out = existing match {
-        case Some(existing) if evolveSchema => align(existing, df)._2
+        case Some(existing) if evolveSchema => align(existing, dfT)._2
         case Some(existing) =>
-          require(existing.columns.sorted.sameElements(df.columns.sorted),
+          require(existing.columns.sorted.sameElements(dfT.columns.sorted),
             s"append: schema drift at $path (pass evolveSchema = true): " +
               s"table ${existing.columns.sorted.toSeq} vs " +
-              s"df ${df.columns.sorted.toSeq}")
-          df
-        case None => df
+              s"df ${dfT.columns.sorted.toSeq}")
+          dfT
+        case None => dfT
       }
       val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
       out.write.mode(SaveMode.ErrorIfExists)

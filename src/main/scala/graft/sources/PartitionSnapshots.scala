@@ -240,6 +240,99 @@ object PartitionSnapshots {
   }
 
   private val SpecsFile = "_partition_specs"
+  private val TransformsFile = "_partition_transforms"
+
+  /** One HIDDEN-PARTITIONING transform (Iceberg's bucket/days/truncate):
+    * a partition DIR column derived from a data column at write time and
+    * hidden from readers — the user never supplies or sees it. `name`
+    * is the reserved derived dir-column (`<src>__bucketN`, `<src>__day`,
+    * `<src>__truncN` — the double underscore marks it engine-owned). */
+  private[graft] final case class SpecTransform(name: String, kind: String,
+                                                arg: Int, source: String) {
+    /** The derived column's value for each row of `df`. Bucketing uses
+      * xxhash64 (this engine's stable row-hash convention — NOT
+      * Iceberg's murmur3; the dir values are engine-internal, never an
+      * interchange format). */
+    def column(df: DataFrame): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, substring, to_date, xxhash64}
+      kind match {
+        case "bucket" => pmod(xxhash64(col(source)), lit(arg)).cast("int")
+        case "days" => to_date(col(source))
+        case "truncate" => df.schema(source).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            substring(col(source), 1, arg)
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.ShortType =>
+            (col(source) - pmod(col(source), lit(arg.toLong)))
+              .cast(df.schema(source).dataType)
+          case dt => throw new IllegalArgumentException(
+            s"truncate($arg, $source): unsupported type $dt")
+        }
+      }
+    }
+    /** Dir-column type — what the SpecsFile records so mixed-layout
+      * reads can conform old files (which lack the derived column). */
+    def dirType(srcType: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = kind match {
+      case "bucket" => org.apache.spark.sql.types.IntegerType
+      case "days" => org.apache.spark.sql.types.DateType
+      case "truncate" => srcType
+    }
+    def render: String = s"$name\t$kind\t$arg\t$source"
+  }
+
+  private val BucketRe = """^bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)$""".r
+  private val DaysRe = """^days\(\s*([A-Za-z0-9_]+)\s*\)$""".r
+  private val TruncRe = """^truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)$""".r
+
+  /** Parse one spec entry: a transform expression or an identity column
+    * name. Returns (dir column name, transform if any). */
+  private def parseSpecEntry(e: String): (String, Option[SpecTransform]) =
+    e.trim match {
+      case BucketRe(n, c) =>
+        (s"${c}__bucket$n", Some(SpecTransform(s"${c}__bucket$n", "bucket",
+          n.toInt, c)))
+      case DaysRe(c) =>
+        (s"${c}__day", Some(SpecTransform(s"${c}__day", "days", 0, c)))
+      case TruncRe(w, c) =>
+        (s"${c}__trunc$w", Some(SpecTransform(s"${c}__trunc$w", "truncate",
+          w.toInt, c)))
+      case ident => (ident, None)
+    }
+
+  /** All hidden transforms ever evolved onto `table` (empty for the
+    * zero-cost common case of a never-transformed table). */
+  private[graft] def specTransforms(spark: SparkSession, table: String)
+      : Seq[SpecTransform] = {
+    val p = new Path(table, TransformsFile)
+    if (!fs(spark, p).exists(p)) Nil
+    else readText(spark, p).split("\n").toSeq.filter(_.nonEmpty).map { ln =>
+      val f = ln.split("\t")
+      SpecTransform(f(0), f(1), f(2).toInt, f(3))
+    }
+  }
+
+  /** Add every missing hidden dir column to a WRITE-side DataFrame —
+    * the single point where transform values are computed. No-op for
+    * untransformed tables and for frames already carrying them (a
+    * rewrite leg whose rows came off disk with dir values attached). */
+  private[graft] def applyTransforms(spark: SparkSession, table: String,
+                                     df: DataFrame): DataFrame =
+    specTransforms(spark, table)
+      .filter(t => !df.columns.contains(t.name) &&
+        df.columns.contains(t.source))
+      .foldLeft(df)((d, t) => d.withColumn(t.name, t.column(d)))
+
+  /** Strip hidden dir columns from a READ-side DataFrame — Iceberg's
+    * rule that transform partitions are invisible to queries. Internal
+    * readers (merge legs, deleteKeys) keep them via the raw variants. */
+  private[graft] def dropHidden(spark: SparkSession, table: String,
+                                df: DataFrame): DataFrame = {
+    val names = specTransforms(spark, table).map(_.name)
+      .filter(df.columns.contains)
+    if (names.isEmpty) df else df.drop(names: _*)
+  }
 
   /** PARTITION-SPEC EVOLUTION (Iceberg's spec evolution, at hive-dir
     * granularity): change the table's partition columns WITHOUT
@@ -267,36 +360,83 @@ object PartitionSnapshots {
     require(isManifested(spark, table),
       s"evolvePartitionSpec: $table is not a manifested table")
     val have = partitionCols(spark, table)
-    require(newCols.nonEmpty && newCols != have,
-      s"evolvePartitionSpec: new spec $newCols must differ from $have")
-    require(newCols.startsWith(have),
+    // each entry is an identity column OR a hidden transform —
+    // `bucket(N, col)` / `days(col)` / `truncate(W, col)` (Iceberg's
+    // hidden partitioning: the dir column is derived at write, hidden
+    // at read). The marker records the DIR column names.
+    val parsed = newCols.map(parseSpecEntry)
+    val dirCols = parsed.map(_._1)
+    val transforms = parsed.flatMap(_._2)
+    require(dirCols.nonEmpty && dirCols != have,
+      s"evolvePartitionSpec: new spec $dirCols must differ from $have")
+    require(dirCols.startsWith(have),
       s"evolvePartitionSpec: supported evolution widens the spec — " +
-        s"$newCols must extend $have (Iceberg-style additive partitioning)")
+        s"$dirCols must extend $have (Iceberg-style additive partitioning)")
     val cur = currentRootVersion(spark, table).getOrElse(
       throw new IllegalStateException(
         s"evolvePartitionSpec: $table has no committed root manifest"))
     val pinned = pinnedSchema(spark, table, cur).getOrElse(
       throw new IllegalStateException(
         s"evolvePartitionSpec: $table's root slot pins no schema"))
-    val promoted = newCols.filterNot(have.contains)
-    val fields = promoted.map(c => pinned.find(_.name == c).getOrElse(
-      throw new IllegalArgumentException(
-        s"evolvePartitionSpec: promoted column '$c' must be a data " +
-          s"column of the pinned schema (${pinned.fieldNames.toSeq})")))
+    val promoted = dirCols.filterNot(have.contains)
+    val promotedTransforms = transforms.filter(t => promoted.contains(t.name))
+    val fields = promoted.map { c =>
+      promotedTransforms.find(_.name == c) match {
+        case Some(t) =>
+          // a TRANSFORM promotes nothing: its SOURCE stays a data
+          // column; the dir column is derived and old files simply
+          // lack it (mixed-layout reads conform it as recorded here)
+          val src = pinned.find(_.name == t.source).getOrElse(
+            throw new IllegalArgumentException(
+              s"evolvePartitionSpec: ${t.kind} source '${t.source}' must " +
+                s"be a data column of the pinned schema " +
+                s"(${pinned.fieldNames.toSeq})"))
+          if (t.kind == "days")
+            require(src.dataType ==
+                org.apache.spark.sql.types.TimestampType ||
+              src.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+              src.dataType == org.apache.spark.sql.types.DateType ||
+              src.dataType == org.apache.spark.sql.types.StringType,
+              s"days(${t.source}): source must be date/timestamp-like, " +
+                s"got ${src.dataType}")
+          require(!pinned.fieldNames.contains(t.name) &&
+            !have.contains(t.name),
+            s"evolvePartitionSpec: derived name '${t.name}' collides " +
+              "with an existing column")
+          org.apache.spark.sql.types.StructField(t.name,
+            t.dirType(src.dataType))
+        case None => pinned.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"evolvePartitionSpec: promoted column '$c' must be a data " +
+              s"column of the pinned schema (${pinned.fieldNames.toSeq})"))
+      }
+    }
     val f = fs(spark, new Path(table))
-    // append the evolution record FIRST (crash between the two writes
-    // leaves a record matching the still-current marker: harmless), then
-    // flip the marker — the single visibility point for writers
+    // record transforms FIRST (a crash after this write but before the
+    // marker flip leaves transforms no dir column references: harmless),
+    // then the evolution record, then flip the marker — the single
+    // visibility point for writers
+    if (promotedTransforms.nonEmpty) {
+      val tp = new Path(table, TransformsFile)
+      val priorT = if (f.exists(tp)) readText(spark, tp) else ""
+      val to = f.create(tp, true)
+      try to.write(
+        (priorT + promotedTransforms.map(_.render).mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally to.close()
+    }
+    // append the evolution record (crash between the two writes leaves a
+    // record matching the still-current marker: harmless), then flip
     val hist = new Path(table, SpecsFile)
     val prior = if (f.exists(hist)) readText(spark, hist) else ""
-    val line = s"${newCols.mkString(",")}\t" +
+    val line = s"${dirCols.mkString(",")}\t" +
       org.apache.spark.sql.types.StructType(fields).json
     val out = f.create(hist, true)
     try out.write((prior + line + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val mo = f.create(new Path(table, Marker), true)
-    try mo.write(newCols.mkString(",")
+    try mo.write(dirCols.mkString(",")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally mo.close()
   }
@@ -417,9 +557,17 @@ object PartitionSnapshots {
       throw new IllegalArgumentException(
         s"no committed partition snapshots at $table"))
 
-  /** [[read]] that answers None when no partition holds any rows. */
+  /** [[read]] that answers None when no partition holds any rows.
+    * Hidden transform dir columns are stripped (Iceberg's rule: derived
+    * partitions are invisible to queries). */
   def readOption(spark: SparkSession, table: String,
-                 asOf: Long = -1L): Option[DataFrame] = {
+                 asOf: Long = -1L): Option[DataFrame] =
+    readRawOption(spark, table, asOf).map(dropHidden(spark, table, _))
+
+  /** [[readOption]] KEEPING hidden transform dir columns — the merge
+    * legs and deleteKeys need them to compute touched partitions. */
+  private[graft] def readRawOption(spark: SparkSession, table: String,
+                                   asOf: Long = -1L): Option[DataFrame] = {
     if (!isManifested(spark, table)) return None
     rootManifest(spark, table, asOf) match {
       case Some(entries) =>
@@ -466,7 +614,7 @@ object PartitionSnapshots {
       val rv = if (asOf > 0) asOf else currentRootVersion(spark, table).get
       readEntries(spark, table, entries.view.filterKeys(rels).toMap,
         pinnedSchema(spark, table, rv))
-    }
+    }.map(dropHidden(spark, table, _))
 
   /** Committed root-manifest versions, ascending — each is a whole-table
     * snapshot [[read]] can pin with `asOf`. Includes branch-staged
@@ -738,6 +886,36 @@ object PartitionSnapshots {
       case v     => Some(s"$table/$rel/$VersionsDir/$v")
     }
 
+  /** Apply ONE pending delete ref to a scan-rooted DataFrame — the
+    * merge-on-read step shared by every delete-aware read. Equality ids
+    * (`dNNNNNNNN`) anti-join on the delete file's key columns (Iceberg
+    * v2 equality deletes); positional ids (`pNNNNNNNN`) anti-join on
+    * (table-relative data file path, row ordinal) against the scan's
+    * `_metadata` columns (Iceberg v2 position deletes).
+    * `df` must sit directly on the parquet scan (projections are fine;
+    * joins/unions would lose `_metadata`), which every caller satisfies. */
+  private def applyDeleteRef(spark: SparkSession, table: String,
+                             df: DataFrame, id: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
+    if (id.startsWith("p")) {
+      // match on the TABLE-RELATIVE path, never the bare file name: one
+      // partitioned write job reuses part-file names across its k=v dirs
+      // (same task prefix + job UUID), so a name-only match would delete
+      // same-ordinal rows in sibling partitions
+      val rootPath = new Path(table).toUri.getPath
+      val pos = keys.select(col("_del_path").as("__graft_del_f"),
+        col("_del_pos").as("__graft_del_p"))
+      df.withColumn("__graft_del_f",
+          regexp_replace(col("_metadata.file_path"),
+            ".*" + java.util.regex.Pattern.quote(rootPath + "/"), ""))
+        .withColumn("__graft_del_p", col("_metadata.row_index"))
+        .join(broadcast(pos), Seq("__graft_del_f", "__graft_del_p"),
+          "left_anti")
+        .drop("__graft_del_f", "__graft_del_p")
+    } else df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+  }
+
   /** Materialize a (partition → state) manifest map as a DataFrame:
     * partitions sharing the same pending-delete set are scanned as one
     * multi-path read, each delete file is applied as ONE broadcast
@@ -750,9 +928,10 @@ object PartitionSnapshots {
     * schema-from-metadata read path. None when no partition holds data. */
   private def readEntries(spark: SparkSession, table: String,
                           entries: Map[String, String],
-                          schema: Option[org.apache.spark.sql.types.StructType] = None)
+                          schema: Option[org.apache.spark.sql.types.StructType] = None,
+                          rowPos: Boolean = false)
       : Option[DataFrame] = {
-    import org.apache.spark.sql.functions.broadcast
+    import org.apache.spark.sql.functions.{broadcast, col}
     // group by (pending-delete set, the rel's OWN partition layout): a
     // spec-evolved table holds old- and new-spec dirs side by side, and
     // one multi-path read must not mix layouts (partition discovery
@@ -775,13 +954,42 @@ object PartitionSnapshots {
         }
         val reader =
           groupSchema.foldLeft(spark.read.option("basePath", table))(_ schema _)
-        val df = reader.parquet(members.map(_._2): _*)
-        dels.foldLeft(df) { (d, id) =>
-          val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
-          d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
-        }
+        val df0 = reader.parquet(members.map(_._2): _*)
+        // conform promoted/hidden columns a layout group LACKS even when
+        // no pinned schema was passed (deleteKeys' raw read): a transform
+        // dir column exists only as a path segment of new-spec groups —
+        // old-spec groups read it as a typed NULL, identity promotions
+        // read it from their files and are skipped here
+        val df1 = promoted.filterNot(f => df0.columns.contains(f.name))
+          .foldLeft(df0)((d, f) => d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+        // row identity MUST attach while the plan still sits on the scan
+        // (unions/joins drop `_metadata`) — but AFTER it, so the exposed
+        // ordinals are the surviving rows' true in-file positions
+        val df = if (!rowPos) df1
+          else df1.withColumn("_pos_path", col("_metadata.file_path"))
+            .withColumn("_pos_ordinal", col("_metadata.row_index"))
+        dels.foldLeft(df)(applyDeleteRef(spark, table, _, _))
       }.reduce(_ unionByName _))
     }
+  }
+
+  /** Snapshot read exposing each row's physical identity — `_pos_path`
+    * (the data file) and `_pos_ordinal` (the row's ordinal within it) —
+    * the handle [[deletePositions]] consumes: filter this frame to the
+    * rows to remove, then hand the two columns back. Already-deleted
+    * positions never appear (the read is merge-on-read like any other). */
+  def readWithRowPos(spark: SparkSession, table: String): DataFrame = {
+    require(isManifested(spark, table),
+      s"readWithRowPos: $table is not a manifested table")
+    val entries = rootManifest(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"readWithRowPos: no committed root manifest at $table"))
+    val rv = currentRootVersion(spark, table).get
+    readEntries(spark, table, entries, pinnedSchema(spark, table, rv),
+      rowPos = true).map(dropHidden(spark, table, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"readWithRowPos: no partition of $table holds rows"))
   }
 
   /** FILE-SCOPED MERGE planning (Iceberg's file-level rewrite selection,
@@ -939,10 +1147,7 @@ object PartitionSnapshots {
         val reader =
           groupSchema.foldLeft(spark.read.option("basePath", table))(_ schema _)
         val d0 = reader.parquet(members.map(_._2).sorted: _*)
-        dels.foldLeft(d0) { (d, id) =>
-          val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
-          d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
-        }
+        dels.foldLeft(d0)(applyDeleteRef(spark, table, _, _))
       }.reduce(_ unionByName _))
     (survivors, df)
   }
@@ -1672,8 +1877,12 @@ object PartitionSnapshots {
     // added column diff as NULL there instead of failing the exceptAll.
     val feedSchema = pinnedSchema(spark, table, toV)
       .orElse(pinnedSchema(spark, table, fromV))
+    // hidden dir columns are stripped BEFORE the diff: a row migrating
+    // from an old-spec dir (derived column absent → NULL) to a bucket
+    // dir (value present) with identical data must NOT feed as a change
     def sideOf(m: Map[String, String]): Option[DataFrame] =
-      readEntries(spark, table, m.view.filterKeys(differing).toMap, feedSchema)
+      readEntries(spark, table, m.view.filterKeys(differing).toMap,
+        feedSchema).map(dropHidden(spark, table, _))
     val fopt = sideOf(from)
     val topt = sideOf(to)
     if (fopt.isEmpty && topt.isEmpty) {
@@ -1933,9 +2142,22 @@ object PartitionSnapshots {
     * caller re-forks from current and re-applies; silently merging
     * diverged manifests would fabricate a state nobody audited). The
     * branch survives, re-based onto its own head, so staging can
-    * continue. Returns the new main version. */
+    * continue. Returns the new main version.
+    *
+    * `rebase = true` relaxes the refusal into Iceberg's optimistic CAS:
+    * when main HAS advanced but the partitions the branch changed since
+    * its fork are DISJOINT from the partitions main changed, the branch's
+    * touched-partition states are grafted onto main's current manifest as
+    * one NEW main commit (parented on main's head — the root chain stays
+    * linearizable, and the changelog sees exactly the branch's delta).
+    * Overlapping changes still throw [[graft.operators.Upsert
+    * .CommitConflictException]] — publishing them would silently discard
+    * one writer's rows. Divergent SCHEMA evolution on both sides is
+    * likewise refused; one-sided evolution carries the evolved schema. */
   def fastForwardRoot(spark: SparkSession, table: String,
-                      name: String): Long = {
+                      name: String, rebase: Boolean = false,
+                      retainVersions: Int =
+                        graft.operators.Upsert.DefaultRetainVersions): Long = {
     val token = graft.operators.Upsert.acquireLock(spark, table,
       graft.operators.Upsert.DefaultLockTtlMs)
     try {
@@ -1945,9 +2167,13 @@ object PartitionSnapshots {
           s"fastForwardRoot: no branch '$name' at $table"))
       val cur = currentRootVersion(spark, table).getOrElse(
         throw new IllegalArgumentException(s"no committed root at $table"))
+      if (cur != base && rebase)
+        return rebaseBranchOntoMain(spark, table, name, head, base, cur,
+          retainVersions)
       require(cur == base,
         s"fastForwardRoot: main advanced to v$cur since branch '$name' " +
-          s"forked at v$base — re-fork from current and re-apply")
+          s"forked at v$base — re-fork from current and re-apply, or " +
+          "pass rebase = true to graft disjoint-partition changes")
       if (head != cur) {
         // the head is now PUBLISHED: mark it before the pointer swap so
         // no window exists where the pointer names it but main-line
@@ -1961,6 +2187,59 @@ object PartitionSnapshots {
       writeBranchRef(spark, table, name, head = head, base = head)
       head
     } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
+  /** The `rebase = true` leg of [[fastForwardRoot]] — caller holds the
+    * table lease. Validates disjointness, then publishes ONE new main
+    * commit carrying the branch's touched-partition states on top of
+    * main's current manifest. The branch's staged version slots are
+    * referenced verbatim (they are immutable dirs under the partition
+    * dirs — nothing moves); the re-pointed branch ref keeps staging
+    * usable afterwards. */
+  private def rebaseBranchOntoMain(spark: SparkSession, table: String,
+                                   name: String, head: Long, base: Long,
+                                   cur: Long, retain: Int): Long = {
+    val rt = s"$table/$RootDir"
+    val mainChanged = changedPartitions(spark, table, base, cur).toSet
+    val branchChanged = changedPartitions(spark, table, base, head).toSet
+    val overlap = mainChanged.intersect(branchChanged)
+    if (overlap.nonEmpty)
+      throw new graft.operators.Upsert.CommitConflictException(
+        s"fastForwardRoot(rebase): branch '$name' and main both changed " +
+          s"${overlap.size} partition(s) since fork v$base: " +
+          s"${overlap.toSeq.sorted.take(8).mkString(", ")} — re-fork from " +
+          "current and re-apply; publishing would discard one side's rows")
+    // schema: refuse DIVERGENT evolution; carry the evolved side's schema
+    // (publishRoot with schema = None inherits main's pinned schema)
+    val sb = pinnedSchema(spark, table, base)
+    val sm = pinnedSchema(spark, table, cur)
+    val sh = pinnedSchema(spark, table, head)
+    val schemaForRebase: Option[org.apache.spark.sql.types.StructType] =
+      if (sh == sm || sh == sb) None
+      else if (sm == sb) sh
+      else throw new graft.operators.Upsert.CommitConflictException(
+        s"fastForwardRoot(rebase): branch '$name' and main evolved the " +
+          s"schema DIFFERENTLY since fork v$base — re-fork and re-apply")
+    val curFull = resolveManifestFull(spark, rt, cur)
+    val headFull = resolveManifestFull(spark, rt, head)
+    // a drop commits EMPTY, never removes the rel — every branch-changed
+    // rel resolves at the head (Empty fallback is belt-and-braces)
+    val touchedEntries = branchChanged.toSeq.sorted.map { rel =>
+      rel -> headFull.get(rel).map(_._1).getOrElse(Empty)
+    }.toMap
+    val touchedStats = branchChanged.toSeq.flatMap { rel =>
+      headFull.get(rel).flatMap(_._2).map(rel -> _)
+    }.toMap
+    val entries = curFull.map { case (rel, (st, _)) => rel -> st } ++
+      touchedEntries
+    publishRoot(spark, table, entries, touchedEntries, retain,
+      schema = schemaForRebase, touchedStats = touchedStats,
+      props = Map("graft.rebase.branch" -> name,
+        "graft.rebase.from" -> f"v$head%08d",
+        "graft.rebase.base" -> f"v$base%08d"))
+    val newMain = currentRootVersion(spark, table).get
+    writeBranchRef(spark, table, name, head = newMain, base = newMain)
+    newMain
   }
 
   /** COMMIT PROPERTIES of one root version (Iceberg's snapshot summary):
@@ -2125,7 +2404,8 @@ object PartitionSnapshots {
     val delRows = full.flatMap { case (_, (state, _)) =>
       parseParts(state).flatMap(_._2)
     }.distinct.sorted.flatMap(id =>
-      ls(s"$table/$DeletesDir/$id", "", "", "eq_deletes"))
+      ls(s"$table/$DeletesDir/$id", "", "",
+        if (id.startsWith("p")) "pos_deletes" else "eq_deletes"))
     val rows = dataRows ++ delRows
     import spark.implicits._
     rows.toDF("partition", "part", "content", "path", "size_bytes")
@@ -2374,11 +2654,8 @@ object PartitionSnapshots {
         val nOut = math.max(1,
           math.ceil(bytes.toDouble / targetFileBytes).toInt)
         val sides = sidesIn.map { case (paths, dels) =>
-          dels.foldLeft(spark.read.parquet(paths: _*)) { (df, id) =>
-            val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
-            df.join(org.apache.spark.sql.functions.broadcast(keys),
-              keys.columns.toSeq, "left_anti")
-          }
+          dels.foldLeft(spark.read.parquet(paths: _*))(
+            applyDeleteRef(spark, table, _, _))
         }
         val merged = sides.reduce(_ unionByName _)
         // sorted rewrite (Iceberg rewrite_data_files with a sort order):
@@ -2591,13 +2868,121 @@ object PartitionSnapshots {
     } finally graft.operators.Upsert.releaseLock(spark, table, token)
   }
 
-  private val DeleteName = "^d(\\d{8,})$".r
+  /** POSITIONAL DELETE commit (Iceberg v2's position deletes — the
+    * second merge-on-read delete flavor): remove specific rows by
+    * (data file, row ordinal) WITHOUT rewriting any data file. Where an
+    * equality delete costs O(keys) per read forever-after, a positional
+    * file is one broadcast anti-join on a two-column pair — the cheaper
+    * read path when the doomed row set is large but enumerable (a
+    * quality-filter sweep, a per-file redaction).
+    *
+    * `positions` carries `_pos_path` + `_pos_ordinal` exactly as
+    * [[readWithRowPos]] exposes them — filter that frame, pass the two
+    * columns back. The commit writes them once under
+    * `<table>/_deletes/pNNNNNNNN/` (file NAME + ordinal for the
+    * anti-join — writer-UUID names are unique — plus the table-relative
+    * path for audit), and stamps the ref onto every current part of the
+    * touched partitions; parts appended later never carry it and a
+    * rewrite/compaction MATERIALIZES it (plain state, ref retired) —
+    * the same sequence rule as equality deletes, so [[vacuumDeletes]]
+    * reaps the file once no retained root names it. Positions must
+    * name files of CURRENT parts (a stale handle fails loudly).
+    * Single-writer: takes the table's lease. */
+  def deletePositions(spark: SparkSession, table: String,
+                      positions: DataFrame,
+                      retainVersions: Int =
+                        graft.operators.Upsert.DefaultRetainVersions): Boolean = {
+    require(isManifested(spark, table),
+      s"deletePositions: $table is not a manifested table")
+    require(positions.columns.toSet.contains("_pos_path") &&
+      positions.columns.toSet.contains("_pos_ordinal"),
+      "deletePositions: positions must carry _pos_path + _pos_ordinal " +
+        "(from readWithRowPos)")
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      cleanupStaging(spark, table)
+      val base = rootManifest(spark, table)
+        .getOrElse(scanStates(spark, table, partitionCols(spark, table)))
+      val rootPath = new Path(table).toUri.getPath
+      // one row per touched FILE (bounded — never per deleted row):
+      // parse each file's partition rel from its table-relative path
+      val files = positions.select(col("_pos_path")).distinct()
+        .collect().map(_.getString(0))
+      if (files.isEmpty) return false
+      val parsedFiles = files.map { uri =>
+        val p = new Path(uri).toUri.getPath
+        require(p.startsWith(rootPath + "/"),
+          s"deletePositions: file $uri is not under table $table")
+        val segs = p.stripPrefix(rootPath + "/").split("/").toSeq
+        segs.indexOf(VersionsDir) match {
+          case -1 => (segs.dropRight(1).mkString("/"), // FLAT legacy file
+            None: Option[String], segs.last)
+          case i  => (segs.take(i).mkString("/"),
+            Some(segs(i + 1)), segs.last)
+        }
+      }
+      // validate at FILE granularity: each doomed file's version must be
+      // a CURRENT part of its partition's state (plain vNNN token, its
+      // own file-scoped survivor token, or FLAT). A handle whose file was
+      // rewritten or compacted away since the read is STALE — committing
+      // a ref for it would silently delete nothing; refuse loudly.
+      parsedFiles.toSeq.sortBy(_._1).foreach { case (rel, verOpt, name) =>
+        val bases = base.get(rel).map(parseParts(_).map(_._1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"deletePositions: file partition '$rel' is not in $table's " +
+              "manifest — the position handles are stale; re-read"))
+        val live = verOpt match {
+          case None => bases.contains(Flat)
+          case Some(v) => bases.exists(b => b == v || b == s"$v/$name")
+        }
+        require(live,
+          s"deletePositions: file '$name' (${verOpt.getOrElse(Flat)}) is " +
+            s"no longer a current part of '$rel' (state: ${base(rel)}) — " +
+            "the position handles are stale (rewritten or compacted since " +
+            "they were read); re-read and re-derive")
+      }
+      val touchedRels = parsedFiles.map(_._1).toSet
+      val rows = positions
+        .select(element_at(split(col("_pos_path"), "/"), -1).as("_del_file"),
+          col("_pos_ordinal").cast("long").as("_del_pos"),
+          org.apache.spark.sql.functions
+            .regexp_replace(col("_pos_path"), ".*" +
+              java.util.regex.Pattern.quote(rootPath + "/"), "")
+            .as("_del_path"))
+        .dropDuplicates("_del_path", "_del_pos")
+      val f = fs(spark, new Path(table))
+      f.mkdirs(new Path(s"$table/$DeletesDir"))
+      val tmp = s"$table/$DeletesDir/.staging-${java.util.UUID.randomUUID()}"
+      rows.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(tmp)
+      val id = claimDeleteSlot(spark, table, new Path(tmp), prefix = "p")
+      val touched = touchedRels.toSeq.sorted.map { rel =>
+        rel -> fmtParts(parseParts(base(rel))
+          .map { case (b, dels) => (b, dels :+ id) })
+      }.toMap
+      val rt = s"$table/$RootDir"
+      val priorStats = currentRootVersion(spark, table)
+        .map(v => resolveManifestFull(spark, rt, v).collect {
+          case (rel, (_, Some(st))) if touched.contains(rel) => rel -> st
+        }).getOrElse(Map.empty[String, String])
+      graft.operators.Upsert.assertHeld(spark, table, token)
+      publishRoot(spark, table, base ++ touched, touched,
+        math.max(1, retainVersions), touchedStats = priorStats) // commit point
+      vacuumDeletes(spark, table)
+      true
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
+  // one shared number space for BOTH delete flavors: d = equality
+  // (key-valued), p = positional (file + row ordinal)
+  private val DeleteName = "^[dp](\\d{8,})$".r
 
   /** Rename complete delete keys at `from` into the next `_deletes` slot;
     * returns the claimed id ("d00000001"). Same claim discipline as the
     * data slots — the rename is whole-dir atomic. */
   private def claimDeleteSlot(spark: SparkSession, table: String,
-                              from: Path): String = {
+                              from: Path, prefix: String = "d"): String = {
     val f = fs(spark, from)
     val dir = new Path(s"$table/$DeletesDir")
     var attempt = 0
@@ -2605,7 +2990,7 @@ object PartitionSnapshots {
       val next = f.listStatus(dir).flatMap(st =>
         DeleteName.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
         .maxOption.getOrElse(0L) + 1
-      val id = f"d$next%08d"
+      val id = f"$prefix$next%08d"
       if (f.rename(from, new Path(dir, id))) return id
       attempt += 1
     }
