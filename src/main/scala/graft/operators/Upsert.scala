@@ -455,11 +455,31 @@ object Upsert {
       PartitionSnapshots.rootBranches(spark, path).getOrElse(n,
         throw new IllegalArgumentException(
           s"upsert: no branch '$n' at $path — createBranch first")))
-    val existing = branchHead match {
+    // manifest of the target line (None for flat hive tables / a
+    // manifested table before its first root commit) — drives the
+    // metadata-only existence probe, the stats-pruned key lookup, and
+    // the file-scoped planner
+    val base: Option[Map[String, String]] =
+      if (!manifested) None
+      else branchHead match {
+        case Some(v) => PartitionSnapshots.rootManifest(spark, path, v)
+        case None => PartitionSnapshots.rootManifest(spark, path)
+      }
+    // LAZY full-table frame: merely CONSTRUCTING a multi-path DataFrame
+    // eagerly lists every data file (~2 s at 1k partitions, ~29 s at
+    // 65k files — PLANS round-11 drill). Manifested fast paths answer
+    // from metadata + pruned partition reads and never force this;
+    // schema evolution, flat tables, and non-prunable keys still do.
+    lazy val existing = branchHead match {
       case Some(v) => PartitionSnapshots.readRawOption(spark, path, asOf = v)
       case None => readTable(spark, path)
     }
-    if (existing.isEmpty) {
+    val tableIsEmpty = base match {
+      case Some(entries) =>
+        !entries.values.exists(PartitionSnapshots.stateHasData)
+      case None => existing.isEmpty
+    }
+    if (tableIsEmpty) {
       if (manifested) {
         val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
         srcT.write.mode(SaveMode.ErrorIfExists)
@@ -474,14 +494,124 @@ object Upsert {
       } else commitVersion(spark, path, srcT, token, retainVersions)
       return
     }
-    val (target, src) =
-      if (evolveSchema) align(existing.get, srcT) else (existing.get, srcT)
+    // schema evolution must inspect and conform the real frame — it
+    // forces the listing; every other path defers
+    val aligned = if (evolveSchema) Some(align(existing.get, srcT)) else None
+    lazy val target: DataFrame = aligned.map(_._1).getOrElse(existing.get)
+    val src = aligned.map(_._2).getOrElse(srcT)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // the full ROW schema without constructing the frame: the pinned
+    // union schema (data columns) + promoted spec columns + partition
+    // columns as the SOURCE types them (the writer's own types — dir
+    // values re-render identically). Exactly the shape readEntries
+    // serves. Falls back to the real frame when nothing is pinned.
+    val targetSchema: org.apache.spark.sql.types.StructType =
+      if (!manifested || evolveSchema || base.isEmpty) target.schema
+      else PartitionSnapshots.mergeReadSchema(spark, path, branchHead,
+        src.schema, partitionCols).getOrElse(target.schema)
+    val prunableKey =
+      if (partitionCols.isEmpty) None
+      else keys.find { k =>
+        !partitionCols.contains(k) &&
+          (targetSchema.find(_.name == k).map(_.dataType) match {
+            case Some(org.apache.spark.sql.types.ByteType |
+                      org.apache.spark.sql.types.ShortType |
+                      org.apache.spark.sql.types.IntegerType |
+                      org.apache.spark.sql.types.LongType |
+                      org.apache.spark.sql.types.FloatType |
+                      org.apache.spark.sql.types.DoubleType |
+                      org.apache.spark.sql.types.StringType) => true
+            case _ => false
+          })
+      }
+    // bounded collect of the source's distinct key values (src is
+    // already key-deduped): sharpens pruning from one interval to
+    // point containment — scattered CDC keys stop forcing every
+    // in-between file (or partition) to scan. ≤100k keys driver-side.
+    def keyPredicate(kc: String)
+        : Option[graft.sources.PartitionSnapshots.PartStats => Boolean] = {
+      import org.apache.spark.sql.functions.{count, max, min}
+      val isString = targetSchema(kc).dataType ==
+        org.apache.spark.sql.types.StringType
+      if (isString) {
+        val b = src.agg(min(col(kc)), max(col(kc)), count(col(kc))).head()
+        if (b.isNullAt(0)) None
+        else {
+          // byte-order-faithful comparison needs every compared
+          // string pure ASCII (UTF-16 char order ≠ UTF-8 byte order
+          // for some non-ASCII ranges) — non-ASCII keys disable
+          // string pruning rather than risk a wrong exclusion
+          def ascii(s: String) = s.forall(c => c >= 0x20 && c < 0x7f)
+          val points =
+            if (b.getLong(2) <= 100000L)
+              Some(src.select(col(kc)).where(col(kc).isNotNull)
+                .distinct().collect().map(_.getString(0)).sorted)
+            else None
+          if (!ascii(b.getString(0)) || !ascii(b.getString(1)) ||
+              points.exists(_.exists(!ascii(_)))) None
+          else Some(PartitionSnapshots.stringKeyExcluded(kc,
+            b.getString(0), b.getString(1), points))
+        }
+      } else {
+        val b = src.agg(min(col(kc)).cast("double"),
+          max(col(kc)).cast("double"), count(col(kc))).head()
+        if (b.isNullAt(0)) None
+        else {
+          val points =
+            if (b.getLong(2) <= 100000L)
+              Some(src.select(col(kc).cast("double"))
+                .where(col(kc).isNotNull).distinct()
+                .collect().map(_.getDouble(0)).sorted)
+            else None
+          Some(PartitionSnapshots.numericKeyExcluded(kc,
+            b.getDouble(0), b.getDouble(1), points))
+        }
+      }
+    }
+    // computed ONCE; reused by the stats-pruned lookup here, the
+    // insert-only anti-join, and the file-scoped planner below (each
+    // keyPredicate call runs small src aggregates)
+    val keyPred: Option[
+        graft.sources.PartitionSnapshots.PartStats => Boolean] =
+      if (manifested) prunableKey.flatMap(keyPredicate) else None
+    // STATS-PRUNED matched-key lookup: the semi/anti-join that finds
+    // matched keys is the dominant cost of a small MERGE into a big
+    // table (measured: ~29 s of a 29 s single-key merge at 65k files —
+    // PLANS round-11 drill; construction alone lists every file).
+    // Partitions whose manifest key bounds PROVABLY exclude every
+    // source key cannot hold a match — construct a frame over only the
+    // remainder. Margin-safe by construction: the exclusion predicates
+    // are the file-scoped planner's own (ulp margins, ASCII-only
+    // strings), a partition with ABSENT stats is always kept, and a
+    // pruned-to-nothing lookup just means a pure-insert batch (an
+    // EMPTY schema-typed frame — never a full listing).
+    lazy val lookupTarget: DataFrame = (for {
+      entries <- base
+      pred <- keyPred
+    } yield {
+      val stats = PartitionSnapshots.rootStats(spark, path,
+        branchHead.getOrElse(-1L))
+      val kept = entries.keySet
+        .filter(rel => stats.get(rel).forall(ps => !pred(ps)))
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          targetSchema)
+      else PartitionSnapshots.readPartitionsRaw(spark, path, kept,
+        branchHead.getOrElse(-1L)).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          targetSchema))
+    }).getOrElse(target)
     if (manifested && insertOnly && audit.isEmpty) {
       // WHEN NOT MATCHED INSERT on a manifested table is a fast APPEND:
       // only the genuinely-new keys' rows are staged and sealed as new
       // version parts — no touched partition is rewritten, commit cost
-      // is O(new rows) however large the partitions already are
-      val newRows = src.join(target, keys, "left_anti")
+      // is O(new rows) however large the partitions already are. The
+      // anti-join runs against the stats-PRUNED frame: a key living in
+      // an excluded partition cannot match, so it survives the anti-join
+      // exactly as it would against the full table.
+      val newRows = src.join(lookupTarget, keys, "left_anti")
       if (newRows.isEmpty) return
       val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
       newRows.write.mode(SaveMode.ErrorIfExists)
@@ -498,7 +628,7 @@ object Upsert {
       // pattern Row.toString doesn't reproduce — reject them loudly
       // instead of silently missing the emptied-partition delete below.
       // (Partition by the derived DATE instead, as the pipeline does.)
-      target.schema.fields.filter(f => partitionCols.contains(f.name)).foreach { f =>
+      targetSchema.fields.filter(f => partitionCols.contains(f.name)).foreach { f =>
         require(f.dataType != org.apache.spark.sql.types.TimestampType &&
           f.dataType != org.apache.spark.sql.types.TimestampNTZType,
           s"upsert: timestamp-typed partition column '${f.name}' is not supported")
@@ -508,11 +638,11 @@ object Upsert {
       // lives — without the second leg a key whose partition value changes
       // (e.g. an article's corrected publish date) would survive in its
       // old partition as a duplicate. Finding matched keys scans only the
-      // key+partition columns of the target (columnar projection), the
-      // same key lookup an Iceberg MERGE performs.
-      import org.apache.spark.sql.functions.{broadcast, col}
+      // key+partition columns of the (stats-pruned) target, the same key
+      // lookup an Iceberg MERGE performs.
       val touched = src.select(partitionCols.map(col): _*).distinct()
-        .unionByName(target.join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .unionByName(lookupTarget
+          .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(partitionCols.map(col): _*).distinct())
         .distinct()
       // materialize the touched-partition list BEFORE the overwrite — its
@@ -536,10 +666,6 @@ object Upsert {
         if (insertOnly) affected.unionByName(src.join(affected, keys, "left_anti"))
         else src.unionByName(affected.join(src, keys, "left_anti"))
       if (manifested) {
-        val base = branchHead match {
-          case Some(v) => PartitionSnapshots.rootManifest(spark, path, v)
-          case None => PartitionSnapshots.rootManifest(spark, path)
-        }
         // partitions under RETIRED specs (the table's partition spec was
         // evolved): a manifest rel whose own layout is a proper prefix of
         // the current spec may hold matched keys — it is touched when its
@@ -578,73 +704,19 @@ object Upsert {
         // path-explicit planner (a nothing-excluded predicate when the
         // key is not prunable): old-spec rows are read from their own
         // dirs and re-staged under the current spec, never left behind.
-        val prunableKey = keys.find { k =>
-          !partitionCols.contains(k) &&
-            (target.schema.find(_.name == k).map(_.dataType) match {
-              case Some(org.apache.spark.sql.types.ByteType |
-                        org.apache.spark.sql.types.ShortType |
-                        org.apache.spark.sql.types.IntegerType |
-                        org.apache.spark.sql.types.LongType |
-                        org.apache.spark.sql.types.FloatType |
-                        org.apache.spark.sql.types.DoubleType |
-                        org.apache.spark.sql.types.StringType) => true
-              case _ => false
-            })
-        }
-        // bounded collect of the source's distinct key values (src is
-        // already key-deduped): sharpens file pruning from one interval
-        // to point containment — scattered CDC keys stop forcing every
-        // in-between file to rewrite. ≤100k keys driver-side.
-        def keyPredicate(kc: String)
-            : Option[graft.sources.PartitionSnapshots.PartStats => Boolean] = {
-          import org.apache.spark.sql.functions.{count, max, min}
-          val isString = target.schema(kc).dataType ==
-            org.apache.spark.sql.types.StringType
-          if (isString) {
-            val b = src.agg(min(col(kc)), max(col(kc)), count(col(kc))).head()
-            if (b.isNullAt(0)) None
-            else {
-              // byte-order-faithful comparison needs every compared
-              // string pure ASCII (UTF-16 char order ≠ UTF-8 byte order
-              // for some non-ASCII ranges) — non-ASCII keys disable
-              // string pruning rather than risk a wrong exclusion
-              def ascii(s: String) = s.forall(c => c >= 0x20 && c < 0x7f)
-              val points =
-                if (b.getLong(2) <= 100000L)
-                  Some(src.select(col(kc)).where(col(kc).isNotNull)
-                    .distinct().collect().map(_.getString(0)).sorted)
-                else None
-              if (!ascii(b.getString(0)) || !ascii(b.getString(1)) ||
-                  points.exists(_.exists(!ascii(_)))) None
-              else Some(PartitionSnapshots.stringKeyExcluded(kc,
-                b.getString(0), b.getString(1), points))
-            }
-          } else {
-            val b = src.agg(min(col(kc)).cast("double"),
-              max(col(kc)).cast("double"), count(col(kc))).head()
-            if (b.isNullAt(0)) None
-            else {
-              val points =
-                if (b.getLong(2) <= 100000L)
-                  Some(src.select(col(kc).cast("double"))
-                    .where(col(kc).isNotNull).distinct()
-                    .collect().map(_.getDouble(0)).sorted)
-                else None
-              Some(PartitionSnapshots.numericKeyExcluded(kc,
-                b.getDouble(0), b.getDouble(1), points))
-            }
-          }
-        }
+        // prunableKey / keyPred are hoisted above `touched` (they also
+        // drive the stats-pruned matched-key lookup); keyPred = None
+        // with a prunable key present means all-NULL or non-ASCII keys
         val fileScoped: Option[(Map[String, Seq[(String, Seq[String])]],
                                 Option[DataFrame])] =
           (base, prunableKey) match {
             case (Some(bm), Some(kc)) if audit.isEmpty =>
-              keyPredicate(kc) match {
+              keyPred match {
                 case Some(pred) => Some(PartitionSnapshots.planFileScoped(
-                  spark, path, bm, allTouched, pred, Some(target.schema)))
+                  spark, path, bm, allTouched, pred, Some(targetSchema)))
                 case None if legacyTouched.nonEmpty =>
                   Some(PartitionSnapshots.planFileScoped(spark, path, bm,
-                    allTouched, _ => false, Some(target.schema)))
+                    allTouched, _ => false, Some(targetSchema)))
                 case None => None // all-NULL keys match nothing
               }
             case (Some(bm), _) if legacyTouched.nonEmpty =>
@@ -652,12 +724,15 @@ object Upsert {
               // partition rewrite, but read path-explicitly so retired-
               // spec dirs never mix layouts in one scan
               Some(PartitionSnapshots.planFileScoped(spark, path, bm,
-                allTouched, _ => false, Some(target.schema)))
+                allTouched, _ => false, Some(targetSchema)))
             case _ => None
           }
         val (survivors, merged) = fileScoped match {
           case Some((surv, rewriteDf)) =>
-            (surv, mkMerged(rewriteDf.getOrElse(target.limit(0))))
+            (surv, mkMerged(rewriteDf.getOrElse(
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                targetSchema))))
           case None =>
             (Map.empty[String, Seq[(String, Seq[String])]],
               mkMerged(target.join(broadcast(touched), partitionCols,

@@ -608,6 +608,17 @@ object PartitionSnapshots {
     * export mirror's per-partition resolver: same delete-aware,
     * layout-grouped read as [[read]], restricted to `rels`. None when
     * none of them holds rows. */
+  /** [[readPartitions]] KEEPING hidden transform dir columns — the
+    * merge's stats-pruned matched-key lookup selects them. */
+  private[graft] def readPartitionsRaw(spark: SparkSession, table: String,
+                                       rels: Set[String],
+                                       asOf: Long = -1L): Option[DataFrame] =
+    rootManifest(spark, table, asOf).flatMap { entries =>
+      val rv = if (asOf > 0) asOf else currentRootVersion(spark, table).get
+      readEntries(spark, table, entries.view.filterKeys(rels).toMap,
+        pinnedSchema(spark, table, rv))
+    }
+
   def readPartitions(spark: SparkSession, table: String, rels: Set[String],
                      asOf: Long = -1L): Option[DataFrame] =
     rootManifest(spark, table, asOf).flatMap { entries =>
@@ -869,6 +880,41 @@ object PartitionSnapshots {
     parts.map { case (b, dels) =>
       if (dels.isEmpty) b else s"$b+${dels.mkString(",")}"
     }.mkString("&")
+
+  /** Does this state string name ANY live data (a non-EMPTY part)? The
+    * metadata-only table-existence probe the merge path uses instead of
+    * constructing (and thereby file-listing) the full-table frame. */
+  private[graft] def stateHasData(state: String): Boolean =
+    parseParts(state).exists(_._1 != Empty)
+
+  /** The full ROW schema a manifested read serves, WITHOUT constructing
+    * the frame (construction eagerly lists every data file): pinned
+    * union schema (data columns) + promoted spec columns + the partition
+    * columns as `srcSchema` types them. None when no schema is pinned
+    * (pre-schema-pinning tables fall back to the real frame). */
+  private[graft] def mergeReadSchema(spark: SparkSession, table: String,
+                                     branchHead: Option[Long],
+                                     srcSchema: org.apache.spark.sql.types.StructType,
+                                     partitionCols: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val rv = branchHead.orElse(currentRootVersion(spark, table))
+    rv.flatMap(v => pinnedSchema(spark, table, v)).flatMap { pinned =>
+      val promoted = promotedSpecCols(spark, table)
+        .filterNot(f => pinned.fieldNames.contains(f.name))
+        .filterNot(f => partitionCols.contains(f.name))
+      val pFields = partitionCols.map(c => srcSchema.fields.find(_.name == c))
+      // a partition column the source lacks (schema drift) → no cheap
+      // schema; the caller falls back to the real frame, whose own
+      // alignment/union will fail loudly as ever
+      if (pFields.exists(_.isEmpty)) None
+      else Some(org.apache.spark.sql.types.StructType(
+        // a root pinned BEFORE a spec evolution still carries the
+        // promoted column as a data field — the partition-column leg
+        // must be its only occurrence
+        pinned.fields.filterNot(f => partitionCols.contains(f.name)) ++
+          promoted ++ pFields.flatten))
+    }
+  }
 
   /** Single-part view of a state (the common case): its FIRST part's
     * base and delete refs. Callers that must handle append unions use
