@@ -364,12 +364,32 @@ object Upsert {
         val touchedDf = {
           val own = srcC.select(partitionCols.map(col): _*).distinct()
           if (insertOnly) own
-          else own.unionByName(
-            PartitionSnapshots.readRawOption(spark, path)
-              .map(_.join(srcC.select(keys.map(col): _*).distinct(), keys,
-                "left_semi")
+          else {
+            // same stats-pruned matched-key lookup as the merge itself:
+            // only partitions whose bounds can contain a source key are
+            // constructed and scanned for the conflict validation
+            val matchedLeg = {
+              val pred = PartitionSnapshots.currentRootVersion(spark, path)
+                .flatMap(v => PartitionSnapshots.pinnedMergeKeyField(
+                  spark, path, v, keys))
+                .flatMap(f => PartitionSnapshots.keyExclusion(
+                  spark, srcC, f.name, f.dataType))
+              val frame = (pred, PartitionSnapshots.rootManifest(spark, path)) match {
+                case (Some(p), Some(entries)) =>
+                  val stats = PartitionSnapshots.rootStats(spark, path)
+                  val kept = entries.keySet.filter(rel =>
+                    stats.get(rel).forall(ps => !p(ps)))
+                  if (kept.isEmpty) None
+                  else PartitionSnapshots.readPartitionsRaw(spark, path, kept)
+                case _ => PartitionSnapshots.readRawOption(spark, path)
+              }
+              frame.map(_.join(srcC.select(keys.map(col): _*).distinct(),
+                  keys, "left_semi")
                 .select(partitionCols.map(col): _*).distinct())
-              .getOrElse(own.limit(0))).distinct()
+                .getOrElse(own.limit(0))
+            }
+            own.unionByName(matchedLeg).distinct()
+          }
         }
         val tupleSegs: Seq[Map[String, String]] =
           touchedDf.collect().toSeq.map { r =>
@@ -524,56 +544,16 @@ object Upsert {
             case _ => false
           })
       }
-    // bounded collect of the source's distinct key values (src is
-    // already key-deduped): sharpens pruning from one interval to
-    // point containment — scattered CDC keys stop forcing every
-    // in-between file (or partition) to scan. ≤100k keys driver-side.
-    def keyPredicate(kc: String)
-        : Option[graft.sources.PartitionSnapshots.PartStats => Boolean] = {
-      import org.apache.spark.sql.functions.{count, max, min}
-      val isString = targetSchema(kc).dataType ==
-        org.apache.spark.sql.types.StringType
-      if (isString) {
-        val b = src.agg(min(col(kc)), max(col(kc)), count(col(kc))).head()
-        if (b.isNullAt(0)) None
-        else {
-          // byte-order-faithful comparison needs every compared
-          // string pure ASCII (UTF-16 char order ≠ UTF-8 byte order
-          // for some non-ASCII ranges) — non-ASCII keys disable
-          // string pruning rather than risk a wrong exclusion
-          def ascii(s: String) = s.forall(c => c >= 0x20 && c < 0x7f)
-          val points =
-            if (b.getLong(2) <= 100000L)
-              Some(src.select(col(kc)).where(col(kc).isNotNull)
-                .distinct().collect().map(_.getString(0)).sorted)
-            else None
-          if (!ascii(b.getString(0)) || !ascii(b.getString(1)) ||
-              points.exists(_.exists(!ascii(_)))) None
-          else Some(PartitionSnapshots.stringKeyExcluded(kc,
-            b.getString(0), b.getString(1), points))
-        }
-      } else {
-        val b = src.agg(min(col(kc)).cast("double"),
-          max(col(kc)).cast("double"), count(col(kc))).head()
-        if (b.isNullAt(0)) None
-        else {
-          val points =
-            if (b.getLong(2) <= 100000L)
-              Some(src.select(col(kc).cast("double"))
-                .where(col(kc).isNotNull).distinct()
-                .collect().map(_.getDouble(0)).sorted)
-            else None
-          Some(PartitionSnapshots.numericKeyExcluded(kc,
-            b.getDouble(0), b.getDouble(1), points))
-        }
-      }
-    }
     // computed ONCE; reused by the stats-pruned lookup here, the
-    // insert-only anti-join, and the file-scoped planner below (each
-    // keyPredicate call runs small src aggregates)
+    // insert-only anti-join, and the file-scoped planner below (the
+    // shared exclusion builder runs small src aggregates + a bounded
+    // ≤100k distinct-key collect — see PartitionSnapshots.keyExclusion)
     val keyPred: Option[
         graft.sources.PartitionSnapshots.PartStats => Boolean] =
-      if (manifested) prunableKey.flatMap(keyPredicate) else None
+      if (manifested)
+        prunableKey.flatMap(kc => PartitionSnapshots.keyExclusion(
+          spark, src, kc, targetSchema(kc).dataType))
+      else None
     // STATS-PRUNED matched-key lookup: the semi/anti-join that finds
     // matched keys is the dominant cost of a small MERGE into a big
     // table (measured: ~29 s of a 29 s single-key merge at 65k files —

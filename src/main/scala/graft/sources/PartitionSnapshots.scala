@@ -881,6 +881,66 @@ object PartitionSnapshots {
       if (dels.isEmpty) b else s"$b+${dels.mkString(",")}"
     }.mkString("&")
 
+  /** Build the margin-safe partition/file EXCLUSION predicate for one
+    * key column of `keysDf` — the shared engine behind the file-scoped
+    * planner, the merge's stats-pruned matched-key lookup, and
+    * deleteKeys' pruned touched-partition scan. Collects the distinct
+    * key values when bounded (≤100k driver-side) so scattered CDC keys
+    * prune by point containment, not one global interval. None when the
+    * keys are all NULL, the type is not prunable, or (strings) any
+    * compared value is non-ASCII — UTF-16 char order diverges from
+    * UTF-8 byte order outside ASCII, and a wrong exclusion would lose
+    * rows, so pruning disables instead. */
+  private[graft] def keyExclusion(spark: SparkSession, keysDf: DataFrame,
+                                  kc: String,
+                                  dt: org.apache.spark.sql.types.DataType)
+      : Option[PartStats => Boolean] = {
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType =>
+        val b = keysDf.agg(min(col(kc)), max(col(kc)), count(col(kc))).head()
+        if (b.isNullAt(0)) None
+        else {
+          def ascii(s: String) = s.forall(c => c >= 0x20 && c < 0x7f)
+          val points =
+            if (b.getLong(2) <= 100000L)
+              Some(keysDf.select(col(kc)).where(col(kc).isNotNull)
+                .distinct().collect().map(_.getString(0)).sorted)
+            else None
+          if (!ascii(b.getString(0)) || !ascii(b.getString(1)) ||
+              points.exists(_.exists(!ascii(_)))) None
+          else Some(stringKeyExcluded(kc, b.getString(0), b.getString(1),
+            points))
+        }
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType =>
+        val b = keysDf.agg(min(col(kc)).cast("double"),
+          max(col(kc)).cast("double"), count(col(kc))).head()
+        if (b.isNullAt(0)) None
+        else {
+          val points =
+            if (b.getLong(2) <= 100000L)
+              Some(keysDf.select(col(kc).cast("double"))
+                .where(col(kc).isNotNull).distinct()
+                .collect().map(_.getDouble(0)).sorted)
+            else None
+          Some(numericKeyExcluded(kc, b.getDouble(0), b.getDouble(1),
+            points))
+        }
+      case _ => None
+    }
+  }
+
+  /** The first merge-key column the pinned schema can type for
+    * exclusion-predicate building — the prunable-key probe shared by
+    * callers that have only the table path + key names. */
+  private[graft] def pinnedMergeKeyField(spark: SparkSession, table: String,
+                                         v: Long, keys: Seq[String])
+      : Option[org.apache.spark.sql.types.StructField] =
+    pinnedSchema(spark, table, v).flatMap(pinned =>
+      keys.flatMap(c => pinned.fields.find(_.name == c)).headOption)
+
   /** Does this state string name ANY live data (a non-EMPTY part)? The
     * metadata-only table-existence probe the merge path uses instead of
     * constructing (and thereby file-listing) the full-table frame. */
@@ -2843,7 +2903,27 @@ object PartitionSnapshots {
       cleanupStaging(spark, table)
       val base = rootManifest(spark, table)
         .getOrElse(scanStates(spark, table, cols))
-      val current = readEntries(spark, table, base).getOrElse(return false)
+      // STATS-PRUNED touched-partition scan (same machinery as the
+      // merge's matched-key lookup): partitions whose manifest key
+      // bounds provably exclude every delete key cannot hold a doomed
+      // row — only the remainder is constructed and scanned. Absent
+      // stats keep the partition; all-pruned means no key matches
+      // anywhere (the documented no-op `false`).
+      val kDedup = keys.dropDuplicates(keyCols)
+      val pruneCol = currentRootVersion(spark, table)
+        .flatMap(pinnedSchema(spark, table, _))
+        .flatMap(pinned => keyCols.flatMap(c =>
+          pinned.fields.find(_.name == c)).headOption)
+      val pred = pruneCol.flatMap(f =>
+        keyExclusion(spark, kDedup, f.name, f.dataType))
+      val kept = pred match {
+        case Some(p) =>
+          val stats = rootStats(spark, table)
+          base.view.filterKeys(rel =>
+            stats.get(rel).forall(ps => !p(ps))).toMap
+        case None => base
+      }
+      val current = readEntries(spark, table, kept).getOrElse(return false)
       keyCols.foreach(c => require(current.columns.contains(c),
         s"deleteKeys: key column '$c' is not a column of $table"))
       // Same guard as upsert's rewrite path: timestamp partition values
@@ -2856,7 +2936,7 @@ object PartitionSnapshots {
           s"deleteKeys: timestamp-typed partition column '${f.name}' is " +
             "not supported (partition by the derived DATE instead)")
       }
-      val k = keys.dropDuplicates(keyCols)
+      val k = kDedup
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       import org.apache.spark.sql.functions.{broadcast, col}
       // touched partitions: column-pruned semi-join (bounded collect —
