@@ -895,38 +895,48 @@ object PartitionSnapshots {
                                   kc: String,
                                   dt: org.apache.spark.sql.types.DataType)
       : Option[PartStats => Boolean] = {
-    import org.apache.spark.sql.functions.{col, count, max, min}
+    import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types._
+    val PointCap = 100000
     dt match {
       case StringType =>
-        val b = keysDf.agg(min(col(kc)), max(col(kc)), count(col(kc))).head()
-        if (b.isNullAt(0)) None
-        else {
-          def ascii(s: String) = s.forall(c => c >= 0x20 && c < 0x7f)
-          val points =
-            if (b.getLong(2) <= 100000L)
-              Some(keysDf.select(col(kc)).where(col(kc).isNotNull)
-                .distinct().collect().map(_.getString(0)).sorted)
-            else None
-          if (!ascii(b.getString(0)) || !ascii(b.getString(1)) ||
-              points.exists(_.exists(!ascii(_)))) None
+        // ONE bounded job in the common case: the distinct key set,
+        // capped at PointCap+1 — bounds derive driver-side; only a
+        // beyond-cap key set falls back to an interval-only aggregate
+        def ascii(s: String) = s.forall(c => c >= 0x20 && c < 0x7f)
+        val pts = keysDf.select(col(kc)).where(col(kc).isNotNull)
+          .distinct().limit(PointCap + 1).collect().map(_.getString(0))
+        if (pts.isEmpty) None
+        else if (pts.length <= PointCap) {
+          if (pts.exists(!ascii(_))) None
+          else {
+            val sorted = pts.sorted
+            Some(stringKeyExcluded(kc, sorted.head, sorted.last,
+              Some(sorted)))
+          }
+        } else {
+          val b = keysDf.agg(min(col(kc)), max(col(kc))).head()
+          if (b.isNullAt(0) || !ascii(b.getString(0)) ||
+              !ascii(b.getString(1))) None
           else Some(stringKeyExcluded(kc, b.getString(0), b.getString(1),
-            points))
+            None))
         }
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType =>
-        val b = keysDf.agg(min(col(kc)).cast("double"),
-          max(col(kc)).cast("double"), count(col(kc))).head()
-        if (b.isNullAt(0)) None
-        else {
-          val points =
-            if (b.getLong(2) <= 100000L)
-              Some(keysDf.select(col(kc).cast("double"))
-                .where(col(kc).isNotNull).distinct()
-                .collect().map(_.getDouble(0)).sorted)
-            else None
-          Some(numericKeyExcluded(kc, b.getDouble(0), b.getDouble(1),
-            points))
+        val pts = keysDf.select(col(kc).cast("double"))
+          .where(col(kc).isNotNull)
+          .distinct().limit(PointCap + 1).collect().map(_.getDouble(0))
+        if (pts.isEmpty) None
+        else if (pts.length <= PointCap) {
+          val sorted = pts.sorted
+          Some(numericKeyExcluded(kc, sorted.head, sorted.last,
+            Some(sorted)))
+        } else {
+          val b = keysDf.agg(min(col(kc)).cast("double"),
+            max(col(kc)).cast("double")).head()
+          if (b.isNullAt(0)) None
+          else Some(numericKeyExcluded(kc, b.getDouble(0), b.getDouble(1),
+            None))
         }
       case _ => None
     }
