@@ -104,6 +104,38 @@ object MetaDrill {
         PartitionSnapshots.compact(spark, path,
           minFiles = filesPer + 50).size)
     }
+    // --sort-compact: the round-11 verdict's open cliff — mid-range keys
+    // that EVERY partition's bounds interval admits pay the full lookup
+    // (~27 s at 65k files on the interleaved layout). Sorted compaction
+    // is the shipped layout repair for an already-written table: measure
+    // the SAME unprunable keys before and after compact(sortWithin=k).
+    if (args.contains("--sort-compact")) {
+      val mid = Seq(n / 4L + 571L, n / 2L, (3L * n) / 4L - 137L)
+      def midMerge(tag: String): Unit = mid.foreach { k =>
+        val part = if (rangeParts) (k / (n / parts)).toInt
+                   else (k % parts).toInt
+        timed(s"  $tag merge mid-key=$k") {
+          Upsert.upsert(spark, path,
+            Seq((k, part, k * 7)).toDF("k", "part", "v"),
+            Seq("k"), partitionCols = Seq("part"))
+        }
+      }
+      timed("3 mid-range merges PRE-compact (unprunable bounds)") {
+        midMerge("pre")
+      }
+      timed(s"compact(sortWithin = k) over all $parts partitions") {
+        val res = PartitionSnapshots.compact(spark, path,
+          sortWithin = Seq("k"))
+        println(s"[drill] compacted partitions = ${res.size}, " +
+          s"files ${res.values.map(_._1).sum} -> ${res.values.map(_._2).sum}")
+      }
+      timed("3 mid-range merges POST-compact (same keys)") {
+        midMerge("post")
+      }
+      println("[drill] post-compact survivors in touched states: " +
+        PartitionSnapshots.rootManifest(spark, path).get.values
+          .count(_.contains("/")))
+    }
     // round-10 pool drill replication: one merge touching EVERY partition
     if (args.contains("--all-merge")) {
       timed(s"${2 * parts}-key merge touching all $parts partitions") {
@@ -119,6 +151,97 @@ object MetaDrill {
     }
     timed("full read count") {
       println("[drill] rows = " + PartitionSnapshots.read(spark, path).count())
+    }
+    spark.stop()
+  }
+}
+
+/** Commit-chain DEPTH drill (the fourth metadata decade: the file drills
+  * scaled file COUNT; this scales commit HISTORY): drive one small table
+  * to `N` commits at the default rebase cadence ([[graft.sources
+  * .PartitionSnapshots.RebaseEvery]] = 8 — a full manifest every 8th
+  * commit, deltas between), then measure the depth-sensitive ops —
+  * head resolution, mid-chain time travel, a long-window changelog,
+  * tag reads, time-based expiry. Scratch main; results land in
+  * PLANS.md. Usage: `runMain graft.ChainDrill [commits] [parts]`. */
+object ChainDrill {
+  import MetaDrill.timed
+  def main(args: Array[String]): Unit = {
+    val commits = args.headOption.map(_.toInt).getOrElse(5000)
+    val parts = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val base = java.nio.file.Files.createTempDirectory(
+      s"chain_$commits").toString
+    val path = s"$base/t"
+    println(s"[chain] table=$path commits=$commits parts=$parts")
+    // retention window deep enough for a long-window changelog but
+    // bounded (retaining ALL 5k roots would make each commit's vacuum
+    // walk the whole history — O(n²) across the drill, and no real
+    // deployment retains unbounded count anyway); the SEED is tagged
+    // up front so one pinned root rides through every vacuum + expiry
+    val retain = 300
+    Upsert.append(spark, path,
+      Seq((0L, 0, 0L)).toDF("k", "part", "v"), Seq("part"),
+      retainVersions = retain)
+    PartitionSnapshots.tagRoot(spark, path, "seed", 1L)
+    timed(s"${commits - 1} single-row append commits (retain=$retain)") {
+      var i = 1
+      while (i < commits) {
+        Upsert.append(spark, path,
+          Seq((i.toLong, i % parts, i * 3L)).toDF("k", "part", "v"),
+          Seq("part"), retainVersions = retain)
+        i += 1
+        if (i % 500 == 0) println(s"[chain]   $i commits")
+      }
+    }
+    val head = PartitionSnapshots.currentRootVersion(spark, path).get
+    println(s"[chain] head root version = $head")
+    timed("resolve head manifest (cold cache)") {
+      println("[chain] head entries = " +
+        PartitionSnapshots.rootManifest(spark, path).get.size)
+    }
+    timed("resolve head manifest again (chain is <=RebaseEvery hops)") {
+      PartitionSnapshots.rootManifest(spark, path).get.size
+    }
+    timed("time travel 150 commits back (inside the retained window)") {
+      println("[chain] asOf rows = " +
+        PartitionSnapshots.read(spark, path, asOf = head - 150).count())
+    }
+    timed("changedPartitions over the FULL window (1 -> head)") {
+      println("[chain] changed rels = " +
+        PartitionSnapshots.changedPartitions(spark, path, 1L, head).size)
+    }
+    timed(s"changelog changes over a ${math.min(100, commits / 2)}-commit window") {
+      println("[chain] feed rows = " + PartitionSnapshots.changes(spark, path,
+        head - math.min(100, commits / 2), head).count())
+    }
+    timed("snapshotsMeta over the full retained chain") {
+      println("[chain] snapshots rows = " +
+        PartitionSnapshots.snapshotsMeta(spark, path).count())
+    }
+    timed("tag read (seed)") {
+      println("[chain] seed rows = " +
+        PartitionSnapshots.readTag(spark, path, "seed").count())
+    }
+    timed("expireRoots(olderThan = 0) — everything unpinned goes") {
+      val expired = PartitionSnapshots.expireRoots(spark, path, 0L,
+        retainVersions = 4)
+      println(s"[chain] expired ${expired.size} roots")
+    }
+    timed("post-expiry head read") {
+      println("[chain] rows = " + PartitionSnapshots.read(spark, path).count())
+    }
+    timed("post-expiry tag read (seed pinned through expiry)") {
+      println("[chain] seed rows = " +
+        PartitionSnapshots.readTag(spark, path, "seed").count())
     }
     spark.stop()
   }

@@ -3169,6 +3169,94 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** ROW-LEVEL SQL BEYOND THE REFERENCE'S TWO MERGE SHAPES
+    * ([[graft.sources.Catalog.sql]]'s general routing — the Iceberg-user
+    * surface the reference's own runtime accepts,
+    * /root/reference/Dockerfile:19-21): ONE statement with a
+    * conditional DELETE clause, a fall-through UPDATE clause, and a
+    * conditional INSERT clause — first-match-wins per row — followed by
+    * a standalone `DELETE FROM t WHERE k IN (…)` (the GDPR-erasure
+    * shape). The engine decomposes the clause algebra into its cheapest
+    * primitives: DELETE → one equality-delete commit (merge-on-read,
+    * no file rewritten), UPDATE → the file-scoped upsert, INSERT →
+    * fast-append; the IN-list delete routes to
+    * [[graft.sources.PartitionSnapshots.deleteKeys]] without scanning a
+    * row outside its stats-pruned lookup. The oracle replays the full
+    * clause semantics over the immutable source — the commit plumbing
+    * never changes the answer. Re-running both statements is
+    * idempotent. */
+  def q191ConditionalMergeSql(s: SparkSession, dir: String): DataFrame = {
+    val wh = stagedOnce("pcmsql", dir) { base =>
+      val cust = t(s, dir, "customer").where(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", cust, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+    }
+    t(s, dir, "customer").where(col("c_custkey").between(100, 160))
+      .select(col("c_custkey"),
+        (col("c_acctbal") - lit(2000.0)).as("c_acctbal"), col("c_mktsegment"))
+      .unionByName(t(s, dir, "customer")
+        .where(col("c_custkey").between(501, 540))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+      .createOrReplaceGlobalTempView("graft_q191_src")
+    val cat = new graft.sources.Catalog(s, wh)
+    cat.sql(
+      """MERGE INTO t t
+        |USING global_temp.graft_q191_src s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.c_acctbal > 1000 THEN INSERT *""".stripMargin)
+    cat.sql("DELETE FROM t WHERE c_custkey IN (7, 11, 13)")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
+  /** ORPHAN-FILE SWEEP ([[graft.sources.PartitionSnapshots
+    * .removeOrphans]] — Iceberg's `remove_orphan_files`): a writer that
+    * crashes between STAGING and COMMIT leaks never-referenced version
+    * dirs and tmp files forever (commit-path retention only runs for
+    * partitions later commits touch). The builder stages a manifested
+    * table, INJECTS a crashed writer's debris — a sealed-but-unrooted
+    * version slot, an abandoned `_staging-*` root, root-chain staging
+    * litter — then sweeps and REQUIRES exactly that debris gone. The
+    * oracle confirms the one thing a storage-reclamation op must
+    * guarantee: table content is byte-identical to the immutable
+    * source's replay — a sweep that ever changed an answer would be a
+    * data-loss bug, not maintenance. */
+  def q192OrphanSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionSnapshots
+    val path = stagedOnce("porphan", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      // a crashed writer's never-referenced debris, aged past the TTL
+      val tp = s"$base/t"
+      val fs = new org.apache.hadoop.fs.Path(tp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val orphanSlot = s"$tp/c_mktsegment=BUILDING/_versions/v00000099"
+      seed.limit(3).coalesce(1).write.parquet(orphanSlot)
+      fs.create(new org.apache.hadoop.fs.Path(s"$orphanSlot/_SUCCESS"),
+        true).close()
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tp/_staging-crashed"))
+      val old = System.currentTimeMillis() - 48L * 3600 * 1000
+      Seq(orphanSlot, s"$tp/_staging-crashed").foreach(p =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(p), old, -1))
+      val swept = PartitionSnapshots.removeOrphans(s, tp)
+      require(swept.size == 2 && swept.exists(_.contains("v00000099")),
+        s"q192: sweep must remove exactly the injected debris, got $swept")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(orphanSlot)),
+        "q192: orphan slot survived the sweep")
+    } + "/t"
+    // idempotent: re-sweeping a clean table removes nothing
+    require(PartitionSnapshots.removeOrphans(s, path).isEmpty,
+      "q192: re-sweep of a clean table must be empty")
+    Upsert.read(s, path)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4143,6 +4231,37 @@ object Queries {
         |FROM ins""".stripMargin,
     // q183: full-partition MERGE semantics replayed over the immutable
     // source — file-level rewrite granularity never changes the answer
+    // q192: storage reclamation never changes an answer — the table
+    // reads exactly as the immutable source's replay after the sweep
+    "q192_orphan_sweep" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_custkey <= 300""".stripMargin,
+    // q191: first-match-wins clause semantics replayed declaratively —
+    // matched & negative new balance dies (DELETE clause), other matched
+    // rows document-replace (UPDATE), unmatched source rows insert only
+    // past the condition, and the trailing IN-list delete applies last
+    "q191_conditional_merge_sql" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment
+        |              FROM customer WHERE c_custkey <= 500),
+        |src AS (SELECT c_custkey, c_acctbal - 2000.0 AS c_acctbal,
+        |               c_mktsegment
+        |        FROM customer WHERE c_custkey BETWEEN 100 AND 160
+        |        UNION ALL
+        |        SELECT c_custkey, c_acctbal, c_mktsegment
+        |        FROM customer WHERE c_custkey BETWEEN 501 AND 540),
+        |merged AS (
+        |  SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment
+        |  FROM src s JOIN base b ON s.c_custkey = b.c_custkey
+        |  WHERE s.c_acctbal >= 0
+        |  UNION ALL
+        |  SELECT b.c_custkey, b.c_acctbal, b.c_mktsegment FROM base b
+        |  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM src)
+        |  UNION ALL
+        |  SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment FROM src s
+        |  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM base)
+        |    AND s.c_acctbal > 1000)
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM merged
+        |WHERE c_custkey NOT IN (7, 11, 13)""".stripMargin,
     "q190_positional_delete" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
         |WHERE c_custkey <= 300
@@ -6445,6 +6564,8 @@ object Queries {
     "q187_string_key_merge" -> (q187StringKeyMerge _),
     "q188_merge_sql" -> (q188MergeSql _),
     "q189_hidden_bucket" -> (q189HiddenBucket _),
-    "q190_positional_delete" -> (q190PositionalDelete _)
+    "q190_positional_delete" -> (q190PositionalDelete _),
+    "q191_conditional_merge_sql" -> (q191ConditionalMergeSql _),
+    "q192_orphan_sweep" -> (q192OrphanSweep _)
   )
 }

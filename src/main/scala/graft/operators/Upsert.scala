@@ -71,6 +71,22 @@ object Upsert {
 
   private def lockPath(path: String) = new Path(path + "__lock")
 
+  /** In-process lease registry: (canonical lock path → owning token).
+    * Hadoop's local-FS `create(overwrite = false)` is check-then-create,
+    * NOT atomic — two THREADS of one JVM racing [[acquireLock]] can both
+    * "win" the file and interleave commits (the exact shape of two
+    * optimistic appenders in a local[*] session). This map makes the
+    * in-JVM half of the acquisition a real CAS; the lease FILE remains
+    * the cross-process half (atomic on HDFS/object-store committers,
+    * best-effort on a shared local FS — the documented trade). */
+  private val jvmLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lockKey(spark: SparkSession, path: String): String = {
+    val lp = lockPath(path)
+    fs(spark, lp).makeQualified(lp).toUri.toString
+  }
+
   /** Acquire the single-writer lease for the table at `path`, or throw
     * [[ConcurrentWriteException]]. The reference runs one Airflow task per
     * table per day — a contract that lived only in documentation; this
@@ -97,6 +113,26 @@ object Upsert {
     // writer while the successor is mid-swap.
     val token =
       s"pid=${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
+    def lockAge(): Long =
+      try System.currentTimeMillis() - f.getFileStatus(lp).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    // in-JVM CAS first: among this process's threads exactly one wins
+    // (the file create below is NOT atomic on a local FS)
+    val key = lockKey(spark, path)
+    val prev = jvmLeases.putIfAbsent(key, token)
+    if (prev != null) {
+      // entry WITHOUT a lease file = a holder mid-acquire (the gap
+      // between its CAS and its create is live, never stale) — only an
+      // entry whose FILE aged past the TTL is a crashed-holder takeover
+      val age = lockAge()
+      if (age == Long.MaxValue || age < ttlMs)
+        throw new ConcurrentWriteException(
+          s"upsert: table $path is locked by another writer in this " +
+            s"process (lease $lp, TTL ${ttlMs / 1000}s)")
+      if (!jvmLeases.replace(key, prev, token))
+        throw new ConcurrentWriteException(
+          s"upsert: lost in-process takeover race for stale lease $lp")
+    }
     def tryCreate(): Boolean =
       try {
         val out = f.create(lp, false)
@@ -104,18 +140,20 @@ object Upsert {
         out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (!tryCreate()) {
-      val ageMs =
-        try System.currentTimeMillis() - f.getFileStatus(lp).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-      if (ageMs < ttlMs)
-        throw new ConcurrentWriteException(
-          s"upsert: table $path is locked by another writer " +
-            s"(lease $lp is ${ageMs / 1000}s old, TTL ${ttlMs / 1000}s)")
-      f.delete(lp, false) // stale: holder crashed past TTL; take over
-      if (!tryCreate())
-        throw new ConcurrentWriteException(
-          s"upsert: lost takeover race for stale lease $lp")
+    try {
+      if (!tryCreate()) {
+        val ageMs = lockAge()
+        if (ageMs < ttlMs)
+          throw new ConcurrentWriteException(
+            s"upsert: table $path is locked by another writer " +
+              s"(lease $lp is ${ageMs / 1000}s old, TTL ${ttlMs / 1000}s)")
+        f.delete(lp, false) // stale: holder crashed past TTL; take over
+        if (!tryCreate())
+          throw new ConcurrentWriteException(
+            s"upsert: lost takeover race for stale lease $lp")
+      }
+    } catch {
+      case t: Throwable => jvmLeases.remove(key, token); throw t
     }
     token
   }
@@ -155,13 +193,14 @@ object Upsert {
     val lp = lockPath(path)
     if (currentToken(spark, path).contains(token))
       fs(spark, lp).delete(lp, false)
+    jvmLeases.remove(lockKey(spark, path), token)
   }
 
   /** Deterministic per-key winner among duplicate source rows: the row
     * with the greatest xxhash64 of its non-key columns. dropDuplicates
     * keeps an arbitrary partition-order-dependent row, which would make
     * replayed merges (and the driver's hash checks) nondeterministic. */
-  private def dedupSource(source: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def dedupSource(source: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number, xxhash64}
     val nonKey = source.columns.filterNot(keys.contains)
@@ -338,17 +377,7 @@ object Upsert {
     if (src0.isEmpty) return
     // bounded lease wait: the winner is seconds away from its
     // metadata-speed commit — spin with backoff instead of failing fast
-    val deadline = System.currentTimeMillis() + maxWaitMs
-    var token: String = null
-    var backoff = 25L
-    while (token == null) {
-      try token = acquireLock(spark, path, lockTtlMs)
-      catch {
-        case e: ConcurrentWriteException =>
-          if (System.currentTimeMillis() > deadline) throw e
-          Thread.sleep(backoff); backoff = math.min(backoff * 2, 1000L)
-      }
-    }
+    val token = acquireLockWaiting(spark, path, lockTtlMs, maxWaitMs)
     try {
       val head = PartitionSnapshots.currentRootVersion(spark, path).get
       if (head != base) {
@@ -368,27 +397,39 @@ object Upsert {
             // same stats-pruned matched-key lookup as the merge itself:
             // only partitions whose bounds can contain a source key are
             // constructed and scanned for the conflict validation
-            val matchedLeg = {
-              val pred = PartitionSnapshots.currentRootVersion(spark, path)
-                .flatMap(v => PartitionSnapshots.pinnedMergeKeyField(
-                  spark, path, v, keys))
+            def matchedLeg(asOf: Long): DataFrame = {
+              val pred = PartitionSnapshots.pinnedMergeKeyField(
+                  spark, path, asOf, keys)
                 .flatMap(f => PartitionSnapshots.keyExclusion(
                   spark, srcC, f.name, f.dataType))
-              val frame = (pred, PartitionSnapshots.rootManifest(spark, path)) match {
-                case (Some(p), Some(entries)) =>
-                  val stats = PartitionSnapshots.rootStats(spark, path)
-                  val kept = entries.keySet.filter(rel =>
-                    stats.get(rel).forall(ps => !p(ps)))
-                  if (kept.isEmpty) None
-                  else PartitionSnapshots.readPartitionsRaw(spark, path, kept)
-                case _ => PartitionSnapshots.readRawOption(spark, path)
-              }
+              val frame =
+                (pred, PartitionSnapshots.rootManifest(spark, path, asOf)) match {
+                  case (Some(p), Some(entries)) =>
+                    val stats = PartitionSnapshots.rootStats(spark, path, asOf)
+                    val kept = entries.keySet.filter(rel =>
+                      stats.get(rel).forall(ps => !p(ps)))
+                    if (kept.isEmpty) None
+                    else PartitionSnapshots.readPartitionsRaw(spark, path,
+                      kept, asOf)
+                  case _ => PartitionSnapshots.readRawOption(spark, path,
+                    asOf)
+                }
               frame.map(_.join(srcC.select(keys.map(col): _*).distinct(),
                   keys, "left_semi")
                 .select(partitionCols.map(col): _*).distinct())
                 .getOrElse(own.limit(0))
             }
-            own.unionByName(matchedLeg).distinct()
+            // lookup at BOTH ends of the validation interval: the head
+            // alone would miss a key the winner DELETED (or moved away)
+            // from a partition this writer's stale-derived source still
+            // updates — no current-state match, commit proceeds, the
+            // winner's delete is silently undone. Locating the key at
+            // the writer's BASE snapshot puts its old partition in the
+            // touched set, where the winner's change to it conflicts —
+            // serializable validation (Iceberg's delete-conflict check),
+            // not just snapshot isolation.
+            own.unionByName(matchedLeg(head)).unionByName(matchedLeg(base))
+              .distinct()
           }
         }
         val tupleSegs: Seq[Map[String, String]] =
@@ -823,7 +864,60 @@ object Upsert {
              lockTtlMs: Long = DefaultLockTtlMs,
              retainVersions: Int = DefaultRetainVersions,
              txn: Option[(String, Long)] = None,
-             branch: Option[String] = None): Unit = {
+             branch: Option[String] = None): Unit =
+    appendImpl(spark, path, df, partitionCols, evolveSchema, lockTtlMs,
+      retainVersions, txn, branch, maxWaitMs = 0L)
+
+  /** OPTIMISTIC multi-writer append — [[upsertOptimistic]]'s treatment
+    * for the EASIEST concurrency case: fast-append parts COMPOSE (each
+    * commit unions its new version part into the partition's state and
+    * merges stats monotonically), so two racing appenders both land even
+    * on the SAME partition — no conflict validation is needed at all,
+    * only a bounded wait for the winner's metadata-speed commit instead
+    * of [[append]]'s fail-fast [[ConcurrentWriteException]]. The root
+    * chain stays linearizable (each commit folds onto the head it finds
+    * under the lease), the changelog nets both appends, and `txn`
+    * idempotency holds unchanged — which is what lets a streaming ingest
+    * ([[graft.streaming.Streams.manifestedAppendStream]]) run
+    * concurrently with batch compaction/MERGE jobs on one table, the
+    * standard lakehouse operating mode. Two concurrent ingest jobs on
+    * one table both commit where [[append]] would make one fail. */
+  def appendOptimistic(spark: SparkSession, path: String, df: DataFrame,
+                       partitionCols: Seq[String],
+                       evolveSchema: Boolean = false,
+                       maxWaitMs: Long = 120000L,
+                       lockTtlMs: Long = DefaultLockTtlMs,
+                       retainVersions: Int = DefaultRetainVersions,
+                       txn: Option[(String, Long)] = None,
+                       branch: Option[String] = None): Unit =
+    appendImpl(spark, path, df, partitionCols, evolveSchema, lockTtlMs,
+      retainVersions, txn, branch, maxWaitMs = maxWaitMs)
+
+  /** Acquire the table lease, waiting up to `maxWaitMs` with bounded
+    * backoff (0 = fail fast, [[append]]'s historical contract). */
+  private def acquireLockWaiting(spark: SparkSession, path: String,
+                                 ttlMs: Long, maxWaitMs: Long): String = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var backoff = 25L
+    while (true) {
+      try return acquireLock(spark, path, ttlMs)
+      catch {
+        case e: ConcurrentWriteException =>
+          if (System.currentTimeMillis() > deadline) throw e
+          Thread.sleep(backoff); backoff = math.min(backoff * 2, 1000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def appendImpl(spark: SparkSession, path: String, df: DataFrame,
+                         partitionCols: Seq[String],
+                         evolveSchema: Boolean,
+                         lockTtlMs: Long,
+                         retainVersions: Int,
+                         txn: Option[(String, Long)],
+                         branch: Option[String],
+                         maxWaitMs: Long): Unit = {
     import graft.sources.PartitionSnapshots
     require(partitionCols.nonEmpty, "append: partitionCols required")
     require(branch.isEmpty || PartitionSnapshots.isManifested(spark, path),
@@ -838,7 +932,7 @@ object Upsert {
           "supported (partition by the derived DATE instead)")
     }
     if (df.isEmpty) return
-    val token = acquireLock(spark, path, lockTtlMs)
+    val token = acquireLockWaiting(spark, path, lockTtlMs, maxWaitMs)
     try {
       recoverSwap(spark, path)
       val alreadyCommitted = txn.exists { case (appId, v) =>

@@ -123,6 +123,12 @@ object FlatView {
               n.stripPrefix(VerPrefix + "-").toLongOption
             case _ => None
           }
+          // markers ABOVE the table's current root are stale survivors of
+          // a table ROLLBACK (pruning below can only run after a refresh):
+          // taking their max would pin `last` past cur forever, degrading
+          // every later refresh to a failed changedPartitions → full
+          // refresh. The newest marker ≤ cur is the real mirrored base.
+          .filter(_ <= cur)
         if (vs.isEmpty) 0L else vs.max
       }
     if (last == cur) return Nil
@@ -176,8 +182,10 @@ object FlatView {
     // reads take the max, a crash mid-prune only leaves redundant files)
     fs.listStatus(mirrorRoot).foreach { st =>
       val n = st.getPath.getName
+      // any marker ≠ cur is superseded — including HIGHER ones a table
+      // rollback stranded (a `< cur`-only prune would keep them forever)
       val superseded = n == VerPrefix || (n.startsWith(VerPrefix + "-") &&
-        n.stripPrefix(VerPrefix + "-").toLongOption.exists(_ < cur))
+        n.stripPrefix(VerPrefix + "-").toLongOption.exists(_ != cur))
       if (superseded) fs.delete(st.getPath, false)
     }
     stale ++ touched

@@ -96,22 +96,55 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   /** Run a SQL query with all warehouse tables visible by name. Re-reads
     * the warehouse listing each call so tables created since the last call
     * resolve too (snapshot semantics per query, like the reference's
-    * per-run spark.table reads). MERGE INTO statements (the reference's
-    * entire write surface — gcs_bronze_to_silver.py:469-490,
-    * gcs_silver_to_gold.py:329-541) are intercepted after parsing and
-    * routed to [[graft.operators.Upsert.upsert]], so the manifested /
-    * file-scoped / fast-append commit machinery serves SQL text too. */
-  def sql(query: String): DataFrame =
-    spark.sessionState.sqlParser.parsePlan(query) match {
-      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
-        runMergeSql(m)
-      case _ =>
-        registerAll()
-        spark.sql(query)
+    * per-run spark.table reads). Row-level statements are intercepted
+    * after parsing and routed to the engine's commit machinery:
+    * MERGE INTO (the reference's entire write surface —
+    * gcs_bronze_to_silver.py:469-490, gcs_silver_to_gold.py:329-541) to
+    * [[graft.operators.Upsert.upsert]] /
+    * [[PartitionSnapshots.deleteKeys]], and DELETE FROM to the
+    * metadata-cheapest delete flavor its predicate allows
+    * ([[runDeleteSql]]). Everything else parses ONCE, directly through
+    * `spark.sql` — the cheap leading-keyword sniff below keeps the
+    * common SELECT path from paying a second parse. */
+  def sql(query: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable}
+    def reparse[A](pf: PartialFunction[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame])
+        : DataFrame = {
+      val plan = spark.sessionState.sqlParser.parsePlan(query)
+      if (pf.isDefinedAt(plan)) pf(plan)
+      else { registerAll(); spark.sql(query) }
     }
+    leadingKeyword(query) match {
+      case "MERGE" => reparse { case m: MergeIntoTable => runMergeSql(m) }
+      case "DELETE" => reparse { case d: DeleteFromTable => runDeleteSql(d) }
+      case _ => registerAll(); spark.sql(query)
+    }
+  }
 
-  /** Route a parsed `MERGE INTO t USING s ON … WHEN …` to the upsert
-    * commit path. Supported shapes are exactly the reference's two:
+  /** First SQL keyword of `q`, skipping whitespace and line/block
+    * comments — the pre-filter that decides whether a statement can be
+    * a routed MERGE/DELETE before paying a parsePlan for it. */
+  private def leadingKeyword(q: String): String = {
+    var i = 0
+    while (i < q.length) {
+      if (q.charAt(i).isWhitespace) i += 1
+      else if (q.startsWith("--", i)) {
+        while (i < q.length && q.charAt(i) != '\n') i += 1
+      } else if (q.startsWith("/*", i)) {
+        val e = q.indexOf("*/", i + 2)
+        i = if (e < 0) q.length else e + 2
+      } else {
+        var k = i
+        while (k < q.length && q.charAt(k).isLetter) k += 1
+        return q.substring(i, k).toUpperCase(java.util.Locale.ROOT)
+      }
+    }
+    ""
+  }
+
+  /** Route a parsed `MERGE INTO t USING s ON … WHEN …` to the engine's
+    * commit machinery. The reference's two shapes take the FAST paths:
     *
     *   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     *     → keyed upsert (document-replace; file-scoped rewrite when the
@@ -119,6 +152,19 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     *   WHEN NOT MATCHED THEN INSERT *
     *     → insert-only merge, which on manifested tables routes through
     *       the fast-append commit (no existing file rewritten)
+    *
+    * Every other combination of star actions — `WHEN MATCHED AND <cond>
+    * THEN UPDATE SET *`, `WHEN MATCHED [AND <cond>] THEN DELETE`,
+    * multiple matched clauses, `WHEN NOT MATCHED AND <cond> THEN
+    * INSERT *` — routes through [[runGeneralMerge]], which classifies
+    * each matched pair by the FIRST clause whose condition holds
+    * (standard MERGE clause-order semantics) and decomposes the result
+    * into the engine's primitives: update → document-replace upsert
+    * (file-scoped), delete → equality-delete commit (merge-on-read, no
+    * file rewritten), insert → fast-append. Column-level `UPDATE SET
+    * col = expr` assignments and WHEN NOT MATCHED BY SOURCE still fail
+    * loudly — the clause algebra above is the Iceberg-user surface the
+    * reference's runtime accepts.
     *
     * The ON clause must be a conjunction of `t.<col> = s.<col>`
     * equi-predicates over SAME-NAMED columns (all the reference uses);
@@ -131,7 +177,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       : DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-    import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, SubqueryAlias, UpdateStarAction}
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, MergeAction, SubqueryAlias, UpdateStarAction}
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, child) => strip(child)
       case other => other
@@ -157,18 +203,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         "MERGE INTO: ON must be a conjunction of t.<col> = s.<col> " +
           s"equi-predicates on same-named columns; got: ${other.sql}")
     }
-    val insertOnly = m.matchedActions match {
-      case Seq() => true
-      case Seq(UpdateStarAction(None)) => false
-      case other => throw new IllegalArgumentException(
-        "MERGE INTO: only an unconditional WHEN MATCHED THEN UPDATE SET * " +
-          s"is supported; got: $other")
-    }
-    m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => ()
-      case other => throw new IllegalArgumentException(
-        "MERGE INTO: exactly one unconditional WHEN NOT MATCHED THEN " +
-          s"INSERT * is required; got: $other")
+    // star actions only: a column-level assignment list would need
+    // per-column UPDATE semantics the document-replace merge does not
+    // have — refuse loudly rather than silently replacing whole rows
+    (m.matchedActions ++ m.notMatchedActions).foreach {
+      case UpdateStarAction(_) | InsertStarAction(_) | DeleteAction(_) => ()
+      case other: MergeAction => throw new IllegalArgumentException(
+        "MERGE INTO: only UPDATE SET * / INSERT * / DELETE actions are " +
+          s"supported (no column assignment lists); got: $other")
     }
     require(m.notMatchedBySourceActions.isEmpty,
       "MERGE INTO: WHEN NOT MATCHED BY SOURCE is not supported")
@@ -182,17 +224,218 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     // the USING side resolves like any SELECT: warehouse tables by name,
     // plus whatever temp/global-temp views the caller registered
     registerAll()
-    val source = org.apache.spark.sql.graft.SqlInternals
-      .ofRows(spark, m.sourceTable)
     val path = tablePath(targetName)
     val pcols =
       if (PartitionSnapshots.isManifested(spark, path))
         PartitionSnapshots.partitionCols(spark, path)
       else Nil
-    graft.operators.Upsert.upsert(spark, path, source, keys,
-      insertOnly = insertOnly, partitionCols = pcols,
-      evolveSchema = m.withSchemaEvolution)
+    (m.matchedActions, m.notMatchedActions) match {
+      // the reference's two shapes: one straight-line upsert commit
+      case (Seq(), Seq(InsertStarAction(None))) |
+           (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+        val source = org.apache.spark.sql.graft.SqlInternals
+          .ofRows(spark, m.sourceTable)
+        graft.operators.Upsert.upsert(spark, path, source, keys,
+          insertOnly = m.matchedActions.isEmpty, partitionCols = pcols,
+          evolveSchema = m.withSchemaEvolution)
+      case _ => runGeneralMerge(m, targetName, keys, pcols)
+    }
     read(targetName)
+  }
+
+  /** The conditional / multi-clause MERGE leg: evaluate the clause
+    * algebra ONCE against the pre-merge snapshot, then commit the three
+    * row sets through the engine's cheapest primitive each —
+    *
+    *   matched → first true clause  UPDATE SET * → file-scoped upsert
+    *                                DELETE       → equality-delete commit
+    *   not matched → first true INSERT *         → fast-append
+    *
+    * Matched pairs whose every clause condition is false keep the target
+    * row; not-matched source rows likewise drop. Clause conditions may
+    * reference both sides through the statement's own aliases (`t.v <
+    * s.v`). The classified row sets are MATERIALIZED (localCheckpoint)
+    * before the first commit — their plans read the target, which the
+    * commits are about to change — so all three commits apply the
+    * semantics of one consistent snapshot; visibility is per commit
+    * (at most three root swaps), each individually atomic. Requires a
+    * MANIFESTED target when a DELETE clause is present (equality deletes
+    * live in the manifest machinery). */
+  private def runGeneralMerge(
+      m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable,
+      targetName: String, keys: Seq[String], pcols: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, SubqueryAlias, UpdateStarAction}
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val path = tablePath(targetName)
+    def aliasOf(p: LogicalPlan, dflt: String): String = p match {
+      case SubqueryAlias(id, _) => id.name
+      case _ => dflt
+    }
+    def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => stripAlias(child)
+      case other => other
+    }
+    val tAlias = aliasOf(m.targetTable, targetName)
+    val sAlias = aliasOf(m.sourceTable, "__graft_merge_src")
+    require(tAlias != sAlias,
+      s"MERGE INTO: target and source resolve to the same alias " +
+        s"'$tAlias' — alias one side (conditions must be attributable)")
+    // dedup BEFORE classification, with the upsert's own deterministic
+    // winner rule, so clause conditions see the same source row the
+    // commit will apply
+    val src = graft.operators.Upsert.dedupSource(
+      org.apache.spark.sql.graft.SqlInternals
+        .ofRows(spark, stripAlias(m.sourceTable)), keys).alias(sAlias)
+    val tgt = read(targetName).alias(tAlias)
+    val joinCond = keys.map(k =>
+      col(s"$sAlias.$k") === col(s"$tAlias.$k")).reduce(_ && _)
+    def condCol(c: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+        : org.apache.spark.sql.Column = c.map(e => expr(e.sql)).getOrElse(lit(true))
+    // first-match-wins classification: one when-chain per row set
+    def classify(df: DataFrame,
+                 acts: Seq[(Option[org.apache.spark.sql.catalyst.expressions.Expression], String)])
+        : DataFrame =
+      if (acts.isEmpty) df.withColumn("__graft_act", lit("keep"))
+      else df.withColumn("__graft_act",
+        acts.tail.foldLeft(when(condCol(acts.head._1), lit(acts.head._2))) {
+          case (acc, (c, tag)) => acc.when(condCol(c), lit(tag))
+        }.otherwise(lit("keep")))
+    val matchedActs = m.matchedActions.map {
+      case UpdateStarAction(c) => (c, "update")
+      case DeleteAction(c) => (c, "delete")
+      case other => throw new IllegalArgumentException( // validated upstream
+        s"MERGE INTO: unsupported matched action $other")
+    }
+    val insertActs = m.notMatchedActions.map {
+      case InsertStarAction(c) => (c, "insert")
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO: unsupported not-matched action $other")
+    }
+    val matched = classify(src.join(tgt, joinCond, "inner"), matchedActs)
+    // materialize every classified set before ANY commit: their plans
+    // read the target the commits mutate
+    val upd = matched.where(col("__graft_act") === "update")
+      .select(col(s"$sAlias.*")).localCheckpoint()
+    val del = matched.where(col("__graft_act") === "delete")
+      .select(keys.map(k => col(s"$sAlias.$k").as(k)): _*)
+      .localCheckpoint()
+    val ins = classify(src.join(tgt, joinCond, "left_anti"), insertActs)
+      .where(col("__graft_act") === "insert").drop("__graft_act")
+      .localCheckpoint()
+    if (!del.isEmpty) {
+      require(PartitionSnapshots.isManifested(spark, path),
+        s"MERGE INTO: a DELETE clause requires a manifested target " +
+          s"('$targetName' is plain parquet — create it with " +
+          "partitionManifests = true)")
+      require(keys.intersect(pcols).isEmpty,
+        "MERGE INTO: DELETE clauses on partition-column keys are not " +
+          "supported (drop the partitions instead)")
+      PartitionSnapshots.deleteKeys(spark, path, del)
+    }
+    if (!upd.isEmpty)
+      graft.operators.Upsert.upsert(spark, path, upd, keys,
+        partitionCols = pcols, evolveSchema = m.withSchemaEvolution)
+    if (!ins.isEmpty)
+      graft.operators.Upsert.upsert(spark, path, ins, keys,
+        insertOnly = true, partitionCols = pcols,
+        evolveSchema = m.withSchemaEvolution)
+  }
+
+  /** Route a parsed `DELETE FROM t [WHERE …]` to the metadata-cheapest
+    * delete flavor the predicate allows — never a table rewrite:
+    *
+    *   - partition-column `= v` / `IN (…)`  → [[PartitionSnapshots
+    *     .dropPartitions]]: metadata-only, zero rows scanned;
+    *   - data-column `= v` / `IN (…)`       → [[PartitionSnapshots
+    *     .deleteKeys]]: one equality-delete commit, stats-pruned
+    *     touched-partition scan, no data file rewritten (the
+    *     GDPR-erasure shape — `DELETE FROM t WHERE k IN (…)`);
+    *   - anything else → one column-pruned scan locates the doomed rows
+    *     ([[PartitionSnapshots.readWithRowPos]]) and the commit is a
+    *     POSITIONAL delete — still no data file rewritten.
+    *
+    * Manifested tables only (the delete flavors live in the manifest
+    * machinery); a flat table fails loudly. Returns the post-delete
+    * table. */
+  private def runDeleteSql(
+      d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable)
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, In, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    val targetName = strip(d.table) match {
+      case u: UnresolvedRelation => u.multipartIdentifier.last
+      case other => throw new IllegalArgumentException(
+        s"DELETE FROM: target must be a table name, got ${other.nodeName}")
+    }
+    require(tableExists(targetName),
+      s"DELETE FROM: no table '$targetName' in warehouse $warehouse")
+    val path = tablePath(targetName)
+    require(PartitionSnapshots.isManifested(spark, path),
+      s"DELETE FROM: '$targetName' is not a manifested table — row-level " +
+        "deletes need the manifest machinery (create the table with " +
+        "partitionManifests = true)")
+    val pcols = PartitionSnapshots.partitionCols(spark, path)
+    val tSchema = read(targetName).schema
+    def canon(c: String): Option[String] =
+      tSchema.fieldNames.find(_.equalsIgnoreCase(c))
+    // `col = lit` / `col IN (lits)` — the shapes with a cheaper-than-scan
+    // route; everything else goes through the positional-scan fallback
+    def keyedShape(e: Expression): Option[(String, Seq[Literal])] = e match {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        Some((a.nameParts.last, Seq(l)))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        Some((a.nameParts.last, Seq(l)))
+      case In(a: UnresolvedAttribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        Some((a.nameParts.last, vs.map(_.asInstanceOf[Literal])))
+      case _ => None
+    }
+    keyedShape(d.condition) match {
+      case Some((c0, lits))
+          if lits.forall(_.value != null) && canon(c0).isDefined =>
+        val c = canon(c0).get
+        if (pcols.contains(c)) {
+          // whole partitions: metadata-only drop, zero rows scanned
+          val vals = lits.map(l => CatalystTypeConverters
+            .convertToScala(l.value, l.dataType).toString).toSet
+          PartitionSnapshots.dropPartitions(spark, path,
+            m => m.get(c).exists(vals.contains))
+        } else {
+          // equality-delete commit: stats-pruned, no file rewritten.
+          // Literals re-render through their own SQL form (typed), then
+          // cast to the table column's type so the anti-join and the
+          // exclusion predicate compare like with like.
+          val arr = lits.map(_.sql).mkString(", ")
+          val keysDf = spark.range(1)
+            .select(explode(expr(s"array($arr)")).as(c))
+            .select(col(c).cast(tSchema(c).dataType).as(c))
+          PartitionSnapshots.deleteKeys(spark, path, keysDf)
+        }
+      case _ =>
+        // arbitrary predicate: one column-pruned scan finds the doomed
+        // row positions; the commit is positional — still no rewrite
+        val alias = aliasOf2(d.table, targetName)
+        val doomed = PartitionSnapshots.readWithRowPos(spark, path)
+          .alias(alias).where(expr(d.condition.sql))
+          .select(col("_pos_path"), col("_pos_ordinal"))
+        PartitionSnapshots.deletePositions(spark, path, doomed)
+    }
+    read(targetName)
+  }
+
+  private def aliasOf2(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      dflt: String): String = p match {
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(id, _) => id.name
+    case _ => dflt
   }
 
   /** S4 as SQL text: CREATE TABLE IF NOT EXISTS from a DDL column list

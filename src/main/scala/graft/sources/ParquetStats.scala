@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Parquet FOOTER statistics for a directory of data files — row counts
@@ -18,82 +18,105 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetStats {
 
-  /** (rowCount, column → (min, max) rendered as strings). A column is
-    * reported only when EVERY column chunk of EVERY file in the dir
-    * carries usable min/max for it — pruning on a partial bound would
-    * be wrong. Numeric bounds render via `.toString`; compare them
-    * numerically through [[numeric]]. */
-  def harvest(spark: SparkSession,
-              dir: String): (Long, Map[String, (String, String)]) = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return (0L, Map.empty)
-    val files = fs.listStatus(p).filter(st => st.isFile &&
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+  /** Mutable per-column fold across chunks of one or more files — a
+    * single chunk without usable stats poisons its column, and a column
+    * absent from some block (in-dir schema drift) cannot prune. */
+  private final class Fold {
     var rows = 0L
-    // per-column fold across every chunk of every file; a single chunk
-    // without usable stats poisons the column
     val mins = scala.collection.mutable.Map.empty[String, Comparable[Any]]
     val maxs = scala.collection.mutable.Map.empty[String, Comparable[Any]]
     val poisoned = scala.collection.mutable.Set.empty[String]
     val chunkCounts = scala.collection.mutable.Map.empty[String, Long]
     var totalBlocks = 0L
-    files.foreach { st =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        st.getPath, spark.sparkContext.hadoopConfiguration))
-      try {
-        val md = reader.getFooter
-        val schema = md.getFileMetaData.getSchema
-        md.getBlocks.forEach { block =>
-          rows += block.getRowCount
-          totalBlocks += 1
-          block.getColumns.forEach { chunk =>
-            val path = chunk.getPath.toArray
-            if (path.length == 1) {
-              val name = path(0)
-              chunkCounts(name) = chunkCounts.getOrElse(name, 0L) + 1
-              val stats = chunk.getStatistics
-              if (!usableType(schema, name) || stats == null ||
-                  !stats.hasNonNullValue ||
-                  stats.genericGetMin == null || stats.genericGetMax == null)
-                poisoned += name
-              else {
-                val mn = render(stats.genericGetMin.asInstanceOf[AnyRef])
-                val mx = render(stats.genericGetMax.asInstanceOf[AnyRef])
-                if (!mins.contains(name) || mn.compareTo(mins(name)) < 0)
-                  mins(name) = mn
-                if (!maxs.contains(name) || mx.compareTo(maxs(name)) > 0)
-                  maxs(name) = mx
-              }
-            }
+    def result: (Long, Map[String, (String, String)]) =
+      (rows, mins.keySet.filterNot(poisoned)
+        .filter(c => chunkCounts(c) == totalBlocks)
+        .map(c => c -> (mins(c).toString, maxs(c).toString)).toMap)
+  }
+
+  private def foldFooter(fold: Fold,
+                         reader: org.apache.parquet.hadoop.ParquetFileReader)
+      : Unit = {
+    val md = reader.getFooter
+    val schema = md.getFileMetaData.getSchema
+    md.getBlocks.forEach { block =>
+      fold.rows += block.getRowCount
+      fold.totalBlocks += 1
+      block.getColumns.forEach { chunk =>
+        val path = chunk.getPath.toArray
+        if (path.length == 1) {
+          val name = path(0)
+          fold.chunkCounts(name) = fold.chunkCounts.getOrElse(name, 0L) + 1
+          val stats = chunk.getStatistics
+          if (!usableType(schema, name) || stats == null ||
+              !stats.hasNonNullValue ||
+              stats.genericGetMin == null || stats.genericGetMax == null)
+            fold.poisoned += name
+          else {
+            val mn = render(stats.genericGetMin.asInstanceOf[AnyRef])
+            val mx = render(stats.genericGetMax.asInstanceOf[AnyRef])
+            if (!fold.mins.contains(name) || mn.compareTo(fold.mins(name)) < 0)
+              fold.mins(name) = mn
+            if (!fold.maxs.contains(name) || mx.compareTo(fold.maxs(name)) > 0)
+              fold.maxs(name) = mx
           }
         }
-      } finally reader.close()
+      }
     }
-    // a column absent from some block (in-dir schema drift) cannot prune
-    val cols = mins.keySet.filterNot(poisoned)
-      .filter(c => chunkCounts(c) == totalBlocks)
-      .map(c => c -> (mins(c).toString, maxs(c).toString)).toMap
-    (rows, cols)
+  }
+
+  /** Footer stats of ONE file, from its already-listed status — a
+    * single open, no extra exists/getFileStatus roundtrips (the commit
+    * paths harvest tens of thousands of files; per-file FS chatter is
+    * the constant that matters there). */
+  private[graft] def harvestFile(spark: SparkSession, st: FileStatus)
+      : (Long, Map[String, (String, String)]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val fold = new Fold
+    val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st,
+      spark.sparkContext.hadoopConfiguration))
+    try foldFooter(fold, reader) finally reader.close()
+    fold.result
+  }
+
+  private[graft] def listDataFiles(spark: SparkSession, dir: String): Seq[FileStatus] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith(".")).toSeq
+  }
+
+  /** (rowCount, column → (min, max) rendered as strings) across every
+    * data file of `dir`. A column is reported only when EVERY column
+    * chunk of EVERY file carries usable min/max for it — pruning on a
+    * partial bound would be wrong. Numeric bounds render via
+    * `.toString`; compare them numerically through [[numeric]]. A
+    * single-FILE path degenerates to exactly that file. */
+  def harvest(spark: SparkSession,
+              dir: String): (Long, Map[String, (String, String)]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val fold = new Fold
+    listDataFiles(spark, dir).foreach { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st,
+        spark.sparkContext.hadoopConfiguration))
+      try foldFooter(fold, reader) finally reader.close()
+    }
+    fold.result
   }
 
   /** Per-FILE footer stats of a directory's data files: (file name,
     * (rows, column → (min, max))) in listing order — the selection input
     * for file-scoped MERGE rewrites and small-file compaction. Same
-    * capture rules as [[harvest]], applied one file at a time (harvest
-    * of a single-file path degenerates to exactly that file). */
+    * capture rules as [[harvest]], applied one file at a time, with ONE
+    * directory listing for the whole dir. */
   def harvestPerFile(spark: SparkSession, dir: String)
-      : Seq[(String, (Long, Map[String, (String, String)]))] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).filter(st => st.isFile &&
-        !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".")).toSeq
-      .map(st => st.getPath.getName -> harvest(spark, st.getPath.toString))
-  }
+      : Seq[(String, (Long, Map[String, (String, String)]))] =
+    listDataFiles(spark, dir)
+      .map(st => st.getPath.getName -> harvestFile(spark, st))
 
   private def usableType(schema: org.apache.parquet.schema.MessageType,
                          name: String): Boolean = {

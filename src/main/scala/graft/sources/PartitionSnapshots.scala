@@ -138,8 +138,11 @@ object PartitionSnapshots {
     * worker-pool knob): slot seals, pointer swaps, retention, sidecar
     * harvests are independent per partition and latency-bound — at
     * 30 000 touched partitions the serial loop IS the commit time. The
-    * ROOT manifest publish stays the single serial commit point. */
-  private[graft] val CommitParallelism = 16
+    * ROOT manifest publish stays the single serial commit point.
+    * Sized to the host's cores (floor 16): the footer-harvest waves are
+    * CPU+IO mixed and scale past 16 threads on this 32-core box. */
+  private[graft] val CommitParallelism =
+    math.max(16, Runtime.getRuntime.availableProcessors())
 
   /** Below this many items the pool's handoff latency exceeds the work
     * saved on local-FS metadata ops — run inline. (Commit paths fire
@@ -316,13 +319,24 @@ object PartitionSnapshots {
   /** Add every missing hidden dir column to a WRITE-side DataFrame —
     * the single point where transform values are computed. No-op for
     * untransformed tables and for frames already carrying them (a
-    * rewrite leg whose rows came off disk with dir values attached). */
+    * rewrite leg whose rows came off disk with dir values attached).
+    * Only transforms whose dir column is IN the current marker's spec
+    * apply: [[evolvePartitionSpec]] persists `_partition_transforms`
+    * before the spec/marker flip, so a crash between the two writes
+    * must not leave a half-evolved table attaching a derived column the
+    * spec (and every committed layout) lacks — that would schema-drift
+    * every subsequent write until manual cleanup. */
   private[graft] def applyTransforms(spark: SparkSession, table: String,
-                                     df: DataFrame): DataFrame =
-    specTransforms(spark, table)
-      .filter(t => !df.columns.contains(t.name) &&
-        df.columns.contains(t.source))
-      .foldLeft(df)((d, t) => d.withColumn(t.name, t.column(d)))
+                                     df: DataFrame): DataFrame = {
+    val ts = specTransforms(spark, table)
+    if (ts.isEmpty) df // common case: zero extra marker read
+    else {
+      val spec = partitionCols(spark, table).toSet
+      ts.filter(t => spec.contains(t.name) &&
+          !df.columns.contains(t.name) && df.columns.contains(t.source))
+        .foldLeft(df)((d, t) => d.withColumn(t.name, t.column(d)))
+    }
+  }
 
   /** Strip hidden dir columns from a READ-side DataFrame — Iceberg's
     * rule that transform partitions are invisible to queries. Internal
@@ -818,6 +832,33 @@ object PartitionSnapshots {
       .map { case (n, (rows, cols)) => n -> PartStats(rows, cols) }
   }
 
+  /** Bulk footer harvest + sidecar write for freshly sealed version
+    * dirs: ONE pooled listing wave, then ONE pooled per-file footer
+    * wave — FLAT, because a nested pool call runs inline, so per-dir
+    * serial loops inside a per-dir wave would cap parallelism at the
+    * dir count's skew (measured: a 65k-file seed commit's harvest is
+    * the dominant commit-side term; 6–7 ms per file serial, mostly FS
+    * roundtrips the flat wave amortizes). Writes each dir's
+    * [[writeFileStats]] sidecar and returns dir → folded stats. */
+  private def harvestAndSidecar(spark: SparkSession, dirs: Seq[String])
+      : Map[String, PartStats] = {
+    val listed: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      inParallel(dirs)(d => ParquetStats.listDataFiles(spark, d)
+        .map(d -> _)).flatten
+    val harvested = inParallel(listed) { case (d, st) =>
+      (d, st.getPath.getName, ParquetStats.harvestFile(spark, st))
+    }
+    val byDir = harvested.groupBy(_._1).map { case (d, fls) =>
+      d -> fls.map { case (_, n, rc) => n -> rc }
+    }
+    inParallel(dirs) { d =>
+      writeFileStats(spark, d, byDir.getOrElse(d, Nil))
+    }
+    dirs.map(d => d -> foldStats(byDir.getOrElse(d, Nil).map {
+      case (n, (r, c)) => n -> PartStats(r, c)
+    })).toMap
+  }
+
   /** Widen `a` by `b`: rows add; bounds survive only for columns with
     * usable stats on BOTH sides (numeric compare when both parse, else
     * string) — the monotone merge an append union or a survivor set
@@ -1018,18 +1059,42 @@ object PartitionSnapshots {
       // match on the TABLE-RELATIVE path, never the bare file name: one
       // partitioned write job reuses part-file names across its k=v dirs
       // (same task prefix + job UUID), so a name-only match would delete
-      // same-ordinal rows in sibling partitions
+      // same-ordinal rows in sibling partitions. Row identity comes from
+      // the _pos_* columns [[applyDeleteRefs]] attached while the plan
+      // still sat on the scan — reading `_metadata` here would break as
+      // soon as an earlier ref's anti-join stood between this ref and
+      // the scan (a part stacking `+d…,p…` refs).
       val rootPath = new Path(table).toUri.getPath
       val pos = keys.select(col("_del_path").as("__graft_del_f"),
         col("_del_pos").as("__graft_del_p"))
       df.withColumn("__graft_del_f",
-          regexp_replace(col("_metadata.file_path"),
+          regexp_replace(col("_pos_path"),
             ".*" + java.util.regex.Pattern.quote(rootPath + "/"), ""))
-        .withColumn("__graft_del_p", col("_metadata.row_index"))
+        .withColumn("__graft_del_p", col("_pos_ordinal"))
         .join(broadcast(pos), Seq("__graft_del_f", "__graft_del_p"),
           "left_anti")
         .drop("__graft_del_f", "__graft_del_p")
     } else df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+  }
+
+  /** Apply a part's pending delete refs to a frame sitting DIRECTLY on
+    * its parquet scan — the one place the `_metadata`-derived row
+    * identity is attached (positional refs and `keepPos` readers both
+    * need it, and it must bind before ANY ref's anti-join breaks the
+    * scan-adjacency `_metadata` demands). Refs are independent set
+    * subtractions, so application order is free; the identity columns
+    * are dropped again unless the caller asked to keep them. */
+  private def applyDeleteRefs(spark: SparkSession, table: String,
+                              df0: DataFrame, dels: Seq[String],
+                              keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val needsPos = keepPos || dels.exists(_.startsWith("p"))
+    val df = if (!needsPos) df0 else df0
+      .withColumn("_pos_path", col("_metadata.file_path"))
+      .withColumn("_pos_ordinal", col("_metadata.row_index"))
+    val out = dels.foldLeft(df)(applyDeleteRef(spark, table, _, _))
+    if (keepPos || !needsPos) out
+    else out.drop("_pos_path", "_pos_ordinal")
   }
 
   /** Materialize a (partition → state) manifest map as a DataFrame:
@@ -1079,13 +1144,11 @@ object PartitionSnapshots {
         val df1 = promoted.filterNot(f => df0.columns.contains(f.name))
           .foldLeft(df0)((d, f) => d.withColumn(f.name,
             org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
-        // row identity MUST attach while the plan still sits on the scan
-        // (unions/joins drop `_metadata`) — but AFTER it, so the exposed
-        // ordinals are the surviving rows' true in-file positions
-        val df = if (!rowPos) df1
-          else df1.withColumn("_pos_path", col("_metadata.file_path"))
-            .withColumn("_pos_ordinal", col("_metadata.row_index"))
-        dels.foldLeft(df)(applyDeleteRef(spark, table, _, _))
+        // row identity attaches while the plan still sits on the scan
+        // (unions/joins drop `_metadata`), exposing the surviving rows'
+        // true in-file positions — applyDeleteRefs handles both the
+        // rowPos contract and positional refs stacked after equality ones
+        applyDeleteRefs(spark, table, df1, dels, keepPos = rowPos)
       }.reduce(_ unionByName _))
     }
   }
@@ -1263,7 +1326,7 @@ object PartitionSnapshots {
         val reader =
           groupSchema.foldLeft(spark.read.option("basePath", table))(_ schema _)
         val d0 = reader.parquet(members.map(_._2).sorted: _*)
-        dels.foldLeft(d0)(applyDeleteRef(spark, table, _, _))
+        applyDeleteRefs(spark, table, d0, dels)
       }.reduce(_ unionByName _))
     (survivors, df)
   }
@@ -1618,18 +1681,18 @@ object PartitionSnapshots {
       blankedKeep.map(rel => rel -> fmtParts(kept(rel)))
     // footer harvest of the sealed slots (touched partitions only, zero
     // Spark jobs) — the manifest's record_count / bounds fields, plus
-    // the per-file sidecar ([[writeFileStats]], the file-level manifest)
-    val sealedStats = inParallel(sealedSlots) { case (rel, v) =>
-      val st =
-        if (blankedEmpty.contains(rel)) PartStats(0L, Map.empty)
-        else {
-          val dir = Snapshots.versionPath(s"$table/$rel", v)
-          val perFile = ParquetStats.harvestPerFile(spark, dir)
-          writeFileStats(spark, dir,
-            perFile.map { case (n, (r, c)) => (n, (r, c)) })
-          foldStats(perFile.map { case (n, (r, c)) => n -> PartStats(r, c) })
-        }
-      rel -> st
+    // the per-file sidecar ([[writeFileStats]], the file-level manifest).
+    // Flat file-level waves: the seed commit of a big table harvests
+    // every file it wrote, and per-dir loops would serialize on skew.
+    val sealedDirs = sealedSlots.collect {
+      case (rel, v) if !blankedEmpty.contains(rel) =>
+        rel -> Snapshots.versionPath(s"$table/$rel", v)
+    }
+    val folded = harvestAndSidecar(spark, sealedDirs.map(_._2))
+    val sealedDirOf = sealedDirs.toMap
+    val sealedStats = sealedSlots.map { case (rel, _) =>
+      rel -> (if (blankedEmpty.contains(rel)) PartStats(0L, Map.empty)
+              else folded(sealedDirOf(rel)))
     }.toMap
     // survivor parts contribute their recorded bounds from the file-level
     // sidecars (one metadata read per dir); rows stay exact — a pending
@@ -1735,12 +1798,14 @@ object PartitionSnapshots {
         .filterNot(_._1 == Empty)
       rel -> fmtParts(prior :+ newPart)
     }.toMap
-    val touchedStats = inParallel(sealedSlots) { case (rel, v) =>
-      val dir = Snapshots.versionPath(s"$table/$rel", v)
-      val perFile = ParquetStats.harvestPerFile(spark, dir)
-      writeFileStats(spark, dir, perFile) // file-level manifest sidecar
-      val fresh = foldStats(perFile.map { case (n, (r, c)) =>
-        n -> PartStats(r, c) })
+    // flat file-level harvest waves + per-dir sidecars (see commitStaged)
+    val appendDirs = sealedSlots.map { case (rel, v) =>
+      rel -> Snapshots.versionPath(s"$table/$rel", v)
+    }
+    val appendFolded = harvestAndSidecar(spark, appendDirs.map(_._2))
+    val appendDirOf = appendDirs.toMap
+    val touchedStats = sealedSlots.flatMap { case (rel, _) =>
+      val fresh = appendFolded(appendDirOf(rel))
       val priorParts = base.get(rel).map(parseParts).getOrElse(Nil)
         .filterNot(_._1 == Empty)
       if (priorParts.isEmpty) Some(rel -> encodeStats(fresh))
@@ -1748,7 +1813,7 @@ object PartitionSnapshots {
         // widen bounds monotonically; rows add
         rel -> encodeStats(mergeStats(p, fresh))
       } // prior stats unknown → leave the union's stats unknown
-    }.flatten.toMap
+    }.toMap
     publishRoot(spark, table, base ++ touched, touched, retain, schema,
       touchedStats, props, branch) // commit point
     if (branch.isEmpty) {
@@ -1909,15 +1974,18 @@ object PartitionSnapshots {
       f.delete(new Path(slot, WapMarker), false)
       f.create(new Path(slot, "_SUCCESS"), true).close()
     }
+    // flat file-level harvest waves + per-dir sidecars (see commitStaged)
+    val auditedDirs = claimed.collect {
+      case (rel, v) if !blanked.contains(rel) =>
+        rel -> Snapshots.versionPath(s"$table/$rel", v)
+    }
+    val auditedFolded = harvestAndSidecar(spark, auditedDirs.map(_._2))
+    val auditedDirOf = auditedDirs.toMap
     val auditedStats = inParallel(claimed) { case (rel, v) =>
       if (blanked.contains(rel))
         Some(rel -> encodeStats(PartStats(0L, Map.empty)))
       else {
-        val dir = Snapshots.versionPath(s"$table/$rel", v)
-        val perFile = ParquetStats.harvestPerFile(spark, dir)
-        writeFileStats(spark, dir, perFile) // file-level manifest sidecar
-        val fresh =
-          foldStats(perFile.map { case (n, (r, c)) => n -> PartStats(r, c) })
+        val fresh = auditedFolded(auditedDirOf(rel))
         val priorParts =
           if (emptied.contains(rel)) Nil
           else base.get(rel).map(parseParts(_).filterNot(_._1 == Empty))
@@ -2770,8 +2838,7 @@ object PartitionSnapshots {
         val nOut = math.max(1,
           math.ceil(bytes.toDouble / targetFileBytes).toInt)
         val sides = sidesIn.map { case (paths, dels) =>
-          dels.foldLeft(spark.read.parquet(paths: _*))(
-            applyDeleteRef(spark, table, _, _))
+          applyDeleteRefs(spark, table, spark.read.parquet(paths: _*), dels)
         }
         val merged = sides.reduce(_ unionByName _)
         // sorted rewrite (Iceberg rewrite_data_files with a sort order):
@@ -3159,6 +3226,131 @@ object PartitionSnapshots {
             System.currentTimeMillis() - st.getModificationTime > 15 * 60 * 1000L
       }
       .foreach(st => f.delete(st.getPath, true))
+  }
+
+  /** ORPHAN-FILE SWEEP (Iceberg's `remove_orphan_files`): delete every
+    * artifact under `table` that NO retained root manifest resolves —
+    * the storage a crashed writer leaks where the commit-time cleanups
+    * cannot reach it:
+    *
+    *   - never-referenced per-partition version slots: a writer that
+    *     died between sealing its slots and publishing the root leaves
+    *     complete dirs nothing ever names (commit-path retention only
+    *     runs for partitions a LATER commit touches again, so a
+    *     never-touched partition keeps the corpse forever) — including
+    *     cold write-audit-publish slots a crashed auditor abandoned;
+    *   - version slots only EXPIRED roots named (time travel to those
+    *     roots already fails loudly; the bytes are pure leak);
+    *   - cold `_staging-*` roots, `.staging-*` debris under any
+    *     `_versions` dir (partition and root alike), and unreferenced
+    *     `_deletes` files.
+    *
+    * Safety: takes the writer lease (no commit is mid-flight while the
+    * sweep lists), and ONLY artifacts older than `olderThanMs` are
+    * touched — a crashed writer's debris is by definition cold, while a
+    * TTL-taken-over writer still flushing is young. Referenced means:
+    * named by ANY retained root version (main, branch-staged, tagged —
+    * the whole `_root/_versions` chain), or the partition pointer's
+    * current target (the read cache partition-level readers resolve).
+    * Root manifest slots themselves are never candidates — the root
+    * chain is managed by retention/[[expireRoots]]. Requires a
+    * committed root (without one, flat fallback reads serve ANY slot,
+    * so nothing is provably orphaned). `dryRun` returns the doomed
+    * paths without deleting. Returns table-relative paths, sorted. */
+  def removeOrphans(spark: SparkSession, table: String,
+                    olderThanMs: Long = 24L * 3600 * 1000,
+                    dryRun: Boolean = false): Seq[String] = {
+    require(isManifested(spark, table),
+      s"removeOrphans: $table is not a manifested table")
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      val rt = s"$table/$RootDir"
+      val roots = Snapshots.versions(spark, rt)
+      require(roots.nonEmpty,
+        s"removeOrphans: $table has no committed root manifest — " +
+          "pre-root reads fall back to ANY servable slot, so no slot is " +
+          "provably orphaned (ensureRootManifest first)")
+      val f = fs(spark, new Path(table))
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      def cold(p: Path): Boolean =
+        try f.getFileStatus(p).getModificationTime < cutoff
+        catch { case _: java.io.FileNotFoundException => false }
+      // every (rel, version) and delete id ANY retained root resolves
+      val refVs = scala.collection.mutable.Map.empty[String, Set[Long]]
+      val refDels = scala.collection.mutable.Set.empty[String]
+      roots.foreach { v =>
+        resolveManifest(spark, rt, v).foreach { case (rel, state) =>
+          parseParts(state).foreach { case (b, dels) =>
+            refDels ++= dels
+            baseVersion(b).foreach(bv =>
+              refVs(rel) = refVs.getOrElse(rel, Set.empty) + bv)
+          }
+        }
+      }
+      val doomed = Seq.newBuilder[String]
+      // 1. cold staging roots a crashed writer abandoned
+      f.listStatus(new Path(table))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("_staging-") && cold(st.getPath))
+        .foreach(st => doomed += st.getPath.getName)
+      // 2. per-partition slots: walk every k=v dir holding a _versions
+      //    child (partitionDirs alone can miss a retired-spec rel whose
+      //    data lives only under _versions while it parents new-spec
+      //    dirs) — fan the per-rel listing out on the commit pool
+      def walkRels(dir: Path, rel: String): Seq[String] = {
+        val subs = f.listStatus(dir).filter(_.isDirectory)
+        val here =
+          if (rel.nonEmpty && subs.exists(_.getPath.getName == VersionsDir))
+            Seq(rel)
+          else Nil
+        here ++ subs.toSeq
+          .filter(st => !hidden(st.getPath.getName) &&
+            st.getPath.getName.contains("="))
+          .flatMap(st => walkRels(st.getPath,
+            if (rel.isEmpty) st.getPath.getName
+            else s"$rel/${st.getPath.getName}"))
+      }
+      val rels = walkRels(new Path(table), "")
+      doomed ++= inParallel(rels) { rel =>
+        val pt = s"$table/$rel"
+        val referenced = refVs.getOrElse(rel, Set.empty) ++
+          Snapshots.pointedVersion(spark, pt) // pointer cache: belt
+        val slots = Snapshots.allVersionDirs(spark, pt)
+          .filterNot(referenced.contains)
+          .map(v => new Path(Snapshots.versionPath(pt, v)))
+          .filter(cold)
+          .map(p => s"$rel/$VersionsDir/${p.getName}")
+        val staging = f.listStatus(new Path(pt, VersionsDir))
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(".staging-") && cold(st.getPath))
+          .map(st => s"$rel/$VersionsDir/${st.getPath.getName}")
+        slots ++ staging
+      }.flatten
+      // 3. cold staging debris under the root chain's own versions dir
+      val rvd = new Path(s"$rt/$VersionsDir")
+      if (f.exists(rvd))
+        f.listStatus(rvd)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(".staging-") && cold(st.getPath))
+          .foreach(st =>
+            doomed += s"$RootDir/$VersionsDir/${st.getPath.getName}")
+      // 4. delete files no retained root references + cold staging
+      val dd = new Path(s"$table/$DeletesDir")
+      if (f.exists(dd))
+        f.listStatus(dd).foreach { st =>
+          val n = st.getPath.getName
+          val orphanDel =
+            (DeleteName.findFirstMatchIn(n).nonEmpty &&
+              !refDels.contains(n) && cold(st.getPath)) ||
+            (n.startsWith(".staging-") && cold(st.getPath))
+          if (orphanDel) doomed += s"$DeletesDir/$n"
+        }
+      val out = doomed.result().distinct.sorted
+      if (!dryRun)
+        inParallel(out)(rel => f.delete(new Path(s"$table/$rel"), true))
+      out
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
   }
 
   /** Remove staging roots a crashed writer abandoned (cold ones only —

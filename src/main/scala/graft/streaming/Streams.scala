@@ -331,11 +331,21 @@ object Streams {
     * transaction id that appends anew. Readers on the table see each
     * batch atomically (root-pointer swap) and concurrent equality
     * deletes never suppress later batches (per-part delete refs). */
+  /** Each micro-batch commits through [[graft.operators.Upsert
+    * .appendOptimistic]] (bounded lease wait, `maxWaitMs`), NOT the
+    * fail-fast append: a streaming ingest must coexist with batch
+    * maintenance on the same table — a nightly compaction or a keyed
+    * MERGE holds the lease for seconds, and fast-append parts compose
+    * with whatever those commits produce, so the right behavior is to
+    * wait out the winner and fold onto its head, never to kill the
+    * query. Exactly-once still holds across the wait: the txn probe
+    * runs UNDER the acquired lease. */
   def manifestedAppendStream(spark: SparkSession, rows: DataFrame,
                              path: String, partitionCols: Seq[String],
                              checkpoint: String,
                              appId: Option[String] = None,
-                             availableNow: Boolean = false)
+                             availableNow: Boolean = false,
+                             maxWaitMs: Long = 120000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Upsert
     val app = appId.getOrElse(
@@ -344,8 +354,8 @@ object Streams {
         .take(8).map(b => f"$b%02x").mkString)
     val writer = rows.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        Upsert.append(spark, path, batch, partitionCols,
-          txn = Some((app, bid)))
+        Upsert.appendOptimistic(spark, path, batch, partitionCols,
+          maxWaitMs = maxWaitMs, txn = Some((app, bid)))
       }
       .option("checkpointLocation", checkpoint)
     (if (availableNow)

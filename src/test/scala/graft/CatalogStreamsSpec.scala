@@ -742,4 +742,50 @@ class CatalogStreamsSpec extends SparkSpec {
     Upsert.read(spark, path).collect()
       .map(r => r.getAs[Int]("k")).sorted shouldBe Array(1, 2, 3, 4)
   }
+
+  test("streaming ingest coexists with a concurrent batch writer (optimistic appends)") {
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String, Int)]
+    val path = tmpDir("coextbl") + "/t"
+    val ckpt = tmpDir("coexckpt")
+    // seed so the batch writer has something to MERGE into
+    Upsert.upsert(spark, path, Seq((1, "p1", 10)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // a batch maintenance job is MID-COMMIT (holds the lease) when the
+    // stream's first micro-batch arrives: the foreachBatch append must
+    // WAIT it out and land, not kill the query (the fail-fast append
+    // would throw ConcurrentWriteException into the stream)
+    val token = Upsert.acquireLock(spark, path, Upsert.DefaultLockTtlMs)
+    mem.addData((2, "p1", 20), (3, "p2", 30))
+    val q = Streams.manifestedAppendStream(spark,
+      mem.toDF().toDF("k", "part", "v"), path, Seq("part"), ckpt,
+      appId = Some("coex"), availableNow = true)
+    try {
+      Thread.sleep(1500) // the micro-batch is now waiting on the lease
+      Upsert.releaseLock(spark, path, token)
+      q.awaitTermination(60000) shouldBe true
+    } finally q.stop()
+    Upsert.read(spark, path).count() shouldBe 3L
+    // a batch MERGE lands BETWEEN stream batches; both lines visible
+    Upsert.upsert(spark, path, Seq((1, "p1", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    mem.addData((4, "p2", 40))
+    val q2 = Streams.manifestedAppendStream(spark,
+      mem.toDF().toDF("k", "part", "v"), path, Seq("part"), ckpt,
+      appId = Some("coex"), availableNow = true)
+    try q2.awaitTermination(60000) shouldBe true finally q2.stop()
+    Upsert.read(spark, path).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Int]("v"))).toSet shouldBe
+      Set((1, 11), (2, 20), (3, 30), (4, 40))
+    // exactly-once across the concurrency: redelivering the last batch
+    // id commits nothing twice
+    val head = PartitionSnapshots.currentRootVersion(spark, path).get
+    Upsert.appendOptimistic(spark, path,
+      Seq((4, "p2", 40)).toDF("k", "part", "v"), Seq("part"),
+      txn = Some(("coex", 1L)))
+    PartitionSnapshots.currentRootVersion(spark, path).get shouldBe head
+    Upsert.read(spark, path).count() shouldBe 4L
+  }
 }

@@ -29,10 +29,12 @@ object ReplayMatrix {
   case object EqualityDelete extends StructuralKind { val id = "eqdel" }
   case object PositionalDelete extends StructuralKind { val id = "posdel" }
   case object FileScopedMerge extends StructuralKind { val id = "fscope" }
+  case object OptimisticAppend extends StructuralKind { val id = "optapp" }
 
   val AllKinds: Seq[StructuralKind] = Seq(SchemaEvolution, SpecEvolution,
     HiddenBucketEvolution, DropPartitions, BranchFastForward, BranchRebase,
-    Compaction, EqualityDelete, PositionalDelete, FileScopedMerge)
+    Compaction, EqualityDelete, PositionalDelete, FileScopedMerge,
+    OptimisticAppend)
 }
 
 class ChangelogReplayMatrixSpec extends SparkSpec {
@@ -113,6 +115,21 @@ class ChangelogReplayMatrixSpec extends SparkSpec {
       Upsert.upsert(spark, path,
         Seq((12, "p1", 12, 120)).toDF("k", "part", "hour", "v"),
         Seq("k"), partitionCols = Seq("part"))
+    case OptimisticAppend =>
+      // two RACING appenders to the same partition — both must commit
+      // (fast-append parts compose) and the changelog must net both
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq(
+        Seq((10, "p1", 1, 100)).toDF("k", "part", "hour", "v"),
+        Seq((11, "p1", 2, 110), (12, "p2", 3, 120))
+          .toDF("k", "part", "hour", "v")).map { df =>
+        val t = new Thread(() =>
+          try Upsert.appendOptimistic(spark, path, df, Seq("part"))
+          catch { case e: Throwable => errs.add(e) })
+        t.start(); t
+      }
+      ts.foreach(_.join(60000))
+      assert(errs.isEmpty, s"optimistic appenders failed: $errs")
   }
 
   /** The invariant: inserts minus deletes of the FULL-history feed equal
@@ -153,7 +170,7 @@ class ChangelogReplayMatrixSpec extends SparkSpec {
     // AllKinds and stageOf's sealed match must cover the same set — a
     // new case object that skips either trips this (or the compiler's
     // exhaustiveness warning on stageOf)
-    AllKinds.map(_.id).distinct.size shouldBe 10
+    AllKinds.map(_.id).distinct.size shouldBe 11
   }
 
   test("root expiry cannot wedge a live changelog stream") {

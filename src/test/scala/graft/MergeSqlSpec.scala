@@ -114,11 +114,6 @@ class MergeSqlSpec extends SparkSpec {
     Upsert.upsert(spark, s"$wh/t", Seq((1, 1.0)).toDF("k", "v"), Seq("k"))
     Seq((1, 2.0)).toDF("k", "v").createOrReplaceTempView("msql_bad_src")
     val cat = new Catalog(spark, wh)
-    // conditional matched action
-    an[IllegalArgumentException] should be thrownBy cat.sql(
-      """MERGE INTO t USING msql_bad_src s ON t.k = s.k
-        |WHEN MATCHED AND s.v > 1 THEN UPDATE SET *
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     // non-equi ON
     an[IllegalArgumentException] should be thrownBy cat.sql(
       """MERGE INTO t USING msql_bad_src s ON t.k < s.k
@@ -143,6 +138,97 @@ class MergeSqlSpec extends SparkSpec {
     // the table is untouched by all of the above
     cat.read("t").collect().map(r => (r.getInt(0), r.getDouble(1)))
       .toSet shouldBe Set((1, 1.0))
+  }
+
+  test("conditional multi-clause MERGE: first-match-wins, DELETE via equality-delete commit") {
+    val wh = tmpDir("msqlcond")
+    val seed = Seq((1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0),
+      (4, "p2", 40.0)).toDF("k", "part", "v")
+    Upsert.upsert(spark, s"$wh/t", seed, Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    // k=1: matched, new v negative → first clause (DELETE) wins
+    // k=2: matched, new v positive → falls to the UPDATE clause
+    // k=3: matched but BOTH conditions false → target row keeps
+    // k=5: not matched, insert condition true → inserted
+    // k=6: not matched, insert condition false → dropped
+    Seq((1, "p1", -5.0), (2, "p1", 21.0), (3, "p2", -30.0),
+      (5, "p2", 50.0), (6, "p2", -60.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("msql_cond_src")
+    val before = PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get
+    val cat = new Catalog(spark, wh)
+    val out = cat.sql(
+      """MERGE INTO t t
+        |USING msql_cond_src s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.v < 0 AND t.v < 25 THEN DELETE
+        |WHEN MATCHED AND s.v > 0 THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""".stripMargin)
+    out.collect().map(r =>
+      (r.getAs[Int]("k"), r.getAs[String]("part"), r.getAs[Double]("v")))
+      .toSet shouldBe Set((2, "p1", 21.0), (3, "p2", 30.0),
+        (4, "p2", 40.0), (5, "p2", 50.0))
+    // the DELETE leg committed as an equality delete somewhere in the
+    // root chain — merge-on-read, no whole-partition rewrite for it
+    val rt = s"$wh/t"
+    val sawDeleteRef = (before + 1 to
+      PartitionSnapshots.currentRootVersion(spark, rt).get).exists { v =>
+        PartitionSnapshots.rootManifest(spark, rt, v).get
+          .values.exists(_.contains("+d"))
+      }
+    assert(sawDeleteRef, "expected an equality-delete ref in the chain")
+  }
+
+  test("clause ORDER is semantics: swapping UPDATE/DELETE flips the outcome") {
+    val wh = tmpDir("msqlord")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, "p1", 10.0)).toDF("k", "part", "v"), Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    Seq((1, "p1", 99.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("msql_ord_src")
+    val cat = new Catalog(spark, wh)
+    // both conditions hold — the FIRST clause must win each time (the
+    // parser requires every non-last matched clause to carry a condition)
+    cat.sql(
+      """MERGE INTO t t USING msql_ord_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v > 0 THEN UPDATE SET *
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+      .collect().map(_.getAs[Double]("v")).toSeq shouldBe Seq(99.0)
+    // DELETE first on the same state: the row dies instead
+    cat.sql(
+      """MERGE INTO t t USING msql_ord_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v > 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      .count() shouldBe 0L
+  }
+
+  test("DELETE FROM: IN-list routes to deleteKeys, partition equality to dropPartitions, predicate to positional") {
+    val wh = tmpDir("msqldel")
+    val seed = (1 to 40).map(i => (i, if (i % 2 == 0) "p1" else "p2",
+      i * 1.0)).toDF("k", "part", "v")
+    Upsert.upsert(spark, s"$wh/t", seed, Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    val cat = new Catalog(spark, wh)
+    val rt = s"$wh/t"
+    // (1) data-column IN list → equality-delete commit (no rewrite)
+    cat.sql("DELETE FROM t WHERE k IN (2, 4, 6)").count() shouldBe 37L
+    assert(PartitionSnapshots.rootManifest(spark, rt).get
+      .values.exists(_.contains("+d")), "expected an equality-delete ref")
+    // (2) arbitrary predicate → positional-delete commit
+    cat.sql("DELETE FROM t WHERE v > 35.5 AND part = 'p1'")
+      .count() shouldBe 34L // 36, 38, 40 die
+    // the p-ref may stack AFTER the earlier equality ref (`+d…,p…`)
+    assert(PartitionSnapshots.rootManifest(spark, rt).get
+      .values.exists(_.matches(""".*[+,]p\d+.*""")),
+      "expected a positional-delete ref")
+    // (3) partition-column equality → metadata-only partition drop
+    // (20 odd-k rows lived in p2)
+    cat.sql("DELETE FROM t WHERE part = 'p2'").count() shouldBe 14L
+    PartitionSnapshots.rootManifest(spark, rt).get
+      .apply("part=p2") shouldBe "EMPTY"
+    // flat tables refuse loudly
+    Upsert.upsert(spark, s"$wh/flat", Seq((1, 1.0)).toDF("k", "v"), Seq("k"))
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("DELETE FROM flat WHERE k = 1")
   }
 
   test("MERGE WITH SCHEMA EVOLUTION adds the new source column") {

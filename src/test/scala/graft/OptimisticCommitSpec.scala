@@ -118,6 +118,79 @@ class OptimisticCommitSpec extends SparkSpec {
       .collect().map(_.getAs[Int]("k")).toSet shouldBe Set(1, 2, 3)
   }
 
+  test("serializable validation: a winner's DELETE of the matched key conflicts a stale writer") {
+    val path = seedTable(tmpDir("optdel"))
+    val base = PartitionSnapshots.currentRootVersion(spark, path).get
+    // the winner ERASES key 1 from p1 (equality-delete commit)
+    PartitionSnapshots.deleteKeys(spark, path,
+      Seq(1).toDF("k")) shouldBe true
+    // a stale-based writer MIGRATES key 1 into p3: at the CURRENT head
+    // the key matches nothing (own partitions = {p3}, disjoint from the
+    // winner's p1), so head-only validation would commit — silently
+    // re-inserting the row the winner just erased. Locating the matched
+    // key at the writer's BASE snapshot puts p1 in the touched set,
+    // where the winner's change conflicts (Iceberg's delete-conflict
+    // check: serializable, not just snapshot isolation).
+    an[Upsert.CommitConflictException] should be thrownBy
+      Upsert.upsertOptimistic(spark, path,
+        Seq((1, "p3", 99.0)).toDF("k", "part", "v"), Seq("k"),
+        partitionCols = Seq("part"), baseVersion = Some(base))
+    // the erased key stays erased
+    Upsert.read(spark, path).where(col("k") === 1).count() shouldBe 0L
+  }
+
+  test("two CONCURRENT optimistic appenders to the SAME partition both commit") {
+    val path = seedTable(tmpDir("optapp"))
+    val base = PartitionSnapshots.currentRootVersion(spark, path).get
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(df: org.apache.spark.sql.DataFrame): Thread = {
+      val t = new Thread(() =>
+        try Upsert.appendOptimistic(spark, path, df, Seq("part"))
+        catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    // same partition AND a disjoint one — appends compose everywhere
+    val a = appender(Seq((10, "p1", 100.0)).toDF("k", "part", "v"))
+    val b = appender(Seq((11, "p1", 110.0), (12, "p2", 120.0))
+      .toDF("k", "part", "v"))
+    a.join(60000); b.join(60000)
+    errs.isEmpty shouldBe true
+    rows(path) shouldBe Set((1, "p1", 10.0), (2, "p2", 20.0),
+      (3, "p3", 30.0), (10, "p1", 100.0), (11, "p1", 110.0),
+      (12, "p2", 120.0))
+    // linearizable root chain: two commits, each folded onto the prior
+    val head = PartitionSnapshots.currentRootVersion(spark, path).get
+    head shouldBe base + 2
+    // p1 carries the seed part plus BOTH appended parts
+    PartitionSnapshots.rootManifest(spark, path).get
+      .apply("part=p1").split("&").length shouldBe 3
+    // the combined changelog nets exactly the appended rows
+    PartitionSnapshots.changes(spark, path, base, head)
+      .where(col("change_type") === "insert")
+      .collect().map(_.getAs[Int]("k")).toSet shouldBe Set(10, 11, 12)
+  }
+
+  test("optimistic appender waits out a live lease holder instead of failing") {
+    val path = seedTable(tmpDir("optwait"))
+    // simulate a batch MERGE mid-commit: hold the lease for a moment
+    val token = Upsert.acquireLock(spark, path, Upsert.DefaultLockTtlMs)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t = new Thread(() =>
+      try Upsert.appendOptimistic(spark, path,
+        Seq((10, "p1", 100.0)).toDF("k", "part", "v"), Seq("part"))
+      catch { case e: Throwable => errs.add(e) })
+    t.start()
+    // the plain append fails fast on the same live lease
+    an[Upsert.ConcurrentWriteException] should be thrownBy
+      Upsert.append(spark, path,
+        Seq((11, "p2", 110.0)).toDF("k", "part", "v"), Seq("part"))
+    Thread.sleep(1500)
+    Upsert.releaseLock(spark, path, token)
+    t.join(60000)
+    errs.isEmpty shouldBe true
+    Upsert.read(spark, path).where(col("k") === 10).count() shouldBe 1L
+  }
+
   test("branch rebase refuses overlapping partitions loudly") {
     val path = seedTable(tmpDir("optbx"))
     PartitionSnapshots.createBranch(spark, path, "staging")

@@ -810,6 +810,52 @@ class PartitionSnapshotsSpec extends SparkSpec {
     Upsert.read(spark, path).count() shouldBe 40000L
   }
 
+  test("sorted compaction restores prunable manifest bounds: point MERGE re-engages the file-scoped fast path") {
+    val path = tmpDir("psortprune") + "/t"
+    // 4 range-correlated partitions (part = k/1000 — the time-
+    // partitioned-fact shape), seeded by 4 INTERLEAVED appends: every
+    // file of every partition spans ~the partition's whole key range,
+    // so per-FILE bounds can prune nothing inside a touched partition
+    val stripes = Seq(0, 1, 2, 3).map(i =>
+      spark.range(1000).selectExpr(s"id * 4 + $i AS k",
+        "CAST((id * 4 + " + i + ") / 1000 AS INT) AS part",
+        "CAST(id AS INT) AS v"))
+    Upsert.upsert(spark, path, stripes.head, Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    stripes.tail.foreach(df => Upsert.append(spark, path, df, Seq("part")))
+    val res = PartitionSnapshots.compact(spark, path,
+      targetFileBytes = 8L * 1024, sortWithin = Seq("k"))
+    res.keySet.size shouldBe 4
+    // (1) partition-level MANIFEST bounds are exact and DISJOINT across
+    // partitions post-compact — the stats-pruned matched-key lookup can
+    // exclude every partition but the key's own
+    val stats = PartitionSnapshots.rootStats(spark, path)
+    val pRanges = stats.toSeq.sortBy(_._1).map(_._2.cols("k"))
+      .map { case (mn, mx) => (mn.toDouble, mx.toDouble) }.sortBy(_._1)
+    pRanges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => hi should be < lo
+      case _ =>
+    }
+    // (2) a point-key MERGE now touches ONE partition and rewrites
+    // exactly ONE file of it — the others survive by token (per-file
+    // sidecar bounds are disjoint after the sorted rewrite)
+    val before = PartitionSnapshots.currentRootVersion(spark, path).get
+    Upsert.upsert(spark, path, Seq((1500L, 1, -1)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    val after = PartitionSnapshots.currentRootVersion(spark, path).get
+    val changed = PartitionSnapshots.changedPartitions(spark, path,
+      before, after)
+    changed shouldBe Seq("part=1")
+    val state = PartitionSnapshots.rootManifest(spark, path).get("part=1")
+    assert(state.contains("/"),
+      s"expected file-scoped survivor tokens in part=1's state, got $state")
+    // rows intact (merge replaced one, the survivors held the rest)
+    Upsert.read(spark, path).count() shouldBe 4000L
+    Upsert.read(spark, path)
+      .where(org.apache.spark.sql.functions.col("k") === 1500)
+      .select("v").head().getInt(0) shouldBe -1
+  }
+
   test("inspection tables: $snapshots, $partitions, $files describe the live state") {
     val path = tmpDir("pmeta") + "/t"
     Upsert.upsert(spark, path,
