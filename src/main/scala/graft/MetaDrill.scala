@@ -192,14 +192,25 @@ object ChainDrill {
       Seq((0L, 0, 0L)).toDF("k", "part", "v"), Seq("part"),
       retainVersions = retain)
     PartitionSnapshots.tagRoot(spark, path, "seed", 1L)
-    timed(s"${commits - 1} single-row append commits (retain=$retain)") {
+    // compaction CADENCE (every 500 commits), as a real ingest table
+    // runs: appends union parts into partition states, so an append-only
+    // chain grows each state — and every reader/committer of it —
+    // linearly (O(n²) across the chain); the nightly compact is what
+    // bounds it. The drill measures the real operating mode.
+    timed(s"${commits - 1} single-row append commits (retain=$retain, " +
+      "compact every 500)") {
       var i = 1
       while (i < commits) {
         Upsert.append(spark, path,
           Seq((i.toLong, i % parts, i * 3L)).toDF("k", "part", "v"),
           Seq("part"), retainVersions = retain)
         i += 1
-        if (i % 500 == 0) println(s"[chain]   $i commits")
+        if (i % 500 == 0) {
+          timed(s"  compact @ $i commits")(
+            PartitionSnapshots.compact(spark, path, minFiles = 1,
+              retainVersions = retain))
+          println(s"[chain]   $i commits")
+        }
       }
     }
     val head = PartitionSnapshots.currentRootVersion(spark, path).get

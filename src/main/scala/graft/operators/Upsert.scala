@@ -948,22 +948,41 @@ object Upsert {
       // main's (mirrors upsertLocked's branch-merge read): a branch that
       // evolved its schema beyond main must not have later appends
       // rejected against — or silently re-pinned to — main's columns
-      val existing = branch match {
-        case Some(n) => PartitionSnapshots.readRawOption(spark, path,
-          asOf = PartitionSnapshots.rootBranches(spark, path).getOrElse(n,
-            throw new IllegalArgumentException(
-              s"append: no branch '$n' at $path — createBranch first")))
-        case None => readTable(spark, path)
-      }
+      val branchHead: Option[Long] = branch.map(n =>
+        PartitionSnapshots.rootBranches(spark, path).getOrElse(n,
+          throw new IllegalArgumentException(
+            s"append: no branch '$n' at $path — createBranch first")))
       // hidden-partitioning: derive transform dir columns before the
       // drift check — the raw table side carries them, callers never do
       val dfT = PartitionSnapshots.applyTransforms(spark, path, df)
-      val out = existing match {
-        case Some(existing) if evolveSchema => align(existing, dfT)._2
-        case Some(existing) =>
-          require(existing.columns.sorted.sameElements(dfT.columns.sorted),
+      // The drift check needs only the table's COLUMN SET — derive it
+      // from pinned metadata, never by constructing the table frame:
+      // construction lists every live data dir, so an append-heavy
+      // table (a streaming ingest between compactions) would pay
+      // O(accumulated parts) PER micro-batch — measured O(n²) across a
+      // commit-chain drill before this. The pinned union schema + spec
+      // columns is exactly the shape readEntries serves; only pre-
+      // schema-pinning tables fall back to the real frame.
+      lazy val existing: Option[DataFrame] = branchHead match {
+        case Some(v) => PartitionSnapshots.readRawOption(spark, path,
+          asOf = v)
+        case None => readTable(spark, path)
+      }
+      val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+        PartitionSnapshots.mergeReadSchema(spark, path, branchHead,
+            dfT.schema, partitionCols)
+          .orElse(existing.map(_.schema))
+      val out = tableSchema match {
+        case Some(ts) if evolveSchema =>
+          // align() uses the target side only for its SCHEMA — an empty
+          // schema-typed frame serves without listing a single file
+          align(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts),
+            dfT)._2
+        case Some(ts) =>
+          require(ts.fieldNames.sorted.sameElements(dfT.columns.sorted),
             s"append: schema drift at $path (pass evolveSchema = true): " +
-              s"table ${existing.columns.sorted.toSeq} vs " +
+              s"table ${ts.fieldNames.sorted.toSeq} vs " +
               s"df ${dfT.columns.sorted.toSeq}")
           dfT
         case None => dfT

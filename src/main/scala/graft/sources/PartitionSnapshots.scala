@@ -197,6 +197,18 @@ object PartitionSnapshots {
       out
     }
 
+  /** Commit-phase profiler, enabled by GRAFT_COMMIT_PROFILE=1 — prints
+    * one line per commit phase so drills can attribute commit latency
+    * (zero overhead when unset). */
+  private[graft] def phase[A](label: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_COMMIT_PROFILE")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[commit-phase] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** The ONE copy of the deepest-first rule for per-partition ops whose
     * RELS may NEST (a retired-spec dir parenting new-spec dirs after
     * partition-spec evolution): rels grouped by path depth, DEEPEST
@@ -1764,7 +1776,8 @@ object PartitionSnapshots {
                                         branch: Option[String] = None)
       : Unit = {
     val retain = math.max(1, retainVersions)
-    val staged = partitionDirs(spark, stagingRoot, cols.size)
+    val staged = phase("append: staging walk")(
+      partitionDirs(spark, stagingRoot, cols.size))
     if (staged.isEmpty) return
     val rt = s"$table/$RootDir"
     // a branch append folds onto the BRANCH head's manifest and stats
@@ -1774,11 +1787,11 @@ object PartitionSnapshots {
           s"append to unknown branch '$n' at $table"))._1)
       case None => currentRootVersion(spark, table)
     }
-    val base = branch match {
+    val base = phase("append: base manifest")(branch match {
       case Some(_) => rootManifest(spark, table, parentV.get).get
       case None => rootManifest(spark, table)
         .getOrElse(scanStates(spark, table, cols))
-    }
+    })
     val priorStats = parentV
       .map { pv =>
         resolveManifestFull(spark, rt, pv).toSeq.collect {
@@ -1787,11 +1800,11 @@ object PartitionSnapshots {
       }.getOrElse(Map.empty[String, String])
     // seal on the bounded pool, deepest depth groups first: a parent
     // rename must never swallow a nested staged rel
-    val sealedSlots = depthWaves(staged)
+    val sealedSlots = phase("append: seal slots")(depthWaves(staged)
       .flatMap { g =>
         inParallel(g)(rel =>
           rel -> sealSlot(spark, s"$table/$rel", new Path(s"$stagingRoot/$rel")))
-      }
+      })
     val touched = sealedSlots.map { case (rel, v) =>
       val newPart = (f"v$v%08d", Seq.empty[String])
       val prior = base.get(rel).map(parseParts).getOrElse(Nil)
@@ -1802,7 +1815,8 @@ object PartitionSnapshots {
     val appendDirs = sealedSlots.map { case (rel, v) =>
       rel -> Snapshots.versionPath(s"$table/$rel", v)
     }
-    val appendFolded = harvestAndSidecar(spark, appendDirs.map(_._2))
+    val appendFolded = phase("append: footer harvest + sidecars")(
+      harvestAndSidecar(spark, appendDirs.map(_._2)))
     val appendDirOf = appendDirs.toMap
     val touchedStats = sealedSlots.flatMap { case (rel, _) =>
       val fresh = appendFolded(appendDirOf(rel))
@@ -1814,16 +1828,18 @@ object PartitionSnapshots {
         rel -> encodeStats(mergeStats(p, fresh))
       } // prior stats unknown → leave the union's stats unknown
     }.toMap
-    publishRoot(spark, table, base ++ touched, touched, retain, schema,
-      touchedStats, props, branch) // commit point
+    phase("append: root publish")(
+      publishRoot(spark, table, base ++ touched, touched, retain, schema,
+        touchedStats, props, branch)) // commit point
     if (branch.isEmpty) {
-      inParallel(sealedSlots) { case (rel, v) =>
+      phase("append: pointer swaps")(inParallel(sealedSlots) { case (rel, v) =>
         Snapshots.publish(spark, s"$table/$rel", v)
-      }
-      val prot = referencedVersions(spark, table)
-      inParallel(sealedSlots) { case (rel, _) =>
+      })
+      val prot = phase("append: referenced versions")(
+        referencedVersions(spark, table))
+      phase("append: retention")(inParallel(sealedSlots) { case (rel, _) =>
         finishPartitionCommit(spark, table, rel, retain, prot)
-      }
+      })
     }
   }
 
