@@ -3257,6 +3257,39 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** STANDALONE SQL `UPDATE` ([[graft.sources.Catalog.sql]] routing a
+    * parsed UpdateTable — the last refused row-level statement): `UPDATE
+    * t SET c = <expr of other columns> WHERE <pred>` commits as ONE
+    * positional delete of the affected rows plus ONE fast-append of
+    * their transformed replacements — O(affected) merge-on-read, no
+    * file outside the predicate rewritten, assignments evaluated
+    * against the pre-update snapshot. The statement runs inside the
+    * staged-once block (UPDATE is not idempotent — `bal = bal + 50`
+    * twice is +100); the oracle replays the assignment declaratively
+    * over the immutable source. */
+  def q193UpdateSql(s: SparkSession, dir: String): DataFrame = {
+    val wh = stagedOnce("pupsql", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val cat = new graft.sources.Catalog(s, base)
+      cat.sql(
+        """UPDATE t
+          |SET c_acctbal = c_acctbal + 50.0
+          |WHERE c_custkey <= 120""".stripMargin)
+      // the affected rows committed merge-on-read: a positional ref in
+      // the state, not a whole-partition rewrite
+      val state = graft.sources.PartitionSnapshots
+        .rootManifest(s, s"$base/t").get
+      require(state.values.exists(_.matches(""".*[+,]p\d+.*""")),
+        "q193: expected a positional-delete ref after UPDATE")
+    }
+    Upsert.read(s, s"$wh/t")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4231,6 +4264,14 @@ object Queries {
         |FROM ins""".stripMargin,
     // q183: full-partition MERGE semantics replayed over the immutable
     // source — file-level rewrite granularity never changes the answer
+    // q193: the physical UPDATE encoding (positional delete + append)
+    // never changes the answer — pure declarative replay
+    "q193_update_sql" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey <= 120 THEN c_acctbal + 50.0
+        |            ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment
+        |FROM customer WHERE c_custkey <= 400""".stripMargin,
     // q192: storage reclamation never changes an answer — the table
     // reads exactly as the immutable source's replay after the sweep
     "q192_orphan_sweep" ->
@@ -6566,6 +6607,7 @@ object Queries {
     "q189_hidden_bucket" -> (q189HiddenBucket _),
     "q190_positional_delete" -> (q190PositionalDelete _),
     "q191_conditional_merge_sql" -> (q191ConditionalMergeSql _),
-    "q192_orphan_sweep" -> (q192OrphanSweep _)
+    "q192_orphan_sweep" -> (q192OrphanSweep _),
+    "q193_update_sql" -> (q193UpdateSql _)
   )
 }

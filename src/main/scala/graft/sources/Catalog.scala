@@ -118,6 +118,10 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     leadingKeyword(query) match {
       case "MERGE" => reparse { case m: MergeIntoTable => runMergeSql(m) }
       case "DELETE" => reparse { case d: DeleteFromTable => runDeleteSql(d) }
+      case "UPDATE" => reparse {
+        case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+          runUpdateSql(u)
+      }
       case _ => registerAll(); spark.sql(query)
     }
   }
@@ -436,6 +440,77 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     case org.apache.spark.sql.catalyst.plans.logical
         .SubqueryAlias(id, _) => id.name
     case _ => dflt
+  }
+
+  /** Route a parsed `UPDATE t SET c = e[, …] [WHERE …]` — the last
+    * standalone row-level statement — through the merge-on-read
+    * primitives, never a table rewrite: one column-pruned scan locates
+    * the affected rows ([[PartitionSnapshots.readWithRowPos]]; Catalyst
+    * pushes the WHERE into the parquet scan), the transformed
+    * replacement rows are MATERIALIZED against the pre-update snapshot,
+    * then the old rows commit away as a positional delete and the new
+    * rows fast-append — O(affected), whatever the table holds.
+    * Assignments may reference other columns (`SET v = v + 1`) and may
+    * move rows across partitions (the appended rows land under their
+    * new dirs; hidden transforms re-derive). Visibility is per commit
+    * (delete, then insert — each individually atomic at the root swap);
+    * a reader between the two sees the affected rows absent, never a
+    * torn row — the same per-commit granularity as the multi-clause
+    * MERGE decomposition. Manifested tables only. Returns the
+    * post-update table. */
+  private def runUpdateSql(
+      u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable)
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    val targetName = strip(u.table) match {
+      case r: UnresolvedRelation => r.multipartIdentifier.last
+      case other => throw new IllegalArgumentException(
+        s"UPDATE: target must be a table name, got ${other.nodeName}")
+    }
+    require(tableExists(targetName),
+      s"UPDATE: no table '$targetName' in warehouse $warehouse")
+    val path = tablePath(targetName)
+    require(PartitionSnapshots.isManifested(spark, path),
+      s"UPDATE: '$targetName' is not a manifested table — row-level " +
+        "updates need the manifest machinery (create the table with " +
+        "partitionManifests = true)")
+    val pcols = PartitionSnapshots.partitionCols(spark, path)
+    val tSchema = read(targetName).schema
+    def canon(c: String): String =
+      tSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE: assigned column '$c' not in '$targetName' " +
+            s"(${tSchema.fieldNames.mkString(", ")})"))
+    val assigns: Map[String, org.apache.spark.sql.Column] =
+      u.assignments.map { a =>
+        val name = a.key match {
+          case k: UnresolvedAttribute => canon(k.nameParts.last)
+          case other => throw new IllegalArgumentException(
+            s"UPDATE: SET target must be a column, got ${other.sql}")
+        }
+        name -> expr(a.value.sql).cast(tSchema(name).dataType)
+      }.toMap
+    val alias = aliasOf2(u.table, targetName)
+    val pos = PartitionSnapshots.readWithRowPos(spark, path).alias(alias)
+    val affected = u.condition.map(c => pos.where(expr(c.sql)))
+      .getOrElse(pos.where(lit(true)))
+    // materialize BOTH sets against the pre-update snapshot: the new
+    // rows' plan reads files the positional delete is about to suppress
+    val doomed = affected.select(col("_pos_path"), col("_pos_ordinal"))
+      .localCheckpoint()
+    val newRows = affected.select(tSchema.fieldNames.toIndexedSeq.map(c =>
+      assigns.getOrElse(c, col(c)).as(c)): _*).localCheckpoint()
+    if (!doomed.isEmpty) {
+      PartitionSnapshots.deletePositions(spark, path, doomed)
+      graft.operators.Upsert.append(spark, path, newRows, pcols)
+    }
+    read(targetName)
   }
 
   /** S4 as SQL text: CREATE TABLE IF NOT EXISTS from a DDL column list

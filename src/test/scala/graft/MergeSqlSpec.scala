@@ -231,6 +231,40 @@ class MergeSqlSpec extends SparkSpec {
       cat.sql("DELETE FROM flat WHERE k = 1")
   }
 
+  test("UPDATE statement: cross-column assignment, partition migration, loud refusals") {
+    val wh = tmpDir("msqlupd")
+    val seed = (1 to 10).map(i => (i, if (i <= 5) "p1" else "p2", i * 1.0))
+      .toDF("k", "part", "v")
+    Upsert.upsert(spark, s"$wh/t", seed, Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    val cat = new Catalog(spark, wh)
+    // assignment referencing another column, filtered
+    cat.sql("UPDATE t SET v = v + k WHERE k <= 3")
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[Double]("v")))
+      .toMap shouldBe (1 to 10).map(i =>
+        i -> (if (i <= 3) i * 2.0 else i * 1.0)).toMap
+    // merge-on-read: the commit is a positional delete + append, not a
+    // whole-partition rewrite
+    assert(PartitionSnapshots.rootManifest(spark, s"$wh/t").get
+      .values.exists(_.matches(""".*[+,]p\d+.*""")),
+      "expected a positional-delete ref after UPDATE")
+    // partition-migrating assignment: the row MOVES dirs
+    cat.sql("UPDATE t SET part = 'p2' WHERE k = 1")
+    Upsert.read(spark, s"$wh/t").where(col("k") === 1)
+      .select("part").head().getString(0) shouldBe "p2"
+    Upsert.read(spark, s"$wh/t").count() shouldBe 10L
+    // no matching rows: a clean no-op, no new commit
+    val head = PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get
+    cat.sql("UPDATE t SET v = 0.0 WHERE k = 999").count() shouldBe 10L
+    PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get shouldBe head
+    // unknown assigned column / non-manifested target refuse loudly
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("UPDATE t SET nope = 1 WHERE k = 1")
+    Upsert.upsert(spark, s"$wh/flat", Seq((1, 1.0)).toDF("k", "v"), Seq("k"))
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("UPDATE flat SET v = 2.0 WHERE k = 1")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION adds the new source column") {
     val wh = tmpDir("msqlevo")
     Upsert.upsert(spark, s"$wh/t", Seq((1, "p1", 10.0)).toDF("k", "part", "v"),
