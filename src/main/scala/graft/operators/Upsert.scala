@@ -191,9 +191,13 @@ object Upsert {
   private[graft] def releaseLock(spark: SparkSession, path: String,
                                  token: String): Unit = {
     val lp = lockPath(path)
+    // entry BEFORE file (inverse of acquire): deleting the file first
+    // would leave an entry-present/file-missing window another thread
+    // misreads as a holder mid-acquire ("never stale") and refuses on
+    // — a spurious conflict on an unheld lock
+    jvmLeases.remove(lockKey(spark, path), token)
     if (currentToken(spark, path).contains(token))
       fs(spark, lp).delete(lp, false)
-    jvmLeases.remove(lockKey(spark, path), token)
   }
 
   /** Deterministic per-key winner among duplicate source rows: the row
@@ -894,16 +898,19 @@ object Upsert {
       retainVersions, txn, branch, maxWaitMs = maxWaitMs)
 
   /** Acquire the table lease, waiting up to `maxWaitMs` with bounded
-    * backoff (0 = fail fast, [[append]]'s historical contract). */
+    * backoff. `maxWaitMs <= 0` is LITERALLY fail-fast ([[append]]'s
+    * historical contract) — not "one retry if the first failure lands
+    * in the deadline's own millisecond". */
   private def acquireLockWaiting(spark: SparkSession, path: String,
                                  ttlMs: Long, maxWaitMs: Long): String = {
+    if (maxWaitMs <= 0) return acquireLock(spark, path, ttlMs)
     val deadline = System.currentTimeMillis() + maxWaitMs
     var backoff = 25L
     while (true) {
       try return acquireLock(spark, path, ttlMs)
       catch {
         case e: ConcurrentWriteException =>
-          if (System.currentTimeMillis() > deadline) throw e
+          if (System.currentTimeMillis() >= deadline) throw e
           Thread.sleep(backoff); backoff = math.min(backoff * 2, 1000L)
       }
     }

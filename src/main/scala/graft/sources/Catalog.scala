@@ -268,11 +268,15 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   private def runGeneralMerge(
       m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable,
       targetName: String, keys: Seq[String], pcols: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, SubqueryAlias, UpdateStarAction}
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val path = tablePath(targetName)
+    // an UNALIASED table side is addressable by its own (last) name in
+    // SQL — clause conditions like `src.v < 0` must resolve against it
     def aliasOf(p: LogicalPlan, dflt: String): String = p match {
       case SubqueryAlias(id, _) => id.name
+      case u: UnresolvedRelation => u.multipartIdentifier.last
       case _ => dflt
     }
     def stripAlias(p: LogicalPlan): LogicalPlan = p match {
@@ -315,14 +319,20 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       case other => throw new IllegalArgumentException(
         s"MERGE INTO: unsupported not-matched action $other")
     }
+    // materialize the classified sets before ANY commit (their plans
+    // read the target the commits mutate) — the matched JOIN runs ONCE:
+    // the update and delete legs derive from one checkpointed frame
+    // (source columns + action tag; selections resolve BEFORE the
+    // checkpoint, which strips alias qualifiers)
+    val srcCols = src.columns.toIndexedSeq
     val matched = classify(src.join(tgt, joinCond, "inner"), matchedActs)
-    // materialize every classified set before ANY commit: their plans
-    // read the target the commits mutate
-    val upd = matched.where(col("__graft_act") === "update")
-      .select(col(s"$sAlias.*")).localCheckpoint()
-    val del = matched.where(col("__graft_act") === "delete")
-      .select(keys.map(k => col(s"$sAlias.$k").as(k)): _*)
+      .select(srcCols.map(c => col(s"$sAlias.$c").as(s"__s_$c")) :+
+        col("__graft_act"): _*)
       .localCheckpoint()
+    val upd = matched.where(col("__graft_act") === "update")
+      .select(srcCols.map(c => col(s"__s_$c").as(c)): _*)
+    val del = matched.where(col("__graft_act") === "delete")
+      .select(keys.toIndexedSeq.map(k => col(s"__s_$k").as(k)): _*)
     val ins = classify(src.join(tgt, joinCond, "left_anti"), insertActs)
       .where(col("__graft_act") === "insert").drop("__graft_act")
       .localCheckpoint()
@@ -405,22 +415,44 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       case Some((c0, lits))
           if lits.forall(_.value != null) && canon(c0).isDefined =>
         val c = canon(c0).get
-        if (pcols.contains(c)) {
-          // whole partitions: metadata-only drop, zero rows scanned
-          val vals = lits.map(l => CatalystTypeConverters
-            .convertToScala(l.value, l.dataType).toString).toSet
-          PartitionSnapshots.dropPartitions(spark, path,
-            m => m.get(c).exists(vals.contains))
-        } else {
-          // equality-delete commit: stats-pruned, no file rewritten.
-          // Literals re-render through their own SQL form (typed), then
-          // cast to the table column's type so the anti-join and the
-          // exclusion predicate compare like with like.
-          val arr = lits.map(_.sql).mkString(", ")
-          val keysDf = spark.range(1)
-            .select(explode(expr(s"array($arr)")).as(c))
-            .select(col(c).cast(tSchema(c).dataType).as(c))
-          PartitionSnapshots.deleteKeys(spark, path, keysDf)
+        // Literals re-render through their own SQL form (typed), then
+        // cast to the column's type — keeping ONLY values that survive
+        // the ROUND TRIP back to the literal's type: SQL equality
+        // coerces the column UP, so `int_col = 5.5` matches nothing,
+        // and a bare down-cast (5.5 → 5) would silently delete the
+        // wrong rows/partitions. The round trip is probed DRIVER-SIDE
+        // over the (bounded, literal) value list, and the key frame is
+        // rebuilt from the survivors alone — leaving the comparison
+        // cast in the frame's lineage would let constraint inference
+        // copy it onto the TABLE side of the delete's semi-join, where
+        // a narrow literal type (ANSI Decimal(2,1)) overflows on real
+        // column values. A literal failing the round trip matches
+        // nothing and is simply dropped.
+        val dt = tSchema(c).dataType
+        val arr = lits.map(_.sql).mkString(", ")
+        val probe = spark.sql(
+          s"""SELECT try_cast(o AS ${dt.sql}) AS t,
+             |       try_cast(o AS ${dt.sql}) = o AS ok
+             |FROM (SELECT explode(array($arr)) AS o)""".stripMargin)
+          .collect() // `t = o` is SQL's own up-coercion: the round trip
+        val surviving = lits.zip(probe).collect {
+          case (l, r) if !r.isNullAt(0) && !r.isNullAt(1) &&
+            r.getBoolean(1) => (l.sql, String.valueOf(r.get(0)))
+        }
+        if (surviving.nonEmpty) {
+          if (pcols.contains(c)) {
+            // whole partitions: metadata-only drop, zero rows scanned —
+            // dir values render from the TYPED value, like the writer's
+            val vals = surviving.map(_._2).toSet
+            PartitionSnapshots.dropPartitions(spark, path,
+              m => m.get(c).exists(vals.contains))
+          } else {
+            // equality-delete commit: stats-pruned, no file rewritten
+            val arr2 = surviving.map(_._1).mkString(", ")
+            PartitionSnapshots.deleteKeys(spark, path, spark.sql(
+              s"SELECT try_cast(o AS ${dt.sql}) AS `$c` " +
+                s"FROM (SELECT explode(array($arr2)) AS o)"))
+          }
         }
       case _ =>
         // arbitrary predicate: one column-pruned scan finds the doomed
@@ -448,16 +480,16 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * the affected rows ([[PartitionSnapshots.readWithRowPos]]; Catalyst
     * pushes the WHERE into the parquet scan), the transformed
     * replacement rows are MATERIALIZED against the pre-update snapshot,
-    * then the old rows commit away as a positional delete and the new
-    * rows fast-append — O(affected), whatever the table holds.
-    * Assignments may reference other columns (`SET v = v + 1`) and may
-    * move rows across partitions (the appended rows land under their
-    * new dirs; hidden transforms re-derive). Visibility is per commit
-    * (delete, then insert — each individually atomic at the root swap);
-    * a reader between the two sees the affected rows absent, never a
-    * torn row — the same per-commit granularity as the multi-clause
-    * MERGE decomposition. Manifested tables only. Returns the
-    * post-update table. */
+    * and [[PartitionSnapshots.replaceRows]] commits the positional
+    * delete of the old rows AND the append of the new ones in ONE root
+    * publish — O(affected) whatever the table holds, and ATOMIC: a
+    * crash can only leave the pre-update snapshot (split delete+append
+    * commits would durably lose the affected rows in between, with a
+    * re-run's WHERE matching nothing). Assignments may reference other
+    * columns (`SET v = v + 1`) and may move rows across partitions
+    * (the appended rows land under their new dirs; hidden transforms
+    * re-derive). Manifested tables only. Returns the post-update
+    * table. */
   private def runUpdateSql(
       u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable)
       : DataFrame = {
@@ -498,18 +530,15 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       }.toMap
     val alias = aliasOf2(u.table, targetName)
     val pos = PartitionSnapshots.readWithRowPos(spark, path).alias(alias)
+    // ONE materialized scan of the affected rows (row identity + data
+    // columns together) — the doomed-position and replacement legs both
+    // derive from it; its plan reads files the commit will suppress
     val affected = u.condition.map(c => pos.where(expr(c.sql)))
-      .getOrElse(pos.where(lit(true)))
-    // materialize BOTH sets against the pre-update snapshot: the new
-    // rows' plan reads files the positional delete is about to suppress
+      .getOrElse(pos.where(lit(true))).localCheckpoint()
     val doomed = affected.select(col("_pos_path"), col("_pos_ordinal"))
-      .localCheckpoint()
     val newRows = affected.select(tSchema.fieldNames.toIndexedSeq.map(c =>
-      assigns.getOrElse(c, col(c)).as(c)): _*).localCheckpoint()
-    if (!doomed.isEmpty) {
-      PartitionSnapshots.deletePositions(spark, path, doomed)
-      graft.operators.Upsert.append(spark, path, newRows, pcols)
-    }
+      assigns.getOrElse(c, col(c)).as(c)): _*)
+    PartitionSnapshots.replaceRows(spark, path, doomed, newRows)
     read(targetName)
   }
 

@@ -3193,6 +3193,156 @@ object PartitionSnapshots {
     } finally graft.operators.Upsert.releaseLock(spark, table, token)
   }
 
+  /** ATOMIC row replacement — ONE root publish that both retires the
+    * given row positions (a positional delete ref on every current
+    * part of their partitions) and appends `newRows` as fresh version
+    * parts. The commit primitive behind SQL `UPDATE`: split into a
+    * deletePositions + append pair, a crash between the two commits
+    * would durably lose the affected rows (the delete published, the
+    * replacements didn't, and a re-run's WHERE matches nothing) — here
+    * the root pointer swap is the single visibility point, so readers
+    * see the pre-update or the post-update snapshot, never the gap.
+    * A crash before the publish is a clean abort: the claimed delete
+    * file is unreferenced (vacuumDeletes/removeOrphans reap it) and
+    * sealed slots age out. `positions` carries `_pos_path` +
+    * `_pos_ordinal` as [[readWithRowPos]] exposes them, validated at
+    * FILE granularity like [[deletePositions]]; `newRows` must match
+    * the table's (public) schema and may land in partitions the doomed
+    * rows never lived in (partition-migrating updates). Returns false
+    * (no commit) when `positions` is empty. Takes the writer lease. */
+  def replaceRows(spark: SparkSession, table: String,
+                  positions: DataFrame, newRows: DataFrame,
+                  retainVersions: Int =
+                    graft.operators.Upsert.DefaultRetainVersions): Boolean = {
+    require(isManifested(spark, table),
+      s"replaceRows: $table is not a manifested table")
+    require(positions.columns.toSet.contains("_pos_path") &&
+      positions.columns.toSet.contains("_pos_ordinal"),
+      "replaceRows: positions must carry _pos_path + _pos_ordinal " +
+        "(from readWithRowPos)")
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val cols = partitionCols(spark, table)
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      cleanupStaging(spark, table)
+      val base = rootManifest(spark, table)
+        .getOrElse(scanStates(spark, table, cols))
+      val rootPath = new Path(table).toUri.getPath
+      // one row per touched FILE (bounded): validate each doomed file is
+      // a CURRENT part of its partition — stale handles refuse loudly
+      val files = positions.select(col("_pos_path")).distinct()
+        .collect().map(_.getString(0))
+      if (files.isEmpty) return false
+      val parsedFiles = files.map { uri =>
+        val p = new Path(uri).toUri.getPath
+        require(p.startsWith(rootPath + "/"),
+          s"replaceRows: file $uri is not under table $table")
+        val segs = p.stripPrefix(rootPath + "/").split("/").toSeq
+        segs.indexOf(VersionsDir) match {
+          case -1 => (segs.dropRight(1).mkString("/"),
+            None: Option[String], segs.last)
+          case i  => (segs.take(i).mkString("/"),
+            Some(segs(i + 1)), segs.last)
+        }
+      }
+      parsedFiles.toSeq.sortBy(_._1).foreach { case (rel, verOpt, name) =>
+        val bases = base.get(rel).map(parseParts(_).map(_._1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"replaceRows: file partition '$rel' is not in $table's " +
+              "manifest — the position handles are stale; re-read"))
+        val live = verOpt match {
+          case None => bases.contains(Flat)
+          case Some(v) => bases.exists(b => b == v || b == s"$v/$name")
+        }
+        require(live,
+          s"replaceRows: file '$name' (${verOpt.getOrElse(Flat)}) is no " +
+            s"longer a current part of '$rel' (state: ${base(rel)}) — " +
+            "stale position handles; re-read and re-derive")
+      }
+      val delRels = parsedFiles.map(_._1).toSet
+      // stage the delete file (claimed but UNREFERENCED until the publish)
+      val rows = positions
+        .select(element_at(split(col("_pos_path"), "/"), -1).as("_del_file"),
+          col("_pos_ordinal").cast("long").as("_del_pos"),
+          org.apache.spark.sql.functions
+            .regexp_replace(col("_pos_path"), ".*" +
+              java.util.regex.Pattern.quote(rootPath + "/"), "")
+            .as("_del_path"))
+        .dropDuplicates("_del_path", "_del_pos")
+      val f = fs(spark, new Path(table))
+      f.mkdirs(new Path(s"$table/$DeletesDir"))
+      val tmpDel = s"$table/$DeletesDir/.staging-${java.util.UUID.randomUUID()}"
+      rows.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(tmpDel)
+      val id = claimDeleteSlot(spark, table, new Path(tmpDel), prefix = "p")
+      // stage + seal the replacement rows (hidden partitioning re-derives)
+      val outRows = applyTransforms(spark, table, newRows)
+      val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
+      outRows.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .partitionBy(cols: _*).parquet(staging)
+      try {
+        graft.operators.Upsert.assertHeld(spark, table, token)
+        val staged = partitionDirs(spark, staging, cols.size)
+        val sealedSlots = depthWaves(staged).flatMap { g =>
+          inParallel(g)(rel =>
+            rel -> sealSlot(spark, s"$table/$rel", new Path(s"$staging/$rel")))
+        }
+        val sealedDirs = sealedSlots.map { case (rel, v) =>
+          rel -> Snapshots.versionPath(s"$table/$rel", v)
+        }
+        val folded = harvestAndSidecar(spark, sealedDirs.map(_._2))
+        val sealedDirOf = sealedDirs.toMap
+        val sealedOf = sealedSlots.toMap
+        // combined touched states: every prior part of a delete-touched
+        // rel gains the ref (the delete applies to data that exists NOW);
+        // the freshly sealed part carries none (sequenced after it)
+        val touched = (delRels ++ sealedOf.keySet).toSeq.sorted.map { rel =>
+          val prior = base.get(rel).map(parseParts(_).filterNot(_._1 == Empty))
+            .getOrElse(Nil)
+          val withRefs =
+            if (delRels.contains(rel))
+              prior.map { case (b, dels) => (b, dels :+ id) }
+            else prior
+          val parts = withRefs ++
+            sealedOf.get(rel).map(v => (f"v$v%08d", Seq.empty[String])).toSeq
+          rel -> fmtParts(parts)
+        }.toMap
+        // stats: prior bounds stay valid (a delete only shrinks the true
+        // set — rowCount already treats ref-carrying states as upper
+        // bounds); appended parts widen monotonically when prior known
+        val rt = s"$table/$RootDir"
+        val priorStats = currentRootVersion(spark, table)
+          .map(v => resolveManifestFull(spark, rt, v).collect {
+            case (rel, (_, Some(st))) if touched.contains(rel) => rel -> st
+          }).getOrElse(Map.empty[String, String])
+        val touchedStats = touched.keys.flatMap { rel =>
+          val fresh = sealedDirOf.get(rel).map(folded)
+          val priorParts = base.get(rel).map(parseParts(_)
+            .filterNot(_._1 == Empty)).getOrElse(Nil)
+          (fresh, priorParts) match {
+            case (Some(fs0), Nil) => Some(rel -> encodeStats(fs0))
+            case (Some(fs0), _) => priorStats.get(rel).map(decodeStats)
+              .map(p => rel -> encodeStats(mergeStats(p, fs0)))
+            case (None, _) => priorStats.get(rel).map(rel -> _)
+          }
+        }.toMap
+        publishRoot(spark, table, base ++ touched, touched,
+          math.max(1, retainVersions), None, touchedStats) // commit point
+        inParallel(sealedSlots) { case (rel, v) =>
+          Snapshots.publish(spark, s"$table/$rel", v)
+        }
+        val prot = referencedVersions(spark, table)
+        inParallel(sealedSlots) { case (rel, _) =>
+          finishPartitionCommit(spark, table, rel,
+            math.max(1, retainVersions), prot)
+        }
+      } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
+      vacuumDeletes(spark, table)
+      true
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
   // one shared number space for BOTH delete flavors: d = equality
   // (key-valued), p = positional (file + row ordinal)
   private val DeleteName = "^[dp](\\d{8,})$".r

@@ -178,6 +178,25 @@ class MergeSqlSpec extends SparkSpec {
     assert(sawDeleteRef, "expected an equality-delete ref in the chain")
   }
 
+  test("unaliased USING table: conditions qualified by the table's own name resolve") {
+    val wh = tmpDir("msqlnoal")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, "p1", 10.0), (2, "p1", 20.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Seq((1, "p1", -1.0), (2, "p1", 21.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("msql_noal_src")
+    val cat = new Catalog(spark, wh)
+    // neither side aliased: conditions address them by their own names
+    cat.sql(
+      """MERGE INTO t
+        |USING msql_noal_src
+        |ON t.k = msql_noal_src.k
+        |WHEN MATCHED AND msql_noal_src.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[Double]("v")))
+      .toSet shouldBe Set((2, 21.0))
+  }
+
   test("clause ORDER is semantics: swapping UPDATE/DELETE flips the outcome") {
     val wh = tmpDir("msqlord")
     Upsert.upsert(spark, s"$wh/t",
@@ -213,9 +232,14 @@ class MergeSqlSpec extends SparkSpec {
     cat.sql("DELETE FROM t WHERE k IN (2, 4, 6)").count() shouldBe 37L
     assert(PartitionSnapshots.rootManifest(spark, rt).get
       .values.exists(_.contains("+d")), "expected an equality-delete ref")
+    // (1b) type-coercion honesty: `int_col = 5.5` matches NOTHING (SQL
+    // coerces the column UP — a bare down-cast would delete k=5), while
+    // a round-tripping widened literal (7.0) deletes exactly k=7
+    cat.sql("DELETE FROM t WHERE k = 5.5").count() shouldBe 37L
+    cat.sql("DELETE FROM t WHERE k = 7.0").count() shouldBe 36L
     // (2) arbitrary predicate → positional-delete commit
     cat.sql("DELETE FROM t WHERE v > 35.5 AND part = 'p1'")
-      .count() shouldBe 34L // 36, 38, 40 die
+      .count() shouldBe 33L // 36, 38, 40 die
     // the p-ref may stack AFTER the earlier equality ref (`+d…,p…`)
     assert(PartitionSnapshots.rootManifest(spark, rt).get
       .values.exists(_.matches(""".*[+,]p\d+.*""")),
@@ -238,11 +262,16 @@ class MergeSqlSpec extends SparkSpec {
     Upsert.upsert(spark, s"$wh/t", seed, Seq("k"),
       partitionCols = Seq("part"), partitionManifests = true)
     val cat = new Catalog(spark, wh)
+    val preHead = PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get
     // assignment referencing another column, filtered
     cat.sql("UPDATE t SET v = v + k WHERE k <= 3")
       .collect().map(r => (r.getAs[Int]("k"), r.getAs[Double]("v")))
       .toMap shouldBe (1 to 10).map(i =>
         i -> (if (i <= 3) i * 2.0 else i * 1.0)).toMap
+    // ATOMIC: the delete of the old rows and the append of the new ones
+    // are ONE root commit — no intermediate state a crash could strand
+    PartitionSnapshots.currentRootVersion(spark, s"$wh/t")
+      .get shouldBe preHead + 1
     // merge-on-read: the commit is a positional delete + append, not a
     // whole-partition rewrite
     assert(PartitionSnapshots.rootManifest(spark, s"$wh/t").get
