@@ -27,6 +27,28 @@ object Bench {
     spark.catalog.clearCache()
   }
 
+  /** Fixed CPU calibration: 400M deterministic xorshift steps per
+    * thread, timed. Cross-round bench ratios divide by this to separate
+    * host-speed drift (frequency scaling, steal, VM migration) from
+    * plan regressions — round 12's 40% "regression" was exactly such a
+    * host change, re-adjudicated an expensive round later. The checksum
+    * fold defeats dead-code elimination. */
+  private def calibrate(threads: Int): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i; var n = 0L
+        while (n < 400000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1 }
+        sink.addAndGet(x)
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    if (sink.get() == 42L) println("calibration checksum collision")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -62,23 +84,45 @@ object Bench {
     // samples by a full suite pass (~minutes) makes the min noise-robust
     // while measuring the same steady-state compute.
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (r <- 1 to runs; (name, fn) <- named) {
-      val t0 = System.nanoTime()
-      try {
-        metrics.timed("bench", s"$name/run$r") { materialize(fn(spark, sfDir)) }
-        val t = (System.nanoTime() - t0) / 1e9
-        best(name) = best.get(name).filter(_ >= 0).fold(t)(math.min(_, t))
-      } catch {
-        case e: Throwable =>
-          failures.getOrElseUpdate(name,
-            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-          // a failed query reports -1 unless another pass succeeded
-          if (!best.contains(name)) best(name) = -1.0
-      } finally {
-        // outside the timed window: state release is harness hygiene,
-        // not query cost
-        releaseState(spark)
+    // Per-pass adjudication markers: wall time plus host 1-min loadavg
+    // sampled after every query. A same-binary riser block with loadavg
+    // far above this JVM's own thread count means co-tenant contention in
+    // the measurement window, not a plan regression — rounds 8/10/12 each
+    // burned a verdict adjudication re-deriving exactly that; now the
+    // number self-adjudicates from bench.json alone.
+    def loadavg(): Double =
+      try new String(Files.readAllBytes(Paths.get("/proc/loadavg")))
+        .split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val passStats = scala.collection.mutable.ArrayBuffer[String]()
+    for (r <- 1 to runs) {
+      val p0 = System.nanoTime()
+      val loads = scala.collection.mutable.ArrayBuffer[Double](loadavg())
+      for ((name, fn) <- named) {
+        val t0 = System.nanoTime()
+        try {
+          metrics.timed("bench", s"$name/run$r") { materialize(fn(spark, sfDir)) }
+          val t = (System.nanoTime() - t0) / 1e9
+          best(name) = best.get(name).filter(_ >= 0).fold(t)(math.min(_, t))
+        } catch {
+          case e: Throwable =>
+            failures.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            // a failed query reports -1 unless another pass succeeded
+            if (!best.contains(name)) best(name) = -1.0
+        } finally {
+          // outside the timed window: state release is harness hygiene,
+          // not query cost
+          releaseState(spark)
+        }
+        loads += loadavg()
       }
+      val ld = loads.filter(_ >= 0)
+      def f(d: Double) = f"$d%.2f"
+      passStats += s"""{"pass":$r,"wall_sec":${f((System.nanoTime() - p0) / 1e9)},""" +
+        s""""loadavg_min":${f(if (ld.isEmpty) -1 else ld.min)},""" +
+        s""""loadavg_mean":${f(if (ld.isEmpty) -1 else ld.sum / ld.size)},""" +
+        s""""loadavg_max":${f(if (ld.isEmpty) -1 else ld.max)}}"""
     }
     val results = named.map { case (name, _) => name -> best(name) }
     def esc(s: String): String =
@@ -90,8 +134,15 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    // calibrate AFTER the measured passes (the warm JVM is the state the
+    // queries ran in; running it first would charge JIT warmup to the host)
+    val calib1 = calibrate(1)
+    val calibW = calibrate(cpus.toInt)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,""" +
+        s""""passes":${passStats.mkString("[", ",", "]")},""" +
+        f""""cpu_calib_1t":$calib1%.3f,"cpu_calib_${cpus}t":$calibW%.3f,""" +
+        s""""cpus":"$cpus","sf":"$sfDir"}"""
     // the driver parses the last stdout line; also drop a file so the
     // number survives even if a build tool prefixes/logs stdout
     Files.writeString(Paths.get("bench.json"), json + "\n")

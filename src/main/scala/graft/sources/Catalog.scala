@@ -157,18 +157,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     *     → insert-only merge, which on manifested tables routes through
     *       the fast-append commit (no existing file rewritten)
     *
-    * Every other combination of star actions — `WHEN MATCHED AND <cond>
-    * THEN UPDATE SET *`, `WHEN MATCHED [AND <cond>] THEN DELETE`,
-    * multiple matched clauses, `WHEN NOT MATCHED AND <cond> THEN
-    * INSERT *` — routes through [[runGeneralMerge]], which classifies
-    * each matched pair by the FIRST clause whose condition holds
-    * (standard MERGE clause-order semantics) and decomposes the result
-    * into the engine's primitives: update → document-replace upsert
-    * (file-scoped), delete → equality-delete commit (merge-on-read, no
-    * file rewritten), insert → fast-append. Column-level `UPDATE SET
-    * col = expr` assignments and WHEN NOT MATCHED BY SOURCE still fail
-    * loudly — the clause algebra above is the Iceberg-user surface the
-    * reference's runtime accepts.
+    * Every other shape — conditional clauses, multiple matched clauses,
+    * `WHEN MATCHED THEN DELETE`, column-level `UPDATE SET col = expr` /
+    * `INSERT (cols) VALUES (exprs)` assignment lists, and `WHEN NOT
+    * MATCHED BY SOURCE [AND <cond>] THEN UPDATE/DELETE` (the sync-job
+    * idiom) — routes through [[runGeneralMerge]], which classifies each
+    * row by the FIRST clause whose condition holds (standard MERGE
+    * clause-order semantics) and commits the whole statement as ONE
+    * atomic snapshot.
     *
     * The ON clause must be a conjunction of `t.<col> = s.<col>`
     * equi-predicates over SAME-NAMED columns (all the reference uses);
@@ -207,17 +203,22 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         "MERGE INTO: ON must be a conjunction of t.<col> = s.<col> " +
           s"equi-predicates on same-named columns; got: ${other.sql}")
     }
-    // star actions only: a column-level assignment list would need
-    // per-column UPDATE semantics the document-replace merge does not
-    // have — refuse loudly rather than silently replacing whole rows
+    // supported clause algebra: star actions, assignment lists, deletes;
+    // matched/not-matched/not-matched-by-source all accepted — anything
+    // the parser produces beyond these refuses loudly
+    import org.apache.spark.sql.catalyst.plans.logical.{InsertAction, UpdateAction}
     (m.matchedActions ++ m.notMatchedActions).foreach {
-      case UpdateStarAction(_) | InsertStarAction(_) | DeleteAction(_) => ()
+      case UpdateStarAction(_) | InsertStarAction(_) | DeleteAction(_) |
+           UpdateAction(_, _, _) | InsertAction(_, _) => ()
       case other: MergeAction => throw new IllegalArgumentException(
-        "MERGE INTO: only UPDATE SET * / INSERT * / DELETE actions are " +
-          s"supported (no column assignment lists); got: $other")
+        s"MERGE INTO: unsupported action $other")
     }
-    require(m.notMatchedBySourceActions.isEmpty,
-      "MERGE INTO: WHEN NOT MATCHED BY SOURCE is not supported")
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(_, _, _) | DeleteAction(_) => ()
+      case other: MergeAction => throw new IllegalArgumentException(
+        "MERGE INTO: WHEN NOT MATCHED BY SOURCE supports UPDATE SET " +
+          s"col = expr and DELETE; got: $other")
+    }
     // canonicalize key case against the target's actual schema — Spark
     // resolution is case-insensitive, the upsert's key columns are not
     val targetCols = read(targetName).schema.fieldNames
@@ -236,7 +237,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     (m.matchedActions, m.notMatchedActions) match {
       // the reference's two shapes: one straight-line upsert commit
       case (Seq(), Seq(InsertStarAction(None))) |
-           (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+           (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)))
+          if m.notMatchedBySourceActions.isEmpty =>
         val source = org.apache.spark.sql.graft.SqlInternals
           .ofRows(spark, m.sourceTable)
         graft.operators.Upsert.upsert(spark, path, source, keys,
@@ -247,30 +249,46 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     read(targetName)
   }
 
-  /** The conditional / multi-clause MERGE leg: evaluate the clause
-    * algebra ONCE against the pre-merge snapshot, then commit the three
-    * row sets through the engine's cheapest primitive each —
+  /** The general MERGE leg — conditional clauses, assignment lists,
+    * DELETE, and NOT MATCHED BY SOURCE — committed as ONE atomic
+    * snapshot (Iceberg's single-commit MERGE contract: a crash can
+    * only leave the pre-merge table, and a re-run then re-applies the
+    * whole statement; the earlier decomposition into three commits
+    * could strand a half-applied MERGE a re-run would NOT repair,
+    * because rows its DELETE clause removed stop matching).
     *
-    *   matched → first true clause  UPDATE SET * → file-scoped upsert
-    *                                DELETE       → equality-delete commit
-    *   not matched → first true INSERT *         → fast-append
+    * Classification is first-match-wins per row (standard MERGE clause
+    * order), evaluated ONCE against the pre-merge snapshot:
     *
-    * Matched pairs whose every clause condition is false keep the target
-    * row; not-matched source rows likewise drop. Clause conditions may
-    * reference both sides through the statement's own aliases (`t.v <
-    * s.v`). The classified row sets are MATERIALIZED (localCheckpoint)
-    * before the first commit — their plans read the target, which the
-    * commits are about to change — so all three commits apply the
-    * semantics of one consistent snapshot; visibility is per commit
-    * (at most three root swaps), each individually atomic. Requires a
-    * MANIFESTED target when a DELETE clause is present (equality deletes
-    * live in the manifest machinery). */
+    *   matched pair     → first true matched clause (update / delete)
+    *   unmatched source → first true NOT MATCHED clause (insert)
+    *   unmatched target → first true BY SOURCE clause (update / delete)
+    *
+    * and the outcome lands merge-on-read: every updated or deleted row
+    * becomes a POSITIONAL delete of its current file slot, every
+    * updated or inserted row an appended part, and
+    * [[PartitionSnapshots.replaceRows]] publishes both in one root
+    * swap — O(affected rows), no data file rewritten, whatever mix of
+    * clauses fired. A MERGE whose matched/BY SOURCE clauses fire on no
+    * rows degrades to one fast-append (still a single commit).
+    *
+    * Column semantics: `UPDATE SET *` / `INSERT *` are document-replace
+    * from the source row; assignment lists replace ONLY the assigned
+    * columns (unassigned keep the target value; insert-list omissions
+    * are NULL), values may reference both sides through the statement's
+    * aliases and are cast to the target column's type. `WITH SCHEMA
+    * EVOLUTION` admits new source columns; the union schema rides the
+    * same commit. Non-manifested (flat/snapshot) targets keep update +
+    * insert support — both row sets land through ONE keyed upsert
+    * commit — but DELETE and BY SOURCE clauses, and key-rewriting
+    * assignments, need the manifest machinery and refuse loudly. */
   private def runGeneralMerge(
       m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable,
       targetName: String, keys: Seq[String], pcols: Seq[String]): Unit = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, SubqueryAlias, UpdateStarAction}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, InsertStarAction, LogicalPlan, SubqueryAlias, UpdateAction, UpdateStarAction}
     import org.apache.spark.sql.functions.{col, expr, lit, when}
+    import org.apache.spark.sql.types.{StructField, StructType}
     val path = tablePath(targetName)
     // an UNALIASED table side is addressable by its own (last) name in
     // SQL — clause conditions like `src.v < 0` must resolve against it
@@ -288,71 +306,209 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     require(tAlias != sAlias,
       s"MERGE INTO: target and source resolve to the same alias " +
         s"'$tAlias' — alias one side (conditions must be attributable)")
+    val manifested = PartitionSnapshots.isManifested(spark, path)
     // dedup BEFORE classification, with the upsert's own deterministic
     // winner rule, so clause conditions see the same source row the
     // commit will apply
     val src = graft.operators.Upsert.dedupSource(
       org.apache.spark.sql.graft.SqlInternals
         .ofRows(spark, stripAlias(m.sourceTable)), keys).alias(sAlias)
-    val tgt = read(targetName).alias(tAlias)
-    val joinCond = keys.map(k =>
-      col(s"$sAlias.$k") === col(s"$tAlias.$k")).reduce(_ && _)
+    val tSchema = read(targetName).schema
+    val srcFieldOf: Map[String, StructField] =
+      src.schema.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT)
+        -> f).toMap
+    def srcField(c: String): Option[StructField] =
+      srcFieldOf.get(c.toLowerCase(java.util.Locale.ROOT))
+    val extras = src.schema.fields.filterNot(f =>
+      tSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))).toIndexedSeq
+    val outFields: IndexedSeq[StructField] =
+      tSchema.fields.toIndexedSeq ++ (if (m.withSchemaEvolution) extras else Nil)
+    val evolve = m.withSchemaEvolution && extras.nonEmpty
+    // clause model: (tag, condition, kind, assignments); assignments are
+    // canonical-target-column → value SQL, None = star (document-replace)
+    type Assigns = Option[Map[String, String]]
+    def canon(c: String): String =
+      outFields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE INTO: assigned column '$c' not in '$targetName' " +
+            s"(${outFields.map(_.name).mkString(", ")})"))
+    def assignMap(as: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment])
+        : Map[String, String] =
+      as.map { a =>
+        val name = a.key match {
+          case k: UnresolvedAttribute => canon(k.nameParts.last)
+          case other => throw new IllegalArgumentException(
+            s"MERGE INTO: SET target must be a column, got ${other.sql}")
+        }
+        name -> a.value.sql
+      }.toMap
+    val matchedActs: Seq[(String, Option[org.apache.spark.sql.catalyst.expressions.Expression], Char, Assigns)] =
+      m.matchedActions.zipWithIndex.map {
+        case (UpdateStarAction(c), i) => (s"u$i", c, 'u', None)
+        case (UpdateAction(c, as, _), i) => (s"u$i", c, 'u', Some(assignMap(as)))
+        case (DeleteAction(c), i) => (s"d$i", c, 'd', None)
+        case (other, _) => throw new IllegalArgumentException(
+          s"MERGE INTO: unsupported matched action $other")
+      }
+    val insertActs: Seq[(String, Option[org.apache.spark.sql.catalyst.expressions.Expression], Char, Assigns)] =
+      m.notMatchedActions.zipWithIndex.map {
+        case (InsertStarAction(c), i) => (s"i$i", c, 'i', None)
+        case (InsertAction(c, as), i) => (s"i$i", c, 'i', Some(assignMap(as)))
+        case (other, _) => throw new IllegalArgumentException(
+          s"MERGE INTO: unsupported not-matched action $other")
+      }
+    val bySourceActs: Seq[(String, Option[org.apache.spark.sql.catalyst.expressions.Expression], Char, Assigns)] =
+      m.notMatchedBySourceActions.zipWithIndex.map {
+        case (UpdateAction(c, as, _), i) => (s"u$i", c, 'u', Some(assignMap(as)))
+        case (DeleteAction(c), i) => (s"d$i", c, 'd', None)
+        case (other, _) => throw new IllegalArgumentException(
+          "MERGE INTO: WHEN NOT MATCHED BY SOURCE supports UPDATE SET " +
+            s"col = expr and DELETE; got: $other")
+      }
+    // star actions are document-replace from the source row: they need
+    // every target column in the source with its exact type (unless
+    // evolution admits NULL fill) and refuse unassimilated extras — the
+    // same loud-drift contract as [[graft.operators.Upsert.align]].
+    // Assignment-list merges are exempt: their values name what they
+    // read and cast explicitly, so extra source columns are just inputs.
+    val starUsed = (matchedActs ++ insertActs)
+      .exists(a => a._4.isEmpty && a._3 != 'd')
+    if (starUsed) {
+      val typeConflicts = tSchema.fields.toIndexedSeq.flatMap(tf =>
+        srcField(tf.name).filter(_.dataType != tf.dataType).map(_ => tf.name))
+      require(typeConflicts.isEmpty,
+        s"MERGE INTO: type change not supported for ${typeConflicts.sorted}")
+      require(extras.isEmpty || m.withSchemaEvolution,
+        s"MERGE INTO: source columns ${extras.map(_.name).sorted} are not " +
+          s"in '$targetName' — add WITH SCHEMA EVOLUTION to admit them")
+      val missingInSrc = tSchema.fieldNames.filter(srcField(_).isEmpty)
+      require(missingInSrc.isEmpty || m.withSchemaEvolution,
+        s"MERGE INTO: UPDATE SET * / INSERT * needs source columns " +
+          s"${missingInSrc.sorted.mkString(", ")} (or WITH SCHEMA EVOLUTION " +
+          "for document-replace NULL fill)")
+    }
+    require(manifested || !matchedActs.exists(_._3 == 'd'),
+      s"MERGE INTO: a DELETE clause requires a manifested target " +
+        s"('$targetName' is plain parquet — create it with " +
+        "partitionManifests = true)")
     def condCol(c: Option[org.apache.spark.sql.catalyst.expressions.Expression])
         : org.apache.spark.sql.Column = c.map(e => expr(e.sql)).getOrElse(lit(true))
     // first-match-wins classification: one when-chain per row set
     def classify(df: DataFrame,
-                 acts: Seq[(Option[org.apache.spark.sql.catalyst.expressions.Expression], String)])
+                 acts: Seq[(String, Option[org.apache.spark.sql.catalyst.expressions.Expression], Char, Assigns)])
         : DataFrame =
       if (acts.isEmpty) df.withColumn("__graft_act", lit("keep"))
       else df.withColumn("__graft_act",
-        acts.tail.foldLeft(when(condCol(acts.head._1), lit(acts.head._2))) {
-          case (acc, (c, tag)) => acc.when(condCol(c), lit(tag))
+        acts.tail.foldLeft(when(condCol(acts.head._2), lit(acts.head._1))) {
+          case (acc, (tag, c, _, _)) => acc.when(condCol(c), lit(tag))
         }.otherwise(lit("keep")))
-    val matchedActs = m.matchedActions.map {
-      case UpdateStarAction(c) => (c, "update")
-      case DeleteAction(c) => (c, "delete")
-      case other => throw new IllegalArgumentException( // validated upstream
-        s"MERGE INTO: unsupported matched action $other")
+    // per-output-column replacement value: a CASE over the UPDATE/INSERT
+    // clauses keyed on the winning tag — rows on DELETE tags carry
+    // nulls (their __new_* values are never read)
+    def starVal(f: StructField): org.apache.spark.sql.Column =
+      srcField(f.name).map(sf => col(s"$sAlias.${sf.name}"))
+        .getOrElse(lit(null)).cast(f.dataType)
+    def keptVal(f: StructField, haveTarget: Boolean): org.apache.spark.sql.Column =
+      (if (haveTarget && tSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+         col(s"$tAlias.${f.name}")
+       else lit(null)).cast(f.dataType)
+    def clauseVal(f: StructField, assigns: Assigns, kind: Char,
+                  haveTarget: Boolean): org.apache.spark.sql.Column =
+      assigns match {
+        case None if kind == 'i' || kind == 'u' => starVal(f)
+        case Some(as) => as.get(f.name).map(sql => expr(sql).cast(f.dataType))
+          .getOrElse(if (kind == 'i') lit(null).cast(f.dataType)
+                     else keptVal(f, haveTarget))
+        case None => lit(null).cast(f.dataType) // delete: value unused
+      }
+    def newVals(acts: Seq[(String, Option[org.apache.spark.sql.catalyst.expressions.Expression], Char, Assigns)],
+                haveTarget: Boolean): Seq[org.apache.spark.sql.Column] =
+      outFields.map { f =>
+        val upds = acts.filter(a => a._3 == 'u' || a._3 == 'i')
+        val v =
+          if (upds.isEmpty) lit(null).cast(f.dataType)
+          else upds.tail.foldLeft(when(col("__graft_act") === upds.head._1,
+            clauseVal(f, upds.head._4, upds.head._3, haveTarget))) {
+            case (acc, (tag, _, kind, as)) =>
+              acc.when(col("__graft_act") === tag,
+                clauseVal(f, as, kind, haveTarget))
+          }
+        v.as(s"__new_${f.name}")
+      }
+    // key- or partition-rewriting assignments only work where the old
+    // row can be positionally retired (manifested tables); a flat-table
+    // keyed upsert would leave the old key's row behind
+    val rewritesKey = (matchedActs ++ bySourceActs).exists(_._4.exists(as =>
+      as.keys.exists(keys.contains)))
+    require(manifested || !rewritesKey,
+      "MERGE INTO: UPDATE SET on an ON key needs a manifested target")
+    val tgt0 = if (manifested) PartitionSnapshots.readWithRowPos(spark, path)
+               else read(targetName)
+    val tgt = tgt0.alias(tAlias)
+    val joinCond = keys.map(k =>
+      col(s"$sAlias.$k") === col(s"$tAlias.$k")).reduce(_ && _)
+    val posCols = if (manifested)
+      Seq(col(s"$tAlias._pos_path"), col(s"$tAlias._pos_ordinal")) else Nil
+    // materialize each classified set ONCE, before the commit: the act
+    // tag, the row's file position, and every replacement value resolve
+    // against the PRE-merge snapshot (localCheckpoint strips the alias
+    // scoping, so everything alias-qualified computes before it)
+    def materialize(df: DataFrame,
+                    acts: Seq[(String, Option[org.apache.spark.sql.catalyst.expressions.Expression], Char, Assigns)],
+                    haveTarget: Boolean, withPos: Boolean): DataFrame =
+      classify(df, acts)
+        .where(col("__graft_act") =!= "keep")
+        .select((if (withPos) posCols else Nil) ++
+          Seq(col("__graft_act")) ++ newVals(acts, haveTarget): _*)
+        .localCheckpoint()
+    val matched =
+      if (matchedActs.isEmpty) None
+      else Some(materialize(src.join(tgt, joinCond, "inner"), matchedActs,
+        haveTarget = true, withPos = manifested))
+    val bySource =
+      if (bySourceActs.isEmpty) None
+      else {
+        require(manifested,
+          s"MERGE INTO: WHEN NOT MATCHED BY SOURCE needs a manifested " +
+            s"target ('$targetName' is plain parquet — create it with " +
+            "partitionManifests = true)")
+        Some(materialize(tgt.join(src, joinCond, "left_anti"), bySourceActs,
+          haveTarget = true, withPos = true))
+      }
+    val inserted =
+      if (insertActs.isEmpty) None
+      else Some(materialize(src.join(tgt, joinCond, "left_anti"), insertActs,
+        haveTarget = false, withPos = false))
+    // the non-delete classified rows ARE the replacement/new rows
+    def rows(df: DataFrame): DataFrame =
+      df.where(!col("__graft_act").startsWith("d"))
+        .select(outFields.map(f => col(s"__new_${f.name}").as(f.name)): _*)
+    val newRows = (matched.toSeq ++ bySource.toSeq ++ inserted.toSeq)
+      .map(rows).reduce(_ unionByName _)
+    if (manifested) {
+      val doomed = (matched.toSeq ++ bySource.toSeq)
+        .map(_.select(col("_pos_path"), col("_pos_ordinal")))
+        .reduceOption(_ union _)
+        .getOrElse(spark.emptyDataFrame)
+      val evolvedSchema =
+        if (evolve) Some(StructType(outFields.toArray)) else None
+      if (doomed.columns.nonEmpty && !doomed.isEmpty)
+        // ONE root swap retires every updated/deleted row's position and
+        // publishes every replacement/inserted row — the atomic commit
+        PartitionSnapshots.replaceRows(spark, path, doomed, newRows,
+          evolvedSchema = evolvedSchema)
+      else if (!newRows.isEmpty)
+        // nothing matched: inserts alone, one fast-append commit
+        graft.operators.Upsert.upsert(spark, path, newRows, keys,
+          insertOnly = true, partitionCols = pcols,
+          evolveSchema = m.withSchemaEvolution)
+    } else {
+      // flat/snapshot target: updates document-replace and inserts land
+      // through ONE keyed upsert commit (still a single visibility point)
+      if (!newRows.isEmpty)
+        graft.operators.Upsert.upsert(spark, path, newRows, keys,
+          partitionCols = pcols, evolveSchema = m.withSchemaEvolution)
     }
-    val insertActs = m.notMatchedActions.map {
-      case InsertStarAction(c) => (c, "insert")
-      case other => throw new IllegalArgumentException(
-        s"MERGE INTO: unsupported not-matched action $other")
-    }
-    // materialize the classified sets before ANY commit (their plans
-    // read the target the commits mutate) — the matched JOIN runs ONCE:
-    // the update and delete legs derive from one checkpointed frame
-    // (source columns + action tag; selections resolve BEFORE the
-    // checkpoint, which strips alias qualifiers)
-    val srcCols = src.columns.toIndexedSeq
-    val matched = classify(src.join(tgt, joinCond, "inner"), matchedActs)
-      .select(srcCols.map(c => col(s"$sAlias.$c").as(s"__s_$c")) :+
-        col("__graft_act"): _*)
-      .localCheckpoint()
-    val upd = matched.where(col("__graft_act") === "update")
-      .select(srcCols.map(c => col(s"__s_$c").as(c)): _*)
-    val del = matched.where(col("__graft_act") === "delete")
-      .select(keys.toIndexedSeq.map(k => col(s"__s_$k").as(k)): _*)
-    val ins = classify(src.join(tgt, joinCond, "left_anti"), insertActs)
-      .where(col("__graft_act") === "insert").drop("__graft_act")
-      .localCheckpoint()
-    if (!del.isEmpty) {
-      require(PartitionSnapshots.isManifested(spark, path),
-        s"MERGE INTO: a DELETE clause requires a manifested target " +
-          s"('$targetName' is plain parquet — create it with " +
-          "partitionManifests = true)")
-      require(keys.intersect(pcols).isEmpty,
-        "MERGE INTO: DELETE clauses on partition-column keys are not " +
-          "supported (drop the partitions instead)")
-      PartitionSnapshots.deleteKeys(spark, path, del)
-    }
-    if (!upd.isEmpty)
-      graft.operators.Upsert.upsert(spark, path, upd, keys,
-        partitionCols = pcols, evolveSchema = m.withSchemaEvolution)
-    if (!ins.isEmpty)
-      graft.operators.Upsert.upsert(spark, path, ins, keys,
-        insertOnly = true, partitionCols = pcols,
-        evolveSchema = m.withSchemaEvolution)
   }
 
   /** Route a parsed `DELETE FROM t [WHERE …]` to the metadata-cheapest

@@ -3208,12 +3208,20 @@ object PartitionSnapshots {
     * `_pos_ordinal` as [[readWithRowPos]] exposes them, validated at
     * FILE granularity like [[deletePositions]]; `newRows` must match
     * the table's (public) schema and may land in partitions the doomed
-    * rows never lived in (partition-migrating updates). Returns false
-    * (no commit) when `positions` is empty. Takes the writer lease. */
+    * rows never lived in (partition-migrating updates). `newRows` may
+    * be EMPTY (the commit degenerates to a pure positional delete —
+    * the all-clauses-DELETE MERGE shape), and may carry NEW columns
+    * when `evolvedSchema` pins the union schema with the same commit
+    * (additive evolution riding the root swap; reads align old files
+    * through the pinned schema exactly as upsert evolution does).
+    * Returns false (no commit) when `positions` is empty. Takes the
+    * writer lease. */
   def replaceRows(spark: SparkSession, table: String,
                   positions: DataFrame, newRows: DataFrame,
                   retainVersions: Int =
-                    graft.operators.Upsert.DefaultRetainVersions): Boolean = {
+                    graft.operators.Upsert.DefaultRetainVersions,
+                  evolvedSchema: Option[org.apache.spark.sql.types.StructType]
+                    = None): Boolean = {
     require(isManifested(spark, table),
       s"replaceRows: $table is not a manifested table")
     require(positions.columns.toSet.contains("_pos_path") &&
@@ -3328,7 +3336,7 @@ object PartitionSnapshots {
           }
         }.toMap
         publishRoot(spark, table, base ++ touched, touched,
-          math.max(1, retainVersions), None, touchedStats) // commit point
+          math.max(1, retainVersions), evolvedSchema, touchedStats) // commit point
         inParallel(sealedSlots) { case (rel, v) =>
           Snapshots.publish(spark, s"$table/$rel", v)
         }

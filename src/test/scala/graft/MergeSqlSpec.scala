@@ -119,17 +119,26 @@ class MergeSqlSpec extends SparkSpec {
       """MERGE INTO t USING msql_bad_src s ON t.k < s.k
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    // column-list assignments (not document-replace)
-    an[IllegalArgumentException] should be thrownBy cat.sql(
-      """MERGE INTO t USING msql_bad_src s ON t.k = s.k
-        |WHEN MATCHED THEN UPDATE SET v = s.v
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    // not-matched-by-source
+    // BY SOURCE clauses retire target rows positionally — a FLAT table
+    // has no manifest machinery for that and must refuse
     an[IllegalArgumentException] should be thrownBy cat.sql(
       """MERGE INTO t USING msql_bad_src s ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *
         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // a matched DELETE clause likewise refuses on a flat table
+    an[IllegalArgumentException] should be thrownBy cat.sql(
+      """MERGE INTO t USING msql_bad_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    // assigning an ON key would strand the old row on a flat table
+    an[IllegalArgumentException] should be thrownBy cat.sql(
+      """MERGE INTO t USING msql_bad_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET k = s.k + 100""".stripMargin)
+    // assignment to a column the target does not have
+    an[IllegalArgumentException] should be thrownBy cat.sql(
+      """MERGE INTO t USING msql_bad_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET nope = s.v""".stripMargin)
     // missing target table
     an[IllegalArgumentException] should be thrownBy cat.sql(
       """MERGE INTO nope USING msql_bad_src s ON nope.k = s.k
@@ -140,7 +149,74 @@ class MergeSqlSpec extends SparkSpec {
       .toSet shouldBe Set((1, 1.0))
   }
 
-  test("conditional multi-clause MERGE: first-match-wins, DELETE via equality-delete commit") {
+  test("assignment-list MERGE: only assigned columns change, values see both sides") {
+    val wh = tmpDir("msqlasg")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, "p1", 10.0, "a"), (2, "p1", 20.0, "b"), (3, "p2", 30.0, "c"))
+        .toDF("k", "part", "v", "tag"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // source deliberately lacks `tag` and carries an EXTRA column the
+    // assignments read — legal without evolution for assignment lists
+    Seq((2, "p1", 5.0), (4, "p2", 7.0)).toDF("k", "part", "bump")
+      .createOrReplaceTempView("msql_asg_src")
+    val cat = new Catalog(spark, wh)
+    val pre = PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get
+    val out = cat.sql(
+      """MERGE INTO t t USING msql_asg_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.bump
+        |WHEN NOT MATCHED THEN INSERT (k, part, v) VALUES (s.k, s.part, s.bump)""".stripMargin)
+    out.collect().map(r => (r.getAs[Int]("k"), r.getAs[String]("part"),
+      r.getAs[Double]("v"), Option(r.getAs[String]("tag")))).toSet shouldBe
+      Set((1, "p1", 10.0, Some("a")),
+        (2, "p1", 25.0, Some("b")), // v updated, tag KEPT (not replaced)
+        (3, "p2", 30.0, Some("c")),
+        (4, "p2", 7.0, None)) // insert list omits tag → NULL
+    // the whole statement was ONE commit
+    PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get shouldBe pre + 1
+  }
+
+  test("assignment-list MERGE on a FLAT table lands through one keyed upsert") {
+    val wh = tmpDir("msqlasgf")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, 10.0, "a"), (2, 20.0, "b")).toDF("k", "v", "tag"), Seq("k"))
+    Seq((2, 1.0), (5, 50.0)).toDF("k", "v").createOrReplaceTempView("msql_asgf_src")
+    val cat = new Catalog(spark, wh)
+    cat.sql(
+      """MERGE INTO t t USING msql_asgf_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v < 5 THEN UPDATE SET v = t.v * s.v, tag = upper(t.tag)
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[Double]("v"),
+        Option(r.getAs[String]("tag")))).toSet shouldBe
+      Set((1, 10.0, Some("a")), (2, 20.0, Some("B")), (5, 50.0, None))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: the sync idiom, one atomic commit with the matched legs") {
+    val wh = tmpDir("msqlbys")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0), (4, "p2", 40.0),
+        (5, "p2", 50.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Seq((1, "p1", 11.0), (6, "p2", 60.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("msql_bys_src")
+    val cat = new Catalog(spark, wh)
+    val pre = PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get
+    // full sync: matched update, unmatched-source insert, and BY SOURCE
+    // rows either flagged (v small) or deleted — first-match-wins
+    val out = cat.sql(
+      """MERGE INTO t t USING msql_bys_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.v < 35 THEN UPDATE SET v = -t.v
+        |WHEN NOT MATCHED BY SOURCE AND t.v > 45 THEN DELETE""".stripMargin)
+    out.collect().map(r => (r.getAs[Int]("k"), r.getAs[Double]("v")))
+      .toSet shouldBe Set((1, 11.0), (2, -20.0), (3, -30.0), (4, 40.0),
+        (6, 60.0)) // 5 deleted; 4 matched neither BY SOURCE condition
+    // ONE root swap for the whole statement — updates, the delete, the
+    // BY SOURCE flips, and the insert are a single atomic commit
+    PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get shouldBe pre + 1
+  }
+
+  test("conditional multi-clause MERGE: first-match-wins, one atomic positional commit") {
     val wh = tmpDir("msqlcond")
     val seed = Seq((1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0),
       (4, "p2", 40.0)).toDF("k", "part", "v")
@@ -167,15 +243,15 @@ class MergeSqlSpec extends SparkSpec {
       (r.getAs[Int]("k"), r.getAs[String]("part"), r.getAs[Double]("v")))
       .toSet shouldBe Set((2, "p1", 21.0), (3, "p2", 30.0),
         (4, "p2", 40.0), (5, "p2", 50.0))
-    // the DELETE leg committed as an equality delete somewhere in the
-    // root chain — merge-on-read, no whole-partition rewrite for it
+    // the WHOLE statement is ONE commit (delete + update + insert in a
+    // single root swap), and the retired rows are positional refs —
+    // merge-on-read, no whole-partition rewrite
     val rt = s"$wh/t"
-    val sawDeleteRef = (before + 1 to
-      PartitionSnapshots.currentRootVersion(spark, rt).get).exists { v =>
-        PartitionSnapshots.rootManifest(spark, rt, v).get
-          .values.exists(_.contains("+d"))
-      }
-    assert(sawDeleteRef, "expected an equality-delete ref in the chain")
+    val head = PartitionSnapshots.currentRootVersion(spark, rt).get
+    head shouldBe before + 1
+    assert(PartitionSnapshots.rootManifest(spark, rt, head).get
+      .values.exists(_.matches(""".*[+,]p\d+.*""")),
+      "expected a positional-delete ref from the atomic MERGE commit")
   }
 
   test("unaliased USING table: conditions qualified by the table's own name resolve") {
@@ -311,5 +387,31 @@ class MergeSqlSpec extends SparkSpec {
     out.collect().map(r => (r.getAs[Int]("k"),
       Option(r.getAs[String]("extra")))).toSet shouldBe
       Set((1, None), (2, Some("x")))
+  }
+
+  test("WITH SCHEMA EVOLUTION through the GENERAL leg: union schema rides the atomic commit") {
+    val wh = tmpDir("msqlevog")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0))
+        .toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Seq((1, "p1", -1.0, "gone"), (2, "p1", 21.0, "x"), (4, "p2", 40.0, "y"))
+      .toDF("k", "part", "v", "extra")
+      .createOrReplaceTempView("msql_evog_src")
+    val cat = new Catalog(spark, wh)
+    val pre = PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get
+    // conditional DELETE forces the general (replaceRows) leg; the new
+    // `extra` column must land in the SAME commit, old rows reading NULL
+    val out = cat.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO t t USING msql_evog_src s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    out.columns should contain("extra")
+    out.collect().map(r => (r.getAs[Int]("k"), r.getAs[Double]("v"),
+      Option(r.getAs[String]("extra")))).toSet shouldBe
+      Set((2, 21.0, Some("x")), (3, 30.0, None), (4, 40.0, Some("y")))
+    PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get shouldBe pre + 1
   }
 }
