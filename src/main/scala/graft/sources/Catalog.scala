@@ -122,8 +122,87 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
           runUpdateSql(u)
       }
+      case _ if TimeTravelHint.matcher(query).find() =>
+        // `FROM t VERSION AS OF v / TIMESTAMP AS OF ts / AS OF <tag>`:
+        // the parser wraps the relation in RelationTimeTravel; resolve
+        // each to the engine's pinned snapshot read and run the rest of
+        // the statement unchanged. The regex pre-filter keeps plain
+        // SELECTs on the single-parse path.
+        val plan = spark.sessionState.sqlParser.parsePlan(query)
+        val hasTt = plan.collectFirst {
+          case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => tt
+        }.nonEmpty
+        if (!hasTt) { registerAll(); spark.sql(query) }
+        else {
+          val resolved = plan.transform {
+            case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+              resolveTimeTravel(tt)
+          }
+          registerAll()
+          org.apache.spark.sql.graft.SqlInternals.ofRows(spark, resolved)
+        }
       case _ => registerAll(); spark.sql(query)
     }
+  }
+
+  private val TimeTravelHint =
+    java.util.regex.Pattern.compile("(?i)\\bAS\\s+OF\\b")
+
+  /** Resolve one `RelationTimeTravel` node to the pinned snapshot read
+    * the engine already serves through its API surface:
+    *
+    *   VERSION AS OF <n>      → root version n ([[PartitionSnapshots
+    *                            .read]] asOf / [[Snapshots.read]] asOf)
+    *   VERSION AS OF <tag>    → the tagged root ([[PartitionSnapshots
+    *                            .rootTags]] — manifested tables only)
+    *   TIMESTAMP AS OF <expr> → newest retained version committed at or
+    *                            before the timestamp
+    *
+    * Expired/unknown versions, tags, and pre-history timestamps fail
+    * LOUDLY (the pinned read's own retention contract) — never a silent
+    * fallback to current. Returns the ANALYZED subplan, spliced in
+    * place of the node; the surrounding statement (joins, aggregates,
+    * CTEs) runs unchanged. */
+  private def resolveTimeTravel(
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val name = tt.relation match {
+      case u: UnresolvedRelation => u.multipartIdentifier.last
+      case other => throw new IllegalArgumentException(
+        s"time travel: target must be a table name, got ${other.nodeName}")
+    }
+    require(tableExists(name),
+      s"time travel: no table '$name' in warehouse $warehouse")
+    val path = tablePath(name)
+    val manifested = PartitionSnapshots.isManifested(spark, path)
+    val snap = Snapshots.isVersioned(spark, path)
+    require(manifested || snap,
+      s"time travel: '$name' is plain parquet with no version history")
+    val v: Long = (tt.version, tt.timestamp) match {
+      case (Some(s), _) if s.nonEmpty && s.forall(_.isDigit) => s.toLong
+      case (Some(tag), _) =>
+        require(manifested,
+          s"time travel: snapshot table '$name' has no tags (numeric " +
+            "versions only)")
+        PartitionSnapshots.rootTags(spark, path).getOrElse(tag,
+          throw new IllegalArgumentException(
+            s"time travel: no tag '$tag' at '$name' (have: " +
+              s"${PartitionSnapshots.rootTags(spark, path).keys.toSeq.sorted
+                .mkString(", ")})"))
+      case (None, Some(tsE)) =>
+        val ts = spark.range(1).select(org.apache.spark.sql.functions
+          .expr(tsE.sql).cast("timestamp")).head().getTimestamp(0)
+        require(ts != null,
+          s"time travel: TIMESTAMP AS OF ${tsE.sql} evaluated to NULL")
+        if (manifested) PartitionSnapshots.rootVersionAt(spark, path, ts.getTime)
+        else Snapshots.versionAt(spark, path, ts.getTime)
+      case _ => throw new IllegalArgumentException(
+        "time travel: statement carries neither VERSION nor TIMESTAMP")
+    }
+    val df = if (manifested) PartitionSnapshots.read(spark, path, asOf = v)
+             else Snapshots.read(spark, path, asOf = v)
+    df.queryExecution.analyzed
   }
 
   /** First SQL keyword of `q`, skipping whitespace and line/block

@@ -2231,6 +2231,30 @@ object PartitionSnapshots {
         readText(spark, st.getPath).trim.stripPrefix("v").toLong).toMap
   }
 
+  /** Newest RETAINED root version committed at or before `tsMillis` —
+    * the resolution behind SQL `TIMESTAMP AS OF` (commit time = the
+    * root slot's mtime, the same clock [[snapshotsMeta]] reports). A
+    * timestamp older than every retained commit fails LOUDLY: serving
+    * the oldest retained version instead would silently misrepresent
+    * expired history. */
+  def rootVersionAt(spark: SparkSession, table: String,
+                    tsMillis: Long): Long = {
+    require(isManifested(spark, table),
+      s"rootVersionAt: $table is not a manifested table")
+    val rt = s"$table/$RootDir"
+    val f = fs(spark, new Path(rt))
+    val vs = Snapshots.versions(spark, rt).map(v => v ->
+      f.getFileStatus(new Path(Snapshots.versionPath(rt, v)))
+        .getModificationTime)
+    val ok = vs.filter(_._2 <= tsMillis)
+    require(ok.nonEmpty,
+      s"rootVersionAt: no retained root at $table committed at or " +
+        s"before ${new java.sql.Timestamp(tsMillis)} (earliest retained: " +
+        s"${vs.sortBy(_._2).headOption.map(p => new java.sql.Timestamp(p._2))
+          .getOrElse("none")})")
+    ok.maxBy(_._1)._1
+  }
+
   /** [[read]] pinned at the root version a tag names. */
   def readTag(spark: SparkSession, table: String, name: String): DataFrame =
     read(spark, table, asOf = rootTags(spark, table).getOrElse(name,

@@ -63,6 +63,21 @@ object Snapshots {
   def currentVersion(spark: SparkSession, table: String): Option[Long] =
     pointedVersion(spark, table).orElse(versions(spark, table).lastOption)
 
+  /** Newest retained version committed (dir mtime) at or before
+    * `tsMillis` — SQL `TIMESTAMP AS OF` resolution for whole-table
+    * snapshot tables; loud when the timestamp precedes retained
+    * history (see [[PartitionSnapshots.rootVersionAt]]). */
+  def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val f = fs(spark, new Path(table))
+    val vs = versions(spark, table).map(v => v ->
+      f.getFileStatus(new Path(versionPath(table, v))).getModificationTime)
+    val ok = vs.filter(_._2 <= tsMillis)
+    require(ok.nonEmpty,
+      s"versionAt: no retained snapshot at $table committed at or before " +
+        s"${new java.sql.Timestamp(tsMillis)}")
+    ok.maxBy(_._1)._1
+  }
+
   /** The pointer FILE's version only — None when the pointer is absent
     * or mid-swap, with NO newest-slot fallback. Callers that must never
     * confuse staged slots for the published state (branch-aware layers)
