@@ -64,6 +64,36 @@ object MetaDrill {
        else ((col("id") / parts) % filesPer)).cast("int").as("salt"),
       (col("id") * 3L).as("v"))
       .repartition(filesPer, col("salt")).drop("salt")
+    // --sized-seed: the SAME row volume seeded with the 128 MB write
+    // target (graft.write.targetFileSizeBytes) vs the fan-out layout —
+    // the round-12 decomposition showed ~85% of the 65k-file seed cost
+    // is Spark's per-file writer init; the target collapses the file
+    // count to Σ ⌈dir bytes/target⌉ (= `parts` here: tiny dirs) and the
+    // wall time with it. Prints both, then exits.
+    if (args.contains("--sized-seed")) {
+      timed(s"seed FAN-OUT (${parts * filesPer} files)") {
+        Upsert.append(spark, s"$base/t_fanout", df, Seq("part"))
+      }
+      println("[drill] fan-out files = " +
+        PartitionSnapshots.filesMeta(spark, s"$base/t_fanout").count())
+      spark.conf.set("graft.write.targetFileSizeBytes",
+        (128L * 1024 * 1024).toString)
+      timed(s"seed SIZED (128 MB target, same $n rows)") {
+        Upsert.append(spark, s"$base/t_sized", df, Seq("part"))
+      }
+      println("[drill] sized files = " +
+        PartitionSnapshots.filesMeta(spark, s"$base/t_sized").count())
+      spark.conf.unset("graft.write.targetFileSizeBytes")
+      // the sized table still answers: full row count + a point merge
+      require(PartitionSnapshots.read(spark, s"$base/t_sized").count() == n,
+        "sized seed lost rows")
+      timed("sized table: 1 point merge") {
+        Upsert.upsert(spark, s"$base/t_sized",
+          Seq((37L, 37 % parts, 5L)).toDF("k", "part", "v"),
+          Seq("k"), partitionCols = Seq("part"))
+      }
+      spark.stop(); return
+    }
     timed(s"seed append (${parts * filesPer} files)") {
       Upsert.append(spark, path, df, Seq("part"))
     }

@@ -82,6 +82,18 @@ object Upsert {
   private val jvmLeases =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-lock-key monitors serializing the WHOLE in-JVM acquire (CAS +
+    * lease-file ops): the stale-TTL takeover's delete+create region is
+    * non-atomic on a local FS, and two same-JVM threads could otherwise
+    * both pass the CAS in sequence (B wins the entry, C replaces B's
+    * entry while the FILE is still stale) and then race the file
+    * takeover — both "winning" create. One monitor per key makes the
+    * takeover single-threaded per process; cross-process atomicity
+    * remains the lease file's (documented) trade. Bounded: one entry
+    * per table path ever locked by this JVM. */
+  private val lockMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def lockKey(spark: SparkSession, path: String): String = {
     val lp = lockPath(path)
     fs(spark, lp).makeQualified(lp).toUri.toString
@@ -117,43 +129,48 @@ object Upsert {
       try System.currentTimeMillis() - f.getFileStatus(lp).getModificationTime
       catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     // in-JVM CAS first: among this process's threads exactly one wins
-    // (the file create below is NOT atomic on a local FS)
+    // (the file create below is NOT atomic on a local FS). The whole
+    // acquire — CAS and file ops — runs under the key's monitor, so the
+    // stale-TTL takeover's delete+create region is single-threaded per
+    // process (see [[lockMonitors]]).
     val key = lockKey(spark, path)
-    val prev = jvmLeases.putIfAbsent(key, token)
-    if (prev != null) {
-      // entry WITHOUT a lease file = a holder mid-acquire (the gap
-      // between its CAS and its create is live, never stale) — only an
-      // entry whose FILE aged past the TTL is a crashed-holder takeover
-      val age = lockAge()
-      if (age == Long.MaxValue || age < ttlMs)
-        throw new ConcurrentWriteException(
-          s"upsert: table $path is locked by another writer in this " +
-            s"process (lease $lp, TTL ${ttlMs / 1000}s)")
-      if (!jvmLeases.replace(key, prev, token))
-        throw new ConcurrentWriteException(
-          s"upsert: lost in-process takeover race for stale lease $lp")
-    }
-    def tryCreate(): Boolean =
-      try {
-        val out = f.create(lp, false)
-        out.writeBytes(s"$token ts=${System.currentTimeMillis()}\n")
-        out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    try {
-      if (!tryCreate()) {
-        val ageMs = lockAge()
-        if (ageMs < ttlMs)
+    lockMonitors.computeIfAbsent(key, _ => new Object).synchronized {
+      val prev = jvmLeases.putIfAbsent(key, token)
+      if (prev != null) {
+        // entry WITHOUT a lease file = a holder mid-acquire (the gap
+        // between its CAS and its create is live, never stale) — only an
+        // entry whose FILE aged past the TTL is a crashed-holder takeover
+        val age = lockAge()
+        if (age == Long.MaxValue || age < ttlMs)
           throw new ConcurrentWriteException(
-            s"upsert: table $path is locked by another writer " +
-              s"(lease $lp is ${ageMs / 1000}s old, TTL ${ttlMs / 1000}s)")
-        f.delete(lp, false) // stale: holder crashed past TTL; take over
-        if (!tryCreate())
+            s"upsert: table $path is locked by another writer in this " +
+              s"process (lease $lp, TTL ${ttlMs / 1000}s)")
+        if (!jvmLeases.replace(key, prev, token))
           throw new ConcurrentWriteException(
-            s"upsert: lost takeover race for stale lease $lp")
+            s"upsert: lost in-process takeover race for stale lease $lp")
       }
-    } catch {
-      case t: Throwable => jvmLeases.remove(key, token); throw t
+      def tryCreate(): Boolean =
+        try {
+          val out = f.create(lp, false)
+          out.writeBytes(s"$token ts=${System.currentTimeMillis()}\n")
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      try {
+        if (!tryCreate()) {
+          val ageMs = lockAge()
+          if (ageMs < ttlMs)
+            throw new ConcurrentWriteException(
+              s"upsert: table $path is locked by another writer " +
+                s"(lease $lp is ${ageMs / 1000}s old, TTL ${ttlMs / 1000}s)")
+          f.delete(lp, false) // stale: holder crashed past TTL; take over
+          if (!tryCreate())
+            throw new ConcurrentWriteException(
+              s"upsert: lost takeover race for stale lease $lp")
+        }
+      } catch {
+        case t: Throwable => jvmLeases.remove(key, token); throw t
+      }
     }
     token
   }
@@ -198,6 +215,67 @@ object Upsert {
     jvmLeases.remove(lockKey(spark, path), token)
     if (currentToken(spark, path).contains(token))
       fs(spark, lp).delete(lp, false)
+  }
+
+  /** Iceberg's `write.target-file-size-bytes`, for the STAGED hive
+    * writes behind every commit flavor. With the session conf
+    * `graft.write.targetFileSizeBytes` set (> 0), a staged write is
+    * (1) repartitioned BY its partition columns — a dir's rows land in
+    * ONE task, so the write produces one file per dir instead of one
+    * per (task × dir), the 65k-tiny-file seed shape the round-12 drill
+    * measured at ~85% of seed wall time (per-file writer init, not the
+    * committer) — and (2) rolled at `maxRecordsPerFile` = target /
+    * bytes-per-row, so a single big dir still splits at the byte
+    * target: total file count = Σ_dirs ⌈dir bytes / target⌉.
+    * Bytes-per-row comes from `graft.write.bytesPerRowHint` when set,
+    * else from ONE bounded sampled parquet write measured once per
+    * call. The knob UNSET means the write is untouched (no added
+    * shuffle): small-commit latency and spec-pinned file layouts keep
+    * their exact behavior — the knob is the bulk-ingest/seed switch a
+    * 100 TB backfill flips on. */
+  private[graft] def packForWrite(spark: SparkSession, df: DataFrame,
+                                  partitionCols: Seq[String])
+      : (DataFrame, Option[Long]) = {
+    val target = spark.conf.getOption("graft.write.targetFileSizeBytes")
+      .map(_.toLong).getOrElse(0L)
+    if (target <= 0 || partitionCols.isEmpty) (df, None)
+    else {
+      val bpr = spark.conf.getOption("graft.write.bytesPerRowHint")
+        .map(_.toLong).filter(_ > 0)
+        .getOrElse(measureBytesPerRow(spark, df))
+      val maxRecs = math.max(1L, target / math.max(1L, bpr))
+      (df.repartition(partitionCols.map(
+        org.apache.spark.sql.functions.col): _*), Some(maxRecs))
+    }
+  }
+
+  /** Measured (not guessed) bytes-per-row: ONE ≤20k-row sample written
+    * as parquet and sized from the files themselves — dictionary and
+    * encoding effects included, which a schema-defaultSize estimate
+    * misses by multiples on text-heavy corpora. */
+  private def measureBytesPerRow(spark: SparkSession, df: DataFrame): Long = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bpr")
+    val tmp = new Path(tmpRoot.toString, "sample")
+    val f = fs(spark, tmp)
+    try {
+      df.limit(20000).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val files = f.listStatus(tmp)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val rows = spark.read.parquet(tmp.toString).count()
+      if (rows <= 0L) 64L else math.max(1L, bytes / rows)
+    } finally f.delete(new Path(tmpRoot.toString), true)
+  }
+
+  /** `df.write` with the pack applied — shared by every staging site. */
+  private[graft] def packedWriter(spark: SparkSession, df: DataFrame,
+                                  partitionCols: Seq[String],
+                                  mode: SaveMode)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val (packed, maxRecs) = packForWrite(spark, df, partitionCols)
+    val w = packed.write.mode(mode)
+    maxRecs.foreach(n => w.option("maxRecordsPerFile", n))
+    w
   }
 
   /** Deterministic per-key winner among duplicate source rows: the row
@@ -394,7 +472,26 @@ object Upsert {
         // keys currently live in — the same bounded per-touched-partition
         // collect the merge itself performs
         val srcC = PartitionSnapshots.applyTransforms(spark, path, src0)
-        val touchedDf = {
+        // the base-snapshot leg resolves manifests and partition version
+        // dirs at the writer's base root; retention racing this writer
+        // can expire either between the head check and here. That is a
+        // RETRYABLE conflict (re-read, re-derive, re-submit), not
+        // corruption — surface it as the conflict contract, never a bare
+        // missing-version/missing-file error the caller can't classify.
+        def baseExpired(t: Throwable): Boolean = t != null && (
+          t.isInstanceOf[java.io.FileNotFoundException] ||
+          t.isInstanceOf[IllegalArgumentException] &&
+            String.valueOf(t.getMessage).contains("does not exist") ||
+          baseExpired(t.getCause))
+        def orConflict[A](body: => A): A =
+          try body catch {
+            case t: Throwable if baseExpired(t) =>
+              throw new CommitConflictException(
+                s"upsertOptimistic: base snapshot v$base at $path expired " +
+                  "mid-validation (retention reaped it); re-read the " +
+                  s"current table state and retry — cause: ${t.getMessage}")
+          }
+        val touchedDf = orConflict {
           val own = srcC.select(partitionCols.map(col): _*).distinct()
           if (insertOnly) own
           else {
@@ -437,7 +534,7 @@ object Upsert {
           }
         }
         val tupleSegs: Seq[Map[String, String]] =
-          touchedDf.collect().toSeq.map { r =>
+          orConflict(touchedDf.collect().toSeq).map { r =>
             partitionCols.zip(r.toSeq).map { case (c, v) =>
               val dirVal =
                 if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
@@ -547,7 +644,7 @@ object Upsert {
     if (tableIsEmpty) {
       if (manifested) {
         val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
-        srcT.write.mode(SaveMode.ErrorIfExists)
+        packedWriter(spark, srcT, partitionCols, SaveMode.ErrorIfExists)
           .partitionBy(partitionCols: _*).parquet(staging)
         try {
           assertHeld(spark, path, token)
@@ -639,7 +736,7 @@ object Upsert {
       val newRows = src.join(lookupTarget, keys, "left_anti")
       if (newRows.isEmpty) return
       val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
-      newRows.write.mode(SaveMode.ErrorIfExists)
+      packedWriter(spark, newRows, partitionCols, SaveMode.ErrorIfExists)
         .partitionBy(partitionCols: _*).parquet(staging)
       try {
         assertHeld(spark, path, token)
@@ -769,7 +866,7 @@ object Upsert {
         // their pinned immutable version; partitions that lost every row
         // publish an EMPTY version instead of a reader-visible delete
         val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
-        merged.write.mode(SaveMode.ErrorIfExists)
+        packedWriter(spark, merged, partitionCols, SaveMode.ErrorIfExists)
           .partitionBy(partitionCols: _*).parquet(staging)
         try {
           assertHeld(spark, path, token) // last check before the commits
@@ -995,7 +1092,7 @@ object Upsert {
         case None => dfT
       }
       val staging = s"$path/_staging-${java.util.UUID.randomUUID()}"
-      out.write.mode(SaveMode.ErrorIfExists)
+      packedWriter(spark, out, partitionCols, SaveMode.ErrorIfExists)
         .partitionBy(partitionCols: _*).parquet(staging)
       try {
         assertHeld(spark, path, token)

@@ -665,14 +665,19 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         // nothing and is simply dropped.
         val dt = tSchema(c).dataType
         val arr = lits.map(_.sql).mkString(", ")
+        // posexplode pairs each probe row with its literal by EMITTED
+        // index — zip-by-collect-order would silently delete the wrong
+        // keys if a multi-partition explode ever reordered rows
         val probe = spark.sql(
-          s"""SELECT try_cast(o AS ${dt.sql}) AS t,
-             |       try_cast(o AS ${dt.sql}) = o AS ok
-             |FROM (SELECT explode(array($arr)) AS o)""".stripMargin)
-          .collect() // `t = o` is SQL's own up-coercion: the round trip
-        val surviving = lits.zip(probe).collect {
-          case (l, r) if !r.isNullAt(0) && !r.isNullAt(1) &&
-            r.getBoolean(1) => (l.sql, String.valueOf(r.get(0)))
+          s"""SELECT pos, try_cast(col AS ${dt.sql}) AS t,
+             |       try_cast(col AS ${dt.sql}) = col AS ok
+             |FROM (SELECT posexplode(array($arr)))""".stripMargin)
+          .collect() // `t = col` is SQL's own up-coercion: the round trip
+          .map(r => r.getInt(0) -> r).toMap
+        val surviving = lits.zipWithIndex.collect {
+          case (l, i) if probe.get(i).exists(r =>
+            !r.isNullAt(1) && !r.isNullAt(2) && r.getBoolean(2)) =>
+            (l.sql, String.valueOf(probe(i).get(1)))
         }
         if (surviving.nonEmpty) {
           if (pcols.contains(c)) {

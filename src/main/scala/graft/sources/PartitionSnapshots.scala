@@ -3311,7 +3311,8 @@ object PartitionSnapshots {
       // stage + seal the replacement rows (hidden partitioning re-derives)
       val outRows = applyTransforms(spark, table, newRows)
       val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
-      outRows.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      graft.operators.Upsert.packedWriter(spark, outRows, cols,
+          org.apache.spark.sql.SaveMode.ErrorIfExists)
         .partitionBy(cols: _*).parquet(staging)
       try {
         graft.operators.Upsert.assertHeld(spark, table, token)
