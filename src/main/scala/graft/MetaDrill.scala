@@ -97,6 +97,42 @@ object MetaDrill {
     timed(s"seed append (${parts * filesPer} files)") {
       Upsert.append(spark, path, df, Seq("part"))
     }
+    // --rowsql: the row-level SQL statements at the 65k-file decade
+    // (round-12 verdict ask): a 1-row UPDATE, a point DELETE, and a
+    // conditional MERGE must cost O(candidate partitions), not
+    // O(all files) — the stats-pruned row-pos scan is what makes the
+    // positional paths metadata-speed. Also prints the TOUCHED-file
+    // count of the UPDATE's commit (must be 1 for a 1-row UPDATE).
+    if (args.contains("--rowsql")) {
+      val cat = new graft.sources.Catalog(spark, base)
+      val k1 = n / 2L + 1
+      timed(s"1-row SQL UPDATE (k=$k1)") {
+        cat.sql(s"UPDATE t SET v = v + 1 WHERE k = $k1")
+      }
+      val touched = spark.read
+        .parquet(s"$path/_deletes/p00000001")
+        .select("_del_path").distinct().count()
+      println(s"[drill] UPDATE touched files = $touched (expect 1)")
+      timed("3-key SQL DELETE (IN-list, equality route)") {
+        cat.sql(s"DELETE FROM t WHERE k IN (17, ${n / 3L}, ${n - 5L})")
+      }
+      timed("predicate SQL DELETE (positional route, stats-pruned)") {
+        cat.sql(s"DELETE FROM t WHERE k = ${n / 5L} AND v >= 0")
+      }
+      Seq((n / 7L, ((n / 7L) % parts).toInt, -1L),
+          (n + 99L, 0, 7L)).toDF("k", "part", "v")
+        .createOrReplaceTempView("drill_msrc")
+      timed("conditional MERGE (delete+update+insert clauses, one commit)") {
+        cat.sql(
+          """MERGE INTO t t USING drill_msrc s ON t.k = s.k
+            |WHEN MATCHED AND s.v < 0 THEN UPDATE SET v = t.v - 1
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      println("[drill] post-rowsql rows = " +
+        timed("full count")(PartitionSnapshots.read(spark, path).count()))
+      spark.stop(); return
+    }
     val fm = timed("$files full listing") {
       PartitionSnapshots.filesMeta(spark, path)
     }

@@ -3391,6 +3391,48 @@ object Queries {
         |  ON cur.c_custkey = old.c_custkey""".stripMargin)
   }
 
+  /** NON-ADDITIVE SCHEMA EVOLUTION ([[graft.sources.PartitionSnapshots
+    * .renameColumn]] — Iceberg's rename without field ids; round-12
+    * verdict ask): the builder renames BOTH the value column and the
+    * MERGE KEY mid-history (each one metadata-only root commit, zero
+    * data files touched), then lands a keyed MERGE under the new names
+    * — the stats-pruned planner finds the old files' bounds through the
+    * field's recorded aliases, and reads COALESCE the alias column into
+    * the current name. In-builder requires pin that time travel to the
+    * pre-rename root still resolves the OLD names (the mapping is
+    * per-version: each era's pinned schema carries its own). The oracle
+    * replays the rename + merge declaratively: physical naming never
+    * changes the answer. */
+  def q196SchemaEvolutionSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionSnapshots
+    val wh = stagedOnce("pschevo", dir) { base =>
+      val t = s"$base/t"
+      val seed = Queries.t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, t, seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val pre = PartitionSnapshots.currentRootVersion(s, t).get
+      PartitionSnapshots.renameColumn(s, t, "c_acctbal", "balance")
+      PartitionSnapshots.renameColumn(s, t, "c_custkey", "cust_id")
+      // MERGE keyed on the RENAMED key, values under the renamed name
+      val upd = Queries.t(s, dir, "customer")
+        .where(col("c_custkey").between(50, 80))
+        .select(col("c_custkey").as("cust_id"),
+          (col("c_acctbal") + lit(100.0)).as("balance"), col("c_mktsegment"))
+      Upsert.upsert(s, t, upd, Seq("cust_id"),
+        partitionCols = Seq("c_mktsegment"))
+      // time travel BEFORE the renames resolves that era's own names
+      val old = PartitionSnapshots.read(s, t, asOf = pre)
+      require(old.columns.contains("c_acctbal") &&
+        old.columns.contains("c_custkey") && !old.columns.contains("balance"),
+        s"q196: pre-rename root must serve the old names, got " +
+          old.columns.mkString(", "))
+    }
+    Upsert.read(s, s"$wh/t")
+      .select(col("cust_id"), col("balance"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4371,6 +4413,15 @@ object Queries {
       """SELECT c_custkey,
         |       CASE WHEN c_custkey <= 120 THEN c_acctbal + 50.0
         |            ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment
+        |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q196: rename + keyed merge replayed declaratively — physical
+    // column naming (and the alias machinery serving it) never changes
+    // the answer
+    "q196_schema_evolution_sql" ->
+      """SELECT c_custkey AS cust_id,
+        |       CASE WHEN c_custkey BETWEEN 50 AND 80 THEN c_acctbal + 100.0
+        |            ELSE c_acctbal END AS balance,
         |       c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
     // q195: current-vs-pinned self-join replayed declaratively — the
@@ -6751,6 +6802,7 @@ object Queries {
     "q192_orphan_sweep" -> (q192OrphanSweep _),
     "q193_update_sql" -> (q193UpdateSql _),
     "q194_merge_assign_sql" -> (q194MergeAssignSql _),
-    "q195_time_travel_sql" -> (q195TimeTravelSql _)
+    "q195_time_travel_sql" -> (q195TimeTravelSql _),
+    "q196_schema_evolution_sql" -> (q196SchemaEvolutionSql _)
   )
 }

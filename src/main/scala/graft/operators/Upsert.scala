@@ -502,7 +502,8 @@ object Upsert {
               val pred = PartitionSnapshots.pinnedMergeKeyField(
                   spark, path, asOf, keys)
                 .flatMap(f => PartitionSnapshots.keyExclusion(
-                  spark, srcC, f.name, f.dataType))
+                  spark, srcC, f.name, f.dataType,
+                  PartitionSnapshots.fieldAliases(f)))
               val frame =
                 (pred, PartitionSnapshots.rootManifest(spark, path, asOf)) match {
                   case (Some(p), Some(entries)) =>
@@ -694,7 +695,8 @@ object Upsert {
         graft.sources.PartitionSnapshots.PartStats => Boolean] =
       if (manifested)
         prunableKey.flatMap(kc => PartitionSnapshots.keyExclusion(
-          spark, src, kc, targetSchema(kc).dataType))
+          spark, src, kc, targetSchema(kc).dataType,
+          PartitionSnapshots.fieldAliases(targetSchema(kc))))
       else None
     // STATS-PRUNED matched-key lookup: the semi/anti-join that finds
     // matched keys is the dominant cost of a small MERGE into a big

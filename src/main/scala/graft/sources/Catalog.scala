@@ -300,7 +300,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     }
     // canonicalize key case against the target's actual schema — Spark
     // resolution is case-insensitive, the upsert's key columns are not
-    val targetCols = read(targetName).schema.fieldNames
+    val targetCols = rowSchema(targetName).fieldNames
     val keys = rawKeys.map(k => targetCols.find(_.equalsIgnoreCase(k))
       .getOrElse(throw new IllegalArgumentException(
         s"MERGE INTO: ON column '$k' not in target '$targetName' " +
@@ -392,7 +392,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val src = graft.operators.Upsert.dedupSource(
       org.apache.spark.sql.graft.SqlInternals
         .ofRows(spark, stripAlias(m.sourceTable)), keys).alias(sAlias)
-    val tSchema = read(targetName).schema
+    val tSchema = rowSchema(targetName)
     val srcFieldOf: Map[String, StructField] =
       src.schema.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT)
         -> f).toMap
@@ -521,8 +521,17 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       as.keys.exists(keys.contains)))
     require(manifested || !rewritesKey,
       "MERGE INTO: UPDATE SET on an ON key needs a manifested target")
-    val tgt0 = if (manifested) PartitionSnapshots.readWithRowPos(spark, path)
-               else read(targetName)
+    // MATCHED/INSERT legs only ever join/anti-join the target on the ON
+    // keys, so the row-pos scan stats-prunes by the source's key values
+    // (the merge path's own lookup discipline: an excluded partition
+    // provably holds no match, and the insert anti-join is unaffected).
+    // A BY SOURCE leg needs EVERY target row — no pruning then.
+    val tgt0 =
+      if (manifested && bySourceActs.isEmpty)
+        PartitionSnapshots.readWithRowPosPruned(spark, path, keys.head,
+          src.select(org.apache.spark.sql.functions.col(keys.head)))
+      else if (manifested) PartitionSnapshots.readWithRowPos(spark, path)
+      else read(targetName)
     val tgt = tgt0.alias(tAlias)
     val joinCond = keys.map(k =>
       col(s"$sAlias.$k") === col(s"$tAlias.$k")).reduce(_ && _)
@@ -631,7 +640,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         "deletes need the manifest machinery (create the table with " +
         "partitionManifests = true)")
     val pcols = PartitionSnapshots.partitionCols(spark, path)
-    val tSchema = read(targetName).schema
+    val tSchema = rowSchema(targetName)
     def canon(c: String): Option[String] =
       tSchema.fieldNames.find(_.equalsIgnoreCase(c))
     // `col = lit` / `col IN (lits)` — the shapes with a cheaper-than-scan
@@ -695,15 +704,29 @@ final class Catalog(spark: SparkSession, warehouse: String) {
           }
         }
       case _ =>
-        // arbitrary predicate: one column-pruned scan finds the doomed
-        // row positions; the commit is positional — still no rewrite
+        // arbitrary predicate: one column-pruned, MANIFEST-STATS-pruned
+        // scan finds the doomed row positions; the commit is positional
+        // — still no rewrite
         val alias = aliasOf2(d.table, targetName)
-        val doomed = PartitionSnapshots.readWithRowPos(spark, path)
+        val doomed = prunedRowPosRead(targetName, Some(d.condition))
           .alias(alias).where(expr(d.condition.sql))
           .select(col("_pos_path"), col("_pos_ordinal"))
         PartitionSnapshots.deletePositions(spark, path, doomed)
     }
     read(targetName)
+  }
+
+
+  /** Target ROW schema for the routed statements — metadata-only for
+    * manifested tables ([[PartitionSnapshots.tableRowSchema]]: the
+    * frame's mere construction lists every data file, ~10-15 s of pure
+    * overhead per statement at the 65k-file decade); the real frame's
+    * schema otherwise. */
+  private def rowSchema(targetName: String): StructType = {
+    val path = tablePath(targetName)
+    (if (PartitionSnapshots.isManifested(spark, path))
+       PartitionSnapshots.tableRowSchema(spark, path)
+     else None).getOrElse(read(targetName).schema)
   }
 
   private def aliasOf2(
@@ -712,6 +735,58 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     case org.apache.spark.sql.catalyst.plans.logical
         .SubqueryAlias(id, _) => id.name
     case _ => dflt
+  }
+
+  /** The positional-statement scan, manifest-stats PRUNED when the
+    * predicate allows: if some CONJUNCT of `cond` is `col = lit` /
+    * `col IN (lits)` over a data column, the row-pos read is restricted
+    * to partitions whose recorded bounds can hold a literal that
+    * SURVIVES the round trip through the column's type (the DELETE
+    * router's coercion discipline — a non-surviving literal matches
+    * nothing, so pruning by survivors is conservative). The caller
+    * still applies its FULL predicate; pruning only restricts which
+    * partitions are constructed and listed — the difference between a
+    * point UPDATE/DELETE costing O(all files) and O(candidate
+    * partitions) on a 65k-file table. */
+  private def prunedRowPosRead(targetName: String,
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, In, Literal}
+    val path = tablePath(targetName)
+    val tSchema = rowSchema(targetName)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def keyed(e: Expression): Option[(String, Seq[Literal])] = e match {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        Some((a.nameParts.last, Seq(l)))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        Some((a.nameParts.last, Seq(l)))
+      case In(a: UnresolvedAttribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        Some((a.nameParts.last, vs.map(_.asInstanceOf[Literal])))
+      case _ => None
+    }
+    val hit = cond.toSeq.flatMap(conjuncts).flatMap(keyed(_).toSeq)
+      .collectFirst {
+        case (c0, lits) if lits.forall(_.value != null) &&
+          tSchema.fieldNames.exists(_.equalsIgnoreCase(c0)) =>
+          (tSchema.fieldNames.find(_.equalsIgnoreCase(c0)).get, lits)
+      }
+    hit match {
+      case Some((c, lits)) =>
+        val dt = tSchema(c).dataType
+        val arr = lits.map(_.sql).mkString(", ")
+        val keysDf = spark.sql(
+          s"""SELECT t AS `$c` FROM (
+             |  SELECT try_cast(col AS ${dt.sql}) AS t,
+             |         try_cast(col AS ${dt.sql}) = col AS ok
+             |  FROM (SELECT posexplode(array($arr)))) WHERE ok""".stripMargin)
+        PartitionSnapshots.readWithRowPosPruned(spark, path, c, keysDf)
+      case None => PartitionSnapshots.readWithRowPos(spark, path)
+    }
   }
 
   /** Route a parsed `UPDATE t SET c = e[, …] [WHERE …]` — the last
@@ -753,7 +828,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         "updates need the manifest machinery (create the table with " +
         "partitionManifests = true)")
     val pcols = PartitionSnapshots.partitionCols(spark, path)
-    val tSchema = read(targetName).schema
+    val tSchema = rowSchema(targetName)
     def canon(c: String): String =
       tSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
@@ -769,7 +844,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         name -> expr(a.value.sql).cast(tSchema(name).dataType)
       }.toMap
     val alias = aliasOf2(u.table, targetName)
-    val pos = PartitionSnapshots.readWithRowPos(spark, path).alias(alias)
+    val pos = prunedRowPosRead(targetName, u.condition).alias(alias)
     // ONE materialized scan of the affected rows (row identity + data
     // columns together) — the doomed-position and replacement legs both
     // derive from it; its plan reads files the commit will suppress

@@ -946,7 +946,8 @@ object PartitionSnapshots {
     * rows, so pruning disables instead. */
   private[graft] def keyExclusion(spark: SparkSession, keysDf: DataFrame,
                                   kc: String,
-                                  dt: org.apache.spark.sql.types.DataType)
+                                  dt: org.apache.spark.sql.types.DataType,
+                                  aliases: Seq[String] = Nil)
       : Option[PartStats => Boolean] = {
     import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types._
@@ -965,14 +966,14 @@ object PartitionSnapshots {
           else {
             val sorted = pts.sorted
             Some(stringKeyExcluded(kc, sorted.head, sorted.last,
-              Some(sorted)))
+              Some(sorted), aliases))
           }
         } else {
           val b = keysDf.agg(min(col(kc)), max(col(kc))).head()
           if (b.isNullAt(0) || !ascii(b.getString(0)) ||
               !ascii(b.getString(1))) None
           else Some(stringKeyExcluded(kc, b.getString(0), b.getString(1),
-            None))
+            None, aliases))
         }
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType =>
@@ -983,13 +984,13 @@ object PartitionSnapshots {
         else if (pts.length <= PointCap) {
           val sorted = pts.sorted
           Some(numericKeyExcluded(kc, sorted.head, sorted.last,
-            Some(sorted)))
+            Some(sorted), aliases))
         } else {
           val b = keysDf.agg(min(col(kc)).cast("double"),
             max(col(kc)).cast("double")).head()
           if (b.isNullAt(0)) None
           else Some(numericKeyExcluded(kc, b.getDouble(0), b.getDouble(1),
-            None))
+            None, aliases))
         }
       case _ => None
     }
@@ -1064,9 +1065,15 @@ object PartitionSnapshots {
     * `df` must sit directly on the parquet scan (projections are fine;
     * joins/unions would lose `_metadata`), which every caller satisfies. */
   private def applyDeleteRef(spark: SparkSession, table: String,
-                             df: DataFrame, id: String): DataFrame = {
+                             df: DataFrame, id: String,
+                             aliasOf: Map[String, String] = Map.empty)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
-    val keys = spark.read.parquet(s"$table/$DeletesDir/$id")
+    val keys0 = spark.read.parquet(s"$table/$DeletesDir/$id")
+    // a delete file written before a rename keys on the OLD name —
+    // conform it to the serving schema's names before the anti-join
+    val keys = keys0.columns.foldLeft(keys0)((d, c) =>
+      aliasOf.get(c).fold(d)(cur => d.withColumnRenamed(c, cur)))
     if (id.startsWith("p")) {
       // match on the TABLE-RELATIVE path, never the bare file name: one
       // partitioned write job reuses part-file names across its k=v dirs
@@ -1098,13 +1105,15 @@ object PartitionSnapshots {
     * are dropped again unless the caller asked to keep them. */
   private def applyDeleteRefs(spark: SparkSession, table: String,
                               df0: DataFrame, dels: Seq[String],
-                              keepPos: Boolean = false): DataFrame = {
+                              keepPos: Boolean = false,
+                              aliasOf: Map[String, String] = Map.empty)
+      : DataFrame = {
     import org.apache.spark.sql.functions.col
     val needsPos = keepPos || dels.exists(_.startsWith("p"))
     val df = if (!needsPos) df0 else df0
       .withColumn("_pos_path", col("_metadata.file_path"))
       .withColumn("_pos_ordinal", col("_metadata.row_index"))
-    val out = dels.foldLeft(df)(applyDeleteRef(spark, table, _, _))
+    val out = dels.foldLeft(df)(applyDeleteRef(spark, table, _, _, aliasOf))
     if (keepPos || !needsPos) out
     else out.drop("_pos_path", "_pos_ordinal")
   }
@@ -1140,29 +1149,69 @@ object PartitionSnapshots {
     else {
       lazy val promoted = promotedSpecCols(spark, table)
       Some(groups.map { case ((dels, pcols), members) =>
-        val groupSchema = schema.map { st =>
-          val extra = promoted.filterNot(f => pcols.contains(f.name))
-            .filterNot(f => st.fieldNames.contains(f.name))
-          org.apache.spark.sql.types.StructType(st.fields ++ extra)
-        }
-        val reader =
-          groupSchema.foldLeft(spark.read.option("basePath", table))(_ schema _)
-        val df0 = reader.parquet(members.map(_._2): _*)
+        val (dfA, aliasOf) = groupScan(spark, table, schema, promoted,
+          pcols, members.map(_._2))
         // conform promoted/hidden columns a layout group LACKS even when
         // no pinned schema was passed (deleteKeys' raw read): a transform
         // dir column exists only as a path segment of new-spec groups —
         // old-spec groups read it as a typed NULL, identity promotions
         // read it from their files and are skipped here
-        val df1 = promoted.filterNot(f => df0.columns.contains(f.name))
-          .foldLeft(df0)((d, f) => d.withColumn(f.name,
+        val df1 = promoted.filterNot(f => dfA.columns.contains(f.name))
+          .foldLeft(dfA)((d, f) => d.withColumn(f.name,
             org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
         // row identity attaches while the plan still sits on the scan
         // (unions/joins drop `_metadata`), exposing the surviving rows'
         // true in-file positions — applyDeleteRefs handles both the
         // rowPos contract and positional refs stacked after equality ones
-        applyDeleteRefs(spark, table, df1, dels, keepPos = rowPos)
+        applyDeleteRefs(spark, table, df1, dels, keepPos = rowPos,
+          aliasOf = aliasOf)
       }.reduce(_ unionByName _))
     }
+  }
+
+  /** One layout-group scan under a pinned schema, RENAME-aware — the
+    * shared read primitive of [[readEntries]] and [[planFileScoped]]:
+    * files written pre-rename carry the ALIAS name, so the reader
+    * schema requests the current name (scan-relaxed to nullable — a
+    * pre-rename file misses it entirely) plus every alias, and a
+    * post-scan coalesce folds whichever side the file's era populated
+    * into the current name. Exact, including NULLs: the other side is
+    * a missing column, never a value. Returns the frame plus the
+    * alias→current map the delete-ref legs conform old delete files
+    * through. Projection-only on top of the scan, so `_metadata` row
+    * identity still binds downstream. */
+  private def groupScan(spark: SparkSession, table: String,
+                        schema: Option[org.apache.spark.sql.types.StructType],
+                        promoted: Seq[org.apache.spark.sql.types.StructField],
+                        pcols: Seq[String], paths: Seq[String])
+      : (DataFrame, Map[String, String]) = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val aliased: Seq[(StructField, Seq[String])] =
+      schema.toSeq.flatMap(_.fields)
+        .map(f => f -> fieldAliases(f)).filter(_._2.nonEmpty)
+    val aliasOf: Map[String, String] = aliased.flatMap { case (f, as) =>
+      as.map(_ -> f.name)
+    }.toMap
+    val groupSchema = schema.map { st =>
+      val extra = promoted.filterNot(f => pcols.contains(f.name))
+        .filterNot(f => st.fieldNames.contains(f.name))
+      val aliasFields = aliased.flatMap { case (f, as) =>
+        as.map(a => StructField(a, f.dataType, nullable = true))
+      }
+      val aliasedNames = aliased.map(_._1.name).toSet
+      val scanFields = st.fields.map(f =>
+        if (aliasedNames.contains(f.name)) f.copy(nullable = true) else f)
+      StructType(scanFields ++ extra ++ aliasFields)
+    }
+    val reader =
+      groupSchema.foldLeft(spark.read.option("basePath", table))(_ schema _)
+    val df0 = reader.parquet(paths: _*)
+    val dfA = aliased.foldLeft(df0) { case (d, (f, as)) =>
+      d.withColumn(f.name, coalesce((f.name +: as).map(col): _*))
+        .drop(as: _*)
+    }
+    (dfA, aliasOf)
   }
 
   /** Snapshot read exposing each row's physical identity — `_pos_path`
@@ -1181,6 +1230,95 @@ object PartitionSnapshots {
       rowPos = true).map(dropHidden(spark, table, _)).getOrElse(
       throw new IllegalArgumentException(
         s"readWithRowPos: no partition of $table holds rows"))
+  }
+
+  /** The full ROW schema of a manifested table WITHOUT constructing the
+    * frame — construction eagerly lists every data file, which turned a
+    * point UPDATE's mere `tSchema` lookup into a 65k-file listing
+    * (measured: ~10-15 s of every row-level SQL statement's cost at
+    * that decade). Shape: pinned union schema (data columns) + promoted
+    * spec columns + partition columns, the latter typed by the SAME
+    * inference Spark's partition discovery applies to the dir values
+    * (int → long → double → date → string; the writer's own rendering
+    * round-trips through it), read from one manifest rel per column —
+    * zero file listings. None when no schema is pinned (pre-upgrade
+    * tables fall back to the real frame). */
+  private[graft] def tableRowSchema(spark: SparkSession, table: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    val rv = currentRootVersion(spark, table).getOrElse(return None)
+    val pinned = pinnedSchema(spark, table, rv).getOrElse(return None)
+    val promoted = promotedSpecCols(spark, table)
+      .filterNot(f => pinned.fieldNames.contains(f.name))
+    val rels = rootManifest(spark, table).get.keys.toSeq
+    def inferred(v: String): DataType =
+      if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME) StringType
+      else if (scala.util.Try(Integer.parseInt(v)).isSuccess) IntegerType
+      else if (scala.util.Try(java.lang.Long.parseLong(v)).isSuccess) LongType
+      else if (scala.util.Try(java.lang.Double.parseDouble(v)).isSuccess &&
+        !v.equalsIgnoreCase("nan") && !v.toLowerCase.contains("infinity"))
+        DoubleType
+      else if (v.matches("""\d{4}-\d{2}-\d{2}""")) DateType
+      else StringType
+    val pcols = partitionCols(spark, table).map { c =>
+      // first rel carrying this column types it (all dirs of one column
+      // agree at write; a type mismatch would be a mixed-layout rel set,
+      // where string is the honest fallback Spark itself picks)
+      val v = rels.iterator.flatMap(_.split("/").find(_.startsWith(c + "="))
+        .map(seg => org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(
+            seg.substring(c.length + 1)))).nextOption()
+      StructField(c, v.map(inferred).getOrElse(StringType))
+    }
+    Some(StructType(
+      pinned.fields ++ promoted.filterNot(f => pcols.exists(_.name == f.name))
+        ++ pcols))
+  }
+
+  /** [[readWithRowPos]] restricted by manifest stats: partitions whose
+    * recorded bounds for `keyCol` provably exclude every value in
+    * `keysDf`'s single column are never constructed, listed, or scanned
+    * — the point-UPDATE/DELETE scan analogue of the merge path's
+    * stats-pruned lookup. Margin-safe by the shared [[keyExclusion]]
+    * contract (absent stats ⇒ keep; alias-aware for renamed keys), so
+    * restriction never changes which rows the caller's OWN predicate
+    * can match. A pruned-to-nothing read returns an empty frame shaped
+    * like [[readWithRowPos]]'s. */
+  def readWithRowPosPruned(spark: SparkSession, table: String,
+                           keyCol: String, keysDf: DataFrame): DataFrame = {
+    require(isManifested(spark, table),
+      s"readWithRowPosPruned: $table is not a manifested table")
+    val entries = rootManifest(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"readWithRowPosPruned: no committed root manifest at $table"))
+    val rv = currentRootVersion(spark, table).get
+    val pinned = pinnedSchema(spark, table, rv)
+    val pred = pinned.flatMap(_.fields.find(_.name == keyCol))
+      .flatMap(f => keyExclusion(spark, keysDf, f.name, f.dataType,
+        fieldAliases(f)))
+    val kept = pred match {
+      case Some(p) =>
+        val stats = rootStats(spark, table)
+        entries.view.filterKeys(rel => stats.get(rel).forall(ps => !p(ps)))
+          .toMap
+      case None => entries
+    }
+    readEntries(spark, table, kept, pinned, rowPos = true)
+      .map(dropHidden(spark, table, _))
+      .getOrElse {
+        // every partition excluded (or empty): an empty frame with the
+        // full row-pos shape, so the caller's plan stays well-typed
+        import org.apache.spark.sql.types._
+        val pcolFields = partitionCols(spark, table).map(c =>
+          StructField(c, StringType))
+        val base = pinned.map(_.fields.toSeq).getOrElse(Nil) ++ pcolFields ++
+          Seq(StructField("_pos_path", StringType),
+            StructField("_pos_ordinal", LongType))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(base.toArray))
+      }
   }
 
   /** FILE-SCOPED MERGE planning (Iceberg's file-level rewrite selection,
@@ -1235,8 +1373,12 @@ object PartitionSnapshots {
     * order and the footer's UTF-8 decode round-trips exactly. Non-ASCII
     * bounds are never trusted (rewrite). */
   private[graft] def numericKeyExcluded(keyCol: String, lo: Double,
-      hi: Double, points: Option[Array[Double]])(st: PartStats): Boolean =
-    st.cols.get(keyCol).exists { case (mn, mx) =>
+      hi: Double, points: Option[Array[Double]],
+      aliases: Seq[String] = Nil)(st: PartStats): Boolean =
+    // bounds recorded pre-rename live under an ALIAS name; either name's
+    // bounds describe the same column data, so the first hit serves
+    (keyCol +: aliases).iterator.flatMap(st.cols.get).nextOption()
+      .exists { case (mn, mx) =>
       (ParquetStats.numeric(mn), ParquetStats.numeric(mx)) match {
         case (Some(a), Some(b)) =>
           val aLo = Math.nextDown(Math.nextDown(a))
@@ -1256,8 +1398,10 @@ object PartitionSnapshots {
     s.forall(c => c >= 0x20 && c < 0x7f)
 
   private[graft] def stringKeyExcluded(keyCol: String, lo: String,
-      hi: String, points: Option[Array[String]])(st: PartStats): Boolean =
-    st.cols.get(keyCol).exists { case (mn, mx) =>
+      hi: String, points: Option[Array[String]],
+      aliases: Seq[String] = Nil)(st: PartStats): Boolean =
+    (keyCol +: aliases).iterator.flatMap(st.cols.get).nextOption()
+      .exists { case (mn, mx) =>
       asciiPrintable(mn) && asciiPrintable(mx) && {
         if (mx.compareTo(lo) < 0 || mn.compareTo(hi) > 0) true
         else points.exists { ks =>
@@ -1330,15 +1474,9 @@ object PartitionSnapshots {
     val df =
       if (groups.isEmpty) None
       else Some(groups.map { case ((dels, pcols), members) =>
-        val groupSchema = schema.map { st =>
-          val extra = promoted.filterNot(f => pcols.contains(f.name))
-            .filterNot(f => st.fieldNames.contains(f.name))
-          org.apache.spark.sql.types.StructType(st.fields ++ extra)
-        }
-        val reader =
-          groupSchema.foldLeft(spark.read.option("basePath", table))(_ schema _)
-        val d0 = reader.parquet(members.map(_._2).sorted: _*)
-        applyDeleteRefs(spark, table, d0, dels)
+        val (d0, aliasOf) = groupScan(spark, table, schema, promoted,
+          pcols, members.map(_._2).sorted)
+        applyDeleteRefs(spark, table, d0, dels, aliasOf = aliasOf)
       }.reduce(_ unionByName _))
     (survivors, df)
   }
@@ -1350,6 +1488,143 @@ object PartitionSnapshots {
     * (files that predate a column must read it as NULL, which inference
     * from an arbitrary first footer silently drops) and metadata-speed
     * reads (no footer sampling across 30 000 partitions). */
+  private val AliasKey = "graft.aliases"
+
+  /** Historical names a field answered to before renames — recorded as
+    * field METADATA inside the pinned schema, so the mapping is
+    * per-version by construction (time travel to a pre-rename root
+    * serves that era's own names: its schema simply still carries the
+    * old name as the field) and rides every root commit that carries
+    * the schema forward — no extra sidecar, no field ids. */
+  private[graft] def fieldAliases(
+      f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(AliasKey))
+      f.metadata.getStringArray(AliasKey).toSeq
+    else Nil
+
+  /** Shared body of the schema-DDL ops: under the writer lease, derive
+    * the next pinned schema from the current one and publish ONE
+    * metadata-only root commit (an O(1) delta — zero partitions
+    * touched, zero data files read or written). */
+  private def schemaDdl(spark: SparkSession, table: String, what: String)
+                       (next: org.apache.spark.sql.types.StructType =>
+                              org.apache.spark.sql.types.StructType): Unit = {
+    require(isManifested(spark, table),
+      s"$what: $table is not a manifested table")
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      val cur = currentRootVersion(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"$what: $table has no committed root manifest"))
+      val pinned = pinnedSchema(spark, table, cur).getOrElse(
+        throw new IllegalStateException(
+          s"$what: $table's root slot pins no schema"))
+      val entries = resolveManifest(spark, s"$table/$RootDir", cur)
+      publishRoot(spark, table, entries, Map.empty,
+        graft.operators.Upsert.DefaultRetainVersions, Some(next(pinned)))
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
+  /** NON-ADDITIVE SCHEMA EVOLUTION, part 1: RENAME (Iceberg's rename,
+    * without field ids). One metadata-only commit pins the schema with
+    * the field under its new name and the old name appended to its
+    * [[fieldAliases]]. No data file is touched: reads COALESCE the
+    * alias columns into the current name (old files populate the alias,
+    * new files the name — a file has exactly one era, so the merge is
+    * exact, including NULLs), equality-delete files written under the
+    * old name conform at load, and stats-pruned merge planning looks
+    * bounds up under any alias, so a file-scoped MERGE on the renamed
+    * key still prunes old files. Partition columns and hidden-transform
+    * sources refuse (their names ARE the dir layout); collisions with
+    * live names or aliases refuse. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Unit =
+    schemaDdl(spark, table, s"renameColumn($from -> $to)") { pinned =>
+      val pcols = partitionCols(spark, table)
+      require(!pcols.contains(from),
+        s"renameColumn: '$from' is a partition column — its name is the " +
+          "dir layout; evolve the spec instead")
+      require(specTransforms(spark, table).forall(_.source != from),
+        s"renameColumn: '$from' is a hidden-transform source")
+      require(pinned.fieldNames.contains(from),
+        s"renameColumn: no column '$from' in ${pinned.fieldNames.toSeq}")
+      require(!pinned.fieldNames.contains(to) && !pcols.contains(to) &&
+        !pinned.fields.exists(f => fieldAliases(f).contains(to)),
+        s"renameColumn: name '$to' is already in use (live or alias)")
+      val i = pinned.fieldIndex(from)
+      val f = pinned.fields(i)
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putStringArray(AliasKey,
+          (fieldAliases(f) :+ from).distinct.toArray)
+        .build()
+      org.apache.spark.sql.types.StructType(
+        pinned.fields.updated(i, f.copy(name = to, metadata = md)))
+    }
+
+  /** NON-ADDITIVE SCHEMA EVOLUTION, part 2: DROP. One metadata-only
+    * commit pins the schema without the field — old files keep the
+    * bytes (reads simply never select the column; time travel to a
+    * pre-drop root still serves it). Refuses for partition columns,
+    * hidden-transform sources, and while any LIVE equality-delete file
+    * keys on the column (its anti-join would lose its join column —
+    * compact the affected partitions first to materialize the
+    * deletes). Name-based mapping caveat (no field ids): re-ADDING a
+    * dropped name later would resurface the old files' values under
+    * it — use a fresh name instead. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Unit =
+    schemaDdl(spark, table, s"dropColumn($name)") { pinned =>
+      require(!partitionCols(spark, table).contains(name),
+        s"dropColumn: '$name' is a partition column")
+      require(specTransforms(spark, table).forall(_.source != name),
+        s"dropColumn: '$name' is a hidden-transform source")
+      require(pinned.fieldNames.contains(name),
+        s"dropColumn: no column '$name' in ${pinned.fieldNames.toSeq}")
+      val liveEq = rootManifest(spark, table).get.values.toSeq
+        .flatMap(parseParts).flatMap(_._2).distinct.filter(_.startsWith("d"))
+      val keyed = liveEq.filter(id => spark.read
+        .parquet(s"$table/$DeletesDir/$id").schema.fieldNames.contains(name))
+      require(keyed.isEmpty,
+        s"dropColumn: live equality-delete file(s) ${keyed.sorted} key on " +
+          s"'$name' — compact the affected partitions first")
+      org.apache.spark.sql.types.StructType(
+        pinned.fields.filterNot(_.name == name))
+    }
+
+  /** NON-ADDITIVE SCHEMA EVOLUTION, part 3: TYPE WIDENING (int→long,
+    * float→double, int→double — the value-preserving promotions
+    * Spark 4's vectorized parquet reader serves natively from narrower
+    * files). One metadata-only commit re-pins the field at the wider
+    * type; old files stay int32/float and read widened, new writes land
+    * wide. Anything not value-preserving refuses loudly. */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+                  to: org.apache.spark.sql.types.DataType): Unit =
+    schemaDdl(spark, table, s"widenColumn($name -> ${to.sql})") { pinned =>
+      import org.apache.spark.sql.types._
+      require(!partitionCols(spark, table).contains(name),
+        s"widenColumn: '$name' is a partition column")
+      require(pinned.fieldNames.contains(name),
+        s"widenColumn: no column '$name' in ${pinned.fieldNames.toSeq}")
+      val i = pinned.fieldIndex(name)
+      val f = pinned.fields(i)
+      val ok = (f.dataType, to) match {
+        case (a, b) if a == b => false
+        case (ByteType | ShortType | IntegerType, LongType) => true
+        case (ByteType | ShortType | IntegerType, IntegerType)
+          if f.dataType != IntegerType => true
+        case (ByteType, ShortType) => true
+        case (ByteType | ShortType | IntegerType, DoubleType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      require(ok, s"widenColumn: ${f.dataType.sql} -> ${to.sql} is not a " +
+        "value-preserving widening (supported: int-ish -> wider int/long, " +
+        "int-ish/float -> double)")
+      org.apache.spark.sql.types.StructType(
+        pinned.fields.updated(i, f.copy(dataType = to)))
+    }
+
   def pinnedSchema(spark: SparkSession, table: String,
                    rv: Long): Option[org.apache.spark.sql.types.StructType] = {
     val p = new Path(s"${Snapshots.versionPath(s"$table/$RootDir", rv)}/$SchemaFile")
@@ -1492,11 +1767,45 @@ object PartitionSnapshots {
     // DATA columns only: partition columns keep their hive path-value
     // typing (a date=2024-01-01 dir reads as DATE however the writer's
     // in-memory column was typed), which Spark supplies for columns the
-    // user schema omits.
+    // user schema omits. Schemas passed here usually derive from a
+    // FRAME, which strips what only the table metadata knows — rename
+    // ALIASES (a coalesce output carries no field metadata) and WIDENED
+    // types (a narrow-typed source would silently re-narrow the pin) —
+    // so both inherit from the parent's pinned schema by name.
     val pcols = partitionCols(spark, table).toSet
-    schema.map(st => org.apache.spark.sql.types.StructType(
-        st.fields.filterNot(fld => pcols.contains(fld.name))))
-      .orElse(parent.flatMap(pinnedSchema(spark, table, _))).foreach { st =>
+    val parentPinned = parent.flatMap(pinnedSchema(spark, table, _))
+    def inherit(st: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType = parentPinned match {
+      case None => st
+      case Some(pp) =>
+        import org.apache.spark.sql.types._
+        val byName = pp.fields.map(f => f.name -> f).toMap
+        def widerStays(nw: DataType, old: DataType): Boolean = (nw, old) match {
+          case (a, b) if a == b => false
+          case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+          case (ShortType, IntegerType | LongType | DoubleType) => true
+          case (IntegerType, LongType | DoubleType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        StructType(st.fields.map { f =>
+          byName.get(f.name) match {
+            case None => f
+            case Some(pf) =>
+              val aliases = (fieldAliases(f) ++ fieldAliases(pf)).distinct
+              val dt = if (widerStays(f.dataType, pf.dataType)) pf.dataType
+                       else f.dataType
+              if (aliases == fieldAliases(f) && dt == f.dataType) f
+              else f.copy(dataType = dt, metadata =
+                if (aliases.isEmpty) f.metadata
+                else new MetadataBuilder().withMetadata(f.metadata)
+                  .putStringArray(AliasKey, aliases.toArray).build())
+          }
+        })
+    }
+    schema.map(st => inherit(org.apache.spark.sql.types.StructType(
+        st.fields.filterNot(fld => pcols.contains(fld.name)))))
+      .orElse(parentPinned).foreach { st =>
       val so = f.create(new Path(tmp, SchemaFile), true)
       try so.write(st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally so.close()
@@ -3032,7 +3341,8 @@ object PartitionSnapshots {
         .flatMap(pinned => keyCols.flatMap(c =>
           pinned.fields.find(_.name == c)).headOption)
       val pred = pruneCol.flatMap(f =>
-        keyExclusion(spark, kDedup, f.name, f.dataType))
+        keyExclusion(spark, kDedup, f.name, f.dataType,
+          fieldAliases(f)))
       val kept = pred match {
         case Some(p) =>
           val stats = rootStats(spark, table)

@@ -243,12 +243,31 @@ class ChangelogSource(spark: SparkSession, table: String,
     // new columns until restart (the documented pin). Without this the
     // final select throws on the missing column and the checkpoint is
     // permanently poisoned (restart replays the same window).
+    // ... and RENAME/WIDEN-aware through the current pinned alias graph:
+    // a replay across a rename serves pre-rename commits whose feed
+    // carries the OLD name (that era's own schema) — resolve a declared
+    // name through its field's aliases before null-filling; a stream
+    // declared before a rename likewise finds its old name's values
+    // under the field's NEW name. The cast serves widened replays
+    // (pre-widen feeds arrive narrow).
     def conform(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
+      lazy val pinnedFields = PartitionSnapshots
+        .currentRootVersion(spark, table)
+        .flatMap(v => PartitionSnapshots.pinnedSchema(spark, table, v))
+        .map(_.fields.toSeq).getOrElse(Nil)
+      def resolve(name: String): Option[String] =
+        if (have.contains(name)) Some(name)
+        else pinnedFields.find(f => f.name == name ||
+            PartitionSnapshots.fieldAliases(f).contains(name))
+          .flatMap(f => (f.name +: PartitionSnapshots.fieldAliases(f))
+            .find(have.contains))
       df.select(declared.fields.toSeq.filter(_.name != "_commit_version")
         .map { f =>
-          if (have.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          resolve(f.name) match {
+            case Some(c) => col(c).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
         }: _*)
     }
     val feed =

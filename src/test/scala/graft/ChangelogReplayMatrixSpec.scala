@@ -30,11 +30,13 @@ object ReplayMatrix {
   case object PositionalDelete extends StructuralKind { val id = "posdel" }
   case object FileScopedMerge extends StructuralKind { val id = "fscope" }
   case object OptimisticAppend extends StructuralKind { val id = "optapp" }
+  case object ColumnRename extends StructuralKind { val id = "colrename" }
+  case object ColumnWidenDrop extends StructuralKind { val id = "colwdrop" }
 
   val AllKinds: Seq[StructuralKind] = Seq(SchemaEvolution, SpecEvolution,
     HiddenBucketEvolution, DropPartitions, BranchFastForward, BranchRebase,
     Compaction, EqualityDelete, PositionalDelete, FileScopedMerge,
-    OptimisticAppend)
+    OptimisticAppend, ColumnRename, ColumnWidenDrop)
 }
 
 class ChangelogReplayMatrixSpec extends SparkSpec {
@@ -130,6 +132,30 @@ class ChangelogReplayMatrixSpec extends SparkSpec {
       }
       ts.foreach(_.join(60000))
       assert(errs.isEmpty, s"optimistic appenders failed: $errs")
+    case ColumnRename =>
+      // rename the VALUE column mid-chain, then commit under the new
+      // name and stack an equality delete — replay must serve the
+      // pre-rename commits' rows under the stream's declared (current)
+      // name, and the old-named delete file must still subtract
+      PartitionSnapshots.renameColumn(spark, path, "v", "val")
+      Upsert.upsert(spark, path,
+        Seq((1, "p1", 3, 11)).toDF("k", "part", "hour", "val"),
+        Seq("k"), partitionCols = Seq("part"))
+      PartitionSnapshots.deleteKeys(spark, path, Seq(2).toDF("k")) shouldBe true
+      Upsert.append(spark, path,
+        Seq((3, "p1", 9, 30)).toDF("k", "part", "hour", "val"), Seq("part"))
+    case ColumnWidenDrop =>
+      // widen v to long (pre-widen feeds arrive int and must cast),
+      // append beyond int range, then drop `hour` (pre-drop feeds carry
+      // it and must conform away)
+      PartitionSnapshots.widenColumn(spark, path, "v",
+        org.apache.spark.sql.types.LongType)
+      Upsert.append(spark, path,
+        Seq((3, "p1", 9, 5000000000L)).toDF("k", "part", "hour", "v"),
+        Seq("part"))
+      PartitionSnapshots.dropColumn(spark, path, "hour")
+      Upsert.append(spark, path,
+        Seq((4, "p2", 7L)).toDF("k", "part", "v"), Seq("part"))
   }
 
   /** The invariant: inserts minus deletes of the FULL-history feed equal
@@ -170,7 +196,7 @@ class ChangelogReplayMatrixSpec extends SparkSpec {
     // AllKinds and stageOf's sealed match must cover the same set — a
     // new case object that skips either trips this (or the compiler's
     // exhaustiveness warning on stageOf)
-    AllKinds.map(_.id).distinct.size shouldBe 11
+    AllKinds.map(_.id).distinct.size shouldBe 13
   }
 
   test("root expiry cannot wedge a live changelog stream") {

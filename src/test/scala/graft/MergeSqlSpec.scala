@@ -370,6 +370,34 @@ class MergeSqlSpec extends SparkSpec {
       cat.sql("UPDATE flat SET v = 2.0 WHERE k = 1")
   }
 
+  test("point UPDATE/DELETE: stats-pruned scan, ONE touched file, O(affected) commit") {
+    val wh = tmpDir("msqlprune")
+    // 4 partitions, range-split files -> disjoint per-partition k bounds
+    val seed = (1 to 400).map(i => (i, s"p${(i - 1) / 100}", i * 1.0))
+      .toDF("k", "part", "v").repartitionByRange(4, col("k"))
+    Upsert.upsert(spark, s"$wh/t", seed, Seq("k"),
+      partitionCols = Seq("part"), partitionManifests = true)
+    val cat = new Catalog(spark, wh)
+    // the pruned row-pos read constructs ONLY the candidate partition
+    val pruned = PartitionSnapshots.readWithRowPosPruned(spark, s"$wh/t",
+      "k", Seq(250).toDF("k"))
+    val full = PartitionSnapshots.readWithRowPos(spark, s"$wh/t")
+    pruned.inputFiles.length should be < full.inputFiles.length
+    pruned.inputFiles.foreach(f => assert(f.contains("part=p2"), f))
+    // a 1-row UPDATE commits exactly ONE touched file's positional ref
+    cat.sql("UPDATE t SET v = 0.5 WHERE k = 250")
+    spark.read.parquet(s"$wh/t/_deletes/p00000001")
+      .select("_del_path").distinct().count() shouldBe 1L
+    // pruned-to-nothing key: clean no-op, no commit
+    val head = PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get
+    cat.sql("UPDATE t SET v = 9.9 WHERE k = 5000").count() shouldBe 400L
+    PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get shouldBe head
+    // positional DELETE route prunes the same way and stays correct
+    cat.sql("DELETE FROM t WHERE k = 17 AND v > 0").count() shouldBe 399L
+    Upsert.read(spark, s"$wh/t").where(col("k") === 250)
+      .head().getAs[Double]("v") shouldBe 0.5
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION adds the new source column") {
     val wh = tmpDir("msqlevo")
     Upsert.upsert(spark, s"$wh/t", Seq((1, "p1", 10.0)).toDF("k", "part", "v"),
