@@ -3433,6 +3433,40 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** SQL-ONLY TABLE LIFECYCLE ([[graft.sources.Catalog.sql]] round-13
+    * surface): an entire session as statements — `CREATE TABLE …
+    * PARTITIONED BY` (born MANIFESTED: fast-appends, row-level SQL and
+    * maintenance work from commit one), `INSERT INTO … SELECT`
+    * (fast-append), `ALTER TABLE RENAME COLUMN` (metadata-only, alias
+    * mapping), `UPDATE` under the renamed name (atomic positional
+    * replace), `DELETE FROM` (equality route), `ALTER TABLE ADD COLUMN`
+    * (metadata-only NULL fill). The oracle replays the whole session
+    * declaratively over the immutable source: six commits of plumbing,
+    * zero answer drift. */
+  def q197SqlSession(s: SparkSession, dir: String): DataFrame = {
+    val wh = stagedOnce("psqlsess", dir) { base =>
+      t(s, dir, "customer").createOrReplaceGlobalTempView("graft_q197_cust")
+      val cat = new graft.sources.Catalog(s, base)
+      cat.sql(
+        """CREATE TABLE t (c_custkey BIGINT, c_acctbal DOUBLE)
+          |PARTITIONED BY (c_mktsegment STRING)""".stripMargin)
+      require(graft.sources.PartitionSnapshots.isManifested(s, s"$base/t"),
+        "q197: a PARTITIONED create must be born manifested")
+      cat.sql(
+        """INSERT INTO t
+          |SELECT c_custkey, c_acctbal, c_mktsegment
+          |FROM global_temp.graft_q197_cust WHERE c_custkey <= 300""".stripMargin)
+      cat.sql("ALTER TABLE t RENAME COLUMN c_acctbal TO balance")
+      cat.sql("UPDATE t SET balance = balance * 2 WHERE c_custkey <= 50")
+      cat.sql("DELETE FROM t WHERE c_custkey BETWEEN 290 AND 300")
+      cat.sql("ALTER TABLE t ADD COLUMN note STRING")
+    }
+    new graft.sources.Catalog(s, wh).sql(
+      """SELECT c_custkey, balance, note,
+        |       CAST(c_mktsegment AS STRING) AS c_mktsegment
+        |FROM t""".stripMargin)
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4415,6 +4449,18 @@ object Queries {
         |            ELSE c_acctbal END AS c_acctbal,
         |       c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q197: the whole SQL session replayed declaratively — create,
+    // insert-select, rename, update, delete, add-column are six commits
+    // of plumbing that never change the answer
+    "q197_sql_session" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey <= 50 THEN c_acctbal * 2
+        |            ELSE c_acctbal END AS balance,
+        |       CAST(NULL AS VARCHAR) AS note,
+        |       c_mktsegment
+        |FROM customer
+        |WHERE c_custkey <= 300
+        |  AND c_custkey NOT BETWEEN 290 AND 300""".stripMargin,
     // q196: rename + keyed merge replayed declaratively — physical
     // column naming (and the alias machinery serving it) never changes
     // the answer
@@ -6803,6 +6849,7 @@ object Queries {
     "q193_update_sql" -> (q193UpdateSql _),
     "q194_merge_assign_sql" -> (q194MergeAssignSql _),
     "q195_time_travel_sql" -> (q195TimeTravelSql _),
-    "q196_schema_evolution_sql" -> (q196SchemaEvolutionSql _)
+    "q196_schema_evolution_sql" -> (q196SchemaEvolutionSql _),
+    "q197_sql_session" -> (q197SqlSession _)
   )
 }

@@ -67,9 +67,16 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       // versioned dir with no committed snapshot yet
       case e @ (_: org.apache.spark.sql.AnalysisException |
                 _: IllegalArgumentException) =>
-        // no data files yet: a DDL-created table reads as schema-typed empty
-        readSidecar(name).map(schema => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        // no data rows: a DDL-created table (schema sidecar) and a
+        // TRUNCATEd manifested table (every partition EMPTY, schema
+        // pinned in the root) both read as schema-typed empty — a
+        // legitimately empty table must never poison registerAll()
+        readSidecar(name)
+          .orElse(if (PartitionSnapshots.isManifested(spark, tablePath(name)))
+            PartitionSnapshots.tableRowSchema(spark, tablePath(name))
+          else None)
+          .map(schema => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
           .getOrElse(throw e)
     }
 
@@ -115,12 +122,30 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       if (pf.isDefinedAt(plan)) pf(plan)
       else { registerAll(); spark.sql(query) }
     }
+    import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DropColumns, DropTable, InsertIntoStatement, RenameColumn, TruncateTable}
     leadingKeyword(query) match {
       case "MERGE" => reparse { case m: MergeIntoTable => runMergeSql(m) }
       case "DELETE" => reparse { case d: DeleteFromTable => runDeleteSql(d) }
       case "UPDATE" => reparse {
         case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
           runUpdateSql(u)
+      }
+      case "INSERT" => reparse {
+        case i: InsertIntoStatement => runInsertSql(i)
+      }
+      case "ALTER" => reparse {
+        case a @ (_: RenameColumn | _: DropColumns | _: AddColumns |
+                  _: AlterColumns) => runAlterSql(a)
+      }
+      case "CREATE" => reparse {
+        case c: CreateTable => runCreateTable(c)
+        case c: CreateTableAsSelect => runCtas(c)
+      }
+      case "DROP" => reparse {
+        case d: DropTable => runDropTable(d)
+      }
+      case "TRUNCATE" => reparse {
+        case t: TruncateTable => runTruncate(t)
       }
       case _ if TimeTravelHint.matcher(query).find() =>
         // `FROM t VERSION AS OF v / TIMESTAMP AS OF ts / AS OF <tag>`:
@@ -147,6 +172,257 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   private val TimeTravelHint =
     java.util.regex.Pattern.compile("(?i)\\bAS\\s+OF\\b")
+
+  private def nameOfPlan(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      what: String): String = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      u.multipartIdentifier.last
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      t.multipartIdentifier.last
+    case i: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      i.nameParts.last
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(_, child) => nameOfPlan(child, what)
+    case other => throw new IllegalArgumentException(
+      s"$what: target must be a table name, got ${other.nodeName}")
+  }
+
+  /** Route a parsed `INSERT INTO / INSERT OVERWRITE t [PARTITION (…)]
+    * [(cols)] <query>` to the engine's commit machinery:
+    *
+    *   INSERT INTO, manifested   → fast-append (O(new data), no
+    *                               existing file touched)
+    *   INSERT OVERWRITE, manif.  → [[PartitionSnapshots
+    *                               .overwritePartitions]] — DYNAMIC
+    *                               partition overwrite in ONE commit
+    *                               (Iceberg's INSERT OVERWRITE
+    *                               semantics, not Spark's static
+    *                               whole-table default)
+    *   snapshot tables           → a new whole-table version (append =
+    *                               current ∪ rows)
+    *   flat tables               → plain parquet append / dynamic
+    *                               overwrite
+    *
+    * Column semantics are SQL's: a column list maps the query's output
+    * to the listed columns by POSITION (unlisted columns NULL); no list
+    * = by position against the full schema; static `PARTITION (p='x')`
+    * values become literal columns. Values cast to the table's types.
+    * Returns the post-insert table. */
+  private def runInsertSql(
+      i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val targetName = nameOfPlan(i.table, "INSERT")
+    require(tableExists(targetName),
+      s"INSERT: no table '$targetName' in warehouse $warehouse")
+    require(!i.ifPartitionNotExists,
+      "INSERT: IF NOT EXISTS partitions are not supported")
+    val path = tablePath(targetName)
+    registerAll()
+    val src = org.apache.spark.sql.graft.SqlInternals.ofRows(spark, i.query)
+    val schema = rowSchema(targetName)
+    def canon(c: String): String =
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT: column '$c' not in '$targetName' " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+    val static: Map[String, String] = i.partitionSpec.collect {
+      case (k, Some(v)) => canon(k) -> v
+    }
+    val out: DataFrame =
+      if (i.userSpecifiedCols.nonEmpty) {
+        val listed = i.userSpecifiedCols.map(canon)
+        require(listed.size == src.columns.length,
+          s"INSERT: ${listed.size} columns listed, query produces " +
+            s"${src.columns.length}")
+        val byName = listed.zip(src.columns).toMap
+        src.select(schema.fields.toIndexedSeq.map { f =>
+          byName.get(f.name).map(c => col(c).cast(f.dataType).as(f.name))
+            .orElse(static.get(f.name).map(v =>
+              lit(v).cast(f.dataType).as(f.name)))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+        }: _*)
+      } else {
+        val positional = schema.fields.toIndexedSeq
+          .filterNot(f => static.contains(f.name))
+        require(src.columns.length == positional.size,
+          s"INSERT: query produces ${src.columns.length} columns, " +
+            s"'$targetName' expects ${positional.size}" +
+            (if (static.nonEmpty) s" (+${static.size} static partition)"
+             else ""))
+        val byPos = positional.map(_.name).zip(src.columns).toMap
+        src.select(schema.fields.toIndexedSeq.map { f =>
+          byPos.get(f.name).map(c => col(c).cast(f.dataType).as(f.name))
+            .getOrElse(lit(static(f.name)).cast(f.dataType).as(f.name))
+        }: _*)
+      }
+    val manifested = PartitionSnapshots.isManifested(spark, path)
+    val pcols =
+      if (manifested) PartitionSnapshots.partitionCols(spark, path) else Nil
+    if (manifested) {
+      if (i.overwrite) PartitionSnapshots.overwritePartitions(spark, path, out)
+      else graft.operators.Upsert.append(spark, path, out, pcols)
+    } else if (Snapshots.isVersioned(spark, path)) {
+      val next = if (i.overwrite) out
+        else Snapshots.read(spark, path).unionByName(out)
+      graft.operators.Upsert.replace(spark, path, next)
+    } else {
+      // plain flat dir: parquet append / whole-dir overwrite. A
+      // hive-partitioned FLAT table refuses — a root-level write would
+      // corrupt its dir layout; manifested tables are the partition-
+      // aware surface.
+      val hasDirs = fs.exists(new Path(path)) &&
+        fs.listStatus(new Path(path)).exists(st =>
+          st.isDirectory && st.getPath.getName.contains("="))
+      require(!hasDirs,
+        s"INSERT: '$targetName' is a hive-partitioned FLAT dir — migrate " +
+          "it to a manifested table for partition-aware inserts")
+      out.write.mode(if (i.overwrite) SaveMode.Overwrite else SaveMode.Append)
+        .parquet(path)
+    }
+    read(targetName)
+  }
+
+  /** Route parsed `ALTER TABLE … RENAME/DROP/ADD/ALTER COLUMN` to the
+    * schema-evolution ops — each ONE metadata-only root commit
+    * ([[PartitionSnapshots.renameColumn]]/[[PartitionSnapshots
+    * .dropColumn]]/[[PartitionSnapshots.addColumn]]/[[PartitionSnapshots
+    * .widenColumn]]). Nested fields and non-type ALTERs refuse loudly.
+    * Returns the post-DDL table. */
+  private def runAlterSql(
+      a: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, DropColumns, RenameColumn}
+    def one(n: Seq[String], what: String): String = {
+      require(n.size == 1,
+        s"$what: nested fields are not supported (${n.mkString(".")})")
+      n.head
+    }
+    val (targetName, run) = a match {
+      case r: RenameColumn =>
+        (nameOfPlan(r.table, "ALTER RENAME"), (p: String) =>
+          PartitionSnapshots.renameColumn(spark, p,
+            one(r.column.name, "RENAME COLUMN"), r.newName))
+      case d: DropColumns =>
+        (nameOfPlan(d.table, "ALTER DROP"), (p: String) =>
+          d.columnsToDrop.foreach(c => PartitionSnapshots.dropColumn(spark,
+            p, one(c.name, "DROP COLUMN"))))
+      case ad: AddColumns =>
+        (nameOfPlan(ad.table, "ALTER ADD"), (p: String) =>
+          ad.columnsToAdd.foreach { qc =>
+            require(qc.path.isEmpty,
+              "ADD COLUMN: nested fields are not supported")
+            PartitionSnapshots.addColumn(spark, p, qc.colName, qc.dataType)
+          })
+      case al: AlterColumns =>
+        (nameOfPlan(al.table, "ALTER COLUMN"), (p: String) =>
+          al.specs.foreach { sp =>
+            val dt = sp.newDataType.getOrElse(
+              throw new IllegalArgumentException(
+                "ALTER COLUMN: only TYPE changes are supported"))
+            PartitionSnapshots.widenColumn(spark, p,
+              one(sp.column.name, "ALTER COLUMN"), dt)
+          })
+      case other => throw new IllegalArgumentException(
+        s"ALTER TABLE: unsupported statement ${other.nodeName}")
+    }
+    require(tableExists(targetName),
+      s"ALTER TABLE: no table '$targetName' in warehouse $warehouse")
+    run(tablePath(targetName))
+    read(targetName)
+  }
+
+  /** `CREATE TABLE t (cols…) [PARTITIONED BY (…)]` → the schema-sidecar
+    * DDL table ([[createTableDdl]]: readable as schema-typed empty
+    * before first data). Identity partitioning only; IF NOT EXISTS
+    * honored; an existing table without it refuses. */
+  private def runCreateTable(
+      c: org.apache.spark.sql.catalyst.plans.logical.CreateTable)
+      : DataFrame = {
+    val name = nameOfPlan(c.name, "CREATE TABLE")
+    require(c.ignoreIfExists || !tableExists(name),
+      s"CREATE TABLE: '$name' already exists (add IF NOT EXISTS)")
+    val pcols = c.partitioning.map {
+      case t if t.name == "identity" =>
+        t.references()(0).fieldNames.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE: only identity PARTITIONED BY is supported, got $other")
+    }
+    val fields = c.columns.map(cd =>
+      org.apache.spark.sql.types.StructField(cd.name, cd.dataType,
+        cd.nullable))
+    createTableDdl(name,
+      org.apache.spark.sql.types.StructType(fields.toArray).toDDL, pcols)
+    // a PARTITIONED table is born MANIFESTED — the engine's first-class
+    // layout: INSERTs fast-append, row-level SQL and maintenance all
+    // work from the first commit
+    if (pcols.nonEmpty && !tableExistsData(name))
+      PartitionSnapshots.ensureManifested(spark, tablePath(name), pcols)
+    read(name)
+  }
+
+  /** Does the table hold any DATA yet (not just DDL metadata)? */
+  private def tableExistsData(name: String): Boolean =
+    try { graft.operators.Upsert.read(spark, tablePath(name)); true }
+    catch { case _: Exception => false }
+
+  /** `CREATE TABLE t [PARTITIONED BY (…)] AS <query>` → table from the
+    * query's frame (identity partitioning only). */
+  private def runCtas(
+      c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect)
+      : DataFrame = {
+    val name = nameOfPlan(c.name, "CREATE TABLE AS")
+    require(c.ignoreIfExists || !tableExists(name),
+      s"CREATE TABLE AS: '$name' already exists (add IF NOT EXISTS)")
+    val pcols = c.partitioning.map {
+      case t if t.name == "identity" =>
+        t.references()(0).fieldNames.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE AS: only identity PARTITIONED BY is supported, " +
+          s"got $other")
+    }
+    registerAll()
+    val df = org.apache.spark.sql.graft.SqlInternals.ofRows(spark, c.query)
+    if (pcols.nonEmpty) {
+      if (!tableExists(name)) {
+        createTableDdl(name, df.schema.toDDL, pcols)
+        PartitionSnapshots.ensureManifested(spark, tablePath(name), pcols)
+        graft.operators.Upsert.append(spark, tablePath(name), df, pcols)
+      }
+    } else createIfNotExists(name, df, pcols)
+    read(name)
+  }
+
+  private def runDropTable(
+      d: org.apache.spark.sql.catalyst.plans.logical.DropTable): DataFrame = {
+    val name = nameOfPlan(d.child, "DROP TABLE")
+    require(d.ifExists || tableExists(name),
+      s"DROP TABLE: no table '$name' in warehouse $warehouse")
+    dropTable(name)
+    spark.emptyDataFrame
+  }
+
+  /** TRUNCATE on a manifested table is METADATA-ONLY: every partition's
+    * state flips to EMPTY in one root commit (readers pinned to prior
+    * roots keep their data; retention reaps later) — never a file
+    * deletion a time traveler would trip over. */
+  private def runTruncate(
+      t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable)
+      : DataFrame = {
+    val name = nameOfPlan(t.table, "TRUNCATE")
+    require(tableExists(name),
+      s"TRUNCATE: no table '$name' in warehouse $warehouse")
+    val path = tablePath(name)
+    require(PartitionSnapshots.isManifested(spark, path),
+      s"TRUNCATE: '$name' is not a manifested table")
+    val schema = rowSchema(name)
+    PartitionSnapshots.dropPartitions(spark, path, _ => true)
+    // every partition is now EMPTY: the honest read is a schema-typed
+    // zero-row frame (readOption answers None for no-rows by design)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Resolve one `RelationTimeTravel` node to the pinned snapshot read
     * the engine already serves through its API surface:

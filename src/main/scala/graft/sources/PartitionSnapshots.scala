@@ -1563,6 +1563,83 @@ object PartitionSnapshots {
         pinned.fields.updated(i, f.copy(name = to, metadata = md)))
     }
 
+  /** ADDITIVE column add as DDL (the `ALTER TABLE ADD COLUMN` surface —
+    * the write-side upserts always could evolve additively; this adds
+    * the column WITHOUT a data commit): one metadata-only root commit
+    * pins the schema with the new trailing nullable field; every
+    * existing file reads it as NULL through the pinned-union read. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+                dt: org.apache.spark.sql.types.DataType): Unit =
+    schemaDdl(spark, table, s"addColumn($name)") { pinned =>
+      require(!pinned.fieldNames.exists(_.equalsIgnoreCase(name)) &&
+        !partitionCols(spark, table).exists(_.equalsIgnoreCase(name)) &&
+        !pinned.fields.exists(f =>
+          fieldAliases(f).exists(_.equalsIgnoreCase(name))),
+        s"addColumn: name '$name' is already in use (live, partition, " +
+          "or alias)")
+      org.apache.spark.sql.types.StructType(pinned.fields :+
+        org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    }
+
+  /** DYNAMIC PARTITION OVERWRITE as one commit (Iceberg's
+    * `INSERT OVERWRITE` semantics): every partition present in `df` is
+    * REPLACED by a fresh version part (its prior parts and their
+    * pending delete refs retire with the state swap — readers pinned to
+    * older roots keep them); partitions `df` does not touch are
+    * untouched. One root publish; O(written data + touched partitions).
+    * Takes the writer lease. */
+  def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
+                          retainVersions: Int =
+                            graft.operators.Upsert.DefaultRetainVersions)
+      : Unit = {
+    require(isManifested(spark, table),
+      s"overwritePartitions: $table is not a manifested table")
+    val cols = partitionCols(spark, table)
+    val token = graft.operators.Upsert.acquireLock(spark, table,
+      graft.operators.Upsert.DefaultLockTtlMs)
+    try {
+      cleanupStaging(spark, table)
+      val base = rootManifest(spark, table)
+        .getOrElse(scanStates(spark, table, cols))
+      val out = applyTransforms(spark, table, df)
+      val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
+      graft.operators.Upsert.packedWriter(spark, out, cols,
+          org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .partitionBy(cols: _*).parquet(staging)
+      try {
+        graft.operators.Upsert.assertHeld(spark, table, token)
+        val staged = partitionDirs(spark, staging, cols.size)
+        if (staged.isEmpty) return
+        val sealedSlots = depthWaves(staged).flatMap { g =>
+          inParallel(g)(rel =>
+            rel -> sealSlot(spark, s"$table/$rel", new Path(s"$staging/$rel")))
+        }
+        val sealedDirs = sealedSlots.map { case (rel, v) =>
+          rel -> Snapshots.versionPath(s"$table/$rel", v)
+        }
+        val folded = harvestAndSidecar(spark, sealedDirs.map(_._2))
+        // REPLACE: the staged slot is the partition's whole new state
+        val touched = sealedSlots.map { case (rel, v) =>
+          rel -> fmtParts(Seq((f"v$v%08d", Seq.empty[String])))
+        }.toMap
+        val touchedStats = sealedDirs.map { case (rel, dir) =>
+          rel -> encodeStats(folded(dir))
+        }.toMap
+        publishRoot(spark, table, base ++ touched, touched,
+          math.max(1, retainVersions), Some(out.schema), touchedStats)
+        inParallel(sealedSlots) { case (rel, v) =>
+          Snapshots.publish(spark, s"$table/$rel", v)
+        }
+        val prot = referencedVersions(spark, table)
+        inParallel(sealedSlots) { case (rel, _) =>
+          finishPartitionCommit(spark, table, rel,
+            math.max(1, retainVersions), prot)
+        }
+      } finally fs(spark, new Path(staging)).delete(new Path(staging), true)
+      vacuumDeletes(spark, table)
+    } finally graft.operators.Upsert.releaseLock(spark, table, token)
+  }
+
   /** NON-ADDITIVE SCHEMA EVOLUTION, part 2: DROP. One metadata-only
     * commit pins the schema without the field — old files keep the
     * bytes (reads simply never select the column; time travel to a

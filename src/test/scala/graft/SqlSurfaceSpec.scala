@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Upsert
+import graft.sources.{Catalog, PartitionSnapshots}
+
+/** The FULL SQL text surface beyond SELECT/MERGE/UPDATE/DELETE
+  * ([[graft.sources.Catalog.sql]] round 13): INSERT INTO / INSERT
+  * OVERWRITE (fast-append / one-commit dynamic partition overwrite),
+  * ALTER TABLE ADD/RENAME/DROP/ALTER COLUMN (metadata-only schema-DDL
+  * commits), CREATE TABLE (+ PARTITIONED BY, IF NOT EXISTS), CTAS,
+  * DROP TABLE, TRUNCATE (metadata-only EMPTY flip). An Iceberg user's
+  * whole session can now be SQL text. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("INSERT INTO: fast-append on manifested tables; column list and static partition") {
+    val wh = tmpDir("sqlins")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, "p1", 10.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val cat = new Catalog(spark, wh)
+    val pre = PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get
+        // positional VALUES follow the table's column order — partition
+    // columns LAST, exactly as SELECT * serves them (the hive contract)
+    cat.sql("INSERT INTO t VALUES (2, 20.0, 'p2')")
+    // column list: v omitted -> NULL
+    cat.sql("INSERT INTO t (k, part) VALUES (3, 'p1')")
+    // static partition value
+    cat.sql("INSERT INTO t PARTITION (part='p2') (k, v) VALUES (4, 40.0)")
+    // INSERT ... SELECT
+    Seq((5, "p1", 50.0)).toDF("a", "b", "c").createOrReplaceTempView("ins_src")
+    cat.sql("INSERT INTO t SELECT a, c, b FROM ins_src")
+    val got = cat.read("t").collect().map(r => (r.getAs[Int]("k"),
+      r.getAs[String]("part"), Option(r.getAs[java.lang.Double]("v")))).toSet
+    got shouldBe Set((1, "p1", Some(10.0)), (2, "p2", Some(20.0)),
+      (3, "p1", None), (4, "p2", Some(40.0)), (5, "p1", Some(50.0)))
+    // four INSERTs = four fast-append commits; the seed file never moved
+    PartitionSnapshots.currentRootVersion(spark, s"$wh/t")
+      .get shouldBe pre + 4
+    assert(PartitionSnapshots.rootManifest(spark, s"$wh/t").get
+      .apply("part=p1").contains("&"), "expected appended parts, not rewrites")
+    // width mismatch and unknown columns refuse
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("INSERT INTO t VALUES (9, 'p1')")
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("INSERT INTO t (k, nope) VALUES (9, 1)")
+  }
+
+  test("INSERT OVERWRITE: dynamic partition overwrite in ONE commit") {
+    val wh = tmpDir("sqlovr")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0))
+        .toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val cat = new Catalog(spark, wh)
+    val pre = PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get
+    cat.sql("INSERT OVERWRITE t VALUES (9, 90.0, 'p1')")
+      .collect().map(r => (r.getAs[Int]("k"), r.getAs[Double]("v")))
+      .toSet shouldBe Set((9, 90.0), (3, 30.0)) // p1 replaced, p2 untouched
+    PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get shouldBe pre + 1
+    // time travel to the pre-overwrite root still serves the old p1
+    PartitionSnapshots.read(spark, s"$wh/t", asOf = pre)
+      .count() shouldBe 3L
+  }
+
+  test("ALTER TABLE: ADD, RENAME, ALTER TYPE, DROP — metadata-only commits") {
+    val wh = tmpDir("sqlddl")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val cat = new Catalog(spark, wh)
+    cat.sql("ALTER TABLE t ADD COLUMN note STRING")
+      .columns should contain("note")
+    cat.sql("ALTER TABLE t RENAME COLUMN v TO amount")
+      .where(col("k") === 2).head().getAs[Int]("amount") shouldBe 20
+    cat.sql("ALTER TABLE t ALTER COLUMN amount TYPE BIGINT")
+      .schema("amount").dataType shouldBe LongType
+    cat.sql("ALTER TABLE t DROP COLUMN note")
+      .columns should not contain "note"
+    // the whole DDL session was metadata-only: still two partitions,
+    // original data intact under the final shape
+    cat.read("t").agg(sum("amount")).head().getLong(0) shouldBe 30L
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("ALTER TABLE t ALTER COLUMN amount TYPE INT") // narrowing
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("ALTER TABLE t RENAME COLUMN part TO seg") // partition col
+  }
+
+  test("CREATE TABLE / CTAS / DROP TABLE / TRUNCATE as text") {
+    val wh = tmpDir("sqlcrt")
+    val cat = new Catalog(spark, wh)
+    cat.sql("CREATE TABLE dim (id INT, name STRING) PARTITIONED BY (region STRING)")
+    // readable as schema-typed empty before first data
+    val empty = cat.read("dim")
+    empty.count() shouldBe 0L
+    empty.schema.fieldNames.toSet shouldBe Set("id", "name", "region")
+    cat.sql("CREATE TABLE IF NOT EXISTS dim (id INT) ") // no-op, no clobber
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("CREATE TABLE dim (id INT)")
+    // CTAS from a query over another table
+    Seq((1, "a"), (2, "b")).toDF("id", "name").createOrReplaceTempView("ctas_src")
+    cat.sql("CREATE TABLE copy AS SELECT id, upper(name) AS name FROM ctas_src")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet shouldBe
+      Set((1, "A"), (2, "B"))
+    // TRUNCATE: metadata-only EMPTY flip on a manifested table
+    Upsert.upsert(spark, s"$wh/m", Seq((1, "p1", 1.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val pre = PartitionSnapshots.currentRootVersion(spark, s"$wh/m").get
+    cat.sql("TRUNCATE TABLE m").count() shouldBe 0L
+    PartitionSnapshots.read(spark, s"$wh/m", asOf = pre).count() shouldBe 1L
+    // DROP TABLE
+    cat.sql("DROP TABLE copy")
+    cat.tableExists("copy") shouldBe false
+    cat.sql("DROP TABLE IF EXISTS copy") // idempotent
+    an[IllegalArgumentException] should be thrownBy cat.sql("DROP TABLE copy")
+    // DROP VIEW still falls through to spark.sql untouched
+    cat.sql("DROP VIEW IF EXISTS ctas_src")
+  }
+
+  test("a PARTITIONED table is born manifested: SQL-only lifecycle end-to-end") {
+    val wh = tmpDir("sqllife")
+    val cat = new Catalog(spark, wh)
+    cat.sql("CREATE TABLE t (k INT, v DOUBLE) PARTITIONED BY (part STRING)")
+    PartitionSnapshots.isManifested(spark, s"$wh/t") shouldBe true
+    cat.sql("INSERT INTO t VALUES (1, 10.0, 'p1')")
+    cat.sql("INSERT INTO t VALUES (2, 20.0, 'p2')")
+    // the full row-level surface works from the first commit
+    cat.sql("UPDATE t SET v = v + 1 WHERE k = 1")
+    cat.sql("ALTER TABLE t RENAME COLUMN v TO val")
+    cat.sql("DELETE FROM t WHERE k = 2")
+    cat.read("t").collect().map(r => (r.getAs[Int]("k"),
+      r.getAs[Double]("val"))).toSeq shouldBe Seq((1, 11.0))
+    // partitioned CTAS is manifested too
+    cat.sql("CREATE TABLE c PARTITIONED BY (part) AS SELECT * FROM t")
+    PartitionSnapshots.isManifested(spark, s"$wh/c") shouldBe true
+    cat.read("c").count() shouldBe 1L
+    // hive-partitioned FLAT dirs refuse INSERT (a root write would
+    // corrupt the layout)
+    Seq((1, "p1", 1.0)).toDF("k", "part", "v").write
+      .partitionBy("part").parquet(s"$wh/flatp")
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("INSERT INTO flatp VALUES (2, 2.0, 'p2')")
+  }
+
+  test("snapshot and flat tables: INSERT routes through their own commit flavors") {
+    val wh = tmpDir("sqlinsf")
+    val cat = new Catalog(spark, wh)
+    // snapshot (whole-table versioned)
+    graft.sources.Snapshots.commit(spark, s"$wh/s", Seq((1, 1.0)).toDF("k", "v"))
+    cat.sql("INSERT INTO s VALUES (2, 2.0)").count() shouldBe 2L
+    cat.sql("INSERT OVERWRITE s VALUES (9, 9.0)").count() shouldBe 1L
+    // flat unpartitioned dir
+    Seq((1, 1.0)).toDF("k", "v").write.parquet(s"$wh/f")
+    cat.sql("INSERT INTO f VALUES (2, 2.0)").count() shouldBe 2L
+    cat.sql("INSERT OVERWRITE f VALUES (9, 9.0)").count() shouldBe 1L
+  }
+}
