@@ -45,6 +45,12 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def tableExists(name: String): Boolean = {
     val p = new Path(tablePath(name))
     fs.exists(p) && (fs.exists(sidecarPath(name)) ||
+      // a fully-EMPTY manifested table (TRUNCATE, delete-everything) has
+      // no scannable rows but IS a table — without this, a truncated
+      // table could never be refilled through the routed SQL surface
+      (PartitionSnapshots.isManifested(spark, tablePath(name)) &&
+        PartitionSnapshots.currentRootVersion(spark, tablePath(name))
+          .nonEmpty) ||
       (try { graft.operators.Upsert.read(spark, tablePath(name)); true }
        catch { case _: Exception => false }))
   }
@@ -400,6 +406,9 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     require(d.ifExists || tableExists(name),
       s"DROP TABLE: no table '$name' in warehouse $warehouse")
     dropTable(name)
+    // a prior registerAll left a temp view over the deleted files — a
+    // later SELECT must resolve 'not found', not a stale plan
+    spark.catalog.dropTempView(name)
     spark.emptyDataFrame
   }
 
@@ -931,9 +940,18 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         Some((a.nameParts.last, vs.map(_.asInstanceOf[Literal])))
       case _ => None
     }
+    // COERCION SAFETY: for a STRING column compared to a non-string
+    // literal, SQL coerces the COLUMN up (cast(k as double) = 5.0), so
+    // k='05' matches k = 5 — a keyed route built from the round-tripped
+    // literal '5' would silently miss it. Such shapes fall through to
+    // the positional route, whose full predicate is Spark's own.
+    def coercionSafe(c: String, lits: Seq[org.apache.spark.sql.catalyst.expressions.Literal]): Boolean =
+      tSchema(c).dataType != org.apache.spark.sql.types.StringType ||
+        lits.forall(_.dataType == org.apache.spark.sql.types.StringType)
     keyedShape(d.condition) match {
       case Some((c0, lits))
-          if lits.forall(_.value != null) && canon(c0).isDefined =>
+          if lits.forall(_.value != null) && canon(c0).isDefined &&
+            coercionSafe(canon(c0).get, lits) =>
         val c = canon(c0).get
         // Literals re-render through their own SQL form (typed), then
         // cast to the column's type — keeping ONLY values that survive
@@ -1045,10 +1063,17 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         Some((a.nameParts.last, vs.map(_.asInstanceOf[Literal])))
       case _ => None
     }
+    // same COERCION SAFETY rule as the DELETE router: a string column
+    // compared to a non-string literal coerces the COLUMN up, so bounds
+    // pruning by the round-tripped literal would drop matching rows
     val hit = cond.toSeq.flatMap(conjuncts).flatMap(keyed(_).toSeq)
       .collectFirst {
         case (c0, lits) if lits.forall(_.value != null) &&
-          tSchema.fieldNames.exists(_.equalsIgnoreCase(c0)) =>
+          tSchema.fieldNames.exists(_.equalsIgnoreCase(c0)) &&
+          (tSchema(tSchema.fieldNames.find(_.equalsIgnoreCase(c0)).get)
+            .dataType != org.apache.spark.sql.types.StringType ||
+           lits.forall(_.dataType ==
+             org.apache.spark.sql.types.StringType)) =>
           (tSchema.fieldNames.find(_.equalsIgnoreCase(c0)).get, lits)
       }
     hit match {

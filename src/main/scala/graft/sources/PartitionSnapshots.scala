@@ -1183,7 +1183,8 @@ object PartitionSnapshots {
   private def groupScan(spark: SparkSession, table: String,
                         schema: Option[org.apache.spark.sql.types.StructType],
                         promoted: Seq[org.apache.spark.sql.types.StructField],
-                        pcols: Seq[String], paths: Seq[String])
+                        pcols: Seq[String], paths: Seq[String],
+                        useBasePath: Boolean = true)
       : (DataFrame, Map[String, String]) = {
     import org.apache.spark.sql.functions.{coalesce, col}
     import org.apache.spark.sql.types.{StructField, StructType}
@@ -1204,8 +1205,9 @@ object PartitionSnapshots {
         if (aliasedNames.contains(f.name)) f.copy(nullable = true) else f)
       StructType(scanFields ++ extra ++ aliasFields)
     }
-    val reader =
-      groupSchema.foldLeft(spark.read.option("basePath", table))(_ schema _)
+    val reader0 =
+      if (useBasePath) spark.read.option("basePath", table) else spark.read
+    val reader = groupSchema.foldLeft(reader0)(_ schema _)
     val df0 = reader.parquet(paths: _*)
     val dfA = aliased.foldLeft(df0) { case (d, (f, as)) =>
       d.withColumn(f.name, coalesce((f.name +: as).map(col): _*))
@@ -1253,23 +1255,35 @@ object PartitionSnapshots {
     val rels = rootManifest(spark, table).get.keys.toSeq
     def inferred(v: String): DataType =
       if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .DEFAULT_PARTITION_NAME) StringType
+            .DEFAULT_PARTITION_NAME) NullType // typed by the other dirs
       else if (scala.util.Try(Integer.parseInt(v)).isSuccess) IntegerType
       else if (scala.util.Try(java.lang.Long.parseLong(v)).isSuccess) LongType
       else if (scala.util.Try(java.lang.Double.parseDouble(v)).isSuccess &&
         !v.equalsIgnoreCase("nan") && !v.toLowerCase.contains("infinity"))
         DoubleType
-      else if (v.matches("""\d{4}-\d{2}-\d{2}""")) DateType
+      else if (v.matches("""\d{4}-\d{2}-\d{2}""") &&
+        scala.util.Try(java.time.LocalDate.parse(v)).isSuccess) DateType
       else StringType
+    // widest type ACROSS all dirs of a column, like Spark's discovery
+    // union (dirs part=1 and part=9999999999 discover as LONG — typing
+    // from the first rel alone would int-overflow rowSchema casts);
+    // any non-promotable mix falls to string, Spark's own fallback
+    def union(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (NullType, x) => x
+      case (x, NullType) => x
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (IntegerType | LongType, DoubleType) => DoubleType
+      case (DoubleType, IntegerType | LongType) => DoubleType
+      case _ => StringType
+    }
     val pcols = partitionCols(spark, table).map { c =>
-      // first rel carrying this column types it (all dirs of one column
-      // agree at write; a type mismatch would be a mixed-layout rel set,
-      // where string is the honest fallback Spark itself picks)
-      val v = rels.iterator.flatMap(_.split("/").find(_.startsWith(c + "="))
+      val vs = rels.flatMap(_.split("/").find(_.startsWith(c + "="))
         .map(seg => org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.unescapePathName(
-            seg.substring(c.length + 1)))).nextOption()
-      StructField(c, v.map(inferred).getOrElse(StringType))
+            seg.substring(c.length + 1))))
+      val dt = vs.map(inferred).reduceOption(union).getOrElse(StringType)
+      StructField(c, if (dt == NullType) StringType else dt)
     }
     Some(StructType(
       pinned.fields ++ promoted.filterNot(f => pcols.exists(_.name == f.name))
@@ -1660,8 +1674,13 @@ object PartitionSnapshots {
         s"dropColumn: no column '$name' in ${pinned.fieldNames.toSeq}")
       val liveEq = rootManifest(spark, table).get.values.toSeq
         .flatMap(parseParts).flatMap(_._2).distinct.filter(_.startsWith("d"))
+      // a delete file written before a rename keys on an ALIAS of this
+      // field — dropping it would strand the anti-join's join column
+      val names = (name +: pinned.fields.find(_.name == name)
+        .map(fieldAliases).getOrElse(Nil)).toSet
       val keyed = liveEq.filter(id => spark.read
-        .parquet(s"$table/$DeletesDir/$id").schema.fieldNames.contains(name))
+        .parquet(s"$table/$DeletesDir/$id").schema.fieldNames
+        .exists(names.contains))
       require(keyed.isEmpty,
         s"dropColumn: live equality-delete file(s) ${keyed.sorted} key on " +
           s"'$name' — compact the affected partitions first")
@@ -3260,11 +3279,23 @@ object PartitionSnapshots {
       }.flatten
       if (todo.isEmpty) return Map.empty
       val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
+      // fold reads are RENAME-aware like every other pinned read: the
+      // current pinned schema + alias coalesce serve pre-rename files'
+      // values under the current names, and old-named delete files
+      // conform — a raw footer-sampled read would silently NULL the
+      // renamed column of whichever era lost the sample and commit the
+      // loss permanently. No basePath: the staged rel re-derives its
+      // dir segments, exactly like the raw read before.
+      val foldPinned = currentRootVersion(spark, table)
+        .flatMap(pinnedSchema(spark, table, _))
+      val foldPromoted = promotedSpecCols(spark, table)
       todo.foreach { case (rel, sidesIn, _, _, bytes) =>
         val nOut = math.max(1,
           math.ceil(bytes.toDouble / targetFileBytes).toInt)
         val sides = sidesIn.map { case (paths, dels) =>
-          applyDeleteRefs(spark, table, spark.read.parquet(paths: _*), dels)
+          val (df0, aliasOf) = groupScan(spark, table, foldPinned,
+            foldPromoted, relCols(rel), paths, useBasePath = false)
+          applyDeleteRefs(spark, table, df0, dels, aliasOf = aliasOf)
         }
         val merged = sides.reduce(_ unionByName _)
         // sorted rewrite (Iceberg rewrite_data_files with a sort order):

@@ -262,10 +262,29 @@ class ChangelogSource(spark: SparkSession, table: String,
             PartitionSnapshots.fieldAliases(f).contains(name))
           .flatMap(f => (f.name +: PartitionSnapshots.fieldAliases(f))
             .find(have.contains))
+      // cast ONLY same-type or WIDENING (pre-widen int feeds into a
+      // long-declared stream): a stream declared before a widenColumn
+      // must NOT silently wrap post-widen long values into its narrow
+      // int — leave the column uncast so the mismatch surfaces loudly
+      // (restart the stream to pick up the widened schema)
+      def widens(from: org.apache.spark.sql.types.DataType,
+                 to: org.apache.spark.sql.types.DataType): Boolean = {
+        import org.apache.spark.sql.types._
+        (from, to) match {
+          case (a, b) if a == b => true
+          case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+          case (ShortType, IntegerType | LongType | DoubleType) => true
+          case (IntegerType, LongType | DoubleType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+      }
       df.select(declared.fields.toSeq.filter(_.name != "_commit_version")
         .map { f =>
           resolve(f.name) match {
-            case Some(c) => col(c).cast(f.dataType).as(f.name)
+            case Some(c) if widens(df.schema(c).dataType, f.dataType) =>
+              col(c).cast(f.dataType).as(f.name)
+            case Some(c) => col(c).as(f.name)
             case None => lit(null).cast(f.dataType).as(f.name)
           }
         }: _*)

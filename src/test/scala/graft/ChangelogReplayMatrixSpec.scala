@@ -32,11 +32,12 @@ object ReplayMatrix {
   case object OptimisticAppend extends StructuralKind { val id = "optapp" }
   case object ColumnRename extends StructuralKind { val id = "colrename" }
   case object ColumnWidenDrop extends StructuralKind { val id = "colwdrop" }
+  case object InsertOverwrite extends StructuralKind { val id = "insovr" }
 
   val AllKinds: Seq[StructuralKind] = Seq(SchemaEvolution, SpecEvolution,
     HiddenBucketEvolution, DropPartitions, BranchFastForward, BranchRebase,
     Compaction, EqualityDelete, PositionalDelete, FileScopedMerge,
-    OptimisticAppend, ColumnRename, ColumnWidenDrop)
+    OptimisticAppend, ColumnRename, ColumnWidenDrop, InsertOverwrite)
 }
 
 class ChangelogReplayMatrixSpec extends SparkSpec {
@@ -156,6 +157,15 @@ class ChangelogReplayMatrixSpec extends SparkSpec {
       PartitionSnapshots.dropColumn(spark, path, "hour")
       Upsert.append(spark, path,
         Seq((4, "p2", 7L)).toDF("k", "part", "v"), Seq("part"))
+    case InsertOverwrite =>
+      // a pending equality delete, then a partition REPLACE on top of
+      // it (the overwrite retires the ref with the state swap), plus an
+      // untouched partition and a post-overwrite append
+      PartitionSnapshots.deleteKeys(spark, path, Seq(1).toDF("k")) shouldBe true
+      PartitionSnapshots.overwritePartitions(spark, path,
+        Seq((5, "p1", 2, 50)).toDF("k", "part", "hour", "v"))
+      Upsert.append(spark, path,
+        Seq((6, "p1", 4, 60)).toDF("k", "part", "hour", "v"), Seq("part"))
   }
 
   /** The invariant: inserts minus deletes of the FULL-history feed equal
@@ -196,7 +206,7 @@ class ChangelogReplayMatrixSpec extends SparkSpec {
     // AllKinds and stageOf's sealed match must cover the same set — a
     // new case object that skips either trips this (or the compiler's
     // exhaustiveness warning on stageOf)
-    AllKinds.map(_.id).distinct.size shouldBe 13
+    AllKinds.map(_.id).distinct.size shouldBe 14
   }
 
   test("root expiry cannot wedge a live changelog stream") {

@@ -123,6 +123,29 @@ class SchemaEvolutionSpec extends SparkSpec {
       .schema("v").dataType shouldBe IntegerType
   }
 
+  test("compaction folds MIXED pre/post-rename files without losing the renamed column") {
+    val wh = tmpDir("sevocmp"); val t = seed(wh)
+    // stack an old-named equality delete, rename, append under the new
+    // name into the SAME partition — the fold must coalesce both eras
+    // and still apply the old-named delete file
+    PartitionSnapshots.deleteKeys(spark, t, Seq(1).toDF("k"))
+    PartitionSnapshots.renameColumn(spark, t, "v", "amount")
+    Upsert.append(spark, t,
+      Seq((4, "p1", 40, "d"), (5, "p2", 50, "e")).toDF("k", "part", "amount", "tag"),
+      Seq("part"))
+    PartitionSnapshots.compact(spark, t, minFiles = 1).size should be > 0
+    // post-compact state: one part per partition, no refs, VALUES intact
+    val got = Upsert.read(spark, t).select("k", "amount").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    got shouldBe Set((2, 20), (3, 30), (4, 40), (5, 50))
+    assert(!PartitionSnapshots.rootManifest(spark, t).get.values
+      .exists(s => s.contains("+") || s.contains("&")),
+      "compaction should fold parts and materialize the delete")
+    // the fold REWROTE the files: values must live under the new name
+    // in the new footers too (a raw re-read shows no NULLs)
+    Upsert.read(spark, t).where(col("amount").isNull).count() shouldBe 0L
+  }
+
   test("refusals: partition column, collisions, transform sources, narrowing") {
     val wh = tmpDir("sevo6"); val t = seed(wh)
     an[IllegalArgumentException] should be thrownBy

@@ -111,13 +111,36 @@ class SqlSurfaceSpec extends SparkSpec {
     val pre = PartitionSnapshots.currentRootVersion(spark, s"$wh/m").get
     cat.sql("TRUNCATE TABLE m").count() shouldBe 0L
     PartitionSnapshots.read(spark, s"$wh/m", asOf = pre).count() shouldBe 1L
+    // a TRUNCATEd table is still a table: refill it through SQL
+    cat.sql("INSERT INTO m VALUES (2, 2.0, 'p2')").count() shouldBe 1L
     // DROP TABLE
+    cat.sql("SELECT count(*) FROM copy") // registers the temp view
     cat.sql("DROP TABLE copy")
     cat.tableExists("copy") shouldBe false
     cat.sql("DROP TABLE IF EXISTS copy") // idempotent
     an[IllegalArgumentException] should be thrownBy cat.sql("DROP TABLE copy")
+    // ... and the stale temp view died with it: a later SELECT fails
+    // with a clean resolution error, not a plan over deleted files
+    an[Exception] should be thrownBy cat.sql("SELECT * FROM copy").collect()
     // DROP VIEW still falls through to spark.sql untouched
     cat.sql("DROP VIEW IF EXISTS ctas_src")
+  }
+
+  test("coercion safety: string column vs numeric literal never silently misses rows") {
+    val wh = tmpDir("sqlcoer")
+    // string key '05': SQL coerces the COLUMN up, so k = 5 MATCHES it —
+    // a keyed/pruned route built from the round-tripped literal '5'
+    // would miss it; these shapes must take the full-predicate route
+    Upsert.upsert(spark, s"$wh/t",
+      Seq(("05", "p1", 1.0), ("5", "p1", 2.0), ("7", "p2", 3.0))
+        .toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val cat = new Catalog(spark, wh)
+    cat.sql("UPDATE t SET v = 9.0 WHERE k = 5")
+      .where(col("v") === 9.0).count() shouldBe 2L // BOTH '05' and '5'
+    cat.sql("DELETE FROM t WHERE k = 5").count() shouldBe 1L
+    // string-literal comparisons keep the cheap keyed routes (exact)
+    cat.sql("DELETE FROM t WHERE k = '7'").count() shouldBe 0L
   }
 
   test("a PARTITIONED table is born manifested: SQL-only lifecycle end-to-end") {
