@@ -3467,6 +3467,49 @@ object Queries {
         |FROM t""".stripMargin)
   }
 
+  /** SQL `INSERT OVERWRITE` — DYNAMIC partition overwrite in ONE commit
+    * (Iceberg's semantics; [[graft.sources.PartitionSnapshots
+    * .overwritePartitions]] behind [[graft.sources.Catalog.sql]]): the
+    * statement's output partitions are REPLACED by fresh version parts
+    * in a single root swap, untouched partitions keep their states
+    * byte-for-byte, and prior roots keep time travel. The builder
+    * overwrites ONE segment with recomputed balances and REQUIRES one
+    * commit + untouched sibling states; the oracle replays the
+    * overwrite declaratively. */
+  def q198InsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionSnapshots
+    val wh = stagedOnce("pinsovr", dir) { base =>
+      val tb = s"$base/t"
+      val seed = t(s, dir, "customer").where(col("c_custkey") <= 400)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, tb, seed, Seq("c_custkey"),
+        partitionCols = Seq("c_mktsegment"), partitionManifests = true)
+      val pre = PartitionSnapshots.currentRootVersion(s, tb).get
+      val preState = PartitionSnapshots.rootManifest(s, tb).get
+      t(s, dir, "customer")
+        .where(col("c_custkey") <= 400 && col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), (col("c_acctbal") + lit(1000.0))
+          .as("c_acctbal"), col("c_mktsegment"))
+        .createOrReplaceGlobalTempView("graft_q198_src")
+      val cat = new graft.sources.Catalog(s, base)
+      cat.sql(
+        """INSERT OVERWRITE t
+          |SELECT c_custkey, c_acctbal, c_mktsegment
+          |FROM global_temp.graft_q198_src""".stripMargin)
+      require(PartitionSnapshots.currentRootVersion(s, tb).get == pre + 1,
+        "q198: the overwrite must be ONE commit")
+      val post = PartitionSnapshots.rootManifest(s, tb).get
+      val untouched = preState.keySet - "c_mktsegment=BUILDING"
+      require(untouched.forall(rel => post(rel) == preState(rel)),
+        "q198: untouched partitions' states must be byte-identical")
+      require(post("c_mktsegment=BUILDING") != preState("c_mktsegment=BUILDING"),
+        "q198: the overwritten partition's state must have swapped")
+    }
+    Upsert.read(s, s"$wh/t")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4446,6 +4489,14 @@ object Queries {
     "q193_update_sql" ->
       """SELECT c_custkey,
         |       CASE WHEN c_custkey <= 120 THEN c_acctbal + 50.0
+        |            ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment
+        |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q198: the dynamic partition overwrite replayed declaratively —
+    // replaced-partition rows recompute, untouched partitions pass
+    "q198_insert_overwrite" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000.0
         |            ELSE c_acctbal END AS c_acctbal,
         |       c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
@@ -6850,6 +6901,7 @@ object Queries {
     "q194_merge_assign_sql" -> (q194MergeAssignSql _),
     "q195_time_travel_sql" -> (q195TimeTravelSql _),
     "q196_schema_evolution_sql" -> (q196SchemaEvolutionSql _),
-    "q197_sql_session" -> (q197SqlSession _)
+    "q197_sql_session" -> (q197SqlSession _),
+    "q198_insert_overwrite" -> (q198InsertOverwrite _)
   )
 }
