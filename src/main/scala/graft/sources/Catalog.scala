@@ -605,6 +605,15 @@ final class Catalog(spark: SparkSession, warehouse: String) {
           if m.notMatchedBySourceActions.isEmpty =>
         val source = org.apache.spark.sql.graft.SqlInternals
           .ofRows(spark, m.sourceTable)
+        // evolution's NULL-fill waiver never extends to partition
+        // columns: document-replacing rows with a NULL pcol would
+        // silently migrate them into the null partition
+        val missingPcols = pcols.filterNot(c =>
+          source.columns.exists(_.equalsIgnoreCase(c)))
+        require(missingPcols.isEmpty,
+          s"MERGE INTO: UPDATE SET * / INSERT * needs source partition " +
+            s"columns ${missingPcols.sorted.mkString(", ")} — WITH SCHEMA " +
+            "EVOLUTION never NULL-fills a partition column")
         graft.operators.Upsert.upsert(spark, path, source, keys,
           insertOnly = m.matchedActions.isEmpty, partitionCols = pcols,
           evolveSchema = m.withSchemaEvolution)
@@ -750,6 +759,17 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         s"MERGE INTO: UPDATE SET * / INSERT * needs source columns " +
           s"${missingInSrc.sorted.mkString(", ")} (or WITH SCHEMA EVOLUTION " +
           "for document-replace NULL fill)")
+      // PARTITION columns are exempt from evolution's NULL-fill waiver:
+      // an INSERT * whose source lacks a pcol would land every inserted
+      // row in the null partition (__HIVE_DEFAULT_PARTITION__) — a
+      // silent layout corruption, not schema evolution. (UPDATE * keeps
+      // the target's pcol value instead — see starVal.)
+      val missingPcols = pcols.filter(c => srcField(c).isEmpty)
+      require(missingPcols.isEmpty ||
+        !insertActs.exists(a => a._4.isEmpty),
+        s"MERGE INTO: INSERT * needs source partition columns " +
+          s"${missingPcols.sorted.mkString(", ")} — WITH SCHEMA EVOLUTION " +
+          "never NULL-fills a partition column")
     }
     require(manifested || !matchedActs.exists(_._3 == 'd'),
       s"MERGE INTO: a DELETE clause requires a manifested target " +
@@ -769,9 +789,15 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     // per-output-column replacement value: a CASE over the UPDATE/INSERT
     // clauses keyed on the winning tag — rows on DELETE tags carry
     // nulls (their __new_* values are never read)
-    def starVal(f: StructField): org.apache.spark.sql.Column =
-      srcField(f.name).map(sf => col(s"$sAlias.${sf.name}"))
-        .getOrElse(lit(null)).cast(f.dataType)
+    def starVal(f: StructField, kind: Char,
+                haveTarget: Boolean): org.apache.spark.sql.Column =
+      srcField(f.name).map(sf => col(s"$sAlias.${sf.name}").cast(f.dataType))
+        .getOrElse(
+          // a pcol absent from the source never NULL-fills (that would
+          // migrate the row into the null partition): UPDATE * keeps
+          // the target's value; INSERT * refused it above
+          if (kind == 'u' && pcols.contains(f.name)) keptVal(f, haveTarget)
+          else lit(null).cast(f.dataType))
     def keptVal(f: StructField, haveTarget: Boolean): org.apache.spark.sql.Column =
       (if (haveTarget && tSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
          col(s"$tAlias.${f.name}")
@@ -779,7 +805,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     def clauseVal(f: StructField, assigns: Assigns, kind: Char,
                   haveTarget: Boolean): org.apache.spark.sql.Column =
       assigns match {
-        case None if kind == 'i' || kind == 'u' => starVal(f)
+        case None if kind == 'i' || kind == 'u' => starVal(f, kind, haveTarget)
         case Some(as) => as.get(f.name).map(sql => expr(sql).cast(f.dataType))
           .getOrElse(if (kind == 'i') lit(null).cast(f.dataType)
                      else keptVal(f, haveTarget))

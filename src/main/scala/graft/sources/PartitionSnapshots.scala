@@ -1250,19 +1250,36 @@ object PartitionSnapshots {
     import org.apache.spark.sql.types._
     val rv = currentRootVersion(spark, table).getOrElse(return None)
     val pinned = pinnedSchema(spark, table, rv).getOrElse(return None)
+    // hidden transform dir columns (e.g. k__bucket4) are part of the
+    // SPEC but never of the row schema — every read frame strips them
+    // via [[dropHidden]]; including them here would make routed
+    // UPDATE/MERGE select columns the frame lacks
+    val hiddenNames = specTransforms(spark, table).map(_.name).toSet
     val promoted = promotedSpecCols(spark, table)
       .filterNot(f => pinned.fieldNames.contains(f.name))
+      .filterNot(f => hiddenNames.contains(f.name))
     val rels = rootManifest(spark, table).get.keys.toSeq
+    // per-value inference mirroring Spark's partition discovery order
+    // (PartitioningUtils.inferPartitionColumnValue: int → long →
+    // decimal(scale 0) → double → date → timestamp → string), so the
+    // metadata-only schema equals the frame schema the actual read
+    // discovers — a divergence here makes rowSchema-driven casts in
+    // routed INSERT/UPDATE disagree with the read frame's types
     def inferred(v: String): DataType =
       if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .DEFAULT_PARTITION_NAME) NullType // typed by the other dirs
       else if (scala.util.Try(Integer.parseInt(v)).isSuccess) IntegerType
       else if (scala.util.Try(java.lang.Long.parseLong(v)).isSuccess) LongType
+      else if (v.matches("""-?\d{1,38}""")) // > Long range, ≤ 38 digits
+        DecimalType(v.stripPrefix("-").length, 0)
       else if (scala.util.Try(java.lang.Double.parseDouble(v)).isSuccess &&
         !v.equalsIgnoreCase("nan") && !v.toLowerCase.contains("infinity"))
         DoubleType
       else if (v.matches("""\d{4}-\d{2}-\d{2}""") &&
         scala.util.Try(java.time.LocalDate.parse(v)).isSuccess) DateType
+      else if (v.matches("""\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?""") &&
+        scala.util.Try(java.time.LocalDateTime.parse(v.replace(' ', 'T')))
+          .isSuccess) TimestampType
       else StringType
     // widest type ACROSS all dirs of a column, like Spark's discovery
     // union (dirs part=1 and part=9999999999 discover as LONG — typing
@@ -1275,16 +1292,26 @@ object PartitionSnapshots {
       case (IntegerType, LongType) | (LongType, IntegerType) => LongType
       case (IntegerType | LongType, DoubleType) => DoubleType
       case (DoubleType, IntegerType | LongType) => DoubleType
+      case (d1: DecimalType, d2: DecimalType)
+          if d1.scale == 0 && d2.scale == 0 =>
+        DecimalType(math.max(d1.precision, d2.precision), 0)
+      case (d: DecimalType, IntegerType | LongType) if d.scale == 0 =>
+        DecimalType(math.max(d.precision, 20), 0)
+      case (IntegerType | LongType, d: DecimalType) if d.scale == 0 =>
+        DecimalType(math.max(d.precision, 20), 0)
+      case (DateType, TimestampType) | (TimestampType, DateType) =>
+        TimestampType
       case _ => StringType
     }
-    val pcols = partitionCols(spark, table).map { c =>
-      val vs = rels.flatMap(_.split("/").find(_.startsWith(c + "="))
-        .map(seg => org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.unescapePathName(
-            seg.substring(c.length + 1))))
-      val dt = vs.map(inferred).reduceOption(union).getOrElse(StringType)
-      StructField(c, if (dt == NullType) StringType else dt)
-    }
+    val pcols = partitionCols(spark, table)
+      .filterNot(hiddenNames.contains).map { c =>
+        val vs = rels.flatMap(_.split("/").find(_.startsWith(c + "="))
+          .map(seg => org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(
+              seg.substring(c.length + 1))))
+        val dt = vs.map(inferred).reduceOption(union).getOrElse(StringType)
+        StructField(c, if (dt == NullType) StringType else dt)
+      }
     Some(StructType(
       pinned.fields ++ promoted.filterNot(f => pcols.exists(_.name == f.name))
         ++ pcols))
@@ -1616,6 +1643,28 @@ object PartitionSnapshots {
       val base = rootManifest(spark, table)
         .getOrElse(scanStates(spark, table, cols))
       val out = applyTransforms(spark, table, df)
+      // the schema this commit pins follows the Upsert.align contract:
+      // additive UNION with the current pinned schema (a df carrying a
+      // subset of the table's columns must not shrink the pinned union
+      // table-wide — untouched partitions' old files keep serving every
+      // column; the overwritten partitions read the missing ones as
+      // NULL), and a TYPE change on a shared column fails loudly
+      val pinSchema: org.apache.spark.sql.types.StructType =
+        currentRootVersion(spark, table)
+          .flatMap(pinnedSchema(spark, table, _)) match {
+          case None => out.schema
+          case Some(prior) =>
+            val pf = prior.fields.map(f => f.name -> f.dataType).toMap
+            val conflicts = out.schema.fields
+              .filter(f => pf.get(f.name).exists(_ != f.dataType))
+            require(conflicts.isEmpty,
+              "overwritePartitions: type change not supported for " +
+                s"${conflicts.map(_.name).toSeq.sorted} (pinned " +
+                s"${conflicts.map(f => pf(f.name)).toSeq} vs written " +
+                s"${conflicts.map(_.dataType).toSeq})")
+            org.apache.spark.sql.types.StructType(prior.fields ++
+              out.schema.fields.filterNot(f => pf.contains(f.name)))
+        }
       val staging = s"$table/_staging-${java.util.UUID.randomUUID()}"
       graft.operators.Upsert.packedWriter(spark, out, cols,
           org.apache.spark.sql.SaveMode.ErrorIfExists)
@@ -1640,7 +1689,7 @@ object PartitionSnapshots {
           rel -> encodeStats(folded(dir))
         }.toMap
         publishRoot(spark, table, base ++ touched, touched,
-          math.max(1, retainVersions), Some(out.schema), touchedStats)
+          math.max(1, retainVersions), Some(pinSchema), touchedStats)
         inParallel(sealedSlots) { case (rel, v) =>
           Snapshots.publish(spark, s"$table/$rel", v)
         }
@@ -2648,8 +2697,15 @@ object PartitionSnapshots {
       s"rootVersionAt: $table is not a manifested table")
     val rt = s"$table/$RootDir"
     val f = fs(spark, new Path(rt))
-    val vs = Snapshots.versions(spark, rt).map(v => v ->
-      f.getFileStatus(new Path(Snapshots.versionPath(rt, v)))
+    // Candidates are the PUBLISHED lineage only — the current head's
+    // recorded-parent chain. Branch-staged slots (parented off a branch
+    // head) and rolled-back lines (above the pointer, or forked away by
+    // the post-rollback rebase) carry newer version numbers and recent
+    // mtimes but were never the table's published state at ANY instant;
+    // a bare max over all retained slots would silently serve them.
+    val line = mainLineage(spark, table)
+    val vs = Snapshots.versions(spark, rt).filter(line.contains).map(v =>
+      v -> f.getFileStatus(new Path(Snapshots.versionPath(rt, v)))
         .getModificationTime)
     val ok = vs.filter(_._2 <= tsMillis)
     require(ok.nonEmpty,
@@ -2658,6 +2714,28 @@ object PartitionSnapshots {
         s"${vs.sortBy(_._2).headOption.map(p => new java.sql.Timestamp(p._2))
           .getOrElse("none")})")
     ok.maxBy(_._1)._1
+  }
+
+  /** Root versions on the CURRENT head's recorded-parent chain — the
+    * set of snapshots that were ever the MAIN published state reachable
+    * from today's head. The walk follows each slot's delta fold target
+    * or full-rebase `parent` file and ends at a first commit (or a
+    * pre-upgrade manifest with no parent recorded, in which case the
+    * contiguous main-stamped prefix below the chain end is included:
+    * pre-fork history is linear by construction). */
+  private[graft] def mainLineage(spark: SparkSession,
+                                 table: String): Set[Long] = {
+    val head = currentRootVersion(spark, table).getOrElse(return Set.empty)
+    val chain = scala.collection.mutable.Set[Long]()
+    var cur: Option[Long] = Some(head)
+    while (cur.exists(v => v > 0 && !chain.contains(v))) {
+      chain += cur.get
+      cur = parentOfRoot(spark, table, cur.get)
+    }
+    val floor = chain.min
+    // below the chain's recorded end, history is linear main-line
+    chain.toSet ++ Snapshots.versions(spark, s"$table/$RootDir")
+      .filter(v => v < floor && isMainLine(spark, table, v))
   }
 
   /** [[read]] pinned at the root version a tag names. */

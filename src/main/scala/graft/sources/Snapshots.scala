@@ -69,7 +69,11 @@ object Snapshots {
     * history (see [[PartitionSnapshots.rootVersionAt]]). */
   def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {
     val f = fs(spark, new Path(table))
-    val vs = versions(spark, table).map(v => v ->
+    // bound by the pointer: after a [[rollback]] the abandoned slots
+    // above it still exist (and have recent mtimes) but are no longer
+    // part of the published history — never serve them
+    val ceiling = pointedVersion(spark, table).getOrElse(Long.MaxValue)
+    val vs = versions(spark, table).filter(_ <= ceiling).map(v => v ->
       f.getFileStatus(new Path(versionPath(table, v))).getModificationTime)
     val ok = vs.filter(_._2 <= tsMillis)
     require(ok.nonEmpty,

@@ -120,6 +120,37 @@ class HiddenPartitioningSpec extends SparkSpec {
       .toSet shouldBe Set(1, 2, 3, 11)
   }
 
+  test("routed SQL UPDATE / MERGE work on a transform-evolved table " +
+      "(rowSchema must exclude the hidden dir column)") {
+    val wh = tmpDir("hpsql")
+    val path = s"$wh/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 1.0), (2, "p2", 2.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.evolvePartitionSpec(spark, path,
+      Seq("part", "bucket(4, k)"))
+    Upsert.upsert(spark, path,
+      Seq((3, "p1", 3.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = PartitionSnapshots.partitionCols(spark, path))
+    // the metadata-only row schema equals the read frame's schema —
+    // hidden transform dir columns (k__bucket4) appear in neither
+    val meta = PartitionSnapshots.tableRowSchema(spark, path).get
+    meta.fieldNames.toSet shouldBe Set("k", "part", "v")
+    meta.fieldNames.toSet shouldBe Upsert.read(spark, path).columns.toSet
+    val cat = new graft.sources.Catalog(spark, wh)
+    cat.sql("UPDATE t SET v = v * 10 WHERE k = 2")
+    Upsert.read(spark, path).where(col("k") === 2)
+      .head().getAs[Double]("v") shouldBe 20.0
+    cat.sql(
+      """MERGE INTO t USING (SELECT 3 AS k, 'p1' AS part, 33.0 AS v,
+        |  'x' AS note) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, part, v) VALUES (s.k, s.part, s.v)
+        |""".stripMargin)
+    Upsert.read(spark, path).where(col("k") === 3)
+      .head().getAs[Double]("v") shouldBe 33.0
+  }
+
   test("transform evolution validates loudly") {
     val path = tmpDir("hpbad") + "/t"
     Upsert.upsert(spark, path, Seq((1, "p1", 1.0)).toDF("k", "part", "v"),

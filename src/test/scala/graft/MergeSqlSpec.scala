@@ -442,4 +442,37 @@ class MergeSqlSpec extends SparkSpec {
       Set((2, 21.0, Some("x")), (3, 30.0, None), (4, 40.0, Some("y")))
     PartitionSnapshots.currentRootVersion(spark, s"$wh/t").get shouldBe pre + 1
   }
+
+  test("WITH SCHEMA EVOLUTION never NULL-fills a partition column: " +
+      "UPDATE * keeps the target's pcol; INSERT * refuses") {
+    val wh = tmpDir("msqlpcol")
+    Upsert.upsert(spark, s"$wh/t",
+      Seq((1, "p1", 10.0), (2, "p2", 20.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // the source LACKS the partition column entirely
+    Seq((1, 11.0, "x")).toDF("k", "v", "extra")
+      .createOrReplaceTempView("msql_pcol_src")
+    val cat = new Catalog(spark, wh)
+    // matched-only star update: the row must STAY in p1, not migrate to
+    // the null partition
+    val out = cat.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO t USING msql_pcol_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    out.where(col("k") === 1).head().getAs[String]("part") shouldBe "p1"
+    Upsert.read(spark, s"$wh/t").where(col("k") === 1)
+      .head().getAs[String]("part") shouldBe "p1"
+    // INSERT * with a pcol-less source refuses loudly even under
+    // evolution — NULL-partition inserts are corruption, not evolution
+    Seq((9, 90.0, "y")).toDF("k", "v", "extra")
+      .createOrReplaceTempView("msql_pcol_ins")
+    val e = intercept[IllegalArgumentException] {
+      cat.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO t USING msql_pcol_ins s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    e.getMessage should include("partition column")
+  }
 }

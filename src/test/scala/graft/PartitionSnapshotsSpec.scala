@@ -1723,4 +1723,56 @@ class PartitionSnapshotsSpec extends SparkSpec {
     Upsert.read(spark, path).where($"k" === 3)
       .select("tag").collect()(0).getString(0) shouldBe "y"
   }
+
+  test("overwritePartitions: a subset-schema df never shrinks the pinned " +
+      "union; type change refuses") {
+    val path = tmpDir("ovrpin") + "/t"
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 1.0, "a"), (2, "p2", 2.0, "b"))
+        .toDF("k", "part", "v", "extra"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    // direct API overwrite of p1 with a df LACKING `extra`
+    PartitionSnapshots.overwritePartitions(spark, path,
+      Seq((10, "p1", 10.0)).toDF("k", "part", "v"))
+    val out = Upsert.read(spark, path)
+    // the untouched partition still serves its column; the overwritten
+    // one reads it as NULL through the pinned union
+    out.columns.toSet shouldBe Set("k", "part", "v", "extra")
+    out.where($"k" === 2).head().getAs[String]("extra") shouldBe "b"
+    out.where($"k" === 10).head().getAs[String]("extra") shouldBe null
+    // a NEW column rides the union additively
+    PartitionSnapshots.overwritePartitions(spark, path,
+      Seq((20, "p2", 20.0, 7L)).toDF("k", "part", "v", "n"))
+    val out2 = Upsert.read(spark, path)
+    out2.columns.toSet shouldBe Set("k", "part", "v", "extra", "n")
+    assert(out2.where($"k" === 10).head().isNullAt(
+      out2.columns.indexOf("n")))
+    // a TYPE change on a shared column fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      PartitionSnapshots.overwritePartitions(spark, path,
+        Seq((30, "p1", "oops")).toDF("k", "part", "v"))
+  }
+
+  test("tableRowSchema partition typing matches the read frame " +
+      "(decimal-wide and timestamp dirs included)") {
+    val path = tmpDir("rowschema") + "/t"
+    // dir values: one beyond-long integer (decimal inference) per
+    // Spark's partition discovery, plus ordinary string partitions
+    Upsert.upsert(spark, path,
+      Seq(("99999999999999999999", 1, 1.0), ("12345678901234567890123", 2, 2.0))
+        .toDF("big", "k", "v"),
+      Seq("k"), partitionCols = Seq("big"), partitionManifests = true)
+    val meta = PartitionSnapshots.tableRowSchema(spark, path).get
+    val frame = Upsert.read(spark, path).schema
+    meta("big").dataType shouldBe frame("big").dataType
+    meta("big").dataType.typeName should startWith("decimal")
+    // timestamp-shaped dirs type as TIMESTAMP, same as discovery
+    val tp = tmpDir("rowschemats") + "/t"
+    Upsert.upsert(spark, tp,
+      Seq(("2024-01-01 10:11:12", 1, 1.0)).toDF("ts", "k", "v"),
+      Seq("k"), partitionCols = Seq("ts"), partitionManifests = true)
+    val metaT = PartitionSnapshots.tableRowSchema(spark, tp).get
+    metaT("ts").dataType shouldBe
+      Upsert.read(spark, tp).schema("ts").dataType
+  }
 }

@@ -96,4 +96,52 @@ class TimeTravelSqlSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       cat.sql("SELECT * FROM m VERSION AS OF 12345")
   }
+
+  test("TIMESTAMP AS OF never serves branch-staged slots") {
+    val wh = tmpDir("ttbr")
+    val t = s"$wh/t"
+    Upsert.upsert(spark, t, Seq((1, "p1", 1.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.createBranch(spark, t, "wip")
+    Thread.sleep(1100)
+    // the branch commit creates the NEWEST root slot — but it was never
+    // the published state, so a now-timestamp must resolve past it
+    Upsert.upsert(spark, t, Seq((1, "p1", 99.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true,
+      branch = Some("wip"))
+    val cat = new Catalog(spark, wh)
+    cat.sql("SELECT v FROM t TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .head().getDouble(0) shouldBe 1.0
+  }
+
+  test("TIMESTAMP AS OF never serves a rolled-back line (manifested and flat)") {
+    val wh = tmpDir("ttrb")
+    val t = s"$wh/t"
+    Upsert.upsert(spark, t, Seq((1, "p1", 1.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    val v1 = PartitionSnapshots.currentRootVersion(spark, t).get
+    Thread.sleep(1100)
+    Upsert.upsert(spark, t, Seq((1, "p1", 2.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    PartitionSnapshots.rollbackRoot(spark, t, v1)
+    val cat = new Catalog(spark, wh)
+    // the abandoned v2 slot is newer on disk but off the published line
+    cat.sql("SELECT v FROM t TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .head().getDouble(0) shouldBe 1.0
+    // a post-rollback commit forks a NEW line; the abandoned slot stays
+    // invisible to timestamps between the old and new commits
+    Thread.sleep(1100)
+    Upsert.upsert(spark, t, Seq((2, "p1", 3.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    cat.sql("SELECT sum(v) AS s FROM t TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .head().getDouble(0) shouldBe 4.0
+    // flat snapshot tables: the pointer bounds the candidates
+    val s = s"$wh/s"
+    val sv1 = Snapshots.commit(spark, s, Seq((1, 1.0)).toDF("k", "v"))
+    Thread.sleep(1100)
+    Snapshots.commit(spark, s, Seq((1, 1.0), (2, 2.0)).toDF("k", "v"))
+    Snapshots.rollback(spark, s, sv1)
+    cat.sql("SELECT count(*) AS n FROM s TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .head().getLong(0) shouldBe 1L
+  }
 }
