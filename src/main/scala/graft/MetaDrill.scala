@@ -323,3 +323,95 @@ object ChainDrill {
     spark.stop()
   }
 }
+
+/** DATA-decade drill for the round-13 SQL surfaces (round-14 verdict ask
+  * 7): the file-sizing knob, the atomic general MERGE (q194 shape:
+  * assignment lists + WHEN NOT MATCHED BY SOURCE), INSERT OVERWRITE
+  * (q198 shape), and the point row-level statements (q197 shape) at
+  * REAL data volume — run once at "sf1" (~6M fact rows) and once at
+  * "sf10" (~60M), the PLANS table shows ≤ ~linear scaling. Usage:
+  * `runMain graft.SqlScaleDrill [rows] [parts]`. */
+object SqlScaleDrill {
+  import MetaDrill.timed
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(6_000_000L)
+    val parts = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the r13 write-side sizing knob ON — this drill is its data-decade
+      .config("graft.write.targetFileSizeBytes",
+        (128L * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+
+    val base = java.nio.file.Files.createTempDirectory(
+      s"sqlscale_$rows").toString
+    val t = s"$base/t"
+    println(s"[drill] table=$t rows=$rows parts=$parts (sized writes)")
+    val per = rows / parts
+    def fact(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("k"), (col("id") / per).cast("int").as("part"),
+      (col("id") % 997).cast("double").as("v"),
+      concat(lit("row-"), col("id")).as("tag"))
+
+    timed(s"seed $rows rows (sized fan-in)") {
+      Upsert.upsert(spark, t, fact(0, rows), Seq("k"),
+        partitionCols = Seq("part"), partitionManifests = true)
+    }
+    println("[drill] seed files = " +
+      PartitionSnapshots.filesMeta(spark, t).count())
+    val cat = new graft.sources.Catalog(spark, base)
+
+    // q198 shape: INSERT OVERWRITE of ONE partition (recomputed rows)
+    fact(37L * per, 38L * per)
+      .withColumn("v", col("v") + 1000.0)
+      .createOrReplaceGlobalTempView("ovr_src")
+    timed("INSERT OVERWRITE one partition (1% of rows)") {
+      cat.sql("INSERT OVERWRITE t SELECT * FROM global_temp.ovr_src")
+    }
+
+    // q194 shape WITHOUT BY SOURCE: O(affected) — 0.1% of keys spread
+    // over every partition + 0.01% inserts, assignment lists
+    spark.range(0, rows, 1000).select(col("id").as("k"),
+      lit(-1.0).as("dv"))
+      .unionByName(spark.range(rows, rows + rows / 10000)
+        .select(col("id").as("k"), lit(7.0).as("dv")))
+      .createOrReplaceGlobalTempView("m_src")
+    timed("general MERGE, assignment lists, no BY SOURCE (0.1% touched)") {
+      cat.sql(
+        s"""MERGE INTO t t USING global_temp.m_src s ON t.k = s.k
+           |WHEN MATCHED AND s.dv < 0 THEN UPDATE SET v = t.v - 1
+           |WHEN MATCHED THEN UPDATE SET v = s.dv
+           |WHEN NOT MATCHED THEN INSERT (k, part, v)
+           |  VALUES (s.k, ${parts - 1}, s.dv)""".stripMargin)
+    }
+
+    // q194 shape WITH BY SOURCE: semantically O(table) — every
+    // unmatched target row is classified; linear in table size is the
+    // honest floor
+    timed("general MERGE with WHEN NOT MATCHED BY SOURCE (O(table) semantics)") {
+      cat.sql(
+        """MERGE INTO t t USING global_temp.m_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.dv
+          |WHEN NOT MATCHED BY SOURCE AND t.v > 990 THEN UPDATE SET v = 990
+          |""".stripMargin)
+    }
+
+    // q197 shape: the point statements at data volume
+    timed("1-row SQL UPDATE") {
+      cat.sql(s"UPDATE t SET v = v + 1 WHERE k = ${rows / 2}")
+    }
+    timed("3-key SQL DELETE (IN-list)") {
+      cat.sql(s"DELETE FROM t WHERE k IN (17, ${rows / 3}, ${rows - 5})")
+    }
+    println("[drill] final count = " +
+      timed("full count")(PartitionSnapshots.read(spark, t).count()))
+    spark.stop()
+  }
+}

@@ -3510,6 +3510,48 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** SQL `CALL` MAINTENANCE PROCEDURES ([[graft.sources.Catalog.sql]]
+    * routing Iceberg's `CALL catalog.system.<proc>` surface onto the
+    * ops APIs): the builder fragments a manifested table with three
+    * fast-appends, runs a CALL-driven compaction
+    * (`rewrite_data_files`), and REQUIRES the file count to drop while
+    * every row survives; a dry-run `remove_orphan_files` over the
+    * healthy table must report nothing. The oracle replays row
+    * preservation declaratively — maintenance is plumbing that never
+    * changes the answer. */
+  def q199CallMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionSnapshots
+    val wh = stagedOnce("pcallmaint", dir) { base =>
+      val tb = s"$base/t"
+      // SF-independent fragmentation: seed one key-residue class, then
+      // three fast-appends of the others — every partition ends with
+      // several small files whatever the scale factor
+      val rows = t(s, dir, "customer").where(col("c_custkey") <= 390)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.upsert(s, tb, rows.where(col("c_custkey") % 4 === 0),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"),
+        partitionManifests = true)
+      for (i <- 1 to 3)
+        Upsert.append(s, tb, rows.where(col("c_custkey") % 4 === i),
+          Seq("c_mktsegment"))
+      val cat = new graft.sources.Catalog(s, base)
+      val preFiles = PartitionSnapshots.filesMeta(s, tb).count()
+      val report = cat.sql(
+        "CALL graft.system.rewrite_data_files(table => 't', min_files => 2)")
+      require(report.count() > 0,
+        "q199: compaction must report rewritten partitions")
+      val postFiles = PartitionSnapshots.filesMeta(s, tb).count()
+      require(postFiles < preFiles,
+        s"q199: compaction must drop the file count ($preFiles -> $postFiles)")
+      require(cat.sql(
+        "CALL system.remove_orphan_files(table => 't', dry_run => true)")
+        .isEmpty, "q199: a healthy table has no orphans to sweep")
+    }
+    Upsert.read(s, s"$wh/t")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").cast("string").as("c_mktsegment"))
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4492,6 +4534,11 @@ object Queries {
         |            ELSE c_acctbal END AS c_acctbal,
         |       c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q199: CALL-driven compaction + dry-run sweep replayed
+    // declaratively — maintenance preserves every row
+    "q199_call_maintenance" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey <= 390""".stripMargin,
     // q198: the dynamic partition overwrite replayed declaratively —
     // replaced-partition rows recompute, untouched partitions pass
     "q198_insert_overwrite" ->
@@ -6902,6 +6949,7 @@ object Queries {
     "q195_time_travel_sql" -> (q195TimeTravelSql _),
     "q196_schema_evolution_sql" -> (q196SchemaEvolutionSql _),
     "q197_sql_session" -> (q197SqlSession _),
-    "q198_insert_overwrite" -> (q198InsertOverwrite _)
+    "q198_insert_overwrite" -> (q198InsertOverwrite _),
+    "q199_call_maintenance" -> (q199CallMaintenance _)
   )
 }

@@ -153,6 +153,17 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       case "TRUNCATE" => reparse {
         case t: TruncateTable => runTruncate(t)
       }
+      case "CALL" => reparse {
+        case c: org.apache.spark.sql.catalyst.plans.logical.Call => runCall(c)
+      }
+      case "SHOW" => reparse {
+        case _: org.apache.spark.sql.catalyst.plans.logical.ShowTables =>
+          runShowTables()
+      }
+      case "DESCRIBE" | "DESC" => reparse {
+        case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
+          runDescribe(d)
+      }
       case _ if TimeTravelHint.matcher(query).find() =>
         // `FROM t VERSION AS OF v / TIMESTAMP AS OF ts / AS OF <tag>`:
         // the parser wraps the relation in RelationTimeTravel; resolve
@@ -185,6 +196,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
       u.multipartIdentifier.last
     case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      t.multipartIdentifier.last
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
       t.multipartIdentifier.last
     case i: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
       i.nameParts.last
@@ -431,6 +444,199 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     // zero-row frame (readOption answers None for no-rows by design)
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** SQL MAINTENANCE PROCEDURES (Iceberg's `CALL catalog.system.<proc>`
+    * surface) routed onto the existing ops APIs — the one surface an
+    * ops user could not previously reach as text. Procedures accept
+    * positional or `name => value` named arguments (any literal):
+    *
+    *   rewrite_data_files(table, [target_file_size_bytes], [min_files],
+    *     [sort], [small_file_bytes])      → [[PartitionSnapshots.compact]]
+    *   expire_snapshots(table, [older_than_ms])
+    *                                      → [[PartitionSnapshots.expireRoots]]
+    *   remove_orphan_files(table, [older_than_ms], [dry_run])
+    *                                      → [[PartitionSnapshots.removeOrphans]]
+    *   rollback_to_snapshot(table, version)
+    *                                      → [[PartitionSnapshots.rollbackRoot]]
+    *   create_branch(table, branch, [version]) / drop_branch /
+    *   fast_forward(table, branch, [rebase]) / create_tag / drop_tag
+    *
+    * The namespace accepts `system.<proc>` or `graft.system.<proc>`;
+    * unknown procedures and malformed arguments refuse loudly. Each
+    * returns a small summary frame (Iceberg's procedure-output shape),
+    * never a table scan. */
+  private def runCall(
+      c: org.apache.spark.sql.catalyst.plans.logical.Call): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure
+    import org.apache.spark.sql.catalyst.expressions.{Expression, NamedArgumentExpression}
+    import spark.implicits._
+    val nameParts = c.procedure match {
+      case p: UnresolvedProcedure => p.nameParts
+      case other => throw new IllegalArgumentException(
+        s"CALL: unsupported procedure reference ${other.nodeName}")
+    }
+    require(nameParts.size >= 2 && nameParts.size <= 3 &&
+      nameParts(nameParts.size - 2) == "system" &&
+      (nameParts.size == 2 || nameParts.head == "graft"),
+      s"CALL: unknown namespace ${nameParts.mkString(".")} — use " +
+        "[graft.]system.<procedure>")
+    val proc = nameParts.last
+    def litVal(e: Expression): Any = {
+      require(e.foldable, s"CALL: argument must be a literal, got ${e.sql}")
+      e.eval(null) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case v => v
+      }
+    }
+    val (named, positional) = c.args.partition(
+      _.isInstanceOf[NamedArgumentExpression])
+    val byName: Map[String, Any] = named.map {
+      case NamedArgumentExpression(k, v) =>
+        k.toLowerCase(java.util.Locale.ROOT) -> litVal(v)
+    }.toMap
+    val byPos: Seq[Any] = positional.map(litVal)
+    // resolve against the procedure's declared parameter order:
+    // positional args fill the leading parameters (SQL requires them
+    // before any named arg), named args fill by name
+    def arg(params: Seq[String], name: String): Option[Any] = {
+      val i = params.indexOf(name)
+      require(i < 0 || !byName.contains(name) || i >= byPos.size,
+        s"CALL $proc: argument '$name' given both positionally and by name")
+      byName.get(name).orElse(
+        if (i >= 0 && i < byPos.size) Some(byPos(i)) else None)
+    }
+    def need(params: Seq[String], name: String): Any =
+      arg(params, name).getOrElse(throw new IllegalArgumentException(
+        s"CALL $proc: required argument '$name' missing " +
+          s"(parameters: ${params.mkString(", ")})"))
+    def str(v: Any): String = v.toString
+    def lng(v: Any): Long = v match {
+      case n: java.lang.Number => n.longValue()
+      case s => s.toString.toLong
+    }
+    def bool(v: Any): Boolean = v match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case s => s.toString.toBoolean
+    }
+    def manifestedPath(tname: String): String = {
+      require(tableExists(tname),
+        s"CALL $proc: no table '$tname' in warehouse $warehouse")
+      val p = tablePath(tname)
+      require(PartitionSnapshots.isManifested(spark, p),
+        s"CALL $proc: '$tname' is not a manifested table")
+      p
+    }
+    proc match {
+      case "rewrite_data_files" =>
+        val ps = Seq("table", "target_file_size_bytes", "min_files",
+          "sort", "small_file_bytes")
+        val path = manifestedPath(str(need(ps, "table")))
+        val out = PartitionSnapshots.compact(spark, path,
+          targetFileBytes = arg(ps, "target_file_size_bytes").map(lng)
+            .getOrElse(128L * 1024 * 1024),
+          minFiles = arg(ps, "min_files").map(lng(_).toInt).getOrElse(4),
+          sortWithin = arg(ps, "sort").map(str(_).split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+          smallFileBytes = arg(ps, "small_file_bytes").map(lng)
+            .getOrElse(Long.MaxValue))
+        out.toSeq.sortBy(_._1).map { case (rel, (b, a)) => (rel, b, a) }
+          .toDF("partition", "files_before", "files_after")
+      case "expire_snapshots" =>
+        val ps = Seq("table", "older_than_ms")
+        val path = manifestedPath(str(need(ps, "table")))
+        PartitionSnapshots.expireRoots(spark, path,
+          olderThanMs = arg(ps, "older_than_ms").map(lng)
+            .getOrElse(7L * 24 * 3600 * 1000))
+          .toDF("expired_version")
+      case "remove_orphan_files" =>
+        val ps = Seq("table", "older_than_ms", "dry_run")
+        val path = manifestedPath(str(need(ps, "table")))
+        PartitionSnapshots.removeOrphans(spark, path,
+          olderThanMs = arg(ps, "older_than_ms").map(lng)
+            .getOrElse(24L * 3600 * 1000),
+          dryRun = arg(ps, "dry_run").exists(bool))
+          .toDF("orphan_path")
+      case "rollback_to_snapshot" =>
+        val ps = Seq("table", "version")
+        val path = manifestedPath(str(need(ps, "table")))
+        PartitionSnapshots.rollbackRoot(spark, path, lng(need(ps, "version")))
+        Seq(PartitionSnapshots.currentRootVersion(spark, path).get)
+          .toDF("current_version")
+      case "create_branch" | "create_tag" =>
+        val what = if (proc == "create_branch") "branch" else "tag"
+        val ps = Seq("table", what, "version")
+        val path = manifestedPath(str(need(ps, "table")))
+        val ref = str(need(ps, what))
+        val v = arg(ps, "version").map(lng).getOrElse(-1L)
+        if (proc == "create_branch")
+          PartitionSnapshots.createBranch(spark, path, ref, v)
+        else PartitionSnapshots.tagRoot(spark, path, ref, v)
+        val pinned =
+          if (proc == "create_branch")
+            PartitionSnapshots.rootBranches(spark, path)(ref)
+          else PartitionSnapshots.rootTags(spark, path)(ref)
+        Seq((ref, pinned)).toDF(what, "version")
+      case "drop_branch" | "drop_tag" =>
+        val what = if (proc == "drop_branch") "branch" else "tag"
+        val ps = Seq("table", what)
+        val path = manifestedPath(str(need(ps, "table")))
+        val ref = str(need(ps, what))
+        if (proc == "drop_branch")
+          PartitionSnapshots.dropBranch(spark, path, ref)
+        else PartitionSnapshots.dropRootTag(spark, path, ref)
+        Seq(ref).toDF(what)
+      case "fast_forward" =>
+        val ps = Seq("table", "branch", "rebase")
+        val path = manifestedPath(str(need(ps, "table")))
+        val branch = str(need(ps, "branch"))
+        val v = PartitionSnapshots.fastForwardRoot(spark, path, branch,
+          rebase = arg(ps, "rebase").exists(bool))
+        Seq((branch, v)).toDF("branch", "current_version")
+      case other => throw new IllegalArgumentException(
+        s"CALL: unknown procedure 'system.$other' — supported: " +
+          "rewrite_data_files, expire_snapshots, remove_orphan_files, " +
+          "rollback_to_snapshot, create_branch, drop_branch, create_tag, " +
+          "drop_tag, fast_forward")
+    }
+  }
+
+  /** `SHOW TABLES` over the warehouse listing — METADATA-ONLY (one
+    * directory listing of the warehouse root; no table is constructed
+    * or scanned). The reference's probe idiom
+    * (gold_to_bigquery.py:100-115), shaped like Spark's own output. */
+  private def runShowTables(): DataFrame = {
+    import spark.implicits._
+    listTables().map(n => ("", n, false))
+      .toDF("namespace", "tableName", "isTemporary")
+  }
+
+  /** `DESCRIBE [TABLE] t` from pinned metadata — ZERO file listings for
+    * manifested tables ([[rowSchema]] answers from the pinned union
+    * schema + manifest rel paths). Shaped like Spark's DESCRIBE: one
+    * row per column plus a partition-information section for
+    * partitioned tables. */
+  private def runDescribe(
+      d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation)
+      : DataFrame = {
+    import spark.implicits._
+    val name = nameOfPlan(d.relation, "DESCRIBE")
+    require(tableExists(name),
+      s"DESCRIBE: no table '$name' in warehouse $warehouse")
+    val schema = rowSchema(name)
+    val pcols =
+      if (PartitionSnapshots.isManifested(spark, tablePath(name)))
+        PartitionSnapshots.partitionCols(spark, tablePath(name))
+      else Nil
+    val colRows = schema.fields.toSeq.map(f =>
+      (f.name, f.dataType.simpleString,
+        if (f.getComment().isDefined) f.getComment().get else null))
+    val partRows =
+      if (pcols.isEmpty) Nil
+      else ("# Partition Information", "", null) +:
+        pcols.flatMap(c => schema.fields.find(_.name == c))
+          .map(f => (f.name, f.dataType.simpleString, null))
+    (colRows ++ partRows).toDF("col_name", "data_type", "comment")
   }
 
   /** Resolve one `RelationTimeTravel` node to the pinned snapshot read

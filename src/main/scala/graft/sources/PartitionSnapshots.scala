@@ -599,7 +599,8 @@ object PartitionSnapshots {
       case Some(entries) =>
         val rv = if (asOf > 0) asOf
           else currentRootVersion(spark, table).get
-        readEntries(spark, table, entries, pinnedSchema(spark, table, rv))
+        readEntries(spark, table, entries, pinnedSchema(spark, table, rv),
+          stats = rootStats(spark, table, rv))
       case None =>
         require(asOf <= 0, s"no root manifest at $table to time-travel")
         val cols = partitionCols(spark, table)
@@ -642,7 +643,7 @@ object PartitionSnapshots {
     rootManifest(spark, table, asOf).flatMap { entries =>
       val rv = if (asOf > 0) asOf else currentRootVersion(spark, table).get
       readEntries(spark, table, entries.view.filterKeys(rels).toMap,
-        pinnedSchema(spark, table, rv))
+        pinnedSchema(spark, table, rv), stats = rootStats(spark, table, rv))
     }
 
   def readPartitions(spark: SparkSession, table: String, rels: Set[String],
@@ -650,7 +651,7 @@ object PartitionSnapshots {
     rootManifest(spark, table, asOf).flatMap { entries =>
       val rv = if (asOf > 0) asOf else currentRootVersion(spark, table).get
       readEntries(spark, table, entries.view.filterKeys(rels).toMap,
-        pinnedSchema(spark, table, rv))
+        pinnedSchema(spark, table, rv), stats = rootStats(spark, table, rv))
     }.map(dropHidden(spark, table, _))
 
   /** Committed root-manifest versions, ascending — each is a whole-table
@@ -1131,7 +1132,8 @@ object PartitionSnapshots {
   private def readEntries(spark: SparkSession, table: String,
                           entries: Map[String, String],
                           schema: Option[org.apache.spark.sql.types.StructType] = None,
-                          rowPos: Boolean = false)
+                          rowPos: Boolean = false,
+                          stats: Map[String, PartStats] = Map.empty)
       : Option[DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     // group by (pending-delete set, the rel's OWN partition layout): a
@@ -1142,15 +1144,30 @@ object PartitionSnapshots {
     // column when they were written), typed as recorded at evolution.
     val groups = entries.toSeq.sortBy(_._1).flatMap { case (rel, state) =>
       parseParts(state).flatMap { case (base, dels) =>
-        stateDataPath(table, rel, base).map(p => ((dels, relCols(rel)), p))
+        stateDataPath(table, rel, base).map(p => ((dels, relCols(rel)), (p, rel)))
       }
     }.groupBy(_._1).toSeq.sortBy(_._1.toString)
     if (groups.isEmpty) None
     else {
+      // manifest row counts feed the planner's size estimate WITHOUT any
+      // file listing (exact per delete-free rel): a group's hint is the
+      // sum over its rels, but only when every contributing rel has
+      // stats, carries no pending deletes, and lands WHOLLY in this
+      // group — a rel split across groups would double-count
+      val relGroupCount: Map[String, Int] =
+        groups.flatMap { case (key, ms) => ms.map(m => m._2._2 -> key) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
       lazy val promoted = promotedSpecCols(spark, table)
       Some(groups.map { case ((dels, pcols), members) =>
+        val rels = members.map(_._2._2).distinct
+        val rowsHint: Option[Long] =
+          if (dels.isEmpty && rels.forall(r =>
+              relGroupCount(r) == 1 && stats.contains(r)))
+            Some(rels.map(stats(_).rows).sum)
+          else None
         val (dfA, aliasOf) = groupScan(spark, table, schema, promoted,
-          pcols, members.map(_._2))
+          pcols, members.map(_._2._1), rowsHint = rowsHint,
+          pcolFields = Some(inferPcolFields(rels, pcols)))
         // conform promoted/hidden columns a layout group LACKS even when
         // no pinned schema was passed (deleteKeys' raw read): a transform
         // dir column exists only as a path segment of new-spec groups —
@@ -1184,7 +1201,10 @@ object PartitionSnapshots {
                         schema: Option[org.apache.spark.sql.types.StructType],
                         promoted: Seq[org.apache.spark.sql.types.StructField],
                         pcols: Seq[String], paths: Seq[String],
-                        useBasePath: Boolean = true)
+                        useBasePath: Boolean = true,
+                        rowsHint: Option[Long] = None,
+                        pcolFields: Option[Seq[org.apache.spark.sql.types
+                          .StructField]] = None)
       : (DataFrame, Map[String, String]) = {
     import org.apache.spark.sql.functions.{coalesce, col}
     import org.apache.spark.sql.types.{StructField, StructType}
@@ -1205,10 +1225,33 @@ object PartitionSnapshots {
         if (aliasedNames.contains(f.name)) f.copy(nullable = true) else f)
       StructType(scanFields ++ extra ++ aliasFields)
     }
-    val reader0 =
-      if (useBasePath) spark.read.option("basePath", table) else spark.read
-    val reader = groupSchema.foldLeft(reader0)(_ schema _)
-    val df0 = reader.parquet(paths: _*)
+    // DEFERRED-LISTING scan (the common, pinned-schema case): merely
+    // CONSTRUCTING spark.read.parquet(dirs…) lists every leaf file
+    // (~7–10 s at the 65k-file decade) even when the frame is never
+    // run — a routed SQL statement's response frame in particular. With
+    // the data schema pinned and the partition columns typed from the
+    // manifest rels ([[inferPcolFields]] — or the pinned field when the
+    // schema carries it, matching the eager reader's cast-to-user-type
+    // rule), the scan needs ZERO file system calls until an action
+    // plans it ([[org.apache.spark.sql.graft.LazyScan]]); the manifest
+    // row hint right-sizes first-plan join decisions the same way
+    // Iceberg reports stats. Schema-less reads (pre-upgrade tables)
+    // still infer eagerly; per-file token paths (useBasePath = false)
+    // keep the eager reader too.
+    val df0 = (groupSchema, pcolFields) match {
+      case (Some(st), Some(pfs)) if useBasePath =>
+        val pSchema = StructType(pfs.map(f =>
+          st.fields.find(_.name == f.name).getOrElse(f)))
+        val dSchema = StructType(
+          st.fields.filterNot(f => pcols.contains(f.name)))
+        org.apache.spark.sql.graft.LazyScan.parquetFrame(spark, paths,
+          Map("basePath" -> table), dSchema, pSchema, rowsHint)
+      case _ =>
+        val reader0 =
+          if (useBasePath) spark.read.option("basePath", table)
+          else spark.read
+        groupSchema.foldLeft(reader0)(_ schema _).parquet(paths: _*)
+    }
     val dfA = aliased.foldLeft(df0) { case (d, (f, as)) =>
       d.withColumn(f.name, coalesce((f.name +: as).map(col): _*))
         .drop(as: _*)
@@ -1229,7 +1272,8 @@ object PartitionSnapshots {
         s"readWithRowPos: no committed root manifest at $table"))
     val rv = currentRootVersion(spark, table).get
     readEntries(spark, table, entries, pinnedSchema(spark, table, rv),
-      rowPos = true).map(dropHidden(spark, table, _)).getOrElse(
+      rowPos = true, stats = rootStats(spark, table, rv))
+      .map(dropHidden(spark, table, _)).getOrElse(
       throw new IllegalArgumentException(
         s"readWithRowPos: no partition of $table holds rows"))
   }
@@ -1259,12 +1303,25 @@ object PartitionSnapshots {
       .filterNot(f => pinned.fieldNames.contains(f.name))
       .filterNot(f => hiddenNames.contains(f.name))
     val rels = rootManifest(spark, table).get.keys.toSeq
-    // per-value inference mirroring Spark's partition discovery order
-    // (PartitioningUtils.inferPartitionColumnValue: int → long →
-    // decimal(scale 0) → double → date → timestamp → string), so the
-    // metadata-only schema equals the frame schema the actual read
-    // discovers — a divergence here makes rowSchema-driven casts in
-    // routed INSERT/UPDATE disagree with the read frame's types
+    val pcols = inferPcolFields(rels,
+      partitionCols(spark, table).filterNot(hiddenNames.contains))
+    Some(StructType(
+      pinned.fields ++ promoted.filterNot(f => pcols.exists(_.name == f.name))
+        ++ pcols))
+  }
+
+  /** Partition-column fields typed by METADATA-ONLY inference over the
+    * manifest rel paths' `k=v` segments, mirroring Spark's partition
+    * discovery order (PartitioningUtils.inferPartitionColumnValue:
+    * int → long → decimal(scale 0) → double → date → timestamp →
+    * string) and its widening union across dirs — so the metadata-only
+    * schema equals the frame schema the actual read discovers (dirs
+    * part=1 and part=9999999999 discover as LONG; typing from one rel
+    * alone would int-overflow rowSchema casts; a non-promotable mix
+    * falls to string, Spark's own fallback). */
+  private[graft] def inferPcolFields(rels: Seq[String], cols: Seq[String])
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
     def inferred(v: String): DataType =
       if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .DEFAULT_PARTITION_NAME) NullType // typed by the other dirs
@@ -1281,10 +1338,6 @@ object PartitionSnapshots {
         scala.util.Try(java.time.LocalDateTime.parse(v.replace(' ', 'T')))
           .isSuccess) TimestampType
       else StringType
-    // widest type ACROSS all dirs of a column, like Spark's discovery
-    // union (dirs part=1 and part=9999999999 discover as LONG — typing
-    // from the first rel alone would int-overflow rowSchema casts);
-    // any non-promotable mix falls to string, Spark's own fallback
     def union(a: DataType, b: DataType): DataType = (a, b) match {
       case (x, y) if x == y => x
       case (NullType, x) => x
@@ -1303,18 +1356,14 @@ object PartitionSnapshots {
         TimestampType
       case _ => StringType
     }
-    val pcols = partitionCols(spark, table)
-      .filterNot(hiddenNames.contains).map { c =>
-        val vs = rels.flatMap(_.split("/").find(_.startsWith(c + "="))
-          .map(seg => org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.unescapePathName(
-              seg.substring(c.length + 1))))
-        val dt = vs.map(inferred).reduceOption(union).getOrElse(StringType)
-        StructField(c, if (dt == NullType) StringType else dt)
-      }
-    Some(StructType(
-      pinned.fields ++ promoted.filterNot(f => pcols.exists(_.name == f.name))
-        ++ pcols))
+    cols.map { c =>
+      val vs = rels.flatMap(_.split("/").find(_.startsWith(c + "="))
+        .map(seg => org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(
+            seg.substring(c.length + 1))))
+      val dt = vs.map(inferred).reduceOption(union).getOrElse(StringType)
+      StructField(c, if (dt == NullType) StringType else dt)
+    }
   }
 
   /** [[readWithRowPos]] restricted by manifest stats: partitions whose
@@ -1345,7 +1394,8 @@ object PartitionSnapshots {
           .toMap
       case None => entries
     }
-    readEntries(spark, table, kept, pinned, rowPos = true)
+    readEntries(spark, table, kept, pinned, rowPos = true,
+        stats = rootStats(spark, table))
       .map(dropHidden(spark, table, _))
       .getOrElse {
         // every partition excluded (or empty): an empty frame with the

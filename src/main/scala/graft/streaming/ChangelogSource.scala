@@ -74,10 +74,15 @@ class ChangelogSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
+                            parameters: Map[String, String]): Source = {
+    val mode = parameters.getOrElse("startingMode", "latest")
+    require(mode == "latest" || mode == "initial-snapshot",
+      s"graft-changelog: startingMode must be 'latest' or " +
+        s"'initial-snapshot', got '$mode'")
     new ChangelogSource(sqlContext.sparkSession, table(parameters),
       parameters.get("startingVersion").map(_.toLong), metadataPath,
-      parameters.get("branch"))
+      parameters.get("branch"), initialSnapshot = mode == "initial-snapshot")
+  }
 }
 
 object ChangelogSource {
@@ -99,7 +104,11 @@ object ChangelogSource {
 class ChangelogSource(spark: SparkSession, table: String,
                       startingVersion: Option[Long],
                       metadataPath: String,
-                      branchName: Option[String] = None) extends Source {
+                      branchName: Option[String] = None,
+                      initialSnapshot: Boolean = false) extends Source {
+  require(!(initialSnapshot && startingVersion.isDefined),
+    "graft-changelog: startingMode = 'initial-snapshot' and " +
+      "startingVersion are mutually exclusive — the image IS the start")
   private val declared = ChangelogSource.feedSchema(spark, table)
 
   /** The ref this stream follows: the MAIN pointer by default, or a
@@ -173,6 +182,36 @@ class ChangelogSource(spark: SparkSession, table: String,
     }.getOrElse(refHead().getOrElse(0L))
     writeBase(v)
     readBase().getOrElse(v) // a concurrent (re)creator can only raise it
+  }
+
+  /** INITIAL-SNAPSHOT BOOTSTRAP (Delta's `readStream.format("delta")`
+    * default / Iceberg's incremental read from a snapshot): a FRESH
+    * consumer on a chain whose early roots retention already expired
+    * cannot replay full history (`startingVersion = 1` refuses loudly —
+    * the expire-snapshots contract), but it CAN start from the current
+    * snapshot image: batch 0 serves every live row as
+    * `change_type = 'insert'` stamped with the bootstrap version, then
+    * the stream tails ordinary per-commit diffs above it. The marker is
+    * persisted beside the base floor so a crash-replay of micro-batch 0
+    * re-serves the exact same image (the read pins `asOf` the recorded
+    * version); it is consulted on every start, so a restart keeps the
+    * semantics even if the option is dropped from the restarted query. */
+  private val BootstrapPrefix = "graft-changelog-bootstrap"
+  private def readBootstrap(): Option[Long] = {
+    if (!baseFs.exists(baseDir)) return None
+    val vs = baseFs.listStatus(baseDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(BootstrapPrefix + "-") =>
+        n.stripPrefix(BootstrapPrefix + "-").toLongOption
+      }.flatten
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+  private val bootstrapAt: Option[Long] = readBootstrap().orElse {
+    if (initialSnapshot && initialBase > 0) {
+      baseFs.mkdirs(baseDir)
+      baseFs.create(new Path(baseDir, s"$BootstrapPrefix-$initialBase"),
+        true).close()
+      Some(initialBase)
+    } else None
   }
 
   override def schema: StructType = declared
@@ -299,7 +338,20 @@ class ChangelogSource(spark: SparkSession, table: String,
             .withColumn("_commit_version", lit(v))
           (v, Some(acc.fold(one)(_ unionByName one)))
       }._2.get
-    feed.select(declared.fieldNames.map(col).toSeq: _*)
+    // micro-batch 0 of an initial-snapshot stream leads with the table
+    // image at the bootstrap version, every live row an 'insert' (the
+    // pinned asOf read makes a crash-replay byte-identical); later
+    // batches (start defined) never re-serve it
+    val withImage = (if (start.isEmpty) bootstrapAt else None) match {
+      case Some(bv) =>
+        val image = conform(
+          PartitionSnapshots.read(spark, table, asOf = bv)
+            .withColumn("change_type", lit("insert")))
+          .withColumn("_commit_version", lit(bv))
+        image unionByName feed
+      case None => feed
+    }
+    withImage.select(declared.fieldNames.map(col).toSeq: _*)
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {

@@ -306,11 +306,14 @@ object Streams {
     * exactly-once table-to-table incremental pipeline. */
   def changelogStream(spark: SparkSession, table: String,
                       startingVersion: Option[Long] = None,
-                      branch: Option[String] = None): DataFrame = {
+                      branch: Option[String] = None,
+                      initialSnapshot: Boolean = false): DataFrame = {
     val r0 = spark.readStream.format("graft-changelog").option("path", table)
     val r1 = startingVersion.fold(r0)(v =>
       r0.option("startingVersion", v.toString))
-    branch.fold(r1)(n => r1.option("branch", n)).load()
+    val r2 = if (initialSnapshot)
+      r1.option("startingMode", "initial-snapshot") else r1
+    branch.fold(r2)(n => r2.option("branch", n)).load()
   }
 
   /** Streaming ingest into a MANIFESTED partitioned table via fast

@@ -788,4 +788,76 @@ class CatalogStreamsSpec extends SparkSpec {
     PartitionSnapshots.currentRootVersion(spark, path).get shouldBe head
     Upsert.read(spark, path).count() shouldBe 4L
   }
+
+  test("changelog initial-snapshot bootstrap: fresh consumer after retention expiry") {
+    import graft.operators.Upsert
+    import graft.sources.PartitionSnapshots
+    val path = tmpDir("clogboot") + "/t"
+    // enough history that the head sits on a fresh FULL manifest (the
+    // RebaseEvery cadence) — chain closure then pins nothing below it
+    // and time-based expiry can really drop the early roots
+    Upsert.upsert(spark, path,
+      Seq((1, "p1", 10), (2, "p2", 20)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    for (i <- 0 until 8)
+      Upsert.append(spark, path,
+        Seq((100 + i, "p1", i)).toDF("k", "part", "v"), Seq("part"))
+    Upsert.upsert(spark, path, Seq((1, "p1", 11)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"))
+    // retention expires the early roots — full-history replay is gone
+    Thread.sleep(100)
+    val expired = PartitionSnapshots.expireRoots(spark, path, olderThanMs = 0)
+    expired should not be empty
+    val bootV = PartitionSnapshots.currentRootVersion(spark, path).get
+    // a fresh startingVersion = 1 replay refuses LOUDLY (the
+    // expire-snapshots contract — never a silent partial history)
+    val refuse = Streams.changelogStream(spark, path,
+        startingVersion = Some(1L))
+      .writeStream.format("memory").queryName("clogboot_refuse")
+      .option("checkpointLocation", tmpDir("clogbootr")).start()
+    an[Exception] should be thrownBy {
+      try refuse.processAllAvailable() finally refuse.stop()
+    }
+    // the supported fresh-consumer path: initial-snapshot bootstrap —
+    // batch 0 = the current image as inserts stamped with the bootstrap
+    // version, then ordinary per-commit tailing
+    val ckpt = tmpDir("clogbootck")
+    def run(rounds: (() => Unit)*): Seq[(Int, Int, String, Long)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Long)]
+      val q = Streams.changelogStream(spark, path, initialSnapshot = true)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k", "v", "change_type", "_commit_version").collect()
+            .foreach(r => buf.add(
+              (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3))))
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        rounds.foreach { r => r(); q.processAllAvailable() }
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.sorted
+    }
+    val imageRows = Upsert.read(spark, path).select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), "insert", bootV)).toSeq
+    val got = run(
+      () => Upsert.append(spark, path,
+        Seq((4, "p2", 40)).toDF("k", "part", "v"), Seq("part")),
+      () => { PartitionSnapshots.deleteKeys(spark, path,
+        Seq(2).toDF("k")) shouldBe true })
+    // batch 0: every live row as an insert at bootV; then the tail
+    got shouldBe (imageRows ++ Seq((2, 20, "delete", bootV + 2),
+      (4, 40, "insert", bootV + 1))).sorted
+    // accumulated feed nets to the final table image
+    val net = got.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(r => if (r._3 == "insert") 1 else -1).sum)
+      .filter(_._2 > 0).keys.toSeq.sorted
+    net shouldBe Upsert.read(spark, path).select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    // restart on the SAME checkpoint: the image never re-serves
+    val after = run(() => Upsert.append(spark, path,
+      Seq((5, "p1", 50)).toDF("k", "part", "v"), Seq("part")))
+    after shouldBe Seq((5, 50, "insert", bootV + 3))
+  }
 }

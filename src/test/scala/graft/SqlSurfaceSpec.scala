@@ -180,4 +180,97 @@ class SqlSurfaceSpec extends SparkSpec {
     cat.sql("INSERT INTO f VALUES (2, 2.0)").count() shouldBe 2L
     cat.sql("INSERT OVERWRITE f VALUES (9, 9.0)").count() shouldBe 1L
   }
+
+  test("CALL system.*: maintenance procedures as SQL text") {
+    val wh = tmpDir("sqlcall")
+    val t = s"$wh/t"
+    // fragment two partitions with several appends
+    Upsert.upsert(spark, t, Seq((1, "p1", 1.0), (2, "p2", 2.0))
+      .toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    for (i <- 3 to 10)
+      Upsert.append(spark, t,
+        Seq((i, if (i % 2 == 0) "p2" else "p1", i.toDouble))
+          .toDF("k", "part", "v"), Seq("part"))
+    val cat = new Catalog(spark, wh)
+    val preRows = cat.read("t").collect().map(_.toSeq).toSet
+    val preFiles = PartitionSnapshots.filesMeta(spark, t).count()
+    // CALL-driven compaction: row-preserving, file count drops
+    val out = cat.sql(
+      "CALL graft.system.rewrite_data_files(table => 't', min_files => 2)")
+    out.columns.toSeq shouldBe Seq("partition", "files_before", "files_after")
+    out.count() should be > 0L
+    val postFiles = PartitionSnapshots.filesMeta(spark, t).count()
+    postFiles should be < preFiles
+    cat.read("t").collect().map(_.toSeq).toSet shouldBe preRows
+    // dry-run orphan sweep: reports, deletes nothing
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$t/_staging-crashed")
+    fs.mkdirs(orphan)
+    fs.setTimes(orphan, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    val dry = cat.sql(
+      "CALL system.remove_orphan_files(table => 't', dry_run => true)")
+    dry.collect().map(_.getString(0)) should contain("_staging-crashed")
+    assert(fs.exists(orphan), "dry run must not delete")
+    cat.sql("CALL system.remove_orphan_files('t')")
+    assert(!fs.exists(orphan), "real sweep removes the aged debris")
+    // branch lifecycle + fast-forward as text
+    val v0 = PartitionSnapshots.currentRootVersion(spark, t).get
+    cat.sql("CALL system.create_branch(table => 't', branch => 'wip')")
+      .head().getString(0) shouldBe "wip"
+    Upsert.upsert(spark, t, Seq((99, "p1", 99.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), branch = Some("wip"))
+    cat.read("t").where(col("k") === 99).count() shouldBe 0L // staged only
+    val ff = cat.sql("CALL system.fast_forward(table => 't', branch => 'wip')")
+    ff.head().getLong(1) should be > v0
+    cat.read("t").where(col("k") === 99).count() shouldBe 1L
+    cat.sql("CALL system.drop_branch('t', 'wip')")
+    // expire_snapshots: old roots die, current survives
+    Thread.sleep(100)
+    val expired = cat.sql(
+      "CALL system.expire_snapshots(table => 't', older_than_ms => 0)")
+    expired.count() should be > 0L
+    cat.read("t").collect().length shouldBe preRows.size + 1
+    // tags + rollback as text
+    val cur = PartitionSnapshots.currentRootVersion(spark, t).get
+    cat.sql(s"CALL system.create_tag('t', 'audit', $cur)")
+      .head().getLong(1) shouldBe cur
+    cat.sql("CALL system.drop_tag('t', 'audit')")
+    // refusals are loud: unknown procedure, missing arg, unknown table
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("CALL system.no_such_proc('t')")
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("CALL system.rewrite_data_files(min_files => 2)")
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("CALL system.expire_snapshots('nope')")
+  }
+
+  test("SHOW TABLES and DESCRIBE answer from metadata only") {
+    val wh = tmpDir("sqlshow")
+    val cat = new Catalog(spark, wh)
+    Upsert.upsert(spark, s"$wh/dim",
+      Seq((1, "p1", 1.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$wh/flat")
+    val st = cat.sql("SHOW TABLES")
+    st.columns.toSeq shouldBe Seq("namespace", "tableName", "isTemporary")
+    st.collect().map(_.getString(1)).sorted shouldBe Array("dim", "flat")
+    val desc = cat.sql("DESCRIBE TABLE dim").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    desc.take(3).toSeq shouldBe Seq(("k", "int"), ("v", "double"),
+      ("part", "string"))
+    desc.map(_._1) should contain("# Partition Information")
+    // METADATA-ONLY pin: physically remove the partition's data files —
+    // DESCRIBE still answers (zero listings/opens), a scan would not
+    val fs = new org.apache.hadoop.fs.Path(s"$wh/dim")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$wh/dim/part=p1/_versions"),
+      true)
+    val desc2 = cat.sql("DESCRIBE dim").collect()
+    desc2.map(r => r.getString(0)) should contain("k")
+    an[Exception] should be thrownBy cat.sql("SELECT * FROM dim").collect()
+    // unknown table refuses
+    an[IllegalArgumentException] should be thrownBy cat.sql("DESCRIBE nope")
+  }
 }
