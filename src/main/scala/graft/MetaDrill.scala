@@ -373,7 +373,8 @@ object SqlScaleDrill {
       .withColumn("v", col("v") + 1000.0)
       .createOrReplaceGlobalTempView("ovr_src")
     timed("INSERT OVERWRITE one partition (1% of rows)") {
-      cat.sql("INSERT OVERWRITE t SELECT * FROM global_temp.ovr_src")
+      // positional mapping: partition columns LAST, the hive contract
+      cat.sql("INSERT OVERWRITE t SELECT k, v, tag, part FROM global_temp.ovr_src")
     }
 
     // q194 shape WITHOUT BY SOURCE: O(affected) — 0.1% of keys spread

@@ -344,11 +344,12 @@ class ChangelogSource(spark: SparkSession, table: String,
     // batches (start defined) never re-serve it
     val withImage = (if (start.isEmpty) bootstrapAt else None) match {
       case Some(bv) =>
-        val image = conform(
-          PartitionSnapshots.read(spark, table, asOf = bv)
-            .withColumn("change_type", lit("insert")))
-          .withColumn("_commit_version", lit(bv))
-        image unionByName feed
+        // readOption: a table that is EMPTY at the bootstrap version
+        // (e.g. just truncated) bootstraps with a zero-row image
+        val image = PartitionSnapshots.readOption(spark, table, asOf = bv)
+          .map(img => conform(img.withColumn("change_type", lit("insert")))
+            .withColumn("_commit_version", lit(bv)))
+        image.fold(feed)(_ unionByName feed)
       case None => feed
     }
     withImage.select(declared.fieldNames.map(col).toSeq: _*)
