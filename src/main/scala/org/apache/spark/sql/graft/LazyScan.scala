@@ -3,11 +3,14 @@ package org.apache.spark.sql.graft
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Cast, EvalMode, Expression, Literal, Predicate}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Parquet scan whose file LISTING is deferred until the first action —
   * the construction-cost fix for manifested-table reads. A plain
@@ -61,6 +64,17 @@ object LazyScan {
       None, new ParquetFileFormat, options)(session)
     Dataset.ofRows(session, LogicalRelation(relation, isStreaming = false))
   }
+
+  /** Test/diagnostic: how many root dirs the frame's deferred index
+    * listed on its most recent scan (None when the plan holds no
+    * deferred index — e.g. an eager-path read). */
+  def lastListedRootCount(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation
+    }.collectFirst {
+      case h: HadoopFsRelation if h.location.isInstanceOf[DeferredFileIndex] =>
+        h.location.asInstanceOf[DeferredFileIndex].lastListedRootCount
+    }.filter(_ >= 0)
 }
 
 /** [[FileIndex]] that defers to an [[InMemoryFileIndex]] built on first
@@ -91,10 +105,91 @@ private[graft] class DeferredFileIndex(
 
   override def rootPaths: Seq[Path] = roots
 
+  /** PARTITION-PRUNED LISTING (the manifest-pruning Iceberg does before
+    * touching the object store): each root path IS one partition dir,
+    * and its partition values are right there in the `k=v` segments —
+    * so partition filters are evaluated against the paths FIRST, and
+    * only the surviving dirs are ever listed. A point-partition query
+    * on a 100k-dir table lists one directory, not 100k. Anything
+    * unparseable or unbindable falls back to the full listing
+    * (conservative: Spark re-applies the same filters after listing,
+    * so pruning here can never change results, only skip IO). */
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
-      : Seq[PartitionDirectory] =
-    delegate.listFiles(partitionFilters, dataFilters)
+      : Seq[PartitionDirectory] = {
+    val idx =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) delegate
+      else prunedRoots(partitionFilters) match {
+        case Some(keep) if keep.size < roots.size => prunedIndex(keep)
+        case _ => delegate
+      }
+    lastListedRootCount = idx.rootPaths.size
+    idx.listFiles(partitionFilters, dataFilters)
+  }
+
+  /** Test/diagnostic hook: how many root dirs the last [[listFiles]]
+    * actually listed. */
+  @volatile private[graft] var lastListedRootCount: Int = -1
+
+  /** Partition values of one root dir, parsed from its `k=v` path
+    * segments in [[partitionSchema]] order; None when any segment is
+    * missing or fails to cast (→ no pruning, full listing). */
+  private def partitionRowOf(p: Path): Option[InternalRow] = {
+    val segs = p.toUri.getPath.split("/")
+    val vals = partitionSchema.fields.map { f =>
+      segs.reverseIterator.find(_.startsWith(f.name + "=")) match {
+        case None => return None
+        case Some(seg) =>
+          val raw = ExternalCatalogUtils.unescapePathName(
+            seg.substring(f.name.length + 1))
+          if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else try Cast(Literal(UTF8String.fromString(raw), StringType),
+            f.dataType, Some(session.sessionState.conf.sessionLocalTimeZone),
+            EvalMode.ANSI).eval(null)
+          catch { case _: Exception => return None }
+      }
+    }
+    Some(InternalRow.fromSeq(vals.toIndexedSeq))
+  }
+
+  /** Roots whose dir-derived partition row satisfies every filter; None
+    * when the filters can't be bound to the partition schema by name. */
+  private def prunedRoots(filters: Seq[Expression]): Option[Seq[Path]] =
+    try {
+      val bound = filters.map(_.transform {
+        case a: AttributeReference =>
+          val i = partitionSchema.fieldIndex(a.name)
+          BoundReference(i, partitionSchema(i).dataType, nullable = true)
+      })
+      if (bound.exists(e => e.exists(_.isInstanceOf[AttributeReference])))
+        return None // a filter referenced something beyond the pcols
+      val pred = Predicate.createInterpreted(
+        bound.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)))
+      pred.initialize(0)
+      val rows = roots.map(r => r -> partitionRowOf(r))
+      if (rows.exists(_._2.isEmpty)) None
+      else Some(rows.collect { case (r, Some(row)) if pred.eval(row) => r })
+    } catch { case _: Exception => None }
+
+  /** Listing over a SUBSET of the roots — memoized per subset so a
+    * re-planned query (AQE re-optimization) never re-lists. The missing-
+    * dir loudness check applies to the subset only: dirs the filter
+    * excluded are never touched, so retention expiring an UNREAD
+    * partition under a pinned frame cannot fail a pruned query. */
+  @transient private lazy val subIndexes =
+    new java.util.concurrent.ConcurrentHashMap[Seq[Path], InMemoryFileIndex]()
+  private def prunedIndex(keep: Seq[Path]): InMemoryFileIndex =
+    subIndexes.computeIfAbsent(keep, { ks =>
+      val fs = roots.head.getFileSystem(
+        session.sparkContext.hadoopConfiguration)
+      val missing = ks.filterNot(fs.exists)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"read: ${missing.size} pinned data dir(s) no longer exist " +
+            s"(retention expired this snapshot?): " +
+            missing.take(3).mkString(", "))
+      new InMemoryFileIndex(session, ks, options, Some(fullSchema))
+    })
 
   override def inputFiles: Array[String] = delegate.inputFiles
 

@@ -187,4 +187,39 @@ class PruningSpec extends SparkSpec {
     def asScala: scala.collection.mutable.Buffer[A] =
       scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
   }
+
+  test("manifested reads: partition filters prune the LISTING, not just the scan") {
+    import graft.operators.Upsert
+    val path = tmpDir("listprune") + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, i % 50, i * 1.5))
+      .toDF("k", "part", "v")
+    Upsert.upsert(spark, path, df, Seq("k"), partitionCols = Seq("part"),
+      partitionManifests = true)
+    // a point-partition filter lists exactly ONE of the 50 dirs
+    val one = Upsert.read(spark, path).where(col("part") === 7)
+    one.count() shouldBe 100L
+    org.apache.spark.sql.graft.LazyScan.lastListedRootCount(one) shouldBe
+      Some(1)
+    // a range filter lists its matching dirs only
+    val range = Upsert.read(spark, path)
+      .where(col("part") >= 40 && col("part") < 45)
+    range.agg(sum("v")).head().getDouble(0) shouldBe
+      df.where(col("part") >= 40 && col("part") < 45)
+        .agg(sum("v")).head().getDouble(0)
+    org.apache.spark.sql.graft.LazyScan.lastListedRootCount(range) shouldBe
+      Some(5)
+    // no partition filter -> every dir listed, full answer
+    val all = Upsert.read(spark, path)
+    all.count() shouldBe 5000L
+    org.apache.spark.sql.graft.LazyScan.lastListedRootCount(all) shouldBe
+      Some(50)
+    // a DATA-column filter must not prune the listing (conservative)
+    val dataF = Upsert.read(spark, path).where(col("k") === 1)
+    dataF.count() shouldBe 1L
+    org.apache.spark.sql.graft.LazyScan.lastListedRootCount(dataF) shouldBe
+      Some(50)
+    // results under pruned listing match the unpruned answer exactly
+    one.collect().map(_.getLong(0)).sorted shouldBe
+      df.where(col("part") === 7).collect().map(_.getLong(0)).sorted
+  }
 }
