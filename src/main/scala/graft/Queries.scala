@@ -3552,6 +3552,26 @@ object Queries {
         col("c_mktsegment").cast("string").as("c_mktsegment"))
   }
 
+  /** INSPECTION TABLES AS SQL ([[graft.sources.Catalog.sql]] routing
+    * `FROM <t>.partitions/.files/.snapshots/.refs` onto the metadata
+    * frames): the builder stages a manifested table and asks the
+    * PARTITIONS inspection table for per-partition manifest row counts
+    * — METADATA-ONLY, no data file opened — while the oracle recomputes
+    * the same counts declaratively from the source. The engine's
+    * manifest bookkeeping must agree with a full recount, exactly. */
+  def q200InspectionSql(s: SparkSession, dir: String): DataFrame = {
+    val wh = stagedOnce("pinspect", dir) { base =>
+      Upsert.upsert(s, s"$base/t",
+        t(s, dir, "customer").where(col("c_custkey") <= 400)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+        Seq("c_custkey"), partitionCols = Seq("c_mktsegment"),
+        partitionManifests = true)
+    }
+    new graft.sources.Catalog(s, wh).sql(
+      """SELECT p.partition AS partition, p.row_count AS row_count
+        |FROM t.partitions p ORDER BY partition""".stripMargin)
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4534,6 +4554,13 @@ object Queries {
         |            ELSE c_acctbal END AS c_acctbal,
         |       c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q200: the partitions inspection table's manifest row counts must
+    // equal a declarative recount of the source
+    "q200_inspection_sql" ->
+      """SELECT concat('c_mktsegment=', c_mktsegment) AS partition,
+        |       count(*) AS row_count
+        |FROM customer WHERE c_custkey <= 400
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q199: CALL-driven compaction + dry-run sweep replayed
     // declaratively — maintenance preserves every row
     "q199_call_maintenance" ->
@@ -6950,6 +6977,7 @@ object Queries {
     "q196_schema_evolution_sql" -> (q196SchemaEvolutionSql _),
     "q197_sql_session" -> (q197SqlSession _),
     "q198_insert_overwrite" -> (q198InsertOverwrite _),
-    "q199_call_maintenance" -> (q199CallMaintenance _)
+    "q199_call_maintenance" -> (q199CallMaintenance _),
+    "q200_inspection_sql" -> (q200InspectionSql _)
   )
 }

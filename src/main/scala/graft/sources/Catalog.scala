@@ -159,6 +159,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       case "SHOW" => reparse {
         case _: org.apache.spark.sql.catalyst.plans.logical.ShowTables =>
           runShowTables()
+        case s: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
+          runShowCreate(s)
       }
       case "DESCRIBE" | "DESC" => reparse {
         case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
@@ -174,7 +176,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         val hasTt = plan.collectFirst {
           case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => tt
         }.nonEmpty
-        if (!hasTt) { registerAll(); spark.sql(query) }
+        if (!hasTt) runPlain(query)
         else {
           val resolved = plan.transform {
             case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
@@ -183,12 +185,58 @@ final class Catalog(spark: SparkSession, warehouse: String) {
           registerAll()
           org.apache.spark.sql.graft.SqlInternals.ofRows(spark, resolved)
         }
-      case _ => registerAll(); spark.sql(query)
+      case _ => runPlain(query)
     }
   }
 
   private val TimeTravelHint =
     java.util.regex.Pattern.compile("(?i)\\bAS\\s+OF\\b")
+
+  /** The plain single-parse path, plus the INSPECTION-TABLE surface
+    * (Iceberg's metadata tables as SQL): when ordinary resolution fails,
+    * any `FROM <t>.files / .snapshots / .partitions / .refs` relation
+    * over a manifested warehouse table is spliced with the matching
+    * metadata frame ([[PartitionSnapshots.filesMeta]] etc. — all
+    * metadata-only) and the statement retried; referencable by the
+    * metadata name (`files.path`) like any aliased relation. Queries
+    * without such a relation keep their original error. */
+  private def runPlain(query: String): DataFrame = {
+    registerAll()
+    try spark.sql(query)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        resolveMetaTables(query).getOrElse(throw e)
+    }
+  }
+
+  private val MetaTableNames = Set("files", "snapshots", "partitions", "refs")
+
+  private def resolveMetaTables(query: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+    var found = false
+    val resolved = plan.transform {
+      case u: UnresolvedRelation if u.multipartIdentifier.size == 2 &&
+          MetaTableNames.contains(
+            u.multipartIdentifier(1).toLowerCase(java.util.Locale.ROOT)) &&
+          tableExists(u.multipartIdentifier.head) &&
+          PartitionSnapshots.isManifested(
+            spark, tablePath(u.multipartIdentifier.head)) =>
+        found = true
+        val path = tablePath(u.multipartIdentifier.head)
+        val meta = u.multipartIdentifier(1).toLowerCase(java.util.Locale.ROOT)
+        val frame = meta match {
+          case "files" => PartitionSnapshots.filesMeta(spark, path)
+          case "snapshots" => PartitionSnapshots.snapshotsMeta(spark, path)
+          case "partitions" => PartitionSnapshots.partitionsMeta(spark, path)
+          case "refs" => PartitionSnapshots.refsMeta(spark, path)
+        }
+        SubqueryAlias(meta, frame.queryExecution.analyzed)
+    }
+    if (!found) None
+    else Some(org.apache.spark.sql.graft.SqlInternals.ofRows(spark, resolved))
+  }
 
   private def nameOfPlan(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -609,6 +657,34 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     import spark.implicits._
     listTables().map(n => ("", n, false))
       .toDF("namespace", "tableName", "isTemporary")
+  }
+
+  /** `SHOW CREATE TABLE t` reconstructed from pinned metadata — the
+    * statement that would recreate the table's shape through
+    * [[runCreateTable]] (columns + PARTITIONED BY; manifested layout is
+    * implied by PARTITIONED BY, the born-manifested rule). Metadata-only
+    * like DESCRIBE. */
+  private def runShowCreate(
+      s: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable)
+      : DataFrame = {
+    import spark.implicits._
+    val name = nameOfPlan(s.child, "SHOW CREATE TABLE")
+    require(tableExists(name),
+      s"SHOW CREATE TABLE: no table '$name' in warehouse $warehouse")
+    val schema = rowSchema(name)
+    val pcols =
+      if (PartitionSnapshots.isManifested(spark, tablePath(name)))
+        PartitionSnapshots.partitionCols(spark, tablePath(name))
+      else Nil
+    val cols = schema.fields.filterNot(f => pcols.contains(f.name))
+      .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+    val partClause =
+      if (pcols.isEmpty) ""
+      else pcols.flatMap(c => schema.fields.find(_.name == c))
+        .map(f => s"${f.name} ${f.dataType.sql}")
+        .mkString("\nPARTITIONED BY (", ", ", ")")
+    Seq(s"CREATE TABLE $name (\n$cols)$partClause")
+      .toDF("createtab_stmt")
   }
 
   /** `DESCRIBE [TABLE] t` from pinned metadata — ZERO file listings for

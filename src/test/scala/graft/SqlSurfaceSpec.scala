@@ -272,5 +272,57 @@ class SqlSurfaceSpec extends SparkSpec {
     an[Exception] should be thrownBy cat.sql("SELECT * FROM dim").collect()
     // unknown table refuses
     an[IllegalArgumentException] should be thrownBy cat.sql("DESCRIBE nope")
+    // SHOW CREATE TABLE: the recreate statement, round-trippable
+    val stmt = cat.sql("SHOW CREATE TABLE dim").head().getString(0)
+    stmt should include("PARTITIONED BY (part STRING)")
+    stmt should include("k INT")
+    val wh2 = tmpDir("sqlshow2")
+    val cat2 = new Catalog(spark, wh2)
+    cat2.sql(stmt.replace("CREATE TABLE dim", "CREATE TABLE dim2"))
+    cat2.sql("DESCRIBE dim2").collect().map(_.getString(0)) should
+      contain("part")
+  }
+
+  test("inspection tables as SQL: t.files / t.snapshots / t.partitions / t.refs") {
+    val wh = tmpDir("sqlmeta")
+    val t = s"$wh/t"
+    Upsert.upsert(spark, t,
+      Seq((1, "p1", 1.0), (2, "p2", 2.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+    Upsert.append(spark, t, Seq((3, "p1", 3.0)).toDF("k", "part", "v"),
+      Seq("part"))
+    PartitionSnapshots.tagRoot(spark, t, "audit")
+    val cat = new Catalog(spark, wh)
+    // snapshots: two commits, head current; composes with WHERE/ORDER BY
+    val snaps = cat.sql(
+      "SELECT root_version, is_current FROM t.snapshots ORDER BY root_version")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    snaps.map(_._1).toSeq shouldBe Seq(1L, 2L)
+    snaps.last._2 shouldBe true
+    // files: aggregate over the live file set, qualified by the meta name
+    cat.sql("SELECT count(*) AS n FROM t.files WHERE files.content = 'data'")
+      .head().getLong(0) should be >= 2L
+    // partitions: manifest-recorded row counts, no scan
+    cat.sql(
+      """SELECT partition, row_count FROM t.partitions
+        |ORDER BY partition""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("part=p1", 2L), ("part=p2", 1L))
+    // refs: main + the tag
+    cat.sql("SELECT name, type FROM t.refs ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("audit", "tag"), ("main", "main"))
+    // a metadata table JOINS with a data table in one statement
+    cat.sql(
+      """SELECT p.partition, count(*) AS rows_scanned
+        |FROM t JOIN t.partitions p
+        |  ON concat('part=', t.part) = p.partition
+        |GROUP BY p.partition ORDER BY p.partition""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("part=p1", 2L), ("part=p2", 1L))
+    // unknown meta name / non-manifested table keep the ordinary error
+    an[Exception] should be thrownBy cat.sql("SELECT * FROM t.nosuchmeta")
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$wh/flat")
+    an[Exception] should be thrownBy cat.sql("SELECT * FROM flat.files")
   }
 }
