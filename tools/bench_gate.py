@@ -13,10 +13,18 @@ host:
 
     normalized(q) = t(q) / cpu_calib_32t
 
-The record baseline is the per-query minimum of normalized times across
-every historical BENCH_r*.json that carries anchors (pre-anchor rounds
-are unadjudicable by construction and are skipped). A query is flagged
-when normalized_current / normalized_record > THRESHOLD (1.5).
+The record baseline is the per-query minimum across every historical
+BENCH_r*.json that carries anchors (pre-anchor rounds are unadjudicable
+by construction and are skipped), tracked BOTH raw and normalized. A
+query is flagged only when BOTH ratios exceed THRESHOLD (1.5):
+
+  - raw ratio > 1.5, normalized <= 1.5  -> the host got slower and the
+    calibration moved with it: host drift, excused (the r13 protocol).
+  - normalized > 1.5, raw <= 1.5        -> the host got FASTER and the
+    query kept its non-CPU constants (per-query overhead, IO, JVM):
+    dividing by the calibration over-corrects; not a regression.
+  - both > 1.5                          -> slower than the record on a
+    comparable-or-faster host: a real regression, flagged.
 
 Usage:  python3 tools/bench_gate.py [current_bench.json]
         (default: bench.json in the repo root)
@@ -83,6 +91,7 @@ def main():
                     docs.append((f"records[{i}]", json.loads(line)))
                 except Exception:
                     continue
+    raw_records = {}
     for tag, b in docs:
         calib = b.get("cpu_calib_32t")
         qs = b.get("queries") or {}
@@ -93,6 +102,8 @@ def main():
             n = t / calib
             if q not in records or n < records[q][0]:
                 records[q] = (n, tag)
+            if q not in raw_records or t < raw_records[q]:
+                raw_records[q] = t
 
     if not records:
         print("[gate] no anchored historical rounds found — recording "
@@ -103,24 +114,26 @@ def main():
     for q, t in sorted((cur.get("queries") or {}).items()):
         n = t / cur_calib
         if q not in records:
-            table.append((q, t, n, None, None, "new"))
+            table.append((q, t, None, None, None, "new"))
             continue
         rec_n, rec_round = records[q]
-        ratio = n / rec_n if rec_n > 0 else 0.0
-        mark = "FLAG" if ratio > THRESHOLD else ""
+        raw_ratio = t / raw_records[q] if raw_records[q] > 0 else 0.0
+        norm_ratio = n / rec_n if rec_n > 0 else 0.0
+        mark = "FLAG" if min(raw_ratio, norm_ratio) > THRESHOLD else ""
         if mark:
             flagged.append(q)
-        table.append((q, t, n, ratio, rec_round, mark))
+        table.append((q, t, raw_ratio, norm_ratio, rec_round, mark))
 
     print(f"[gate] current: {cur_path}  calib_32t={cur_calib}  "
           f"records from: {', '.join(rounds_used)}")
-    print(f"{'query':<36}{'sec':>8}{'norm':>8}{'xrec':>7}  record-round  flag")
-    for q, t, n, ratio, rr, mark in sorted(
-            table, key=lambda r: -(r[3] or 0)):
-        rs = f"{ratio:.2f}" if ratio is not None else "  —"
-        print(f"{q:<36}{t:>8.2f}{n:>8.2f}{rs:>7}  {rr or '—':<12}  {mark}")
+    print(f"{'query':<36}{'sec':>8}{'xraw':>7}{'xnorm':>7}  record-round  flag")
+    for q, t, raw_r, norm_r, rr, mark in sorted(
+            table, key=lambda r: -min(r[2] or 0, r[3] or 0)):
+        rw = f"{raw_r:.2f}" if raw_r is not None else "  —"
+        ns = f"{norm_r:.2f}" if norm_r is not None else "  —"
+        print(f"{q:<36}{t:>8.2f}{rw:>7}{ns:>7}  {rr or '—':<12}  {mark}")
     print(f"[gate] {len(flagged)} flagged of {len(table)} queries "
-          f"(normalized ratio > {THRESHOLD}x)")
+          f"(BOTH raw and normalized ratio > {THRESHOLD}x)")
     if flagged:
         print("[gate] flagged: " + ", ".join(flagged))
     return 1 if flagged else 0
