@@ -178,7 +178,11 @@ private[graft] class DeferredFileIndex(
     * partition under a pinned frame cannot fail a pruned query. */
   @transient private lazy val subIndexes =
     new java.util.concurrent.ConcurrentHashMap[Seq[Path], InMemoryFileIndex]()
-  private def prunedIndex(keep: Seq[Path]): InMemoryFileIndex =
+  private def prunedIndex(keep: Seq[Path]): InMemoryFileIndex = {
+    // bounded memo: a long-lived frame probed with many distinct point
+    // filters must not accumulate indexes (the shared FileStatusCache
+    // still dedupes the underlying dir listings after a clear)
+    if (subIndexes.size() > 64) subIndexes.clear()
     subIndexes.computeIfAbsent(keep, { ks =>
       val fs = roots.head.getFileSystem(
         session.sparkContext.hadoopConfiguration)
@@ -190,6 +194,7 @@ private[graft] class DeferredFileIndex(
             missing.take(3).mkString(", "))
       new InMemoryFileIndex(session, ks, options, Some(fullSchema))
     })
+  }
 
   override def inputFiles: Array[String] = delegate.inputFiles
 
