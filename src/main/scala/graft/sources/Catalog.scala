@@ -209,7 +209,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     }
   }
 
-  private val MetaTableNames = Set("files", "snapshots", "partitions", "refs")
+  private val MetaTableNames =
+    Set("files", "snapshots", "partitions", "refs", "history")
 
   private def resolveMetaTables(query: String): Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
@@ -231,6 +232,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
           case "snapshots" => PartitionSnapshots.snapshotsMeta(spark, path)
           case "partitions" => PartitionSnapshots.partitionsMeta(spark, path)
           case "refs" => PartitionSnapshots.refsMeta(spark, path)
+          case "history" => PartitionSnapshots.historyMeta(spark, path)
         }
         SubqueryAlias(meta, frame.queryExecution.analyzed)
     }

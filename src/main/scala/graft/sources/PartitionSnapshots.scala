@@ -3084,6 +3084,31 @@ object PartitionSnapshots {
       "touched_partitions", "total_partitions", "props", "is_current")
   }
 
+  /** `$history` INSPECTION TABLE (Iceberg's history metadata table):
+    * one row per retained root version with Iceberg's column shape —
+    * `made_current_at` / `snapshot_id` / `parent_id` /
+    * `is_current_ancestor`. The ancestor bit is the PUBLISHED-lineage
+    * membership ([[mainLineage]] — the same walk `TIMESTAMP AS OF`
+    * resolves over), so branch-staged slots and rolled-back lines read
+    * `false`: exactly Iceberg's "not an ancestor of the current
+    * snapshot" semantics. Metadata-only. */
+  def historyMeta(spark: SparkSession, table: String): DataFrame = {
+    require(isManifested(spark, table),
+      s"historyMeta: $table is not a manifested table")
+    val rt = s"$table/$RootDir"
+    val f = fs(spark, new Path(rt))
+    val line = mainLineage(spark, table)
+    val rows = Snapshots.versions(spark, rt).map { v =>
+      (new java.sql.Timestamp(
+         f.getFileStatus(new Path(Snapshots.versionPath(rt, v)))
+           .getModificationTime),
+        v, parentOfRoot(spark, table, v), line.contains(v))
+    }
+    import spark.implicits._
+    rows.toDF("made_current_at", "snapshot_id", "parent_id",
+      "is_current_ancestor")
+  }
+
   /** `$refs` INSPECTION TABLE (Iceberg's refs metadata table): every
     * named ref — `main` (the live pointer), each tag, each branch with
     * its fork base — and the root version it names. The one-stop answer

@@ -320,6 +320,18 @@ class SqlSurfaceSpec extends SparkSpec {
         |GROUP BY p.partition ORDER BY p.partition""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
       Seq(("part=p1", 2L), ("part=p2", 1L))
+    // history: Iceberg's column shape; a branch-staged slot is NOT a
+    // current ancestor, the published line is
+    PartitionSnapshots.createBranch(spark, t, "wip")
+    Upsert.upsert(spark, t, Seq((9, "p1", 9.0)).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), branch = Some("wip"))
+    val hist = cat.sql(
+      """SELECT snapshot_id, is_current_ancestor FROM t.history
+        |ORDER BY snapshot_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    hist.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L)
+    hist.toSeq shouldBe Seq((1L, true), (2L, true), (3L, false))
+    PartitionSnapshots.dropBranch(spark, t, "wip")
     // unknown meta name / non-manifested table keep the ordinary error
     an[Exception] should be thrownBy cat.sql("SELECT * FROM t.nosuchmeta")
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$wh/flat")
