@@ -222,4 +222,35 @@ class PruningSpec extends SparkSpec {
     one.collect().map(_.getLong(0)).sorted shouldBe
       df.where(col("part") === 7).collect().map(_.getLong(0)).sorted
   }
+
+  test("listing pruning edges: IN-lists, null partitions, date-typed dirs") {
+    import graft.operators.Upsert
+    import org.apache.spark.sql.graft.LazyScan
+    val path = tmpDir("listprune2") + "/t"
+    // a NULL partition value alongside real dates
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0),
+      (3L, null, 3.0), (4L, "2024-01-03", 4.0))
+      .toDF("k", "day", "v")
+      .withColumn("day", col("day").cast("date"))
+    Upsert.upsert(spark, path, df, Seq("k"), partitionCols = Seq("day"),
+      partitionManifests = true)
+    // IN-list on the date pcol lists exactly its two dirs
+    val in2 = Upsert.read(spark, path)
+      .where(col("day").isin("2024-01-01", "2024-01-03"))
+    in2.collect().map(_.getLong(0)).sorted shouldBe Array(1L, 4L)
+    LazyScan.lastListedRootCount(in2) shouldBe Some(2)
+    // isNull finds the null partition only
+    val nul = Upsert.read(spark, path).where(col("day").isNull)
+    nul.collect().map(_.getLong(0)) shouldBe Array(3L)
+    LazyScan.lastListedRootCount(nul) shouldBe Some(1)
+    // isNotNull excludes it
+    val notNul = Upsert.read(spark, path).where(col("day").isNotNull)
+    notNul.count() shouldBe 3L
+    LazyScan.lastListedRootCount(notNul) shouldBe Some(3)
+    // a range over the typed pcol
+    val rng = Upsert.read(spark, path)
+      .where(col("day") >= "2024-01-02")
+    rng.collect().map(_.getLong(0)).sorted shouldBe Array(2L, 4L)
+    LazyScan.lastListedRootCount(rng) shouldBe Some(2)
+  }
 }
