@@ -163,7 +163,13 @@ final class Catalog(spark: SparkSession, warehouse: String) {
           runShowCreate(s)
       }
       case "DESCRIBE" | "DESC" => reparse {
-        case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
+        // only WAREHOUSE tables take the metadata-only answer; anything
+        // else (a caller-registered temp view, a name only Spark knows)
+        // falls to reparse's registerAll + spark.sql leg, which keeps
+        // Spark's own DESCRIBE semantics and its loud not-found error
+        case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation
+            if (try tableExists(nameOfPlan(d.relation, "DESCRIBE"))
+                catch { case _: Exception => false }) =>
           runDescribe(d)
       }
       case _ if TimeTravelHint.matcher(query).find() =>
@@ -539,6 +545,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         case v => v
       }
     }
+    // binding below fills the LEADING parameters from the positional
+    // args by index — sound only while every positional arg actually
+    // leads: a positional written after a named one would silently
+    // bind to the wrong parameter, so refuse that order outright
+    val firstNamed = c.args.indexWhere(_.isInstanceOf[NamedArgumentExpression])
+    require(firstNamed < 0 ||
+      c.args.drop(firstNamed).forall(_.isInstanceOf[NamedArgumentExpression]),
+      s"CALL $proc: positional arguments must precede named arguments")
     val (named, positional) = c.args.partition(
       _.isInstanceOf[NamedArgumentExpression])
     val byName: Map[String, Any] = named.map {

@@ -128,16 +128,6 @@ object ParquetStats {
     fold.result
   }
 
-  /** Per-FILE footer stats of a directory's data files: (file name,
-    * (rows, column → (min, max))) in listing order — the selection input
-    * for file-scoped MERGE rewrites and small-file compaction. Same
-    * capture rules as [[harvest]], applied one file at a time, with ONE
-    * directory listing for the whole dir. */
-  def harvestPerFile(spark: SparkSession, dir: String)
-      : Seq[(String, (Long, Map[String, (String, String)]))] =
-    listDataFiles(spark, dir)
-      .map(st => st.getPath.getName -> harvestFile(spark, st))
-
   private def usableType(schema: org.apache.parquet.schema.MessageType,
                          name: String): Boolean = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._

@@ -771,7 +771,8 @@ object PartitionSnapshots {
     * granularity. Bounds describe the partition's BASE data files;
     * pending equality deletes only shrink the true row set, so `rows`
     * is exact for delete-free states and an upper bound otherwise. */
-  final case class PartStats(rows: Long, cols: Map[String, (String, String)])
+  final case class PartStats(rows: Long, cols: Map[String, (String, String)],
+                             bytes: Long = 0L)
 
   /** Column keys are NAMESPACED (`c.<url-encoded-name>`) so a data
     * column literally named "rows" can never collide with the row-count
@@ -781,14 +782,20 @@ object PartitionSnapshots {
     * throw — a malformed manifest line must not take down reads. */
   private def encodeStats(s: PartStats): String = {
     def e(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
-    (s"rows=${s.rows}" +: s.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-      s"c.${e(c)}=${e(mn)},${e(mx)}"
-    }).mkString(";")
+    // `bytes` (on-disk file bytes, 0 = unknown) rides along so the
+    // planner's size estimate never falls below the real scan size —
+    // old decoders see a comma-less non-column key and skip it
+    ((s"rows=${s.rows}" +:
+      (if (s.bytes > 0) Seq(s"bytes=${s.bytes}") else Nil)) ++
+      s.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"c.${e(c)}=${e(mn)},${e(mx)}"
+      }).mkString(";")
   }
 
   private def decodeStats(s: String): PartStats = {
     def d(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
     var rows = 0L
+    var bytes = 0L
     val cols = Map.newBuilder[String, (String, String)]
     s.split(";").filter(_.nonEmpty).foreach { part =>
       val i = part.indexOf('=')
@@ -801,11 +808,13 @@ object PartitionSnapshots {
             cols += d(name) -> (d(v.substring(0, j)), d(v.substring(j + 1)))
         }
         if (k == "rows") v.toLongOption.foreach(rows = _)
+        else if (k == "bytes" && v.toLongOption.isDefined)
+          bytes = v.toLong // a legacy COLUMN named "bytes" carries a comma
         else if (k.startsWith("c.")) addCol(k.substring(2))
         else addCol(k) // legacy un-prefixed column key
       }
     }
-    PartStats(rows, cols.result())
+    PartStats(rows, cols.result(), bytes)
   }
 
   private val FileStatsFile = "_filestats"
@@ -819,12 +828,11 @@ object PartitionSnapshots {
     * O(files) footer opens — at 100 TB that is the difference between
     * metadata-speed planning and re-opening every touched file. */
   private def writeFileStats(spark: SparkSession, dir: String,
-      perFile: Seq[(String, (Long, Map[String, (String, String)]))]): Unit = {
+      perFile: Seq[(String, PartStats)]): Unit = {
     val p = new Path(dir, FileStatsFile)
     val out = fs(spark, p).create(p, true)
-    try out.write(perFile.map { case (name, (rows, cols)) =>
-      s"${java.net.URLEncoder.encode(name, "UTF-8")}\t" +
-        encodeStats(PartStats(rows, cols))
+    try out.write(perFile.map { case (name, st) =>
+      s"${java.net.URLEncoder.encode(name, "UTF-8")}\t" + encodeStats(st)
     }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -841,8 +849,10 @@ object PartitionSnapshots {
         java.net.URLDecoder.decode(line.substring(0, i), "UTF-8") ->
           decodeStats(line.substring(i + 1))
       }
-    else ParquetStats.harvestPerFile(spark, dir)
-      .map { case (n, (rows, cols)) => n -> PartStats(rows, cols) }
+    else ParquetStats.listDataFiles(spark, dir).map { st =>
+      val (rows, cols) = ParquetStats.harvestFile(spark, st)
+      st.getPath.getName -> PartStats(rows, cols, st.getLen)
+    }
   }
 
   /** Bulk footer harvest + sidecar write for freshly sealed version
@@ -859,17 +869,16 @@ object PartitionSnapshots {
       inParallel(dirs)(d => ParquetStats.listDataFiles(spark, d)
         .map(d -> _)).flatten
     val harvested = inParallel(listed) { case (d, st) =>
-      (d, st.getPath.getName, ParquetStats.harvestFile(spark, st))
+      val (rows, cols) = ParquetStats.harvestFile(spark, st)
+      (d, st.getPath.getName, PartStats(rows, cols, st.getLen))
     }
     val byDir = harvested.groupBy(_._1).map { case (d, fls) =>
-      d -> fls.map { case (_, n, rc) => n -> rc }
+      d -> fls.map { case (_, n, ps) => n -> ps }
     }
     inParallel(dirs) { d =>
       writeFileStats(spark, d, byDir.getOrElse(d, Nil))
     }
-    dirs.map(d => d -> foldStats(byDir.getOrElse(d, Nil).map {
-      case (n, (r, c)) => n -> PartStats(r, c)
-    })).toMap
+    dirs.map(d => d -> foldStats(byDir.getOrElse(d, Nil))).toMap
   }
 
   /** Widen `a` by `b`: rows add; bounds survive only for columns with
@@ -891,7 +900,11 @@ object PartitionSnapshots {
       val (pa, pb) = a.cols(c); val (na, nb) = b.cols(c)
       c -> (lo(pa, na), hi(pb, nb))
     }.toMap
-    PartStats(a.rows + b.rows, cols)
+    // bytes add only when BOTH sides know theirs — a 0 (unknown) side
+    // would turn the sum into an undercount, and the planner floor must
+    // never sit below the real scan size
+    val bytes = if (a.bytes > 0 && b.bytes > 0) a.bytes + b.bytes else 0L
+    PartStats(a.rows + b.rows, cols, bytes)
   }
 
   /** Dir-level stats from per-file stats — same semantics as a whole-dir
@@ -1160,13 +1173,23 @@ object PartitionSnapshots {
       lazy val promoted = promotedSpecCols(spark, table)
       Some(groups.map { case ((dels, pcols), members) =>
         val rels = members.map(_._2._2).distinct
+        val hinted = dels.isEmpty && rels.forall(r =>
+          relGroupCount(r) == 1 && stats.contains(r))
         val rowsHint: Option[Long] =
-          if (dels.isEmpty && rels.forall(r =>
-              relGroupCount(r) == 1 && stats.contains(r)))
-            Some(rels.map(stats(_).rows).sum)
+          if (hinted) Some(rels.map(stats(_).rows).sum)
+          else None
+        // recorded on-disk bytes FLOOR the planner estimate: rows ×
+        // default type widths grossly under-sizes wide string/binary
+        // columns (StringType counts 20 bytes), and an under-sized
+        // table flipping beneath autoBroadcastJoinThreshold risks a
+        // driver-OOM broadcast the eager file-size path never did
+        val bytesFloor: Option[Long] =
+          if (hinted && rels.forall(r => stats(r).bytes > 0))
+            Some(rels.map(stats(_).bytes).sum)
           else None
         val (dfA, aliasOf) = groupScan(spark, table, schema, promoted,
           pcols, members.map(_._2._1), rowsHint = rowsHint,
+          bytesFloor = bytesFloor,
           pcolFields = Some(inferPcolFields(rels, pcols)))
         // conform promoted/hidden columns a layout group LACKS even when
         // no pinned schema was passed (deleteKeys' raw read): a transform
@@ -1203,6 +1226,7 @@ object PartitionSnapshots {
                         pcols: Seq[String], paths: Seq[String],
                         useBasePath: Boolean = true,
                         rowsHint: Option[Long] = None,
+                        bytesFloor: Option[Long] = None,
                         pcolFields: Option[Seq[org.apache.spark.sql.types
                           .StructField]] = None)
       : (DataFrame, Map[String, String]) = {
@@ -1245,7 +1269,7 @@ object PartitionSnapshots {
         val dSchema = StructType(
           st.fields.filterNot(f => pcols.contains(f.name)))
         org.apache.spark.sql.graft.LazyScan.parquetFrame(spark, paths,
-          Map("basePath" -> table), dSchema, pSchema, rowsHint)
+          Map("basePath" -> table), dSchema, pSchema, rowsHint, bytesFloor)
       case _ =>
         val reader0 =
           if (useBasePath) spark.read.option("basePath", table)
@@ -1394,7 +1418,16 @@ object PartitionSnapshots {
           .toMap
       case None => entries
     }
-    readEntries(spark, table, kept, pinned, rowPos = true,
+    // narrow candidate partitions to candidate FILES via the per-file
+    // sidecars — the caller's own predicate re-applies in full, so the
+    // restriction only skips IO (the positional UPDATE/DELETE leg's
+    // analogue of the merge path's file-scoped planning); row ordinals
+    // are PER-FILE, so a file-scoped read serves identical positions
+    val scanEntries = pred match {
+      case Some(p) => filePruneEntries(spark, table, kept, p)
+      case None => kept
+    }
+    readEntries(spark, table, scanEntries, pinned, rowPos = true,
         stats = rootStats(spark, table))
       .map(dropHidden(spark, table, _))
       .getOrElse {
@@ -1505,6 +1538,48 @@ object PartitionSnapshots {
         }
       }
     }
+
+  /** FILE-pruned view of candidate `entries` for a keyed SCAN: each dir
+    * part whose [[writeFileStats]] sidecar proves some files free of
+    * every probe key is narrowed to file-scoped tokens over the
+    * CANDIDATE files alone — the read-side analogue of
+    * [[planFileScoped]]'s rewrite selection, reusing the state-token
+    * grammar so [[readEntries]] serves the pruned view through the
+    * ordinary machinery (delete refs, aliases, row positions) with zero
+    * new read code. Margin-safe like every stats prune here: absent or
+    * unusable bounds keep the file; FLAT parts can't prune (no sidecar);
+    * a rel all of whose parts prune away is dropped — it provably holds
+    * no probe key. Callers use the result for SCANNING only, never as a
+    * manifest to commit. At 100 TB this is what turns a 3-key IN-list
+    * DELETE from O(candidate-partition bytes) into O(candidate files):
+    * the sf10 drill's full-partition scans were the delete route's last
+    * linear term. */
+  private[graft] def filePruneEntries(
+      spark: SparkSession, table: String, entries: Map[String, String],
+      excluded: PartStats => Boolean): Map[String, String] = {
+    val pruned = inParallel(entries.toSeq.sortBy(_._1)) { case (rel, state) =>
+      val parts = parseParts(state).flatMap { case (b, dels) =>
+        if (b == Empty || b == Flat) Seq((b, dels))
+        else if (b.contains('/')) { // already file-scoped
+          val p = s"$table/$rel/$VersionsDir/$b"
+          val dir = p.substring(0, p.lastIndexOf('/'))
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          if (fileStats(spark, dir).toMap.get(name).exists(excluded)) Nil
+          else Seq((b, dels))
+        } else {
+          val dir = s"$table/$rel/$VersionsDir/$b"
+          val perFile = fileStats(spark, dir)
+          val candidates = perFile.filterNot(f => excluded(f._2))
+          if (candidates.size == perFile.size) Seq((b, dels))
+          else candidates.map { case (n, _) => (s"$b/$n", dels) }
+        }
+      }
+      rel -> parts
+    }
+    pruned.collect { case (rel, ps) if ps.nonEmpty =>
+      rel -> fmtParts(ps)
+    }.toMap
+  }
 
   private[graft] def planFileScoped(
       spark: SparkSession, table: String, base: Map[String, String],
@@ -3611,7 +3686,17 @@ object PartitionSnapshots {
             stats.get(rel).forall(ps => !p(ps))).toMap
         case None => base
       }
-      val current = readEntries(spark, table, kept).getOrElse(return false)
+      // the scan below exists only to find which partitions actually
+      // hold a doomed row — narrow it further to the candidate FILES
+      // via the per-file sidecars ([[filePruneEntries]]): partition
+      // bounds admit a key whenever ANY file might hold it, but only
+      // the admitting files need reading
+      val scanEntries = pred match {
+        case Some(p) => filePruneEntries(spark, table, kept, p)
+        case None => kept
+      }
+      val current = readEntries(spark, table, scanEntries)
+        .getOrElse(return false)
       keyCols.foreach(c => require(current.columns.contains(c),
         s"deleteKeys: key column '$c' is not a column of $table"))
       // Same guard as upsert's rewrite path: timestamp partition values

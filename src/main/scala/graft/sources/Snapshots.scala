@@ -66,21 +66,63 @@ object Snapshots {
   /** Newest retained version committed (dir mtime) at or before
     * `tsMillis` — SQL `TIMESTAMP AS OF` resolution for whole-table
     * snapshot tables; loud when the timestamp precedes retained
-    * history (see [[PartitionSnapshots.rootVersionAt]]). */
+    * history (see [[PartitionSnapshots.rootVersionAt]]).
+    *
+    * Resolution walks the RECORDED PUBLISHED LINEAGE from the current
+    * head (the `_parent` marker each [[publish]] writes), exactly like
+    * [[PartitionSnapshots.rootVersionAt]]'s mainLineage: a pointer
+    * ceiling alone is not enough, because a commit AFTER a rollback
+    * allocates max(existing)+1 — rollback(v1) then commit makes v3 with
+    * the abandoned v2 still BELOW the new ceiling, and a timestamp
+    * between v2's and v3's mtimes must serve v1, never the rolled-back
+    * v2. Versions without a marker (pre-upgrade) fall back to the
+    * legacy assumption that every lower committed version is ancestry. */
   def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {
     val f = fs(spark, new Path(table))
-    // bound by the pointer: after a [[rollback]] the abandoned slots
-    // above it still exist (and have recent mtimes) but are no longer
-    // part of the published history — never serve them
-    val ceiling = pointedVersion(spark, table).getOrElse(Long.MaxValue)
-    val vs = versions(spark, table).filter(_ <= ceiling).map(v => v ->
-      f.getFileStatus(new Path(versionPath(table, v))).getModificationTime)
-    val ok = vs.filter(_._2 <= tsMillis)
+    val committed = versions(spark, table)
+    val head = pointedVersion(spark, table).orElse(committed.lastOption)
+    val lineage = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val committedSet = committed.toSet
+    var v: Option[Long] = head
+    while (v.isDefined) {
+      val cur = v.get
+      if (committedSet.contains(cur)) lineage += cur
+      v = parentOf(spark, table, cur) match {
+        // parents are strictly decreasing by construction (a commit's
+        // slot is max+1); anything else is a corrupt marker — stop
+        case Some(p) if p >= 1 && p < cur => Some(p)
+        case Some(_) => None // parent 0: the chain's first commit
+        case None => // legacy slot: adopt all lower committed versions
+          committed.filter(_ < cur).reverse.foreach(lineage += _)
+          None
+      }
+    }
+    val ok = lineage.map(lv => lv ->
+      f.getFileStatus(new Path(versionPath(table, lv))).getModificationTime)
+      .filter(_._2 <= tsMillis)
     require(ok.nonEmpty,
       s"versionAt: no retained snapshot at $table committed at or before " +
         s"${new java.sql.Timestamp(tsMillis)}")
     ok.maxBy(_._1)._1
   }
+
+  /** The published-lineage parent recorded at [[publish]] time (`0` =
+    * first commit); None for pre-upgrade slots that never recorded one. */
+  private def parentOf(spark: SparkSession, table: String,
+                       v: Long): Option[Long] = {
+    val p = new Path(versionPath(table, v), ParentMarker)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else try {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      Some(s.toLong)
+    } catch { case _: Exception => None }
+  }
+
+  private val ParentMarker = "_parent"
 
   /** The pointer FILE's version only — None when the pointer is absent
     * or mid-swap, with NO newest-slot fallback. Callers that must never
@@ -151,9 +193,24 @@ object Snapshots {
 
   /** Atomically publish a staged version: after the pointer swap every new
     * read resolves to `v`; readers mid-scan on the previous version keep
-    * their (immutable) files. */
-  private[graft] def publish(spark: SparkSession, table: String, v: Long): Unit =
+    * their (immutable) files. The version that was current at publish
+    * time is recorded as `v`'s `_parent` FIRST (inside the immutable
+    * version dir, so it travels with the snapshot), giving [[versionAt]]
+    * the published lineage to resolve timestamps along — a crash between
+    * marker and swap leaves only an unpublished dir with a marker, which
+    * no lineage walk from any published head can reach. */
+  private[graft] def publish(spark: SparkSession, table: String, v: Long): Unit = {
+    val parent = pointedVersion(spark, table).getOrElse(0L)
+    if (parent != v) { // rollback republishes an old slot; keep ITS parent
+      val p = new Path(versionPath(table, v), ParentMarker)
+      val f = fs(spark, p)
+      val out = f.create(p, true)
+      try out.write(parent.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     swapPointer(spark, table, v)
+  }
 
   /** Commit `df` as the next snapshot; returns the new version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame): Long = {

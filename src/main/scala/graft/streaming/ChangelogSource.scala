@@ -175,7 +175,14 @@ class ChangelogSource(spark: SparkSession, table: String,
     }
   }
 
-  private val initialBase: Long = readBase().getOrElse {
+  /** The base marker as it stood BEFORE this source instance wrote one
+    * — Some = an ESTABLISHED checkpoint (offsets may already be planned
+    * or committed against it), None = fresh. The bootstrap decision
+    * below needs this distinction, so capture it before [[initialBase]]
+    * creates the marker. */
+  private val preexistingBase: Option[Long] = readBase()
+
+  private val initialBase: Long = preexistingBase.getOrElse {
     val v = startingVersion.map { sv =>
       require(sv >= 1, s"startingVersion must be >= 1, got $sv")
       sv - 1
@@ -206,6 +213,16 @@ class ChangelogSource(spark: SparkSession, table: String,
     if (vs.isEmpty) None else Some(vs.max)
   }
   private val bootstrapAt: Option[Long] = readBootstrap().orElse {
+    // the marker may be created only on a FRESH checkpoint: writing one
+    // at an ESTABLISHED checkpoint's persisted base would change what a
+    // crash-replay of its uncommitted batch 0 serves (the replay would
+    // suddenly carry a full-table image the original batch never
+    // contained) — refuse loudly instead of silently rewriting history
+    require(!initialSnapshot || preexistingBase.isEmpty,
+      "changelog: startingMode=initial-snapshot was requested against an " +
+        "established checkpoint that has no bootstrap marker — the option " +
+        "only applies to a NEW query; drop it to keep tailing, or start a " +
+        "fresh checkpoint to bootstrap from the current snapshot")
     if (initialSnapshot && initialBase > 0) {
       baseFs.mkdirs(baseDir)
       baseFs.create(new Path(baseDir, s"$BootstrapPrefix-$initialBase"),

@@ -43,7 +43,8 @@ object LazyScan {
                    options: Map[String, String],
                    dataSchema: StructType,
                    partitionSchema: StructType,
-                   rowsHint: Option[Long]): DataFrame = {
+                   rowsHint: Option[Long],
+                   bytesFloor: Option[Long] = None): DataFrame = {
     val session = spark.asInstanceOf[ClassicSession]
     // nullable-relaxed like DataSource.resolveRelation's own
     // dataSchema.asNullable: a file CAN hold nulls whatever the writer's
@@ -55,9 +56,16 @@ object LazyScan {
       partitionSchemaN.fields.filterNot(f =>
         dataSchemaN.fieldNames.contains(f.name)))
     // the planner's in-memory row width (Spark's own per-row estimate:
-    // 8 bytes of overhead + each column's type default size)
+    // 8 bytes of overhead + each column's type default size), FLOORED
+    // by the manifest's recorded on-disk bytes when known: default
+    // widths count a string as 20 bytes, so a wide-string table could
+    // otherwise estimate UNDER autoBroadcastJoinThreshold and broadcast
+    // itself into a driver OOM — the recorded file bytes are exactly
+    // what the eager path's listing-based estimate would have served,
+    // so the hint never sits below it
     val bytesHint = rowsHint.map(_ *
       (8L + fullSchema.fields.map(_.dataType.defaultSize.toLong).sum))
+      .map(est => math.max(est, bytesFloor.getOrElse(0L)))
     val index = new DeferredFileIndex(session, paths.map(new Path(_)),
       options, fullSchema, partitionSchemaN, bytesHint)
     val relation = HadoopFsRelation(index, partitionSchemaN, dataSchemaN,

@@ -859,5 +859,23 @@ class CatalogStreamsSpec extends SparkSpec {
     val after = run(() => Upsert.append(spark, path,
       Seq((5, "p1", 50)).toDF("k", "part", "v"), Seq("part")))
     after shouldBe Seq((5, 50, "insert", bootV + 3))
+
+    // adding initial-snapshot to an ESTABLISHED checkpoint that was
+    // created WITHOUT the option refuses loudly: writing the marker at
+    // the persisted base would make a crash-replay of its uncommitted
+    // batch 0 suddenly carry a full-table image the original batch
+    // never contained — replayed batches must be byte-stable
+    val ckptPlain = tmpDir("clogbootplain")
+    def startOn(initSnap: Boolean) =
+      Streams.changelogStream(spark, path, initialSnapshot = initSnap)
+        .writeStream
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .option("checkpointLocation", ckptPlain).start()
+    val plain = startOn(false)
+    try plain.processAllAvailable() finally plain.stop()
+    an[Exception] should be thrownBy {
+      val est = startOn(true)
+      try est.processAllAvailable() finally est.stop()
+    }
   }
 }

@@ -61,6 +61,30 @@ class SnapshotsSpec extends SparkSpec {
       Array("v00000002")
   }
 
+  test("versionAt resolves along the recorded lineage, not the pointer ceiling") {
+    val t = tmpDir("snapl") + "/t"
+    Snapshots.commit(spark, t, Seq((1L, "a")).toDF("k", "v")) shouldBe 1L
+    Snapshots.commit(spark, t, Seq((2L, "b")).toDF("k", "v")) shouldBe 2L
+    Snapshots.rollback(spark, t, 1L)
+    // the post-rollback commit allocates max+1 = 3: the abandoned v2
+    // now sits BELOW the pointer, and only the lineage (3 → 1) keeps a
+    // mid-window timestamp from serving the rolled-back snapshot
+    Snapshots.commit(spark, t, Seq((3L, "c")).toDF("k", "v")) shouldBe 3L
+    val now = System.currentTimeMillis()
+    def pin(v: Long, ts: Long) =
+      new java.io.File(s"$t/_versions/v0000000$v")
+        .setLastModified(ts) shouldBe true
+    pin(1, now - 30000); pin(2, now - 20000); pin(3, now - 10000)
+    Snapshots.versionAt(spark, t, now - 25000) shouldBe 1L // v1 current era
+    Snapshots.versionAt(spark, t, now - 15000) shouldBe 1L // v2's era — abandoned
+    Snapshots.versionAt(spark, t, now - 5000) shouldBe 3L
+    an[IllegalArgumentException] should be thrownBy
+      Snapshots.versionAt(spark, t, now - 35000) // pre-history stays loud
+    // pre-upgrade slots (no _parent marker) keep the legacy resolution
+    new java.io.File(s"$t/_versions/v00000003/_parent").delete() shouldBe true
+    Snapshots.versionAt(spark, t, now - 15000) shouldBe 2L
+  }
+
   test("a crashed write's orphan dir never wedges the next commit") {
     val t = tmpDir("snapw") + "/t"
     Snapshots.commit(spark, t, Seq((1L, "a")).toDF("k", "v")) shouldBe 1L

@@ -244,6 +244,11 @@ class SqlSurfaceSpec extends SparkSpec {
       cat.sql("CALL system.rewrite_data_files(min_files => 2)")
     an[IllegalArgumentException] should be thrownBy
       cat.sql("CALL system.expire_snapshots('nope')")
+    // a positional arg AFTER a named one would bind by leading-parameter
+    // index (64 → target_file_size_bytes here, not what was written) —
+    // SQL forbids the order; refuse rather than silently mis-bind
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("CALL system.rewrite_data_files('t', min_files => 2, 64)")
   }
 
   test("SHOW TABLES and DESCRIBE answer from metadata only") {
@@ -270,8 +275,14 @@ class SqlSurfaceSpec extends SparkSpec {
     val desc2 = cat.sql("DESCRIBE dim").collect()
     desc2.map(r => r.getString(0)) should contain("k")
     an[Exception] should be thrownBy cat.sql("SELECT * FROM dim").collect()
-    // unknown table refuses
-    an[IllegalArgumentException] should be thrownBy cat.sql("DESCRIBE nope")
+    // unknown table refuses (through Spark's own resolution — the
+    // warehouse miss falls back rather than require-failing, so …)
+    an[Exception] should be thrownBy cat.sql("DESCRIBE nope")
+    // … a caller-registered TEMP VIEW answers through spark.sql again
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("caller_view")
+    val dtv = cat.sql("DESCRIBE caller_view").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    dtv should contain allOf (("id", "int"), ("s", "string"))
     // SHOW CREATE TABLE: the recreate statement, round-trippable
     val stmt = cat.sql("SHOW CREATE TABLE dim").head().getString(0)
     stmt should include("PARTITIONED BY (part STRING)")

@@ -143,5 +143,23 @@ class TimeTravelSqlSpec extends SparkSpec {
     Snapshots.rollback(spark, s, sv1)
     cat.sql("SELECT count(*) AS n FROM s TIMESTAMP AS OF '2099-01-01 00:00:00'")
       .head().getLong(0) shouldBe 1L
+    // flat rollback THEN a new commit: v3 = max(existing)+1 repoints
+    // ABOVE the abandoned v2, so a pointer ceiling alone would serve v2
+    // to a timestamp between v2's and v3's mtimes — the recorded
+    // lineage (v3 → v1) must keep it invisible
+    Thread.sleep(1100)
+    Snapshots.commit(spark, s, Seq((1, 1.0), (9, 9.0), (10, 10.0))
+      .toDF("k", "v")) shouldBe 3L
+    val f2 = new java.io.File(s"$s/_versions/v00000002")
+    val f3 = new java.io.File(s"$s/_versions/v00000003")
+    val betweenFlat = new java.sql.Timestamp(
+      (f2.lastModified() + f3.lastModified()) / 2)
+    cat.sql(s"SELECT count(*) AS n FROM s TIMESTAMP AS OF " +
+        s"'${fmtTs(betweenFlat)}'").head().getLong(0) shouldBe 1L
+    cat.sql("SELECT count(*) AS n FROM s TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .head().getLong(0) shouldBe 3L
   }
+
+  private def fmtTs(ts: java.sql.Timestamp): String =
+    new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS").format(ts)
 }
