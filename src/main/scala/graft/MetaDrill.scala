@@ -404,6 +404,19 @@ object SqlScaleDrill {
           |""".stripMargin)
     }
 
+    // the SELECTIVE BY SOURCE variant: a clause condition whose bounds
+    // admit ~1 partition — classification scans only the admitting
+    // files (condPossible pushdown) instead of the whole table, so this
+    // row must scale with the ADMITTED bytes, not the table
+    timed("general MERGE + selective BY SOURCE (bounds admit ~1% of rows)") {
+      cat.sql(
+        s"""MERGE INTO t t USING global_temp.m_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.dv
+           |WHEN NOT MATCHED BY SOURCE AND t.k >= ${11L * per}
+           |  AND t.k < ${12L * per} AND t.v > 200 THEN UPDATE SET v = 200
+           |""".stripMargin)
+    }
+
     // q197 shape: the point statements at data volume
     timed("1-row SQL UPDATE") {
       cat.sql(s"UPDATE t SET v = v + 1 WHERE k = ${rows / 2}")

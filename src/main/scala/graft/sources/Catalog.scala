@@ -1133,15 +1133,30 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     // MATCHED/INSERT legs only ever join/anti-join the target on the ON
     // keys, so the row-pos scan stats-prunes by the source's key values
     // (the merge path's own lookup discipline: an excluded partition
-    // provably holds no match, and the insert anti-join is unaffected).
-    // A BY SOURCE leg needs EVERY target row — no pruning then.
+    // provably holds no match, and the insert anti-join is unaffected —
+    // key pruning keeps every possibly-matching row, so "no match in
+    // the pruned frame" still means "no match anywhere").
     val tgt0 =
-      if (manifested && bySourceActs.isEmpty)
+      if (manifested)
         PartitionSnapshots.readWithRowPosPruned(spark, path, keys.head,
           src.select(org.apache.spark.sql.functions.col(keys.head)))
-      else if (manifested) PartitionSnapshots.readWithRowPos(spark, path)
       else read(targetName)
     val tgt = tgt0.alias(tAlias)
+    // The BY SOURCE leg is the one scan that needs rows BEYOND the
+    // source keys — but only rows some clause condition could fire on.
+    // When every clause carries a condition, compile their OR against
+    // the manifest bounds and scan only the admitting files
+    // ([[PartitionSnapshots.readWithRowPosWhere]]); an unconditional
+    // clause classifies every unmatched row, so only then is the full
+    // scan semantically required.
+    lazy val tgtBySource = {
+      val conds = bySourceActs.map(_._2)
+      (if (conds.nonEmpty && conds.forall(_.isDefined))
+         PartitionSnapshots.readWithRowPosWhere(spark, path,
+           conds.flatten.reduce(
+             org.apache.spark.sql.catalyst.expressions.Or(_, _)))
+       else PartitionSnapshots.readWithRowPos(spark, path)).alias(tAlias)
+    }
     val joinCond = keys.map(k =>
       col(s"$sAlias.$k") === col(s"$tAlias.$k")).reduce(_ && _)
     val posCols = if (manifested)
@@ -1169,8 +1184,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
           s"MERGE INTO: WHEN NOT MATCHED BY SOURCE needs a manifested " +
             s"target ('$targetName' is plain parquet — create it with " +
             "partitionManifests = true)")
-        Some(materialize(tgt.join(src, joinCond, "left_anti"), bySourceActs,
-          haveTarget = true, withPos = true))
+        Some(materialize(tgtBySource.join(src, joinCond, "left_anti"),
+          bySourceActs, haveTarget = true, withPos = true))
       }
     val inserted =
       if (insertActs.isEmpty) None

@@ -1403,14 +1403,56 @@ object PartitionSnapshots {
                            keyCol: String, keysDf: DataFrame): DataFrame = {
     require(isManifested(spark, table),
       s"readWithRowPosPruned: $table is not a manifested table")
-    val entries = rootManifest(spark, table).getOrElse(
+    val rv = currentRootVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(
         s"readWithRowPosPruned: no committed root manifest at $table"))
-    val rv = currentRootVersion(spark, table).get
     val pinned = pinnedSchema(spark, table, rv)
     val pred = pinned.flatMap(_.fields.find(_.name == keyCol))
       .flatMap(f => keyExclusion(spark, keysDf, f.name, f.dataType,
         fieldAliases(f)))
+    readRowPosExcluding(spark, table, pred)
+  }
+
+  /** [[readWithRowPos]] restricted by an arbitrary row CONDITION's
+    * stats compilation ([[condPossible]]) — the conditional
+    * `WHEN NOT MATCHED BY SOURCE AND <c>` scan: partitions and files
+    * whose recorded bounds prove NO row can satisfy `cond` are never
+    * constructed or read. Margin-safe end-to-end: an unsupported
+    * condition shape, a missing bound, or a non-ASCII string bound all
+    * read "maybe", so restriction can only skip IO — rows in an
+    * excluded file could neither fire a clause (the bounds refute the
+    * condition) nor be harmed by not being scanned (unmatched rows with
+    * no firing clause keep their files untouched). An unconditional
+    * clause has no `cond` to refute — callers pass the full scan then. */
+  private[graft] def readWithRowPosWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : DataFrame = {
+    require(isManifested(spark, table),
+      s"readWithRowPosWhere: $table is not a manifested table")
+    val rv = currentRootVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"readWithRowPosWhere: no committed root manifest at $table"))
+    val possible = pinnedSchema(spark, table, rv)
+      .flatMap(st => condPossible(st, cond))
+    readRowPosExcluding(spark, table,
+      possible.map(p => (st: PartStats) => !p(st)))
+  }
+
+  /** Shared body of the pruned row-pos reads: drop partitions the
+    * exclusion predicate refutes at rel level, narrow the survivors to
+    * candidate FILES via the per-file sidecars ([[filePruneEntries]]),
+    * and serve the rest with row positions attached. The caller's own
+    * predicate re-applies in full, so the restriction only skips IO;
+    * row ordinals are PER-FILE, so a file-scoped read serves identical
+    * positions. All-excluded reads return an empty frame with the full
+    * row-pos shape, keeping the caller's plan well-typed. */
+  private def readRowPosExcluding(spark: SparkSession, table: String,
+      pred: Option[PartStats => Boolean]): DataFrame = {
+    val entries = rootManifest(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"readWithRowPos: no committed root manifest at $table"))
+    val rv = currentRootVersion(spark, table).get
+    val pinned = pinnedSchema(spark, table, rv)
     val kept = pred match {
       case Some(p) =>
         val stats = rootStats(spark, table)
@@ -1418,11 +1460,6 @@ object PartitionSnapshots {
           .toMap
       case None => entries
     }
-    // narrow candidate partitions to candidate FILES via the per-file
-    // sidecars — the caller's own predicate re-applies in full, so the
-    // restriction only skips IO (the positional UPDATE/DELETE leg's
-    // analogue of the merge path's file-scoped planning); row ordinals
-    // are PER-FILE, so a file-scoped read serves identical positions
     val scanEntries = pred match {
       case Some(p) => filePruneEntries(spark, table, kept, p)
       case None => kept
@@ -1443,6 +1480,119 @@ object PartitionSnapshots {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(base.toArray))
       }
+  }
+
+  /** Compile a (parsed, unresolved) row condition into a conservative
+    * "may any row of a file with these bounds satisfy it?" test — the
+    * stats-pushdown for conditional BY SOURCE classification. Supported
+    * shapes: AND/OR trees of `col <op> literal` comparisons and
+    * IN-lists over numeric columns (compared as double with the same
+    * 2-ulp margins as [[numericKeyExcluded]]) and ASCII-bounded string
+    * columns (the [[stringKeyExcluded]] discipline); anything else —
+    * IS NULL, NOT, casts, string/number coercions, expressions over two
+    * columns — compiles to "maybe" (never prunes). None when NOTHING
+    * usable compiled, so callers fall back to the full scan instead of
+    * paying the sidecar reads for nothing. */
+  private[graft] def condPossible(
+      schema: org.apache.spark.sql.types.StructType,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[PartStats => Boolean] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val Maybe: PartStats => Boolean = _ => true
+    var usable = false
+    def fieldOf(a: UnresolvedAttribute) =
+      schema.fields.find(_.name.equalsIgnoreCase(a.nameParts.last))
+    def numLit(l: Literal): Option[Double] = l.dataType match {
+      // `200.0` parses as DECIMAL(4,1) — accept it alongside the
+      // binary numerics (Decimal.toString is the plain form)
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: DoubleType | _: FloatType | _: DecimalType =>
+        Option(l.value).map(v => v.toString.toDouble)
+      case _ => None
+    }
+    def strLit(l: Literal): Option[String] = l.dataType match {
+      case _: StringType => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    def isNum(dt: DataType) = dt match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: DoubleType | _: FloatType => true
+      case _ => false
+    }
+    /** One comparison, `col <op> lit` orientation already normalized. */
+    def cmp(a: UnresolvedAttribute, l: Literal, op: String)
+        : PartStats => Boolean =
+      fieldOf(a) match {
+        case Some(f) if isNum(f.dataType) && numLit(l).isDefined =>
+          val v = numLit(l).get
+          val names = f.name +: fieldAliases(f)
+          usable = true
+          st => names.iterator.flatMap(st.cols.get).nextOption() match {
+            case Some((mn, mx)) =>
+              (ParquetStats.numeric(mn), ParquetStats.numeric(mx)) match {
+                case (Some(a0), Some(b0)) =>
+                  val lo = Math.nextDown(Math.nextDown(a0))
+                  val hi = Math.nextUp(Math.nextUp(b0))
+                  op match {
+                    case "="  => lo <= v && v <= hi
+                    case "<"  => lo < v
+                    case "<=" => lo <= v
+                    case ">"  => hi > v
+                    case ">=" => hi >= v
+                  }
+                case _ => true
+              }
+            case None => true
+          }
+        case Some(f) if f.dataType == StringType && strLit(l).isDefined &&
+            strLit(l).forall(s => s.forall(c => c >= 0x20 && c < 0x7f)) =>
+          val v = strLit(l).get
+          val names = f.name +: fieldAliases(f)
+          usable = true
+          st => names.iterator.flatMap(st.cols.get).nextOption() match {
+            case Some((mn, mx))
+                if mn.forall(c => c >= 0x20 && c < 0x7f) &&
+                   mx.forall(c => c >= 0x20 && c < 0x7f) =>
+              op match {
+                case "="  => mn <= v && v <= mx
+                case "<"  => mn < v
+                case "<=" => mn <= v
+                case ">"  => mx > v
+                case ">=" => mx >= v
+              }
+            case _ => true
+          }
+        case _ => Maybe
+      }
+    def compile(e: Expression): PartStats => Boolean = e match {
+      case And(x, y) =>
+        val (cx, cy) = (compile(x), compile(y)); st => cx(st) && cy(st)
+      case Or(x, y) =>
+        val (cx, cy) = (compile(x), compile(y)); st => cx(st) || cy(st)
+      case EqualTo(a: UnresolvedAttribute, l: Literal) => cmp(a, l, "=")
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => cmp(a, l, "=")
+      case LessThan(a: UnresolvedAttribute, l: Literal) => cmp(a, l, "<")
+      case LessThan(l: Literal, a: UnresolvedAttribute) => cmp(a, l, ">")
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        cmp(a, l, "<=")
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        cmp(a, l, ">=")
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) => cmp(a, l, ">")
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) => cmp(a, l, "<")
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        cmp(a, l, ">=")
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        cmp(a, l, "<=")
+      case In(a: UnresolvedAttribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val tests = vs.map(v => cmp(a, v.asInstanceOf[Literal], "="))
+        st => tests.exists(_(st))
+      case _ => Maybe
+    }
+    val compiled = compile(cond)
+    if (usable) Some(compiled) else None
   }
 
   /** FILE-SCOPED MERGE planning (Iceberg's file-level rewrite selection,

@@ -89,6 +89,56 @@ class MergePruningSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("v")).toSeq shouldBe Seq(6.0)
   }
 
+  test("conditional BY SOURCE classification scans only stats-admitting files") {
+    val wh = tmpDir("mpbysrc")
+    val t = s"$wh/t"
+    // three partitions with disjoint v ranges: the BY SOURCE condition
+    // v >= 200 can only fire in p2/p3 — p1's files are provably exempt
+    Upsert.upsert(spark, t,
+      ((1 to 50).map(i => (i, "p1", i * 1.0)) ++
+       (51 to 100).map(i => (i, "p2", 200.0 + i)) ++
+       (101 to 150).map(i => (i, "p3", 400.0 + i))).toDF("k", "part", "v"),
+      Seq("k"), partitionCols = Seq("part"), partitionManifests = true)
+
+    // unit: the compiled condition keeps p2/p3 and refutes p1
+    val pinned = PartitionSnapshots.rootStats(spark, t)
+    val cond = spark.sessionState.sqlParser.parseExpression("v >= 200.0")
+    val possible = PartitionSnapshots.condPossible(
+      Upsert.read(spark, t).schema, cond).get
+    possible(pinned("part=p1")) shouldBe false
+    possible(pinned("part=p2")) shouldBe true
+    possible(pinned("part=p3")) shouldBe true
+    // AND composition: a range inside p2 keeps p2 and refutes both others
+    val both = PartitionSnapshots.condPossible(Upsert.read(spark, t).schema,
+      spark.sessionState.sqlParser.parseExpression(
+        "v >= 260.0 AND v < 270.0")).get
+    both(pinned("part=p1")) shouldBe false
+    both(pinned("part=p2")) shouldBe true
+    both(pinned("part=p3")) shouldBe false
+    // unsupported shapes refuse to prune rather than guess
+    PartitionSnapshots.condPossible(Upsert.read(spark, t).schema,
+      spark.sessionState.sqlParser.parseExpression("v IS NULL")) shouldBe None
+
+    // e2e: the conditional clause deletes exactly the admitted rows and
+    // leaves matched/insert legs untouched
+    val cat = new graft.sources.Catalog(spark, wh)
+    Seq((1, "p1", 99.0), (999, "p1", 9.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("src_bysrc")
+    cat.sql(
+      """MERGE INTO t USING src_bysrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.v >= 500.0 THEN DELETE
+        |""".stripMargin)
+    val after = Upsert.read(spark, t)
+    after.where(col("k") === 1).select("v").head().getDouble(0) shouldBe 99.0
+    after.where(col("k") === 999).count() shouldBe 1
+    after.where(col("v") >= 500.0).count() shouldBe 0
+    // deleted: exactly the p3 rows with 400+i >= 500 (i >= 100 → all of
+    // 101..150); survivors: 50 p1 + 50 p2 + inserted 999 + updated 1
+    after.count() shouldBe 101
+  }
+
   test("empty-table probe answers from the manifest, first commit still lands") {
     val path = tmpDir("mpempty") + "/t"
     Upsert.upsert(spark, path, Seq((1, "p1", 1.0)).toDF("k", "part", "v"),
