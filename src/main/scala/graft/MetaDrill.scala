@@ -404,13 +404,16 @@ object SqlScaleDrill {
           |""".stripMargin)
     }
 
-    // the SELECTIVE BY SOURCE variant: a clause condition whose bounds
-    // admit ~1 partition — classification scans only the admitting
-    // files (condPossible pushdown) instead of the whole table, so this
-    // row must scale with the ADMITTED bytes, not the table
+    // the SELECTIVE BY SOURCE variant: source keys AND the clause
+    // condition both confine to ~1 partition — the matched/insert legs
+    // stats-prune by the source keys, the BY SOURCE classification
+    // prunes by the compiled condition (condPossible pushdown), so the
+    // WHOLE statement must scale with the admitted bytes, not the table
+    spark.range(11L * per, 11L * per + 10).select(col("id").as("k"),
+      lit(-2.0).as("dv")).createOrReplaceGlobalTempView("m_src_sel")
     timed("general MERGE + selective BY SOURCE (bounds admit ~1% of rows)") {
       cat.sql(
-        s"""MERGE INTO t t USING global_temp.m_src s ON t.k = s.k
+        s"""MERGE INTO t t USING global_temp.m_src_sel s ON t.k = s.k
            |WHEN MATCHED THEN UPDATE SET v = s.dv
            |WHEN NOT MATCHED BY SOURCE AND t.k >= ${11L * per}
            |  AND t.k < ${12L * per} AND t.v > 200 THEN UPDATE SET v = 200

@@ -2008,8 +2008,18 @@ object PartitionSnapshots {
       require(keyed.isEmpty,
         s"dropColumn: live equality-delete file(s) ${keyed.sorted} key on " +
           s"'$name' — compact the affected partitions first")
+      // TOMBSTONE, not removal: the field (with its alias graph) stays
+      // in the persisted schema marked graft.dropped, so a later
+      // re-addition of the name is refused instead of silently
+      // re-serving the old files' bytes under it (the field-id
+      // protection Iceberg gets structurally, done by name here).
+      // Reads filter tombstones at the [[pinnedSchema]] boundary.
+      val i = pinned.fieldIndex(name)
+      val f = pinned.fields(i)
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putBoolean(DroppedKey, true).build()
       org.apache.spark.sql.types.StructType(
-        pinned.fields.filterNot(_.name == name))
+        pinned.fields.updated(i, f.copy(metadata = md, nullable = true)))
     }
 
   /** NON-ADDITIVE SCHEMA EVOLUTION, part 3: TYPE WIDENING (int→long,
@@ -2046,12 +2056,33 @@ object PartitionSnapshots {
     }
 
   def pinnedSchema(spark: SparkSession, table: String,
-                   rv: Long): Option[org.apache.spark.sql.types.StructType] = {
+                   rv: Long): Option[org.apache.spark.sql.types.StructType] =
+    pinnedSchemaRaw(spark, table, rv).map(st =>
+      org.apache.spark.sql.types.StructType(
+        st.fields.filterNot(isDroppedField)))
+
+  /** The slot's pinned schema INCLUDING tombstone fields ([[dropColumn]]
+    * marks dropped fields `graft.dropped` rather than removing them —
+    * the name-based-mapping answer to Iceberg's field ids): every
+    * ordinary consumer reads the filtered [[pinnedSchema]] and never
+    * sees a dropped name; only [[publishRoot]] (which must CARRY the
+    * tombstones forward and refuse a commit that re-introduces a
+    * tombstoned name) and diagnostics read raw. */
+  private[graft] def pinnedSchemaRaw(spark: SparkSession, table: String,
+      rv: Long): Option[org.apache.spark.sql.types.StructType] = {
     val p = new Path(s"${Snapshots.versionPath(s"$table/$RootDir", rv)}/$SchemaFile")
     if (!fs(spark, p).exists(p)) None
     else Some(org.apache.spark.sql.types.DataType.fromJson(readText(spark, p))
       .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
+
+  /** Tombstone marker for dropped columns: the field stays in the
+    * PERSISTED schema (name + alias graph + type) so re-addition of the
+    * name can be refused forever, but reads and writes never see it. */
+  private val DroppedKey = "graft.dropped"
+  private[graft] def isDroppedField(
+      f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
 
   /** Fold root version `rv` to its full (partition → (state, stats))
     * map: a full manifest is the answer; a delta folds onto its parent's
@@ -2193,7 +2224,9 @@ object PartitionSnapshots {
     // types (a narrow-typed source would silently re-narrow the pin) —
     // so both inherit from the parent's pinned schema by name.
     val pcols = partitionCols(spark, table).toSet
-    val parentPinned = parent.flatMap(pinnedSchema(spark, table, _))
+    // RAW parent pin: tombstoned (dropped) fields ride along so they
+    // carry into every future slot and can police name re-use below
+    val parentPinned = parent.flatMap(pinnedSchemaRaw(spark, table, _))
     def inherit(st: org.apache.spark.sql.types.StructType)
         : org.apache.spark.sql.types.StructType = parentPinned match {
       case None => st
@@ -2223,9 +2256,34 @@ object PartitionSnapshots {
           }
         })
     }
-    schema.map(st => inherit(org.apache.spark.sql.types.StructType(
-        st.fields.filterNot(fld => pcols.contains(fld.name)))))
-      .orElse(parentPinned).foreach { st =>
+    schema.map { st0 =>
+      val st = org.apache.spark.sql.types.StructType(
+        st0.fields.filterNot(fld => pcols.contains(fld.name)))
+      // TOMBSTONE DISCIPLINE (the one choke point every schema-carrying
+      // commit passes): a live incoming field whose name — or any of
+      // whose parent-recorded aliases — matches a DROPPED field's
+      // name/alias graph would re-serve the old files' bytes under the
+      // re-used name; refuse loudly. Parent tombstones the commit does
+      // not itself carry are appended so the record survives every
+      // future re-pin.
+      val tombs = parentPinned.map(_.fields.filter(isDroppedField).toSeq)
+        .getOrElse(Nil)
+      val tombNames = tombs.flatMap(t => t.name +: fieldAliases(t))
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val clash = st.fields.filterNot(isDroppedField).filter(fld =>
+        (fld.name +: fieldAliases(fld)).exists(n =>
+          tombNames.contains(n.toLowerCase(java.util.Locale.ROOT))))
+      require(clash.isEmpty,
+        s"commit at $table: column name(s) " +
+          s"${clash.map(_.name).toSeq.sorted.mkString(", ")} were previously " +
+          "DROPPED from this table — re-adding a dropped name would " +
+          "re-serve old files' data under it (name-based mapping has no " +
+          "field ids); use a fresh name instead")
+      val inherited = inherit(st)
+      val present = inherited.fieldNames.toSet
+      org.apache.spark.sql.types.StructType(
+        inherited.fields ++ tombs.filterNot(t => present.contains(t.name)))
+    }.orElse(parentPinned).foreach { st =>
       val so = f.create(new Path(tmp, SchemaFile), true)
       try so.write(st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally so.close()

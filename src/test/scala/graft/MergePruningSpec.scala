@@ -119,10 +119,16 @@ class MergePruningSpec extends SparkSpec {
     PartitionSnapshots.condPossible(Upsert.read(spark, t).schema,
       spark.sessionState.sqlParser.parseExpression("v IS NULL")) shouldBe None
 
-    // e2e: the conditional clause deletes exactly the admitted rows and
-    // leaves matched/insert legs untouched
+    // e2e WITH an engagement pin: physically remove p1's data files —
+    // the source keys and the clause bounds both exempt p1, so a merge
+    // whose scans really prune never touches it; an unpruned scan
+    // would fail loudly on the vanished dir
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$t/part=p1/_versions"),
+      true) shouldBe true
     val cat = new graft.sources.Catalog(spark, wh)
-    Seq((1, "p1", 99.0), (999, "p1", 9.0)).toDF("k", "part", "v")
+    Seq((60, "p2", 99.0), (999, "p2", 9.0)).toDF("k", "part", "v")
       .createOrReplaceTempView("src_bysrc")
     cat.sql(
       """MERGE INTO t USING src_bysrc s ON t.k = s.k
@@ -130,13 +136,16 @@ class MergePruningSpec extends SparkSpec {
         |WHEN NOT MATCHED THEN INSERT *
         |WHEN NOT MATCHED BY SOURCE AND t.v >= 500.0 THEN DELETE
         |""".stripMargin)
-    val after = Upsert.read(spark, t)
-    after.where(col("k") === 1).select("v").head().getDouble(0) shouldBe 99.0
+    // p1 is gone from disk but untouched by the commit: scans of the
+    // OTHER partitions still serve (scoped read below), the matched key
+    // updated, the insert landed, and every v >= 500 row died
+    val after = Upsert.read(spark, t).where(col("part") =!= "p1")
+    after.where(col("k") === 60).select("v").head().getDouble(0) shouldBe 99.0
     after.where(col("k") === 999).count() shouldBe 1
     after.where(col("v") >= 500.0).count() shouldBe 0
-    // deleted: exactly the p3 rows with 400+i >= 500 (i >= 100 → all of
-    // 101..150); survivors: 50 p1 + 50 p2 + inserted 999 + updated 1
-    after.count() shouldBe 101
+    // survivors beyond p1: 50 p2 rows (incl. updated k=60) + insert;
+    // p3's 400+i for i=101..150 all exceeded 500 and died
+    after.count() shouldBe 51
   }
 
   test("empty-table probe answers from the manifest, first commit still lands") {

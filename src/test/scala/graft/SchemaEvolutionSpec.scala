@@ -107,6 +107,46 @@ class SchemaEvolutionSpec extends SparkSpec {
     Upsert.read(spark, t).count() shouldBe 2
   }
 
+  test("drop tombstone: re-adding a dropped name refuses; old bytes never resurface") {
+    val wh = tmpDir("sevo4t"); val t = seed(wh)
+    PartitionSnapshots.dropColumn(spark, t, "tag")
+    // re-adding the dropped name would re-serve the old files' bytes
+    // under it (name-based mapping, no field ids) — refused LOUDLY at
+    // the commit choke point, whatever surface attempts it
+    val e1 = intercept[IllegalArgumentException] {
+      PartitionSnapshots.addColumn(spark, t, "tag", StringType)
+    }
+    e1.getMessage should include("DROPPED")
+    // … including different case and the SQL ALTER surface
+    an[IllegalArgumentException] should be thrownBy
+      PartitionSnapshots.addColumn(spark, t, "TAG", StringType)
+    val cat = new graft.sources.Catalog(spark, wh)
+    an[IllegalArgumentException] should be thrownBy
+      cat.sql("ALTER TABLE t ADD COLUMN tag STRING")
+    // … and a rename ONTO the tombstoned name
+    an[IllegalArgumentException] should be thrownBy
+      PartitionSnapshots.renameColumn(spark, t, "v", "tag")
+    // the tombstone survives UNRELATED commits (carried slot to slot)
+    Upsert.append(spark, t, Seq((7, "p1", 70))
+      .toDF("k", "part", "v"), Seq("part"))
+    an[IllegalArgumentException] should be thrownBy
+      PartitionSnapshots.addColumn(spark, t, "tag", StringType)
+    // rename-then-drop tombstones the whole alias graph
+    PartitionSnapshots.renameColumn(spark, t, "v", "val2")
+    PartitionSnapshots.dropColumn(spark, t, "val2")
+    an[IllegalArgumentException] should be thrownBy
+      PartitionSnapshots.addColumn(spark, t, "v", IntegerType)
+    an[IllegalArgumentException] should be thrownBy
+      PartitionSnapshots.addColumn(spark, t, "val2", IntegerType)
+    // a FRESH name still adds fine, reads NULL over old files, and the
+    // dropped columns stay invisible
+    PartitionSnapshots.addColumn(spark, t, "tag2", StringType)
+    val cur = Upsert.read(spark, t)
+    cur.columns.toSet shouldBe Set("k", "part", "tag2")
+    cur.where(col("tag2").isNotNull).count() shouldBe 0
+    cur.count() shouldBe 4
+  }
+
   test("widen int->long: narrow old files read wide; beyond-int appends land") {
     val wh = tmpDir("sevo5"); val t = seed(wh)
     PartitionSnapshots.widenColumn(spark, t, "v", LongType)
