@@ -150,12 +150,9 @@ object Upsert {
             s"upsert: lost in-process takeover race for stale lease $lp")
       }
       def tryCreate(): Boolean =
-        try {
-          val out = f.create(lp, false)
-          out.writeBytes(s"$token ts=${System.currentTimeMillis()}\n")
-          out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+        graft.sources.CommitIo.current.createExclusive(f, lp,
+          s"$token ts=${System.currentTimeMillis()}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       try {
         if (!tryCreate()) {
           val ageMs = lockAge()

@@ -2306,7 +2306,7 @@ object PartitionSnapshots {
     while (attempt < 50) {
       val next = Snapshots.allVersionDirs(spark, rt).lastOption.getOrElse(0L) + 1
       val slot = new Path(Snapshots.versionPath(rt, next))
-      if (f.rename(tmp, slot)) {
+      if (CommitIo.current.claimSlot(f, tmp, slot)) {
         f.create(new Path(slot, "_SUCCESS"), true).close()
         branch match {
           case Some(n) =>
@@ -2388,7 +2388,7 @@ object PartitionSnapshots {
     while (attempt < 50) {
       val next = Snapshots.allVersionDirs(spark, pt).lastOption.getOrElse(0L) + 1
       val slot = new Path(Snapshots.versionPath(pt, next))
-      if (f.rename(from, slot)) {
+      if (CommitIo.current.claimSlot(f, from, slot)) {
         f.create(new Path(slot, "_SUCCESS"), true).close()
         return next
       }
@@ -2674,7 +2674,8 @@ object PartitionSnapshots {
     var attempt = 0
     while (attempt < 50) {
       val next = Snapshots.allVersionDirs(spark, pt).lastOption.getOrElse(0L) + 1
-      if (f.rename(from, new Path(Snapshots.versionPath(pt, next)))) return next
+      if (CommitIo.current.claimSlot(f, from,
+          new Path(Snapshots.versionPath(pt, next)))) return next
       attempt += 1
     }
     throw new IllegalStateException(
@@ -3155,18 +3156,11 @@ object PartitionSnapshots {
     val dir = new Path(s"$table/$RootDir/$BranchesDir")
     val f = fs(spark, dir)
     f.mkdirs(dir)
-    // write-then-rename: the ref is complete-or-absent to readers
-    val tmp = new Path(dir, s".${name}-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(f"v$head%08d\tv$base%08d"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    f.delete(new Path(dir, name), false)
-    if (!f.rename(tmp, new Path(dir, name))) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"branch: could not publish ref $name at $table")
-    }
+    // a branch ref is a POINTER (complete-or-absent to readers): same
+    // atomicity seam as the root pointer swap
+    CommitIo.current.swapPointer(f, new Path(dir, name),
+      f"v$head%08d\tv$base%08d"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** [[read]] pinned at a branch's head ([[branchRef]] absorbs the ref
@@ -4257,7 +4251,7 @@ object PartitionSnapshots {
         DeleteName.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
         .maxOption.getOrElse(0L) + 1
       val id = f"$prefix$next%08d"
-      if (f.rename(from, new Path(dir, id))) return id
+      if (CommitIo.current.claimSlot(f, from, new Path(dir, id))) return id
       attempt += 1
     }
     f.delete(from, true)

@@ -183,7 +183,8 @@ object Snapshots {
     var attempt = 0
     while (attempt < 50) {
       val next = allVersionDirs(spark, table).lastOption.getOrElse(0L) + 1
-      if (f.rename(tmp, new Path(versionPath(table, next)))) return next
+      if (CommitIo.current.claimSlot(f, tmp,
+          new Path(versionPath(table, next)))) return next
       attempt += 1 // lost the slot race; renumber against the new listing
     }
     f.delete(tmp, true)
@@ -278,14 +279,8 @@ object Snapshots {
   }
 
   private def swapPointer(spark: SparkSession, table: String, v: Long): Unit = {
-    val tmp = new Path(table, s"$Pointer.tmp")
     val cur = new Path(table, Pointer)
-    val f = fs(spark, cur)
-    val out = f.create(tmp, true)
-    try out.write(vName(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    f.delete(cur, false)
-    if (!f.rename(tmp, cur))
-      throw new IllegalStateException(s"snapshot pointer swap failed at $table")
+    CommitIo.current.swapPointer(fs(spark, cur), cur,
+      vName(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
