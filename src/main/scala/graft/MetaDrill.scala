@@ -412,11 +412,15 @@ object SqlScaleDrill {
     spark.range(11L * per, 11L * per + 10).select(col("id").as("k"),
       lit(-2.0).as("dv")).createOrReplaceGlobalTempView("m_src_sel")
     timed("general MERGE + selective BY SOURCE (bounds admit ~1% of rows)") {
+      // the clause's k-range admits ONE partition's bounds (the scan
+      // prunes to it) and fires on ~1% of that partition's rows (so the
+      // row times the SCAN pruning, not a mass update's commit volume)
       cat.sql(
         s"""MERGE INTO t t USING global_temp.m_src_sel s ON t.k = s.k
            |WHEN MATCHED THEN UPDATE SET v = s.dv
            |WHEN NOT MATCHED BY SOURCE AND t.k >= ${11L * per}
-           |  AND t.k < ${12L * per} AND t.v > 200 THEN UPDATE SET v = 200
+           |  AND t.k < ${11L * per + per / 100} AND t.v > 200
+           |  THEN UPDATE SET v = 200
            |""".stripMargin)
     }
 

@@ -3572,6 +3572,55 @@ object Queries {
         |FROM t.partitions p ORDER BY partition""".stripMargin)
   }
 
+  /** §2.7 Misc family's FILE-LINEAGE shape as an oracle row (round-14
+    * verdict ask 6): the reference derives each record's TOPIC from the
+    * GCS object path it was read from (input_file_name + regexp,
+    * gcs_bronze_to_silver.py:216-237; the engine's port is
+    * BronzeToSilver.scala:28) — here the same derivation runs over the
+    * events parquet and aggregates per derived topic, so the
+    * input_file_name → regexp_extract → groupBy pipeline is pinned by
+    * the DuckDB replay (which knows the expected topic statically). */
+  def q201FileLineage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, input_file_name, regexp_extract}
+    t(s, dir, "events")
+      .select(regexp_extract(input_file_name(),
+        "([a-z]+)\\.parquet", 1).as("topic"))
+      .groupBy("topic").agg(count("*").as("n"))
+  }
+
+  /** P5 parse-success filter as an oracle row: a raw string column with
+    * a KNOWN invalid tail (days 32..40 of a synthetic date) runs the
+    * bronze layer's parse-then-drop discipline — try_to_timestamp keeps
+    * exactly the parseable rows (ANSI-safe; a naked cast would throw),
+    * the count per language replays in DuckDB via try_strptime. */
+  def q202ParseFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, count, lit, lpad, try_to_timestamp}
+    t(s, dir, "documents")
+      .withColumn("raw_day",
+        concat(lit("2024-01-"),
+          lpad((col("doc_id") % 40 + 1).cast("string"), 2, "0")))
+      .where(try_to_timestamp(col("raw_day"), lit("yyyy-MM-dd")).isNotNull)
+      .groupBy("lang").agg(count("*").as("n_ok"))
+  }
+
+  /** A3 count action + A4 isEmpty probe as an oracle row: both are
+    * driver-side ACTIONS in the reference (merge guards,
+    * gcs_silver_to_gold.py empty-source checks), so the row materializes
+    * their results — a filtered count and two existence probes — into
+    * one declaratively-replayable record. */
+  def q203CountExists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val nHigh = t(s, dir, "orders")
+      .where(col("o_totalprice") > 100000.0).count()
+    val hasQ50 = !t(s, dir, "lineitem")
+      .where(col("l_quantity") >= 50.0).isEmpty
+    val hasNegative = !t(s, dir, "lineitem")
+      .where(col("l_quantity") < 0.0).isEmpty
+    Seq((nHigh, hasQ50, hasNegative))
+      .toDF("n_high", "has_q50", "has_negative")
+  }
+
   /** FUZZY-JOIN RECALL EVALUATION under the hot-bucket guard — retires
     * the q66 caveat with MEASUREMENT (round-9 verdict ask): a 36-member
     * near-identical family ("PLANTEDNAME" + one tail character; every
@@ -4554,6 +4603,26 @@ object Queries {
         |            ELSE c_acctbal END AS c_acctbal,
         |       c_mktsegment
         |FROM customer WHERE c_custkey <= 400""".stripMargin,
+    // q201: the derived topic is static knowledge to the oracle — the
+    // Spark side must reach the same answer through input_file_name
+    "q201_file_lineage" ->
+      "SELECT 'events' AS topic, count(*) AS n FROM events GROUP BY 1",
+    // q202: the parse-success filter replayed with DuckDB's try_strptime
+    // (days 32..40 of the synthetic date fail on both engines)
+    "q202_parse_filter" ->
+      """SELECT lang, count(*) AS n_ok FROM documents
+        |WHERE try_strptime(concat('2024-01-',
+        |        lpad(CAST(doc_id % 40 + 1 AS VARCHAR), 2, '0')),
+        |      '%Y-%m-%d') IS NOT NULL
+        |GROUP BY lang""".stripMargin,
+    // q203: count action + existence probes, declaratively
+    "q203_count_exists" ->
+      """SELECT (SELECT count(*) FROM orders WHERE o_totalprice > 100000.0)
+        |         AS n_high,
+        |       EXISTS(SELECT 1 FROM lineitem WHERE l_quantity >= 50.0)
+        |         AS has_q50,
+        |       EXISTS(SELECT 1 FROM lineitem WHERE l_quantity < 0.0)
+        |         AS has_negative""".stripMargin,
     // q200: the partitions inspection table's manifest row counts must
     // equal a declarative recount of the source
     "q200_inspection_sql" ->
@@ -6978,6 +7047,9 @@ object Queries {
     "q197_sql_session" -> (q197SqlSession _),
     "q198_insert_overwrite" -> (q198InsertOverwrite _),
     "q199_call_maintenance" -> (q199CallMaintenance _),
-    "q200_inspection_sql" -> (q200InspectionSql _)
+    "q200_inspection_sql" -> (q200InspectionSql _),
+    "q201_file_lineage" -> (q201FileLineage _),
+    "q202_parse_filter" -> (q202ParseFilter _),
+    "q203_count_exists" -> (q203CountExists _)
   )
 }

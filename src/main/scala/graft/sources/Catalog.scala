@@ -172,26 +172,52 @@ final class Catalog(spark: SparkSession, warehouse: String) {
                 catch { case _: Exception => false }) =>
           runDescribe(d)
       }
-      case _ if TimeTravelHint.matcher(query).find() =>
-        // `FROM t VERSION AS OF v / TIMESTAMP AS OF ts / AS OF <tag>`:
-        // the parser wraps the relation in RelationTimeTravel; resolve
-        // each to the engine's pinned snapshot read and run the rest of
-        // the statement unchanged. The regex pre-filter keeps plain
-        // SELECTs on the single-parse path.
+      case "WITH" =>
+        // Spark's grammar allows a CTE before DML (`WITH … MERGE INTO`),
+        // which would sail past the keyword sniff into the plain path —
+        // where spark.sql would run the statement against the temp-view
+        // registrations (a v1 INSERT can even append raw files into the
+        // table layout). The router does not resolve CTEs into its
+        // commit machinery, so refuse LOUDLY instead of mis-executing;
+        // ordinary WITH…SELECT statements pass through untouched.
         val plan = spark.sessionState.sqlParser.parsePlan(query)
-        val hasTt = plan.collectFirst {
-          case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => tt
-        }.nonEmpty
-        if (!hasTt) runPlain(query)
-        else {
-          val resolved = plan.transform {
-            case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
-              resolveTimeTravel(tt)
-          }
-          registerAll()
-          org.apache.spark.sql.graft.SqlInternals.ofRows(spark, resolved)
+        val dml = plan.collectFirst {
+          case n @ (_: MergeIntoTable | _: DeleteFromTable |
+                    _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
+                    _: InsertIntoStatement) => n
         }
+        require(dml.isEmpty,
+          s"CTE-prefixed ${dml.map(_.nodeName).getOrElse("")} is not " +
+            "routed to the commit machinery — materialize the CTE as a " +
+            "temp view and run the bare statement")
+        // plain WITH…SELECT: same tail as the default case (time-travel
+        // resolution, inspection-table retry)
+        if (TimeTravelHint.matcher(query).find()) runMaybeTimeTravel(query)
+        else runPlain(query)
+      case _ if TimeTravelHint.matcher(query).find() =>
+        runMaybeTimeTravel(query)
       case _ => runPlain(query)
+    }
+  }
+
+  /** `FROM t VERSION AS OF v / TIMESTAMP AS OF ts / AS OF <tag>`:
+    * the parser wraps the relation in RelationTimeTravel; resolve
+    * each to the engine's pinned snapshot read and run the rest of
+    * the statement unchanged. The regex pre-filter keeps plain
+    * SELECTs on the single-parse path. */
+  private def runMaybeTimeTravel(query: String): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+    val hasTt = plan.collectFirst {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => tt
+    }.nonEmpty
+    if (!hasTt) runPlain(query)
+    else {
+      val resolved = plan.transform {
+        case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+          resolveTimeTravel(tt)
+      }
+      registerAll()
+      org.apache.spark.sql.graft.SqlInternals.ofRows(spark, resolved)
     }
   }
 
@@ -793,13 +819,30 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * a routed MERGE/DELETE before paying a parsePlan for it. */
   private def leadingKeyword(q: String): String = {
     var i = 0
+    // Spark's lexer accepts the typographic/non-breaking spaces Java's
+    // isWhitespace rejects — the sniff must skip at least everything
+    // the parser would, or a statement led by one would silently fall
+    // to the plain path (over-accepting is safe: the reparse surfaces
+    // the parser's own loud error either way)
+    def isWs(c: Char): Boolean = Character.isWhitespace(c) ||
+      c == '\u00a0' || c == '\u1680' ||
+      (c >= '\u2000' && c <= '\u200a') ||
+      c == '\u202f' || c == '\u205f' || c == '\u3000'
     while (i < q.length) {
-      if (q.charAt(i).isWhitespace) i += 1
+      if (isWs(q.charAt(i))) i += 1
       else if (q.startsWith("--", i)) {
         while (i < q.length && q.charAt(i) != '\n') i += 1
       } else if (q.startsWith("/*", i)) {
-        val e = q.indexOf("*/", i + 2)
-        i = if (e < 0) q.length else e + 2
+        // bracketed comments NEST in Spark's grammar (SPARK-28880): a
+        // non-nesting skip would "end" inside `/* a /* b */ c */` and
+        // read `c` as the keyword — mis-routing the real statement
+        var depth = 1
+        i += 2
+        while (i < q.length && depth > 0) {
+          if (q.startsWith("/*", i)) { depth += 1; i += 2 }
+          else if (q.startsWith("*/", i)) { depth -= 1; i += 2 }
+          else i += 1
+        }
       } else {
         var k = i
         while (k < q.length && q.charAt(k).isLetter) k += 1
