@@ -76,6 +76,28 @@ object FastExprs {
   def simHash(text: Column): Column =
     ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(text)))
 
+  /** [[graft.text.TextAnalysis.portableHash]] as one compiled call: the
+    * Column algebra evaluates md5 + regexp_replace (a regex engine pass
+    * per row) + concat + substring + cast; this computes the identical
+    * value digit-by-digit from the raw digest ([[portableHashJvm]]).
+    * Hot in every hash-derived sampler/filter (bloom positions, shard
+    * hashes, salted ranks). */
+  def portableHash(c: Column): Column =
+    ExpressionUtils.column(PortableHashExpr(ExpressionUtils.expression(c)))
+
+  /** [[graft.text.TextAnalysis.portableHash64]] as one compiled call
+    * (md5 + substring + conv replaced by [[portableHash64Jvm]]). */
+  def portableHash64(c: Column): Column =
+    ExpressionUtils.column(PortableHash64Expr(ExpressionUtils.expression(c)))
+
+  /** Membership probe into a SORTED long array by binary search — the
+    * value-identical replacement for `array_contains` on sorted position
+    * sets (Bloom filters): log₂(m) long compares per probe instead of a
+    * linear scan of up to m elements. */
+  def sortedContains(arr: Column, v: Column): Column =
+    ExpressionUtils.column(SortedContainsExpr(
+      ExpressionUtils.expression(arr), ExpressionUtils.expression(v)))
+
   /** Tokenization shared by every JVM kernel, replicating
     * TextAnalysis.tokens EXACTLY: collapse regex \s+ to one space, strip
     * edge SPACES only, split on ' '. Java's String.trim would also strip
@@ -125,6 +147,67 @@ object FastExprs {
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h
+  }
+}
+
+case class PortableHashExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_hash"
+  override def nullSafeEval(input: Any): Any =
+    FastExprs.portableHashJvm(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FastExprs.portableHashJvm($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PortableHash64Expr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_hash64"
+  override def nullSafeEval(input: Any): Any =
+    FastExprs.portableHash64Jvm(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FastExprs.portableHash64Jvm($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SortedContainsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false), LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "sorted_contains"
+  override def nullSafeEval(arr: Any, v: Any): Any =
+    SortedContainsExpr.compute(arr.asInstanceOf[ArrayData], v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, v) => s"graft.functions.SortedContainsExpr.compute($a, $v)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedContainsExpr {
+  /** Binary search over an ascending long array (`sort_array` output).
+    * Same answer as array_contains for every sorted input. */
+  def compute(arr: ArrayData, v: Long): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val x = arr.getLong(mid)
+      if (x == v) return true
+      else if (x < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
   }
 }
 

@@ -47,7 +47,11 @@ object BloomFilter {
     * caller wants pass/fail counts without a second scan. */
   def mightContain(key: Column, m: Int = 4096, k: Int = 2): Column =
     key.isNotNull && positions(key, m, k)
-      .map(p => array_contains(col("bloom_positions"), p))
+      // bloom_positions is sort_array output: binary-search each probe
+      // (log₂ m compares) instead of array_contains' linear scan of up
+      // to m elements — same answer on the sorted set, ~300× fewer
+      // compares per probe row at the default m=4096
+      .map(p => graft.functions.FastExprs.sortedContains(col("bloom_positions"), p))
       .reduce(_ && _)
 
   /** Keep the probe rows whose key MAY be in the filter (all k positions

@@ -328,7 +328,6 @@ object Graph {
     * unpersist discipline as [[pageRank]]. */
   def labelPropagation(edges: DataFrame, src: String = "src",
                        dst: String = "dst", rounds: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
@@ -344,12 +343,18 @@ object Graph {
           .join(labels.withColumnRenamed("node", "b"), "b")
           .groupBy(col("a").as("node"), col("label"))
           .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("node")
-          .orderBy(col("c").desc, col("label"))
+        // argmax by count, ties to the SMALLEST label, as a second
+        // aggregate: min(struct(-c, label)) orders by count desc then
+        // label asc — lexicographic struct comparison IS the window's
+        // (c desc, label) order. An aggregate partial-combines map-side
+        // (≤ one row per node per partition crosses the exchange) and
+        // needs no sort, where the row_number() window this replaces
+        // paid Exchange + two sorts per round. Counts are ≥ 1 so the
+        // negation can't overflow.
         val next = counts
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select("node", "label")
+          .groupBy("node")
+          .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
+          .select(col("node"), col("best.label").as("label"))
           .localCheckpoint()
         unpersist(labels)
         labels = next

@@ -185,13 +185,27 @@ object Sampling {
     val c = prefixSum(
       df.select(col(keyCol), col(weightCol).cast("long").as("__w"))
         .where(col("__w") > 0), keyCol, "__w")
-    val positions = c.agg(max(col("hi")).as("__W"))
-      .select(explode(sequence(lit(0L), lit(k - 1L))).as("__j"), col("__W"))
-      .select(expr(s"(2*__j + 1) * __W div ${2L * k}").as("__pos"))
-    c.join(broadcast(positions),
-        col("__pos") >= col("lo") && col("__pos") < col("hi"))
-      .groupBy(col(keyCol), col("weight"))
-      .agg(count(lit(1)).as("n_picks"))
+    // The k probe positions pos_j = (2j+1)·W div 2k are MONOTONE in j, so
+    // the j hitting a row's [lo, hi) form a contiguous range with closed-
+    // form endpoints — n_picks is a row-local integer formula, not a
+    // positions×rows nested-loop join (the previous shape paid k predicate
+    // evaluations per row in a BroadcastNestedLoopJoin plus a groupBy):
+    //   pos_j ≥ lo ⟺ (2j+1)W ≥ 2k·lo ⟺ j ≥ (⌈2k·lo/W⌉) div 2
+    //   pos_j < hi ⟺ (2j+1)W ≤ 2k·hi−1 ⟺ j ≤ (⌊(2k·hi−1)/W⌋ − 1) div 2
+    //     (no j at all when that floor is 0 — guarded below)
+    // All operands are ≥ 0 longs, so Spark's truncating `div` ≡ floor and
+    // ⌈a/b⌉ = (a + b − 1) div b. Equivalence to the explicit positions
+    // join is pinned property-style in SamplingSpec.
+    val k2 = 2L * k
+    c.crossJoin(broadcast(c.agg(max(col("hi")).as("__W"))))
+      .withColumn("__jmin", expr(s"(($k2 * lo + __W - 1) div __W) div 2"))
+      .withColumn("__jmax", least(lit(k - 1L), expr(
+        s"CASE WHEN ($k2 * hi - 1) div __W >= 1" +
+          s" THEN ((($k2 * hi - 1) div __W) - 1) div 2 ELSE -1 END")))
+      .withColumn("n_picks",
+        greatest(lit(0L), col("__jmax") - col("__jmin") + 1))
+      .where(col("n_picks") > 0)
+      .select(col(keyCol), col("weight"), col("n_picks"))
   }
 
   /** Materialize the packed training sequences: per (shard, bin), the

@@ -52,20 +52,33 @@ object TextAnalysis {
       .limit(k)
 
   /** Portable 8-digit integer hash: md5 hex → keep decimal digits → first 8.
-    * Deterministic and reproducible in any SQL engine (md5 + regexp +
-    * substr + cast); used for fingerprints/sketches that must verify
-    * outside Spark. */
+    * Deterministic and reproducible in any SQL engine; evaluated as ONE
+    * codegen call ([[graft.functions.PortableHashExpr]]) — the
+    * Column-algebra formulation ([[portableHashColumn]], value-identical,
+    * spec-pinned) paid a regex-engine pass per row. */
   def portableHash(c: Column): Column =
+    graft.functions.FastExprs.portableHash(c)
+
+  /** Column-algebra reference of [[portableHash]] (md5 + regexp + substr +
+    * cast — the literal DuckDB-mirrorable form). Kept as the value-identity
+    * witness for the spec; never use on a hot path. */
+  def portableHashColumn(c: Column): Column =
     substring(concat(regexp_replace(md5(c), "[a-f]", ""), lit("00000000")), 1, 8)
       .cast("long")
 
   /** Portable full-width 64-bit hash: first 16 hex chars of md5 read as an
     * unsigned 64-bit value, reinterpreted as a signed long (two's
-    * complement — `conv` with negative radix). Unlike [[portableHash]]
-    * (8 decimal digits ≈ 27 usable bits) every one of the 64 bits is
-    * uniform, which sketches that band on bit ranges (SimHash) require.
-    * DuckDB mirror: `('0x' || substr(md5(x), 1, 16))::UBIGINT`. */
+    * complement). Unlike [[portableHash]] (8 decimal digits ≈ 27 usable
+    * bits) every one of the 64 bits is uniform, which sketches that band
+    * on bit ranges (SimHash) require. One codegen call
+    * ([[graft.functions.PortableHash64Expr]]); DuckDB mirror:
+    * `('0x' || substr(md5(x), 1, 16))::UBIGINT`. */
   def portableHash64(c: Column): Column =
+    graft.functions.FastExprs.portableHash64(c)
+
+  /** Column-algebra reference of [[portableHash64]] (`conv` with negative
+    * radix for the two's-complement reinterpretation) — the spec witness. */
+  def portableHash64Column(c: Column): Column =
     conv(substring(md5(c), 1, 16), 16, -10).cast("long")
 
   /** The OTHER 64 bits of the same md5 (hex chars 17–32) — an independent

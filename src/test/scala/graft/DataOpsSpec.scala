@@ -132,6 +132,29 @@ class DataOpsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("systematic resampling: closed-form j-range ≡ explicit positions join") {
+    // the r15 rewrite computes n_picks row-locally from [lo, hi) instead
+    // of joining k exploded positions; replay the old join here and pin
+    // row-for-row equality on an awkward weight mix (1s, a giant, primes)
+    val rows = Seq((1L, 1L), (2L, 1L), (3L, 997L), (4L, 13L), (5L, 2L),
+      (6L, 400L), (7L, 86L))
+    for (k <- Seq(1, 2, 7, 101)) {
+      val df = rows.toDF("k", "w")
+      val c = Sampling.prefixSum(df, "k", "w")
+      val positions = c.agg(max(col("hi")).as("__W"))
+        .select(explode(sequence(lit(0L), lit(k - 1L))).as("__j"), col("__W"))
+        .select(expr(s"(2*__j + 1) * __W div ${2L * k}").as("__pos"))
+      val expected = c.join(broadcast(positions),
+          col("__pos") >= col("lo") && col("__pos") < col("hi"))
+        .groupBy(col("k"), col("weight"))
+        .agg(count(lit(1)).as("n_picks"))
+        .collect().map(_.toSeq).toSet
+      val got = Sampling.systematicWeightedSample(df, "k", "w", k)
+        .collect().map(_.toSeq).toSet
+      withClue(s"k=$k: ") { got shouldBe expected }
+    }
+  }
+
   // --- bloom prefilter ---
 
   test("bloomPrefilter: no false negatives ever; passed set is deterministic") {

@@ -118,6 +118,33 @@ class PropertySpec extends SparkSpec {
     df.where(col("f1") =!= col("f2")).count() shouldBe 0
   }
 
+  test("portableHash/portableHash64 codegen exprs ≡ Column-algebra references") {
+    // r15 rerouted the hot paths through PortableHash(64)Expr; the md5 +
+    // regexp/conv Column chain stays as the witness. Generated strings
+    // include empties, unicode, and digit-heavy inputs.
+    val strs = Gen.listOfN(200, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)), Gen.const(""),
+      Gen.const("đường phố Hà Nội ✓"), Gen.numStr.map(_.take(10)),
+      Gen.asciiPrintableStr.map(_.take(20)))).sample.get
+    val df = strs.toDF("s").select(
+      graft.text.TextAnalysis.portableHash(col("s")).as("h"),
+      graft.text.TextAnalysis.portableHashColumn(col("s")).as("hc"),
+      graft.text.TextAnalysis.portableHash64(col("s")).as("h64"),
+      graft.text.TextAnalysis.portableHash64Column(col("s")).as("h64c"))
+    df.where(col("h") =!= col("hc") || col("h64") =!= col("h64c"))
+      .count() shouldBe 0
+  }
+
+  test("sortedContains ≡ array_contains on sorted long arrays") {
+    val arrays = Gen.listOfN(60,
+      Gen.listOf(Gen.choose(-50L, 50L)).map(_.sorted)).sample.get
+    val df = arrays.map(a => Tuple1(a)).toDF("arr")
+      .select(col("arr"), explode(sequence(lit(-55L), lit(55L))).as("p"))
+    df.where(
+      graft.functions.FastExprs.sortedContains(col("arr"), col("p")) =!=
+        array_contains(col("arr"), col("p"))).count() shouldBe 0L
+  }
+
   test("scd2: generated logs — version counts match change points, ranges " +
     "chain gaplessly, and every log row falls in the version holding its value") {
     import java.sql.Timestamp
