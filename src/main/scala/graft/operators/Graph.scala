@@ -45,18 +45,44 @@ object Graph {
     case _ => ()
   }
 
-  /** Components of the undirected graph given by `edges(src, dst)`:
-    * returns (node, component) with component = min node id reachable.
-    * Nodes appear iff they appear in an edge. */
+  /** Symmetrize `edges` in ONE pass: explode each row into both
+    * directions instead of union-ing two selects of the same subtree —
+    * a union's legs each re-execute the (often expensive: scan + window)
+    * edge derivation, doubling its scans and exchanges. Result set is
+    * identical to select(a,b) ∪ select(b,a). */
+  private def symmetrized(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(explode(array(
+        struct(col(src).as("a"), col(dst).as("b")),
+        struct(col(dst).as("a"), col(src).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+
+  /** The static big relation of an iterative operator, checkpointed WITH
+    * its hash partitioning declared ([[SqlInternals
+    * .localCheckpointPartitioned]]): every round's equi-join on `keys`
+    * then streams it in place — no per-round exchange, no accidental
+    * broadcast of the edge set (observed at bench scale: rounds 2+ chose
+    * to broadcast the 904k-row symmetrized edge list and stream the 20k
+    * labels on the 1–2 AQE-coalesced label partitions — serialized
+    * rounds locally, an executor OOM at web scale). Declared statistics
+    * are the TRUE stored bytes, so the build side of every round join is
+    * chosen from real sizes: the small side broadcasts while genuinely
+    * small, and the edge set can never win the broadcast slot again. */
+  private def checkpointKeyed(df: DataFrame, keys: String*): DataFrame =
+    org.apache.spark.sql.graft.SqlInternals
+      .localCheckpointPartitioned(df, keys)
+
+  /** Plain local checkpoint whose declared statistics are the TRUE stored
+    * bytes ([[SqlInternals.localCheckpointSized]]): per-round label/rank
+    * snapshots keep broadcasting exactly while they are genuinely small. */
+  private def checkpointSized(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.SqlInternals.localCheckpointSized(df)
+
   def connectedComponents(edges: DataFrame, src: String = "id1",
                           dst: String = "id2", maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
-      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
-      .localCheckpoint() // computed once; every round re-reads it
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
+    val sym = checkpointSized(symmetrized(edges, src, dst)
+      .distinct()) // computed once; every round streams it in place
+    var labels = checkpointSized(sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node")))
     // convergence check: labels only ever DECREASE under min-propagation,
     // so the fixed point is reached exactly when Σ labels stops falling —
     // one decimal aggregate per round instead of a join + count (decimal:
@@ -74,9 +100,8 @@ object Graph {
         val viaNeighbor = sym
           .join(labels.withColumnRenamed("node", "b"), "b")
           .select(col("a").as("node"), col("component"))
-        val next = labels.unionByName(viaNeighbor)
-          .groupBy("node").agg(min("component").as("component"))
-          .localCheckpoint()
+        val next = checkpointSized(labels.unionByName(viaNeighbor)
+          .groupBy("node").agg(min("component").as("component")))
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
@@ -117,20 +142,25 @@ object Graph {
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
                iterations: Int = 5, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
+    // checkpoint the distinct edge set BEFORE fanning it into outDeg +
+    // the degree join: both consumers otherwise re-execute the caller's
+    // whole edge derivation (typically a scan + window), doubling its
+    // scans and exchanges
     val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val linked = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint() // per-iteration reuse: joined once, read each round
-    val nodes = linked.select(col("src").as("node"))
-      .unionByName(linked.select(col("dst").as("node")))
-      .distinct()
       .localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val linked = checkpointSized(e.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("deg")))
+      // per-iteration reuse: joined once, streamed in place each round
+    unpersist(e) // linked is materialized; the raw edge snapshot is dead
+    val nodes = checkpointSized(linked.select(col("src").as("node"))
+      .unionByName(linked.select(col("dst").as("node")))
+      .distinct())
     val base = lit(3L * scale / 20L) // 0.15 · scale, exactly
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    var ranks = checkpointSized(nodes.withColumn("rank", lit(scale)))
     try {
       for (_ <- 1 to iterations) {
-        val next = pageRankStep(linked, nodes, ranks, base).localCheckpoint()
+        val next = checkpointSized(pageRankStep(linked, nodes, ranks, base))
         unpersist(ranks)
         ranks = next
       }
@@ -149,6 +179,8 @@ object Graph {
   private def pageRankStep(linked: DataFrame, nodes: DataFrame,
                            ranks: DataFrame,
                            base: org.apache.spark.sql.Column): DataFrame = {
+    // the pre-partitioned edge list streams in place; the (node, rank)
+    // side broadcasts or shuffles by the planner's stats — checkpointKeyed
     val contrib = linked
       .join(ranks.withColumnRenamed("node", "src"), "src")
       .select(col("dst").as("node"),
@@ -179,12 +211,19 @@ object Graph {
     * three canonicalize+degree-join passes; Spark's ContextCleaner frees
     * the snapshot when the result goes out of scope. */
   def triangleCounts(edges: DataFrame, src: String = "src",
-                     dst: String = "dst"): DataFrame =
-    triangleCornerCounts(
-      edges
-        .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
-        .where(col("u").isNotNull && col("u") =!= col("v"))
-        .distinct())
+                     dst: String = "dst"): DataFrame = {
+    // checkpoint the canonical set: the core fans it into the degree
+    // aggregate AND the orientation join — un-materialized, the caller's
+    // edge derivation (scan + window) would execute once per consumer.
+    // The core materializes `or` eagerly, after which the canonical
+    // snapshot is dead — release it before returning.
+    val canon = edges
+      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    try triangleCornerCounts(canon) finally unpersist(canon)
+  }
 
   /** [[triangleCounts]]' core over an ALREADY canonical (u < v),
     * duplicate-free edge set — split out so [[triangleEstimate]] can
@@ -193,8 +232,10 @@ object Graph {
     val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient each edge low→high in the (degree, id) total order; carry the
-    // destination's order key so wedge pairs can themselves be ordered
-    val or = canon
+    // destination's order key so wedge pairs can themselves be ordered.
+    // Keyed checkpoint on the wedge apex: both wedge legs stream the same
+    // a-partitioned snapshot — the self-join needs no exchange and no sort
+    val or = checkpointKeyed(canon
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
       .select(
@@ -202,13 +243,17 @@ object Graph {
           struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
           .otherwise(struct(col("v").as("a"), col("u").as("b"), col("du").as("db")))
           .as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
-      .localCheckpoint()
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db")),
+      "a")
+    // both wedge legs stream the same a-partitioned snapshot: no exchange
+    // on either side (when the oriented set is small enough to broadcast,
+    // its TRUE-size stats still allow it — adaptivity preserved)
     val wedge = or.select(col("a"), col("b"), col("db"))
       .join(or.select(col("a"), col("b").as("c"), col("db").as("dc")), "a")
       .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
     val tri = wedge.join(
-      or.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
+      or.select(col("a").as("b"), col("b").as("c")),
+      Seq("b", "c"), "left_semi")
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
@@ -280,21 +325,22 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
-    var cur = edges
+    var cur = checkpointSized(edges
       .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
       .where(col("u").isNotNull && col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     try {
       var round = 0
       var converged = false
       while (round < maxRounds && !converged) {
+        // keep carries its own (small, aggregate-derived) estimate and
+        // broadcasts into both semi-joins while genuinely small; the
+        // true-size stats on `cur` keep the edge set off the build side
         val keep = degrees(cur).where(col("core_deg") >= k).select("node")
-        val next = cur
+        val next = checkpointSized(cur
           .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-          .select("u", "v")
-          .localCheckpoint()
+          .select("u", "v"))
         // one tiny count per round; equal edge counts ⇒ no node was
         // removed ⇒ fixed point (degrees can only drop via edge loss)
         converged = next.count() == cur.count()
@@ -329,14 +375,11 @@ object Graph {
   def labelPropagation(edges: DataFrame, src: String = "src",
                        dst: String = "dst", rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
-      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+    val sym = checkpointSized(symmetrized(edges, src, dst)
       .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+      .distinct())
+    var labels = checkpointSized(sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")))
     try {
       for (_ <- 1 to rounds) {
         val counts = sym
@@ -351,11 +394,10 @@ object Graph {
         // needs no sort, where the row_number() window this replaces
         // paid Exchange + two sorts per round. Counts are ≥ 1 so the
         // negation can't overflow.
-        val next = counts
+        val next = checkpointSized(counts
           .groupBy("node")
           .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
-          .select(col("node"), col("best.label").as("label"))
-          .localCheckpoint()
+          .select(col("node"), col("best.label").as("label")))
         unpersist(labels)
         labels = next
       }
@@ -387,11 +429,14 @@ object Graph {
                         checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
+    // same single-execution checkpoint of the edge derivation as pageRank
     val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+      .localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val linked = e.join(outDeg, "src")
       .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint()
+    unpersist(e)
     val nodes = linked.select(col("src").as("node"))
       .unionByName(linked.select(col("dst").as("node")))
       .distinct()
@@ -435,10 +480,8 @@ object Graph {
                                    maxIter: Int = 25,
                                    checkpointEvery: Int = 1): DataFrame = {
     require(checkpointEvery >= 1, "cc: checkpointEvery must be >= 1")
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
-      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
-      .localCheckpoint()
+    val sym = checkpointSized(symmetrized(edges, src, dst)
+      .distinct())
     val resumed: Option[(Int, Boolean, DataFrame)] =
       Snapshots.currentVersion(spark, stateTable).map { _ =>
         val st = Snapshots.read(spark, stateTable)
