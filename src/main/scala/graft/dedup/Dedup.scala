@@ -234,6 +234,16 @@ object Dedup {
         lit(1) + least(col("s1") - col("p1") - 1, col("s2") - col("p2") - 1)
           >= alpha)
       .select("id1", "id2").distinct()
+      // AQE sizes the distinct's reader by BYTES — a few MB of (id, id)
+      // pairs coalesce to ONE partition, serializing the verify stage
+      // whose per-row cost is an array_intersect over full token arrays
+      // (measured: a 4.2 s single-task tail). An explicit-count hash
+      // repartition (AQE never coalesces REPARTITION_BY_NUM) restores
+      // compute parallelism at every scale. Keyed on id1 ALONE: keyed on
+      // (id1, id2) it would duplicate the distinct's partitioning and be
+      // pruned as redundant, putting the 1-partition AQE read back.
+      .repartition(elems.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200").toInt, col("id1"))
     val inter = size(array_intersect(col("t1"), col("t2")))
     val uni = col("s1") + col("s2") - inter
     cand
@@ -405,8 +415,15 @@ object Dedup {
   /** Consecutive `segTokens`-token segments of `text` (last one partial),
     * each rejoined with single spaces — the fixed-window unit of
     * segment-level exact dedup (Lee et al., "Deduplicating Training Data
-    * Makes Language Models Better", ACL 2022, uses 50-token windows). */
-  def segments(text: Column, segTokens: Int): Column = {
+    * Makes Language Models Better", ACL 2022, uses 50-token windows).
+    * Codegen'd single pass ([[graft.functions.SegmentsExpr]]). */
+  def segments(text: Column, segTokens: Int): Column =
+    FastExprs.segments(text, segTokens)
+
+  /** Column-algebra reference of [[segments]] — the spec's element-
+    * identity witness (interpreted regex + slice + join per window;
+    * never use on a hot path). */
+  def segmentsColumn(text: Column, segTokens: Int): Column = {
     val toks = tokens(text)
     transform(
       sequence(lit(0), ceil(size(toks).cast("double") / segTokens).cast("int") - 1),
@@ -426,20 +443,33 @@ object Dedup {
     * to reassemble. */
   def segmentDedup(docs: DataFrame, segTokens: Int = 10,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val seg = docs.select(col(idCol),
-        posexplode(segments(col(textCol), segTokens)).as(Seq("seg_no", "seg")))
-      .withColumn("digest", xxhash64(col("seg")))
-    val winners = seg.groupBy("digest")
+    // Decide with DIGESTS, move text never (guide-§8 shape): the decision
+    // passes explode (id, seg_no, digest) longs only — the previous shape
+    // carried segment TEXT through the digest exchange AND re-shuffled it
+    // for the reassembly aggregate. Reassembly is now a row-local slice of
+    // the re-derived segment array under a per-doc keep-list join (the
+    // only time anything doc-sized moves, and only the int list).
+    val segD = docs.select(col(idCol),
+      posexplode(transform(segments(col(textCol), segTokens), s => xxhash64(s)))
+        .as(Seq("seg_no", "digest")))
+      .localCheckpoint() // (id, seg_no, digest) longs; one tokenize pass
+    val winners = segD.groupBy("digest")
       .agg(min(struct(col(idCol), col("seg_no"))).as("w"))
-      .select(col("digest"), col("w").getField(idCol).as("w_id"),
-        col("w").getField("seg_no").as("w_seg"))
-    seg.join(winners, Seq("digest"))
-      .where(col(idCol) === col("w_id") && col("seg_no") === col("w_seg"))
-      .groupBy(col(idCol))
-      .agg(
-        array_join(array_sort(collect_list(struct(col("seg_no"), col("seg"))))
-          .getField("seg"), " ").as("kept_text"),
-        count(lit(1)).cast("int").as("n_kept"))
+      .select(col("w").getField(idCol).as(idCol),
+        col("w").getField("seg_no").as("seg_no"))
+    // per-doc keep-list, ascending = the old (seg_no, seg) sort order
+    val keepSets = winners.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("seg_no"))).as("__keep"))
+    val segs = segments(col(textCol), segTokens)
+    // zip_with evaluates the segment array ONCE per row; an element_at
+    // inside a transform over __keep would re-derive the whole array per
+    // kept element (quadratic in segments/doc)
+    val kept = filter(zip_with(segs, sequence(lit(0), size(segs) - 1),
+      (sg, i) => when(array_contains(col("__keep"), i), sg)), x => x.isNotNull)
+    docs.join(keepSets, Seq(idCol))
+      .select(col(idCol),
+        array_join(kept, " ").as("kept_text"),
+        size(col("__keep")).cast("int").as("n_kept"))
   }
 
   /** Boilerplate removal (C4/RefinedWeb-style): drop every token window
@@ -460,23 +490,29 @@ object Dedup {
   def boilerplateRemove(docs: DataFrame, segTokens: Int = 10, minDocs: Int = 2,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minDocs >= 2, s"boilerplateRemove: minDocs must be >= 2, got $minDocs")
-    val seg = docs.select(col(idCol),
-        posexplode(segments(col(textCol), segTokens)).as(Seq("seg_no", "seg")))
-      .withColumn("digest", xxhash64(col("seg")))
-    val boiler = seg.groupBy("digest")
+    // same digests-decide / text-never-moves shape as [[segmentDedup]];
+    // n_total comes row-locally off the re-derived segment array, which
+    // also retires the old second join back onto `docs`
+    val segD = docs.select(col(idCol),
+      posexplode(transform(segments(col(textCol), segTokens), s => xxhash64(s)))
+        .as(Seq("seg_no", "digest")))
+      .localCheckpoint() // evaluated once: feeds the boiler agg AND the anti-join leg
+    val boiler = segD.groupBy("digest")
       .agg(count_distinct(col(idCol)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select("digest")
-    seg.join(boiler, Seq("digest"), "left_anti")
+    val keepSets = segD.join(boiler, Seq("digest"), "left_anti")
       .groupBy(col(idCol))
-      .agg(
-        array_join(array_sort(collect_list(struct(col("seg_no"), col("seg"))))
-          .getField("seg"), " ").as("kept_text"),
-        count(lit(1)).cast("int").as("n_kept"))
-      .join(docs.select(col(idCol),
-          size(segments(col(textCol), segTokens)).as("n_total")), Seq(idCol))
-      .select(col(idCol), col("kept_text"), col("n_kept"),
-        (col("n_total") - col("n_kept")).as("n_dropped"))
+      .agg(sort_array(collect_list(col("seg_no"))).as("__keep"))
+    val segs = segments(col(textCol), segTokens)
+    // same zip_with-once reassembly as [[segmentDedup]]
+    val kept = filter(zip_with(segs, sequence(lit(0), size(segs) - 1),
+      (sg, i) => when(array_contains(col("__keep"), i), sg)), x => x.isNotNull)
+    docs.join(keepSets, Seq(idCol))
+      .select(col(idCol),
+        array_join(kept, " ").as("kept_text"),
+        size(col("__keep")).cast("int").as("n_kept"),
+        (size(segs) - size(col("__keep"))).as("n_dropped"))
   }
 
   /** MinHash band buckets of each document: (id, bucket) with one row per

@@ -90,6 +90,13 @@ object FastExprs {
   def portableHash64(c: Column): Column =
     ExpressionUtils.column(PortableHash64Expr(ExpressionUtils.expression(c)))
 
+  /** Consecutive fixed-width token segments of `text` (last partial),
+    * single compiled pass ([[SegmentsExpr]]) — element-identical to the
+    * Column algebra (tokenize → transform over windows → array_join),
+    * which re-ran an interpreted regex + slice + join chain per window. */
+  def segments(text: Column, segTokens: Int): Column =
+    ExpressionUtils.column(SegmentsExpr(ExpressionUtils.expression(text), segTokens))
+
   /** Membership probe into a SORTED long array by binary search — the
     * value-identical replacement for `array_contains` on sorted position
     * sets (Bloom filters): log₂(m) long compares per probe instead of a
@@ -176,6 +183,47 @@ case class PortableHash64Expr(child: Expression)
       c => s"graft.functions.FastExprs.portableHash64Jvm($c.toString())")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+case class SegmentsExpr(child: Expression, segTokens: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "segments"
+  override def nullSafeEval(input: Any): Any =
+    SegmentsExpr.compute(input.asInstanceOf[UTF8String], segTokens)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SegmentsExpr.compute($c, $segTokens)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SegmentsExpr {
+  /** Element-identical to the Column algebra in Dedup.segments:
+    * tokens (FastExprs.normTokens — replicates TextAnalysis.tokens
+    * exactly, incl. the [""] result on empty text), then consecutive
+    * segTokens-token windows (last one partial) re-joined with single
+    * spaces. `slice` past the end clamps, so ⌈len/seg⌉ windows. */
+  def compute(text: UTF8String, segTokens: Int): ArrayData = {
+    val toks = FastExprs.normTokens(text.toString)
+    val n = (toks.length + segTokens - 1) / segTokens
+    val out = new Array[AnyRef](math.max(n, 0))
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = i * segTokens
+      val end = math.min(j + segTokens, toks.length)
+      while (j < end) {
+        if (j > i * segTokens) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class SortedContainsExpr(left: Expression, right: Expression)

@@ -1078,12 +1078,28 @@ object PartitionSnapshots {
     * `_metadata` columns (Iceberg v2 position deletes).
     * `df` must sit directly on the parquet scan (projections are fine;
     * joins/unions would lose `_metadata`), which every caller satisfies. */
+  /** Schema of a delete-ref file, memoized per (path, dir mtime): a bare
+    * `spark.read.parquet` runs a footer-inference JOB per call, and a
+    * stacked-refs read re-applies the same immutable refs once per scan —
+    * measured at 9 inference jobs in one MERGE+DELETE statement. Delete
+    * dirs are written once under a claimed slot; the mtime key makes a
+    * recreated table at a reused path miss rather than serve stale
+    * schemas. */
+  private val deleteSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      org.apache.spark.sql.types.StructType]
+
   private def applyDeleteRef(spark: SparkSession, table: String,
                              df: DataFrame, id: String,
                              aliasOf: Map[String, String] = Map.empty)
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
-    val keys0 = spark.read.parquet(s"$table/$DeletesDir/$id")
+    val delPath = s"$table/$DeletesDir/$id"
+    val mtime = fs(spark, new Path(delPath))
+      .getFileStatus(new Path(delPath)).getModificationTime
+    val delSchema = deleteSchemaCache.computeIfAbsent((delPath, mtime),
+      _ => spark.read.parquet(delPath).schema)
+    val keys0 = spark.read.schema(delSchema).parquet(delPath)
     // a delete file written before a rename keys on the OLD name —
     // conform it to the serving schema's names before the anti-join
     val keys = keys0.columns.foldLeft(keys0)((d, c) =>

@@ -135,6 +135,20 @@ class PropertySpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("SegmentsExpr ≡ Column-algebra segments on generated text") {
+    val texts = Gen.listOfN(150, Gen.oneOf(
+      Gen.listOf(Gen.alphaNumStr.map(_.take(5))).map(_.mkString(" ")),
+      Gen.const(""), Gen.const("   "), Gen.const("một hai ba bốn năm"),
+      Gen.const("a\tb\n c   d"))).sample.get
+    val df = texts.toDF("t")
+    for (w <- Seq(1, 3, 10)) {
+      df.select(
+        graft.dedup.Dedup.segments(col("t"), w).as("fast"),
+        graft.dedup.Dedup.segmentsColumn(col("t"), w).as("ref"))
+        .where(col("fast") =!= col("ref")).count() shouldBe 0
+    }
+  }
+
   test("sortedContains ≡ array_contains on sorted long arrays") {
     val arrays = Gen.listOfN(60,
       Gen.listOf(Gen.choose(-50L, 50L)).map(_.sorted)).sample.get
