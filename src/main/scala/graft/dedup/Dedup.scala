@@ -122,8 +122,12 @@ object Dedup {
     // count window shares the bucket hash-partitioning with the join, so
     // no extra shuffle materializes.
     val w2 = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    val guarded = banded.withColumn("__n", count(lit(1)).over(w2))
-      .where(col("__n") >= 2 && col("__n") <= maxBucketSize).drop("__n")
+    // checkpoint the guarded (id, bucket) pairs: BOTH legs of the pair
+    // self-join reference this subtree — left un-materialized, the whole
+    // signature kernel + band explode + guard window executes once per leg
+    val guarded = org.apache.spark.sql.graft.SqlInternals.localCheckpointSized(
+      banded.withColumn("__n", count(lit(1)).over(w2))
+        .where(col("__n") >= 2 && col("__n") <= maxBucketSize).drop("__n"))
     val l = guarded.select(col("bucket"), col(idCol).as("id1"))
     val r = guarded.select(col("bucket"), col(idCol).as("id2"))
     l.join(r, Seq("bucket")).where(col("id1") < col("id2"))
@@ -138,8 +142,11 @@ object Dedup {
                     textCol: String = "text", w: Int = 3): DataFrame = {
     val ids = pairs.select(col("id1").as(idCol))
       .unionByName(pairs.select(col("id2").as(idCol))).distinct()
-    val sh = docs.join(ids, Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(col(textCol), w).as("sh"))
+    // checkpoint: the shingle arrays feed BOTH pair joins — otherwise the
+    // semi-join + shingling kernel runs once per leg
+    val sh = org.apache.spark.sql.graft.SqlInternals.localCheckpointSized(
+      docs.join(ids, Seq(idCol), "left_semi")
+        .select(col(idCol), shingles(col(textCol), w).as("sh")))
     pairs
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -397,8 +404,12 @@ object Dedup {
         banded.withColumn("__n", count(lit(1)).over(w2))
           .where(col("__n") >= 2 && col("__n") <= maxBucketSize).drop("__n")
       }
-    val l = guarded.select(col("band"), col("key"), col(idCol).as("id1"), col("sk").as("sk1"))
-    val r = guarded.select(col("band"), col("key"), col(idCol).as("id2"), col("sk").as("sk2"))
+    // checkpoint: both pair-join legs otherwise re-run the sketch + band
+    // explode + guard subtree
+    val guardedCp = org.apache.spark.sql.graft.SqlInternals
+      .localCheckpointSized(guarded)
+    val l = guardedCp.select(col("band"), col("key"), col(idCol).as("id1"), col("sk").as("sk1"))
+    val r = guardedCp.select(col("band"), col("key"), col(idCol).as("id2"), col("sk").as("sk2"))
     l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sk1").bitwiseXOR(col("sk2"))).cast("int").as("hamming"))

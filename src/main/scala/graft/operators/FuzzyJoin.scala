@@ -62,8 +62,11 @@ object FuzzyJoin {
           lit(s"fuzzy join: key longer than maxKeyLen=$maxKeyLen chars ("),
           length(col(keyCol)), lit(") — truncate or raise the cap"))))
         .as("__key"))
-    val v0 = guarded.select(col("__id"), col("__key"),
-      explode(deletionVariants(col("__key"))).as("__v"))
+    // checkpoint: the variants explode feeds the bucket-cap count AND both
+    // self-join legs — un-materialized it executes up to three times
+    val v0 = org.apache.spark.sql.graft.SqlInternals.localCheckpointSized(
+      guarded.select(col("__id"), col("__key"),
+        explode(deletionVariants(col("__key"))).as("__v")))
     val v =
       if (maxBucketSize == Int.MaxValue) v0
       else v0.join(

@@ -327,9 +327,11 @@ object TextAnalysis {
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 1, s"tfIdfTopK: topK must be >= 1, got $topK")
-    val tf = docs
+    // checkpoint: tf feeds the df aggregate AND the score join — left
+    // un-materialized, the corpus explode + aggregate executes twice
+    val tf = org.apache.spark.sql.graft.SqlInternals.localCheckpointSized(docs
       .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf")))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
     val stats = docs.agg(count(lit(1)).as("n_docs"))
