@@ -63,10 +63,16 @@ object FuzzyJoin {
           length(col(keyCol)), lit(") — truncate or raise the cap"))))
         .as("__key"))
     // checkpoint: the variants explode feeds the bucket-cap count AND both
-    // self-join legs — un-materialized it executes up to three times
-    val v0 = org.apache.spark.sql.graft.SqlInternals.localCheckpointSized(
+    // self-join legs — un-materialized it executes up to three times.
+    // Partitioned on __v (the join/aggregate key): the hot-bucket count
+    // and BOTH self-join legs then stream the materialized set in place —
+    // no per-consumer exchange of the variant rows, and at scale (where
+    // neither leg broadcasts) the self-join is exchange-free. The one
+    // repartition paid at materialization replaces the 2–3 exchanges the
+    // consumers would otherwise each pay.
+    val v0 = org.apache.spark.sql.graft.SqlInternals.localCheckpointPartitioned(
       guarded.select(col("__id"), col("__key"),
-        explode(deletionVariants(col("__key"))).as("__v")))
+        explode(deletionVariants(col("__key"))).as("__v")), Seq("__v"))
     val v =
       if (maxBucketSize == Int.MaxValue) v0
       else v0.join(

@@ -178,7 +178,13 @@ object Sampling {
     * Scale shape: cumulative intervals come from [[prefixSum]] (no global
     * window); the k positions are a broadcast range probe against
     * [lo, hi). Weights must be positive longs; zero-weight rows never
-    * match an interval and are dropped up front. */
+    * match an interval and are dropped up front.
+    *
+    * `keyCol` must be UNIQUE: it is [[prefixSum]]'s total-order key (a
+    * duplicate key makes the cumulative order itself ill-defined). Under
+    * that contract the closed-form row emits exactly the rows the
+    * explicit positions-join shape did; duplicate-key inputs are out of
+    * contract for both shapes. */
   def systematicWeightedSample(df: DataFrame, keyCol: String,
                                weightCol: String, k: Int): DataFrame = {
     require(k > 0, "systematicWeightedSample: k must be positive")

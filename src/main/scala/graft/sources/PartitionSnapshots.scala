@@ -1085,9 +1085,14 @@ object PartitionSnapshots {
     * dirs are written once under a claimed slot; the mtime key makes a
     * recreated table at a reused path miss rather than serve stale
     * schemas. */
+  /** Bounded: one entry per path — keyed on path alone with the mtime
+    * stored in the VALUE, so a path whose dir mtime moves replaces its
+    * old entry instead of accumulating one per (path, mtime) forever
+    * (a long-lived session touching many delete refs would otherwise
+    * leak driver memory one stale schema at a time). */
   private val deleteSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
-      org.apache.spark.sql.types.StructType]
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, org.apache.spark.sql.types.StructType)]
 
   private def applyDeleteRef(spark: SparkSession, table: String,
                              df: DataFrame, id: String,
@@ -1097,8 +1102,9 @@ object PartitionSnapshots {
     val delPath = s"$table/$DeletesDir/$id"
     val mtime = fs(spark, new Path(delPath))
       .getFileStatus(new Path(delPath)).getModificationTime
-    val delSchema = deleteSchemaCache.computeIfAbsent((delPath, mtime),
-      _ => spark.read.parquet(delPath).schema)
+    val delSchema = deleteSchemaCache.compute(delPath, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else (mtime, spark.read.parquet(delPath).schema))._2
     val keys0 = spark.read.schema(delSchema).parquet(delPath)
     // a delete file written before a rename keys on the OLD name —
     // conform it to the serving schema's names before the anti-join

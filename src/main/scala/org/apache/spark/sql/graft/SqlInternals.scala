@@ -49,9 +49,17 @@ object SqlInternals {
     val cp = df.repartition(n, keys.map(df.col): _*).localCheckpoint()
     cp.queryExecution.analyzed match {
       case l: LogicalRDD =>
-        val attrs = keys.map(k => l.output.find(_.name == k).getOrElse(
-          throw new IllegalArgumentException(
-            s"localCheckpointPartitioned: no column $k in ${l.output.map(_.name)}")))
+        val attrs = keys.map { k =>
+          // by-name resolution must be UNAMBIGUOUS: with duplicate names it
+          // could declare HashPartitioning on the wrong attribute and let
+          // the planner elide a required exchange (wrong join results)
+          l.output.filter(_.name == k) match {
+            case Seq(one) => one
+            case ms => throw new IllegalArgumentException(
+              s"localCheckpointPartitioned: ${ms.size} columns named $k " +
+                s"in ${l.output.map(_.name)}")
+          }
+        }
         org.apache.spark.sql.classic.Dataset.ofRows(cs,
           LogicalRDD(l.output, l.rdd, HashPartitioning(attrs, n), Nil,
             l.isStreaming, l.stream)(cs, materializedStats(cs, l), None))
