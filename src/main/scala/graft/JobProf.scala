@@ -32,8 +32,11 @@ object JobProf {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val j = Job(e.jobId, e.time)
         j.tasks = e.stageInfos.map(_.numTasks).sum
-        j.site = Option(e.properties.getProperty("callSite.short"))
-          .getOrElse("")
+        j.site = e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+          .getOrElse("") + " | " +
+          Option(e.properties.getProperty("spark.job.description"))
+            .orElse(Option(e.properties.getProperty("callSite.short")))
+            .getOrElse("")
         jobs.put(e.jobId, j); order.add(e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {

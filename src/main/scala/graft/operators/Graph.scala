@@ -49,12 +49,54 @@ object Graph {
     * directions instead of union-ing two selects of the same subtree —
     * a union's legs each re-execute the (often expensive: scan + window)
     * edge derivation, doubling its scans and exchanges. Result set is
-    * identical to select(a,b) ∪ select(b,a). */
-  private def symmetrized(edges: DataFrame, src: String, dst: String): DataFrame =
-    edges.select(explode(array(
-        struct(col(src).as("a"), col(dst).as("b")),
-        struct(col(dst).as("a"), col(src).as("b")))).as("e"))
+    * identical to select(a,b) ∪ select(b,a). With `selfLoops`, each
+    * endpoint also emits (n, n) — min-label propagation then reads a
+    * node's OWN label out of the same neighbor join, retiring the
+    * per-round `labels ∪ joined` union leg (one stage fewer per round;
+    * the self-pair contributes exactly the row the union leg carried). */
+  private def symmetrized(edges: DataFrame, src: String, dst: String,
+                          selfLoops: Boolean = false): DataFrame = {
+    val both = Seq(
+      struct(col(src).as("a"), col(dst).as("b")),
+      struct(col(dst).as("a"), col(src).as("b")))
+    val pairs = if (selfLoops) both ++ Seq(
+      struct(col(src).as("a"), col(src).as("b")),
+      struct(col(dst).as("a"), col(dst).as("b"))) else both
+    edges.select(explode(array(pairs: _*)).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+  }
+
+  /** The materialized block-manager RDD behind a checkpointed DataFrame.
+    * Convergence probes (a sum or count per round) run directly on it:
+    * a DataFrame aggregate re-enters Catalyst + AQE per round (~2 planned
+    * jobs and their driver gaps), where the RDD fold is one unplanned
+    * job over in-memory blocks — same number, none of the latency. */
+  private def checkpointRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      case _ => df.queryExecution.toRdd
+    }
+
+  /** Exact Σ of a long column over a checkpointed DataFrame as a
+    * BigInteger (1e11 nodes × 64-bit ids overflows a long sum): longs
+    * accumulate in a local register and spill to BigInteger only on
+    * imminent overflow, so the per-row cost stays one add + one branch. */
+  private def rddLongSum(df: DataFrame, column: String): java.math.BigInteger = {
+    val idx = df.schema.fieldIndex(column)
+    checkpointRdd(df).mapPartitions { it =>
+      var big = java.math.BigInteger.ZERO
+      var chunk = 0L
+      while (it.hasNext) {
+        val v = it.next().getLong(idx)
+        val nc = chunk + v
+        if (((chunk ^ nc) & (v ^ nc)) < 0L) { // two's-complement overflow
+          big = big.add(java.math.BigInteger.valueOf(chunk)); chunk = v
+        } else chunk = nc
+      }
+      Iterator.single(big.add(java.math.BigInteger.valueOf(chunk)))
+    }.fold(java.math.BigInteger.ZERO)(_ add _)
+  }
 
   /** The static big relation of an iterative operator, checkpointed WITH
     * its hash partitioning declared ([[SqlInternals
@@ -79,29 +121,29 @@ object Graph {
 
   def connectedComponents(edges: DataFrame, src: String = "id1",
                           dst: String = "id2", maxIter: Int = 25): DataFrame = {
-    val sym = checkpointSized(symmetrized(edges, src, dst)
+    // self-loops fold the "own label" leg into the neighbor join: each
+    // round is join + aggregate, no union (result set unchanged — the
+    // (n, n) pair delivers exactly the row the union leg used to carry)
+    val sym = checkpointSized(symmetrized(edges, src, dst, selfLoops = true)
       .distinct()) // computed once; every round streams it in place
     var labels = checkpointSized(sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node")))
     // convergence check: labels only ever DECREASE under min-propagation,
     // so the fixed point is reached exactly when Σ labels stops falling —
-    // one decimal aggregate per round instead of a join + count (decimal:
-    // 1e11 nodes × 64-bit ids overflows a long sum)
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-    if (labels.isEmpty) { unpersist(sym); return labels } // no edges
+    // one unplanned RDD fold over the round's checkpoint blocks per round
+    // (a DataFrame aggregate would re-enter Catalyst + AQE every round)
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigInteger =
+      rddLongSum(df, "component")
+    if (checkpointRdd(labels).isEmpty()) { unpersist(sym); return labels } // no edges
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     try {
       while (!converged && iter < maxIter) {
-        // candidate labels: own ∪ every neighbor's current label
-        val viaNeighbor = sym
+        // candidate labels: own (via self-loop) ∪ every neighbor's label
+        val next = checkpointSized(sym
           .join(labels.withColumnRenamed("node", "b"), "b")
-          .select(col("a").as("node"), col("component"))
-        val next = checkpointSized(labels.unionByName(viaNeighbor)
-          .groupBy("node").agg(min("component").as("component")))
+          .groupBy(col("a").as("node")).agg(min("component").as("component")))
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
@@ -179,16 +221,19 @@ object Graph {
   private def pageRankStep(linked: DataFrame, nodes: DataFrame,
                            ranks: DataFrame,
                            base: org.apache.spark.sql.Column): DataFrame = {
-    // the pre-partitioned edge list streams in place; the (node, rank)
-    // side broadcasts or shuffles by the planner's stats — checkpointKeyed
     val contrib = linked
       .join(ranks.withColumnRenamed("node", "src"), "src")
       .select(col("dst").as("node"),
         expr("((rank * 17) div 20) div deg").as("c"))
-    nodes
-      .join(contrib.groupBy("node").agg(sum(col("c")).as("in_sum")),
-        Seq("node"), "left")
-      .select(col("node"), (base + coalesce(col("in_sum"), lit(0L))).as("rank"))
+    // one zero row per node unioned under the SAME aggregate replaces the
+    // old groupBy + left-join-back-to-nodes: the aggregate's key set is
+    // then exactly the node set and rank = base + (0 + Σ contributions) —
+    // identical integer math, one join and one AQE stage fewer per round,
+    // and the single exchange of (node, c) longs is the algorithm's floor
+    // (contributions must cross from src- to dst-keyed partitions)
+    nodes.select(col("node"), lit(0L).as("c"))
+      .unionByName(contrib)
+      .groupBy("node").agg((base + sum(col("c"))).as("rank"))
   }
 
   /** Per-node triangle counts over the undirected graph `edges(src, dst)`
@@ -332,6 +377,11 @@ object Graph {
     try {
       var round = 0
       var converged = false
+      // edge count of the CURRENT snapshot, carried across rounds: the
+      // old shape re-counted both sides every round (two planned
+      // DataFrame counts); this counts each checkpoint once, directly on
+      // its materialized RDD blocks (no Catalyst/AQE round-trip)
+      var curCnt = checkpointRdd(cur).count()
       while (round < maxRounds && !converged) {
         // keep carries its own (small, aggregate-derived) estimate and
         // broadcasts into both semi-joins while genuinely small; the
@@ -341,9 +391,11 @@ object Graph {
           .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
           .select("u", "v"))
-        // one tiny count per round; equal edge counts ⇒ no node was
-        // removed ⇒ fixed point (degrees can only drop via edge loss)
-        converged = next.count() == cur.count()
+        // equal edge counts ⇒ no node was removed ⇒ fixed point
+        // (degrees can only drop via edge loss)
+        val nextCnt = checkpointRdd(next).count()
+        converged = nextCnt == curCnt
+        curCnt = nextCnt
         unpersist(cur)
         cur = next
         round += 1
@@ -480,7 +532,7 @@ object Graph {
                                    maxIter: Int = 25,
                                    checkpointEvery: Int = 1): DataFrame = {
     require(checkpointEvery >= 1, "cc: checkpointEvery must be >= 1")
-    val sym = checkpointSized(symmetrized(edges, src, dst)
+    val sym = checkpointSized(symmetrized(edges, src, dst, selfLoops = true)
       .distinct())
     val resumed: Option[(Int, Boolean, DataFrame)] =
       Snapshots.currentVersion(spark, stateTable).map { _ =>
@@ -500,18 +552,17 @@ object Graph {
       sym.select(col("a").as("node")).distinct()
         .withColumn("component", col("node"))
         .localCheckpoint())
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
-    if (labels.isEmpty) { unpersist(sym); return labels }
+    def labelSum(df: DataFrame): java.math.BigInteger =
+      rddLongSum(df, "component")
+    if (checkpointRdd(labels).isEmpty()) { unpersist(sym); return labels }
     var prevSum = labelSum(labels)
     var converged = false
     try {
       while (!converged && iter < maxIter) {
-        val viaNeighbor = sym
+        // own label arrives via the self-loop pair — join + aggregate only
+        val next = sym
           .join(labels.withColumnRenamed("node", "b"), "b")
-          .select(col("a").as("node"), col("component"))
-        val next = labels.unionByName(viaNeighbor)
-          .groupBy("node").agg(min("component").as("component"))
+          .groupBy(col("a").as("node")).agg(min("component").as("component"))
           .localCheckpoint()
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0

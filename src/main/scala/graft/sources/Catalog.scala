@@ -1216,10 +1216,35 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         .select((if (withPos) posCols else Nil) ++
           Seq(col("__graft_act")) ++ newVals(acts, haveTarget): _*)
         .localCheckpoint()
-    val matched =
-      if (matchedActs.isEmpty) None
-      else Some(materialize(src.join(tgt, joinCond, "inner"), matchedActs,
-        haveTarget = true, withPos = manifested))
+    // MATCHED + NOT-MATCHED legs classify in ONE pass over a single
+    // src ⟕ tgt outer join: the old inner + anti pair scanned the pruned
+    // target twice and materialized two checkpoints per statement. A
+    // target-side marker separates the groups — matched-act conditions
+    // are guarded on its presence (a predicate like `t.x IS NULL` would
+    // otherwise fire on an unmatched row's NULL target columns), insert
+    // acts on its absence, so first-match-wins holds within each group
+    // and the groups are disjoint. Insert-act values never read target
+    // columns (clauseVal routes kind 'i' to source/NULL), so one
+    // newVals chain over both groups is exact.
+    val fused: Option[DataFrame] =
+      if (matchedActs.isEmpty && insertActs.isEmpty) None
+      else {
+        val hit = col(s"$tAlias.${keys.head}") // null ⇔ no target match
+        val guarded =
+          matchedActs.map(a => (a, hit.isNotNull)) ++
+            insertActs.map(a => (a, hit.isNull))
+        val act = guarded.tail.foldLeft(
+          when(guarded.head._2 && condCol(guarded.head._1._2),
+            lit(guarded.head._1._1))) {
+          case (acc, (a, g)) => acc.when(g && condCol(a._2), lit(a._1))
+        }.otherwise(lit("keep"))
+        Some(src.join(tgt, joinCond, "left_outer")
+          .withColumn("__graft_act", act)
+          .where(col("__graft_act") =!= "keep")
+          .select(posCols ++ Seq(col("__graft_act")) ++
+            newVals(matchedActs ++ insertActs, haveTarget = true): _*)
+          .localCheckpoint())
+      }
     val bySource =
       if (bySourceActs.isEmpty) None
       else {
@@ -1230,29 +1255,50 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         Some(materialize(tgtBySource.join(src, joinCond, "left_anti"),
           bySourceActs, haveTarget = true, withPos = true))
       }
-    val inserted =
-      if (insertActs.isEmpty) None
-      else Some(materialize(src.join(tgt, joinCond, "left_anti"), insertActs,
-        haveTarget = false, withPos = false))
     // the non-delete classified rows ARE the replacement/new rows
     def rows(df: DataFrame): DataFrame =
       df.where(!col("__graft_act").startsWith("d"))
         .select(outFields.map(f => col(s"__new_${f.name}").as(f.name)): _*)
-    val newRows = (matched.toSeq ++ bySource.toSeq ++ inserted.toSeq)
-      .map(rows).reduce(_ unionByName _)
+    val parts = fused.toSeq ++ bySource.toSeq
+    val newRows = parts.map(rows).reduce(_ unionByName _)
+    // routing flags from ONE unplanned pass over each checkpoint's
+    // materialized blocks (any retired position? any replacement/new
+    // row?) — the old `doomed.isEmpty` / `newRows.isEmpty` probes each
+    // re-entered Catalyst + AQE for a planned query over the same rows
+    def flags(df: DataFrame): (Boolean, Boolean) = {
+      val actIdx = df.schema.fieldIndex("__graft_act")
+      val posIdx = df.schema.fieldNames.indexOf("_pos_path")
+      val rdd = df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        case _ => df.queryExecution.toRdd
+      }
+      rdd.mapPartitions { it =>
+        var doomed = false; var news = false
+        while (it.hasNext && !(doomed && news)) {
+          val r = it.next()
+          if (posIdx >= 0 && !r.isNullAt(posIdx)) doomed = true
+          if (r.getUTF8String(actIdx).toString.charAt(0) != 'd') news = true
+        }
+        Iterator.single((doomed, news))
+      }.fold((false, false))((a, b) => (a._1 || b._1, a._2 || b._2))
+    }
+    val (hasDoomed, hasNew) = parts.map(flags)
+      .fold((false, false))((a, b) => (a._1 || b._1, a._2 || b._2))
     if (manifested) {
-      val doomed = (matched.toSeq ++ bySource.toSeq)
-        .map(_.select(col("_pos_path"), col("_pos_ordinal")))
-        .reduceOption(_ union _)
-        .getOrElse(spark.emptyDataFrame)
       val evolvedSchema =
         if (evolve) Some(StructType(outFields.toArray)) else None
-      if (doomed.columns.nonEmpty && !doomed.isEmpty)
+      if (hasDoomed) {
+        // insert-act rows carry NULL positions in the fused checkpoint —
+        // only genuinely matched (update/delete) rows retire a position
+        val doomed = parts
+          .map(_.where(col("_pos_path").isNotNull)
+            .select(col("_pos_path"), col("_pos_ordinal")))
+          .reduce(_ union _)
         // ONE root swap retires every updated/deleted row's position and
         // publishes every replacement/inserted row — the atomic commit
         PartitionSnapshots.replaceRows(spark, path, doomed, newRows,
           evolvedSchema = evolvedSchema)
-      else if (!newRows.isEmpty)
+      } else if (hasNew)
         // nothing matched: inserts alone, one fast-append commit
         graft.operators.Upsert.upsert(spark, path, newRows, keys,
           insertOnly = true, partitionCols = pcols,
@@ -1260,7 +1306,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     } else {
       // flat/snapshot target: updates document-replace and inserts land
       // through ONE keyed upsert commit (still a single visibility point)
-      if (!newRows.isEmpty)
+      if (hasNew)
         graft.operators.Upsert.upsert(spark, path, newRows, keys,
           partitionCols = pcols, evolveSchema = m.withSchemaEvolution)
     }
@@ -1349,20 +1395,36 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         // column values. A literal failing the round trip matches
         // nothing and is simply dropped.
         val dt = tSchema(c).dataType
-        val arr = lits.map(_.sql).mkString(", ")
-        // posexplode pairs each probe row with its literal by EMITTED
-        // index — zip-by-collect-order would silently delete the wrong
-        // keys if a multi-partition explode ever reordered rows
-        val probe = spark.sql(
-          s"""SELECT pos, try_cast(col AS ${dt.sql}) AS t,
-             |       try_cast(col AS ${dt.sql}) = col AS ok
-             |FROM (SELECT posexplode(array($arr)))""".stripMargin)
-          .collect() // `t = col` is SQL's own up-coercion: the round trip
-          .map(r => r.getInt(0) -> r).toMap
-        val surviving = lits.zipWithIndex.collect {
-          case (l, i) if probe.get(i).exists(r =>
-            !r.isNullAt(1) && !r.isNullAt(2) && r.getBoolean(2)) =>
-            (l.sql, String.valueOf(probe(i).get(1)))
+        // INTEGRAL literal into an equal-or-wider INTEGRAL column is
+        // lossless by construction — it survives the round trip with its
+        // decimal rendering unchanged, so the common GDPR shape
+        // (`k IN (7, 11, 13)` against a BIGINT key) skips the probe
+        // query entirely. Anything narrowing or cross-family still pays
+        // the one planned probe below.
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        def rank(d: org.apache.spark.sql.types.DataType): Int = d match {
+          case ByteType => 1; case ShortType => 2
+          case IntegerType => 3; case LongType => 4; case _ => 99
+        }
+        val trivial = rank(dt) < 99 && lits.forall(l => rank(l.dataType) <= rank(dt))
+        val surviving: Seq[(String, String)] = if (trivial) {
+          lits.map(l => (l.sql, String.valueOf(l.value)))
+        } else {
+          val arr = lits.map(_.sql).mkString(", ")
+          // posexplode pairs each probe row with its literal by EMITTED
+          // index — zip-by-collect-order would silently delete the wrong
+          // keys if a multi-partition explode ever reordered rows
+          val probe = spark.sql(
+            s"""SELECT pos, try_cast(col AS ${dt.sql}) AS t,
+               |       try_cast(col AS ${dt.sql}) = col AS ok
+               |FROM (SELECT posexplode(array($arr)))""".stripMargin)
+            .collect() // `t = col` is SQL's own up-coercion: the round trip
+            .map(r => r.getInt(0) -> r).toMap
+          lits.zipWithIndex.collect {
+            case (l, i) if probe.get(i).exists(r =>
+              !r.isNullAt(1) && !r.isNullAt(2) && r.getBoolean(2)) =>
+              (l.sql, String.valueOf(probe(i).get(1)))
+          }
         }
         if (surviving.nonEmpty) {
           if (pcols.contains(c)) {
