@@ -1199,9 +1199,10 @@ object Queries {
     * the end ([[graft.operators.Profile.histogramDrift]]). */
   def q106Drift(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    graft.operators.Profile.histogramDrift(docs,
-      docs.where(col("lang") === "en"), "n_chars",
-      lo = 0.0, hi = 600.0, bins = 20)
+    // candidate = a predicate slice of ref ⇒ one conditional-count scan
+    // (histogramDriftWithin) instead of two corpus scans + full-outer join
+    graft.operators.Profile.histogramDriftWithin(docs,
+      col("lang") === "en", "n_chars", lo = 0.0, hi = 600.0, bins = 20)
   }
 
   /** ANALYZE TABLE surface: one-scan per-column stats over orders — row/

@@ -114,23 +114,26 @@ object Dedup {
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("slice")))))
       .select(col(idCol), xxhash64(col("col.band"), col("col.slice")).as("bucket"))
-    // Bucket-size guard: singleton buckets can't pair (dropped), and
-    // template-collision buckets above maxBucketSize would explode the
-    // intra-bucket self-join quadratically — drop them (documented recall
-    // trade; a >maxBucketSize bucket means near-identical boilerplate that
-    // exact dedup or a tighter band width should handle instead). The
-    // count window shares the bucket hash-partitioning with the join, so
-    // no extra shuffle materializes.
-    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    // checkpoint the guarded (id, bucket) pairs: BOTH legs of the pair
-    // self-join reference this subtree — left un-materialized, the whole
-    // signature kernel + band explode + guard window executes once per leg
-    val guarded = org.apache.spark.sql.graft.SqlInternals.localCheckpointSized(
-      banded.withColumn("__n", count(lit(1)).over(w2))
-        .where(col("__n") >= 2 && col("__n") <= maxBucketSize).drop("__n"))
-    val l = guarded.select(col("bucket"), col(idCol).as("id1"))
-    val r = guarded.select(col("bucket"), col(idCol).as("id2"))
-    l.join(r, Seq("bucket")).where(col("id1") < col("id2"))
+    // Bucket-size guard AND pair generation in ONE aggregate: each bucket
+    // collects its sorted id array, singleton buckets can't pair and
+    // template-collision buckets above maxBucketSize drop (documented
+    // recall trade; a >maxBucketSize bucket means near-identical
+    // boilerplate that exact dedup or a tighter band width should handle
+    // instead). Ordered pairs then explode POSITIONALLY from the sorted
+    // array (ascending ⇒ id1 < id2 by position) — the old shape paid a
+    // corpus-wide count window, a checkpoint, and a self-join whose two
+    // legs each re-exchanged the guarded rows just to filter k² down to
+    // C(k,2).
+    val buckets = banded.groupBy("bucket")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+    // two-step explode: (i, id1) rows first, then the tail slice — never
+    // materializes a bucket's full C(k,2) pair array in one row (a
+    // maxBucketSize bucket would otherwise build a 50M-struct array)
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
+      .select(col("id1"), explode(slice(col("ids"), col("i") + lit(2),
+        size(col("ids")) - col("i") - 1)).as("id2"))
       .select("id1", "id2").distinct()
   }
 
@@ -143,16 +146,21 @@ object Dedup {
     val ids = pairs.select(col("id1").as(idCol))
       .unionByName(pairs.select(col("id2").as(idCol))).distinct()
     // checkpoint: the shingle arrays feed BOTH pair joins — otherwise the
-    // semi-join + shingling kernel runs once per leg
+    // semi-join + shingling kernel runs once per leg. Sorted ONCE PER DOC
+    // here so the per-PAIR verify below is a single merge walk
+    // (sorted_jaccard_counts) instead of two hash-set builds — pairs
+    // outnumber docs, so the sort amortizes.
     val sh = org.apache.spark.sql.graft.SqlInternals.localCheckpointSized(
       docs.join(ids, Seq(idCol), "left_semi")
-        .select(col(idCol), shingles(col(textCol), w).as("sh")))
+        .select(col(idCol),
+          sort_array(shingles(col(textCol), w)).as("sh")))
     pairs
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("__jc",
+        graft.functions.FastExprs.sortedJaccardCounts(col("sh1"), col("sh2")))
       .select(col("id1"), col("id2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-         size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+        (col("__jc.inter").cast("double") / col("__jc.uni")).as("jaccard"))
   }
 
   /** EXACT set-similarity self-join: all pairs with token-set Jaccard ≥
@@ -206,13 +214,17 @@ object Dedup {
       .localCheckpoint()
     val dfc = els.groupBy("h").agg(count(lit(1)).as("df"))
     // feeds the prefix explode AND both verify legs — materialized once
-    // (ContextCleaner frees it with the result), not re-aggregated 3×
+    // (ContextCleaner frees it with the result), not re-aggregated 3×.
+    // tks is STRING-sorted (not (df,h,tok)-sorted like hks): the verify
+    // intersects it with one merge walk per pair (sorted_jaccard_counts)
+    // instead of a hash-set build — the prefix math only reads hks/sz,
+    // which keep the rare-first order.
     val ordered = els.join(dfc, "h")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("h"), col("tok"))))
         .as("st"))
       .select(col("id"),
-        transform(col("st"), s => s.getField("tok")).as("tks"),
+        sort_array(transform(col("st"), s => s.getField("tok"))).as("tks"),
         transform(col("st"), s => s.getField("h")).as("hks"),
         size(col("st")).as("sz"))
       .localCheckpoint()
@@ -251,13 +263,17 @@ object Dedup {
       // pruned as redundant, putting the 1-partition AQE read back.
       .repartition(elems.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200").toInt, col("id1"))
-    val inter = size(array_intersect(col("t1"), col("t2")))
-    val uni = col("s1") + col("s2") - inter
+    // one merge walk per candidate pair over the string-sorted sets —
+    // |∩| and |∪| together, no per-pair hash table
+    val jc = graft.functions.FastExprs.sortedJaccardCounts(col("t1"), col("t2"))
+    val inter = col("__jc.inter")
+    val uni = col("__jc.uni")
     cand
       .join(ordered.select(col("id").as("id1"), col("tks").as("t1"),
         col("sz").as("s1")), Seq("id1"))
       .join(ordered.select(col("id").as("id2"), col("tks").as("t2"),
         col("sz").as("s2")), Seq("id2"))
+      .withColumn("__jc", jc)
       .where(inter * tDen >= uni * tNum) // exact rational threshold
       .select(col("id1"), col("id2"),
         (inter.cast("double") / uni.cast("double")).as("jaccard"))
@@ -384,35 +400,23 @@ object Dedup {
         shiftright(col("sk"), cut(b)).bitwiseAND(lit(mask(width)))
       }: _*)))
       .select(col(idCol), col("sk"), col("pos").as("band"), col("col").as("key"))
-    // Bucket-size guard. When the (band, key) keyspace is small
-    // (Σ 2^bandWidth — e.g. 4×65536 at maxHamming=3), the guard is a tiny
-    // aggregate broadcast-semi-joined back: a count-window would
-    // shuffle+SORT the full banded set once PER JOIN LEG (both legs
-    // re-execute the guard subtree). Wide-band configs (maxHamming≤2 →
-    // ≥2^21-key bands) fall back to the window, whose exchange the
-    // subsequent self-join reuses.
-    // BigInt: a single 64-bit band would overflow a Long's 1L << 64
-    val keyspace = (0 until bands).map(b => BigInt(1) << (cut(b + 1) - cut(b))).sum
-    val guarded =
-      if (keyspace <= (1L << 20)) {
-        val okKeys = banded.groupBy("band", "key").agg(count(lit(1)).as("__n"))
-          .where(col("__n") >= 2 && col("__n") <= maxBucketSize)
-          .select("band", "key")
-        banded.join(broadcast(okKeys), Seq("band", "key"), "left_semi")
-      } else {
-        val w2 = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-        banded.withColumn("__n", count(lit(1)).over(w2))
-          .where(col("__n") >= 2 && col("__n") <= maxBucketSize).drop("__n")
-      }
-    // checkpoint: both pair-join legs otherwise re-run the sketch + band
-    // explode + guard subtree
-    val guardedCp = org.apache.spark.sql.graft.SqlInternals
-      .localCheckpointSized(guarded)
-    val l = guardedCp.select(col("band"), col("key"), col(idCol).as("id1"), col("sk").as("sk1"))
-    val r = guardedCp.select(col("band"), col("key"), col(idCol).as("id2"), col("sk").as("sk2"))
-    l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("sk1").bitwiseXOR(col("sk2"))).cast("int").as("hamming"))
+    // Bucket-size guard AND pair generation in ONE aggregate (the same
+    // shape as [[minHashCandidates]]): each (band, key) bucket collects
+    // its id-sorted (id, sketch) structs — the size predicate IS the
+    // guard, so the old okKeys broadcast-semi-join / count-window split
+    // and the checkpoint both retire, and the pair self-join (two leg
+    // exchanges + k²-to-C(k,2) filtering) becomes a positional explode.
+    val buckets = banded.groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sk"))))
+        .as("es"))
+      .where(size(col("es")).between(2, maxBucketSize))
+    buckets
+      // two-step explode: never materializes a bucket's C(k,2) pair array
+      .select(posexplode(col("es")).as(Seq("i", "e1")), col("es"))
+      .select(col("e1"), explode(slice(col("es"), col("i") + lit(2),
+        size(col("es")) - col("i") - 1)).as("e2"))
+      .select(col("e1.id").as("id1"), col("e2.id").as("id2"),
+        bit_count(col("e1.sk").bitwiseXOR(col("e2.sk"))).cast("int").as("hamming"))
       // verify BEFORE the pair-dedup shuffle: hamming is a pure function of
       // the two sketches, so filter-then-distinct ≡ distinct-then-filter,
       // but only surviving pairs pay the exchange (candidates that fail the

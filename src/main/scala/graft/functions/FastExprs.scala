@@ -105,6 +105,18 @@ object FastExprs {
     ExpressionUtils.column(SortedContainsExpr(
       ExpressionUtils.expression(arr), ExpressionUtils.expression(v)))
 
+  /** Distinct-|∩| and distinct-|∪| of two SORTED string arrays in one
+    * merge walk — the value-identical replacement for the
+    * size(array_intersect) + size(array_union) pair on pre-sorted sets:
+    * no per-pair hash table build, strings compare with early-exit
+    * instead of full-length hashing, and both counts come from the one
+    * pass. Inputs must be ascending in UTF8String binary order
+    * (array_sort's own); duplicates collapse while walking, matching
+    * array_intersect/array_union's distinct semantics exactly. */
+  def sortedJaccardCounts(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedJaccardExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Tokenization shared by every JVM kernel, replicating
     * TextAnalysis.tokens EXACTLY: collapse regex \s+ to one space, strip
     * edge SPACES only, split on ' '. Java's String.trim would also strip
@@ -256,6 +268,73 @@ object SortedContainsExpr {
       else hi = mid - 1
     }
     false
+  }
+}
+
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("inter", LongType, nullable = false),
+    StructField("uni", LongType, nullable = false)))
+  override def prettyName: String = "sorted_jaccard_counts"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedJaccardExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedJaccardExpr.compute($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedJaccardExpr {
+  // null elements sort FIRST (sort_array ascending) and match each other,
+  // exactly as array_intersect/array_union treat them
+  private def cmpNullsFirst(x: UTF8String, y: UTF8String): Int =
+    if (x eq null) { if (y eq null) 0 else -1 }
+    else if (y eq null) 1
+    else x.compareTo(y)
+
+  /** One merge walk over two ascending (UTF8String binary order, nulls
+    * first) string arrays: (distinct |∩|, distinct |∪|) — the same counts
+    * size(array_intersect(a,b)) / size(array_union(a,b)) produce for any
+    * sorted inputs, duplicates included (runs of equal elements are
+    * consumed whole). */
+  def compute(a: ArrayData, b: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val na = a.numElements(); val nb = b.numElements()
+    def at(arr: ArrayData, k: Int): UTF8String =
+      if (arr.isNullAt(k)) null else arr.getUTF8String(k)
+    var i = 0; var j = 0
+    var inter = 0L; var uni = 0L
+    while (i < na && j < nb) {
+      val av = at(a, i); val bv = at(b, j)
+      val cmp = cmpNullsFirst(av, bv)
+      uni += 1
+      if (cmp == 0) {
+        inter += 1
+        i += 1; j += 1
+        while (i < na && cmpNullsFirst(at(a, i), av) == 0) i += 1
+        while (j < nb && cmpNullsFirst(at(b, j), bv) == 0) j += 1
+      } else if (cmp < 0) {
+        i += 1
+        while (i < na && cmpNullsFirst(at(a, i), av) == 0) i += 1
+      } else {
+        j += 1
+        while (j < nb && cmpNullsFirst(at(b, j), bv) == 0) j += 1
+      }
+    }
+    while (i < na) {
+      val av = at(a, i); uni += 1; i += 1
+      while (i < na && cmpNullsFirst(at(a, i), av) == 0) i += 1
+    }
+    while (j < nb) {
+      val bv = at(b, j); uni += 1; j += 1
+      while (j < nb && cmpNullsFirst(at(b, j), bv) == 0) j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](inter, uni))
   }
 }
 

@@ -199,6 +199,32 @@ object Profile {
     val j = hr.join(hc, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("cc"), lit(0L)).as("cc"))
+    driftTail(j)
+  }
+
+  /** [[histogramDrift]] where the candidate is a PREDICATE-SELECTED
+    * subset of `ref` — the common drift-gate shape (slice vs corpus,
+    * q106): both histograms come from ONE scan via a conditional count
+    * instead of two scans + a full-outer join. Values identical to
+    * `histogramDrift(ref, ref.where(candPred), …)`: a subset's occupied
+    * bins are a subset of the reference's, so the outer join degenerates
+    * to the fused aggregate. */
+  def histogramDriftWithin(ref: DataFrame, candPred: org.apache.spark.sql.Column,
+                           valueCol: String, lo: Double, hi: Double,
+                           bins: Int): DataFrame = {
+    require(bins > 0, "histogramDriftWithin: bins must be positive")
+    require(hi > lo, "histogramDriftWithin: hi must exceed lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(w)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast("int")
+    driftTail(ref.where(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cr"), count(when(candPred, lit(1))).as("cc")))
+  }
+
+  /** Shared TV-distance tail over a (bin, cr, cc) histogram pair. */
+  private def driftTail(j: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = j.agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
     val gapped = j.crossJoin(broadcast(tot))
       .withColumn("gap",

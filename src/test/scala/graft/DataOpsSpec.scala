@@ -326,6 +326,18 @@ class DataOpsSpec extends SparkSpec {
     disjoint._5 shouldBe 1.0 // |p_ref − p_cand| in the worst bin
   }
 
+  test("histogramDriftWithin ≡ histogramDrift(ref, ref.where(pred))") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions.col
+    val a = (1 to 997).map(i => ((i * 7 % 100).toDouble, i % 3 == 0))
+      .toDF("v", "en")
+    val two = Profile.histogramDrift(a, a.where(col("en")),
+      "v", 0.0, 100.0, 10).collect().head
+    val one = Profile.histogramDriftWithin(a, col("en"),
+      "v", 0.0, 100.0, 10).collect().head
+    one shouldBe two
+  }
+
   test("histogramDrift is partitioning-invariant (exact integer path)") {
     import graft.operators.Profile
     val a = (1 to 997).map(i => (i * 7 % 100).toDouble).toDF("v")

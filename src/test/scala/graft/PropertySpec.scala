@@ -159,6 +159,24 @@ class PropertySpec extends SparkSpec {
         array_contains(col("arr"), col("p"))).count() shouldBe 0L
   }
 
+  test("sortedJaccardCounts ≡ (size ∘ array_intersect, size ∘ array_union) " +
+    "on sorted string arrays, duplicates included") {
+    val word = Gen.oneOf("a", "b", "ab", "ba", "x", "yy", "z", "", "aa", "q")
+    val pairs = Gen.listOfN(80, for {
+      a <- Gen.listOf(word)
+      b <- Gen.listOf(word)
+    } yield (a.sorted, b.sorted)).sample.get
+    val df = pairs.toDF("a", "b")
+      .withColumn("jc",
+        graft.functions.FastExprs.sortedJaccardCounts(col("a"), col("b")))
+    // functions.size written out: ScalaTest's Matchers.size(Long) shadows it
+    val sz = org.apache.spark.sql.functions.size _
+    df.where(
+      col("jc.inter") =!= sz(array_intersect(col("a"), col("b"))).cast("long") ||
+      col("jc.uni") =!= sz(array_union(col("a"), col("b"))).cast("long"))
+      .count() shouldBe 0L
+  }
+
   test("scd2: generated logs — version counts match change points, ranges " +
     "chain gaplessly, and every log row falls in the version holding its value") {
     import java.sql.Timestamp
