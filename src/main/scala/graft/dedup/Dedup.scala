@@ -570,12 +570,18 @@ object Dedup {
     val probe = minHashBuckets(batch, idCol, textCol, w, k, bands, portable)
     val pool = index.select(col(idCol), col("bucket"))
       .unionByName(probe)
-    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    val guarded = pool.withColumn("__n", count(lit(1)).over(w2))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    // bucket-size guard + pool-side collection in ONE aggregate (the
+    // minHashCandidates shape): the old pool-wide count WINDOW
+    // (exchange + sort of every pool row) and the pool-side join leg
+    // both retire — the probe joins one array row per surviving bucket
+    // and earlier ids explode row-locally
+    val buckets = pool.groupBy("bucket")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) <= maxBucketSize)
     val cand = probe.withColumnRenamed(idCol, "id2")
-      .join(guarded.withColumnRenamed(idCol, "id1"), Seq("bucket"))
-      .where(col("id1") < col("id2"))
+      .join(buckets, Seq("bucket"))
+      .select(col("id2"),
+        explode(filter(col("ids"), x => x < col("id2"))).as("id1"))
       .select("id1", "id2").distinct()
     jaccardVerify(allDocs, cand, idCol, textCol, w)
       .where(col("jaccard") >= minJaccard)
